@@ -1,0 +1,141 @@
+"""Scalar column-expression helpers — SURVEY.md §2.8 (X1-X18).
+
+Reference semantics (cited per function) re-expressed as pure Catalyst column
+expressions: JVM-side, codegen-friendly, no Python UDFs. Exact-parity notes
+are called out where the reference's behavior is quirky (blank-vs-null,
+sentinel dates, hash recipes) because surrogate IDs and oracle comparisons
+depend on them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+OPEN_END_SENTINEL = "9999-12-31"
+
+
+def safe_text(col: Column | str, default: str = "") -> Column:
+    """X1 — reference `normalize.py:20-25`: None→default, str()+strip."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(F.trim(c.cast("string")), F.lit(default))
+
+
+def nonblank(col: Column | str) -> Column:
+    """P4 — blank==missing predicate (`table_gold_current_members.py:259-262`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.coalesce(c.cast("string"), F.lit(""))) != ""
+
+
+def blank_as_null(col: Column | str) -> Column:
+    """Blank/whitespace-only strings normalized to NULL (read convention of
+    `pd.read_csv(keep_default_na=False)` inverted for Spark-native nulls)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c.cast("string"))
+    return F.when(t == "", F.lit(None).cast("string")).otherwise(t)
+
+
+def truthy(col: Column | str) -> Column:
+    """P5 — case-insensitive {"true","1","yes","y"} (`table_gold_current_members.py:253-256`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(c.cast("string"))).isin("true", "1", "yes", "y")
+
+
+def snake_case(col: Column | str) -> Column:
+    """X2 — `normalize.py:28-36`: ascii-fold, non-alnum→'_', collapse, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.lower(F.trim(c.cast("string")))
+    s = F.regexp_replace(s, r"[^a-z0-9]+", "_")
+    return F.regexp_replace(s, r"^_+|_+$", "")
+
+
+def normalize_name(col: Column | str) -> Column:
+    """X3 — `normalize.py:39-44`: lowercase, strip non-letters, single spaces.
+
+    Used to build fuzzy-match join keys (J3). ASCII-folding of accented
+    characters is approximated with translate over the common Latin-1 set
+    (the reference uses NFKD; the corpus is Irish names so this covers it).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.lower(F.trim(c.cast("string")))
+    s = F.translate(s, "áàâäãéèêëíìîïóòôöõúùûüýçñ", "aaaaaeeeeiiiiooooouuuuycn")
+    s = F.regexp_replace(s, r"[^a-z0-9]+", " ")
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def parse_iso_date(col: Column | str) -> Column:
+    """X4 — `normalize.py:47-60`: ISO prefix match, then dd/MM/yyyy,
+    yyyy/MM/dd, dd-MM-yyyy fallbacks; unparsable → NULL (errors='coerce')."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.trim(c.cast("string"))
+    iso = F.regexp_extract(s, r"^(\d{4}-\d{2}-\d{2})", 1)
+    return F.coalesce(
+        F.when(iso != "", F.try_to_timestamp(iso, F.lit("yyyy-MM-dd")).cast("date")),
+        F.try_to_timestamp(s, F.lit("dd/MM/yyyy")).cast("date"),
+        F.try_to_timestamp(s, F.lit("yyyy/MM/dd")).cast("date"),
+        F.try_to_timestamp(s, F.lit("dd-MM-yyyy")).cast("date"),
+    )
+
+
+def is_current_range(start: Column | str, end: Column | str,
+                     today: Column | None = None) -> Column:
+    """X5 — `normalize.py:96-115`: today in [start, end]; open bounds pass;
+    a supplied-but-unparsable bound → False; future start → False."""
+    s = F.col(start) if isinstance(start, str) else start
+    e = F.col(end) if isinstance(end, str) else end
+    now = today if today is not None else F.current_date()
+    s_txt, e_txt = nonblank(s), nonblank(e)
+    s_d, e_d = parse_iso_date(s), parse_iso_date(e)
+    start_ok = F.when(~s_txt, F.lit(True)).otherwise(
+        F.when(s_d.isNull(), F.lit(False)).otherwise(s_d <= now))
+    end_ok = F.when(~e_txt, F.lit(True)).otherwise(
+        F.when(e_d.isNull(), F.lit(False)).otherwise(e_d >= now))
+    return start_ok & end_ok
+
+
+def stable_hash(*cols: Column | str, length: int = 16) -> Column:
+    """X6 — `normalize.py:73-76`: sha256("|".join(lower(str(part)))) hex
+    prefix. Surrogate-ID recipe used across every reference table; expressed
+    as a pure column expression so it runs JVM-side and matches any SQL
+    oracle that computes substr(sha256(lower(concat_ws('|', ...))), 1, n).
+    """
+    parts = [F.col(c) if isinstance(c, str) else c for c in cols]
+    joined = F.lower(F.concat_ws("|", *[F.coalesce(p.cast("string"), F.lit("")) for p in parts]))
+    return F.substring(F.sha2(joined, 256), 1, length)
+
+
+def stable_record_hash(*cols: Column | str) -> Column:
+    """X7 — `normalize.py:79-81`: sha256 of a canonical (sorted-key) JSON
+    rendering of the record. Canonicalization = build the struct with field
+    names pre-sorted so to_json emits deterministic key order."""
+    named = []
+    for c in cols:
+        col = F.col(c) if isinstance(c, str) else c
+        named.append((c if isinstance(c, str) else col._jc.toString(), col))
+    named.sort(key=lambda kv: kv[0])
+    return F.sha2(F.to_json(F.struct(*[v.alias(k) for k, v in named])), 256)
+
+
+def coalesce_nonblank(*cols: Column | str) -> Column:
+    """X14 — blank-aware coalesce (`table_gold_current_members.py:241-250`):
+    first value that is non-null AND non-blank."""
+    out = F.lit(None).cast("string")
+    for c in reversed(cols):
+        col = F.col(c) if isinstance(c, str) else c
+        out = F.when(nonblank(col), F.trim(col.cast("string"))).otherwise(out)
+    return out
+
+
+def word_count(col: Column | str) -> Column:
+    """X9 — `table_speeches.py:255-256`: len(text.split())."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(F.coalesce(c.cast("string"), F.lit("")))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def slugify(col: Column | str) -> Column:
+    """X17 — `table_speeches.py:280-288`: alnum-dash slugs for storage keys."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.lower(F.trim(c.cast("string")))
+    s = F.regexp_replace(s, r"[^a-z0-9]+", "-")
+    return F.regexp_replace(s, r"^-+|-+$", "")

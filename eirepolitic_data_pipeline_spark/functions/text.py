@@ -1,0 +1,124 @@
+"""Text-analysis column expressions for large-scale training-data pipelines.
+
+Beyond-reference surface (SURVEY.md §7 step 9): language-ID, quality scoring,
+token counting, shingling and document fingerprinting — all as pure Catalyst
+expressions (JVM-side, whole-stage-codegen) so they run at 100 TB without a
+Python round-trip. The n-gram machinery here feeds the dedupe operators in
+``operators/dedupe.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram heuristic language ID.
+# Counting occurrences of high-frequency function words is the classic
+# cheap-and-robust lang-id heuristic (cf. McNamee 2005, "Language
+# identification: a solved problem suitable for undergraduate instruction").
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "a"),
+    "es": ("el", "la", "de", "que", "los", "una"),
+    "fr": ("le", "la", "les", "des", "est", "une"),
+    "de": ("der", "die", "und", "das", "ist", "ein"),
+    "zh": ("的", "是", "了", "在", "我", "不"),
+}
+
+_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+              "that", "for", "on", "as", "with", "was", "at", "by")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization → array<string> (lowercased, trimmed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.lower(F.trim(F.coalesce(c.cast("string"), F.lit(""))))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (JVM-side)."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-flavored token estimate: count word pieces + digits + punctuation
+    runs via a GPT-2-style pre-tokenizer regex. Cheap proxy for LLM token
+    budgeting at corpus scale (regexp_count is JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.coalesce(c.cast("string"), F.lit(""))
+    return F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """n-gram word shingles → array<string>; the unit of Jaccard/MinHash
+    dedupe. Built with transform over a token array — no UDF, no explode
+    until the caller decides to."""
+    toks = tokens(col)
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.when(k <= 0, F.array(F.array_join(toks, " "))).otherwise(sh)
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Character n-grams of the normalized text → array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.lower(F.regexp_replace(F.coalesce(c.cast("string"), F.lit("")), r"\s+", " "))
+    k = F.length(t) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(1)))
+    return F.when(F.length(t) <= n, F.array(t)).otherwise(
+        F.transform(idx, lambda i: F.substring(t, i, n)))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Document-quality heuristics (Gopher/C4-style filters): length, mean
+    word length, punctuation ratio, stopword ratio, alpha ratio, max-word
+    repetition. Returns named columns; caller selects/thresholds."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.coalesce(c.cast("string"), F.lit(""))
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]-]", ""))
+    n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in _STOPWORDS])))
+    distinct_ratio = F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "mean_word_len": F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0)),
+        "alpha_ratio": F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
+        "stopword_distinct": n_stop.cast("long"),
+        "distinct_token_ratio": distinct_ratio,
+    }
+
+
+def marker_hits(col: Column | str, lang: str) -> Column:
+    """Count of tokens that are in LANG_MARKERS[lang] (JVM-side array pass)."""
+    toks = tokens(col)
+    marker_arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda x: F.array_contains(marker_arr, x)))
+
+
+def language_guess(col: Column | str) -> Column:
+    """Heuristic language ID: argmax over per-language marker-token hits,
+    ties resolved by the fixed LANG_MARKERS declaration order, all-zero →
+    'und'. Pure column expression: one token-array pass per language — no
+    shuffle, no UDF, trivially scalable."""
+    langs = list(LANG_MARKERS)
+    hits = {lang: marker_hits(col, lang) for lang in langs}
+    best = F.greatest(*hits.values()) if len(hits) > 1 else next(iter(hits.values()))
+    out = F.lit("und")
+    for lang in reversed(langs):
+        out = F.when(hits[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(col: Column | str, length: int = 16) -> Column:
+    """Deterministic document fingerprint: sha256 of whitespace/punct
+    normalized lowercase text, hex prefix. The exact-dup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.lower(F.coalesce(c.cast("string"), F.lit("")))
+    norm = F.trim(F.regexp_replace(norm, r"[^a-z0-9]+", " "))
+    return F.substring(F.sha2(norm, 256), 1, length)

@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+Local testing runs one JVM with N threads, but every config here is chosen so
+the same plans scale to a multi-executor cluster at ~100 TB:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting, dynamic
+  broadcast demotion) — the single most important scale knob.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count; on a
+  real cluster AQE re-derives it from ``advisoryPartitionSizeInBytes``.
+- Arrow enabled for all pandas interchange (Pandas UDF / mapInPandas paths).
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle and are cluster-location-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "eirepolitic_data_pipeline_spark",
+              cores: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``cores`` only affects local mode; on a cluster the master/yarn/k8s
+    settings come from spark-submit and this factory only applies SQL confs.
+    """
+    n = cores or default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(n, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    # Only force a master when none is configured (tests / local bench).
+    if not os.environ.get("SPARK_MASTER") and "SPARK_CONNECT_MODE_ENABLED" not in os.environ:
+        builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]"))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                tables: tuple[str, ...] = ("region", "nation", "customer", "supplier",
+                                           "part", "orders", "lineitem", "events",
+                                           "documents", "embeddings")) -> dict:
+    """Load the test star schema as DataFrames and register temp views."""
+    out = {}
+    for t in tables:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        df.createOrReplaceTempView(t)
+        out[t] = df
+    return out

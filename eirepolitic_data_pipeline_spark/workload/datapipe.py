@@ -1,0 +1,428 @@
+"""Training-data-pipeline workload: dedup (exact / n-gram Jaccard / MinHash
+LSH / SimHash), embedding similarity search, and text analysis — the
+beyond-reference operator families (task brief + SURVEY.md §7 step 9).
+
+Scale notes (these run at 100 TB, not 60k rows):
+- Pairwise similarity is NEVER all-pairs: candidates come from an inverted
+  shingle index (q24), MinHash band buckets (q25), or sign-LSH buckets (q28)
+  — each a key-partitioned shuffle join, no driver materialization.
+- All hashing is content-derived (md5/sha2 of strings), so results are
+  deterministic and reproducible by any engine — no Spark-internal murmur3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+from .registry import register, t
+
+# ---------------------------------------------------------------------------
+# Exact dedup + fingerprinting
+# ---------------------------------------------------------------------------
+
+@register(
+    "q22_exact_dedup_fingerprint",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             substr(sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 16)
+               AS fingerprint
+      FROM documents
+    )
+    SELECT doc_id, fingerprint,
+           min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_doc_id,
+           count(*)    OVER (PARTITION BY fingerprint) AS dup_group_size
+    FROM fp
+    """,
+    survey_ref="O3,O6,X6 (+exact dedup)",
+)
+def q22_exact_dedup_fingerprint(spark, sf_dir):
+    """Exact dedup via content fingerprint: hash-groupBy on a normalized
+    sha256 key; canonical row = min(doc_id) per group. One shuffle on the
+    fingerprint — the canonical 100-TB exact-dedup plan."""
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint")
+    return (
+        docs.select("doc_id", tx.doc_fingerprint("text", 16).alias("fingerprint"))
+        .withColumn("canonical_doc_id", F.min("doc_id").over(w))
+        .withColumn("dup_group_size", F.count(F.lit(1)).over(w))
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup via inverted shingle index (no all-pairs)
+# ---------------------------------------------------------------------------
+
+_SHINGLES_SQL = """
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i + 1 : i + 3], ' ')
+             )) AS shingles
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents)
+"""
+
+
+@register(
+    "q23_jaccard_topk_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh FROM sh
+    ),
+    pair_counts AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS shared, any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 4) AS jaccard
+    FROM pair_counts
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+    survey_ref="beyond-ref: n-gram Jaccard near-dup",
+)
+def q23_jaccard_topk_pairs(spark, sf_dir):
+    """3-gram Jaccard similarity via inverted index: explode distinct
+    shingles, self-equi-join on shingle (shuffle co-partitioned by shingle),
+    count shared per pair, Jaccard = |∩| / (|A|+|B|-|∩|). Top-20 pairs with
+    unique tiebreaks. At 100 TB the hot-shingle skew is handled by dropping
+    stop-shingles above a document-frequency cap (see operators.dedupe)."""
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.array_distinct(tx.word_shingles("text", 3)).alias("shingles"))
+    ex = sh.select("doc_id", F.size("shingles").alias("n_sh"),
+                   F.explode("shingles").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"),
+             F.any_value(F.col("a.n_sh")).alias("n_a"),
+             F.any_value(F.col("b.n_sh")).alias("n_b"))
+    )
+    return (
+        pairs.select(
+            "doc_a", "doc_b",
+            F.round(F.col("shared").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4).alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 8
+_BAND_ROWS = 2  # 4 bands × 2 rows
+
+
+def _minhash_sql_cols() -> str:
+    cols = []
+    for h in range(_N_HASHES):
+        cols.append(
+            "list_min(list_transform(shingles, s -> md5('%d:' || s))) AS mh%d" % (h, h))
+    return ",\n             ".join(cols)
+
+
+def _band_sql_exprs() -> list[str]:
+    exprs = []
+    for band in range(_N_HASHES // _BAND_ROWS):
+        parts = " || '|' || ".join(
+            f"mh{band * _BAND_ROWS + r}" for r in range(_BAND_ROWS))
+        exprs.append(f"('{band}:' || {parts})")
+    return exprs
+
+
+@register(
+    "q24_minhash_lsh_candidates",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sigs AS (
+      SELECT doc_id,
+             {_minhash_sql_cols()}
+      FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, unnest([{", ".join(_band_sql_exprs())}]) AS band_key
+      FROM sigs
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(DISTINCT a.band_key) AS band_collisions
+    FROM bands a JOIN bands b
+      ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    survey_ref="beyond-ref: MinHash+LSH near-dup",
+)
+def q24_minhash_lsh_candidates(spark, sf_dir):
+    """MinHash/LSH candidate generation: shingle → 8 content-derived minhash
+    values (md5 salted by hash index; min of hex = min-hash) → 4 bands of 2
+    → bucket-join on band key. Only same-band docs ever meet, so the join
+    cost tracks true near-dup density, not n². This is the scale path that
+    replaces q23's full inverted index when shingle DF is huge."""
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.array_distinct(tx.word_shingles("text", 3)).alias("shingles"))
+    def _minhash(h: int):
+        # NB: single-parameter lambda — PySpark treats a 2-arg lambda as
+        # (element, index), so the salt must be closed over, not defaulted.
+        salt = f"{h}:"
+        return F.array_min(
+            F.transform("shingles", lambda s: F.md5(F.concat(F.lit(salt), s))))
+
+    sig_cols = [_minhash(h).alias(f"mh{h}") for h in range(_N_HASHES)]
+    sigs = sh.select("doc_id", *sig_cols)
+    band_exprs = []
+    for band in range(_N_HASHES // _BAND_ROWS):
+        parts = [F.col(f"mh{band * _BAND_ROWS + r}") for r in range(_BAND_ROWS)]
+        band_exprs.append(F.concat_ws("|", F.lit(str(band) + ":"), *parts))
+    bands = sigs.select("doc_id", F.explode(F.array(*band_exprs)).alias("band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.countDistinct(F.col("a.band_key")).alias("band_collisions"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BIT_SQL = ", ".join(
+    "CASE WHEN sum(CASE WHEN substr(h, %d, 1) >= '8' THEN 1 ELSE 0 END) * 2 >= count(*) "
+    "THEN '1' ELSE '0' END" % (i + 1)
+    for i in range(32)
+)
+
+
+@register(
+    "q25_simhash_signatures",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5(tok) AS h FROM toks)
+    SELECT doc_id, concat({_SIMHASH_BIT_SQL}) AS simhash
+    FROM hashed
+    GROUP BY doc_id
+    """,
+    survey_ref="beyond-ref: SimHash fingerprint",
+)
+def q25_simhash_signatures(spark, sf_dir):
+    """32-bit SimHash over distinct tokens: bit i = majority vote of the
+    high bit of md5 nibble i across the doc's tokens (each nibble's high bit
+    is an independent 1-bit hash). Hamming-close signatures ⇒ near-dups;
+    banded search lives in operators.dedupe.simhash_near_pairs."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tx.tokens("text"))).alias("tok"))
+    hashed = toks.select("doc_id", F.md5("tok").alias("h"))
+    bit_votes = [
+        F.sum(F.when(F.substring("h", i + 1, 1) >= "8", 1).otherwise(0)).alias(f"v{i}")
+        for i in range(32)
+    ]
+    agg = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"), *bit_votes)
+    bits = [F.when(F.col(f"v{i}") * 2 >= F.col("n_tok"), F.lit("1")).otherwise(F.lit("0"))
+            for i in range(32)]
+    return agg.select("doc_id", F.concat(*bits).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+def _cosine(a, b):
+    """Sequential-order dot/norm cosine as a pure column expression —
+    identical fold order to DuckDB's list_cosine_similarity, so doubles
+    agree bit-for-bit before rounding."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    nb = F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+@register(
+    "q26_knn_bruteforce",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """,
+    survey_ref="beyond-ref: ANN brute-force baseline",
+)
+def q26_knn_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast the query vector, one scan, one
+    JVM-side fold per row (zip_with/aggregate — no Python). The exact
+    baseline the LSH path (q27) approximates."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>"))
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "q27_ann_sign_lsh",
+    """
+    WITH b AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             array_to_string(list_transform(range(6), i ->
+               CASE WHEN embedding[CAST(i AS INTEGER) + 1] >= 0 THEN '1' ELSE '0' END), '')
+               AS bucket
+      FROM embeddings
+    )
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           round(list_cosine_similarity(n.v, q.v), 6) AS cosine
+    FROM b q JOIN b n ON n.bucket = q.bucket AND n.vec_id <> q.vec_id
+    WHERE q.vec_id < 5
+    QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                               ORDER BY cosine DESC, n.vec_id) <= 3
+    """,
+    survey_ref="beyond-ref: LSH-bucketed ANN",
+)
+def q27_ann_sign_lsh(spark, sf_dir):
+    """Bucketed ANN: axis-aligned hyperplane LSH (sign of the first 6 dims)
+    → candidates share a bucket → exact cosine only within the bucket →
+    top-3 per query. The bucket equi-join partitions by bucket key, so at
+    scale each task sees one bucket's worth of candidates, never n²."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>"))
+    bits = [F.when(F.col("embedding").getItem(i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(6)]
+    b = emb.select("vec_id", "label", "v", F.concat(*bits).alias("bucket"))
+    q = b.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb"))
+    n = b.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"),
+                 F.col("bucket").alias("nb"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        q.join(n, (F.col("nb") == F.col("qb")) & (F.col("neighbor_id") != F.col("query_id")))
+        .select("query_id", "neighbor_id",
+                F.round(_cosine(F.col("nv"), F.col("qv")), 6).alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "q28_text_stats",
+    """
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER)                                       AS n_chars,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER)
+             AS n_bpe_ish,
+           CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS INTEGER)
+             AS n_distinct_tokens
+    FROM documents
+    """,
+    survey_ref="X9 (+token counting)",
+)
+def q28_text_stats(spark, sf_dir):
+    """Token / char / BPE-ish / distinct-token counts, all JVM-side."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").cast("int").alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+        tx.bpe_ish_token_count("text").cast("int").alias("n_bpe_ish"),
+        F.size(F.array_distinct(tx.tokens("text"))).cast("int").alias("n_distinct_tokens"),
+    )
+
+
+def _lang_hits_sql(lang: str, markers: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{m}'" for m in markers)
+    return (f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+            f"tok -> list_contains([{arr}], tok)))")
+
+
+def _lang_guess_sql() -> str:
+    hits = {lang: _lang_hits_sql(lang, m) for lang, m in tx.LANG_MARKERS.items()}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    cases = " ".join(
+        f"WHEN {expr} = {best} THEN '{lang}'" for lang, expr in hits.items())
+    return f"CASE WHEN {best} = 0 THEN 'und' {cases} END"
+
+
+@register(
+    "q29_language_id",
+    f"""
+    SELECT doc_id, lang AS declared_lang,
+           {_lang_guess_sql()} AS guessed_lang
+    FROM documents
+    """,
+    survey_ref="beyond-ref: language ID heuristic",
+)
+def q29_language_id(spark, sf_dir):
+    """Marker-stopword language ID vs the declared lang column."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.col("lang").alias("declared_lang"),
+        tx.language_guess("text").alias("guessed_lang"),
+    )
+
+
+@register(
+    "q30_quality_scores",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks,
+             CAST(length(text) AS DOUBLE) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(CASE WHEN len(toks) > 0 THEN n_chars / len(toks) ELSE 0 END, 4)
+             AS mean_word_len,
+           round(CASE WHEN n_chars > 0
+                 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / n_chars
+                 ELSE 0 END, 4) AS alpha_ratio,
+           round(CASE WHEN len(toks) > 0
+                 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                 ELSE 0 END, 4) AS distinct_token_ratio
+    FROM base
+    """,
+    survey_ref="beyond-ref: quality scoring",
+)
+def q30_quality_scores(spark, sf_dir):
+    """Gopher/C4-style quality features as one projection pass."""
+    docs = t(spark, sf_dir, "documents")
+    q = tx.quality_features("text")
+    return docs.select(
+        "doc_id",
+        q["n_tokens"].alias("n_tokens"),
+        F.round(q["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(q["alpha_ratio"], 4).alias("alpha_ratio"),
+        F.round(q["distinct_token_ratio"], 4).alias("distinct_token_ratio"),
+    )

@@ -1,0 +1,173 @@
+"""Data-quality / validation workload (SURVEY.md §2.9) + scalar-function
+parity queries (§2.8) + semi-structured extraction (§2.3 analog).
+
+The reference treats DQ as first-class production code (every build embeds a
+check suite). Here each suite compiles to ONE aggregation pass over the table
+— no per-check scans — which is how it stays cheap at 100 TB. The reusable
+compiler lives in plans/quality.py; these queries pin its semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import scalar as sc
+from .registry import register, t
+
+
+@register(
+    "q31_dq_summary_lineitem",
+    """
+    SELECT count(*)                                        AS row_count,
+           count(DISTINCT l_orderkey * 100 + l_linenumber) AS distinct_pk,
+           CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_pk,
+           CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)    AS nonpositive_qty,
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS bad_discount,
+           strftime(min(l_shipdate), '%Y-%m-%d')           AS min_shipdate,
+           strftime(max(l_shipdate), '%Y-%m-%d')           AS max_shipdate
+    FROM lineitem
+    """,
+    survey_ref="Q1,Q2,O11",
+)
+def q31_dq_summary_lineitem(spark, sf_dir):
+    """Q1 per-table DQ suite compiled to a single aggregation pass:
+    row count, PK uniqueness, null PK, domain checks, freshness bounds."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.countDistinct(F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("distinct_pk"),
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).cast("long").alias("null_pk"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).cast("long").alias("nonpositive_qty"),
+        F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0))
+        .cast("long").alias("bad_discount"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_shipdate"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_shipdate"),
+    )
+
+
+@register(
+    "q32_fk_orphan_counts",
+    """
+    SELECT
+      (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        AS lineitem_orphans,
+      (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        AS order_orphans,
+      (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        AS customer_orphans
+    """,
+    survey_ref="Q3,J4",
+)
+def q32_fk_orphan_counts(spark, sf_dir):
+    """Q3 FK-integrity sweep: one left-anti count per declared FK edge."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = t(spark, sf_dir, "nation").select("n_nationkey")
+    a = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti").count()
+    b = orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti").count()
+    c = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey, "left_anti").count()
+    return spark.createDataFrame(
+        [(a, b, c)], "lineitem_orphans long, order_orphans long, customer_orphans long")
+
+
+@register(
+    "q33_temporal_integrity",
+    """
+    SELECT CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT)
+             AS shipped_before_order,
+           count(*) AS joined_rows
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    survey_ref="Q2",
+)
+def q33_temporal_integrity(spark, sf_dir):
+    """Q2 temporal integrity: valid_from ≤ valid_to analog — ship date must
+    not precede order date."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return j.agg(
+        F.sum(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0))
+        .cast("long").alias("shipped_before_order"),
+        F.count(F.lit(1)).alias("joined_rows"),
+    )
+
+
+@register(
+    "q34_scalar_function_parity",
+    """
+    SELECT c_custkey,
+           substr(sha256(lower(concat_ws('|', c_name, CAST(c_custkey AS VARCHAR)))), 1, 16)
+             AS cust_hash,
+           regexp_replace(regexp_replace(lower(trim(c_name)), '[^a-z0-9]+', '-', 'g'),
+                          '^-+|-+$', '', 'g')  AS cust_slug,
+           regexp_replace(regexp_replace(lower(trim(c_name)), '[^a-z0-9]+', '_', 'g'),
+                          '^_+|_+$', '', 'g')  AS cust_snake,
+           CASE WHEN trim(coalesce(c_mktsegment, '')) <> '' THEN trim(c_mktsegment)
+                ELSE trim(c_name) END          AS segment_or_name
+    FROM customer
+    """,
+    survey_ref="X1,X2,X6,X14,X17",
+)
+def q34_scalar_function_parity(spark, sf_dir):
+    """Pins the exact-parity scalar recipes (SURVEY §7 hard-part #1): the
+    stable_hash surrogate-ID, slug/snake normalizers, blank-aware coalesce."""
+    cust = t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        sc.stable_hash(F.col("c_name"), F.col("c_custkey").cast("string")).alias("cust_hash"),
+        sc.slugify("c_name").alias("cust_slug"),
+        sc.snake_case("c_name").alias("cust_snake"),
+        sc.coalesce_nonblank("c_mktsegment", "c_name").alias("segment_or_name"),
+    )
+
+
+@register(
+    "q35_json_props_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+           event_type
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 90
+    """,
+    survey_ref="F1-analog: semi-structured JSON extraction",
+)
+def q35_json_props_extract(spark, sf_dir):
+    """Semi-structured extraction (reference §2.3): JSON payload column →
+    typed field + predicate. get_json_object is JVM-side."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_id", k.alias("prop_k"), "event_type")
+        .filter(F.col("prop_k") > 90)
+    )
+
+
+@register(
+    "q36_parse_iso_date_parity",
+    """
+    WITH raw AS (
+      SELECT o_orderkey, strftime(o_orderdate, '%d/%m/%Y') AS messy_date
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT o_orderkey, messy_date,
+           strftime(strptime(messy_date, '%d/%m/%Y'), '%Y-%m-%d') AS parsed_date
+    FROM raw
+    """,
+    survey_ref="X4",
+)
+def q36_parse_iso_date_parity(spark, sf_dir):
+    """X4 multi-format date parsing: round-trip a dd/MM/yyyy rendering
+    through parse_iso_date's fallback chain."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    raw = orders.select(
+        "o_orderkey", F.date_format("o_orderdate", "dd/MM/yyyy").alias("messy_date"))
+    return raw.select(
+        "o_orderkey", "messy_date",
+        F.date_format(sc.parse_iso_date("messy_date"), "yyyy-MM-dd").alias("parsed_date"))

@@ -1,0 +1,47 @@
+"""Workload registry plumbing shared by the query modules."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]  # DuckDB oracle; None → rows-only check (non-SQL op)
+    survey_ref: str = ""  # SURVEY.md §2 operator ids this query exercises
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, sql: Optional[str], survey_ref: str = ""):
+    """Decorator: register a (spark, sf_dir) -> DataFrame query builder."""
+    def deco(fn):
+        QUERIES[name] = Query(name=name, fn=fn, sql=sql, survey_ref=survey_ref)
+        return fn
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema table. Parquet scan → Catalyst gets pushdown +
+    pruning for free; callers filter/select immediately after.
+
+    events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; read nanos as long (legacy conf) and rebuild a microsecond
+    timestamp JVM-side — integer `div`, no double round-trip, so the value
+    is exact for any epoch.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if dict(df.dtypes).get("ts") in ("bigint", "long"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

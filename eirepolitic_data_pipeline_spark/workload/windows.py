@@ -1,0 +1,282 @@
+"""Window-function workload: SURVEY.md §2.6 (W1-W6) + §2.7 dedupe windows,
+plus the beyond-reference frames (running totals, sessionization) Spark adds.
+
+Every ORDER BY inside a window carries a unique tiebreak column so results
+are deterministic across engines (reference pitfall: pandas keep='first'
+depends on frame order — SURVEY §7 'hard parts' #2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import register, t
+
+
+@register(
+    "q13_dense_rank_suppliers",
+    """
+    WITH rev AS (
+      SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year, l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT ship_year, l_suppkey, revenue,
+           CAST(dense_rank() OVER (PARTITION BY ship_year
+                                   ORDER BY revenue DESC, l_suppkey) AS INTEGER) AS supplier_rank
+    FROM rev
+    """,
+    survey_ref="W1,W2,A1",
+)
+def q13_dense_rank_suppliers(spark, sf_dir):
+    """W1 dense-rank-per-partition (reference per-year activity ranks).
+    Rank over the ROUNDED revenue so engine float drift can't flip ranks."""
+    li = t(spark, sf_dir, "lineitem")
+    rev = (
+        li.withColumn("ship_year", F.year("l_shipdate").cast("int"))
+        .groupBy("ship_year", "l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("ship_year").orderBy(F.col("revenue").desc(), F.col("l_suppkey"))
+    return rev.withColumn("supplier_rank", F.dense_rank().over(w).cast("int"))
+
+
+@register(
+    "q14_topn_customers_per_nation",
+    """
+    WITH ranked AS (
+      SELECT n.n_name, c.c_custkey, round(c.c_acctbal, 2) AS c_acctbal,
+             row_number() OVER (PARTITION BY n.n_nationkey
+                                ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT n_name, c_custkey, c_acctbal, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+    survey_ref="W5,J1",
+)
+def q14_topn_customers_per_nation(spark, sf_dir):
+    """W5 top-N per group. At scale: window over partitioned shuffle — no
+    driver-side sort; AQE handles skewed nations."""
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("n_name", "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"),
+                F.col("rn").cast("int").alias("rn"))
+    )
+
+
+@register(
+    "q15_argmax_event_type",
+    """
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT user_id, event_type, n_events,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n_events DESC, event_type) AS rn
+      FROM counts
+    )
+    SELECT user_id, event_type AS top_event_type, n_events
+    FROM ranked WHERE rn = 1
+    """,
+    survey_ref="W3,A9",
+)
+def q15_argmax_event_type(spark, sf_dir):
+    """W3 argmax-per-group (reference top-issue-per-member): count then
+    row_number==1 with (count desc, key asc) tiebreak."""
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event_type"), "n_events")
+    )
+
+
+@register(
+    "q16_latest_event_per_user",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           round(value, 2) AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+    survey_ref="W4,O3",
+)
+def q16_latest_event_per_user(spark, sf_dir):
+    """W4 current-else-latest record per entity (reference membership pick:
+    desc is_current, desc end-with-sentinel, desc start → here ts desc with
+    unique event_id tiebreak)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("last_event_id"),
+                F.col("event_type").alias("last_event_type"),
+                F.round("value", 2).alias("last_value"))
+    )
+
+
+@register(
+    "q17_rapid_repeat_events",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                          AND date_diff('second', prev_ts, ts) <= 600
+                         THEN 1 ELSE 0 END) AS BIGINT) AS rapid_events,
+           count(*) AS total_events
+    FROM gaps GROUP BY user_id
+    """,
+    survey_ref="W6",
+)
+def q17_rapid_repeat_events(spark, sf_dir):
+    """W6 interval-overlap analog: lag(ts) per entity, count successor rows
+    within 600s of the predecessor."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    gap_s = F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("prev_ts").isNotNull() & (gap_s <= 600), 1).otherwise(0))
+            .cast("long").alias("rapid_events"),
+            F.count(F.lit(1)).alias("total_events"),
+        )
+    )
+
+
+@register(
+    "q18_running_customer_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_spend
+    FROM orders
+    """,
+    survey_ref="beyond-ref: analytic frame (SURVEY §2.6 note)",
+)
+def q18_running_customer_spend(spark, sf_dir):
+    """Running total with an explicit ROWS frame — absent from the reference
+    (SURVEY notes no frame specs); unique (date, orderkey) ordering keeps the
+    prefix sums engine-independent."""
+    orders = t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "q19_dedupe_keep_last",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, event_id, round(value, 2) AS value
+    FROM ranked WHERE rn = 1
+    """,
+    survey_ref="O4,O5",
+)
+def q19_dedupe_keep_last(spark, sf_dir):
+    """O4 keep-last dedupe by business key — the core upsert precedence
+    primitive (incoming beats existing via priority ordering), expressed as
+    the row_number idiom the MergeWriter uses."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.round("value", 2).alias("value"))
+    )
+
+
+@register(
+    "q20_sessionization",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_no AS INTEGER) AS session_no,
+           count(*) AS session_events, round(sum(value), 2) AS session_value
+    FROM sess GROUP BY user_id, session_no
+    """,
+    survey_ref="beyond-ref: sessionization (streaming-equivalent batch, SURVEY §2.10)",
+)
+def q20_sessionization(spark, sf_dir):
+    """Gap-based sessionization (lag + cumulative sum of session-starts) —
+    the batch equivalent of session_window in Structured Streaming. The same
+    logic runs incrementally in streaming/sessions.py."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    gap_s = F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("new_session",
+                    F.when(F.col("prev_ts").isNull() | (gap_s > 1800), 1).otherwise(0))
+        .withColumn("session_no",
+                    F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+                    .cast("int"))
+        .groupBy("user_id", "session_no")
+        .agg(F.count(F.lit(1)).alias("session_events"),
+             F.round(F.sum("value"), 2).alias("session_value"))
+    )
+
+
+@register(
+    "q21_tumbling_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    survey_ref="§2.10 streaming-equivalent tumbling window",
+)
+def q21_tumbling_hourly(spark, sf_dir):
+    """Tumbling 1h window aggregate — batch twin of the Structured Streaming
+    job in streaming/jobs.py (same grouping, watermark added there)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("window_start",
+                      F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"))
+        .groupBy("window_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
