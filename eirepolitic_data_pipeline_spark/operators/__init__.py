@@ -1,0 +1,19 @@
+from .merge import WritePolicy, merge_for_policy  # noqa: F401
+from .dedupe import (  # noqa: F401
+    dedupe_keep_first,
+    dedupe_keep_last,
+    dedupe_with_conflicts,
+    exact_duplicate_groups,
+    jaccard_similar_pairs,
+    minhash_lsh_candidates,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from .temporal import (  # noqa: F401
+    current_else_latest,
+    interval_overlap_counts,
+    scope_replace_union,
+    temporal_integrity_report,
+)
+from .ranking import argmax_per_group, dense_rank_in, top_n_per_group  # noqa: F401
+from .similarity import cosine_col, knn_bruteforce, knn_lsh  # noqa: F401

@@ -1,0 +1,250 @@
+"""Dedupe operators: exact, conflict-evidence, and near-duplicate detection
+(n-gram Jaccard, MinHash+LSH, SimHash) — SURVEY §2.7 plus the
+training-data-pipeline dedup family.
+
+Scale design notes:
+- Near-dup candidate generation is always *bucketed* (shingle inverted index
+  with a document-frequency cap, MinHash bands, SimHash bands) — candidate
+  pairs are produced by key-partitioned equi-joins, never an n² cross join.
+- All hashing is content-derived (md5 of strings) so outputs are
+  deterministic, reproducible, and engine-independent.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+
+
+# ---------------------------------------------------------------------------
+# Key dedupe (O3/O4/O5/O6)
+# ---------------------------------------------------------------------------
+
+def dedupe_keep_first(df: DataFrame, keys: Sequence[str],
+                      order_by: Sequence[Column]) -> DataFrame:
+    """O3 keep-first PK dedupe with an EXPLICIT order (pandas keep='first'
+    depends on frame order; Spark requires the order to be stated)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def dedupe_keep_last(df: DataFrame, keys: Sequence[str],
+                     order_by: Sequence[Column]) -> DataFrame:
+    """O4 keep-last: same as keep-first with the order reversed by caller —
+    provided for intent-revealing call sites (upsert precedence)."""
+    w = Window.partitionBy(*keys).orderBy(*[c.desc() if hasattr(c, "desc") else c
+                                            for c in order_by])
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def dedupe_with_conflicts(df: DataFrame, business_key: Sequence[str],
+                          compared: Sequence[str]) -> tuple[DataFrame, DataFrame]:
+    """O6 conflict-evidence dedupe (reference `history_dedupe.py:16-63`):
+    collapse exact duplicate business rows; business keys whose compared
+    fields DISAGREE are reported as conflicts instead of silently resolved.
+
+    Returns (deduped, conflicts): ``deduped`` keeps one row per
+    (business_key + compared) combination; ``conflicts`` has one row per
+    business key with >1 distinct compared-tuple, with the distinct count.
+    """
+    distinct_rows = df.dropDuplicates([*business_key, *compared])
+    conflicts = (
+        df.groupBy(*business_key)
+        .agg(F.countDistinct(F.struct(*compared)).alias("distinct_variants"))
+        .filter(F.col("distinct_variants") > 1)
+    )
+    return distinct_rows, conflicts
+
+
+# ---------------------------------------------------------------------------
+# Exact near-dup by content fingerprint
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: normalized-content fingerprint → canonical id (min id)
+    per group + group size. One shuffle on the fingerprint."""
+    w = Window.partitionBy("fingerprint")
+    return (
+        df.select(id_col, tx.doc_fingerprint(text_col).alias("fingerprint"))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("dup_group_size", F.count(F.lit(1)).over(w))
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard via inverted shingle index
+# ---------------------------------------------------------------------------
+
+def jaccard_similar_pairs(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 3,
+                          threshold: float = 0.2,
+                          max_shingle_df: Optional[int] = None) -> DataFrame:
+    """Near-dup pairs with n-gram Jaccard ≥ threshold.
+
+    Inverted-index plan: explode distinct shingles → (optionally) drop
+    stop-shingles whose document frequency exceeds ``max_shingle_df`` —
+    the skew guard that keeps the self-join linear in true near-dup density
+    at corpus scale — → self-equi-join on shingle → per-pair intersection
+    count → Jaccard. Dropping ubiquitous shingles can only *lower* recall on
+    pairs that were already sharing mostly-ubiquitous content, which is the
+    accepted trade in web-scale dedup pipelines (cf. Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better").
+    """
+    sh = df.select(F.col(id_col).alias("doc_id"),
+                   F.array_distinct(tx.word_shingles(text_col, n)).alias("shingles"))
+    ex = sh.select("doc_id", F.size("shingles").alias("n_sh"),
+                   F.explode("shingles").alias("shingle"))
+    if max_shingle_df is not None:
+        dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        keep = dfreq.filter(F.col("df") <= max_shingle_df).select("shingle")
+        ex = ex.join(keep, "shingle")
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"),
+             F.any_value(F.col("a.n_sh")).alias("n_a"),
+             F.any_value(F.col("b.n_sh")).alias("n_b"))
+    )
+    jac = F.col("shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       num_hashes: int = 32) -> DataFrame:
+    """Content-derived MinHash signatures: per salt h, min(md5(h || shingle))
+    over the doc's shingle set. Deterministic across engines/runs."""
+    sh = df.select(F.col(id_col).alias("doc_id"),
+                   F.array_distinct(tx.word_shingles(text_col, n)).alias("shingles"))
+
+    def mh(h: int) -> Column:
+        salt = f"{h}:"
+        return F.array_min(F.transform(
+            "shingles", lambda s: F.md5(F.concat(F.lit(salt), s)))).alias(f"mh{h}")
+
+    return sh.select("doc_id", *[mh(h) for h in range(num_hashes)])
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 3,
+                           num_hashes: int = 32, band_rows: int = 4) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash: docs sharing any band
+    signature. bands = num_hashes/band_rows; collision prob for Jaccard j is
+    1-(1-j^band_rows)^bands — tune (num_hashes, band_rows) to the target
+    threshold. The band join partitions by band_key: no n² anywhere."""
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_exprs = []
+    for band in range(num_hashes // band_rows):
+        parts = [F.col(f"mh{band * band_rows + r}") for r in range(band_rows)]
+        band_exprs.append(F.concat_ws("|", F.lit(f"{band}:"), *parts))
+    bands = sigs.select("doc_id", F.explode(F.array(*band_exprs)).alias("band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.countDistinct(F.col("a.band_key")).alias("band_collisions"))
+    )
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3, num_hashes: int = 32, band_rows: int = 4,
+                  threshold: float = 0.7) -> DataFrame:
+    """Full MinHash dedup: LSH candidates → exact Jaccard verify → connected
+    survivors. Returns (id, canonical_id) where canonical is the min id among
+    the doc's verified near-dups (single-hop union — the standard one-pass
+    approximation of the connected component; iterate for full transitive
+    closure)."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, n, num_hashes, band_rows)
+    sh = df.select(F.col(id_col).alias("doc_id"),
+                   F.array_distinct(tx.word_shingles(text_col, n)).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("inter") /
+                    (F.size("sh_a") + F.size("sh_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    edges = verified.unionByName(
+        verified.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+    canon = edges.groupBy("doc_a").agg(F.min("doc_b").alias("min_nbr"))
+    ids = df.select(F.col(id_col).alias("doc_a"))
+    return ids.join(canon, "doc_a", "left").select(
+        F.col("doc_a").alias(id_col),
+        F.least(F.col("doc_a"), F.coalesce("min_nbr", F.col("doc_a"))).alias("canonical_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash: bit i = majority vote of md5-nibble-i's high bit across the
+    doc's distinct tokens. Emitted as a bit-string column ``simhash``."""
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(F.array_distinct(tx.tokens(text_col))).alias("tok"))
+    hashed = toks.select("doc_id", F.md5("tok").alias("h"))
+    votes = [F.sum(F.when(F.substring("h", i + 1, 1) >= "8", 1).otherwise(0)).alias(f"v{i}")
+             for i in range(bits)]
+    agg = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *votes)
+    bit_cols = [F.when(F.col(f"v{i}") * 2 >= F.col("n"), F.lit("1")).otherwise(F.lit("0"))
+                for i in range(bits)]
+    return agg.select("doc_id", F.concat(*bit_cols).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bits: int = 32,
+                       band_bits: int = 8, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Banded search (Manku et al. 2007, "Detecting Near-Duplicates for Web
+    Crawling"): split the signature into bits/band_bits bands; any pair
+    within Hamming d < #bands must agree exactly on ≥1 band → equi-join per
+    band, then exact Hamming verify. Partitioned by band value — no n².
+    """
+    sigs = simhash_signatures(df, text_col, id_col, bits)
+    n_bands = bits // band_bits
+    bands = sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(str(i)),
+                        F.substring("simhash", i * band_bits + 1, band_bits))
+            for i in range(n_bands)
+        ])).alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sig_a"), F.col("b.simhash").alias("sig_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # Hamming distance between equal-length bit strings, JVM-side: count
+    # positions where the chars differ via per-position comparison.
+    ham = F.size(F.filter(
+        F.zip_with(F.split("sig_a", ""), F.split("sig_b", ""),
+                   lambda x, y: x != y),
+        lambda d: d))
+    return (pairs.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

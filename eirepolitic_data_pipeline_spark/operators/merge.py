@@ -1,0 +1,96 @@
+"""Policy-driven merge — the reference engine's custom core (SURVEY §4).
+
+Re-expresses the reference's merge-on-write semantics
+(`extract/oireachtas/merge.py:14-30`, policies
+`configs/oireachtas/write_policies.yml`) as DataFrame algebra:
+
+- **snapshot_replace** — incoming replaces the table (rows missing from the
+  incoming snapshot are dropped).
+- **upsert** — union(existing, incoming); per primary key the INCOMING row
+  wins (reference: `drop_duplicates(keep="last")` after `concat([existing,
+  incoming])` — order-dependent in pandas, made explicit here with a source
+  priority column, SURVEY §7 hard-part #2); then a second dedupe over the
+  business key, incoming-first for ties.
+- **append** — union only (event/audit tables).
+- **rebuild** — incoming replaces full retained history.
+
+At scale: the union is shuffle-free; the PK dedupe is one window over the
+key — Spark partial-aggregates nothing here, but AQE coalesces the shuffle,
+and because precedence is expressed as ORDER BY (priority, not row order) the
+result is deterministic under any parallelism.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PRIORITY = "__src_priority"
+_RN = "__rn"
+
+VALID_MODES = ("snapshot_replace", "upsert", "append", "rebuild")
+
+
+@dataclass(frozen=True)
+class WritePolicy:
+    """Per-table write policy (reference `write_policies.py:20-33`)."""
+
+    mode: str
+    primary_key: Sequence[str] = ()
+    business_key: Sequence[str] = ()
+    valid_from: Optional[str] = None
+    valid_to: Optional[str] = None
+    is_current: Optional[str] = None
+    # FK edges: (local column, parent table name, parent column, nullable)
+    foreign_keys: Sequence[tuple[str, str, str, bool]] = field(default_factory=tuple)
+
+    def __post_init__(self):
+        if self.mode not in VALID_MODES:
+            raise ValueError(f"unknown write mode {self.mode!r}; expected {VALID_MODES}")
+        if self.mode == "upsert" and not self.primary_key:
+            raise ValueError("upsert policy requires a primary key")
+
+
+def _keep_first_by_priority(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """One row per key; lower priority value wins (0 = incoming)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(_PRIORITY).asc())
+    return (
+        df.withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) == 1)
+        .drop(_RN)
+    )
+
+
+def merge_for_policy(existing: Optional[DataFrame], incoming: DataFrame,
+                     policy: WritePolicy) -> DataFrame:
+    """Merge an incoming batch into retained history per the write policy.
+
+    ``existing`` may be None (first write). Column sets may differ between
+    runs — unionByName with allowMissingColumns mirrors the reference's
+    concat semantics (missing → null).
+    """
+    if policy.mode in ("snapshot_replace", "rebuild") or existing is None:
+        out = incoming
+        if policy.primary_key:
+            out = _keep_first_by_priority(
+                out.withColumn(_PRIORITY, F.lit(0)), policy.primary_key)
+        if policy.business_key:
+            out = _keep_first_by_priority(
+                out.withColumn(_PRIORITY, F.lit(0)), policy.business_key)
+        return out.drop(_PRIORITY)
+
+    inc = incoming.withColumn(_PRIORITY, F.lit(0))
+    ex = existing.withColumn(_PRIORITY, F.lit(1))
+    unioned = ex.unionByName(inc, allowMissingColumns=True)
+
+    if policy.mode == "append":
+        return unioned.drop(_PRIORITY)
+
+    # upsert: PK dedupe (incoming wins), then business-key dedupe.
+    out = _keep_first_by_priority(unioned, policy.primary_key)
+    if policy.business_key:
+        out = _keep_first_by_priority(out, policy.business_key)
+    return out.drop(_PRIORITY)

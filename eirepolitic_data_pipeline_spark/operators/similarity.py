@@ -1,0 +1,146 @@
+"""Embedding similarity search: brute-force cosine top-k and LSH-bucketed
+approximate nearest neighbors over an ``array<float>`` column.
+
+The dot/norm folds are pure Catalyst higher-order functions (zip_with /
+aggregate) — JVM-side, no Python, no UDF. For very wide vectors or very hot
+paths a Pandas-UDF matmul variant is provided (Arrow-batched numpy dot) —
+prefer it when k·dim work per row dominates over serialization.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns (sequential fold)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    nb = F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def knn_bruteforce(vectors: DataFrame, queries: DataFrame, k: int,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    queries is expected tiny (it is broadcast); vectors can be arbitrarily
+    large — the plan is scan × broadcast → per-row fold → window top-k,
+    which scales linearly with |vectors|·|queries|.
+    """
+    v = vectors.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).cast("array<double>").alias("nv"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_col(F.col("nv"), F.col("qv")))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def sign_lsh_bucket(vec_col: Column, n_bits: int = 8) -> Column:
+    """Axis-aligned hyperplane LSH: bucket = sign bits of the first n dims.
+    Cheap, deterministic, engine-independent. For better-distributed planes
+    use hashed_projection_bucket below."""
+    bits = [F.when(vec_col.getItem(i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(n_bits)]
+    return F.concat(*bits)
+
+
+def hashed_projection_bucket(vec_col: Column, dim: int, n_planes: int = 8,
+                             seed: str = "lsh") -> Column:
+    """Random-hyperplane LSH with content-derived pseudo-random planes:
+    plane p weight for dim d = ±1 chosen by a bit of md5(seed:p:d). Signed
+    sums fold JVM-side; deterministic across runs and engines."""
+    import hashlib
+
+    bits = []
+    for p in range(n_planes):
+        terms = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[0]
+            sign = 1.0 if h & 1 else -1.0
+            terms.append(vec_col.getItem(d) * F.lit(sign))
+        proj = terms[0]
+        for t in terms[1:]:
+            proj = proj + t
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def knn_lsh(vectors: DataFrame, queries: DataFrame, k: int,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            query_id_col: str = "vec_id", n_bits: int = 6,
+            multiprobe: bool = False) -> DataFrame:
+    """Approximate top-k: candidates must share the query's LSH bucket
+    (optionally ±1-bit multiprobe buckets for recall). The bucket equi-join
+    partitions candidates by bucket — at 100 TB each task handles one
+    bucket's candidate set, never the full corpus."""
+    v = vectors.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).cast("array<double>").alias("nv"),
+                       sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"),
+                       sign_lsh_bucket(F.col(vec_col), n_bits).alias("qbucket"))
+    if multiprobe:
+        # probe the home bucket plus each 1-bit flip
+        def flip(bucket: Column, i: int) -> Column:
+            flipped = F.when(F.substring(bucket, i + 1, 1) == "1", "0").otherwise("1")
+            return F.concat(F.substring(bucket, 1, i), flipped,
+                            F.substring(bucket, i + 2, n_bits - i - 1))
+        probes = F.array(F.col("qbucket"),
+                         *[flip(F.col("qbucket"), i) for i in range(n_bits)])
+        q = q.withColumn("qbucket", F.explode(probes))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        q.join(v, (F.col("bucket") == F.col("qbucket"))
+               & (F.col("neighbor_id") != F.col("query_id")))
+        .withColumn("cosine", cosine_col(F.col("nv"), F.col("qv")))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def knn_bruteforce_pandas(vectors: DataFrame, queries_pdf, k: int,
+                          id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Arrow-batched numpy variant: queries as a small pandas DataFrame
+    (id, vector) broadcast into a mapInPandas stage doing a matmul per
+    batch. Use when |queries|·dim is large enough that the per-row column
+    fold dominates. Returns (query_id, neighbor_id, cosine) rows."""
+    import numpy as np
+    import pandas as pd
+
+    qids = queries_pdf[id_col].to_numpy()
+    qm = np.stack(queries_pdf[vec_col].to_numpy()).astype("float64")
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def score(it):
+        for pdf in it:
+            vm = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            sims = vm @ qn.T  # |batch| × |queries|
+            out = pd.DataFrame({
+                "neighbor_id": np.repeat(pdf[id_col].to_numpy(), len(qids)),
+                "query_id": np.tile(qids, len(pdf)),
+                "cosine": sims.ravel(),
+            })
+            yield out
+
+    scored = vectors.select(id_col, vec_col).mapInPandas(
+        score, schema="neighbor_id long, query_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k))

@@ -1,0 +1,186 @@
+"""Operator-library tests: dedupe, temporal, ranking, similarity."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from eirepolitic_data_pipeline_spark.operators import (
+    argmax_per_group,
+    current_else_latest,
+    dedupe_with_conflicts,
+    exact_duplicate_groups,
+    interval_overlap_counts,
+    jaccard_similar_pairs,
+    knn_bruteforce,
+    knn_lsh,
+    minhash_lsh_candidates,
+    simhash_near_pairs,
+    temporal_integrity_report,
+    top_n_per_group,
+)
+from eirepolitic_data_pipeline_spark.operators.dedupe import minhash_dedup
+from eirepolitic_data_pipeline_spark.operators.temporal import scope_replace_union
+
+
+def d(s):
+    return datetime.date.fromisoformat(s)
+
+
+# ---------------------------------------------------------------------------
+# dedupe
+# ---------------------------------------------------------------------------
+
+def test_exact_duplicate_groups(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello,   WORLD!"), (2, "hello world"), (3, "different text")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["canonical_id"], r["dup_group_size"])
+           for r in exact_duplicate_groups(docs).collect()}
+    # punctuation/case/whitespace-normalized → 1 and 2 are exact dups
+    assert out[1] == (1, 2) and out[2] == (1, 2) and out[3] == (3, 1)
+
+
+def test_dedupe_with_conflicts(spark):
+    df = spark.createDataFrame(
+        [("bk1", "x"), ("bk1", "x"), ("bk2", "a"), ("bk2", "b")],
+        "bk string, val string")
+    deduped, conflicts = dedupe_with_conflicts(df, ["bk"], ["val"])
+    assert deduped.count() == 3  # (bk1,x), (bk2,a), (bk2,b)
+    got = {r["bk"]: r["distinct_variants"] for r in conflicts.collect()}
+    assert got == {"bk2": 2}
+
+
+def test_jaccard_detects_near_duplicate(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " tonight"
+    other = "completely unrelated words about spark partitions and shuffles"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in jaccard_similar_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.8
+    assert all(3 not in p for p in pairs)
+
+
+def test_jaccard_df_cap_drops_hot_shingles(spark):
+    hot = "common common common common common"
+    docs = spark.createDataFrame(
+        [(i, hot) for i in range(5)] + [(9, "rare unique text here")],
+        "doc_id long, text string")
+    uncapped = jaccard_similar_pairs(docs, threshold=0.9).count()
+    capped = jaccard_similar_pairs(docs, threshold=0.9, max_shingle_df=3).count()
+    assert uncapped == 10  # all hot-doc pairs
+    assert capped == 0     # stop-shingle removed → no candidates
+
+
+def test_minhash_candidates_and_dedup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " mu"), (3, "totally different content words")],
+        "doc_id long, text string")
+    cand = minhash_lsh_candidates(docs, num_hashes=16, band_rows=2)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    assert (1, 2) in pairs
+    canon = {r["doc_id"]: r["canonical_id"]
+             for r in minhash_dedup(docs, num_hashes=16, band_rows=2,
+                                    threshold=0.5).collect()}
+    assert canon == {1: 1, 2: 1, 3: 3}
+
+
+def test_simhash_near_pairs(spark):
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok7", "tok7x")
+    far = " ".join(f"other{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_near_pairs(docs, max_hamming=4).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# temporal
+# ---------------------------------------------------------------------------
+
+def test_current_else_latest_prefers_current(spark):
+    df = spark.createDataFrame(
+        [("m1", d("2020-01-01"), d("2021-01-01"), False),
+         ("m1", d("2021-01-02"), None, True),
+         ("m2", d("2018-01-01"), d("2019-01-01"), False),
+         ("m2", d("2019-01-02"), d("2020-01-01"), False)],
+        "member string, start date, end date, is_current boolean")
+    out = {r["member"]: r["start"] for r in
+           current_else_latest(df, ["member"], "start", "end", "is_current").collect()}
+    assert out["m1"] == d("2021-01-02")      # the current row
+    assert out["m2"] == d("2019-01-02")      # latest by end-date sentinel
+
+
+def test_interval_overlap_counts(spark):
+    df = spark.createDataFrame(
+        [("e1", d("2020-01-01"), d("2020-06-01")),
+         ("e1", d("2020-05-01"), d("2020-12-01")),   # overlaps previous
+         ("e1", d("2021-01-01"), None),              # no overlap
+         ("e2", d("2020-01-01"), d("2020-02-01"))],
+        "entity string, start date, end date")
+    out = {r["entity"]: r["overlap_count"]
+           for r in interval_overlap_counts(df, ["entity"], "start", "end").collect()}
+    assert out == {"e1": 1, "e2": 0}
+
+
+def test_temporal_integrity_report(spark):
+    df = spark.createDataFrame(
+        [(d("2020-01-01"), d("2019-01-01"), False),   # start > end
+         (d("2030-01-01"), None, True),               # future-dated current
+         (d("2020-01-01"), d("2021-01-01"), False)],
+        "start date, end date, is_current boolean")
+    r = temporal_integrity_report(
+        df, "start", "end", "is_current", today=F.lit("2026-01-01").cast("date")
+    ).collect()[0]
+    assert r["start_after_end"] == 1
+    assert r["future_dated_current"] == 1
+
+
+def test_scope_replace_union(spark):
+    existing = spark.createDataFrame(
+        [("2026W01", "a"), ("2026W02", "b")], "week string, v string")
+    incoming = spark.createDataFrame(
+        [("2026W02", "b2"), ("2026W02", "b3")], "week string, v string")
+    out = scope_replace_union(existing, incoming, F.col("week") == "2026W02")
+    got = sorted((r["week"], r["v"]) for r in out.collect())
+    assert got == [("2026W01", "a"), ("2026W02", "b2"), ("2026W02", "b3")]
+
+
+# ---------------------------------------------------------------------------
+# ranking
+# ---------------------------------------------------------------------------
+
+def test_top_n_and_argmax(spark):
+    df = spark.createDataFrame(
+        [("g1", "a", 3), ("g1", "b", 5), ("g1", "c", 5), ("g2", "d", 1)],
+        "g string, k string, v int")
+    top = top_n_per_group(df, ["g"], [F.col("v").desc(), F.col("k")], 2)
+    got = sorted((r["g"], r["k"], r["rank"]) for r in top.collect())
+    assert got == [("g1", "b", 1), ("g1", "c", 2), ("g2", "d", 1)]
+    am = argmax_per_group(df, ["g"], [F.col("v").desc(), F.col("k")])
+    assert sorted((r["g"], r["k"]) for r in am.collect()) == [("g1", "b"), ("g2", "d")]
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+def test_knn_bruteforce_and_lsh_agree_on_obvious_neighbor(spark):
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]),
+         (2, [0.99, 0.1, 0.0, 0.0]),
+         (3, [-1.0, 0.0, 0.0, 0.0]),
+         (4, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    q = vecs.filter(F.col("vec_id") == 1)
+    bf = knn_bruteforce(vecs, q, k=1)
+    assert [(r["query_id"], r["neighbor_id"]) for r in bf.collect()] == [(1, 2)]
+    approx = knn_lsh(vecs, q, k=1, n_bits=4)
+    assert [(r["query_id"], r["neighbor_id"]) for r in approx.collect()] == [(1, 2)]
