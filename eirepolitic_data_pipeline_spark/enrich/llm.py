@@ -1,0 +1,111 @@
+"""Config-driven LLM column enrichment — SURVEY §2.11 U1-U4
+(`process/llm_table_runner.py:146-449`, `speech_issue_classifier.py`).
+
+Reference semantics preserved, Spark-shaped:
+- a TEMPLATE with column variables produces one output column;
+- validation (allowed labels / regex / max words) with bounded repair
+  retries; failures → fallback value (reference NONE);
+- **resume**: rows whose output already exists are anti-joined away before
+  the expensive stage (reference resume-map, `llm_table_runner.py:371-394`)
+  — at 100 TB this is the difference between re-running a corpus and
+  topping it up;
+- execution is ``mapInPandas``: the model client is constructed per
+  partition (never pickled), called per Arrow batch.
+
+The client is injected as a factory returning ``callable(prompt) -> str`` —
+tests use deterministic fakes; production wires a real API client with
+rate limiting inside the factory.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable, Iterator, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class LLMColumnConfig:
+    """One enrichment column (reference YAML job config)."""
+
+    output_col: str
+    template: str                       # "...{col_a}...{col_b}..." ≤5 vars
+    input_cols: Sequence[str]
+    allowed_values: Optional[Sequence[str]] = None
+    max_words: Optional[int] = None
+    validate_regex: Optional[str] = None
+    max_repair_iters: int = 2
+    fallback: str = "NONE"
+    id_col: str = "id"
+    overwrite: bool = False             # False = fill-missing-only mode
+
+    def validate(self, answer: str) -> bool:
+        a = answer.strip()
+        if not a:
+            return False
+        if self.allowed_values is not None and a not in self.allowed_values:
+            return False
+        if self.max_words is not None and len(a.split()) > self.max_words:
+            return False
+        if self.validate_regex is not None and not re.fullmatch(self.validate_regex, a):
+            return False
+        return True
+
+
+@dataclass
+class LLMColumnRunner:
+    config: LLMColumnConfig
+    client_factory: Callable[[], Callable[[str], str]]
+
+    def _enrich_partitions(self, cols: Sequence[str]):
+        cfg = self.config
+        factory = self.client_factory
+
+        def run(batches: Iterator) -> Iterator:
+            client = factory()  # one client per partition/task
+            for pdf in batches:
+                answers = []
+                for _, row in pdf.iterrows():
+                    prompt = cfg.template.format(**{c: row[c] for c in cfg.input_cols})
+                    answer = client(prompt)
+                    iters = 0
+                    while not cfg.validate(answer) and iters < cfg.max_repair_iters:
+                        answer = client(
+                            f"Your previous answer {answer!r} was invalid. "
+                            f"{prompt}")
+                        iters += 1
+                    answers.append(answer.strip() if cfg.validate(answer)
+                                   else cfg.fallback)
+                out = pdf[list(cols)].copy()
+                out[cfg.output_col] = answers
+                yield out
+
+        return run
+
+    def run(self, df: DataFrame,
+            existing: Optional[DataFrame] = None) -> DataFrame:
+        """Enrich ``df`` with the configured column; rows already present in
+        ``existing`` (same id, non-null output) are reused, not recomputed."""
+        cfg = self.config
+        todo = df
+        done = None
+        if existing is not None and not cfg.overwrite:
+            done = existing.select(
+                cfg.id_col, F.col(cfg.output_col)).filter(
+                F.col(cfg.output_col).isNotNull())
+            todo = df.join(done.select(cfg.id_col), cfg.id_col, "left_anti")
+
+        in_cols = [cfg.id_col, *[c for c in cfg.input_cols if c != cfg.id_col]]
+        schema = ", ".join(
+            [f"{c} {dict(df.dtypes)[c]}" for c in in_cols]
+            + [f"{cfg.output_col} string"])
+        enriched = todo.select(*in_cols).mapInPandas(
+            self._enrich_partitions(in_cols), schema=schema)
+        out = df.join(enriched.select(cfg.id_col, cfg.output_col), cfg.id_col, "left")
+        if done is not None:
+            reused = df.join(done, cfg.id_col, "inner")
+            out = out.filter(F.col(cfg.output_col).isNotNull()).unionByName(reused)
+        return out

@@ -1,0 +1,150 @@
+"""Immutable-batch + production-pointer catalog.
+
+Re-expresses the reference's publish/promote/rollback machinery
+(`extract/oireachtas/batch.py:53-283`, `io_s3.py:62-83`) as a thin layout +
+pointer layer over any filesystem Spark can address (local path, s3a://,
+hdfs://):
+
+Layout::
+
+    {root}/batches/{batch_id}/tables/{table}/   ← immutable batch data
+    {root}/pointer.json                         ← {"production_batch_id": ...}
+
+Semantics preserved from the reference:
+- candidate (latest) writes are REDIRECTED into the open batch; a candidate
+  write without a batch id is refused (`io_s3.py:74-83`);
+- reads resolve through the production pointer (`batch.py:77-88`);
+- promotion is a SINGLE pointer write of a VALIDATED batch
+  (`batch.py:180-219`); rollback re-points to any previous batch
+  (`batch.py:222-283`);
+- a batch whose manifest has missing/failed tables cannot be promoted
+  (`batch.py:133-177`).
+
+The pointer file is tiny driver-side JSON — the data itself never moves on
+promote/rollback, so both are O(1) regardless of table size (the property
+that makes this safe at 100 TB).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CatalogError(RuntimeError):
+    pass
+
+
+@dataclass
+class BatchCatalog:
+    root: str
+    _manifests: dict = field(default_factory=dict)
+
+    # -- paths ---------------------------------------------------------------
+    def batch_path(self, batch_id: str, table: str) -> str:
+        return os.path.join(self.root, "batches", batch_id, "tables", table)
+
+    @property
+    def pointer_path(self) -> str:
+        return os.path.join(self.root, "pointer.json")
+
+    def _manifest_path(self, batch_id: str) -> str:
+        return os.path.join(self.root, "batches", batch_id, "manifest.json")
+
+    # -- pointer -------------------------------------------------------------
+    def production_batch_id(self) -> Optional[str]:
+        try:
+            with open(self.pointer_path) as f:
+                return json.load(f).get("production_batch_id")
+        except FileNotFoundError:
+            return None
+
+    def _write_pointer(self, batch_id: str, previous: Optional[str]):
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self.pointer_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"production_batch_id": batch_id,
+                       "previous_batch_id": previous,
+                       "promoted_at_unix": int(time.time())}, f, sort_keys=True)
+        os.replace(tmp, self.pointer_path)  # single atomic pointer write
+
+    # -- manifest ------------------------------------------------------------
+    def record_table(self, batch_id: str, table: str, row_count: int,
+                     status: str = "ok"):
+        """Per-table batch entry (reference `batch.py:91-130`)."""
+        m = self._load_manifest(batch_id)
+        if table in m["tables"]:
+            raise CatalogError(f"duplicate table {table!r} in batch {batch_id!r}")
+        m["tables"][table] = {"row_count": int(row_count), "status": status}
+        self._save_manifest(batch_id, m)
+
+    def _load_manifest(self, batch_id: str) -> dict:
+        p = self._manifest_path(batch_id)
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"batch_id": batch_id, "tables": {}}
+
+    def _save_manifest(self, batch_id: str, manifest: dict):
+        p = self._manifest_path(batch_id)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+
+    def validate_batch(self, batch_id: str, expected_tables: list[str]) -> list[str]:
+        """Reference `batch.py:133-177`: missing/failed/dataless tables make
+        the batch unpromotable. Returns the list of problems (empty = valid)."""
+        m = self._load_manifest(batch_id)
+        problems = []
+        for tname in expected_tables:
+            entry = m["tables"].get(tname)
+            if entry is None:
+                problems.append(f"missing table {tname!r}")
+            elif entry["status"] != "ok":
+                problems.append(f"table {tname!r} status={entry['status']!r}")
+            elif not os.path.isdir(self.batch_path(batch_id, tname)):
+                problems.append(f"table {tname!r} has no data directory")
+        return problems
+
+    # -- write/read ----------------------------------------------------------
+    def write_table(self, df: DataFrame, table: str, batch_id: Optional[str],
+                    status: str = "ok"):
+        """Candidate write — always lands in an immutable batch dir.
+
+        A production-bound write without a batch id is refused, mirroring the
+        reference's candidate redirection guard (`io_s3.py:74-83`).
+        """
+        if not batch_id:
+            raise CatalogError(
+                f"refusing candidate write of {table!r} without a batch id")
+        path = self.batch_path(batch_id, table)
+        row_count = df.count()
+        df.write.mode("errorifexists").parquet(path)  # immutable: no overwrite
+        self.record_table(batch_id, table, row_count, status)
+
+    def read_table(self, spark: SparkSession, table: str,
+                   batch_id: Optional[str] = None) -> DataFrame:
+        """Read a table; production reads resolve through the pointer."""
+        bid = batch_id or self.production_batch_id()
+        if bid is None:
+            raise CatalogError(f"no production batch promoted; cannot read {table!r}")
+        return spark.read.parquet(self.batch_path(bid, table))
+
+    # -- promote / rollback ----------------------------------------------------
+    def promote(self, batch_id: str, expected_tables: list[str]):
+        problems = self.validate_batch(batch_id, expected_tables)
+        if problems:
+            raise CatalogError(
+                f"batch {batch_id!r} failed validation: {problems}")
+        self._write_pointer(batch_id, previous=self.production_batch_id())
+
+    def rollback(self, to_batch_id: str):
+        if not os.path.isdir(os.path.join(self.root, "batches", to_batch_id)):
+            raise CatalogError(f"unknown batch {to_batch_id!r}")
+        self._write_pointer(to_batch_id, previous=self.production_batch_id())

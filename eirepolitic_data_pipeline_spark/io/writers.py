@@ -1,0 +1,42 @@
+"""MergeWriter — merge-on-write sink (reference S13, `io_s3.py:118-127`).
+
+Before a table's "latest" is (re)written, the current production table is
+read through the catalog pointer and the write-policy merge is applied, so
+the write path IS the merge operator. The merged result lands in the open
+candidate batch; promotion makes it production with one pointer write.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.merge import WritePolicy, merge_for_policy
+from .catalog import BatchCatalog, CatalogError
+
+
+@dataclass
+class MergeWriter:
+    catalog: BatchCatalog
+    spark: SparkSession
+
+    def write(self, incoming: DataFrame, table: str, policy: WritePolicy,
+              batch_id: str, snapshot_date: Optional[str] = None) -> DataFrame:
+        """Merge incoming into retained history per policy, write to the
+        candidate batch, and return the merged DataFrame.
+
+        ``snapshot_date`` partitions the physical layout (hive-style, as the
+        reference's `snapshot_date={d}` keys) when provided.
+        """
+        try:
+            existing = self.catalog.read_table(self.spark, table)
+        except CatalogError:
+            existing = None
+        merged = merge_for_policy(existing, incoming, policy)
+        if snapshot_date is not None:
+            from pyspark.sql import functions as F
+            merged = merged.withColumn("snapshot_date", F.lit(snapshot_date))
+        self.catalog.write_table(merged, table, batch_id)
+        return merged

@@ -1,0 +1,173 @@
+"""DQ check compiler — SURVEY §2.9 (Q1-Q5).
+
+The reference embeds a hand-rolled check suite in every builder
+(`table_members.py:388-416` etc.) and validates downstream contracts from
+YAML (`contracts.py:63-135`). Here every check compiles to an aggregate
+EXPRESSION and the whole suite runs as ONE aggregation pass over the table —
+a single job, map-side combined, no per-check scans. FK checks are the only
+exception (one anti-join count per FK edge)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class CheckResult:
+    name: str
+    passed: bool
+    observed: object
+    detail: str = ""
+
+
+class DQSuite:
+    """Declarative check suite compiled to one aggregation pass."""
+
+    def __init__(self):
+        self._checks: list[tuple[str, Column, "callable"]] = []
+
+    # -- builders ------------------------------------------------------------
+    def min_rows(self, n: int) -> "DQSuite":
+        self._checks.append((
+            f"row_count>={n}", F.count(F.lit(1)).alias("v"),
+            lambda v: v >= n))
+        return self
+
+    def non_null(self, col: str) -> "DQSuite":
+        self._checks.append((
+            f"{col}_null_count==0",
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("v"),
+            lambda v: (v or 0) == 0))
+        return self
+
+    def non_blank(self, col: str) -> "DQSuite":
+        """Blank-vs-null convention: empty/whitespace string counts as
+        missing (reference `_nonblank`)."""
+        blank = F.trim(F.coalesce(F.col(col).cast("string"), F.lit(""))) == ""
+        self._checks.append((
+            f"{col}_blank_count==0",
+            F.sum(F.when(blank, 1).otherwise(0)).alias("v"),
+            lambda v: (v or 0) == 0))
+        return self
+
+    def unique(self, cols: Sequence[str]) -> "DQSuite":
+        key = F.concat_ws("\u0001", *[F.coalesce(F.col(c).cast("string"), F.lit("\u0000"))
+                              for c in cols])
+        name = f"unique({','.join(cols)})"
+        self._checks.append((
+            name,
+            (F.count(F.lit(1)) - F.countDistinct(key)).alias("v"),
+            lambda v: (v or 0) == 0))
+        return self
+
+    def in_range(self, col: str, lo=None, hi=None) -> "DQSuite":
+        cond = F.lit(False)
+        if lo is not None:
+            cond = cond | (F.col(col) < lo)
+        if hi is not None:
+            cond = cond | (F.col(col) > hi)
+        self._checks.append((
+            f"{col}_in_range[{lo},{hi}]",
+            F.sum(F.when(cond, 1).otherwise(0)).alias("v"),
+            lambda v: (v or 0) == 0))
+        return self
+
+    def accepted_values(self, col: str, values: Sequence[str]) -> "DQSuite":
+        self._checks.append((
+            f"{col}_accepted_values",
+            F.sum(F.when(~F.col(col).isin(*values) & F.col(col).isNotNull(), 1)
+                  .otherwise(0)).alias("v"),
+            lambda v: (v or 0) == 0))
+        return self
+
+    def custom(self, name: str, violation_cond: Column) -> "DQSuite":
+        self._checks.append((
+            name,
+            F.sum(F.when(violation_cond, 1).otherwise(0)).alias("v"),
+            lambda v: (v or 0) == 0))
+        return self
+
+    # -- execution -----------------------------------------------------------
+    def run(self, df: DataFrame) -> list[CheckResult]:
+        if not self._checks:
+            return []
+        exprs = [expr.alias(f"c{i}") for i, (_, expr, _) in enumerate(self._checks)]
+        row = df.agg(*exprs).collect()[0]  # ONE pass for the whole suite
+        out = []
+        for i, (name, _, judge) in enumerate(self._checks):
+            v = row[f"c{i}"]
+            out.append(CheckResult(name=name, passed=bool(judge(v)), observed=v))
+        return out
+
+    @staticmethod
+    def passed(results: list[CheckResult]) -> bool:
+        return all(r.passed for r in results)
+
+
+def fk_orphan_counts(child: DataFrame, parents: dict[str, DataFrame],
+                     fks: Sequence[tuple[str, str, str, bool]]) -> list[CheckResult]:
+    """Q3 FK integrity: one anti-join count per FK edge; nullable FKs drop
+    nulls first (reference `merge.py:76-94`)."""
+    out = []
+    for col, parent_table, parent_col, nullable in fks:
+        c = child.select(col)
+        if nullable:
+            c = c.filter(F.col(col).isNotNull())
+        parent = parents[parent_table].select(F.col(parent_col).alias(col))
+        orphans = c.join(parent, col, "left_anti").count()
+        out.append(CheckResult(
+            name=f"fk_{col}->{parent_table}.{parent_col}",
+            passed=orphans == 0, observed=orphans))
+    return out
+
+
+def contract_checks(df: DataFrame, required_columns: Sequence[str],
+                    primary_key: Sequence[str], min_rows: int,
+                    max_age_days: Optional[int] = None,
+                    freshness_col: Optional[str] = None) -> list[CheckResult]:
+    """Q4 dataset-contract validation (reference `contracts.py:63-135`):
+    required columns present, PK blank/dup counts, min rows, freshness."""
+    results = [CheckResult(
+        name="required_columns_present",
+        passed=set(required_columns) <= set(df.columns),
+        observed=sorted(set(required_columns) - set(df.columns)))]
+    suite = DQSuite().min_rows(min_rows)
+    for c in primary_key:
+        if c in df.columns:
+            suite.non_blank(c)
+    if primary_key and set(primary_key) <= set(df.columns):
+        suite.unique(primary_key)
+    if max_age_days is not None and freshness_col and freshness_col in df.columns:
+        suite.custom(
+            f"freshness<={max_age_days}d",
+            F.datediff(F.current_date(), F.col(freshness_col).cast("date")) > max_age_days)
+    results.extend(suite.run(df))
+    return results
+
+
+def comparison_gates(legacy: DataFrame, candidate: DataFrame,
+                     key_cols: Sequence[str],
+                     max_only_keys: int = 0,
+                     max_row_delta_pct: float = 2.0,
+                     min_coverage_pct: float = 99.0) -> list[CheckResult]:
+    """Q5 legacy-vs-new comparison gates (reference
+    `compat_comparison.py:100-139` + thresholds `downstream_contracts.yml`):
+    only-key counts via anti-joins, row-delta pct, join coverage pct."""
+    lk = legacy.select(*key_cols).distinct()
+    ck = candidate.select(*key_cols).distinct()
+    legacy_only = lk.join(ck, list(key_cols), "left_anti").count()
+    cand_only = ck.join(lk, list(key_cols), "left_anti").count()
+    n_l, n_c = legacy.count(), candidate.count()
+    delta_pct = abs(n_c - n_l) / n_l * 100 if n_l else 0.0
+    matched = lk.join(ck, list(key_cols), "left_semi").count()
+    coverage = matched / lk.count() * 100 if n_l else 100.0
+    return [
+        CheckResult("legacy_only_keys", legacy_only <= max_only_keys, legacy_only),
+        CheckResult("candidate_only_keys", cand_only <= max_only_keys, cand_only),
+        CheckResult("row_delta_pct", delta_pct <= max_row_delta_pct, round(delta_pct, 3)),
+        CheckResult("join_coverage_pct", coverage >= min_coverage_pct, round(coverage, 3)),
+    ]

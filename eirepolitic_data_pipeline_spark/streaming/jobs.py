@@ -1,0 +1,70 @@
+"""Structured Streaming surface — SURVEY §2.10.
+
+The reference has no streaming runtime; its incremental semantics are cron
+micro-batches with overlapping lookback windows reconciled by keep-last
+upsert. The Spark-native equivalents provided here:
+
+- **watermark = overlap window**: the reference's 35-day weekly lookback
+  becomes ``withWatermark(ts, overlap)`` — late rows inside the overlap are
+  incorporated, older ones dropped, exactly the reference's trade-off.
+- **idempotent reprocessing** → ``dropDuplicates`` on the deterministic
+  event id under the watermark (at-least-once + dedupe, reference
+  resume-map semantics).
+- **tumbling/sliding windows** → ``F.window``; **sessions** →
+  ``F.session_window`` (gap-based, the streaming twin of workload
+  q20_sessionization).
+
+All jobs take a source DataFrame (``spark.readStream`` or a batch frame for
+testing — the transformations are identical in both modes; batch mode is
+the ``availableNow`` analog used by the tests)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "35 days") -> DataFrame:
+    """Tumbling-window counts/sums per event_type with late-data watermark
+    (reference weekly overlap → watermark)."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("total_value"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "event_type", "n_events", "total_value")
+    )
+
+
+def dedup_events_stream(events: DataFrame, id_col: str = "event_id",
+                        watermark: str = "35 days") -> DataFrame:
+    """Idempotent at-least-once ingestion: dedupe on the deterministic id
+    within the watermark horizon (reference upsert-keep-last reconciliation
+    of re-delivered overlap rows)."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return src.dropDuplicates([id_col])
+
+
+def sessionized_stream(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "35 days") -> DataFrame:
+    """Session windows per user (gap-close semantics). Batch mode gives the
+    same sessions as the lag+cumsum formulation in workload q20."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("session_events"),
+             F.sum("value").alias("session_value"))
+        .select("user_id",
+                F.col("sess.start").alias("session_start"),
+                F.col("sess.end").alias("session_end"),
+                "session_events", "session_value")
+    )

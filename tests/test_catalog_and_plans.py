@@ -1,0 +1,161 @@
+"""Batch/pointer catalog, MergeWriter, registry, DQ compiler tests —
+porting the reference's batch-control and contract test behaviors
+(tests/test_oireachtas_batch_control.py, test_oireachtas_downstream_contracts.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eirepolitic_data_pipeline_spark.io import BatchCatalog, CatalogError, MergeWriter
+from eirepolitic_data_pipeline_spark.operators import WritePolicy
+from eirepolitic_data_pipeline_spark.plans import DQSuite, TableRegistry, contract_checks
+from eirepolitic_data_pipeline_spark.plans.quality import comparison_gates, fk_orphan_counts
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return BatchCatalog(root=str(tmp_path / "warehouse"))
+
+
+def test_candidate_write_requires_batch_id(spark, catalog):
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(CatalogError, match="without a batch id"):
+        catalog.write_table(df, "t1", batch_id=None)
+
+
+def test_reads_resolve_through_pointer_and_candidate_isolation(spark, catalog):
+    v1 = spark.createDataFrame([(1, "v1")], "id int, v string")
+    catalog.write_table(v1, "t1", batch_id="b1")
+    # candidate not yet promoted → production read fails (isolation)
+    with pytest.raises(CatalogError, match="no production batch"):
+        catalog.read_table(spark, "t1")
+    catalog.promote("b1", ["t1"])
+    assert catalog.read_table(spark, "t1").collect()[0]["v"] == "v1"
+    # new candidate batch does not affect production until promoted
+    v2 = spark.createDataFrame([(1, "v2")], "id int, v string")
+    catalog.write_table(v2, "t1", batch_id="b2")
+    assert catalog.read_table(spark, "t1").collect()[0]["v"] == "v1"
+    catalog.promote("b2", ["t1"])
+    assert catalog.read_table(spark, "t1").collect()[0]["v"] == "v2"
+
+
+def test_incomplete_batch_cannot_promote_and_rollback_works(spark, catalog):
+    df = spark.createDataFrame([(1,)], "id int")
+    catalog.write_table(df, "t1", batch_id="b1")
+    catalog.promote("b1", ["t1"])
+    catalog.write_table(df, "t1", batch_id="b2")
+    # b2 is missing t2 → unpromotable
+    with pytest.raises(CatalogError, match="failed validation"):
+        catalog.promote("b2", ["t1", "t2"])
+    # failed-status table also blocks promotion
+    catalog.write_table(df, "t2", batch_id="b2", status="failed")
+    with pytest.raises(CatalogError, match="status='failed'"):
+        catalog.promote("b2", ["t1", "t2"])
+    # production pointer untouched throughout
+    assert catalog.production_batch_id() == "b1"
+    # rollback to a known batch re-points production
+    catalog.write_table(df, "t1", batch_id="b3")
+    catalog.promote("b3", ["t1"])
+    catalog.rollback("b1")
+    assert catalog.production_batch_id() == "b1"
+    with pytest.raises(CatalogError, match="unknown batch"):
+        catalog.rollback("nope")
+
+
+def test_duplicate_table_in_batch_rejected(spark, catalog):
+    df = spark.createDataFrame([(1,)], "id int")
+    catalog.write_table(df, "t1", batch_id="b1")
+    with pytest.raises(CatalogError, match="duplicate table"):
+        catalog.record_table("b1", "t1", 1)
+
+
+def test_merge_writer_upserts_through_pointer(spark, catalog):
+    writer = MergeWriter(catalog=catalog, spark=spark)
+    policy = WritePolicy(mode="upsert", primary_key=["id"])
+    writer.write(spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"),
+                 "t", policy, batch_id="b1")
+    catalog.promote("b1", ["t"])
+    writer.write(spark.createDataFrame([(2, "b2"), (3, "c")], "id int, v string"),
+                 "t", policy, batch_id="b2")
+    catalog.promote("b2", ["t"])
+    got = {r["id"]: r["v"] for r in catalog.read_table(spark, "t").collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def test_registry_conform_and_build_order(spark):
+    reg = TableRegistry.from_dict({
+        "tables": {
+            "gold_member_activity": {
+                "columns": [{"member_code": "string"}, {"year": "int"},
+                            {"speech_count": "bigint"}],
+                "primary_key": ["member_code", "year"],
+                "write_policy": {"mode": "upsert"},
+            },
+            "silver_members": {
+                "columns": ["member_code", "full_name"],
+                "primary_key": ["member_code"],
+                "write_policy": {"mode": "snapshot_replace"},
+            },
+            "control_runs": {
+                "columns": ["run_id"],
+                "write_policy": {"mode": "append"},
+            },
+        }
+    })
+    order = [t.name for t in reg.in_build_order()]
+    assert order == ["silver_members", "gold_member_activity", "control_runs"]
+    td = reg["gold_member_activity"]
+    df = spark.createDataFrame([("m1", "2024")], "member_code string, year string")
+    out = td.conform(df)
+    assert [f.name for f in out.schema.fields] == ["member_code", "year", "speech_count"]
+    row = out.collect()[0]
+    assert row["year"] == 2024 and row["speech_count"] is None
+
+
+# ---------------------------------------------------------------------------
+# DQ compiler
+# ---------------------------------------------------------------------------
+
+def test_dq_suite_single_pass(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "", 50.0), (2, "c", -1.0)],
+        "id int, name string, score double")
+    results = (DQSuite()
+               .min_rows(2)
+               .non_null("id")
+               .non_blank("name")
+               .unique(["id"])
+               .in_range("score", lo=0.0, hi=10.0)
+               .run(df))
+    by_name = {r.name: r for r in results}
+    assert by_name["row_count>=2"].passed
+    assert by_name["id_null_count==0"].passed
+    assert not by_name["name_blank_count==0"].passed       # one blank
+    assert not by_name["unique(id)"].passed                # dup id=2
+    assert not by_name["score_in_range[0.0,10.0]"].passed  # -1 and 50
+    assert by_name["score_in_range[0.0,10.0]"].observed == 2
+
+
+def test_contract_and_fk_and_comparison_checks(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "pk string, v int")
+    results = contract_checks(df, ["pk", "v"], ["pk"], min_rows=2)
+    assert all(r.passed for r in results)
+    child = spark.createDataFrame([("x", "p1"), ("y", "p9"), ("z", None)],
+                                  "id string, parent string")
+    parent = spark.createDataFrame([("p1",)], "pid string")
+    fk = fk_orphan_counts(child, {"parents": parent},
+                          [("parent", "parents", "pid", True)])
+    assert fk[0].observed == 1  # p9 orphaned; null dropped (nullable fk)
+    legacy = spark.createDataFrame([("k1",), ("k2",)], "k string")
+    cand = spark.createDataFrame([("k1",), ("k2",), ("k3",)], "k string")
+    gates = {r.name: r for r in comparison_gates(legacy, cand, ["k"],
+                                                 max_only_keys=0,
+                                                 max_row_delta_pct=10.0)}
+    assert gates["legacy_only_keys"].passed
+    assert not gates["candidate_only_keys"].passed  # k3 is candidate-only
+    assert gates["join_coverage_pct"].observed == 100.0
