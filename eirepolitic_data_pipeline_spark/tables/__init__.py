@@ -1,0 +1,16 @@
+"""Reference-parity table builders (SURVEY §7 steps 2/4/5).
+
+Each builder is a pure ``DataFrame -> DataFrame`` pipeline mirroring one of
+the reference's 31 registry tables, re-expressed declaratively so Catalyst
+plans the physical execution. IO, merge policies, DQ and batch promotion are
+layered on from ``io.writers`` / ``plans.quality`` / ``io.catalog``.
+"""
+
+from .gold import (  # noqa: F401
+    gold_constituency_activity_yearly,
+    gold_content_fact_pool,
+    gold_current_members,
+    gold_member_activity_monthly,
+    gold_member_activity_yearly,
+)
+from .consumers import member_profile_metrics  # noqa: F401

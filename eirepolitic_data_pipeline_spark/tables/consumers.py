@@ -1,0 +1,154 @@
+"""Downstream consumer builds — SURVEY §3.3.
+
+``member_profile_metrics`` re-expresses the reference's per-member content
+metrics job (`process/build_member_profile_metrics.py:67-150`): name-key
+normalization, photo lookup, year filtering, NONE-label filtering, global
+dense rank, top-issue argmax, distinct vote participation pct, wide output.
+
+Inputs are string-typed compat CSV frames (blank == missing). Column names
+for metric outputs are templated with the target year, matching the
+reference's ``metric(name) -> f"{name}_{TARGET_YEAR}"``.
+
+Scale: members/photos are tiny dims (broadcast); debates and votes are the
+fact sides and reduce via single-shuffle groupBys before the final broadcast
+joins — nothing driver-side except the global distinct-vote count (a scalar).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import blank_as_null, normalize_name
+
+
+def _first_column(df: DataFrame, candidates: list[str]) -> str | None:
+    return next((c for c in candidates if c in df.columns), None)
+
+
+def member_profile_metrics(members: DataFrame, votes: DataFrame,
+                           photos: DataFrame, debates: DataFrame,
+                           target_year: int) -> DataFrame:
+    """One wide metrics row per member for the target year.
+
+    Output columns: member_code, full_name, constituency, party, photo_url,
+    top_issue_Y, top_issue_count_Y, vote_participation_pct_Y,
+    distinct_votes_participated_Y, all_distinct_vote_ids_Y, speech_count_Y,
+    speech_rank_Y (Y = target_year), sorted by speech count desc, name asc.
+    """
+    required = {"member_code", "full_name", "constituency", "party"}
+    missing = sorted(required - set(members.columns))
+    if missing:
+        raise ValueError(f"Members input missing required columns: {missing}")
+
+    def m(name: str) -> str:
+        return f"{name}_{target_year}"
+
+    base = members.withColumn("member_key", normalize_name("full_name"))
+
+    # Photo enrich (J1): first photo row per member_code wins.
+    photo_code = _first_column(photos, ["member_code", "memberCode"])
+    if photo_code and "photo_url" in photos.columns:
+        photo_lookup = (photos
+                        .select(F.col(photo_code).alias("member_code"), "photo_url")
+                        .dropDuplicates(["member_code"]))
+        base = base.join(F.broadcast(photo_lookup), "member_code", "left")
+    else:
+        base = base.withColumn("photo_url", F.lit(""))
+
+    # Speech metrics from classified debates (J3/W2/W3/A6).
+    speaker_col = _first_column(debates, ["member_code", "speaker_member_code",
+                                          "Speaker Member Code", "memberCode"])
+    speaker_name_col = _first_column(debates, ["Speaker Name", "speaker_name",
+                                               "member_name"])
+    issue_col = _first_column(debates, ["PoliticalIssues", "political_issues",
+                                        "issue", "Issue", "issue_label",
+                                        "category", "label"])
+    date_col = _first_column(debates, ["Debate Date", "date", "speech_date"])
+
+    speech_metrics = None
+    if issue_col and (speaker_col or speaker_name_col):
+        working = debates
+        if date_col:
+            working = working.filter(
+                F.year(blank_as_null(date_col).try_cast("date")) == target_year)
+        if speaker_col:
+            working = working.withColumn(
+                "member_code", F.col(speaker_col).cast("string"))
+        else:
+            # Name-key join; ambiguous normalized names are dropped entirely
+            # (pandas `drop_duplicates(keep=False)` ≈ groupBy-count == 1).
+            lookup = (base.groupBy("member_key")
+                      .agg(F.collect_list("member_code").alias("__codes"))
+                      .filter(F.size("__codes") == 1)
+                      .select("member_key",
+                              F.element_at("__codes", 1).alias("member_code")))
+            working = (working
+                       .withColumn("member_key", normalize_name(speaker_name_col))
+                       .join(F.broadcast(lookup), "member_key", "inner"))
+        issue = F.trim(F.coalesce(F.col(issue_col).cast("string"), F.lit("")))
+        working = (working
+                   .withColumn("__issue", issue)
+                   .filter((F.trim("member_code") != "")
+                           & (F.upper("__issue") != "NONE")
+                           & (F.col("__issue") != "")))
+        counts = (working.groupBy("member_code")
+                  .agg(F.count(F.lit(1)).alias(m("speech_count")))
+                  .withColumn(m("speech_rank"), F.dense_rank().over(
+                      Window.orderBy(F.col(m("speech_count")).desc()))))
+        issues = (working.groupBy("member_code", "__issue")
+                  .agg(F.count(F.lit(1)).alias(m("top_issue_count"))))
+        top_issue = (issues.withColumn("__rn", F.row_number().over(
+            Window.partitionBy("member_code")
+            .orderBy(F.col(m("top_issue_count")).desc(), F.col("__issue"))))
+            .filter(F.col("__rn") == 1)
+            .select("member_code", F.col("__issue").alias(m("top_issue")),
+                    m("top_issue_count")))
+        speech_metrics = counts.join(top_issue, "member_code", "left")
+
+    # Vote participation: distinct (member, vote) pairs vs global distinct.
+    member_col = _first_column(votes, ["memberCode", "member_code"])
+    vote_id_col = _first_column(votes, ["unique_vote_id", "division_id", "vote_id"])
+    vote_date_col = _first_column(votes, ["date", "division_date"])
+    vote_metrics, total_vote_ids = None, 0
+    if member_col and vote_id_col:
+        working = votes
+        if vote_date_col:
+            working = working.filter(
+                F.year(blank_as_null(vote_date_col).try_cast("date")) == target_year)
+        pairs = (working
+                 .select(blank_as_null(member_col).alias("member_code"),
+                         blank_as_null(vote_id_col).alias("__vote_id"))
+                 .dropna().dropDuplicates())
+        total_vote_ids = pairs.select("__vote_id").distinct().count()
+        vote_metrics = pairs.groupBy("member_code").agg(
+            F.count(F.lit(1)).alias(m("distinct_votes_participated")))
+        pct = (F.round(F.col(m("distinct_votes_participated"))
+                       / total_vote_ids * 100).cast("int")
+               if total_vote_ids > 0 else F.lit(0))
+        vote_metrics = vote_metrics.withColumn(m("vote_participation_pct"), pct)
+
+    out = base
+    if speech_metrics is not None:
+        out = out.join(F.broadcast(speech_metrics), "member_code", "left")
+    if vote_metrics is not None:
+        out = out.join(F.broadcast(vote_metrics), "member_code", "left")
+
+    int_cols = [m("speech_count"), m("speech_rank"), m("top_issue_count"),
+                m("vote_participation_pct"), m("distinct_votes_participated")]
+    for c in int_cols:
+        src = F.col(c) if c in out.columns else F.lit(None)
+        out = out.withColumn(c, F.coalesce(src.try_cast("int"), F.lit(0)))
+    top_issue_src = (F.col(m("top_issue")) if m("top_issue") in out.columns
+                     else F.lit(None))
+    out = (out
+           .withColumn(m("top_issue"),
+                       F.coalesce(top_issue_src.cast("string"), F.lit("")))
+           .withColumn(m("all_distinct_vote_ids"), F.lit(total_vote_ids)))
+
+    keep = ["member_code", "full_name", "constituency", "party", "photo_url",
+            m("top_issue"), m("top_issue_count"), m("vote_participation_pct"),
+            m("distinct_votes_participated"), m("all_distinct_vote_ids"),
+            m("speech_count"), m("speech_rank")]
+    return out.select(*keep).orderBy(F.col(m("speech_count")).desc(),
+                                     F.col("full_name"))
