@@ -96,6 +96,12 @@ def pairs_from_postings(postings: DataFrame, key: str = "key",
     """
     payload = [F.col("doc_id").alias("doc_id"),
                *[F.col(c).alias(c) for c in payload_cols]]
+    # Hash-repartition by key up front: the groupBy reuses this partitioning
+    # (no second exchange) and the explicit count keeps AQE from coalescing
+    # the small-byte-but-CPU-heavy pair-expansion stage onto one core.
+    spark = postings.sparkSession
+    postings = postings.repartition(
+        spark.sparkContext.defaultParallelism, F.col(key))
     grouped = postings.groupBy(key).agg(
         F.array_sort(F.collect_list(F.struct(*payload))).alias("__ds"))
     # 2-arg lambda intentionally: (element, index)

@@ -16,7 +16,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
-from .registry import register, t
+from ..operators.dedupe import pairs_from_postings
+from .registry import register, spread, t
 
 # ---------------------------------------------------------------------------
 # Exact dedup + fingerprinting
@@ -42,7 +43,7 @@ def q22_exact_dedup_fingerprint(spark, sf_dir):
     """Exact dedup via content fingerprint: hash-groupBy on a normalized
     sha256 key; canonical row = min(doc_id) per group. One shuffle on the
     fingerprint — the canonical 100-TB exact-dedup plan."""
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"))
     w = Window.partitionBy("fingerprint")
     return (
         docs.select("doc_id", tx.doc_fingerprint("text", 16).alias("fingerprint"))
@@ -94,20 +95,22 @@ def q23_jaccard_topk_pairs(spark, sf_dir):
     count shared per pair, Jaccard = |∩| / (|A|+|B|-|∩|). Top-20 pairs with
     unique tiebreaks. At 100 TB the hot-shingle skew is handled by dropping
     stop-shingles above a document-frequency cap (see operators.dedupe)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id", F.array_distinct(tx.word_shingles("text", 3)).alias("shingles"))
+    # Posting-list pair expansion (operators.dedupe.pairs_from_postings):
+    # one groupBy(shingle) shuffle instead of a self-equi-join that
+    # re-evaluates and re-shuffles the exploded subtree twice. The shingle
+    # string is compacted to a 64-bit hash key before the shuffle.
     ex = sh.select("doc_id", F.size("shingles").alias("n_sh"),
-                   F.explode("shingles").alias("shingle"))
-    a = ex.alias("a")
-    b = ex.alias("b")
+                   F.explode("shingles").alias("shingle")) \
+           .select("doc_id", "n_sh", F.xxhash64("shingle").alias("key"))
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        pairs_from_postings(ex, key="key", payload_cols=["n_sh"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"),
-             F.any_value(F.col("a.n_sh")).alias("n_a"),
-             F.any_value(F.col("b.n_sh")).alias("n_b"))
+             F.any_value("a_n_sh").alias("n_a"),
+             F.any_value("b_n_sh").alias("n_b"))
     )
     return (
         pairs.select(
@@ -171,7 +174,7 @@ def q24_minhash_lsh_candidates(spark, sf_dir):
     → bucket-join on band key. Only same-band docs ever meet, so the join
     cost tracks true near-dup density, not n². This is the scale path that
     replaces q23's full inverted index when shingle DF is huge."""
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id", F.array_distinct(tx.word_shingles("text", 3)).alias("shingles"))
     def _minhash(h: int):
@@ -187,13 +190,13 @@ def q24_minhash_lsh_candidates(spark, sf_dir):
     for band in range(_N_HASHES // _BAND_ROWS):
         parts = [F.col(f"mh{band * _BAND_ROWS + r}") for r in range(_BAND_ROWS)]
         band_exprs.append(F.concat_ws("|", F.lit(str(band) + ":"), *parts))
-    bands = sigs.select("doc_id", F.explode(F.array(*band_exprs)).alias("band_key"))
-    a, b = bands.alias("a"), bands.alias("b")
+    bands = (sigs
+             .select("doc_id", F.explode(F.array(*band_exprs)).alias("band_str"))
+             .select("doc_id", F.xxhash64("band_str").alias("band_key")))
     return (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.countDistinct(F.col("a.band_key")).alias("band_collisions"))
+        pairs_from_postings(bands, key="band_key")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("band_key").alias("band_collisions"))
     )
 
 
@@ -227,7 +230,7 @@ def q25_simhash_signatures(spark, sf_dir):
     high bit of md5 nibble i across the doc's tokens (each nibble's high bit
     is an independent 1-bit hash). Hamming-close signatures ⇒ near-dups;
     banded search lives in operators.dedupe.simhash_near_pairs."""
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(tx.tokens("text"))).alias("tok"))
@@ -274,7 +277,7 @@ def q26_knn_bruteforce(spark, sf_dir):
     """Brute-force cosine top-k: broadcast the query vector, one scan, one
     JVM-side fold per row (zip_with/aggregate — no Python). The exact
     baseline the LSH path (q27) approximates."""
-    emb = t(spark, sf_dir, "embeddings").withColumn(
+    emb = spread(t(spark, sf_dir, "embeddings")).withColumn(
         "v", F.col("embedding").cast("array<double>"))
     q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     return (
@@ -310,7 +313,7 @@ def q27_ann_sign_lsh(spark, sf_dir):
     → candidates share a bucket → exact cosine only within the bucket →
     top-3 per query. The bucket equi-join partitions by bucket key, so at
     scale each task sees one bucket's worth of candidates, never n²."""
-    emb = t(spark, sf_dir, "embeddings").withColumn(
+    emb = spread(t(spark, sf_dir, "embeddings")).withColumn(
         "v", F.col("embedding").cast("array<double>"))
     bits = [F.when(F.col("embedding").getItem(i) >= 0, F.lit("1")).otherwise(F.lit("0"))
             for i in range(6)]
@@ -350,7 +353,7 @@ def q27_ann_sign_lsh(spark, sf_dir):
 )
 def q28_text_stats(spark, sf_dir):
     """Token / char / BPE-ish / distinct-token counts, all JVM-side."""
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         tx.token_count("text").cast("int").alias("n_tokens"),
@@ -385,7 +388,7 @@ def _lang_guess_sql() -> str:
 )
 def q29_language_id(spark, sf_dir):
     """Marker-stopword language ID vs the declared lang column."""
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", F.col("lang").alias("declared_lang"),
         tx.language_guess("text").alias("guessed_lang"),
@@ -417,7 +420,7 @@ def q29_language_id(spark, sf_dir):
 )
 def q30_quality_scores(spark, sf_dir):
     """Gopher/C4-style quality features as one projection pass."""
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"))
     q = tx.quality_features("text")
     return docs.select(
         "doc_id",

@@ -45,3 +45,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a tiny scan up to the session's parallelism.
+
+    A small parquet fixture arrives as ONE input split, so CPU-heavy
+    per-row stages (shingling, hashing, tokenizing) would run on one core
+    while 31 idle. A bare repartition does NOT fix this: Catalyst pushes the
+    downstream projection below the round-robin exchange, putting the heavy
+    compute back into the single scan task. localCheckpoint materializes the
+    spread rows and is an optimizer barrier, so later stages really run on
+    all cores. At production scale the scan has plenty of splits and this is
+    a no-op; when it does fire it materializes only the tiny input.
+    """
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p).localCheckpoint()
+    return df
