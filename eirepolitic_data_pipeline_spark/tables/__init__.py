@@ -14,3 +14,9 @@ from .gold import (  # noqa: F401
     gold_member_activity_yearly,
 )
 from .consumers import member_profile_metrics  # noqa: F401
+from .silver import (  # noqa: F401
+    silver_division_tallies,
+    silver_member_memberships,
+    silver_member_votes,
+    silver_members,
+)

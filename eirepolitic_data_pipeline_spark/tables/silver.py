@@ -1,0 +1,585 @@
+"""Silver flatteners — SURVEY §2.3 F1/F2/F4: ragged API JSON → silver rows.
+
+The reference normalizes deeply nested, multi-shaped API payloads with
+defensive multi-key fallbacks and recursive descent
+(`extract/oireachtas/table_members.py:151-257`,
+`table_member_memberships.py:164-213`, `table_member_votes.py:80-160`).
+That raggedness (any of several wrapper keys, mapping-or-list values,
+recursive fallback walks) cannot be expressed as one fixed `from_json`
+StructType, so these operators are Arrow-batched ``mapInPandas`` stages:
+each task parses its partition's JSON payload strings and emits normalized
+rows — the UDTF shape Spark gives for one-input→many-rows flattening.
+
+Scale: payload rows (one per fetched page/record batch) partition freely;
+flattening is embarrassingly parallel, no shuffle until the caller's
+dedupe/merge. Surrogate IDs are the same sha-256 recipe as
+``functions.scalar.stable_hash`` so JVM- and Python-side IDs agree.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+from datetime import date, datetime
+from typing import Any, Iterable, Iterator, Mapping, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+# ---------------------------------------------------------------------------
+# Python-side parity helpers (same semantics as functions.scalar)
+# ---------------------------------------------------------------------------
+
+def _txt(value: Any) -> str:
+    """None → ''; anything else → stripped str (blank == missing)."""
+    return "" if value is None else str(value).strip()
+
+
+def _first(d: Any, *keys: str) -> str:
+    """First non-blank text among candidate keys (schema-on-read fallback)."""
+    if not isinstance(d, Mapping):
+        return ""
+    for k in keys:
+        v = _txt(d.get(k))
+        if v:
+            return v
+    return ""
+
+
+def _first_map(d: Any, *keys: str) -> Mapping[str, Any]:
+    if isinstance(d, Mapping):
+        for k in keys:
+            v = d.get(k)
+            if isinstance(v, Mapping):
+                return v
+    return {}
+
+
+def stable_hash_py(parts: Iterable[Any], length: int = 16) -> str:
+    """X6 parity: sha256('|'.join(lower(str(part)))) hex prefix."""
+    joined = "|".join(_txt(p).lower() for p in parts)
+    return hashlib.sha256(joined.encode("utf-8")).hexdigest()[:length]
+
+
+def record_hash_py(record: Any, length: int = 16) -> str:
+    """X7 parity: sha256 of canonical sorted-key compact JSON."""
+    canon = json.dumps(record, ensure_ascii=False, sort_keys=True,
+                       separators=(",", ":"), default=str)
+    return hashlib.sha256(canon.encode("utf-8")).hexdigest()[:length]
+
+
+_ISO_PREFIX = re.compile(r"^(\d{4}-\d{2}-\d{2})")
+
+
+def parse_iso_date_py(value: Any) -> Optional[str]:
+    """X4 parity: ISO prefix match, then dd/MM/yyyy, yyyy/MM/dd, dd-MM-yyyy."""
+    text = _txt(value)
+    if not text:
+        return None
+    m = _ISO_PREFIX.match(text)
+    if m:
+        return m.group(1)
+    for fmt in ("%d/%m/%Y", "%Y/%m/%d", "%d-%m-%Y"):
+        try:
+            return datetime.strptime(text, fmt).date().isoformat()
+        except ValueError:
+            continue
+    return None
+
+
+def is_current_range_py(start: Any, end: Any,
+                        today: Optional[date] = None) -> bool:
+    """X5 parity: today within [start, end]; open bounds ok; a supplied but
+    unparsable bound is invalid (never current); future start not current."""
+    now = today or date.today()
+    s_txt, e_txt = _txt(start), _txt(end)
+    s_iso, e_iso = parse_iso_date_py(start), parse_iso_date_py(end)
+    if s_txt and not s_iso:
+        return False
+    if e_txt and not e_iso:
+        return False
+    if s_iso and date.fromisoformat(s_iso) > now:
+        return False
+    if e_iso and date.fromisoformat(e_iso) < now:
+        return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Shared payload walkers
+# ---------------------------------------------------------------------------
+
+_MEMBER_WRAPPERS = ("member", "person", "memberDetails")
+_MEMBER_LISTS = ("members", "memberList")
+_MEMBERSHIP_KEYS = ("memberships", "membership", "memberMemberships")
+_MEMBERSHIP_WRAPPERS = ("membership", "memberMembership")
+
+
+def _unwrap(entry: Mapping[str, Any], wrappers: tuple[str, ...]) -> Mapping[str, Any]:
+    for k in wrappers:
+        v = entry.get(k)
+        if isinstance(v, Mapping):
+            return v
+    return entry
+
+
+def iter_member_records(item: Any) -> Iterator[Mapping[str, Any]]:
+    """F1 record discovery: direct wrappers, list wrappers, self-shaped
+    records, then a recursive-descent fallback over unknown nesting."""
+    if not isinstance(item, Mapping):
+        return
+    found = False
+    for k in _MEMBER_WRAPPERS:
+        v = item.get(k)
+        if isinstance(v, Mapping):
+            found = True
+            yield v
+    for k in _MEMBER_LISTS:
+        v = item.get(k)
+        if isinstance(v, list):
+            for entry in v:
+                if isinstance(entry, Mapping):
+                    found = True
+                    yield _unwrap(entry, _MEMBER_WRAPPERS)
+    if found:
+        return
+    if any(k in item for k in ("memberCode", "fullName", "showAs", "uri")):
+        yield item
+        return
+    for child in item.values():
+        if isinstance(child, Mapping):
+            yield from iter_member_records(child)
+
+
+def iter_memberships(record: Any, wrapper: Any) -> Iterator[Mapping[str, Any]]:
+    """F2 membership discovery on both the member record and its wrapper."""
+    for parent in (record, wrapper):
+        if not isinstance(parent, Mapping):
+            continue
+        for k in _MEMBERSHIP_KEYS:
+            v = parent.get(k)
+            if isinstance(v, list):
+                for entry in v:
+                    if isinstance(entry, Mapping):
+                        yield _unwrap(entry, _MEMBERSHIP_WRAPPERS)
+            elif isinstance(v, Mapping):
+                yield _unwrap(v, _MEMBERSHIP_WRAPPERS)
+
+
+def _membership_bound(m: Mapping[str, Any], which: str) -> Optional[str]:
+    for rng_key in ("dateRange", "date_range", "memberDateRange"):
+        rng = m.get(rng_key)
+        if isinstance(rng, Mapping) and _txt(rng.get(which)):
+            return parse_iso_date_py(rng.get(which))
+    flat = {"start": ("membershipStart", "startDate", "dateStart"),
+            "end": ("membershipEnd", "endDate", "dateEnd")}[which]
+    v = _first(m, *flat)
+    return parse_iso_date_py(v) if v else None
+
+
+def _nested_latest(value: Any, wrapper_key: str,
+                   today: Optional[date] = None) -> Mapping[str, Any]:
+    """F3: pick current-else-latest entry from a nested interval list."""
+    if isinstance(value, Mapping):
+        inner = value.get(wrapper_key)
+        return inner if isinstance(inner, Mapping) else value
+    if not isinstance(value, list):
+        return {}
+    records = []
+    for entry in value:
+        if isinstance(entry, Mapping):
+            inner = entry.get(wrapper_key)
+            records.append(inner if isinstance(inner, Mapping) else entry)
+    if not records:
+        return {}
+
+    def bounds(r: Mapping[str, Any]) -> tuple[Optional[str], Optional[str]]:
+        rng = _first_map(r, "dateRange", "date_range")
+        s = parse_iso_date_py(rng.get("start") if rng else r.get("start"))
+        e = parse_iso_date_py(rng.get("end") if rng else r.get("end"))
+        return s, e
+
+    current = [r for r in records
+               if is_current_range_py(*bounds(r), today=today)]
+    pool = current or records
+    return sorted(pool, key=lambda r: ((bounds(r)[1] or "9999-12-31"),
+                                       (bounds(r)[0] or "")), reverse=True)[0]
+
+
+def _party_of(m: Mapping[str, Any]) -> str:
+    direct = _first(_first_map(m, "party", "partyDetails"),
+                    "showAs", "partyName", "name") \
+        or _first(m, "partyName", "party")
+    if direct:
+        return direct
+    return _first(_nested_latest(m.get("parties"), "party"),
+                  "showAs", "partyName", "name")
+
+
+def _constituency_of(m: Mapping[str, Any]) -> str:
+    direct = _first(_first_map(m, "constituency", "constituencyOrPanel",
+                               "represent"),
+                    "showAs", "name", "constituencyName") \
+        or _first(m, "constituencyName", "represent")
+    if direct:
+        return direct
+    return _first(_nested_latest(m.get("represents"), "represent"),
+                  "showAs", "name", "constituencyName", "representName")
+
+
+def _house_no_of(m: Mapping[str, Any]) -> str:
+    house = _first_map(m, "house", "houseRecord")
+    return _first(house, "houseNo") or _first(m, "houseNo", "house_no")
+
+
+_MEMBER_CODE_URI = re.compile(r"/member/id/([^/]+)")
+
+
+def _member_code_of(record: Mapping[str, Any]) -> str:
+    code = _first(record, "memberCode", "code", "id")
+    if code:
+        return code
+    uri = _first(record, "uri", "memberUri")
+    m = _MEMBER_CODE_URI.search(uri)
+    return m.group(1) if m else ""
+
+
+def _results_of(payload: Any) -> list:
+    """Top-level result list under the usual envelope keys."""
+    if isinstance(payload, list):
+        return payload
+    if isinstance(payload, Mapping):
+        for k in ("results", "items", "rows", "data"):
+            v = payload.get(k)
+            if isinstance(v, list):
+                return v
+    return []
+
+
+# ---------------------------------------------------------------------------
+# mapInPandas stage factory
+# ---------------------------------------------------------------------------
+
+def _flatten_stage(df: DataFrame, json_col: str, columns: list[str],
+                   per_payload) -> DataFrame:
+    """Run `per_payload(payload_obj) -> Iterator[dict]` over a JSON column."""
+    schema = ", ".join(f"`{c}` string" for c in columns)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows: list[dict[str, Any]] = []
+            for raw in batch[json_col]:
+                if not raw:
+                    continue
+                try:
+                    payload = json.loads(raw)
+                except (TypeError, ValueError):
+                    continue
+                rows.extend(per_payload(payload))
+            yield pd.DataFrame(
+                [{c: r.get(c, "") for c in columns} for r in rows],
+                columns=columns, dtype=str) if rows else pd.DataFrame(
+                    {c: pd.Series(dtype=str) for c in columns})
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# silver_members (F1 + F3)
+# ---------------------------------------------------------------------------
+
+MEMBER_COLUMNS = [
+    "member_code", "member_uri", "full_name", "first_name", "last_name",
+    "display_name", "gender", "member_key", "is_current_member",
+    "latest_party_name", "latest_constituency_name", "latest_house_no",
+    "source_endpoint", "snapshot_date", "source_hash",
+]
+
+
+def _normalize_ws_name(value: str) -> str:
+    import unicodedata
+    text = unicodedata.normalize("NFKD", value.lower()) \
+        .encode("ascii", "ignore").decode("ascii")
+    text = re.sub(r"[^a-z0-9]+", " ", text)
+    return re.sub(r"\s+", " ", text).strip()
+
+
+def silver_members(df: DataFrame, json_col: str = "payload",
+                   snapshot_date: str = "", endpoint: str = "/members",
+                   today: Optional[date] = None) -> DataFrame:
+    """Member roster rows from raw API payload JSON (one payload per row).
+
+    Mirrors `table_members.py:221-257`: multi-key name/code fallbacks,
+    generated member_code when absent, current-else-latest membership
+    context (party/constituency/house), deterministic member_key and
+    source_hash.
+    """
+
+    def rows_of(payload: Any) -> Iterator[dict[str, Any]]:
+        for item in _results_of(payload):
+            for record in iter_member_records(item):
+                full = _first(record, "fullName", "showAs", "name",
+                              "displayName")
+                first = _first(record, "firstName", "forename", "givenName")
+                last = _first(record, "lastName", "surname", "familyName")
+                display = _first(record, "showAs", "displayName", "fullName",
+                                 "name") or full
+                code = _first(record, "memberCode", "code", "id")
+                uri = _first(record, "uri", "memberUri")
+                gender = _first(record, "gender", "sex")
+                if not full:
+                    full = _normalize_ws_name(
+                        " ".join(p for p in (first, last) if p))
+                if not display:
+                    display = full
+                if not code:
+                    code = stable_hash_py([uri, full, first, last])
+
+                memberships = list(iter_memberships(record, item))
+                if memberships:
+                    curr = [m for m in memberships if is_current_range_py(
+                        _membership_bound(m, "start"),
+                        _membership_bound(m, "end"), today=today)]
+                    pool = curr or memberships
+                    latest = sorted(
+                        pool,
+                        key=lambda m: ((_membership_bound(m, "end")
+                                        or "9999-12-31"),
+                                       (_membership_bound(m, "start") or "")),
+                        reverse=True)[0]
+                    is_curr = str(bool(curr)).lower()
+                    party, cons = _party_of(latest), _constituency_of(latest)
+                    house = _house_no_of(latest)
+                else:
+                    is_curr, party, cons, house = "", "", "", ""
+
+                yield {
+                    "member_code": code,
+                    "member_uri": uri,
+                    "full_name": full,
+                    "first_name": first,
+                    "last_name": last,
+                    "display_name": display,
+                    "gender": gender,
+                    "member_key": stable_hash_py([code, uri, full]),
+                    "is_current_member": is_curr,
+                    "latest_party_name": party,
+                    "latest_constituency_name": cons,
+                    "latest_house_no": house,
+                    "source_endpoint": endpoint,
+                    "snapshot_date": snapshot_date,
+                    "source_hash": record_hash_py(record),
+                }
+
+    out = _flatten_stage(df, json_col, MEMBER_COLUMNS, rows_of)
+    return out.dropDuplicates(["member_code"])
+
+
+# ---------------------------------------------------------------------------
+# silver_member_memberships (F2)
+# ---------------------------------------------------------------------------
+
+MEMBERSHIP_COLUMNS = [
+    "membership_id", "member_code", "member_uri", "house_uri", "house_no",
+    "house_code", "chamber", "membership_start", "membership_end",
+    "is_current", "source_hash", "snapshot_date",
+]
+
+
+def silver_member_memberships(df: DataFrame, json_col: str = "payload",
+                              snapshot_date: str = "",
+                              today: Optional[date] = None) -> DataFrame:
+    """One row per (member, membership interval) — SCD-2-style bridge.
+
+    Mirrors `table_member_memberships.py:186-213`: membership_id is the
+    membership URI else a generated hash that ignores the end date, so
+    re-fetching an interval whose end moved updates the SAME row (tested in
+    the reference's write-semantics suite).
+    """
+
+    def rows_of(payload: Any) -> Iterator[dict[str, Any]]:
+        for item in _results_of(payload):
+            for record in iter_member_records(item):
+                code = _member_code_of(record)
+                uri = _first(record, "uri", "memberUri")
+                for m in iter_memberships(record, item):
+                    house = _first_map(m, "house", "houseRecord")
+                    start = _membership_bound(m, "start") or ""
+                    end = _membership_bound(m, "end") or ""
+                    h_uri = _first(house, "uri", "houseUri")
+                    h_no = _house_no_of(m)
+                    h_code = _first(house, "houseCode", "chamberCode") \
+                        or _first(m, "houseCode", "chamber")
+                    chamber = h_code or _first(house, "chamber", "chamberType")
+                    mem_uri = _first(m, "uri", "membershipUri")
+                    mem_id = mem_uri or "generated:membership:" + \
+                        stable_hash_py([code, uri, h_uri, h_no, h_code, start])
+                    yield {
+                        "membership_id": mem_id,
+                        "member_code": code,
+                        "member_uri": uri,
+                        "house_uri": h_uri,
+                        "house_no": h_no,
+                        "house_code": h_code,
+                        "chamber": chamber,
+                        "membership_start": start,
+                        "membership_end": end,
+                        "is_current": str(is_current_range_py(
+                            start, end, today=today)).lower(),
+                        "source_hash": record_hash_py(m),
+                        "snapshot_date": snapshot_date,
+                    }
+
+    out = _flatten_stage(df, json_col, MEMBERSHIP_COLUMNS, rows_of)
+    return out.dropDuplicates(["membership_id"])
+
+
+# ---------------------------------------------------------------------------
+# silver_member_votes + silver_division_tallies (F4 double explosion)
+# ---------------------------------------------------------------------------
+
+VOTE_CATEGORIES = {"taVotes": ("ta", "yes"), "nilVotes": ("nil", "no"),
+                   "staonVotes": ("staon", "abstain")}
+
+MEMBER_VOTE_COLUMNS = [
+    "member_vote_id", "division_id", "vote_id", "division_date",
+    "member_code", "member_name", "vote_code", "vote_label",
+    "party_name_at_vote", "constituency_name_at_vote", "snapshot_date",
+]
+
+TALLY_COLUMNS = [
+    "division_tally_id", "division_id", "vote_code", "vote_label", "show_as",
+    "member_count", "snapshot_date",
+]
+
+
+def _generic_vote_code(source_key: str) -> str:
+    cleaned = re.sub(r"[^a-z0-9]+", "_", source_key.lower()).strip("_")
+    return cleaned or "other"
+
+
+def _division_id_of(record: Mapping[str, Any]) -> str:
+    did = _first(record, "uri", "divisionUri", "voteUri", "voteId",
+                 "divisionId", "id", "eId")
+    if did:
+        return did
+    return "generated:division:" + stable_hash_py(
+        [record.get("date"), record.get("voteNumber"), record.get("subject")])
+
+
+def _division_record(item: Mapping[str, Any]) -> Mapping[str, Any]:
+    return _first_map(item, "division", "vote", "divisionRecord") or item
+
+
+def silver_member_votes(df: DataFrame, json_col: str = "payload",
+                        snapshot_date: str = "") -> DataFrame:
+    """Division → tally category (ta/nil/staon) → member vote rows.
+
+    Mirrors `table_member_votes.py:80-160`: one output row per member per
+    tally category, vote attributes (party/constituency at vote time) read
+    from the nested member record, deterministic member_vote_id.
+    """
+
+    def rows_of(payload: Any) -> Iterator[dict[str, Any]]:
+        for item in _results_of(payload):
+            record = _division_record(item)
+            division_id = _division_id_of(record)
+            vote_id = _first(record, "voteId", "divisionId")
+            division_date = (
+                parse_iso_date_py(record.get("date"))
+                or parse_iso_date_py(record.get("voteDate"))
+                or parse_iso_date_py(record.get("divisionDate"))
+                or parse_iso_date_py(
+                    item.get("contextDate") if isinstance(item, Mapping)
+                    else None) or "")
+            tallies = record.get("tallies")
+            if not isinstance(tallies, Mapping):
+                continue
+            for source_key, tally in tallies.items():
+                if not isinstance(tally, Mapping):
+                    continue
+                vote_code, vote_label = VOTE_CATEGORIES.get(
+                    str(source_key),
+                    (_generic_vote_code(str(source_key)),
+                     _generic_vote_code(str(source_key)).replace("_", " ")))
+                members = tally.get("members")
+                for member_item in (members if isinstance(members, list)
+                                    else []):
+                    if not isinstance(member_item, Mapping):
+                        continue
+                    member = member_item.get("member")
+                    if not isinstance(member, Mapping):
+                        member = member_item
+                    code = _member_code_of(member)
+                    yield {
+                        "member_vote_id": "member_vote:" + stable_hash_py(
+                            [division_id, code, vote_code], length=24),
+                        "division_id": division_id,
+                        "vote_id": vote_id,
+                        "division_date": division_date,
+                        "member_code": code,
+                        "member_name": _first(member, "showAs", "fullName",
+                                              "displayName", "name"),
+                        "vote_code": vote_code,
+                        "vote_label": vote_label,
+                        "party_name_at_vote": _first(
+                            _first_map(member, "party"), "showAs", "name")
+                            or _first(member, "partyName", "partyCode"),
+                        "constituency_name_at_vote": _first(
+                            _first_map(member, "constituency"),
+                            "showAs", "name")
+                            or _first(member, "constituencyName",
+                                      "representName"),
+                        "snapshot_date": snapshot_date,
+                    }
+
+    out = _flatten_stage(df, json_col, MEMBER_VOTE_COLUMNS, rows_of)
+    return out.dropDuplicates(["member_vote_id"])
+
+
+def silver_division_tallies(df: DataFrame, json_col: str = "payload",
+                            snapshot_date: str = "") -> DataFrame:
+    """One row per (division, vote category) with declared-vs-observed count.
+
+    Mirrors `table_division_tallies.py:171-196`: member_count prefers the
+    API-declared tally, falling back to the member list length.
+    """
+
+    def rows_of(payload: Any) -> Iterator[dict[str, Any]]:
+        for item in _results_of(payload):
+            record = _division_record(item)
+            division_id = _division_id_of(record)
+            tallies = record.get("tallies")
+            if not isinstance(tallies, Mapping):
+                continue
+            for source_key, tally in tallies.items():
+                if not isinstance(tally, Mapping):
+                    continue
+                vote_code, vote_label = VOTE_CATEGORIES.get(
+                    str(source_key),
+                    (_generic_vote_code(str(source_key)),
+                     _generic_vote_code(str(source_key)).replace("_", " ")))
+                members = tally.get("members")
+                n_members = len(members) if isinstance(members, list) else 0
+                declared = tally.get("tally")
+                try:
+                    declared_n = int(declared)
+                    if declared_n < 0:
+                        declared_n = None
+                except (TypeError, ValueError):
+                    declared_n = None
+                yield {
+                    "division_tally_id": "division_tally:" + stable_hash_py(
+                        [division_id, vote_code], length=24),
+                    "division_id": division_id,
+                    "vote_code": vote_code,
+                    "vote_label": vote_label,
+                    "show_as": _txt(tally.get("showAs")) or vote_label,
+                    "member_count": str(declared_n if declared_n is not None
+                                        else n_members),
+                    "snapshot_date": snapshot_date,
+                }
+
+    out = _flatten_stage(df, json_col, TALLY_COLUMNS, rows_of)
+    return out.dropDuplicates(["division_tally_id"])

@@ -1,0 +1,174 @@
+"""Silver flattener tests: ragged nested JSON → normalized rows (F1/F2/F4)."""
+
+from __future__ import annotations
+
+import json
+from datetime import date
+
+import pytest
+
+from eirepolitic_data_pipeline_spark.tables import (
+    silver_division_tallies,
+    silver_member_memberships,
+    silver_member_votes,
+    silver_members,
+)
+from eirepolitic_data_pipeline_spark.tables.silver import (
+    record_hash_py,
+    stable_hash_py,
+)
+
+TODAY = date(2026, 8, 13)
+SNAP = "2026-08-13"
+
+
+def _payload_df(spark, payload):
+    return spark.createDataFrame([(json.dumps(payload),)], "payload string")
+
+
+@pytest.fixture(scope="module")
+def members_payload():
+    return {"results": [
+        # Wrapped member with list memberships (current + past).
+        {"member": {
+            "memberCode": "TD001", "fullName": "Aoife Byrne",
+            "firstName": "Aoife", "lastName": "Byrne", "gender": "F",
+            "uri": "/ie/oireachtas/member/id/TD001",
+            "memberships": [
+                {"membership": {
+                    "uri": "/membership/1",
+                    "house": {"houseNo": "34", "houseCode": "dail",
+                              "uri": "/house/34"},
+                    "dateRange": {"start": "2024-01-01", "end": None},
+                    "party": {"showAs": "New Party"},
+                    "constituency": {"showAs": "Wicklow-Wexford"}}},
+                {"membership": {
+                    "uri": "/membership/0",
+                    "house": {"houseNo": "33", "houseCode": "dail"},
+                    "dateRange": {"start": "2020-01-01",
+                                  "end": "2023-12-31"},
+                    "party": {"showAs": "Old Party"},
+                    "constituency": {"showAs": "Wicklow"}}},
+            ]}},
+        # Bare record, no code (generated), no memberships.
+        {"person": {"showAs": "Brian Walsh", "uri": "/member/id/TD002x"}},
+        # memberList nesting.
+        {"memberList": [{"member": {"memberCode": "TD003",
+                                    "fullName": "Cara Nolan"}}]},
+    ]}
+
+
+def test_silver_members(spark, members_payload):
+    out = silver_members(_payload_df(spark, members_payload),
+                         snapshot_date=SNAP, today=TODAY)
+    rows = {r["full_name"]: r for r in out.collect()}
+    assert len(rows) == 3
+    a = rows["Aoife Byrne"]
+    assert a["member_code"] == "TD001"
+    assert a["is_current_member"] == "true"
+    assert a["latest_party_name"] == "New Party"
+    assert a["latest_constituency_name"] == "Wicklow-Wexford"
+    assert a["latest_house_no"] == "34"
+    assert a["member_key"] == stable_hash_py(
+        ["TD001", "/ie/oireachtas/member/id/TD001", "Aoife Byrne"])
+    b = rows["Brian Walsh"]
+    # No memberCode -> deterministic generated code.
+    assert b["member_code"] == stable_hash_py(
+        ["/member/id/TD002x", "Brian Walsh", "", ""])
+    assert b["is_current_member"] == ""
+    assert rows["Cara Nolan"]["member_code"] == "TD003"
+
+
+def test_silver_member_memberships(spark, members_payload):
+    out = silver_member_memberships(_payload_df(spark, members_payload),
+                                    snapshot_date=SNAP, today=TODAY)
+    rows = {r["membership_id"]: r for r in out.collect()}
+    assert len(rows) == 2
+    m1 = rows["/membership/1"]
+    assert (m1["member_code"], m1["house_no"], m1["chamber"]) \
+        == ("TD001", "34", "dail")
+    assert (m1["membership_start"], m1["membership_end"]) == ("2024-01-01", "")
+    assert m1["is_current"] == "true"
+    m0 = rows["/membership/0"]
+    assert m0["is_current"] == "false"
+    assert m0["membership_end"] == "2023-12-31"
+
+
+def test_membership_id_stable_when_end_changes(spark):
+    def payload(end):
+        return {"results": [{"member": {
+            "memberCode": "TD009", "fullName": "X",
+            "memberships": [{"membership": {
+                "house": {"houseNo": "34", "houseCode": "dail",
+                          "uri": "/house/34"},
+                "dateRange": {"start": "2024-01-01", "end": end}}}]}}]}
+
+    id_open = silver_member_memberships(
+        _payload_df(spark, payload(None)), today=TODAY).collect()[0]
+    id_closed = silver_member_memberships(
+        _payload_df(spark, payload("2026-01-01")), today=TODAY).collect()[0]
+    # Generated bridge IDs ignore the end date (reference write-semantics
+    # test: end-date updates hit the same row).
+    assert id_open["membership_id"] == id_closed["membership_id"]
+    assert id_open["membership_id"].startswith("generated:membership:")
+
+
+@pytest.fixture(scope="module")
+def divisions_payload():
+    def member(code, name, party, cons):
+        return {"member": {"memberCode": code, "showAs": name,
+                           "party": {"showAs": party},
+                           "constituency": {"showAs": cons}}}
+    return {"results": [
+        {"division": {
+            "uri": "/division/D1", "voteId": "vote-1", "date": "2025-03-05",
+            "tallies": {
+                "taVotes": {"tally": 2, "showAs": "Tá", "members": [
+                    member("TD001", "Aoife Byrne", "New Party",
+                           "Wicklow-Wexford"),
+                    member("TD002", "Brian Walsh", "Other Party", "Cork"),
+                ]},
+                "nilVotes": {"tally": 1, "members": [
+                    member("TD003", "Cara Nolan", "Third Party", "Kerry"),
+                ]},
+                "staonVotes": {"tally": 0, "members": []},
+            }}},
+    ]}
+
+
+def test_silver_member_votes(spark, divisions_payload):
+    out = silver_member_votes(_payload_df(spark, divisions_payload),
+                              snapshot_date=SNAP)
+    rows = sorted(out.collect(), key=lambda r: r["member_code"])
+    assert len(rows) == 3
+    r = rows[0]
+    assert r["member_vote_id"] == "member_vote:" + stable_hash_py(
+        ["/division/D1", "TD001", "ta"], length=24)
+    assert (r["division_id"], r["vote_id"], r["division_date"]) \
+        == ("/division/D1", "vote-1", "2025-03-05")
+    assert (r["vote_code"], r["vote_label"]) == ("ta", "yes")
+    assert r["party_name_at_vote"] == "New Party"
+    assert r["constituency_name_at_vote"] == "Wicklow-Wexford"
+    assert rows[2]["vote_code"] == "nil"
+
+
+def test_silver_division_tallies(spark, divisions_payload):
+    out = silver_division_tallies(_payload_df(spark, divisions_payload),
+                                  snapshot_date=SNAP)
+    rows = {r["vote_code"]: r for r in out.collect()}
+    assert sorted(rows) == ["nil", "staon", "ta"]
+    assert rows["ta"]["member_count"] == "2"
+    assert rows["ta"]["show_as"] == "Tá"
+    assert rows["staon"]["member_count"] == "0"
+    assert rows["nil"]["show_as"] == "no"  # no showAs -> vote_label fallback
+    assert rows["ta"]["division_tally_id"] == "division_tally:" + \
+        stable_hash_py(["/division/D1", "ta"], length=24)
+
+
+def test_hash_parity_with_column_expressions(spark):
+    """Python-side stable_hash matches the JVM column expression."""
+    from pyspark.sql import functions as F
+    from eirepolitic_data_pipeline_spark.functions.scalar import stable_hash
+    df = spark.createDataFrame([("abc", "DEF")], "a string, b string")
+    jvm = df.select(stable_hash("a", "b", length=24).alias("h")).collect()[0]["h"]
+    assert jvm == stable_hash_py(["abc", "DEF"], length=24)
