@@ -333,6 +333,95 @@ def q27_ann_sign_lsh(spark, sf_dir):
     )
 
 
+@register(
+    "q37_cosine_neardup_pairs",
+    """
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             array_to_string(list_transform(range(6), i ->
+               CASE WHEN embedding[CAST(i AS INTEGER) + 1] >= 0 THEN '1' ELSE '0' END), '')
+               AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, c.v), 6) AS cosine
+    FROM b a JOIN b c ON c.bucket = a.bucket AND a.vec_id < c.vec_id
+    WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.3
+    """,
+    survey_ref="beyond-ref: embedding-cosine near-dup",
+)
+def q37_cosine_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup: sign-LSH buckets (first 6 dims) generate
+    candidates, exact JVM-side cosine keeps pairs above threshold. The
+    bucket equi-join partitions by bucket, so work tracks near-dup density
+    — never all-pairs. Thresholding on the rounded value keeps the cut
+    deterministic across engines."""
+    emb = spread(t(spark, sf_dir, "embeddings")).withColumn(
+        "v", F.col("embedding").cast("array<double>"))
+    bits = [F.when(F.col("embedding").getItem(i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(6)]
+    b = emb.select("vec_id", "v", F.concat(*bits).alias("bucket"))
+    a = b.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                 F.col("bucket").alias("ba"))
+    c = b.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                 F.col("bucket").alias("bb"))
+    return (
+        a.join(c, (F.col("bb") == F.col("ba")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b",
+                F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
+@register(
+    "q38_ivf_grid_ann",
+    """
+    WITH cells AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 4) AS INTEGER) AS cx,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) * 4) AS INTEGER) AS cy
+      FROM embeddings
+    )
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           round(list_cosine_similarity(n.v, q.v), 6) AS cosine
+    FROM cells q JOIN cells n
+      ON n.cx = q.cx AND n.cy = q.cy AND n.vec_id <> q.vec_id
+    WHERE q.vec_id < 5
+    QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                               ORDER BY cosine DESC, n.vec_id) <= 3
+    """,
+    survey_ref="beyond-ref: IVF-bucketed ANN",
+)
+def q38_ivf_grid_ann(spark, sf_dir):
+    """IVF-flavored ANN: a deterministic coarse quantizer (grid cell over
+    the first two dimensions — a fixed codebook, no training pass) builds an
+    inverted file; probing scans only the query's cell. Same partition-by-
+    cell scaling argument as real IVF with kmeans centroids; the quantizer
+    is swappable without touching the join."""
+    emb = spread(t(spark, sf_dir, "embeddings")).withColumn(
+        "v", F.col("embedding").cast("array<double>"))
+    cells = emb.select(
+        "vec_id", "v",
+        F.floor(F.col("embedding").getItem(0).cast("double") * 4).cast("int").alias("cx"),
+        F.floor(F.col("embedding").getItem(1).cast("double") * 4).cast("int").alias("cy"))
+    q = cells.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("cx").alias("qx"), F.col("cy").alias("qy"))
+    n = cells.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("v").alias("nv"), "cx", "cy")
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id"))
+    return (
+        q.join(n, (F.col("cx") == F.col("qx")) & (F.col("cy") == F.col("qy"))
+               & (F.col("neighbor_id") != F.col("query_id")))
+        .select("query_id", "neighbor_id",
+                F.round(_cosine(F.col("nv"), F.col("qv")), 6).alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -280,3 +280,48 @@ def q21_tumbling_hourly(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+@register(
+    "q39_asof_join_last_click",
+    """
+    SELECT e.event_id AS error_event_id, e.user_id,
+           CAST(c.event_id AS VARCHAR) AS click_event_id, round(c.value, 2) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    survey_ref="beyond-ref: as-of join (custom operator)",
+)
+def q39_asof_join_last_click(spark, sf_dir):
+    """As-of join — for each error event, the user's most recent click at or
+    before it. Spark has no native ASOF, so this uses the scalable union +
+    running-last formulation: tag both sides, one window per user ordered by
+    (ts, side), `last(..., ignorenulls)` carries the latest click forward.
+    ONE shuffle on user_id — no range join, no per-user collect, and at
+    100 TB it partitions by user exactly like the sessionization jobs. A
+    same-timestamp click sorts before the error (inclusive as-of bound)."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("side"),
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_raw"),
+        F.lit(None).cast("long").alias("error_event_id"))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("click_event_id"),
+        F.lit(None).cast("double").alias("click_raw"),
+        F.col("event_id").alias("error_event_id"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        clicks.unionByName(errors)
+        .withColumn("last_click_id",
+                    F.last("click_event_id", ignorenulls=True).over(w))
+        .withColumn("last_click_value",
+                    F.last("click_raw", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(F.col("error_event_id"), "user_id",
+                F.col("last_click_id").cast("string").alias("click_event_id"),
+                F.round("last_click_value", 2).alias("click_value"))
+    )
