@@ -63,16 +63,23 @@ def q31_dq_summary_lineitem(spark, sf_dir):
     survey_ref="Q3,J4",
 )
 def q32_fk_orphan_counts(spark, sf_dir):
-    """Q3 FK-integrity sweep: one left-anti count per declared FK edge."""
+    """Q3 FK-integrity sweep: one left-anti count per declared FK edge.
+
+    All three edges live in ONE plan (1-row aggregates cross-joined), so a
+    single action runs them — independent subtrees schedule concurrently
+    instead of three sequential driver-side jobs, and nothing materializes
+    on the driver."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey")
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nat = t(spark, sf_dir, "nation").select("n_nationkey")
-    a = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti").count()
-    b = orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti").count()
-    c = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey, "left_anti").count()
-    return spark.createDataFrame(
-        [(a, b, c)], "lineitem_orphans long, order_orphans long, customer_orphans long")
+    a = (li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+         .agg(F.count(F.lit(1)).alias("lineitem_orphans")))
+    b = (orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+         .agg(F.count(F.lit(1)).alias("order_orphans")))
+    c = (cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey, "left_anti")
+         .agg(F.count(F.lit(1)).alias("customer_orphans")))
+    return a.crossJoin(b).crossJoin(c)
 
 
 @register(
