@@ -68,3 +68,40 @@ def sessionized_stream(events: DataFrame, gap: str = "30 minutes",
                 F.col("sess.end").alias("session_end"),
                 "session_events", "session_value")
     )
+
+
+def stateful_user_totals(events: DataFrame,
+                         value_threshold: float = 50.0) -> DataFrame:
+    """Custom stateful operator: per-user running totals + high-value count.
+
+    The one §2.10 shape the built-ins can't express: arbitrary per-key state
+    carried across micro-batches, here via ``applyInPandasWithState`` (Arrow
+    batches, one state row per user). Each update emits the user's running
+    event count, value sum, and count of values above the threshold — the
+    streaming analog of the reference's resume-map jobs that accumulate
+    per-key progress across runs (`process/llm_table_runner.py:362-445`).
+
+    State is partitioned by user_id, so at scale it shards across executors
+    with no driver involvement; state size is O(distinct users) × 3 numbers.
+    Streaming-only (Spark requires a streaming source for stateful apply).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ("user_id long, n_events long, total_value double, "
+                  "n_high long")
+    state_schema = "n long, total double, nh long"
+
+    def update(key, pdfs, state):
+        n, total, nh = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+            nh += int((pdf["value"] > value_threshold).sum())
+        state.update((n, total, nh))
+        yield pd.DataFrame([{"user_id": key[0], "n_events": n,
+                             "total_value": total, "n_high": nh}])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)

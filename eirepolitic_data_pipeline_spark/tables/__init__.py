@@ -19,4 +19,5 @@ from .silver import (  # noqa: F401
     silver_member_memberships,
     silver_member_votes,
     silver_members,
+    silver_questions,
 )

@@ -583,3 +583,93 @@ def silver_division_tallies(df: DataFrame, json_col: str = "payload",
 
     out = _flatten_stage(df, json_col, TALLY_COLUMNS, rows_of)
     return out.dropDuplicates(["division_tally_id"])
+
+
+# ---------------------------------------------------------------------------
+# silver_questions (F5)
+# ---------------------------------------------------------------------------
+
+QUESTION_COLUMNS = [
+    "question_id", "question_uri", "question_date", "question_no",
+    "question_type", "question_text", "answer_text", "asked_by_member_code",
+    "asked_by_name", "to_minister_or_department", "debate_section_id",
+    "source_xml_uri", "source_xml_url", "source_pdf_uri", "source_pdf_url",
+    "source_file_id_xml", "source_file_id_pdf", "snapshot_date",
+    "source_hash",
+]
+
+_DATA_BASE_URL = "https://data.oireachtas.ie"
+
+
+def normalize_format_url_py(uri: Any) -> str:
+    """X8 parity: relative format URI → absolute data.oireachtas.ie URL."""
+    text = _txt(uri)
+    if not text:
+        return ""
+    if text.startswith(("http://", "https://")):
+        return text
+    if not text.startswith("/"):
+        text = "/" + text
+    return _DATA_BASE_URL + text
+
+
+def silver_questions(df: DataFrame, json_col: str = "payload",
+                     snapshot_date: str = "") -> DataFrame:
+    """Parliamentary question rows (`table_questions.py:165-213`): by/to/
+    debateSection struct extraction, format URL normalization, generated
+    question and source-file IDs."""
+
+    def _fmt_ids(question_id: str, fmt: str, uri: str, url: str) -> str:
+        if not (uri or url):
+            return ""
+        return "source_file:" + stable_hash_py(
+            ["question", question_id, fmt, uri, url], length=24)
+
+    def rows_of(payload: Any) -> Iterator[dict[str, Any]]:
+        for item in _results_of(payload):
+            if not isinstance(item, Mapping):
+                continue
+            q = item.get("question") if isinstance(item.get("question"),
+                                                   Mapping) else item
+            q_uri = _first(q, "uri", "questionUri")
+            q_id = q_uri or _first(q, "questionId", "id") or \
+                "generated:question:" + record_hash_py(q, length=24)
+            section = _first_map(q, "debateSection")
+            formats = _first_map(section, "formats")
+            xml_uri = _first(_first_map(formats, "xml"), "uri", "url", "href")
+            pdf_uri = _first(_first_map(formats, "pdf"), "uri", "url", "href")
+            xml_url = normalize_format_url_py(xml_uri)
+            pdf_url = normalize_format_url_py(pdf_uri)
+            yield {
+                "question_id": q_id,
+                "question_uri": q_uri,
+                "question_date": parse_iso_date_py(q.get("date"))
+                or parse_iso_date_py(item.get("contextDate")) or "",
+                "question_no": _first(q, "questionNumber", "questionNo",
+                                      "number"),
+                "question_type": _first(q, "questionType", "type"),
+                "question_text": _first(q, "showAs", "questionText",
+                                        "subject", "title"),
+                "answer_text": _first(q, "answerText", "answer",
+                                      "responseText"),
+                "asked_by_member_code": _first(_first_map(q, "by"),
+                                               "memberCode", "code", "id"),
+                "asked_by_name": _first(_first_map(q, "by"), "showAs",
+                                        "name", "fullName"),
+                "to_minister_or_department": _first(
+                    _first_map(q, "to"), "showAs", "roleCode", "roleType",
+                    "name"),
+                "debate_section_id": _first(section, "uri",
+                                            "debateSectionId", "sectionId"),
+                "source_xml_uri": xml_uri,
+                "source_xml_url": xml_url,
+                "source_pdf_uri": pdf_uri,
+                "source_pdf_url": pdf_url,
+                "source_file_id_xml": _fmt_ids(q_id, "xml", xml_uri, xml_url),
+                "source_file_id_pdf": _fmt_ids(q_id, "pdf", pdf_uri, pdf_url),
+                "snapshot_date": snapshot_date,
+                "source_hash": record_hash_py(item),
+            }
+
+    out = _flatten_stage(df, json_col, QUESTION_COLUMNS, rows_of)
+    return out.dropDuplicates(["question_id"])

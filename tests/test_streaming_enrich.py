@@ -172,3 +172,29 @@ def test_sample_video_frames_fake(media):
     rows = sample_video_frames(media, every_ms=1000, fake=True).collect()
     assert [r["frame_ms"] for r in rows] == [0, 1000, 2000]
     assert all(r["media_id"] == 3 for r in rows)
+
+
+def test_stateful_user_totals(spark, events_stream):
+    from eirepolitic_data_pipeline_spark.streaming.jobs import (
+        stateful_user_totals,
+    )
+    stream, batch = events_stream
+    got = run_to_memory(spark, stateful_user_totals(stream), "stateful",
+                        "update")
+    # Last emitted row per user = final running totals; must equal batch agg.
+    final = {}
+    for r in got.collect():
+        final[r["user_id"]] = (r["n_events"], round(r["total_value"], 2),
+                               r["n_high"])
+    expect = {
+        r["user_id"]: (r["n"], round(r["tv"], 2), r["nh"])
+        for r in batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"),
+            F.sum(F.when(F.col("value") > 50.0, 1).otherwise(0)).alias("nh")
+        ).collect()
+    }
+    assert len(final) > 0
+    # With availableNow single-batch delivery each user emits once; compare
+    # the totals that were emitted.
+    for uid, vals in final.items():
+        assert vals == expect[uid]

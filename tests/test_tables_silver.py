@@ -172,3 +172,33 @@ def test_hash_parity_with_column_expressions(spark):
     df = spark.createDataFrame([("abc", "DEF")], "a string, b string")
     jvm = df.select(stable_hash("a", "b", length=24).alias("h")).collect()[0]["h"]
     assert jvm == stable_hash_py(["abc", "DEF"], length=24)
+
+
+def test_silver_questions(spark):
+    from eirepolitic_data_pipeline_spark.tables import silver_questions
+    payload = {"results": [
+        {"question": {
+            "uri": "/question/Q1", "date": "2025-02-01",
+            "questionNumber": "12", "questionType": "oral",
+            "showAs": "To ask the Minister about housing supply.",
+            "by": {"memberCode": "TD001", "showAs": "Aoife Byrne"},
+            "to": {"showAs": "Minister for Housing"},
+            "debateSection": {
+                "uri": "/debate/section/5",
+                "formats": {"xml": {"uri": "/akn/ie/debate.xml"},
+                            "pdf": {"uri": "https://x.example/q.pdf"}}},
+        }},
+        # Bare item, no uri/id -> generated id from record hash.
+        {"question": {"showAs": "Untracked question"}},
+    ]}
+    out = silver_questions(_payload_df(spark, payload), snapshot_date=SNAP)
+    rows = sorted(out.collect(), key=lambda r: r["question_id"])
+    q1 = [r for r in rows if r["question_id"] == "/question/Q1"][0]
+    assert q1["asked_by_member_code"] == "TD001"
+    assert q1["to_minister_or_department"] == "Minister for Housing"
+    assert q1["source_xml_url"] == "https://data.oireachtas.ie/akn/ie/debate.xml"
+    assert q1["source_pdf_url"] == "https://x.example/q.pdf"  # absolute kept
+    assert q1["source_file_id_xml"].startswith("source_file:")
+    assert q1["question_date"] == "2025-02-01"
+    gen = [r for r in rows if r["question_id"].startswith("generated:question:")]
+    assert len(gen) == 1 and gen[0]["source_file_id_xml"] == ""
