@@ -20,4 +20,5 @@ from .silver import (  # noqa: F401
     silver_member_votes,
     silver_members,
     silver_questions,
+    silver_source_files,
 )

@@ -673,3 +673,147 @@ def silver_questions(df: DataFrame, json_col: str = "payload",
 
     out = _flatten_stage(df, json_col, QUESTION_COLUMNS, rows_of)
     return out.dropDuplicates(["question_id"])
+
+
+# ---------------------------------------------------------------------------
+# silver_source_files (F6 — recursive format/file-reference harvest)
+# ---------------------------------------------------------------------------
+
+SOURCE_FILE_COLUMNS = [
+    "source_file_id", "source_entity_type", "source_entity_id",
+    "format_type", "format_uri", "format_url", "s3_key", "content_type",
+    "download_status", "downloaded_at_utc", "byte_size", "etag_or_hash",
+    "snapshot_date",
+]
+
+_FORMAT_KEYS = ("pdf", "xml", "doc", "docx", "html", "mp3", "mp4", "json")
+_CONTENT_TYPES = {"pdf": "application/pdf", "xml": "application/xml",
+                  "html": "text/html", "json": "application/json",
+                  "doc": "application/msword", "mp3": "audio/mpeg",
+                  "mp4": "video/mp4"}
+
+
+def _looks_like_format_key(key: str) -> bool:
+    k = key.lower()
+    return any(k == f or k.endswith("_" + f) for f in _FORMAT_KEYS)
+
+
+def _format_entries(container: Any) -> Iterator[tuple[str, str, str]]:
+    """(type, uri, url) triples from one formats container, both shapes:
+    {"pdf": {"uri": ...}} and {"formatType": "pdf", "uri": ...}."""
+    if isinstance(container, list):
+        for entry in container:
+            yield from _format_entries(entry)
+        return
+    if not isinstance(container, Mapping):
+        return
+
+    def triple(raw: Mapping[str, Any], fallback: Optional[str]):
+        ftype = _first(raw, "formatType", "type", "mediaType", "name",
+                       "label") or (fallback or "")
+        uri = _first(raw, "uri", "formatUri")
+        url = _first(raw, "url", "href", "downloadUrl", "formatUrl")
+        if not url and uri.startswith("http"):
+            url = uri
+        if not uri and url.startswith("http"):
+            uri = url
+        return ftype.lower(), uri, url
+
+    emitted = False
+    format_like = any(_looks_like_format_key(str(k)) for k in container)
+    for key, child in container.items():
+        if isinstance(child, Mapping) and (
+                _first(child, "uri", "url", "href", "downloadUrl")
+                or _looks_like_format_key(str(key))):
+            ftype, uri, url = triple(child, str(key))
+            if uri or url:
+                emitted = True
+                yield ftype, uri, url
+        elif isinstance(child, list) and _looks_like_format_key(str(key)):
+            for entry in child:
+                if isinstance(entry, Mapping):
+                    ftype, uri, url = triple(entry, str(key))
+                    if uri or url:
+                        emitted = True
+                        yield ftype, uri, url
+    if emitted or format_like:
+        return
+    ftype, uri, url = triple(container, None)
+    if uri or url:
+        yield ftype, uri, url
+
+
+def _walk_formats(value: Any) -> Iterator[tuple[str, str, str]]:
+    """Recursive walk for `formats`/`format` containers anywhere (F6)."""
+    if isinstance(value, Mapping):
+        for key, child in value.items():
+            if str(key).lower() in ("formats", "format"):
+                yield from _format_entries(child)
+            else:
+                yield from _walk_formats(child)
+    elif isinstance(value, list):
+        for entry in value:
+            yield from _walk_formats(entry)
+
+
+def _entity_id_of(item: Any, entity_type: str, index: int) -> str:
+    """First uri/id found anywhere in the item, else a generated id."""
+    def mappings(v):
+        if isinstance(v, Mapping):
+            yield v
+            for c in v.values():
+                yield from mappings(c)
+        elif isinstance(v, list):
+            for c in v:
+                yield from mappings(c)
+
+    keys = ("uri", f"{entity_type}Uri", "debateUri", "questionUri",
+            "billUri", "id", f"{entity_type}Id")
+    for m in mappings(item):
+        v = _first(m, *keys)
+        if v:
+            return v
+    return f"generated:{entity_type}:{index}:{record_hash_py(item)}"
+
+
+def silver_source_files(df: DataFrame, json_col: str = "payload",
+                        entity_type: str = "debate",
+                        snapshot_date: str = "") -> DataFrame:
+    """File inventory harvested from `formats` containers anywhere in the
+    payload (`table_source_files.py:231-327`): recursive walk, two container
+    shapes, extension-inferred format types, deterministic source_file_id,
+    and a slugged target key for the downloader."""
+
+    def rows_of(payload: Any) -> Iterator[dict[str, Any]]:
+        for index, item in enumerate(_results_of(payload)):
+            entity_id = _entity_id_of(item, entity_type, index)
+            for ftype, uri, url in _walk_formats(item):
+                ref = url or uri
+                if not ftype or ftype not in _CONTENT_TYPES:
+                    ext = re.search(r"\.([a-z0-9]{2,5})(?:$|\?)", ref.lower())
+                    ftype = ext.group(1) if ext and ext.group(1) in \
+                        _CONTENT_TYPES else (ftype or "unknown")
+                sfid = "source_file:" + stable_hash_py(
+                    [entity_type, entity_id, ftype, uri, url], length=24)
+                slug = re.sub(r"[^a-z0-9]+", "-",
+                              entity_id.lower()).strip("-")[:80]
+                yield {
+                    "source_file_id": sfid,
+                    "source_entity_type": entity_type,
+                    "source_entity_id": entity_id,
+                    "format_type": ftype,
+                    "format_uri": uri,
+                    "format_url": url,
+                    "s3_key": f"source_files/{entity_type}/{slug}/"
+                              f"{sfid.split(':', 1)[1]}.{ftype}",
+                    "content_type": _CONTENT_TYPES.get(ftype,
+                                                       "application/octet-stream"),
+                    "download_status": "not_downloaded",
+                    "downloaded_at_utc": "",
+                    "byte_size": "",
+                    "etag_or_hash": "",
+                    "snapshot_date": snapshot_date,
+                }
+
+    out = _flatten_stage(df, json_col, SOURCE_FILE_COLUMNS, rows_of)
+    return out.dropDuplicates(["source_file_id"])

@@ -202,3 +202,32 @@ def test_silver_questions(spark):
     assert q1["question_date"] == "2025-02-01"
     gen = [r for r in rows if r["question_id"].startswith("generated:question:")]
     assert len(gen) == 1 and gen[0]["source_file_id_xml"] == ""
+
+
+def test_silver_source_files(spark):
+    from eirepolitic_data_pipeline_spark.tables import silver_source_files
+    payload = {"results": [
+        {"debateRecord": {
+            "uri": "/debate/2025-02-01",
+            "debateSections": [
+                {"debateSection": {
+                    "formats": {"xml": {"uri": "/akn/debate.xml"},
+                                "pdf": {"url": "https://x.example/d.pdf"},
+                                "writtens_pdf": None}}},
+                # Shape 2: flat format record under a "format" key.
+                {"attachment": {"format": {"formatType": "mp3",
+                                           "url": "https://x.example/a.mp3"}}},
+            ]}},
+    ]}
+    out = silver_source_files(_payload_df(spark, payload),
+                              entity_type="debate", snapshot_date=SNAP)
+    rows = {r["format_type"]: r for r in out.collect()}
+    assert sorted(rows) == ["mp3", "pdf", "xml"]
+    assert rows["xml"]["source_entity_id"] == "/debate/2025-02-01"
+    assert rows["pdf"]["format_url"] == "https://x.example/d.pdf"
+    assert rows["pdf"]["content_type"] == "application/pdf"
+    assert rows["mp3"]["content_type"] == "audio/mpeg"
+    for r in rows.values():
+        assert r["source_file_id"].startswith("source_file:")
+        assert r["download_status"] == "not_downloaded"
+        assert r["s3_key"].startswith("source_files/debate/debate-2025-02-01/")
