@@ -159,3 +159,28 @@ def test_contract_and_fk_and_comparison_checks(spark):
     assert gates["legacy_only_keys"].passed
     assert not gates["candidate_only_keys"].passed  # k3 is candidate-only
     assert gates["join_coverage_pct"].observed == 100.0
+
+
+def test_default_registry_loads_all_reference_tables(spark):
+    from eirepolitic_data_pipeline_spark.plans.default_tables import (
+        DEFAULT_TABLES_CONFIG,
+    )
+    reg = TableRegistry.from_dict(DEFAULT_TABLES_CONFIG)
+    assert len(reg.tables) == 31
+    layers = {t.layer for t in reg.tables.values()}
+    assert layers == {"silver", "gold", "control"}
+    # Typed schema: counts int, pct double, membership dates date.
+    gy = reg.tables["gold_member_activity_yearly"]
+    types = {f.name: f.dataType.simpleString() for f in gy.schema.fields}
+    assert types["speech_count"] == "int"
+    assert types["vote_participation_pct"] == "double"
+    mm = reg.tables["silver_member_memberships"]
+    mtypes = {f.name: f.dataType.simpleString() for f in mm.schema.fields}
+    assert mtypes["membership_start"] == "date"
+    assert mm.policy.mode == "upsert"
+    assert ("member_code", "silver_members", "member_code", False) \
+        in mm.policy.foreign_keys
+    # Every table has a primary key and at least its pk columns declared.
+    for t in reg.tables.values():
+        assert t.policy.primary_key
+        assert set(t.policy.primary_key) <= set(t.column_names)
