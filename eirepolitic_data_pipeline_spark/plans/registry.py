@@ -74,7 +74,10 @@ class TableDef:
         for cname, ctype in self.columns:
             spark_t = _TYPE_MAP.get(ctype, T.StringType())
             if cname in present:
-                cols.append(F.col(cname).cast(spark_t).alias(cname))
+                # try_cast, not cast: silver rows are strings with blank ==
+                # missing; ANSI cast('' AS DATE) throws, while the reference
+                # coerces unparseable values to null (errors="coerce").
+                cols.append(F.col(cname).try_cast(spark_t).alias(cname))
             else:
                 cols.append(F.lit(None).cast(spark_t).alias(cname))
         return df.select(*cols)
