@@ -139,3 +139,28 @@ def slugify(col: Column | str) -> Column:
     s = F.lower(F.trim(c.cast("string")))
     s = F.regexp_replace(s, r"[^a-z0-9]+", "-")
     return F.regexp_replace(s, r"^-+|-+$", "")
+
+
+def week_id(col: Column | str) -> Column:
+    """X11 — non-ISO week id (`ridiculous_sentences_weekly.py:173-195`).
+
+    Monday-start weeks numbered from the FIRST MONDAY of the year (not ISO
+    8601): a date before its year's first Monday belongs to the previous
+    year's numbering. Output is the string ``YYYYWW`` (week zero-padded).
+    Kept exact because weekly scope-replace keys rows by this id.
+    """
+    d = F.col(col) if isinstance(col, str) else col
+    d = d.cast("date")
+
+    def weekday(x: Column) -> Column:          # Monday=0 .. Sunday=6
+        return (F.dayofweek(x) + 5) % 7
+
+    def first_monday(year: Column) -> Column:
+        jan1 = F.make_date(year, F.lit(1), F.lit(1))
+        return F.date_add(jan1, ((F.lit(7) - weekday(jan1)) % 7).cast("int"))
+
+    ws = F.date_sub(d, weekday(d).cast("int"))
+    wy = F.when(ws < first_monday(F.year(d)), F.year(d) - 1) \
+        .otherwise(F.year(d))
+    wn = (F.datediff(ws, first_monday(wy)) / 7).cast("int") + 1
+    return F.concat(wy.cast("string"), F.lpad(wn.cast("string"), 2, "0"))

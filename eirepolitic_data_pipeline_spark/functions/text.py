@@ -122,3 +122,28 @@ def doc_fingerprint(col: Column | str, length: int = 16) -> Column:
     norm = F.lower(F.coalesce(c.cast("string"), F.lit("")))
     norm = F.trim(F.regexp_replace(norm, r"[^a-z0-9]+", " "))
     return F.substring(F.sha2(norm, 256), 1, length)
+
+
+_SENTENCE_BOUNDARY = r'(?<=[.!?])\s+(?=(?:["“‘(\[])?[A-Z0-9])'
+
+
+def sentences(col: Column | str, max_words: int = 50) -> Column:
+    """X10 — sentence splitting (`ridiculous_sentences_weekly.py:52,151-170`):
+    split on punctuation followed by a capital/digit (optionally quoted or
+    bracketed); pieces longer than ``max_words`` re-split on semicolons.
+    Whitespace-normalized, blanks dropped — all JVM-side (split/transform),
+    explode-ready for the weekly candidate pipeline."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.trim(F.regexp_replace(F.coalesce(c.cast("string"), F.lit("")),
+                                      r"\s+", " "))
+    parts = F.split(cleaned, _SENTENCE_BOUNDARY)
+    norm = lambda p: F.trim(F.regexp_replace(p, r"\s+", " "))  # noqa: E731
+    word_count = lambda p: F.size(F.split(F.trim(p), r"\s+"))  # noqa: E731
+    resplit = F.transform(
+        parts,
+        lambda p: F.when(
+            (word_count(p) > max_words) & p.contains(";"),
+            F.filter(F.transform(F.split(p, ";"), norm),
+                     lambda s: s != ""))
+        .otherwise(F.array(norm(p))))
+    return F.filter(F.flatten(resplit), lambda s: s != "")

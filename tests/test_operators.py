@@ -184,3 +184,49 @@ def test_knn_bruteforce_and_lsh_agree_on_obvious_neighbor(spark):
     assert [(r["query_id"], r["neighbor_id"]) for r in bf.collect()] == [(1, 2)]
     approx = knn_lsh(vecs, q, k=1, n_bits=4)
     assert [(r["query_id"], r["neighbor_id"]) for r in approx.collect()] == [(1, 2)]
+
+
+def test_week_id_matches_reference_semantics(spark):
+    """X11 sweep incl. year boundaries against a pure-python mirror of the
+    reference's first-Monday week numbering."""
+    from datetime import date, timedelta
+    from eirepolitic_data_pipeline_spark.functions.scalar import week_id
+
+    def py_week_id(d):
+        def first_monday(y):
+            j = date(y, 1, 1)
+            return j + timedelta(days=(7 - j.weekday()) % 7)
+        ws = d - timedelta(days=d.weekday())
+        y = d.year
+        if ws < first_monday(y):
+            y -= 1
+        wn = ((ws - first_monday(y)).days // 7) + 1
+        return f"{y}{wn:02d}"
+
+    days = [date(2024, 1, 1) + timedelta(days=i) for i in range(0, 800, 13)]
+    # Force the tricky spots: Jan 1s falling mid-week, first Mondays, Dec 31.
+    days += [date(2025, 1, 1), date(2025, 1, 5), date(2025, 1, 6),
+             date(2026, 1, 1), date(2026, 12, 31), date(2023, 1, 1)]
+    df = spark.createDataFrame([(d.isoformat(),) for d in days], "d string")
+    got = [r["w"] for r in df.select(week_id("d").alias("w")).collect()]
+    assert got == [py_week_id(d) for d in days]
+
+
+def test_sentence_splitting(spark):
+    from eirepolitic_data_pipeline_spark.functions.text import sentences
+    long_piece = ("Clause one " + "word " * 30 + "; clause two " + "word " * 25
+                  + "end")
+    df = spark.createDataFrame(
+        [('First sentence. Second one! "Quoted start." Third? 9 lives. '
+          + long_piece,)], "t string")
+    got = df.select(sentences("t").alias("s")).collect()[0]["s"]
+    assert got[0] == "First sentence."
+    assert got[1] == "Second one!"
+    # Reference lookbehind needs [.!?] directly before the space, so a
+    # closing quote glues the next sentence on — kept exact.
+    assert got[2] == '"Quoted start." Third?'
+    assert got[3] == "9 lives."
+    # The >50-word tail was re-split on the semicolon.
+    assert any(s.startswith("Clause one") for s in got[4:])
+    assert any(s.startswith("clause two") for s in got[4:])
+    assert all(s == s.strip() and s for s in got)
