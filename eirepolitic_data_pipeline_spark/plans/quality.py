@@ -171,3 +171,37 @@ def comparison_gates(legacy: DataFrame, candidate: DataFrame,
         CheckResult("row_delta_pct", delta_pct <= max_row_delta_pct, round(delta_pct, 3)),
         CheckResult("join_coverage_pct", coverage >= min_coverage_pct, round(coverage, 3)),
     ]
+
+
+def mismatch_review(legacy: DataFrame, candidate: DataFrame,
+                    key_cols: Sequence[str],
+                    enrich_cols: Sequence[str] = ()) -> tuple[DataFrame, DataFrame]:
+    """Q7 — named-key diff for human review (`mismatch_review.py:42-186`).
+
+    Returns ``(summary, detail)``: a 1-row summary with matched /
+    legacy-only / candidate-only counts, and per-key detail rows tagged with
+    the side they exist on, enriched with the requested columns from the
+    side that has them — the reference attaches member names so reviewers
+    can act on the diff without re-querying.
+
+    Both directions are anti-joins on the key columns (one shuffle each);
+    nothing driver-side, so review stays cheap at any table size.
+    """
+    lk = legacy.select(*key_cols, *[c for c in enrich_cols
+                                    if c in legacy.columns]).dropDuplicates(list(key_cols))
+    ck = candidate.select(*key_cols, *[c for c in enrich_cols
+                                       if c in candidate.columns]).dropDuplicates(list(key_cols))
+    legacy_only = lk.join(ck.select(*key_cols), list(key_cols), "left_anti") \
+        .withColumn("side", F.lit("legacy_only"))
+    candidate_only = ck.join(lk.select(*key_cols), list(key_cols), "left_anti") \
+        .withColumn("side", F.lit("candidate_only"))
+    detail = legacy_only.unionByName(candidate_only,
+                                     allowMissingColumns=True)
+    matched = lk.join(ck.select(*key_cols), list(key_cols), "left_semi") \
+        .agg(F.count(F.lit(1)).alias("matched_count"))
+    summary = (matched
+               .crossJoin(legacy_only.agg(
+                   F.count(F.lit(1)).alias("legacy_only_count")))
+               .crossJoin(candidate_only.agg(
+                   F.count(F.lit(1)).alias("candidate_only_count"))))
+    return summary, detail

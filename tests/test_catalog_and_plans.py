@@ -184,3 +184,22 @@ def test_default_registry_loads_all_reference_tables(spark):
     for t in reg.tables.values():
         assert t.policy.primary_key
         assert set(t.policy.primary_key) <= set(t.column_names)
+
+
+def test_mismatch_review(spark):
+    from eirepolitic_data_pipeline_spark.plans.quality import mismatch_review
+    legacy = spark.createDataFrame(
+        [("TD001", "Aoife"), ("TD002", "Brian"), ("TD003", "Cara")],
+        "member_code string, full_name string")
+    candidate = spark.createDataFrame(
+        [("TD001", "Aoife"), ("TD002", "Brian"), ("TD004", "Dara")],
+        "member_code string, full_name string")
+    summary, detail = mismatch_review(legacy, candidate, ["member_code"],
+                                      enrich_cols=["full_name"])
+    s = summary.collect()[0]
+    assert (s["matched_count"], s["legacy_only_count"],
+            s["candidate_only_count"]) == (2, 1, 1)
+    got = {(r["member_code"], r["side"]): r["full_name"]
+           for r in detail.collect()}
+    assert got == {("TD003", "legacy_only"): "Cara",
+                   ("TD004", "candidate_only"): "Dara"}
