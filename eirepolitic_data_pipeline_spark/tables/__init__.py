@@ -15,6 +15,9 @@ from .gold import (  # noqa: F401
 )
 from .consumers import member_profile_metrics  # noqa: F401
 from .silver import (  # noqa: F401
+    silver_constituencies,
+    silver_houses,
+    silver_parties,
     silver_division_tallies,
     silver_member_memberships,
     silver_member_votes,

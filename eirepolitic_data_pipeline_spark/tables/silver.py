@@ -817,3 +817,169 @@ def silver_source_files(df: DataFrame, json_col: str = "payload",
 
     out = _flatten_stage(df, json_col, SOURCE_FILE_COLUMNS, rows_of)
     return out.dropDuplicates(["source_file_id"])
+
+
+# ---------------------------------------------------------------------------
+# Simple dimension flatteners: houses / parties / constituencies
+# ---------------------------------------------------------------------------
+
+HOUSE_COLUMNS = ["house_uri", "house_no", "house_code", "chamber", "show_as",
+                 "date_start", "date_end", "is_current", "source_endpoint",
+                 "snapshot_date", "source_hash"]
+PARTY_COLUMNS = ["party_uri", "party_code", "party_name", "show_as",
+                 "date_start", "date_end", "is_current", "source_endpoint",
+                 "snapshot_date", "source_hash"]
+CONSTITUENCY_COLUMNS = ["constituency_uri", "constituency_code",
+                        "constituency_name", "show_as", "house_uri",
+                        "house_no", "chamber", "date_start", "date_end",
+                        "is_current", "source_endpoint", "snapshot_date",
+                        "source_hash"]
+
+
+def _iter_wrapped(item: Any, wrappers: tuple[str, ...],
+                  list_keys: tuple[str, ...]) -> Iterator[Mapping[str, Any]]:
+    """Generic wrapped-record discovery with recursive fallback (the F1
+    walk shape shared by the house/party/constituency endpoints)."""
+    if not isinstance(item, Mapping):
+        return
+    found = False
+    for k in wrappers:
+        v = item.get(k)
+        if isinstance(v, Mapping):
+            found = True
+            yield v
+    for k in list_keys:
+        v = item.get(k)
+        if isinstance(v, list):
+            for entry in v:
+                if isinstance(entry, Mapping):
+                    found = True
+                    yield _unwrap(entry, wrappers)
+    if found:
+        return
+    for child in item.values():
+        if isinstance(child, Mapping):
+            yield from _iter_wrapped(child, wrappers, list_keys)
+
+
+def _interval_of(record: Mapping[str, Any]) -> tuple[str, str]:
+    rng = _first_map(record, "dateRange", "date_range")
+    start = parse_iso_date_py(
+        (rng.get("start") if rng else None) or record.get("dateStart")
+        or record.get("startDate")) or ""
+    end = parse_iso_date_py(
+        (rng.get("end") if rng else None) or record.get("dateEnd")
+        or record.get("endDate")) or ""
+    return start, end
+
+
+def silver_houses(df: DataFrame, json_col: str = "payload",
+                  snapshot_date: str = "", endpoint: str = "/houses",
+                  today: Optional[date] = None) -> DataFrame:
+    """House dimension (`table_houses.py:130-150`)."""
+
+    def rows_of(payload: Any) -> Iterator[dict[str, Any]]:
+        for item in _results_of(payload):
+            for h in _iter_wrapped(item, ("house", "houseRecord"),
+                                   ("houses",)):
+                start, end = _interval_of(h)
+                code = _first(h, "houseCode", "chamberCode")
+                uri = _first(h, "uri") or "generated:house:" + stable_hash_py(
+                    [code, _first(h, "houseNo"), _first(h, "showAs")])
+                yield {
+                    "house_uri": uri,
+                    "house_no": _first(h, "houseNo"),
+                    "house_code": code,
+                    "chamber": code or _first(h, "chamberCode",
+                                              "chamberType", "houseType"),
+                    "show_as": _first(h, "showAs"),
+                    "date_start": start, "date_end": end,
+                    "is_current": str(is_current_range_py(
+                        start, end, today=today)).lower(),
+                    "source_endpoint": endpoint,
+                    "snapshot_date": snapshot_date,
+                    "source_hash": record_hash_py(item),
+                }
+
+    return _flatten_stage(df, json_col, HOUSE_COLUMNS,
+                          rows_of).dropDuplicates(["house_uri"])
+
+
+def silver_parties(df: DataFrame, json_col: str = "payload",
+                   snapshot_date: str = "", endpoint: str = "/parties",
+                   today: Optional[date] = None) -> DataFrame:
+    """Party dimension (`table_parties.py:196-218`)."""
+
+    def rows_of(payload: Any) -> Iterator[dict[str, Any]]:
+        for item in _results_of(payload):
+            for p in _iter_wrapped(
+                    item, ("party", "partyDetails", "organisation",
+                           "organization"), ("parties", "partyList")):
+                start, end = _interval_of(p)
+                show_as = _first(p, "showAs", "show_as", "name", "partyName",
+                                 "label")
+                name = _first(p, "partyName", "name", "showAs", "show_as",
+                              "label")
+                code = _first(p, "partyCode", "code", "id", "representCode")
+                uri = _first(p, "uri", "partyUri") or \
+                    "generated:party:" + stable_hash_py(
+                        [code, name, show_as, start, end])
+                yield {
+                    "party_uri": uri, "party_code": code,
+                    "party_name": name or _normalize_ws_name(show_as),
+                    "show_as": show_as or name,
+                    "date_start": start, "date_end": end,
+                    "is_current": str(is_current_range_py(
+                        start, end, today=today)).lower(),
+                    "source_endpoint": endpoint,
+                    "snapshot_date": snapshot_date,
+                    "source_hash": record_hash_py(p),
+                }
+
+    return _flatten_stage(df, json_col, PARTY_COLUMNS,
+                          rows_of).dropDuplicates(["party_uri"])
+
+
+def silver_constituencies(df: DataFrame, json_col: str = "payload",
+                          snapshot_date: str = "",
+                          endpoint: str = "/constituencies",
+                          today: Optional[date] = None) -> DataFrame:
+    """Constituency dimension with enclosing-house context
+    (`table_constituencies.py:168-210`)."""
+
+    def rows_of(payload: Any) -> Iterator[dict[str, Any]]:
+        for item in _results_of(payload):
+            house = _first_map(item, "house", "houseRecord")
+            for c in _iter_wrapped(item, ("constituencyOrPanel",
+                                          "constituency"),
+                                   ("constituencies", "panels")):
+                h = _first_map(c, "house", "houseRecord") or house
+                start, end = _interval_of(c)
+                show_as = _first(c, "showAs", "show_as", "name",
+                                 "constituencyName")
+                name = _first(c, "name", "constituencyName", "showAs",
+                              "show_as")
+                code = _first(c, "constituencyCode", "representCode",
+                              "code", "id")
+                h_uri = _first(h, "uri", "houseUri")
+                h_no = _first(h, "houseNo", "house_no")
+                chamber = _first(h, "houseCode", "chamberCode", "chamber",
+                                 "houseType")
+                uri = _first(c, "uri", "constituencyUri") or \
+                    "generated:constituency:" + stable_hash_py(
+                        [name, show_as, h_uri, h_no, chamber, start, end])
+                yield {
+                    "constituency_uri": uri, "constituency_code": code,
+                    "constituency_name": name or _normalize_ws_name(show_as),
+                    "show_as": show_as or name,
+                    "house_uri": h_uri, "house_no": h_no, "chamber": chamber,
+                    "date_start": start, "date_end": end,
+                    "is_current": str(is_current_range_py(
+                        start, end, today=today)).lower(),
+                    "source_endpoint": endpoint,
+                    "snapshot_date": snapshot_date,
+                    "source_hash": record_hash_py(c),
+                }
+
+    return _flatten_stage(df, json_col, CONSTITUENCY_COLUMNS,
+                          rows_of).dropDuplicates(["constituency_uri"])

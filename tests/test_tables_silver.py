@@ -231,3 +231,40 @@ def test_silver_source_files(spark):
         assert r["source_file_id"].startswith("source_file:")
         assert r["download_status"] == "not_downloaded"
         assert r["s3_key"].startswith("source_files/debate/debate-2025-02-01/")
+
+
+def test_silver_dimension_flatteners(spark):
+    from eirepolitic_data_pipeline_spark.tables import (
+        silver_constituencies,
+        silver_houses,
+        silver_parties,
+    )
+    houses = {"results": [
+        {"house": {"uri": "/house/34", "houseNo": "34", "houseCode": "dail",
+                   "showAs": "34th Dáil",
+                   "dateRange": {"start": "2024-01-01", "end": None}}},
+    ]}
+    parties = {"results": [
+        {"party": {"partyCode": "NP", "partyName": "New Party",
+                   "showAs": "New Party",
+                   "dateRange": {"start": "2010-01-01"}}},
+    ]}
+    cons = {"results": [
+        {"house": {"uri": "/house/34", "houseNo": "34", "houseCode": "dail"},
+         "constituencies": [
+             {"constituency": {"uri": "/cons/ww", "code": "WW",
+                               "name": "Wicklow-Wexford",
+                               "dateRange": {"start": "2024-01-01"}}}]},
+    ]}
+    h = silver_houses(_payload_df(spark, houses), snapshot_date=SNAP,
+                      today=TODAY).collect()[0]
+    assert (h["house_uri"], h["chamber"], h["is_current"]) \
+        == ("/house/34", "dail", "true")
+    p = silver_parties(_payload_df(spark, parties), snapshot_date=SNAP,
+                       today=TODAY).collect()[0]
+    assert (p["party_uri"].startswith("generated:party:"),
+            p["party_name"], p["is_current"]) == (True, "New Party", "true")
+    c = silver_constituencies(_payload_df(spark, cons), snapshot_date=SNAP,
+                              today=TODAY).collect()[0]
+    assert (c["constituency_name"], c["house_uri"], c["house_no"]) \
+        == ("Wicklow-Wexford", "/house/34", "34")
