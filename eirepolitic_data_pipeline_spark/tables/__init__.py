@@ -25,3 +25,12 @@ from .silver import (  # noqa: F401
     silver_questions,
     silver_source_files,
 )
+from .bills import (  # noqa: F401
+    silver_bill_debates,
+    silver_bill_events,
+    silver_bill_related_docs,
+    silver_bill_sponsors,
+    silver_bill_stages,
+    silver_bill_versions,
+    silver_bills,
+)
