@@ -164,3 +164,46 @@ def week_id(col: Column | str) -> Column:
         .otherwise(F.year(d))
     wn = (F.datediff(ws, first_monday(wy)) / 7).cast("int") + 1
     return F.concat(wy.cast("string"), F.lpad(wn.cast("string"), 2, "0"))
+
+
+def int_or_2dp(col: Column | str) -> Column:
+    """X13 — `table_gold_content_fact_pool.py:219-223` (int_float): coerce
+    to numeric (unparsable → 0), then render whole numbers with no decimal
+    point and everything else rounded to 2dp with trailing zeros stripped
+    ("12", "12.5", "12.34") — headline-friendly metric strings."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.coalesce(c.cast("string").try_cast("double"), F.lit(0.0))
+    r = F.round(n, 2)
+    return F.when(r == F.floor(r), r.cast("long").cast("string")) \
+        .otherwise(r.cast("string"))
+
+
+def ordinal_rank(col: Column | str) -> Column:
+    """X16 — `instagram/renderer/util.py:143-151`: 1→"1st", 2→"2nd",
+    3→"3rd", 11-13→"th", non-positive/null → "N/A"."""
+    c = F.col(col) if isinstance(col, str) else col
+    r = c.cast("long")
+    suffix = F.when((r % 100 >= 10) & (r % 100 <= 20), F.lit("th")) \
+        .when(r % 10 == 1, F.lit("st")) \
+        .when(r % 10 == 2, F.lit("nd")) \
+        .when(r % 10 == 3, F.lit("rd")) \
+        .otherwise(F.lit("th"))
+    return F.when(r.isNull() | (r <= 0), F.lit("N/A")) \
+        .otherwise(F.concat(r.cast("string"), suffix))
+
+
+def percent_string(col: Column | str) -> Column:
+    """X16 — `instagram/renderer/util.py:153-165`: missing-ish → "N/A";
+    already-percent text passes through; whole numbers → "N%", else one
+    decimal place; non-numeric text passes through unchanged."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(F.coalesce(c.cast("string"), F.lit("")))
+    missing = (t == "") | F.lower(t).isin("none", "nan", "null")
+    n = t.try_cast("double")
+    whole = F.concat(n.cast("long").cast("string"), F.lit("%"))
+    frac = F.concat(F.round(n, 1).cast("string"), F.lit("%"))
+    return F.when(missing, F.lit("N/A")) \
+        .when(t.endswith("%"), t) \
+        .when(n.isNull(), t) \
+        .when(n == F.floor(n), whole) \
+        .otherwise(frac)

@@ -25,6 +25,10 @@ from .silver import (  # noqa: F401
     silver_questions,
     silver_source_files,
 )
+from .debates import (  # noqa: F401
+    silver_debate_records,
+    silver_debate_sections,
+)
 from .bills import (  # noqa: F401
     silver_bill_debates,
     silver_bill_events,
@@ -33,4 +37,9 @@ from .bills import (  # noqa: F401
     silver_bill_stages,
     silver_bill_versions,
     silver_bills,
+)
+from .compat import (  # noqa: F401
+    compat_summary,
+    member_votes_compat,
+    members_compat,
 )

@@ -1,0 +1,183 @@
+"""Debate-record and debate-section silver flatteners — SURVEY §2.3.
+
+The `/debates` endpoint returns one item per debate day wrapped in a
+`debateRecord` envelope. The reference derives two tables from it:
+
+* ``silver_debate_records`` — one row per debate with house/chamber
+  context, show-as title fallback, and pdf/xml source-file locators
+  (`extract/oireachtas/table_debate_records.py:160-209`).
+* ``silver_debate_sections`` — the exploded, 1-based-ordered
+  ``debateSections[]`` list with parent-section linkage
+  (`extract/oireachtas/table_debate_sections.py:67-92,162-186`).
+
+Both are Arrow-batched ``mapInPandas`` stages over the raw JSON column —
+partition-parallel, no shuffle until the final PK dedupe — sharing the
+parity helpers (sha-256 IDs, coerce-to-blank dates) from
+``tables.silver``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Mapping
+
+from pyspark.sql import DataFrame
+
+from .silver import (
+    _first,
+    _first_map,
+    _flatten_stage,
+    _results_of,
+    _txt,
+    parse_iso_date_py,
+    record_hash_py,
+    stable_hash_py,
+)
+
+DEBATE_RECORD_COLUMNS = [
+    "debate_id", "debate_uri", "context_date", "debate_date", "chamber",
+    "house_uri", "house_no", "house_code", "show_as", "source_xml_uri",
+    "source_xml_url", "source_pdf_uri", "source_pdf_url",
+    "source_file_id_xml", "source_file_id_pdf", "api_result_hash",
+    "snapshot_date",
+]
+
+DEBATE_SECTION_COLUMNS = [
+    "debate_section_id", "debate_id", "section_eid", "section_uri",
+    "section_order", "heading", "show_as", "parent_section_id",
+    "snapshot_date",
+]
+
+
+def _debate_ctx(item: Mapping[str, Any]) -> tuple[Mapping[str, Any], str, str]:
+    """(record, debate_uri, debate_id) with the generated-ID fallback."""
+    record = item.get("debateRecord")
+    if not isinstance(record, Mapping):
+        record = item
+    uri = _first(record, "uri", "debateUri")
+    debate_id = uri or "generated:debate:" + record_hash_py(record, length=20)
+    return record, uri, debate_id
+
+
+def _format_slot(formats: Mapping[str, Any], key: str) -> Mapping[str, Any]:
+    value = formats.get(key)
+    return value if isinstance(value, Mapping) else {}
+
+
+def _source_file_id(debate_id: str, ftype: str, uri: str, url: str) -> str:
+    if not (uri or url):
+        return ""
+    return "source_file:" + stable_hash_py(
+        ["debate", debate_id, ftype, uri, url], length=24)
+
+
+def silver_debate_records(df: DataFrame, json_col: str = "payload",
+                          snapshot_date: str = "") -> DataFrame:
+    """One row per debate with house context and format locators.
+
+    Mirrors `table_debate_records.py:160-209`: debate_date falls back to
+    the item-level contextDate, chamber prefers the houseCode, show_as
+    falls back to "chamber — date", and each of pdf/xml gets a
+    deterministic source-file ID only when a locator exists.
+    """
+
+    def rows_of(payload: Any) -> Iterator[dict[str, Any]]:
+        for item in _results_of(payload):
+            if not isinstance(item, Mapping):
+                continue
+            record, uri, debate_id = _debate_ctx(item)
+            context_date = parse_iso_date_py(item.get("contextDate")) or ""
+            debate_date = parse_iso_date_py(record.get("date")) or context_date
+            chamber_rec = _first_map(record, "chamber")
+            house_rec = _first_map(record, "house")
+            house_code = _first(house_rec, "houseCode", "chamberCode")
+            chamber = house_code or _first(chamber_rec, "showAs") or \
+                _first(house_rec, "showAs")
+            show_as = _first(record, "showAs", "title") or \
+                " — ".join(p for p in (chamber, debate_date) if p)
+            formats = _first_map(record, "formats")
+            pdf = _format_slot(formats, "pdf")
+            xml = _format_slot(formats, "xml")
+            pdf_uri = _first(pdf, "uri", "url", "href")
+            xml_uri = _first(xml, "uri", "url", "href")
+            pdf_url = pdf_uri if pdf_uri.startswith("http") else \
+                _first(pdf, "url", "href")
+            xml_url = xml_uri if xml_uri.startswith("http") else \
+                _first(xml, "url", "href")
+            yield {
+                "debate_id": debate_id,
+                "debate_uri": uri,
+                "context_date": context_date,
+                "debate_date": debate_date,
+                "chamber": chamber,
+                "house_uri": _first(house_rec, "uri")
+                or _first(chamber_rec, "uri"),
+                "house_no": _first(house_rec, "houseNo"),
+                "house_code": house_code,
+                "show_as": show_as,
+                "source_xml_uri": xml_uri,
+                "source_xml_url": xml_url,
+                "source_pdf_uri": pdf_uri,
+                "source_pdf_url": pdf_url,
+                "source_file_id_xml": _source_file_id(
+                    debate_id, "xml", xml_uri, xml_url),
+                "source_file_id_pdf": _source_file_id(
+                    debate_id, "pdf", pdf_uri, pdf_url),
+                "api_result_hash": record_hash_py(item),
+                "snapshot_date": snapshot_date,
+            }
+
+    return _flatten_stage(df, json_col, DEBATE_RECORD_COLUMNS,
+                          rows_of).dropDuplicates(["debate_id"])
+
+
+def _parent_section_id(value: Any) -> str:
+    if isinstance(value, Mapping):
+        return _first(value, "uri", "debateSectionId", "sectionId", "eid")
+    return _txt(value)
+
+
+def silver_debate_sections(df: DataFrame, json_col: str = "payload",
+                           snapshot_date: str = "") -> DataFrame:
+    """Exploded ``debateSections[]`` rows with 1-based document order.
+
+    Mirrors `table_debate_sections.py:67-92,162-186`: each entry unwraps
+    an optional ``debateSection`` envelope; the generated-ID fallback
+    hashes (debate_id, section_eid, section_order); parent linkage takes
+    the parent's URI-or-eid whether the parent is a mapping or a bare
+    string.
+    """
+
+    def rows_of(payload: Any) -> Iterator[dict[str, Any]]:
+        for item in _results_of(payload):
+            if not isinstance(item, Mapping):
+                continue
+            record, _uri, debate_id = _debate_ctx(item)
+            sections = record.get("debateSections")
+            if not isinstance(sections, list):
+                continue
+            for order, entry in enumerate(sections, start=1):
+                if not isinstance(entry, Mapping):
+                    continue
+                section = entry.get("debateSection")
+                if not isinstance(section, Mapping):
+                    section = entry
+                section_uri = _first(section, "uri", "sectionUri")
+                section_eid = _first(section, "debateSectionId",
+                                     "sectionId", "eid")
+                yield {
+                    "debate_section_id": section_uri
+                    or "generated:debate_section:" + stable_hash_py(
+                        [debate_id, section_eid, order], length=20),
+                    "debate_id": debate_id,
+                    "section_eid": section_eid,
+                    "section_uri": section_uri,
+                    "section_order": str(order),
+                    "heading": _first(section, "heading", "title", "showAs"),
+                    "show_as": _first(section, "showAs", "heading", "title"),
+                    "parent_section_id": _parent_section_id(
+                        section.get("parentDebateSection")),
+                    "snapshot_date": snapshot_date,
+                }
+
+    return _flatten_stage(df, json_col, DEBATE_SECTION_COLUMNS,
+                          rows_of).dropDuplicates(["debate_section_id"])

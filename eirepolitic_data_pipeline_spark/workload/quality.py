@@ -178,3 +178,83 @@ def q36_parse_iso_date_parity(spark, sf_dir):
     return raw.select(
         "o_orderkey", "messy_date",
         F.date_format(sc.parse_iso_date("messy_date"), "yyyy-MM-dd").alias("parsed_date"))
+
+
+@register(
+    "q40_formatting_parity",
+    """
+    SELECT c_custkey,
+           CASE WHEN round(c_acctbal, 2) = floor(round(c_acctbal, 2))
+                THEN CAST(CAST(round(c_acctbal, 2) AS BIGINT) AS VARCHAR)
+                ELSE CAST(round(c_acctbal, 2) AS VARCHAR) END AS bal_headline,
+           CASE WHEN (c_custkey % 113) <= 0 THEN 'N/A'
+                WHEN (c_custkey % 113) % 100 BETWEEN 10 AND 20
+                  THEN CAST(c_custkey % 113 AS VARCHAR) || 'th'
+                WHEN (c_custkey % 113) % 10 = 1
+                  THEN CAST(c_custkey % 113 AS VARCHAR) || 'st'
+                WHEN (c_custkey % 113) % 10 = 2
+                  THEN CAST(c_custkey % 113 AS VARCHAR) || 'nd'
+                WHEN (c_custkey % 113) % 10 = 3
+                  THEN CAST(c_custkey % 113 AS VARCHAR) || 'rd'
+                ELSE CAST(c_custkey % 113 AS VARCHAR) || 'th' END AS rank_ordinal,
+           CASE WHEN CAST(c_custkey % 200 AS DOUBLE) / 2
+                     = floor(CAST(c_custkey % 200 AS DOUBLE) / 2)
+                THEN CAST(CAST(CAST(c_custkey % 200 AS DOUBLE) / 2 AS BIGINT) AS VARCHAR) || '%'
+                ELSE CAST(CAST(c_custkey % 200 AS DOUBLE) / 2 AS VARCHAR) || '%' END
+             AS participation_pct
+    FROM customer
+    """,
+    survey_ref="X13,X16",
+)
+def q40_formatting_parity(spark, sf_dir):
+    """X13/X16 headline formatting: int-or-2dp metric strings, ordinal
+    ranks (11th/21st quirks included), and percent strings — pure column
+    expressions, zero shuffles, scan-wide codegen."""
+    cust = t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        sc.int_or_2dp("c_acctbal").alias("bal_headline"),
+        sc.ordinal_rank(F.col("c_custkey") % 113).alias("rank_ordinal"),
+        sc.percent_string((F.col("c_custkey") % 200).cast("double") / 2)
+        .alias("participation_pct"),
+    )
+
+
+@register(
+    "q41_compat_projection",
+    """
+    SELECT CAST(o_custkey AS VARCHAR) AS memberCode,
+           o_orderstatus              AS member_name,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'vote:' || CAST(o_orderkey AS VARCHAR)
+                ELSE 'div:' || CAST(o_orderkey AS VARCHAR) END AS unique_vote_id,
+           strftime(o_orderdate, '%Y-%m-%d') AS "date",
+           o_orderpriority            AS vote,
+           ''                         AS party,
+           ''                         AS constituency,
+           'oireachtas_unified'       AS source,
+           ''                         AS snapshot_date
+    FROM orders
+    WHERE o_orderkey % 17 = 0
+    """,
+    survey_ref="Q5/§3.2 compat adapters",
+)
+def q41_compat_projection(spark, sf_dir):
+    """Downstream compat adapter driven through the oracle gate: the
+    member-votes projection's blank-aware ID fallback plus missing-column
+    backfill (party/constituency absent from the source → blank strings)."""
+    from ..tables.compat import member_votes_compat
+
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 17 == 0)
+    votes_shaped = orders.select(
+        F.col("o_custkey").cast("string").alias("member_code"),
+        F.col("o_orderstatus").alias("member_name"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("div:"),
+                            F.col("o_orderkey").cast("string")))
+        .alias("division_id"),
+        F.concat(F.lit("vote:"), F.col("o_orderkey").cast("string"))
+        .alias("vote_id"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("division_date"),
+        F.col("o_orderpriority").alias("vote_label"),
+    )
+    return member_votes_compat(votes_shaped)

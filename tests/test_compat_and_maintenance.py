@@ -1,0 +1,102 @@
+"""Compat adapters, X13/X16 formatting, and in-place column delete."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eirepolitic_data_pipeline_spark.functions import (
+    int_or_2dp,
+    ordinal_rank,
+    percent_string,
+)
+from eirepolitic_data_pipeline_spark.io import delete_column
+from eirepolitic_data_pipeline_spark.tables import (
+    compat_summary,
+    member_votes_compat,
+    members_compat,
+)
+
+
+def test_members_compat_projection(spark):
+    members = spark.createDataFrame(
+        [("TD001", "Aoife Byrne", "Dublin Bay North", "Green", "34",
+          "2026-08-01")],
+        "member_code string, full_name string, "
+        "latest_constituency_name string, latest_party_name string, "
+        "latest_house_no string, snapshot_date string")
+    out = members_compat(members)
+    assert out.columns == ["member_code", "full_name", "constituency",
+                           "party", "house_no", "source", "snapshot_date"]
+    r = out.collect()[0]
+    assert r["constituency"] == "Dublin Bay North"   # latest_* fallback
+    assert r["source"] == "oireachtas_unified"
+
+
+def test_member_votes_compat_vote_id_fallback(spark):
+    votes = spark.createDataFrame(
+        [("TD001", "Aoife Byrne", "div1", "v1", "2026-01-10", "Tá"),
+         ("TD002", "Sean Park", "", "v2", "2026-01-10", "Níl")],
+        "member_code string, member_name string, division_id string, "
+        "vote_id string, division_date string, vote_label string")
+    rows = {r["memberCode"]: r for r in member_votes_compat(votes).collect()}
+    assert rows["TD001"]["unique_vote_id"] == "div1"
+    assert rows["TD002"]["unique_vote_id"] == "v2"   # blank div → vote_id
+    assert rows["TD001"]["party"] == ""              # missing col → blank
+
+
+def test_compat_summary_dq(spark):
+    members = spark.createDataFrame([("TD001", "A")],
+                                    "member_code string, full_name string")
+    out = members_compat(members)
+    rows, dq = compat_summary([("members_roster", members, out,
+                                "member_code")])
+    assert rows[0]["status"] == "pass"
+    assert rows[0]["output_rows"] == 1
+    assert dq["dq_status"] == "pass"
+
+    empty = members.limit(0)
+    rows2, dq2 = compat_summary([("members_roster", empty,
+                                  members_compat(empty), "member_code")])
+    assert rows2[0]["status"] == "fail"
+    assert dq2["dq_status"] == "fail"
+
+
+def test_formatting_functions(spark):
+    df = spark.createDataFrame(
+        [("12.0", "1", "50"), ("12.345", "2", "33.333"), ("", "3", ""),
+         ("oops", "11", "already 5%"), ("7.5", "22", "12.04"),
+         (None, "-1", "text")],
+        "num string, rank string, pct string")
+    got = df.select(
+        int_or_2dp("num").alias("n"), ordinal_rank("rank").alias("r"),
+        percent_string("pct").alias("p")).collect()
+    assert [g["n"] for g in got] == ["12", "12.35", "0", "0", "7.5", "0"]
+    assert [g["r"] for g in got] == ["1st", "2nd", "3rd", "11th", "22nd",
+                                     "N/A"]
+    assert [g["p"] for g in got] == ["50%", "33.3%", "N/A", "already 5%",
+                                     "12.0%", "text"]
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv"])
+def test_delete_column_in_place(spark, tmp_path, fmt):
+    path = str(tmp_path / f"tbl_{fmt}")
+    df = spark.createDataFrame([(1, "a", "x"), (2, "b", "y")],
+                               "id int, keep string, doomed string")
+    w = df.write.format(fmt)
+    if fmt == "csv":
+        w = w.option("header", True)
+    w.save(path)
+
+    assert delete_column(spark, path, "doomed", fmt=fmt) is True
+    again = spark.read.format(fmt)
+    if fmt == "csv":
+        again = again.option("header", True)
+    out = again.load(path)
+    assert set(out.columns) == {"id", "keep"}
+    assert out.count() == 2
+
+    # lax no-op vs strict error on a missing column
+    assert delete_column(spark, path, "doomed", fmt=fmt) is False
+    with pytest.raises(ValueError):
+        delete_column(spark, path, "doomed", fmt=fmt, strict=True)

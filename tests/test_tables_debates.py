@@ -1,0 +1,85 @@
+"""Debate record/section flattener tests over one /debates payload."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from eirepolitic_data_pipeline_spark.tables import (
+    silver_debate_records,
+    silver_debate_sections,
+)
+
+SNAP = "2026-08-13"
+
+
+@pytest.fixture(scope="module")
+def debates_payload(spark):
+    payload = {"results": [
+        {"contextDate": "2025-03-10", "debateRecord": {
+            "uri": "/debate/dail/2025-03-10",
+            "date": "2025-03-10",
+            "chamber": {"uri": "/house/dail/34", "showAs": "Dáil Éireann"},
+            "house": {"uri": "/house/dail/34", "houseNo": "34",
+                      "houseCode": "dail", "showAs": "Dáil Éireann"},
+            "showAs": "Dáil debates 10 Mar 2025",
+            "formats": {"xml": {"uri": "/akn/ie/debateRecord/10.xml"},
+                        "pdf": {"url": "https://x.example/10.pdf"}},
+            "debateSections": [
+                {"debateSection": {
+                    "uri": "/debate/dail/2025-03-10/s1",
+                    "debateSectionId": "dbsect_1",
+                    "heading": "Leaders' Questions"}},
+                {"debateSection": {
+                    "debateSectionId": "dbsect_2",
+                    "showAs": "Housing Motion",
+                    "parentDebateSection": {"uri": "/debate/dail/2025-03-10/s1"}}},
+            ]}},
+        # URI-less debate, no direct date: generated ID + contextDate fallback
+        {"contextDate": "2025-03-11", "debateRecord": {
+            "chamber": {"showAs": "Seanad Éireann"},
+            "formats": {"xml": {"url": "https://x.example/11.xml"}},
+            "debateSections": []}},
+    ]}
+    return spark.createDataFrame([(json.dumps(payload),)], "payload string")
+
+
+def test_silver_debate_records(spark, debates_payload):
+    rows = {r["debate_uri"]: r for r in
+            silver_debate_records(debates_payload, snapshot_date=SNAP).collect()}
+    assert len(rows) == 2
+    r = rows["/debate/dail/2025-03-10"]
+    assert r["debate_id"] == "/debate/dail/2025-03-10"
+    assert r["debate_date"] == "2025-03-10"
+    assert r["chamber"] == "dail"          # houseCode wins over showAs
+    assert r["house_no"] == "34"
+    assert r["show_as"] == "Dáil debates 10 Mar 2025"
+    assert r["source_xml_uri"] == "/akn/ie/debateRecord/10.xml"
+    assert r["source_pdf_uri"] == "https://x.example/10.pdf"
+    assert r["source_pdf_url"] == "https://x.example/10.pdf"
+    assert r["source_file_id_xml"].startswith("source_file:")
+    assert r["source_file_id_pdf"].startswith("source_file:")
+
+    g = rows[""]
+    assert g["debate_id"].startswith("generated:debate:")
+    assert g["debate_date"] == "2025-03-11"   # contextDate fallback
+    assert g["chamber"] == "Seanad Éireann"   # showAs fallback, no houseCode
+    assert g["show_as"] == "Seanad Éireann — 2025-03-11"
+    assert g["source_file_id_pdf"] == ""      # no pdf locator → no ID
+
+
+def test_silver_debate_sections(spark, debates_payload):
+    rows = silver_debate_sections(debates_payload, snapshot_date=SNAP) \
+        .orderBy("section_order").collect()
+    assert len(rows) == 2
+    s1, s2 = rows
+    assert s1["debate_section_id"] == "/debate/dail/2025-03-10/s1"
+    assert s1["debate_id"] == "/debate/dail/2025-03-10"
+    assert s1["section_order"] == "1"
+    assert s1["heading"] == "Leaders' Questions"
+    assert s1["parent_section_id"] == ""
+    assert s2["debate_section_id"].startswith("generated:debate_section:")
+    assert s2["section_eid"] == "dbsect_2"
+    assert s2["show_as"] == "Housing Motion"
+    assert s2["parent_section_id"] == "/debate/dail/2025-03-10/s1"
