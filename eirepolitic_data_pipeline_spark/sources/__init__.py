@@ -5,5 +5,13 @@ from .rest import (  # noqa: F401
     RetryPolicy,
     bisect_date_windows,
     fetch_date_partitioned,
+    fetch_with_fallback,
+)
+from .files import (  # noqa: F401
+    archive_raw_payload,
+    fetch_documents,
+    list_binary_files,
+    read_csv_blank_preserving,
+    write_csv_export,
 )
 from .xml import parse_debate_xml, speeches_from_xml  # noqa: F401

@@ -209,3 +209,19 @@ def fetch_distributed(spark, source_factory: Callable[[], PaginatedRestSource],
             yield pd.DataFrame({"raw": out})
 
     return win_df.mapInPandas(fetch, schema="raw string")
+
+
+def fetch_with_fallback(source: "PaginatedRestSource", endpoints: Sequence[str],
+                        params: Optional[dict] = None,
+                        limit: Optional[int] = None) -> tuple[list, dict]:
+    """S5 — endpoint fallback (`table_divisions.py:147-152`): try each
+    endpoint in order, return the first success; re-raise the last failure
+    if every endpoint fails. Telemetry records which endpoint answered."""
+    last_exc: Optional[Exception] = None
+    for ep in endpoints:
+        try:
+            rows, tele = source.fetch_all(ep, params, limit=limit)
+            return rows, {**tele, "endpoint": ep}
+        except Exception as exc:  # noqa: BLE001 — any transport failure falls through
+            last_exc = exc
+    raise last_exc if last_exc else ValueError("no endpoints supplied")

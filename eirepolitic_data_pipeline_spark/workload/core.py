@@ -394,3 +394,84 @@ def q12_cross_grid_zero_filled(spark, sf_dir):
         .select(grid.n_name, grid.order_year,
                 F.coalesce(counts.order_count, F.lit(0)).cast("long").alias("order_count"))
     )
+
+
+@register(
+    "q42_cube_status_year",
+    """
+    WITH src AS (
+      SELECT o_orderstatus, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    )
+    SELECT coalesce(o_orderstatus, 'ALL')                 AS orderstatus,
+           coalesce(CAST(order_year AS VARCHAR), 'ALL')   AS order_year,
+           count(*)                                       AS n_orders,
+           CAST(sum(price_cents) AS VARCHAR)              AS total_cents
+    FROM src
+    GROUP BY CUBE (o_orderstatus, order_year)
+    """,
+    survey_ref="A1 (+beyond-ref cube)",
+)
+def q42_cube_status_year(spark, sf_dir):
+    """CUBE grouping sets — the other grouping-set shape (q11 is ROLLUP).
+    Money is summed as integer cents so every engine agrees bit-for-bit
+    regardless of summation order; at scale this is one shuffle with
+    partial aggregation per grouping set."""
+    orders = t(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_orderstatus",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    return (
+        src.cube("o_orderstatus", "order_year")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum("price_cents").cast("string").alias("total_cents"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce(F.col("order_year").cast("string"), F.lit("ALL"))
+            .alias("order_year"),
+            "n_orders", "total_cents",
+        )
+    )
+
+
+@register(
+    "q43_approx_aggregates",
+    """
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS exact_custs,
+           'ok' AS acd_within_5pct,
+           'ok' AS apxmed_within_p40_p60
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    survey_ref="A4 (+beyond-ref approx aggregates)",
+)
+def q43_approx_aggregates(spark, sf_dir):
+    """Approximate aggregates (SURVEY §2.5 note): HLL++ distinct counts and
+    quantile sketches are the 100 TB path where exact countDistinct would
+    shuffle every key. The oracle pins the sketches to their error
+    contract: approx_count_distinct (rsd=0.01) must land within 5% of the
+    exact count, percentile_approx must land inside the exact p40..p60
+    band — the sketch answers are checked, not trusted."""
+    orders = t(spark, sf_dir, "orders")
+    g = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_custs"),
+        F.approx_count_distinct("o_custkey", 0.01).alias("apx_custs"),
+        F.expr("percentile(o_totalprice, 0.4)").alias("p40"),
+        F.expr("percentile(o_totalprice, 0.6)").alias("p60"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000))
+        .alias("apx_med"),
+    )
+    within = (F.abs(F.col("apx_custs").cast("double") /
+                    F.col("exact_custs") - 1) <= 0.05)
+    med_ok = F.col("apx_med").between(F.col("p40"), F.col("p60"))
+    return g.select(
+        "o_orderpriority", "exact_custs",
+        F.when(within, F.lit("ok")).otherwise(F.lit("off"))
+        .alias("acd_within_5pct"),
+        F.when(med_ok, F.lit("ok")).otherwise(F.lit("off"))
+        .alias("apxmed_within_p40_p60"),
+    )
