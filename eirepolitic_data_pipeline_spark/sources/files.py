@@ -108,6 +108,12 @@ def write_csv_export(df: DataFrame, path: str, *, bom: bool = False,
             if not data.startswith(_BOM):
                 with open(part, "wb") as f:
                     f.write(_BOM + data)
+                # The splice invalidates Hadoop's checksum sidecar; a stale
+                # .crc makes the next spark.read.csv throw ChecksumException.
+                crc = os.path.join(os.path.dirname(part),
+                                   "." + os.path.basename(part) + ".crc")
+                if os.path.exists(crc):
+                    os.remove(crc)
 
 
 def archive_raw_payload(payload: Any, root: str, table: str,
