@@ -82,8 +82,17 @@ def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
 # Shared candidate-pair machinery
 # ---------------------------------------------------------------------------
 
+#: Default stop-key document-frequency cap for candidate generation. A key
+#: (shingle / band bucket) shared by df documents expands to df²/2 pairs in
+#: ONE task — unbounded, a single hot key stalls the stage at corpus scale.
+#: 1000 is far above any true near-dup cluster yet bounds a task at ~500k
+#: pairs; production corpora should set it near 0.1% of the document count.
+DEFAULT_MAX_DF = 1000
+
+
 def pairs_from_postings(postings: DataFrame, key: str = "key",
-                        payload_cols: Sequence[str] = ()) -> DataFrame:
+                        payload_cols: Sequence[str] = (),
+                        max_df: Optional[int] = DEFAULT_MAX_DF) -> DataFrame:
     """Turn an inverted index (key → doc rows) into candidate doc pairs.
 
     One groupBy(key) + collect_list + nested-transform pair generation —
@@ -91,8 +100,10 @@ def pairs_from_postings(postings: DataFrame, key: str = "key",
     posting subtree is evaluated once and only one shuffle runs. Each output
     row is (key, doc_a, doc_b, a.*, b.*) with doc_a < doc_b.
 
-    At 100 TB a key with document-frequency df yields df²/2 pairs in one
-    task — cap df upstream (stop-shingle filter) before calling this.
+    ``max_df`` is the skew guard: posting lists longer than it are dropped
+    whole (stop-key semantics, cf. stop-shingles in web-scale dedup). The
+    filter runs on the already-collected array size, so it costs no extra
+    shuffle. Pass ``None`` to disable (small, trusted inputs only).
     """
     payload = [F.col("doc_id").alias("doc_id"),
                *[F.col(c).alias(c) for c in payload_cols]]
@@ -104,6 +115,8 @@ def pairs_from_postings(postings: DataFrame, key: str = "key",
         spark.sparkContext.defaultParallelism, F.col(key))
     grouped = postings.groupBy(key).agg(
         F.array_sort(F.collect_list(F.struct(*payload))).alias("__ds"))
+    if max_df is not None:
+        grouped = grouped.filter(F.size("__ds") <= max_df)
     # 2-arg lambda intentionally: (element, index)
     pair_arr = F.flatten(F.transform(
         "__ds",
@@ -123,17 +136,19 @@ def pairs_from_postings(postings: DataFrame, key: str = "key",
 def jaccard_similar_pairs(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", n: int = 3,
                           threshold: float = 0.2,
-                          max_shingle_df: Optional[int] = None) -> DataFrame:
+                          max_shingle_df: Optional[int] = DEFAULT_MAX_DF) -> DataFrame:
     """Near-dup pairs with n-gram Jaccard ≥ threshold.
 
-    Inverted-index plan: explode distinct shingles → (optionally) drop
-    stop-shingles whose document frequency exceeds ``max_shingle_df`` —
+    Inverted-index plan: explode distinct shingles → drop stop-shingles
+    whose document frequency exceeds ``max_shingle_df`` (ON by default —
     the skew guard that keeps the self-join linear in true near-dup density
-    at corpus scale — → self-equi-join on shingle → per-pair intersection
+    at corpus scale) → self-equi-join on shingle → per-pair intersection
     count → Jaccard. Dropping ubiquitous shingles can only *lower* recall on
     pairs that were already sharing mostly-ubiquitous content, which is the
     accepted trade in web-scale dedup pipelines (cf. Lee et al. 2022,
-    "Deduplicating Training Data Makes Language Models Better").
+    "Deduplicating Training Data Makes Language Models Better"). The cap is
+    enforced on the collected posting-list size inside
+    ``pairs_from_postings`` — no extra shuffle.
     """
     sh = df.select(F.col(id_col).alias("doc_id"),
                    F.array_distinct(tx.word_shingles(text_col, n)).alias("shingles"))
@@ -142,12 +157,9 @@ def jaccard_similar_pairs(df: DataFrame, text_col: str = "text",
     ex = sh.select("doc_id", F.size("shingles").alias("n_sh"),
                    F.explode("shingles").alias("shingle")) \
            .select("doc_id", "n_sh", F.xxhash64("shingle").alias("key"))
-    if max_shingle_df is not None:
-        w = Window.partitionBy("key")
-        ex = (ex.withColumn("__df", F.count(F.lit(1)).over(w))
-              .filter(F.col("__df") <= max_shingle_df).drop("__df"))
     pairs = (
-        pairs_from_postings(ex, key="key", payload_cols=["n_sh"])
+        pairs_from_postings(ex, key="key", payload_cols=["n_sh"],
+                            max_df=max_shingle_df)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"),
              F.any_value("a_n_sh").alias("n_a"),
@@ -202,12 +214,19 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n: int = 3, num_hashes: int = 32, band_rows: int = 4,
-                  threshold: float = 0.7) -> DataFrame:
+                  threshold: float = 0.7, max_iters: int = 10) -> DataFrame:
     """Full MinHash dedup: LSH candidates → exact Jaccard verify → connected
-    survivors. Returns (id, canonical_id) where canonical is the min id among
-    the doc's verified near-dups (single-hop union — the standard one-pass
-    approximation of the connected component; iterate for full transitive
-    closure)."""
+    components. Returns (id, canonical_id) where canonical is the min id of
+    the doc's *component* — duplicate chains A~B~C (A≁C directly) collapse
+    to one canonical id via iterative min-label propagation run to a fixed
+    point (bounded by ``max_iters``).
+
+    Scale: each iteration is one join + one groupBy on the verified edge
+    list — O(diameter) rounds, and near-dup components in real corpora have
+    tiny diameters (pairwise-similar clusters), so 2-3 rounds typical. The
+    edge list is persisted once; labels are localCheckpoint-ed per round to
+    truncate lineage. The per-round convergence check is a scalar count,
+    not a data collect."""
     cand = minhash_lsh_candidates(df, text_col, id_col, n, num_hashes, band_rows)
     sh = df.select(F.col(id_col).alias("doc_id"),
                    F.array_distinct(tx.word_shingles(text_col, n)).alias("sh"))
@@ -222,13 +241,29 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .select("doc_a", "doc_b")
     )
     edges = verified.unionByName(
-        verified.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
-    canon = edges.groupBy("doc_a").agg(F.min("doc_b").alias("min_nbr"))
-    ids = df.select(F.col(id_col).alias("doc_a"))
-    return ids.join(canon, "doc_a", "left").select(
-        F.col("doc_a").alias(id_col),
-        F.least(F.col("doc_a"), F.coalesce("min_nbr", F.col("doc_a"))).alias("canonical_id"),
-    )
+        verified.select(F.col("doc_b").alias("doc_a"),
+                        F.col("doc_a").alias("doc_b"))).persist()
+    labels = df.select(F.col(id_col).alias("id"),
+                       F.col(id_col).alias("label")).localCheckpoint()
+    for _ in range(max_iters):
+        nbr = (edges.join(labels, edges.doc_b == labels.id)
+               .groupBy("doc_a").agg(F.min("label").alias("nbr_label")))
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.doc_a, "left")
+            .select(F.col("id"),
+                    F.least("label", F.coalesce("nbr_label", "label"))
+                    .alias("label"))
+            .localCheckpoint()
+        )
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col),
+                         F.col("label").alias("canonical_id"))
 
 
 # ---------------------------------------------------------------------------

@@ -71,8 +71,14 @@ _SHINGLES_SQL = """
     "q23_jaccard_topk_pairs",
     f"""
     WITH sh AS ({_SHINGLES_SQL}),
-    exploded AS (
+    exploded0 AS (
       SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh FROM sh
+    ),
+    stop AS (
+      SELECT shingle FROM exploded0 GROUP BY shingle HAVING count(*) <= 1000
+    ),
+    exploded AS (
+      SELECT e.* FROM exploded0 e JOIN stop USING (shingle)
     ),
     pair_counts AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -93,8 +99,9 @@ def q23_jaccard_topk_pairs(spark, sf_dir):
     """3-gram Jaccard similarity via inverted index: explode distinct
     shingles, self-equi-join on shingle (shuffle co-partitioned by shingle),
     count shared per pair, Jaccard = |∩| / (|A|+|B|-|∩|). Top-20 pairs with
-    unique tiebreaks. At 100 TB the hot-shingle skew is handled by dropping
-    stop-shingles above a document-frequency cap (see operators.dedupe)."""
+    unique tiebreaks. Hot-shingle skew is capped by default:
+    pairs_from_postings drops posting lists longer than DEFAULT_MAX_DF
+    (stop-shingles), and the oracle SQL applies the identical cap."""
     docs = spread(t(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id", F.array_distinct(tx.word_shingles("text", 3)).alias("shingles"))
@@ -156,9 +163,15 @@ def _band_sql_exprs() -> list[str]:
              {_minhash_sql_cols()}
       FROM sh
     ),
-    bands AS (
+    bands0 AS (
       SELECT doc_id, unnest([{", ".join(_band_sql_exprs())}]) AS band_key
       FROM sigs
+    ),
+    keep AS (
+      SELECT band_key FROM bands0 GROUP BY band_key HAVING count(*) <= 1000
+    ),
+    bands AS (
+      SELECT b.* FROM bands0 b JOIN keep USING (band_key)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            count(DISTINCT a.band_key) AS band_collisions

@@ -89,6 +89,23 @@ def test_minhash_candidates_and_dedup(spark):
     assert canon == {1: 1, 2: 1, 3: 3}
 
 
+def test_minhash_dedup_transitive_chain(spark):
+    # A~B and B~C above threshold, A~C below: a single-hop canonical would
+    # split the component (C -> B); the min-label iteration must collapse
+    # all three to doc 1.
+    toks = [f"w{i}" for i in range(14)]
+    a_txt = " ".join(toks)                                    # 12 shingles
+    b_txt = a_txt + " " + " ".join(f"x{i}" for i in range(6))  # J(A,B)=12/18
+    c_txt = b_txt + " " + " ".join(f"y{i}" for i in range(6))  # J(A,C)=12/24
+    docs = spark.createDataFrame(
+        [(1, a_txt), (2, b_txt), (3, c_txt), (4, "unrelated island text ok")],
+        "doc_id long, text string")
+    canon = {r["doc_id"]: r["canonical_id"]
+             for r in minhash_dedup(docs, num_hashes=16, band_rows=2,
+                                    threshold=0.6).collect()}
+    assert canon == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
 def test_simhash_near_pairs(spark):
     base = " ".join(f"tok{i}" for i in range(40))
     near = base.replace("tok7", "tok7x")
