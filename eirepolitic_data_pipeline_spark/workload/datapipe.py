@@ -16,7 +16,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
-from ..operators.dedupe import pairs_from_postings
+from ..operators.dedupe import (minhash_signatures, pairs_from_postings,
+                                shingle_postings)
 from .registry import register, spread, t
 
 # ---------------------------------------------------------------------------
@@ -96,22 +97,15 @@ _SHINGLES_SQL = """
     survey_ref="beyond-ref: n-gram Jaccard near-dup",
 )
 def q23_jaccard_topk_pairs(spark, sf_dir):
-    """3-gram Jaccard similarity via inverted index: explode distinct
-    shingles, self-equi-join on shingle (shuffle co-partitioned by shingle),
-    count shared per pair, Jaccard = |∩| / (|A|+|B|-|∩|). Top-20 pairs with
-    unique tiebreaks. Hot-shingle skew is capped by default:
+    """3-gram Jaccard similarity via inverted index: vectorized shingle
+    postings (Arrow kernel, map-side — see operators.dedupe module note),
+    posting-list pair expansion co-partitioned by the 8-byte md5 shingle
+    key, count shared per pair, Jaccard = |∩| / (|A|+|B|-|∩|). Top-20 pairs
+    with unique tiebreaks. Hot-shingle skew is capped by default:
     pairs_from_postings drops posting lists longer than DEFAULT_MAX_DF
     (stop-shingles), and the oracle SQL applies the identical cap."""
     docs = spread(t(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id", F.array_distinct(tx.word_shingles("text", 3)).alias("shingles"))
-    # Posting-list pair expansion (operators.dedupe.pairs_from_postings):
-    # one groupBy(shingle) shuffle instead of a self-equi-join that
-    # re-evaluates and re-shuffles the exploded subtree twice. The shingle
-    # string is compacted to a 64-bit hash key before the shuffle.
-    ex = sh.select("doc_id", F.size("shingles").alias("n_sh"),
-                   F.explode("shingles").alias("shingle")) \
-           .select("doc_id", "n_sh", F.xxhash64("shingle").alias("key"))
+    ex = shingle_postings(docs, "text", "doc_id", 3)
     pairs = (
         pairs_from_postings(ex, key="key", payload_cols=["n_sh"])
         .groupBy("doc_a", "doc_b")
@@ -188,17 +182,7 @@ def q24_minhash_lsh_candidates(spark, sf_dir):
     cost tracks true near-dup density, not n². This is the scale path that
     replaces q23's full inverted index when shingle DF is huge."""
     docs = spread(t(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id", F.array_distinct(tx.word_shingles("text", 3)).alias("shingles"))
-    def _minhash(h: int):
-        # NB: single-parameter lambda — PySpark treats a 2-arg lambda as
-        # (element, index), so the salt must be closed over, not defaulted.
-        salt = f"{h}:"
-        return F.array_min(
-            F.transform("shingles", lambda s: F.md5(F.concat(F.lit(salt), s))))
-
-    sig_cols = [_minhash(h).alias(f"mh{h}") for h in range(_N_HASHES)]
-    sigs = sh.select("doc_id", *sig_cols)
+    sigs = minhash_signatures(docs, "text", "doc_id", n=3, num_hashes=_N_HASHES)
     band_exprs = []
     for band in range(_N_HASHES // _BAND_ROWS):
         parts = [F.col(f"mh{band * _BAND_ROWS + r}") for r in range(_BAND_ROWS)]
