@@ -125,6 +125,67 @@ def fk_orphan_counts(child: DataFrame, parents: dict[str, DataFrame],
     return out
 
 
+def tally_completeness(tallies: DataFrame,
+                       division_col: str = "division_id",
+                       code_col: str = "vote_code",
+                       required: Sequence[str] = ("ta", "nil", "staon"),
+                       ) -> tuple[CheckResult, DataFrame]:
+    """A10 — every division must carry ALL required vote categories
+    (reference `table_division_tallies.py:283`: categories_ok requires
+    {ta,nil,staon} ⊆ vote_codes per division).
+
+    One groupBy(division) + collect_set, then array_except against the
+    required set — a single shuffle on the division key regardless of table
+    size; the violating divisions come back as evidence rows with exactly
+    which categories are absent.
+    """
+    req = F.array(*[F.lit(v) for v in required])
+    missing = (
+        tallies
+        .groupBy(division_col)
+        .agg(F.collect_set(F.col(code_col).cast("string")).alias("__codes"))
+        .withColumn("missing_codes",
+                    F.array_sort(F.array_except(req, F.col("__codes"))))
+        .filter(F.size("missing_codes") > 0)
+        .select(division_col, "missing_codes"))
+    n = missing.count()
+    return CheckResult("tally_categories_complete", n == 0, n), missing
+
+
+def tally_reconciliation(tallies: DataFrame, member_votes: DataFrame,
+                         division_col: str = "division_id",
+                         code_col: str = "vote_code",
+                         declared_col: str = "member_count",
+                         ) -> tuple[CheckResult, DataFrame]:
+    """A11 — declared per-category tally must reconcile with the exploded
+    member-vote rows (reference `table_division_tallies.py:239-246`:
+    `_tally_member_mismatches` compares `_api_tally` to `_members_length`,
+    skipping rows where either side is unknown).
+
+    The detail side aggregates once per (division, vote_code) — map-side
+    combined, one shuffle — then joins back to the tally header on the same
+    composite key. A category with a declared count but NO detail rows
+    reconciles against 0 (an empty `staon` list with tally=0 passes; a
+    declared 3 with no rows is a mismatch). Non-numeric declared counts are
+    skipped, matching the reference's comparable mask.
+    """
+    detail = (member_votes
+              .groupBy(division_col, code_col)
+              .agg(F.count(F.lit(1)).alias("observed_count")))
+    header = tallies.select(
+        division_col, code_col,
+        F.col(declared_col).cast("string").try_cast("int").alias("declared_count"))
+    mismatches = (
+        header.join(detail, [division_col, code_col], "left")
+        .withColumn("observed_count",
+                    F.coalesce(F.col("observed_count"), F.lit(0)).cast("long"))
+        .filter(F.col("declared_count").isNotNull()
+                & (F.col("declared_count") != F.col("observed_count")))
+        .select(division_col, code_col, "declared_count", "observed_count"))
+    n = mismatches.count()
+    return CheckResult("tally_member_count_reconciles", n == 0, n), mismatches
+
+
 def contract_checks(df: DataFrame, required_columns: Sequence[str],
                     primary_key: Sequence[str], min_rows: int,
                     max_age_days: Optional[int] = None,

@@ -165,6 +165,58 @@ def test_silver_division_tallies(spark, divisions_payload):
         stable_hash_py(["/division/D1", "ta"], length=24)
 
 
+def test_tally_dq_checks_green(spark, divisions_payload):
+    """A10/A11 wired against the tallies builder output: the fixture
+    division has all three categories and declared counts that match the
+    exploded member-vote rows (staon declared 0 with zero rows)."""
+    from eirepolitic_data_pipeline_spark.plans.quality import (
+        tally_completeness, tally_reconciliation)
+    payload = _payload_df(spark, divisions_payload)
+    tallies = silver_division_tallies(payload, snapshot_date=SNAP)
+    votes = silver_member_votes(payload, snapshot_date=SNAP)
+
+    complete, missing = tally_completeness(tallies)
+    assert complete.passed and missing.count() == 0
+    reconciled, mismatches = tally_reconciliation(tallies, votes)
+    assert reconciled.passed and mismatches.count() == 0
+
+
+def test_tally_completeness_red(spark):
+    """A10 red case: a division lacking the staon category is reported with
+    exactly the absent codes."""
+    from eirepolitic_data_pipeline_spark.plans.quality import tally_completeness
+    tallies = spark.createDataFrame(
+        [("D1", "ta"), ("D1", "nil"), ("D1", "staon"),
+         ("D2", "ta"), ("D2", "nil")],
+        "division_id string, vote_code string")
+    check, missing = tally_completeness(tallies)
+    assert not check.passed and check.observed == 1
+    rows = missing.collect()
+    assert len(rows) == 1
+    assert rows[0]["division_id"] == "D2"
+    assert rows[0]["missing_codes"] == ["staon"]
+
+
+def test_tally_reconciliation_red(spark):
+    """A11 red cases: declared≠observed, declared-with-no-rows, and a
+    non-numeric declared count skipped (reference comparable mask)."""
+    from eirepolitic_data_pipeline_spark.plans.quality import tally_reconciliation
+    tallies = spark.createDataFrame(
+        [("D1", "ta", "2"),     # matches 2 rows -> ok
+         ("D1", "nil", "3"),    # only 1 row -> mismatch
+         ("D1", "staon", "1"),  # no rows -> mismatch vs 0
+         ("D2", "ta", "n/a")],  # non-numeric declared -> skipped
+        "division_id string, vote_code string, member_count string")
+    votes = spark.createDataFrame(
+        [("D1", "ta"), ("D1", "ta"), ("D1", "nil")],
+        "division_id string, vote_code string")
+    check, mism = tally_reconciliation(tallies, votes)
+    assert not check.passed and check.observed == 2
+    got = {(r["division_id"], r["vote_code"]):
+           (r["declared_count"], r["observed_count"]) for r in mism.collect()}
+    assert got == {("D1", "nil"): (3, 1), ("D1", "staon"): (1, 0)}
+
+
 def test_hash_parity_with_column_expressions(spark):
     """Python-side stable_hash matches the JVM column expression."""
     from pyspark.sql import functions as F
