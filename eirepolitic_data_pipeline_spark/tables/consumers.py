@@ -26,6 +26,86 @@ def _first_column(df: DataFrame, candidates: list[str]) -> str | None:
     return next((c for c in candidates if c in df.columns), None)
 
 
+def fuzzy_containment_join(left: DataFrame, right: DataFrame,
+                           left_col: str, right_col: str,
+                           payload_cols: list[str]) -> DataFrame:
+    """J9 — fuzzy containment match (theta-join).
+
+    Mirrors `instagram/renderer/context.py:26-34` (pick_constituency_image):
+    both keys are name-normalized, and a right row matches when the keys are
+    EQUAL or either key CONTAINS the other ("Dublin Bay North" matches image
+    file "dublin bay north winter.png" and vice versa). The reference returns
+    the first matching row in file order; here exact equality outranks
+    containment and ties break on the normalized right key, so the pick is
+    deterministic under any partitioning.
+
+    Scale: the right side must be a bounded dimension (reference: 43
+    constituency images). It is broadcast and the theta condition runs as a
+    broadcast nested-loop join — left stays partition-parallel, no shuffle.
+    Never call this with an unbounded right side: containment predicates
+    can't hash-partition.
+    """
+    lk, rk = "__fuzzy_lk", "__fuzzy_rk"
+    rid = "__fuzzy_rowid"
+    l_keyed = (left
+               .withColumn(lk, normalize_name(left_col))
+               .withColumn(rid, F.monotonically_increasing_id()))
+    r_keyed = (right
+               .select(normalize_name(right_col).alias(rk), *payload_cols)
+               .filter(F.col(rk) != ""))
+    cond = (F.col(lk) == F.col(rk)) | \
+        F.col(lk).contains(F.col(rk)) | F.col(rk).contains(F.col(lk))
+    joined = l_keyed.join(F.broadcast(r_keyed), cond & (F.col(lk) != ""), "left")
+    pick = Window.partitionBy(rid).orderBy(
+        F.when(F.col(lk) == F.col(rk), 0).otherwise(1),
+        F.col(rk).asc_nulls_last())
+    return (joined
+            .withColumn("__pick", F.row_number().over(pick))
+            .filter(F.col("__pick") == 1)
+            .drop(lk, rk, rid, "__pick"))
+
+
+def join_by_code_or_name(base: DataFrame, source: DataFrame,
+                         payload_cols: list[str],
+                         name_col: str = "full_name") -> DataFrame:
+    """J10 — multi-source coalescing join.
+
+    Mirrors `instagram/renderer/context.py:37-80` / `build_member_profile_
+    metrics.py:76-81`: a lookup dataset (photos, summaries) attaches by
+    ``member_code`` when it carries that column, else falls back to the
+    normalized full-name key; a source with neither key (or none of the
+    payload columns) contributes null columns. First row per key wins, as in
+    the reference's drop_duplicates-before-merge.
+
+    ``base`` must already carry ``member_code`` and ``member_key``. The
+    lookup side is a per-member dimension — broadcast, no shuffle on base.
+    """
+    payload = [c for c in payload_cols if c in source.columns]
+    if not payload:
+        out = base
+        for c in payload_cols:
+            out = out.withColumn(c, F.lit(None).cast("string"))
+        return out
+    code_col = _first_column(source, ["member_code", "memberCode"])
+    if code_col:
+        lookup = (source
+                  .select(F.col(code_col).cast("string").alias("member_code"),
+                          *payload)
+                  .dropDuplicates(["member_code"]))
+        return base.join(F.broadcast(lookup), "member_code", "left")
+    source_name = _first_column(source, [name_col, "member_name"])
+    if source_name:
+        lookup = (source
+                  .select(normalize_name(source_name).alias("member_key"),
+                          *payload)
+                  .dropDuplicates(["member_key"]))
+        return base.join(F.broadcast(lookup), "member_key", "left")
+    out = base
+    for c in payload_cols:
+        out = out.withColumn(c, F.lit(None).cast("string"))
+    return out
+
+
 def member_profile_metrics(members: DataFrame, votes: DataFrame,
                            photos: DataFrame, debates: DataFrame,
                            target_year: int) -> DataFrame:
@@ -46,15 +126,11 @@ def member_profile_metrics(members: DataFrame, votes: DataFrame,
 
     base = members.withColumn("member_key", normalize_name("full_name"))
 
-    # Photo enrich (J1): first photo row per member_code wins.
-    photo_code = _first_column(photos, ["member_code", "memberCode"])
-    if photo_code and "photo_url" in photos.columns:
-        photo_lookup = (photos
-                        .select(F.col(photo_code).alias("member_code"), "photo_url")
-                        .dropDuplicates(["member_code"]))
-        base = base.join(F.broadcast(photo_lookup), "member_code", "left")
-    else:
-        base = base.withColumn("photo_url", F.lit(""))
+    # Photo enrich (J1/J10): first photo row per member wins; joins by
+    # member_code when the photos set carries one, else falls back to the
+    # normalized-name key (`context.py:37-80`).
+    base = (join_by_code_or_name(base, photos, ["photo_url"])
+            .withColumn("photo_url", F.coalesce("photo_url", F.lit(""))))
 
     # Speech metrics from classified debates (J3/W2/W3/A6).
     speaker_col = _first_column(debates, ["member_code", "speaker_member_code",

@@ -256,3 +256,49 @@ def test_member_profile_metrics(spark):
     b = rows[1]
     assert b["speech_count_2025"] == 1 and b["speech_rank_2025"] == 2
     assert b["vote_participation_pct_2025"] == 50
+
+
+def test_member_profile_metrics_photo_name_fallback(spark):
+    """J10: a photos set with no member_code column joins via the
+    normalized-name key (accents/case folded) instead of dropping rows."""
+    members = _df(spark, [
+        ("TD001", "Aoife Byrne", "Wicklow", "Party A"),
+        ("TD002", "Seán Ó Dálaigh", "Cork", "Party B"),
+    ], ["member_code", "full_name", "constituency", "party"])
+    photos = _df(spark, [
+        ("sean o dalaigh", "http://x/sean.jpg"),   # normalized-name match
+        ("AOIFE  BYRNE", "http://x/aoife.jpg"),    # case/space folded
+    ], ["full_name", "photo_url"])
+    debates = _df(spark, [("Aoife Byrne", "Housing", "2025-01-10")],
+                  ["Speaker Name", "issue", "date"])
+    votes = _df(spark, [("TD001", "V1", "2025-01-20")],
+                ["member_code", "unique_vote_id", "date"])
+    out = {r["member_code"]: r for r in member_profile_metrics(
+        members, votes, photos, debates, 2025).collect()}
+    assert out["TD001"]["photo_url"] == "http://x/aoife.jpg"
+    assert out["TD002"]["photo_url"] == "http://x/sean.jpg"
+
+
+def test_fuzzy_containment_join(spark):
+    """J9: normalized equality OR substring containment either direction;
+    exact match outranks containment; no match -> null payload."""
+    from eirepolitic_data_pipeline_spark.tables.consumers import (
+        fuzzy_containment_join)
+    constituencies = _df(spark, [
+        ("Dublin Bay North",),    # containment: key inside filename
+        ("Cork",),                # exact + containment -> exact wins
+        ("Galway West",),         # filename inside key
+        ("Sligo-Leitrim",),       # no image
+    ], ["constituency"])
+    images = _df(spark, [
+        ("dublin bay north winter.png", "http://img/dbn"),
+        ("cork", "http://img/cork-exact"),
+        ("cork city skyline", "http://img/cork-contain"),
+        ("galway", "http://img/galway"),
+    ], ["filename", "url"])
+    out = {r["constituency"]: r["url"] for r in fuzzy_containment_join(
+        constituencies, images, "constituency", "filename", ["url"]).collect()}
+    assert out["Dublin Bay North"] == "http://img/dbn"
+    assert out["Cork"] == "http://img/cork-exact"
+    assert out["Galway West"] == "http://img/galway"
+    assert out["Sligo-Leitrim"] is None
