@@ -9,8 +9,10 @@ from .rest import (  # noqa: F401
 )
 from .files import (  # noqa: F401
     archive_raw_payload,
+    clean_column_name,
     fetch_documents,
     list_binary_files,
+    normalize_column_names,
     read_csv_blank_preserving,
     write_csv_export,
 )

@@ -92,6 +92,39 @@ def read_csv_blank_preserving(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def clean_column_name(name: str) -> str:
+    """P3 — one legacy CSV header → a safe snake identifier
+    (`process/debate_speeches_csv_to_parquet.py:35-44`): strip+lower,
+    whitespace/hyphens → underscore, DROP everything outside [a-z0-9_]
+    (accents are removed, not folded — reference behavior), collapse and
+    trim underscores; an empty result becomes 'col'."""
+    import re
+
+    s = str(name).strip().lower()
+    s = re.sub(r"[\s\-]+", "_", s)
+    s = re.sub(r"[^a-z0-9_]", "", s)
+    s = re.sub(r"_+", "_", s).strip("_")
+    return s or "col"
+
+
+def normalize_column_names(df: DataFrame) -> DataFrame:
+    """P3 — normalize every column name, suffixing collisions ``_2, _3…``
+    in first-seen order (`debate_speeches_csv_to_parquet.py:47-63`). Rename
+    is pure metadata (one projection node, no data movement), so arbitrary
+    legacy CSVs can be ingested at any scale."""
+    seen: set[str] = set()
+    renamed: list[str] = []
+    for c in df.columns:
+        base = clean_column_name(c)
+        candidate, i = base, 2
+        while candidate in seen:
+            candidate = f"{base}_{i}"
+            i += 1
+        seen.add(candidate)
+        renamed.append(candidate)
+    return df.toDF(*renamed)
+
+
 def write_csv_export(df: DataFrame, path: str, *, bom: bool = False,
                      single_file: bool = False) -> None:
     """S10 — CSV export sink. ``bom=True`` prepends the UTF-8 BOM to every

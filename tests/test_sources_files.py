@@ -11,9 +11,11 @@ from eirepolitic_data_pipeline_spark.sources import (
     RetryPolicy,
     PaginatedRestSource,
     archive_raw_payload,
+    clean_column_name,
     fetch_documents,
     fetch_with_fallback,
     list_binary_files,
+    normalize_column_names,
     read_csv_blank_preserving,
     write_csv_export,
 )
@@ -110,6 +112,29 @@ def test_csv_blank_preserving_roundtrip(spark, tmp_path):
     assert rows["TD001"]["constituency"] == ""    # blank stays blank
     assert rows["TD002"]["party"] == ""
     assert rows["TD002"]["constituency"] == "Clare"
+
+
+def test_clean_column_name():
+    """P3 header cleanup: lower/underscore, accents DROPPED (not folded),
+    symbols removed, collapse+trim, empty -> 'col'."""
+    assert clean_column_name("  Debate Date ") == "debate_date"
+    assert clean_column_name("Speaker-Name") == "speaker_name"
+    assert clean_column_name("Dáil Éireann") == "dil_ireann"   # accents drop
+    assert clean_column_name("Votes (%) Cast!!") == "votes_cast"
+    assert clean_column_name("__a___b__") == "a_b"
+    assert clean_column_name("***") == "col"
+
+
+def test_normalize_column_names_collisions(spark):
+    """P3 collision suffixing: duplicates get _2, _3 in first-seen order,
+    including collisions created by the cleanup itself."""
+    df = spark.createDataFrame(
+        [(1, 2, 3, 4, 5)],
+        ["Speaker Name", "speaker-name", "Speaker  NAME", "ok", "***"])
+    out = normalize_column_names(df)
+    assert out.columns == ["speaker_name", "speaker_name_2",
+                           "speaker_name_3", "ok", "col"]
+    assert out.collect()[0][:] == (1, 2, 3, 4, 5)
 
 
 def test_archive_raw_payload_deterministic(tmp_path):
