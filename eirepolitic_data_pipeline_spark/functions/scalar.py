@@ -141,6 +141,27 @@ def slugify(col: Column | str) -> Column:
     return F.regexp_replace(s, r"^-+|-+$", "")
 
 
+def strip_citations(col: Column | str) -> Column:
+    """X15 — `llm_table_runner.py:118-121`: web-search answers carry inline
+    ``[n]`` citation markers; replace each (with surrounding whitespace) by
+    one space, collapse runs, trim. Pure regexp chain — JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.regexp_replace(F.coalesce(c.cast("string"), F.lit("")),
+                         r"\s*\[\d+\]\s*", " ")
+    return F.trim(F.regexp_replace(s, r"\s{2,}", " "))
+
+
+def clamp_words(col: Column | str, max_words: int) -> Column:
+    """X15 — `llm_table_runner.py:124-130`: keep the first ``max_words``
+    whitespace tokens rejoined by single spaces; ``max_words<=0`` means no
+    clamp (trim only)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(F.coalesce(c.cast("string"), F.lit("")))
+    if max_words <= 0:
+        return t
+    return F.array_join(F.slice(F.split(t, r"\s+"), 1, max_words), " ")
+
+
 def week_id(col: Column | str) -> Column:
     """X11 — non-ISO week id (`ridiculous_sentences_weekly.py:173-195`).
 

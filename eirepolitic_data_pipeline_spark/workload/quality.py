@@ -221,6 +221,45 @@ def q40_formatting_parity(spark, sf_dir):
 
 
 @register(
+    "q44_citation_strip",
+    r"""
+    WITH cited AS (
+      SELECT doc_id,
+             'Claim [' || CAST(n_chars % 50 AS VARCHAR) || '] ' || text
+               || ' [7] tail' AS t
+      FROM documents
+    ), stripped AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(t, '\s*\[\d+\]\s*', ' ', 'g'),
+                                 '\s{2,}', ' ', 'g')) AS s
+      FROM cited
+    )
+    SELECT doc_id,
+           array_to_string(list_slice(regexp_split_to_array(s, '\s+'), 1, 12), ' ')
+             AS brief,
+           CAST(len(regexp_split_to_array(s, '\s+')) AS BIGINT) AS clean_words
+    FROM stripped
+    """,
+    survey_ref="X15",
+)
+def q44_citation_strip(spark, sf_dir):
+    """X15 citation stripping + word clamp as pure column expressions: a
+    synthetic web-search answer ([n] markers around the document text) is
+    stripped and clamped to a 12-word brief. Zero shuffles, scan-wide
+    codegen — the post-processing path of every web-enriched LLM column."""
+    docs = t(spark, sf_dir, "documents")
+    cited = F.concat(
+        F.lit("Claim ["), (F.col("n_chars") % 50).cast("string"), F.lit("] "),
+        F.col("text"), F.lit(" [7] tail"))
+    clean = sc.strip_citations(cited)
+    return docs.select(
+        "doc_id",
+        sc.clamp_words(clean, 12).alias("brief"),
+        F.size(F.split(clean, r"\s+")).cast("long").alias("clean_words"),
+    )
+
+
+@register(
     "q41_compat_projection",
     """
     SELECT CAST(o_custkey AS VARCHAR) AS memberCode,
