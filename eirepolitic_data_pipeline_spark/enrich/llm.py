@@ -41,6 +41,12 @@ class LLMColumnConfig:
     fallback: str = "NONE"
     id_col: str = "id"
     overwrite: bool = False             # False = fill-missing-only mode
+    # U4 (`llm_table_runner.py:146-239`, `members_background_summarizer.py`):
+    # tool names forwarded to the client (reference: use_web_search →
+    # tools=[{"type": "web_search"}], tool_choice auto); answers from
+    # web-enabled calls carry inline [n] citations, stripped when asked.
+    tools: Optional[Sequence[str]] = None
+    strip_citations: bool = False
 
     def validate(self, answer: str) -> bool:
         a = answer.strip()
@@ -66,14 +72,23 @@ class LLMColumnRunner:
 
         def run(batches: Iterator) -> Iterator:
             client = factory()  # one client per partition/task
+
+            def ask(prompt: str) -> str:
+                raw = (client(prompt, tools=list(cfg.tools)) if cfg.tools
+                       else client(prompt))
+                if cfg.strip_citations:
+                    raw = re.sub(r"\s{2,}", " ",
+                                 re.sub(r"\s*\[\d+\]\s*", " ", raw)).strip()
+                return raw
+
             for pdf in batches:
                 answers = []
                 for _, row in pdf.iterrows():
                     prompt = cfg.template.format(**{c: row[c] for c in cfg.input_cols})
-                    answer = client(prompt)
+                    answer = ask(prompt)
                     iters = 0
                     while not cfg.validate(answer) and iters < cfg.max_repair_iters:
-                        answer = client(
+                        answer = ask(
                             f"Your previous answer {answer!r} was invalid. "
                             f"{prompt}")
                         iters += 1

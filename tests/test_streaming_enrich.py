@@ -133,6 +133,61 @@ def test_llm_runner_fallback_after_repair_budget(spark):
     assert runner.run(df).collect()[0]["label"] == "NONE"
 
 
+def test_llm_runner_web_tool_round_trip(spark):
+    """U4: a tools-configured column passes the tool list through to the
+    client and strips inline [n] citations from web-enriched answers before
+    validation (reference `llm_table_runner.py:146-239` web_search path +
+    `members_background_summarizer.py` citation strip)."""
+    def web_factory():
+        def client(prompt, tools=None):
+            assert tools == ["web_search"], f"tools not forwarded: {tools}"
+            return "A barrister [1] from Cork [23] since 2020. [4]"
+        return client
+
+    cfg = LLMColumnConfig(
+        output_col="background", template="Background of {name}?",
+        input_cols=["name"], max_words=10, id_col="id",
+        tools=("web_search",), strip_citations=True)
+    runner = LLMColumnRunner(config=cfg, client_factory=web_factory)
+    df = spark.createDataFrame([(1, "Aoife Byrne")], "id long, name string")
+    out = runner.run(df).collect()[0]["background"]
+    assert out == "A barrister from Cork since 2020."
+
+
+def test_llm_runner_web_tool_citation_strip_enables_validation(spark):
+    """Citation stripping happens BEFORE the word-count check: an answer
+    whose citations push it over max_words validates after stripping."""
+    def web_factory():
+        def client(prompt, tools=None):
+            return "one two [1] three [2] four [33]"
+        return client
+
+    cfg = LLMColumnConfig(
+        output_col="brief", template="{text}", input_cols=["text"],
+        max_words=4, id_col="id", tools=("web_search",),
+        strip_citations=True, fallback="FAIL")
+    runner = LLMColumnRunner(config=cfg, client_factory=web_factory)
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    assert runner.run(df).collect()[0]["brief"] == "one two three four"
+
+
+def test_strip_citations_and_clamp_words_columns(spark):
+    """X15 column expressions: [n] removal + whitespace collapse + clamp."""
+    from eirepolitic_data_pipeline_spark.functions.scalar import (
+        clamp_words, strip_citations)
+    df = spark.createDataFrame(
+        [("Housing [1] is scarce [12] everywhere.",), (None,)],
+        "t string")
+    out = df.select(
+        strip_citations("t").alias("s"),
+        clamp_words(strip_citations("t"), 3).alias("c3"),
+        clamp_words("t", 0).alias("noclamp")).collect()
+    assert out[0]["s"] == "Housing is scarce everywhere."
+    assert out[0]["c3"] == "Housing is scarce"
+    assert out[0]["noclamp"] == "Housing [1] is scarce [12] everywhere."
+    assert out[1]["s"] == "" and out[1]["c3"] == ""
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
