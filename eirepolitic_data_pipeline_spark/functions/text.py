@@ -147,3 +147,15 @@ def sentences(col: Column | str, max_words: int = 50) -> Column:
                      lambda s: s != ""))
         .otherwise(F.array(norm(p))))
     return F.filter(F.flatten(resplit), lambda s: s != "")
+
+
+def sentence_candidates(col: Column | str, max_words: int = 50) -> Column:
+    """P10 — candidate bounds filter wired over the sentence split
+    (`ridiculous_sentences_weekly.py:219-224`): keep pieces with
+    1..``max_words`` words that contain at least one ASCII letter. A piece
+    over the bound that carried no semicolon (so the re-split couldn't
+    shorten it) is dropped here, matching the reference."""
+    return F.filter(
+        sentences(col, max_words),
+        lambda s: (F.size(F.split(s, r"\s+")) <= max_words)
+        & s.rlike("[A-Za-z]"))

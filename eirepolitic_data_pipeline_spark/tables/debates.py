@@ -181,3 +181,54 @@ def silver_debate_sections(df: DataFrame, json_col: str = "payload",
 
     return _flatten_stage(df, json_col, DEBATE_SECTION_COLUMNS,
                           rows_of).dropDuplicates(["debate_section_id"])
+
+
+def weekly_sentence_candidates(speeches: DataFrame,
+                               text_col: str = "speech_text",
+                               speaker_col: str = "speaker_name",
+                               date_col: str = "debate_date",
+                               max_words: int = 50) -> DataFrame:
+    """Weekly sentence-candidate rows (`ridiculous_sentences_weekly.py:199-240`).
+
+    Per speech: parse the debate date (unparseable rows drop, errors=coerce),
+    tag the non-ISO Monday-start week id (X11), explode the sentence split
+    with the P10 candidate bounds (1..max_words words, at least one ASCII
+    letter), whitespace-normalize the speaker, then dedupe on
+    (week_id, speaker_name, normalized sentence) keep-first (O7; the
+    normalization lowercases and strips surrounding quote/bracket glyphs).
+    ``candidate_id`` is the reference's sha-256("||" join)[:24], keying the
+    downstream batch scorer (U3) and its resume anti-join.
+
+    Scale: split/filter/explode are per-row column expressions in the scan
+    stage; the only shuffle is the dedupe on the composite candidate key.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.scalar import parse_iso_date, week_id
+    from ..functions.text import sentence_candidates
+
+    def norm_ws(c):
+        return F.trim(F.regexp_replace(
+            F.coalesce(c.cast("string"), F.lit("")), r"\s+", " "))
+
+    sentence_norm = F.regexp_replace(
+        F.lower(F.col("sentence")),
+        "^[ \"'“”‘’()\\[\\]]+|[ \"'“”‘’()\\[\\]]+$", "")
+    return (
+        speeches
+        .withColumn("__d", parse_iso_date(date_col))
+        .filter(F.col("__d").isNotNull())
+        .withColumn("week_id", week_id("__d"))
+        .withColumn("debate_date", F.date_format("__d", "yyyy-MM-dd"))
+        .withColumn("speaker_name", norm_ws(F.col(speaker_col)))
+        .withColumn("sentence",
+                    F.explode(sentence_candidates(text_col, max_words)))
+        .withColumn("sentence_norm", sentence_norm)
+        .dropDuplicates(["week_id", "speaker_name", "sentence_norm"])
+        .withColumn("word_count", F.size(F.split(F.col("sentence"), r"\s+")))
+        .withColumn("candidate_id", F.substring(F.sha2(F.concat_ws(
+            "||", F.col("week_id"), F.col("speaker_name"),
+            F.col("sentence")), 256), 1, 24))
+        .select("candidate_id", "week_id", "debate_date", "speaker_name",
+                "sentence", "sentence_norm", "word_count")
+    )

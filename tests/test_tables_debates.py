@@ -83,3 +83,39 @@ def test_silver_debate_sections(spark, debates_payload):
     assert s2["section_eid"] == "dbsect_2"
     assert s2["show_as"] == "Housing Motion"
     assert s2["parent_section_id"] == "/debate/dail/2025-03-10/s1"
+
+
+def test_weekly_sentence_candidates(spark):
+    """P10 wiring: date coerce-drop, week-id tagging, bounds filter (1..50
+    words, must contain a letter), normalized dedupe, reference
+    candidate_id recipe."""
+    import hashlib
+
+    from eirepolitic_data_pipeline_spark.tables import (
+        weekly_sentence_candidates)
+
+    long_run = " ".join(["word"] * 60)          # 60 words, no semicolon
+    rows = [
+        ("Aoife  Byrne", "2025-03-05",
+         'This is ridiculous! Truly. "This is ridiculous!"'),
+        ("Aoife Byrne", "2025-03-05", "42 99."),   # no letter -> dropped
+        ("Brian Walsh", "not-a-date", "Dropped row."),
+        ("Cara Nolan", "2025-03-06", long_run),
+    ]
+    df = spark.createDataFrame(
+        rows, "speaker_name string, debate_date string, speech_text string")
+    out = weekly_sentence_candidates(df).collect()
+    by_sentence = {r["sentence"]: r for r in out}
+    # "This is ridiculous!" appears twice (once quoted) -> one row after
+    # normalized dedupe; the no-letter sentence drops; the 60-word run
+    # exceeds the bound with no semicolon escape -> dropped; the
+    # not-a-date row coerces away.
+    assert sorted(by_sentence) == ["This is ridiculous!", "Truly."]
+    r = by_sentence["This is ridiculous!"]
+    assert r["speaker_name"] == "Aoife Byrne"      # whitespace normalized
+    assert r["week_id"] == "202509" and r["debate_date"] == "2025-03-05"
+    assert r["word_count"] == 3
+    expected = hashlib.sha256(
+        "||".join(["202509", "Aoife Byrne", "This is ridiculous!"])
+        .encode()).hexdigest()[:24]
+    assert r["candidate_id"] == expected

@@ -93,6 +93,23 @@ def test_gold_current_members(spark, members, memberships, parties,
     assert td1["snapshot_date"] == SNAP
 
 
+def test_gold_current_members_semi_join_fallback(spark, memberships, parties,
+                                                 constituencies, offices):
+    """P9 fallback branch (`table_gold_current_members.py:124-128`): when NO
+    member row is flagged current, the roster falls back to a semi-join
+    against members holding any membership row — TD003 (no membership)
+    drops, TD001/TD002 stay."""
+    members = _df(spark, [
+        ("TD001", "Aoife Byrne", "", "Old Party", "Wicklow", "33"),
+        ("TD002", "Brian Walsh", "false", "", "", ""),
+        ("TD003", "Cara Nolan", "", "Gone Party", "Kerry", "32"),
+    ], ["member_code", "full_name", "is_current_member", "latest_party_name",
+        "latest_constituency_name", "latest_house_no"])
+    out = gold_current_members(members, memberships, parties, constituencies,
+                               offices, SNAP).collect()
+    assert sorted(r["member_code"] for r in out) == ["TD001", "TD002"]
+
+
 @pytest.fixture(scope="module")
 def speeches(spark):
     return _df(spark, [
