@@ -983,3 +983,68 @@ def silver_constituencies(df: DataFrame, json_col: str = "payload",
 
     return _flatten_stage(df, json_col, CONSTITUENCY_COLUMNS,
                           rows_of).dropDuplicates(["constituency_uri"])
+
+
+# ---------------------------------------------------------------------------
+# F9 — key-path introspection (schema-discovery diagnostics)
+# ---------------------------------------------------------------------------
+
+def key_paths_py(value: Any, *, prefix: str = "", depth: int = 0,
+                 max_depth: int = 6) -> set[str]:
+    """F9 — recursive key-path set of a payload
+    (`table_members.py:419-433`, `discovery.py:153-168`): mapping keys
+    extend the dotted path; a list contributes ``prefix[]`` and is sampled
+    via its FIRST element only (reference behavior); recursion stops at
+    ``max_depth``."""
+    if depth >= max_depth:
+        return set()
+    paths: set[str] = set()
+    if isinstance(value, Mapping):
+        for key, child in value.items():
+            child_path = f"{prefix}.{key}" if prefix else str(key)
+            paths.add(child_path)
+            paths.update(key_paths_py(child, prefix=child_path,
+                                      depth=depth + 1, max_depth=max_depth))
+    elif isinstance(value, list):
+        list_path = f"{prefix}[]" if prefix else "[]"
+        paths.add(list_path)
+        if value:
+            paths.update(key_paths_py(value[0], prefix=list_path,
+                                      depth=depth + 1, max_depth=max_depth))
+    return paths
+
+
+def payload_key_paths(df: DataFrame, json_col: str = "payload",
+                      max_depth: int = 6) -> DataFrame:
+    """F9 as a distributed diagnostic: distinct key paths across a JSON
+    payload column with the number of payload rows exhibiting each path.
+
+    mapInPandas walker (the payloads are ragged, same reason as the
+    flatteners above) emits per-partition partial counts, then ONE groupBy
+    reduces them — map-side combined, shuffle size bounded by the distinct
+    path set, never by table size. Unparseable payloads contribute nothing.
+    """
+    from pyspark.sql import functions as F
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+        for pdf in batches:
+            counts: Counter = Counter()
+            for raw in pdf[json_col]:
+                payload = raw
+                if isinstance(raw, (str, bytes)):
+                    try:
+                        payload = json.loads(raw)
+                    except (TypeError, ValueError):
+                        continue
+                for p in key_paths_py(payload, max_depth=max_depth):
+                    counts[p] += 1
+            yield pd.DataFrame({
+                "key_path": pd.Series(list(counts), dtype=object),
+                "n_rows": pd.Series(list(counts.values()), dtype="int64"),
+            })
+
+    return (df.select(json_col)
+            .mapInPandas(walk, "key_path string, n_rows long")
+            .groupBy("key_path")
+            .agg(F.sum("n_rows").alias("n_rows")))

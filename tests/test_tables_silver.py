@@ -320,3 +320,35 @@ def test_silver_dimension_flatteners(spark):
                               today=TODAY).collect()[0]
     assert (c["constituency_name"], c["house_uri"], c["house_no"]) \
         == ("Wicklow-Wexford", "/house/34", "34")
+
+
+def test_key_paths_py_nested():
+    """F9: dotted mapping paths, [] list markers, first-element sampling,
+    depth cap."""
+    from eirepolitic_data_pipeline_spark.tables.silver import key_paths_py
+    payload = {
+        "head": {"counts": {"memberCount": 2}},
+        "results": [
+            {"member": {"memberCode": "TD001",
+                        "memberships": [{"membership": {"house": {}}}]}},
+            {"member": {"IGNORED_not_first": 1}},
+        ],
+    }
+    paths = key_paths_py(payload)
+    assert "head.counts.memberCount" in paths
+    assert "results[]" in paths
+    assert "results[].member.memberCode" in paths
+    assert "results[].member.memberships[].membership" in paths
+    assert not any("IGNORED" in p for p in paths)  # first element only
+    assert key_paths_py(payload, max_depth=1) == {"head", "results"}
+
+
+def test_payload_key_paths_dataframe(spark):
+    """F9 distributed diagnostic: per-path row counts; bad JSON skipped."""
+    from eirepolitic_data_pipeline_spark.tables.silver import payload_key_paths
+    df = spark.createDataFrame(
+        [('{"a": {"b": 1}}',), ('{"a": 2, "c": [1]}',), ("not-json",)],
+        "payload string")
+    got = {r["key_path"]: r["n_rows"]
+           for r in payload_key_paths(df).collect()}
+    assert got == {"a": 2, "a.b": 1, "c": 1, "c[]": 1}
