@@ -33,16 +33,23 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table. Parquet scan → Catalyst gets pushdown +
     pruning for free; callers filter/select immediately after.
 
-    events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; read nanos as long (legacy conf) and rebuild a microsecond
-    timestamp JVM-side — integer `div`, no double round-trip, so the value
-    is exact for any epoch.
+    events.parquet has shipped with two physical types for `ts` across
+    driver testdata generations: TIMESTAMP(NANOS) (rejected by Spark's
+    reader unless read as long) and TIMESTAMP(MICROS) without UTC
+    adjustment (read as TIMESTAMP_NTZ, which Spark 4 won't cast to
+    numeric). Normalize both to session-zone TIMESTAMP so downstream
+    epoch arithmetic (`ts.cast("long")`) and the DuckDB oracle (naive
+    timestamps, session tz pinned to UTC) agree exactly.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type in ("bigint", "long"):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # NTZ -> LTZ is wall-clock-preserving under the UTC session tz.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
