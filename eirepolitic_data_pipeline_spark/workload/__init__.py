@@ -16,6 +16,7 @@ from . import core  # noqa: F401,E402
 from . import windows  # noqa: F401,E402
 from . import datapipe  # noqa: F401,E402
 from . import quality  # noqa: F401,E402
+from . import marts  # noqa: F401,E402
 
 
 def queries():

@@ -1,0 +1,280 @@
+"""Gold-mart workload: the reference's flagship marts (SURVEY §2.5/§2.6,
+`extract/oireachtas/table_gold_member_activity_yearly.py`,
+`table_gold_member_activity_monthly.py`,
+`table_gold_constituency_activity_yearly.py`) driven end-to-end through the
+REAL builders in ``tables/gold.py`` — grid cross-join, zero-filled multi-key
+left joins, vote-kind pivot, guarded participation pct, per-period dense
+ranks — with full DuckDB oracle SQL so the mart shape is hash-checked, not
+just pytest-checked.
+
+The driver star schema stands in for the silver layer: supplier → member
+roster (nation → constituency), lineitem → both the speech log (one speech
+per line item, debate_date = ship date) and the vote log (vote kind derived
+from l_returnflag: A→ta, R→nil, N→staon — exercising the classifier's
+substring precedence, since 'staon' itself contains 'ta').
+
+Scale notes: the adapters are pure projections (no extra shuffle); everything
+else is the builders' own plan — bounded broadcast grids, single-shuffle
+aggs, per-year windows whose partitions hold member counts, never fact
+counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..tables.gold import (
+    gold_constituency_activity_yearly,
+    gold_member_activity_monthly,
+    gold_member_activity_yearly,
+)
+from .registry import register, t
+
+SNAPSHOT = "2026-08-13"
+
+# Shared oracle CTE prelude: the same silver-shaped adapters in SQL.
+_ADAPTER_SQL = """
+    members AS (
+      SELECT CAST(s_suppkey AS VARCHAR) AS member_code,
+             n_name AS constituency_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ),
+    speeches AS (
+      SELECT CAST(l_suppkey AS VARCHAR) AS member_code,
+             CAST(year(l_shipdate) AS VARCHAR) AS year,
+             strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS year_month,
+             CAST(l_shipdate AS DATE) AS d
+      FROM lineitem
+    ),
+    votes AS (
+      SELECT CAST(l_suppkey AS VARCHAR) AS member_code,
+             CAST(year(l_shipdate) AS VARCHAR) AS year,
+             strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS year_month,
+             CAST(l_orderkey AS VARCHAR) AS division_id,
+             CASE WHEN l_returnflag = 'A' THEN 'ta'
+                  WHEN l_returnflag = 'R' THEN 'nil'
+                  ELSE 'staon' END AS kind
+      FROM lineitem
+    )
+"""
+
+
+def _member_roster(spark, sf_dir):
+    """supplier ⋈ nation → current-member roster (silver string conventions)."""
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("s_suppkey").cast("string").alias("member_code"),
+            F.col("s_name").alias("full_name"),
+            F.col("n_name").alias("constituency_name"),
+            F.lit("true").alias("is_current_member"),
+        )
+    )
+
+
+def _speech_log(spark, sf_dir):
+    """lineitem → speeches: one speech per line item on the ship date."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_suppkey").cast("string").alias("speaker_member_code"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("debate_date"),
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("speech_id"),
+    )
+
+
+def _vote_log(spark, sf_dir):
+    """lineitem → member votes; vote_code drives the A3 kind classifier."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_suppkey").cast("string").alias("member_code"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("division_date"),
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("member_vote_id"),
+        F.when(F.col("l_returnflag") == "A", "ta")
+        .when(F.col("l_returnflag") == "R", "nil")
+        .otherwise("staon").alias("vote_code"),
+        F.lit("").alias("vote_label"),
+        F.col("l_orderkey").cast("string").alias("division_id"),
+        F.lit("").alias("constituency_name_at_vote"),
+    )
+
+
+@register(
+    "q45_member_activity_yearly_mart",
+    f"""
+    WITH {_ADAPTER_SQL},
+    speech_metrics AS (
+      SELECT member_code, year, count(*) AS speech_count,
+             count(DISTINCT d) AS debate_day_count
+      FROM speeches GROUP BY 1, 2
+    ),
+    vote_metrics AS (
+      SELECT member_code, year, count(*) AS votes_cast_count,
+             sum(CASE WHEN kind = 'ta' THEN 1 ELSE 0 END)    AS ta_count,
+             sum(CASE WHEN kind = 'nil' THEN 1 ELSE 0 END)   AS nil_count,
+             sum(CASE WHEN kind = 'staon' THEN 1 ELSE 0 END) AS staon_count
+      FROM votes GROUP BY 1, 2
+    ),
+    division_counts AS (
+      SELECT year, count(DISTINCT division_id) AS division_count
+      FROM votes GROUP BY 1
+    ),
+    codes AS (
+      SELECT DISTINCT member_code FROM (
+        SELECT member_code FROM members
+        UNION ALL SELECT member_code FROM speech_metrics
+        UNION ALL SELECT member_code FROM vote_metrics)
+    ),
+    years AS (
+      SELECT DISTINCT year FROM (
+        SELECT year FROM speech_metrics
+        UNION ALL SELECT year FROM vote_metrics
+        UNION ALL SELECT year FROM division_counts)
+    ),
+    m AS (
+      SELECT g.member_code, g.year,
+             CAST(coalesce(sm.speech_count, 0) AS INTEGER)     AS speech_count,
+             CAST(coalesce(sm.debate_day_count, 0) AS INTEGER) AS debate_day_count,
+             CAST(coalesce(dc.division_count, 0) AS INTEGER)   AS division_count,
+             CAST(coalesce(vm.votes_cast_count, 0) AS INTEGER) AS votes_cast_count,
+             CAST(coalesce(vm.ta_count, 0) AS INTEGER)         AS ta_count,
+             CAST(coalesce(vm.nil_count, 0) AS INTEGER)        AS nil_count,
+             CAST(coalesce(vm.staon_count, 0) AS INTEGER)      AS staon_count
+      FROM (SELECT member_code, year FROM codes CROSS JOIN years) g
+      LEFT JOIN speech_metrics sm USING (member_code, year)
+      LEFT JOIN vote_metrics vm USING (member_code, year)
+      LEFT JOIN division_counts dc USING (year)
+    ),
+    p AS (
+      SELECT *, CASE WHEN division_count > 0
+                     THEN round(CAST(votes_cast_count AS DOUBLE)
+                                / CAST(division_count AS DOUBLE) * 100, 2)
+                     ELSE 0.0 END AS vote_participation_pct
+      FROM m
+    )
+    SELECT member_code, year, speech_count, debate_day_count, division_count,
+           votes_cast_count, vote_participation_pct, ta_count, nil_count,
+           staon_count,
+           CAST(dense_rank() OVER (PARTITION BY year
+                                   ORDER BY speech_count DESC) AS INTEGER)
+             AS speech_rank,
+           CAST(dense_rank() OVER (PARTITION BY year
+                                   ORDER BY vote_participation_pct DESC) AS INTEGER)
+             AS vote_participation_rank,
+           '{SNAPSHOT}' AS snapshot_date
+    FROM p
+    """,
+    survey_ref="A1-A4,A7,J2,J6,W1 (gold_member_activity_yearly end-to-end)",
+)
+def q45_member_activity_yearly_mart(spark, sf_dir):
+    """The reference's flagship mart (`table_gold_member_activity_yearly.py`)
+    run through the real builder: member×year grid, zero-filled speech/vote
+    metrics, ta/nil/staon kind pivot, guarded participation pct, per-year
+    dense ranks."""
+    return gold_member_activity_yearly(
+        _member_roster(spark, sf_dir),
+        _speech_log(spark, sf_dir),
+        _vote_log(spark, sf_dir),
+        None,
+        SNAPSHOT,
+    )
+
+
+@register(
+    "q46_constituency_activity_mart",
+    f"""
+    WITH {_ADAPTER_SQL},
+    speech_metrics AS (
+      SELECT m.constituency_name, s.year, count(*) AS speech_count
+      FROM speeches s JOIN members m USING (member_code)
+      GROUP BY 1, 2
+    ),
+    vote_metrics AS (
+      SELECT m.constituency_name, v.year, count(*) AS votes_cast_count
+      FROM votes v JOIN members m USING (member_code)
+      GROUP BY 1, 2
+    ),
+    member_counts AS (
+      SELECT constituency_name, count(DISTINCT member_code) AS member_count
+      FROM members GROUP BY 1
+    ),
+    years AS (
+      SELECT DISTINCT year FROM (
+        SELECT year FROM speech_metrics
+        UNION ALL SELECT year FROM vote_metrics)
+    ),
+    names AS (
+      SELECT DISTINCT constituency_name FROM (
+        SELECT constituency_name FROM member_counts
+        UNION ALL SELECT constituency_name FROM speech_metrics
+        UNION ALL SELECT constituency_name FROM vote_metrics)
+    )
+    SELECT g.constituency_name, g.year,
+           CAST(coalesce(mc.member_count, 0) AS INTEGER)      AS member_count,
+           CAST(coalesce(sm.speech_count, 0) AS INTEGER)      AS speech_count,
+           CAST(coalesce(vm.votes_cast_count, 0) AS INTEGER)  AS votes_cast_count,
+           '{SNAPSHOT}' AS snapshot_date
+    FROM (SELECT constituency_name, year FROM names CROSS JOIN years) g
+    LEFT JOIN member_counts mc USING (constituency_name)
+    LEFT JOIN speech_metrics sm USING (constituency_name, year)
+    LEFT JOIN vote_metrics vm USING (constituency_name, year)
+    """,
+    survey_ref="A5,J8,J6 (gold_constituency_activity_yearly end-to-end)",
+)
+def q46_constituency_activity_mart(spark, sf_dir):
+    """Constituency rollup mart through the real builder: member→constituency
+    lookup (current-members first, vote-row fallback), per-(constituency,year)
+    rollups, distinct-member counts, zero-filled name×year grid."""
+    return gold_constituency_activity_yearly(
+        _member_roster(spark, sf_dir),
+        _speech_log(spark, sf_dir),
+        _vote_log(spark, sf_dir),
+        SNAPSHOT,
+    )
+
+
+@register(
+    "q47_member_activity_monthly_mart",
+    f"""
+    WITH {_ADAPTER_SQL},
+    speech_metrics AS (
+      SELECT member_code, year_month, count(*) AS speech_count,
+             count(DISTINCT d) AS debate_day_count
+      FROM speeches GROUP BY 1, 2
+    ),
+    vote_metrics AS (
+      SELECT member_code, year_month, count(*) AS votes_cast_count
+      FROM votes GROUP BY 1, 2
+    ),
+    codes AS (
+      SELECT DISTINCT member_code FROM (
+        SELECT member_code FROM members
+        UNION ALL SELECT member_code FROM speech_metrics
+        UNION ALL SELECT member_code FROM vote_metrics)
+    ),
+    months AS (
+      SELECT DISTINCT year_month FROM (
+        SELECT year_month FROM speech_metrics
+        UNION ALL SELECT year_month FROM vote_metrics)
+    )
+    SELECT g.member_code, g.year_month,
+           CAST(coalesce(sm.speech_count, 0) AS INTEGER)      AS speech_count,
+           CAST(coalesce(sm.debate_day_count, 0) AS INTEGER)  AS debate_day_count,
+           CAST(coalesce(vm.votes_cast_count, 0) AS INTEGER)  AS votes_cast_count,
+           '{SNAPSHOT}' AS snapshot_date
+    FROM (SELECT member_code, year_month FROM codes CROSS JOIN months) g
+    LEFT JOIN speech_metrics sm USING (member_code, year_month)
+    LEFT JOIN vote_metrics vm USING (member_code, year_month)
+    """,
+    survey_ref="A1,A2,J2,J6 (gold_member_activity_monthly end-to-end)",
+)
+def q47_member_activity_monthly_mart(spark, sf_dir):
+    """Monthly activity mart through the real builder — the yearly mart's
+    shape at month grain (no kind pivot, no ranks), per `tables.yml:250-256`."""
+    return gold_member_activity_monthly(
+        _member_roster(spark, sf_dir),
+        _speech_log(spark, sf_dir),
+        _vote_log(spark, sf_dir),
+        SNAPSHOT,
+    )
