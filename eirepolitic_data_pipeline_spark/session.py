@@ -38,6 +38,13 @@ def get_spark(app_name: str = "eirepolitic_data_pipeline_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Without this, a .cache() anywhere in a plan pins the cached
+        # sub-plan's shuffle partitioning (no AQE coalescing), so builders
+        # that cache bounded aggregate frames (tables/gold.py) materialize
+        # hundreds of near-empty partitions. Trading exact cached-output
+        # partitioning for AQE re-planning is right for this workload.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

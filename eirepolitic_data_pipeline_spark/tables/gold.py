@@ -228,10 +228,15 @@ def gold_member_activity_yearly(current_members: DataFrame, speeches: DataFrame,
 
     PK (member_code, year); columns `tables.yml:242-248`.
     """
+    # The metric frames are (member × year)-bounded — dimension-sized no
+    # matter how large the fact inputs are — and each is consumed 2-3× (grid
+    # codes, grid periods, final join). Cache them so the fact scans + agg
+    # shuffles run once; MEMORY_AND_DISK spills if a pathological dimension
+    # ever outgrows executor memory.
     year_of = F.year("__d").cast("string")
-    speech_metrics = _speech_period_metrics(speeches, year_of, "year")
+    speech_metrics = _speech_period_metrics(speeches, year_of, "year").cache()
     vote_metrics = _vote_period_metrics(member_votes, year_of, "year",
-                                        with_kinds=True)
+                                        with_kinds=True).cache()
 
     # A4: distinct divisions per year; divisions table if usable, else votes.
     div_source = divisions
@@ -245,7 +250,7 @@ def gold_member_activity_yearly(current_members: DataFrame, speeches: DataFrame,
         .withColumn("year", F.year("__d").cast("string"))
         .groupBy("year")
         .agg(F.countDistinct("division_id").alias("division_count"))
-    )
+    ).cache()
 
     grid = _period_grid(current_members, [speech_metrics, vote_metrics],
                         [speech_metrics, vote_metrics, division_counts],
@@ -291,9 +296,11 @@ def gold_member_activity_monthly(current_members: DataFrame,
                                  snapshot_date: str) -> DataFrame:
     """Monthly member activity (PK member_code, year_month; `tables.yml:250-256`)."""
     month_of = F.date_format("__d", "yyyy-MM")
-    speech_metrics = _speech_period_metrics(speeches, month_of, "year_month")
+    # Cached for the same reason as the yearly mart: bounded frames, 3 readers.
+    speech_metrics = _speech_period_metrics(speeches, month_of,
+                                            "year_month").cache()
     vote_metrics = _vote_period_metrics(member_votes, month_of, "year_month",
-                                        with_kinds=False)
+                                        with_kinds=False).cache()
     grid = _period_grid(current_members, [speech_metrics, vote_metrics],
                         [speech_metrics, vote_metrics],
                         "year_month", snapshot_date[:7])
@@ -343,7 +350,11 @@ def gold_constituency_activity_yearly(current_members: DataFrame,
                                       member_votes: DataFrame,
                                       snapshot_date: str) -> DataFrame:
     """Constituency rollups (PK constituency_name, year; `tables.yml:258-264`)."""
-    lookup = _member_constituency_lookup(current_members, member_votes)
+    # lookup is member-dimension-sized and feeds two broadcasts; the metric
+    # frames are (constituency × year)-bounded with 3 readers each (years
+    # union, names union, final join). Cache all of them so each fact input
+    # is scanned and aggregated exactly once.
+    lookup = _member_constituency_lookup(current_members, member_votes).cache()
 
     speech_metrics = (
         speeches
@@ -355,7 +366,7 @@ def gold_constituency_activity_yearly(current_members: DataFrame,
         .withColumn("year", F.year("__d").cast("string"))
         .groupBy("constituency_name", "year")
         .agg(F.count("speech_id").alias("speech_count"))
-    )
+    ).cache()
     vote_metrics = (
         member_votes
         .withColumn("member_code", _trimmed("member_code"))
@@ -370,14 +381,14 @@ def gold_constituency_activity_yearly(current_members: DataFrame,
         .withColumn("year", F.year("__d").cast("string"))
         .groupBy("constituency_name", "year")
         .agg(F.count("member_vote_id").alias("votes_cast_count"))
-    )
+    ).cache()
     member_counts = (
         current_members
         .withColumn("constituency_name", _trimmed("constituency_name"))
         .filter(F.col("constituency_name") != "")
         .groupBy("constituency_name")
         .agg(F.countDistinct("member_code").alias("member_count"))
-    )
+    ).cache()
 
     years = (speech_metrics.select("year")
              .unionByName(vote_metrics.select("year")).distinct()

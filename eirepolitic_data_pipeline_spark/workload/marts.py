@@ -74,22 +74,23 @@ def _member_roster(spark, sf_dir):
     )
 
 
-def _speech_log(spark, sf_dir):
-    """lineitem → speeches: one speech per line item on the ship date."""
-    li = t(spark, sf_dir, "lineitem")
-    return li.select(
-        F.col("l_suppkey").cast("string").alias("speaker_member_code"),
-        F.date_format("l_shipdate", "yyyy-MM-dd").alias("debate_date"),
-        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("speech_id"),
-    )
+def _base_log(spark, sf_dir):
+    """lineitem → the shared silver fact log both adapters project from.
 
-
-def _vote_log(spark, sf_dir):
-    """lineitem → member votes; vote_code drives the A3 kind classifier."""
+    One string-typed projection of lineitem serves as BOTH the speech log
+    and the vote log (same rows, renamed columns), so it is computed once,
+    repartitioned up to the session parallelism when the source arrives as
+    a single input split (the fixture parquet has one row group — scan
+    parallelism is irreducibly 1 otherwise; a real table has many splits
+    and the repartition is skipped), and cached. Spark's cache manager
+    matches the canonicalized plan, so all three mart queries share one
+    materialization per sf_dir — the same role a persisted silver table
+    plays in the production layout.
+    """
     li = t(spark, sf_dir, "lineitem")
-    return li.select(
+    base = li.select(
         F.col("l_suppkey").cast("string").alias("member_code"),
-        F.date_format("l_shipdate", "yyyy-MM-dd").alias("division_date"),
+        F.col("l_shipdate").cast("date").cast("string").alias("division_date"),
         F.concat_ws("-", "l_orderkey", "l_linenumber").alias("member_vote_id"),
         F.when(F.col("l_returnflag") == "A", "ta")
         .when(F.col("l_returnflag") == "R", "nil")
@@ -98,6 +99,25 @@ def _vote_log(spark, sf_dir):
         F.col("l_orderkey").cast("string").alias("division_id"),
         F.lit("").alias("constituency_name_at_vote"),
     )
+    p = spark.sparkContext.defaultParallelism
+    if li.rdd.getNumPartitions() < p:
+        base = base.repartition(p)
+    return base.cache()
+
+
+def _speech_log(spark, sf_dir):
+    """Speech-log view of the shared base log (one speech per line item)."""
+    return _base_log(spark, sf_dir).select(
+        F.col("member_code").alias("speaker_member_code"),
+        F.col("division_date").alias("debate_date"),
+        F.col("member_vote_id").alias("speech_id"),
+    )
+
+
+def _vote_log(spark, sf_dir):
+    """Vote-log view of the shared base log; vote_code drives the A3
+    kind classifier."""
+    return _base_log(spark, sf_dir)
 
 
 @register(
