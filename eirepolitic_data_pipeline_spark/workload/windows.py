@@ -283,6 +283,38 @@ def q21_tumbling_hourly(spark, sf_dir):
 
 
 @register(
+    "q48_salted_topn_events",
+    """
+    WITH ranked AS (
+      SELECT event_type, event_id, user_id, value AS raw_value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+    )
+    SELECT event_type, event_id, user_id, round(raw_value, 2) AS value,
+           CAST(rn AS INTEGER) AS rank
+    FROM ranked WHERE rn <= 5
+    """,
+    survey_ref="beyond-ref: skew-resilient top-N (operators/skew.py)",
+)
+def q48_salted_topn_events(spark, sf_dir):
+    """Salted two-phase top-N over the hottest possible partitioning —
+    event_type has ~5 distinct values, so a one-phase window funnels ~20% of
+    all events into single tasks. The salted form bounds every task by
+    bucket size and is row-identical to the one-phase ranking (the oracle
+    IS the one-phase formulation). At 100 TB this is the difference between
+    a stage pinned on 5 stragglers and an evenly spread shuffle."""
+    from ..operators.skew import salted_top_n
+    ev = t(spark, sf_dir, "events")
+    out = salted_top_n(
+        ev, ["event_type"],
+        [F.col("value").desc(), F.col("event_id")], 5,
+        buckets=32, salt_on=[F.col("event_id")])
+    return out.select("event_type", "event_id", "user_id",
+                      F.round("value", 2).alias("value"), "rank")
+
+
+@register(
     "q39_asof_join_last_click",
     """
     SELECT e.event_id AS error_event_id, e.user_id,

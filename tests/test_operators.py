@@ -247,3 +247,66 @@ def test_sentence_splitting(spark):
     assert any(s.startswith("Clause one") for s in got[4:])
     assert any(s.startswith("clause two") for s in got[4:])
     assert all(s == s.strip() and s for s in got)
+
+
+# ---------------------------------------------------------------------------
+# skew (salted two-phase operators)
+# ---------------------------------------------------------------------------
+
+def test_salted_top_n_matches_single_phase(spark):
+    from eirepolitic_data_pipeline_spark.operators.skew import salted_top_n
+    # one hot key (u1, 200 rows) + small keys; unique tiebreak = row id
+    rows = [("u1", i, float(i % 37)) for i in range(200)]
+    rows += [("u2", 1000 + i, float(i)) for i in range(5)]
+    rows += [("u3", 2000, 9.0)]
+    df = spark.createDataFrame(rows, "key string, row_id long, score double")
+    order = [F.col("score").desc(), F.col("row_id")]
+    got = salted_top_n(df, ["key"], order, 3, buckets=8)
+    want = top_n_per_group(df, ["key"], order, 3)
+    key = lambda r: (r["key"], r["rank"])
+    got_m = {key(r): r["row_id"] for r in got.collect()}
+    want_m = {key(r): r["row_id"] for r in want.collect()}
+    assert got_m == want_m
+    assert len(got_m) == 3 + 3 + 1  # u3 has a single row
+
+
+def test_salted_top_n_requires_positive_n(spark):
+    import pytest as _pytest
+    from eirepolitic_data_pipeline_spark.operators.skew import salted_top_n
+    df = spark.createDataFrame([("a", 1)], "key string, v long")
+    with _pytest.raises(ValueError):
+        salted_top_n(df, ["key"], [F.col("v")], 0)
+
+
+def test_salted_agg_and_string_agg(spark):
+    from eirepolitic_data_pipeline_spark.operators.skew import (
+        salted_agg,
+        salted_string_agg,
+    )
+    rows = [("k1", f"office_{i % 7}", float(i)) for i in range(100)]
+    rows += [("k2", "solo", 1.0)]
+    df = spark.createDataFrame(rows, "key string, name string, v double")
+    agg = salted_agg(df, ["key"], {
+        "total": ("sum", "v"),
+        "n": ("count", "v"),
+        "hi": ("max", "v"),
+        "names": ("collect_set", "name"),
+    }, buckets=8)
+    out = {r["key"]: r for r in agg.collect()}
+    assert out["k1"]["n"] == 100 and out["k1"]["hi"] == 99.0
+    assert abs(out["k1"]["total"] - sum(float(i) for i in range(100))) < 1e-9
+    assert sorted(out["k1"]["names"]) == sorted({f"office_{i}" for i in range(7)})
+    assert out["k2"]["n"] == 1 and out["k2"]["names"] == ["solo"]
+
+    s = salted_string_agg(df, ["key"], "name", buckets=8, out_col="names")
+    got = {r["key"]: r["names"] for r in s.collect()}
+    assert got["k1"] == "; ".join(sorted(f"office_{i}" for i in range(7)))
+    assert got["k2"] == "solo"
+
+
+def test_salted_agg_rejects_non_recombinable(spark):
+    import pytest as _pytest
+    from eirepolitic_data_pipeline_spark.operators.skew import salted_agg
+    df = spark.createDataFrame([("a", 1)], "key string, v long")
+    with _pytest.raises(ValueError):
+        salted_agg(df, ["key"], {"bad": ("avg", "v")})
