@@ -1,0 +1,86 @@
+"""Bucketed-table support: co-located joins without a shuffle.
+
+The reference never needs this (≤50k-row pandas frames), but at 100 TB the
+dominant cost of the engine's recurring joins — silver facts re-joined to
+the same keys every refresh (member_code, division_id, orderkey-shaped
+keys) — is re-shuffling both sides on every run. Writing both sides
+bucketed on the join key makes the join's clustering a property of the
+STORAGE, paid once at write time: Spark's scan reports the bucketing as the
+output partitioning, and the sort-merge join planner drops both Exchanges
+(and, with a matching sortBy, both Sorts).
+
+Usage contract:
+- same ``num_buckets`` and key order on both sides (mismatched bucket
+  counts fall back to shuffling the smaller side);
+- tables are registered in the session catalog with data at an explicit
+  external ``path`` — the catalog entry carries the bucketing metadata, the
+  parquet carries the rows, so re-registering after a session restart is
+  one `register_bucketed` call per table;
+- bucket count is a scale decision: pick ``rows_per_bucket`` so one bucket
+  fits an executor core's working set (the helper computes it from a row
+  estimate rather than hard-coding).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def buckets_for(row_estimate: int, rows_per_bucket: int = 5_000_000,
+                min_buckets: int = 4, max_buckets: int = 4096) -> int:
+    """Bucket count sized to the data: ceil(rows / rows_per_bucket), clamped,
+    rounded up to a power of two so downstream bucket coalescing (Spark can
+    merge 2^k buckets into 2^j) stays exact."""
+    raw = max(min_buckets, math.ceil(max(row_estimate, 1) / rows_per_bucket))
+    return min(max_buckets, 1 << (raw - 1).bit_length())
+
+
+def write_bucketed(df: DataFrame, table: str, keys: Sequence[str],
+                   num_buckets: int, path: str,
+                   sort_by: Optional[Sequence[str]] = None,
+                   mode: str = "overwrite") -> None:
+    """Write ``df`` as an external bucketed parquet table.
+
+    ``sort_by`` defaults to the bucket keys — pre-sorted buckets let the
+    sort-merge join skip its per-partition Sort as well as the Exchange.
+    """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    writer = (df.write.format("parquet").mode(mode)
+              .option("path", path)
+              .bucketBy(num_buckets, *keys)
+              .sortBy(*(sort_by if sort_by is not None else keys)))
+    writer.saveAsTable(table)
+
+
+def register_bucketed(spark: SparkSession, table: str, path: str,
+                      schema_ddl: str, keys: Sequence[str], num_buckets: int,
+                      sort_by: Optional[Sequence[str]] = None) -> None:
+    """Re-attach an existing bucketed parquet directory to a (new) session's
+    catalog — the bucketing lives in table metadata, so a fresh session must
+    re-declare it to get shuffle-free planning."""
+    sorted_cols = ", ".join(sort_by if sort_by is not None else keys)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY ({', '.join(keys)}) "
+        f"SORTED BY ({sorted_cols}) INTO {num_buckets} BUCKETS "
+        f"LOCATION '{path}'")
+
+
+def bucketed_join(spark: SparkSession, left: str, right: str,
+                  keys: Sequence[str], how: str = "inner") -> DataFrame:
+    """Join two registered bucketed tables on their bucket keys."""
+    return spark.table(left).join(spark.table(right), list(keys), how)
+
+
+def exchanges_in_plan(df: DataFrame) -> int:
+    """Count shuffle Exchanges in the physical plan (0 for a co-located
+    bucketed join) — the assertion the tests and plan audits use."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(1 for line in plan.splitlines() if "Exchange" in line
+               and "BroadcastExchange" not in line)
