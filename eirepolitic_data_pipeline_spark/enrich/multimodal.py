@@ -2,11 +2,17 @@
 columns with typed metadata, processed by Arrow-batched Pandas stages.
 
 The Spark-side plumbing (schemas, partitioning, UDF signatures, batch
-shapes) is real and tested; the actual codec work is STUBBED behind
-``_require_codec`` (image/audio libraries are not in this container) with a
-deterministic fake used when ``fake=True`` so pipelines are testable
-end-to-end. Swap the stub for PIL/libav calls in production — the Spark
-plan does not change.
+shapes) is real and tested. Codec support is two-tier:
+
+- a **RAW container family** (``RAWI`` images, ``RAWV`` videos, ``RAWA``
+  audio — numpy-native uncompressed layouts defined below) is decoded,
+  resized, frame-sampled and feature-extracted FOR REAL, pure numpy, no
+  external libraries — so the full decode→transform→re-encode pipeline is
+  executable and tested end-to-end in this container;
+- **external codecs** (JPEG/PNG/MP4/…) are STUBBED behind
+  ``_require_codec`` (the libraries are not in this container) with a
+  deterministic fake used when ``fake=True``. Swap the stub for PIL/libav
+  calls in production — the Spark plan does not change.
 
 Scale notes: media bytes ride the shuffle only when explicitly selected;
 metadata-only plans never touch the blob column (Parquet column pruning),
@@ -103,3 +109,227 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000,
     return (df.filter(F.col("kind") == "video")
             .select("media_id", "content", "duration_ms")
             .mapInPandas(frames, schema="media_id long, frame_ms long, frame_id string"))
+
+
+# ---------------------------------------------------------------------------
+# RAW container family — numpy-native uncompressed media, really decodable.
+#
+# RAWI image : b"RAWI" | u16 width | u16 height | u8 channels | H*W*C u8 px
+# RAWV video : b"RAWV" | u16 width | u16 height | u8 channels | u16 n_frames
+#              | n_frames consecutive H*W*C u8 frames
+# RAWA audio : b"RAWA" | u32 sample_rate | i16 samples...
+# (all little-endian)
+# ---------------------------------------------------------------------------
+
+def encode_raw_image(arr) -> bytes:
+    """HxWxC (or HxW) uint8 array → RAWI bytes."""
+    import numpy as np
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    import struct
+    return b"RAWI" + struct.pack("<HHB", w, h, c) + a.tobytes()
+
+
+def decode_raw_image(blob: bytes):
+    """RAWI bytes → HxWxC uint8 numpy array (raises on bad magic/size)."""
+    import struct
+    import numpy as np
+    if blob[:4] != b"RAWI":
+        raise ValueError("not a RAWI blob")
+    w, h, c = struct.unpack("<HHB", blob[4:9])
+    px = np.frombuffer(blob[9:], dtype=np.uint8)
+    if px.size != w * h * c:
+        raise ValueError("RAWI payload size mismatch")
+    return px.reshape(h, w, c)
+
+
+def encode_raw_video(frames) -> bytes:
+    """Iterable of HxWxC uint8 frames (same shape) → RAWV bytes."""
+    import struct
+    import numpy as np
+    fs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w, c = fs[0].shape
+    body = b"".join(f.tobytes() for f in fs)
+    return b"RAWV" + struct.pack("<HHBH", w, h, c, len(fs)) + body
+
+
+def decode_raw_video(blob: bytes):
+    """RAWV bytes → n_frames x H x W x C uint8 array."""
+    import struct
+    import numpy as np
+    if blob[:4] != b"RAWV":
+        raise ValueError("not a RAWV blob")
+    w, h, c, n = struct.unpack("<HHBH", blob[4:11])
+    px = np.frombuffer(blob[11:], dtype=np.uint8)
+    if px.size != n * w * h * c:
+        raise ValueError("RAWV payload size mismatch")
+    return px.reshape(n, h, w, c)
+
+
+def encode_raw_audio(samples, sample_rate: int = 16000) -> bytes:
+    """1-D int16 array → RAWA bytes."""
+    import struct
+    import numpy as np
+    a = np.asarray(samples, dtype=np.int16)
+    return b"RAWA" + struct.pack("<I", sample_rate) + a.tobytes()
+
+
+def decode_raw_audio(blob: bytes):
+    """RAWA bytes → (sample_rate, 1-D int16 array)."""
+    import struct
+    import numpy as np
+    if blob[:4] != b"RAWA":
+        raise ValueError("not a RAWA blob")
+    (rate,) = struct.unpack("<I", blob[4:8])
+    return rate, np.frombuffer(blob[8:], dtype=np.int16)
+
+
+def resize_nearest(arr, out_w: int, out_h: int):
+    """Nearest-neighbor resize of an HxWxC uint8 array — pure numpy index
+    arithmetic, the same sampling grid PIL's NEAREST uses."""
+    import numpy as np
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) * (h / out_h)).astype(np.int64).clip(0, h - 1)
+    xs = (np.arange(out_w) * (w / out_w)).astype(np.int64).clip(0, w - 1)
+    return arr[ys][:, xs]
+
+
+def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Image blobs → per-image stats (width, height, channels, mean/std
+    intensity). RAWI blobs decode natively; any other content requires a
+    codec (``_require_codec`` applies) — honest per-row dispatch, so a mixed
+    table fails loudly rather than silently faking real JPEGs."""
+    import numpy as np
+    import pandas as pd
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob or b"")
+                if b[:4] == b"RAWI":
+                    a = decode_raw_image(b)
+                    rows.append({
+                        "media_id": mid, "width": a.shape[1],
+                        "height": a.shape[0], "channels": a.shape[2],
+                        "mean_intensity": float(a.mean()),
+                        "std_intensity": float(a.std()),
+                    })
+                else:
+                    _require_codec("decode_images", fake)
+                    h = hashlib.sha256(b).digest()
+                    rows.append({
+                        "media_id": mid, "width": h[0] + 1,
+                        "height": h[1] + 1, "channels": 3,
+                        "mean_intensity": float(h[2]),
+                        "std_intensity": float(h[3]),
+                    })
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "channels",
+                               "mean_intensity", "std_intensity"])
+
+    return (df.filter(F.col("kind") == "image")
+            .select("media_id", "content")
+            .mapInPandas(stats, schema=(
+                "media_id long, width int, height int, channels int, "
+                "mean_intensity double, std_intensity double")))
+
+
+def image_thumbnails(df: DataFrame, max_side: int = 64,
+                     fake: bool = False) -> DataFrame:
+    """Image blobs → RAWI thumbnails with the long side clamped to
+    ``max_side`` (aspect preserved, nearest-neighbor). Real resize for RAWI
+    input; codec-gated otherwise."""
+    import pandas as pd
+
+    def thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob or b"")
+                if b[:4] != b"RAWI":
+                    _require_codec("image_thumbnails", fake)
+                    rows.append({"media_id": mid, "thumbnail": b[:16],
+                                 "thumb_w": 0, "thumb_h": 0})
+                    continue
+                a = decode_raw_image(b)
+                h, w = a.shape[:2]
+                scale = max_side / max(h, w)
+                tw = max(1, int(w * scale)) if scale < 1 else w
+                th = max(1, int(h * scale)) if scale < 1 else h
+                t = resize_nearest(a, tw, th)
+                rows.append({"media_id": mid,
+                             "thumbnail": encode_raw_image(t),
+                             "thumb_w": tw, "thumb_h": th})
+            yield pd.DataFrame(
+                rows, columns=["media_id", "thumbnail", "thumb_w", "thumb_h"])
+
+    return (df.filter(F.col("kind") == "image")
+            .select("media_id", "content")
+            .mapInPandas(thumbs, schema=(
+                "media_id long, thumbnail binary, thumb_w int, thumb_h int")))
+
+
+def extract_video_frames(df: DataFrame, every_n: int = 1,
+                         fake: bool = False) -> DataFrame:
+    """RAWV videos → one row per sampled frame with REAL frame bytes
+    (RAWI-encoded), every ``every_n``-th frame. UDTF-shaped explode like
+    ``sample_video_frames`` but with actual pixel payloads."""
+    import pandas as pd
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob or b"")
+                if b[:4] != b"RAWV":
+                    _require_codec("extract_video_frames", fake)
+                    continue
+                vid = decode_raw_video(b)
+                for i in range(0, vid.shape[0], every_n):
+                    rows.append({"media_id": mid, "frame_no": i,
+                                 "frame": encode_raw_image(vid[i])})
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "frame_no", "frame"])
+
+    return (df.filter(F.col("kind") == "video")
+            .select("media_id", "content")
+            .mapInPandas(frames,
+                         schema="media_id long, frame_no int, frame binary"))
+
+
+def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """RAWA audio → duration, RMS, peak amplitude (real numpy); codec-gated
+    for compressed formats."""
+    import numpy as np
+    import pandas as pd
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob or b"")
+                if b[:4] != b"RAWA":
+                    _require_codec("audio_features", fake)
+                    rows.append({"media_id": mid, "sample_rate": 0,
+                                 "duration_ms": 0, "rms": 0.0, "peak": 0})
+                    continue
+                rate, samples = decode_raw_audio(b)
+                x = samples.astype(np.float64)
+                rows.append({
+                    "media_id": mid, "sample_rate": rate,
+                    "duration_ms": int(len(samples) * 1000 / rate),
+                    "rms": float(np.sqrt((x * x).mean())) if len(x) else 0.0,
+                    "peak": int(np.abs(samples).max()) if len(x) else 0,
+                })
+            yield pd.DataFrame(
+                rows, columns=["media_id", "sample_rate", "duration_ms",
+                               "rms", "peak"])
+
+    return (df.filter(F.col("kind") == "audio")
+            .select("media_id", "content")
+            .mapInPandas(feats, schema=(
+                "media_id long, sample_rate int, duration_ms long, "
+                "rms double, peak int")))
