@@ -209,15 +209,23 @@ def _period_grid(current_members: DataFrame, metric_frames: list[DataFrame],
             mf.select(_trimmed("member_code").alias("member_code")))
     codes = codes.filter(F.col("member_code") != "").distinct()
 
+    # Periods are calendar-bounded (distinct years / months — ≤ thousands by
+    # construction), so they are collected once and re-emitted as a literal
+    # frame: one job instead of three (emptiness probe + broadcast recompute),
+    # and the empty-input fallback becomes a free length check. codes stays
+    # fully distributed — member cardinality is unbounded.
     spark = current_members.sparkSession
     periods = spark.createDataFrame([], f"{period_name} string")
     for pf in period_frames:
         periods = periods.unionByName(
             pf.select(_trimmed(period_name).alias(period_name)))
-    periods = periods.filter(F.col(period_name) != "").distinct()
-    if periods.limit(1).count() == 0:
-        periods = spark.createDataFrame([(fallback_period,)], f"{period_name} string")
-    return codes.crossJoin(F.broadcast(periods))
+    vals = sorted({r[0] for r in
+                   periods.filter(F.col(period_name) != "").distinct().collect()})
+    if not vals:
+        vals = [fallback_period]
+    period_lit = spark.createDataFrame([(v,) for v in vals],
+                                       f"{period_name} string")
+    return codes.crossJoin(F.broadcast(period_lit))
 
 
 def gold_member_activity_yearly(current_members: DataFrame, speeches: DataFrame,
@@ -390,12 +398,16 @@ def gold_constituency_activity_yearly(current_members: DataFrame,
         .agg(F.countDistinct("member_code").alias("member_count"))
     ).cache()
 
-    years = (speech_metrics.select("year")
-             .unionByName(vote_metrics.select("year")).distinct()
-             .filter(nonblank("year")))
-    if years.limit(1).count() == 0:
-        years = current_members.sparkSession.createDataFrame(
-            [(snapshot_date[:4],)], "year string")
+    # Same bounded-dimension collect as _period_grid: distinct years are
+    # calendar-bounded, so one job replaces the probe + recompute pair.
+    year_vals = sorted({r[0] for r in (
+        speech_metrics.select("year")
+        .unionByName(vote_metrics.select("year")).distinct()
+        .filter(nonblank("year")).collect())})
+    if not year_vals:
+        year_vals = [snapshot_date[:4]]
+    years = current_members.sparkSession.createDataFrame(
+        [(v,) for v in year_vals], "year string")
     names = (member_counts.select("constituency_name")
              .unionByName(speech_metrics.select("constituency_name"))
              .unionByName(vote_metrics.select("constituency_name"))
