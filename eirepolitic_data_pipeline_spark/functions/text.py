@@ -159,3 +159,46 @@ def sentence_candidates(col: Column | str, max_words: int = 50) -> Column:
         sentences(col, max_words),
         lambda s: (F.size(F.split(s, r"\s+")) <= max_words)
         & s.rlike("[A-Za-z]"))
+
+
+def winnowed_fingerprints(col: Column | str, k: int = 5, window: int = 4,
+                          base: int = 257,
+                          mod: int = 1_000_000_007) -> Column:
+    """Rolling-hash document fingerprints with winnowing (the MOSS scheme):
+    polynomial hash every k-char gram of the normalized text, slide a
+    ``window`` over the gram hashes, keep each window's minimum, emit the
+    sorted distinct minima as ``array<bigint>``.
+
+    Guarantees the winnowing property — any shared substring of length
+    ``k + window - 1`` between two documents yields at least one shared
+    fingerprint — which is what makes the fingerprint set joinable for
+    near-dup candidate generation at corpus scale (explode + equi-join on
+    fingerprint value, never all-pairs).
+
+    Pure Catalyst higher-order functions (transform/aggregate/slice) — no
+    UDF, JVM-side, and expressible identically in any SQL engine with list
+    lambdas, so results are oracle-checkable bit-for-bit. Normalization
+    matches `doc_fingerprint` (lowercase, non-alphanumeric runs → single
+    space).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.lower(F.coalesce(c.cast("string"), F.lit("")))
+    norm = F.trim(F.regexp_replace(norm, r"[^a-z0-9]+", " "))
+    codes = F.transform(F.split(norm, ""), F.ascii)
+    n = F.when(F.length(norm) > 0, F.size(codes)).otherwise(F.lit(0))
+
+    gram_hash = lambda i: F.aggregate(  # noqa: E731
+        F.slice(codes, i, k), F.lit(0).cast("long"),
+        lambda acc, x: (acc * base + x) % mod)
+    grams = F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - k + 1), gram_hash)
+    ).otherwise(F.array().cast("array<bigint>"))
+
+    g = F.size(grams)
+    minima = F.when(
+        g >= window,
+        F.transform(F.sequence(F.lit(1), g - window + 1),
+                    lambda p: F.array_min(F.slice(grams, p, window)))
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.array_sort(F.array_distinct(minima))

@@ -394,3 +394,74 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     return (pairs.withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowed rolling-hash fingerprints (MOSS scheme)
+# ---------------------------------------------------------------------------
+
+_NON_ALNUM_RE = re.compile(r"[^a-z0-9]+", re.ASCII)
+
+
+def winnow_py(text: str, k: int = 5, window: int = 4, base: int = 257,
+              mod: int = 1_000_000_007) -> list[int]:
+    """Pure-Python winnowing reference (used by tests; semantics source of
+    truth shared with the vectorized kernel and the column-expression
+    formulation in functions/text.py — all three agree bit-for-bit)."""
+    s = _NON_ALNUM_RE.sub(" ", (text or "").lower()).strip()
+    if len(s) < k:
+        return []
+    hs = []
+    for i in range(len(s) - k + 1):
+        h = 0
+        for ch in s[i:i + k]:
+            h = (h * base + ord(ch)) % mod
+        hs.append(h)
+    if len(hs) < window:
+        return []
+    mins = {min(hs[p:p + window]) for p in range(len(hs) - window + 1)}
+    return sorted(mins)
+
+
+def winnowed_fingerprint_frame(df: DataFrame, id_col: str = "doc_id",
+                               text_col: str = "text", k: int = 5,
+                               window: int = 4, base: int = 257,
+                               mod: int = 1_000_000_007) -> DataFrame:
+    """(id, sorted distinct winnowed fingerprints) per document.
+
+    Same Arrow-kernel rationale as the shingle/minhash kernels above: the
+    rolling hash over every character position is the interpreted-HOF worst
+    case (nested transform x aggregate measured ~200s for 500 short docs —
+    the lambda tree re-evaluates per element), while the numpy form is a
+    sliding-window dot product + windowed min: vectorized, map-side only,
+    no shuffle added. Fingerprints are content-derived integers — identical
+    to the SQL-lambda oracle and winnow_py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    weights = np.array([pow(base, k - 1 - j, mod) for j in range(k)],
+                       dtype=np.int64)
+
+    def fps(text) -> list[int]:
+        s = _NON_ALNUM_RE.sub(" ", (text or "").lower()).strip()
+        if len(s) < k:
+            return []
+        codes = np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(np.int64)
+        grams = np.lib.stride_tricks.sliding_window_view(codes, k)
+        # max dot ≈ 122 * k * base^(k-1) ≈ 5e12 « 2^63 — single mod is exact
+        hs = (grams @ weights) % mod
+        if hs.size < window:
+            return []
+        mins = np.lib.stride_tricks.sliding_window_view(hs, window).min(axis=1)
+        return np.unique(mins).tolist()
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "fingerprints": [fps(t) for t in pdf[text_col]],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} long, fingerprints array<long>")

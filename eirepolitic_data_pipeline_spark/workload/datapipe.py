@@ -515,3 +515,65 @@ def q30_quality_scores(spark, sf_dir):
         F.round(q["alpha_ratio"], 4).alias("alpha_ratio"),
         F.round(q["distinct_token_ratio"], 4).alias("distinct_token_ratio"),
     )
+
+
+@register(
+    "q49_winnowed_fingerprints",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+      FROM documents
+    ), codes AS (
+      SELECT doc_id,
+             CASE WHEN len(s) > 0 THEN
+               list_transform(range(1, len(s) + 1),
+                 i -> CAST(ascii(substr(s, CAST(i AS INTEGER), 1)) AS BIGINT))
+             ELSE CAST([] AS BIGINT[]) END AS cs
+      FROM norm
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(cs) >= 5 THEN
+               list_transform(range(1, len(cs) - 5 + 2),
+                 i -> list_reduce(
+                        list_slice(cs, CAST(i AS INTEGER), CAST(i + 4 AS INTEGER)),
+                        (acc, x) -> (acc * 257 + x) % 1000000007))
+             ELSE CAST([] AS BIGINT[]) END AS hs
+      FROM codes
+    ), fps AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 4 THEN
+               list_sort(list_distinct(list_transform(
+                 range(1, len(hs) - 4 + 2),
+                 p -> list_min(list_slice(hs, CAST(p AS INTEGER),
+                                          CAST(p + 3 AS INTEGER))))))
+             ELSE CAST([] AS BIGINT[]) END AS fp
+      FROM grams
+    )
+    SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+           coalesce(list_min(fp), -1) AS min_fp,
+           coalesce(list_max(fp), -1) AS max_fp
+    FROM fps
+    """,
+    survey_ref="beyond-ref: rolling-hash winnowing fingerprints (functions/text.py)",
+)
+def q49_winnowed_fingerprints(spark, sf_dir):
+    """Winnowed rolling-hash fingerprints (MOSS scheme) per document:
+    k=5-gram polynomial hashes, window-4 minima, sorted distinct. The
+    fingerprint SET is the near-dup join key at scale (explode + equi-join —
+    any shared 8-char normalized substring guarantees a shared fingerprint);
+    this query hash-checks the kernel via set size and extrema. Runs the
+    Arrow numpy kernel (sliding dot product + windowed min, map-side, no
+    shuffle) — the interpreted-HOF column form of the same function
+    (functions/text.py) is its tested twin but ~100x slower in the hot
+    path; the DuckDB list-lambda oracle mirrors the semantics exactly."""
+    from ..operators.dedupe import winnowed_fingerprint_frame
+    docs = spread(t(spark, sf_dir, "documents"))
+    out = winnowed_fingerprint_frame(docs, "doc_id", "text", k=5, window=4)
+    fp = F.col("fingerprints")
+    return out.select(
+        "doc_id",
+        F.size(fp).cast("long").alias("n_fp"),
+        F.coalesce(F.array_min(fp), F.lit(-1)).cast("long").alias("min_fp"),
+        F.coalesce(F.array_max(fp), F.lit(-1)).cast("long").alias("max_fp"),
+    )

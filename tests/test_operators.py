@@ -310,3 +310,40 @@ def test_salted_agg_rejects_non_recombinable(spark):
     df = spark.createDataFrame([("a", 1)], "key string, v long")
     with _pytest.raises(ValueError):
         salted_agg(df, ["key"], {"bad": ("avg", "v")})
+
+
+def test_winnowed_fingerprints_three_way_parity(spark):
+    from eirepolitic_data_pipeline_spark.functions.text import (
+        winnowed_fingerprints,
+    )
+    from eirepolitic_data_pipeline_spark.operators.dedupe import (
+        winnow_py,
+        winnowed_fingerprint_frame,
+    )
+    texts = [
+        (1, "The quick brown fox jumps over the lazy dog!"),
+        (2, "the QUICK   brown-fox"),
+        (3, "ab"),                      # shorter than k -> empty
+        (4, ""),                        # empty -> empty
+        (5, "aaaaaaaaaaaa"),            # degenerate repeats
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    expect = {i: winnow_py(t_, k=5, window=4) for i, t_ in texts}
+
+    kernel = {r["doc_id"]: list(r["fingerprints"])
+              for r in winnowed_fingerprint_frame(df, k=5, window=4).collect()}
+    assert kernel == expect
+
+    colexpr = {r["doc_id"]: list(r["fp"]) for r in df.select(
+        "doc_id", winnowed_fingerprints("text", k=5, window=4).alias("fp")
+    ).collect()}
+    assert colexpr == expect
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    # any shared normalized substring of length k + window - 1 = 8 must
+    # produce at least one shared fingerprint
+    from eirepolitic_data_pipeline_spark.operators.dedupe import winnow_py
+    a = winnow_py("xxxx SHAREDSEQ yyyy", k=5, window=4)
+    b = winnow_py("completely other SHAREDSEQ words", k=5, window=4)
+    assert set(a) & set(b)
