@@ -517,10 +517,10 @@ def q30_quality_scores(spark, sf_dir):
     )
 
 
-@register(
-    "q49_winnowed_fingerprints",
-    """
-    WITH norm AS (
+# Shared winnowing CTE chain (q49/q50): text → ascii codes → k=5-gram
+# rolling hashes → window-4 minima → sorted distinct fingerprint list.
+_WINNOW_FPS_CTE = """
+    norm AS (
       SELECT doc_id,
              trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
       FROM documents
@@ -550,6 +550,13 @@ def q30_quality_scores(spark, sf_dir):
              ELSE CAST([] AS BIGINT[]) END AS fp
       FROM grams
     )
+"""
+
+
+@register(
+    "q49_winnowed_fingerprints",
+    f"""
+    WITH {_WINNOW_FPS_CTE}
     SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
            coalesce(list_min(fp), -1) AS min_fp,
            coalesce(list_max(fp), -1) AS max_fp
@@ -576,4 +583,57 @@ def q49_winnowed_fingerprints(spark, sf_dir):
         F.size(fp).cast("long").alias("n_fp"),
         F.coalesce(F.array_min(fp), F.lit(-1)).cast("long").alias("min_fp"),
         F.coalesce(F.array_max(fp), F.lit(-1)).cast("long").alias("max_fp"),
+    )
+
+
+@register(
+    "q50_winnow_neardup_pairs",
+    f"""
+    WITH {_WINNOW_FPS_CTE},
+    posts AS (
+      SELECT doc_id, len(fp) AS n_fp, unnest(fp) AS key
+      FROM fps WHERE len(fp) > 0
+    ),
+    ok_keys AS (
+      SELECT key FROM posts GROUP BY key HAVING count(*) <= 1000
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_fp AS n_a, b.n_fp AS n_b
+      FROM posts a
+      JOIN posts b ON a.key = b.key AND a.doc_id < b.doc_id
+      JOIN ok_keys k ON a.key = k.key
+    )
+    SELECT doc_a, doc_b, count(*) AS shared_fp,
+           round(count(*) / CAST(least(min(n_a), min(n_b)) AS DOUBLE), 4)
+             AS containment
+    FROM pairs
+    GROUP BY doc_a, doc_b
+    HAVING containment >= 0.5
+    """,
+    survey_ref="beyond-ref: winnowing near-dup candidates (O11/dedup family)",
+)
+def q50_winnow_neardup_pairs(spark, sf_dir):
+    """Near-dup candidate pairs from winnowed fingerprints: explode the
+    fingerprint set into an inverted index, generate pairs through the
+    skew-capped posting machinery (`pairs_from_postings`, stop-key cap
+    mirrored in the oracle), score containment = shared / min(set size).
+    The complete fingerprint-based dedup path at corpus scale: no
+    all-pairs, one posting shuffle, bounded pair expansion per key."""
+    from ..operators.dedupe import pairs_from_postings, winnowed_fingerprint_frame
+    docs = spread(t(spark, sf_dir, "documents"))
+    fpf = winnowed_fingerprint_frame(docs, "doc_id", "text", k=5, window=4)
+    postings = fpf.filter(F.size("fingerprints") > 0).select(
+        "doc_id", F.size("fingerprints").alias("n_fp"),
+        F.explode("fingerprints").alias("key"))
+    pairs = pairs_from_postings(postings, key="key", payload_cols=["n_fp"])
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fp"),
+             F.min("a_n_fp").alias("n_a"), F.min("b_n_fp").alias("n_b"))
+        .withColumn("containment",
+                    F.round(F.col("shared_fp")
+                            / F.least("n_a", "n_b").cast("double"), 4))
+        .filter(F.col("containment") >= 0.5)
+        .select("doc_a", "doc_b", "shared_fp", "containment")
     )
