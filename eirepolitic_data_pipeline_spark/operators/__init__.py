@@ -18,3 +18,9 @@ from .temporal import (  # noqa: F401
 from .ranking import argmax_per_group, dense_rank_in, top_n_per_group  # noqa: F401
 from .similarity import cosine_col, knn_bruteforce, knn_lsh  # noqa: F401
 from .skew import salted_agg, salted_string_agg, salted_top_n  # noqa: F401
+from .curation import (  # noqa: F401
+    dataset_split,
+    hash_bucket,
+    hash_sample,
+    pack_sequences,
+)

@@ -637,3 +637,87 @@ def q50_winnow_neardup_pairs(spark, sf_dir):
         .filter(F.col("containment") >= 0.5)
         .select("doc_a", "doc_b", "shared_fp", "containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset curation: deterministic splits + sequence packing
+# ---------------------------------------------------------------------------
+
+@register(
+    "q51_dataset_split",
+    """
+    WITH b AS (
+      SELECT doc_id, source,
+             CAST(CAST('0x' || substr(md5('split' || source), 1, 8) AS BIGINT)
+                  % 10000 AS INTEGER) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, source, bucket,
+           CASE WHEN bucket < 9800 THEN 'train'
+                WHEN bucket < 9900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    survey_ref="beyond-ref: deterministic group-preserving dataset split (operators/curation.py)",
+)
+def q51_dataset_split(spark, sf_dir):
+    """Deterministic group-preserving train/val/test split keyed on the
+    leakage boundary (`source`, not doc_id): every document from one source
+    lands in one split, re-runs and incremental refreshes can never migrate
+    a document across the fence, and the md5-bucket arithmetic is
+    reproducible by any SQL engine (the oracle recomputes it exactly).
+    Pure projection — zero shuffles at any scale."""
+    from ..operators.curation import dataset_split, hash_bucket
+    docs = t(spark, sf_dir, "documents")
+    out = dataset_split(docs, "source",
+                        {"train": 0.98, "val": 0.01, "test": 0.01})
+    return out.select(
+        "doc_id", "source",
+        hash_bucket("source", salt="split").alias("bucket"),
+        "split")
+
+
+@register(
+    "q52_sequence_packing",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(doc_id % 8 AS INTEGER) AS shard,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ), packed AS (
+      SELECT shard, doc_id, n_tok,
+             CAST(floor((sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tok) / 2048.0) AS INTEGER) AS batch_id
+      FROM toks
+    )
+    SELECT shard, batch_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS VARCHAR) AS n_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM packed
+    GROUP BY shard, batch_id
+    """,
+    survey_ref="beyond-ref: token-budget sequence packing (operators/curation.py)",
+)
+def q52_sequence_packing(spark, sf_dir):
+    """Token-budget sequence packing: shard documents (pmod id), order
+    within shard, cut batches where the running token total crosses a
+    2048-token budget multiple. One window shuffle on the shard key; batch
+    size bounded by budget + max doc regardless of corpus size. The
+    per-batch summary (docs, tokens, id range) is hash-checked."""
+    from ..operators.curation import pack_sequences
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tok"))
+    packed = pack_sequences(toks, "doc_id", "n_tok", budget=2048, shards=8)
+    return (packed.groupBy("shard", "batch_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 # string on both sides: DuckDB→pandas widens nullable sums
+                 # to float64, which would hash-mismatch the exact integer
+                 F.sum("n_tok").cast("string").alias("n_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))

@@ -347,3 +347,60 @@ def test_winnowing_shared_substring_guarantee(spark):
     a = winnow_py("xxxx SHAREDSEQ yyyy", k=5, window=4)
     b = winnow_py("completely other SHAREDSEQ words", k=5, window=4)
     assert set(a) & set(b)
+
+
+# ---------------------------------------------------------------------------
+# curation (splits / sampling / packing)
+# ---------------------------------------------------------------------------
+
+def test_dataset_split_group_preserving_and_stable(spark):
+    from eirepolitic_data_pipeline_spark.operators.curation import dataset_split
+    rows = [(i, f"src_{i % 40}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = dataset_split(df, "source").collect()
+    # group-preserving: one split per source
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_src.values())
+    # deterministic across runs
+    again = {(r["doc_id"]): r["split"]
+             for r in dataset_split(df, "source").collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in out)
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+
+
+def test_dataset_split_rejects_bad_weights(spark):
+    import pytest as _pytest
+    from eirepolitic_data_pipeline_spark.operators.curation import dataset_split
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with _pytest.raises(ValueError):
+        dataset_split(df, "source", {"train": 0.5, "val": 0.1}).collect()
+
+
+def test_hash_sample_nested_and_deterministic(spark):
+    from eirepolitic_data_pipeline_spark.operators.curation import hash_sample
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    small = {r["k"] for r in hash_sample(df, "k", 0.1).collect()}
+    big = {r["k"] for r in hash_sample(df, "k", 0.3).collect()}
+    assert small and small < big          # nested: 10% subset of 30%
+    assert 100 < len(small) < 320         # roughly uniform
+    assert small == {r["k"] for r in hash_sample(df, "k", 0.1).collect()}
+
+
+def test_pack_sequences_budget_bound(spark):
+    from eirepolitic_data_pipeline_spark.operators.curation import pack_sequences
+    rows = [(i, 10 + (i * 7) % 90) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    packed = pack_sequences(df, "doc_id", "n_tok", budget=300, shards=4)
+    per_batch = (packed.groupBy("shard", "batch_id")
+                 .agg(F.sum("n_tok").alias("total"),
+                      F.max("n_tok").alias("mx")).collect())
+    # every batch bounded by budget + its largest doc; consecutive ids
+    for r in per_batch:
+        assert r["total"] <= 300 + r["mx"]
+    # batches within a shard are contiguous in doc order
+    rows_ = packed.orderBy("shard", "doc_id").collect()
+    for a, b in zip(rows_, rows_[1:]):
+        if a["shard"] == b["shard"]:
+            assert b["batch_id"] >= a["batch_id"]
