@@ -174,10 +174,15 @@ def pairs_from_postings(postings: DataFrame, key: str = "key",
                *[F.col(c).alias(c) for c in payload_cols]]
     # Hash-repartition by key up front: the groupBy reuses this partitioning
     # (no second exchange) and the explicit count keeps AQE from coalescing
-    # the small-byte-but-CPU-heavy pair-expansion stage onto one core.
+    # the small-byte-but-CPU-heavy pair-expansion stage onto one core. The
+    # count follows spark.sql.shuffle.partitions (the cluster-sized knob AQE
+    # also derives from), falling back to defaultParallelism in sessions
+    # that never set it — not pinned to the local core count.
     spark = postings.sparkSession
-    postings = postings.repartition(
-        spark.sparkContext.defaultParallelism, F.col(key))
+    n_parts = int(spark.conf.get(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism)))
+    postings = postings.repartition(n_parts, F.col(key))
     grouped = postings.groupBy(key).agg(
         F.array_sort(F.collect_list(F.struct(*payload))).alias("__ds"))
     if max_df is not None:

@@ -595,7 +595,7 @@ def q49_winnowed_fingerprints(spark, sf_dir):
       FROM fps WHERE len(fp) > 0
     ),
     ok_keys AS (
-      SELECT key FROM posts GROUP BY key HAVING count(*) <= 1000
+      SELECT key FROM posts GROUP BY key HAVING count(*) <= 100
     ),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -626,7 +626,12 @@ def q50_winnow_neardup_pairs(spark, sf_dir):
     postings = fpf.filter(F.size("fingerprints") > 0).select(
         "doc_id", F.size("fingerprints").alias("n_fp"),
         F.explode("fingerprints").alias("key"))
-    pairs = pairs_from_postings(postings, key="key", payload_cols=["n_fp"])
+    # Tighter stop-key cap than the shingle paths: a winnow fingerprint
+    # shared by >100 docs is boilerplate (common word runs), and the pair
+    # expansion is quadratic per key — df≤100 bounds any key to ≤5k pairs.
+    # The oracle applies the identical cap.
+    pairs = pairs_from_postings(postings, key="key", payload_cols=["n_fp"],
+                                max_df=100)
     return (
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared_fp"),
