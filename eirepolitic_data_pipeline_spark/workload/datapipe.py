@@ -597,12 +597,19 @@ def q49_winnowed_fingerprints(spark, sf_dir):
     ok_keys AS (
       SELECT key FROM posts GROUP BY key HAVING count(*) <= 100
     ),
+    kept AS (
+      SELECT p.doc_id, p.key FROM posts p JOIN ok_keys k ON p.key = k.key
+    ),
+    doc_sizes AS (
+      SELECT doc_id, count(*) AS n_kept FROM kept GROUP BY doc_id
+    ),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.n_fp AS n_a, b.n_fp AS n_b
-      FROM posts a
-      JOIN posts b ON a.key = b.key AND a.doc_id < b.doc_id
-      JOIN ok_keys k ON a.key = k.key
+             sa.n_kept AS n_a, sb.n_kept AS n_b
+      FROM kept a
+      JOIN kept b ON a.key = b.key AND a.doc_id < b.doc_id
+      JOIN doc_sizes sa ON sa.doc_id = a.doc_id
+      JOIN doc_sizes sb ON sb.doc_id = b.doc_id
     )
     SELECT doc_a, doc_b, count(*) AS shared_fp,
            round(count(*) / CAST(least(min(n_a), min(n_b)) AS DOUBLE), 4)
@@ -615,27 +622,31 @@ def q49_winnowed_fingerprints(spark, sf_dir):
 )
 def q50_winnow_neardup_pairs(spark, sf_dir):
     """Near-dup candidate pairs from winnowed fingerprints: explode the
-    fingerprint set into an inverted index, generate pairs through the
-    skew-capped posting machinery (`pairs_from_postings`, stop-key cap
-    mirrored in the oracle), score containment = shared / min(set size).
-    The complete fingerprint-based dedup path at corpus scale: no
-    all-pairs, one posting shuffle, bounded pair expansion per key."""
+    fingerprint set into an inverted index, drop stop keys (fingerprints
+    shared by >100 docs are boilerplate word runs — winnowing minima skew
+    toward globally common low-hash grams, so the df tail is heavy), then
+    score containment over the SURVIVING fingerprints: shared / min(kept
+    set size). Normalizing by the post-filter set is the IDF-style choice
+    that keeps recall under the cap — exact copies score 1.0 no matter how
+    many of their fingerprints were globally common (verified in the 20x
+    scale stress; normalizing by the full set collapsed to zero pairs
+    there). No all-pairs anywhere: one key shuffle for the stop filter,
+    one doc shuffle for kept-set sizes, bounded pair expansion per key."""
     from ..operators.dedupe import pairs_from_postings, winnowed_fingerprint_frame
     docs = spread(t(spark, sf_dir, "documents"))
     fpf = winnowed_fingerprint_frame(docs, "doc_id", "text", k=5, window=4)
-    postings = fpf.filter(F.size("fingerprints") > 0).select(
-        "doc_id", F.size("fingerprints").alias("n_fp"),
-        F.explode("fingerprints").alias("key"))
-    # Tighter stop-key cap than the shingle paths: a winnow fingerprint
-    # shared by >100 docs is boilerplate (common word runs), and the pair
-    # expansion is quadratic per key — df≤100 bounds any key to ≤5k pairs.
-    # The oracle applies the identical cap.
-    pairs = pairs_from_postings(postings, key="key", payload_cols=["n_fp"],
+    postings = fpf.select("doc_id", F.explode("fingerprints").alias("key"))
+    ok = (postings.groupBy("key").agg(F.count(F.lit(1)).alias("df"))
+          .filter(F.col("df") <= 100).select("key"))
+    kept = postings.join(ok, "key", "left_semi")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_kept"))
+    kept2 = kept.join(sizes, "doc_id")
+    pairs = pairs_from_postings(kept2, key="key", payload_cols=["n_kept"],
                                 max_df=100)
     return (
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared_fp"),
-             F.min("a_n_fp").alias("n_a"), F.min("b_n_fp").alias("n_b"))
+             F.min("a_n_kept").alias("n_a"), F.min("b_n_kept").alias("n_b"))
         .withColumn("containment",
                     F.round(F.col("shared_fp")
                             / F.least("n_a", "n_b").cast("double"), 4))
