@@ -75,10 +75,12 @@ class BatchCatalog:
 
     # -- manifest ------------------------------------------------------------
     def record_table(self, batch_id: str, table: str, row_count: int,
-                     status: str = "ok"):
-        """Per-table batch entry (reference `batch.py:91-130`)."""
+                     status: str = "ok", replace: bool = False):
+        """Per-table batch entry (reference `batch.py:91-130`). ``replace``
+        is for accumulating writers (streaming micro-batches) that re-record
+        the same table within the open candidate batch."""
         m = self._load_manifest(batch_id)
-        if table in m["tables"]:
+        if table in m["tables"] and not replace:
             raise CatalogError(f"duplicate table {table!r} in batch {batch_id!r}")
         m["tables"][table] = {"row_count": int(row_count), "status": status}
         self._save_manifest(batch_id, m)
@@ -114,19 +116,29 @@ class BatchCatalog:
 
     # -- write/read ----------------------------------------------------------
     def write_table(self, df: DataFrame, table: str, batch_id: Optional[str],
-                    status: str = "ok"):
-        """Candidate write — always lands in an immutable batch dir.
+                    status: str = "ok", overwrite: bool = False):
+        """Candidate write — always lands in a batch dir.
 
         A production-bound write without a batch id is refused, mirroring the
         reference's candidate redirection guard (`io_s3.py:74-83`).
+        Batches are immutable once PROMOTED; during the build window an
+        accumulating writer (streaming micro-batches) may pass ``overwrite``
+        to re-land the table in the OPEN candidate batch — the reference's
+        own candidate keys are rewritten per table build the same way.
         """
         if not batch_id:
             raise CatalogError(
                 f"refusing candidate write of {table!r} without a batch id")
+        if overwrite and batch_id == self.production_batch_id():
+            raise CatalogError(
+                f"batch {batch_id!r} is promoted — promoted batches are "
+                "immutable")
         path = self.batch_path(batch_id, table)
         row_count = df.count()
-        df.write.mode("errorifexists").parquet(path)  # immutable: no overwrite
-        self.record_table(batch_id, table, row_count, status)
+        mode = "overwrite" if overwrite else "errorifexists"
+        df.write.mode(mode).parquet(path)
+        self.record_table(batch_id, table, row_count, status,
+                          replace=overwrite)
 
     def read_table(self, spark: SparkSession, table: str,
                    batch_id: Optional[str] = None) -> DataFrame:

@@ -23,20 +23,39 @@ class MergeWriter:
     spark: SparkSession
 
     def write(self, incoming: DataFrame, table: str, policy: WritePolicy,
-              batch_id: str, snapshot_date: Optional[str] = None) -> DataFrame:
+              batch_id: str, snapshot_date: Optional[str] = None,
+              accumulate: bool = False) -> DataFrame:
         """Merge incoming into retained history per policy, write to the
         candidate batch, and return the merged DataFrame.
 
         ``snapshot_date`` partitions the physical layout (hive-style, as the
         reference's `snapshot_date={d}` keys) when provided.
+
+        ``accumulate`` is the streaming micro-batch mode: merge against the
+        CANDIDATE batch's current state when it exists (else production), and
+        overwrite the candidate table — so successive micro-batches build up
+        one batch dir instead of colliding, and a checkpoint replay re-merges
+        idempotently. The merged frame is localCheckpoint()ed first because
+        Spark cannot overwrite a path that feeds the plan being written.
         """
-        try:
-            existing = self.catalog.read_table(self.spark, table)
-        except CatalogError:
-            existing = None
+        existing = None
+        if accumulate:
+            try:
+                existing = self.catalog.read_table(self.spark, table,
+                                                   batch_id=batch_id)
+            except Exception:
+                existing = None
+        if existing is None:
+            try:
+                existing = self.catalog.read_table(self.spark, table)
+            except CatalogError:
+                existing = None
         merged = merge_for_policy(existing, incoming, policy)
         if snapshot_date is not None:
             from pyspark.sql import functions as F
             merged = merged.withColumn("snapshot_date", F.lit(snapshot_date))
-        self.catalog.write_table(merged, table, batch_id)
+        if accumulate:
+            merged = merged.localCheckpoint()
+        self.catalog.write_table(merged, table, batch_id,
+                                 overwrite=accumulate)
         return merged

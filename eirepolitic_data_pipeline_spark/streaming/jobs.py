@@ -105,3 +105,36 @@ def stateful_user_totals(events: DataFrame,
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout)
+
+
+def streaming_merge_sink(events: DataFrame, writer, table: str, policy,
+                         batch_id: str, id_col: str = "event_id",
+                         watermark: str = "35 days",
+                         checkpoint_dir: str | None = None):
+    """Continuous ingestion into the engine's merge-on-write catalog.
+
+    Wires Structured Streaming to the MergeWriter through ``foreachBatch``:
+    each micro-batch is deduplicated on the deterministic id within the
+    watermark (at-least-once delivery → exactly-once table contents), then
+    applied to retained history under the table's write policy — the same
+    upsert-keep-last reconciliation the reference runs per cron window
+    (`merge.py:14-30` + `io_s3.py:118-127`), now incremental. Replayed
+    batches are harmless: the policy merge is idempotent on the business
+    key, which is what makes checkpoint-recovery safe.
+
+    Returns the StreamingQuery (caller owns awaitTermination / stop).
+    """
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    src = src.dropDuplicates([id_col])
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        writer.write(batch_df, table, policy, batch_id, accumulate=True)
+
+    w = src.writeStream.foreachBatch(apply_batch).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

@@ -343,3 +343,47 @@ def test_non_raw_blobs_stay_codec_gated(spark):
     # fake=True path still works for external codecs
     out = decode_images(df, fake=True).collect()[0]
     assert out["channels"] == 3 and out["width"] > 0
+
+
+def test_streaming_merge_sink_idempotent_upsert(spark, tmp_path):
+    from eirepolitic_data_pipeline_spark.io.catalog import BatchCatalog
+    from eirepolitic_data_pipeline_spark.io.writers import MergeWriter
+    from eirepolitic_data_pipeline_spark.operators.merge import WritePolicy
+    from eirepolitic_data_pipeline_spark.streaming.jobs import (
+        streaming_merge_sink,
+    )
+
+    events = load_table(spark, SF, "events").limit(200)
+    src_path = str(tmp_path / "src")
+    events.write.parquet(src_path)
+
+    catalog = BatchCatalog(root=str(tmp_path / "warehouse"))
+    writer = MergeWriter(catalog=catalog, spark=spark)
+    policy = WritePolicy(mode="upsert", primary_key=["event_id"])
+
+    def run(checkpoint, batch_id):
+        stream = spark.readStream.schema(events.schema).parquet(src_path)
+        q = streaming_merge_sink(
+            stream, writer, "events_t", policy, batch_id=batch_id,
+            checkpoint_dir=str(tmp_path / checkpoint))
+        q.awaitTermination(120)
+
+    run("cp1", "b1")
+    catalog.promote("b1", ["events_t"])
+    first = catalog.read_table(spark, "events_t")
+    n_ids = events.select("event_id").distinct().count()
+    assert first.count() == n_ids
+
+    # re-delivery into the next refresh batch: fresh checkpoint replays
+    # every file; upsert keep-last against production leaves contents
+    # identical (idempotent reconciliation)
+    run("cp2", "b2")
+    catalog.promote("b2", ["events_t"])
+    replayed = catalog.read_table(spark, "events_t")
+    assert replayed.count() == n_ids
+    assert replayed.select("event_id").distinct().count() == n_ids
+
+    # a promoted batch is immutable: accumulating writes into it are refused
+    from eirepolitic_data_pipeline_spark.io.catalog import CatalogError
+    with pytest.raises(CatalogError):
+        catalog.write_table(events, "events_t", "b2", overwrite=True)
