@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import datetime
 import math
+import os
 import sys
 import time
 
@@ -53,9 +54,17 @@ def main():
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
-    from eirepolitic_data_pipeline_spark.session import get_spark
 
-    spark = get_spark("check_oracle")
+    if os.environ.get("SPARK_GRAFT_PLAIN"):
+        # Mimic the driver harness exactly: a PLAIN session, none of the
+        # factory's confs — catches accidental dependencies on them.
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[8]")
+                 .config("spark.ui.enabled", "false")
+                 .appName("check_oracle_plain").getOrCreate())
+    else:
+        from eirepolitic_data_pipeline_spark.session import get_spark
+        spark = get_spark("check_oracle")
     con = duckdb.connect()
     for tname in ("region", "nation", "customer", "supplier", "part", "orders",
                   "lineitem", "events", "documents", "embeddings"):
