@@ -83,3 +83,63 @@ def scope_replace_union(existing: DataFrame, incoming: DataFrame,
     this is dynamic partition overwrite; as algebra it is filter + union."""
     return existing.filter(~scope_predicate).unionByName(
         incoming, allowMissingColumns=True)
+
+
+def point_in_interval_join(points: DataFrame, intervals: DataFrame,
+                           ts_col: str, start_col: str, end_col: str,
+                           bucket: str = "1 hour",
+                           equi_keys: Sequence[str] = (),
+                           how: str = "inner") -> DataFrame:
+    """Range join: each point row matched to interval rows containing it
+    (``start <= ts < end``), with optional extra equi keys.
+
+    Spark has no native range join, and the naive formulation is a
+    cross/theta join — O(|points| x |intervals|) with everything in one
+    task. This is the bucketized plan: explode each interval into the
+    ``bucket``-grain time buckets it spans, equi-join points to intervals
+    on (bucket [+ equi_keys]) — a plain shuffled hash join — then filter
+    the exact containment predicate. Cost is O(|points| + |intervals| x
+    span/bucket + true matches): linear, partitioned, AQE-skew-splittable.
+    Pick ``bucket`` near the typical interval length so intervals explode
+    into a handful of buckets each.
+
+    Intervals that overlap each other are fine (a point matches each
+    container); a point in no interval is dropped (inner) or kept with
+    null interval columns (``how='left'``, implemented as inner + anti
+    union so the bucket join itself stays an equi-join).
+    """
+    # Bucket bounds via integer epoch arithmetic — engine-portable (the
+    # oracle mirrors it with the same floor-division) and cheap.
+    secs = F.regexp_extract(F.lit(bucket), r"(\d+)", 1).cast("long")
+    unit = F.when(F.lit(bucket).contains("hour"), 3600) \
+        .when(F.lit(bucket).contains("minute"), 60) \
+        .when(F.lit(bucket).contains("day"), 86400).otherwise(1)
+    step = (secs * unit)
+    iv = intervals.withColumn(
+        "__buckets",
+        F.sequence(
+            (F.unix_timestamp(F.col(start_col)) / step).cast("long") * step,
+            # end is exclusive, but a point in the end's bucket before the
+            # end still matches — include the end bucket
+            (F.unix_timestamp(F.col(end_col)) / step).cast("long") * step,
+            step,
+        )).withColumn("__bucket", F.explode("__buckets")).drop("__buckets")
+    p2 = points.withColumn(
+        "__bucket",
+        (F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step)
+    on = ["__bucket", *equi_keys]
+    joined = (p2.join(iv, on, "inner")
+              .filter((F.col(ts_col) >= F.col(start_col))
+                      & (F.col(ts_col) < F.col(end_col)))
+              .drop("__bucket"))
+    if how == "inner":
+        return joined
+    if how != "left":
+        raise ValueError("how must be 'inner' or 'left'")
+    matched_keys = joined.select(*points.columns).distinct()
+    unmatched = points.join(matched_keys, points.columns, "left_anti")
+    for c in intervals.columns:
+        if c not in points.columns:
+            unmatched = unmatched.withColumn(
+                c, F.lit(None).cast(dict(intervals.dtypes)[c]))
+    return joined.unionByName(unmatched)

@@ -357,3 +357,44 @@ def q39_asof_join_last_click(spark, sf_dir):
                 F.col("last_click_id").cast("string").alias("click_event_id"),
                 F.round("last_click_value", 2).alias("click_value"))
     )
+
+
+@register(
+    "q53_range_join_busy_windows",
+    """
+    WITH hours AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS c
+      FROM events GROUP BY 1
+    ), win AS (
+      SELECT h AS w_start, h + INTERVAL 1 HOUR AS w_end
+      FROM hours ORDER BY c DESC, h LIMIT 20
+    )
+    SELECT strftime(w.w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users
+    FROM win w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY 1
+    """,
+    survey_ref="beyond-ref: bucketized range join (operators/temporal.py)",
+)
+def q53_range_join_busy_windows(spark, sf_dir):
+    """Pure range join (no equi key): every event matched to the busiest-20
+    hour windows containing it. Spark has no native range join and the
+    naive form is a cross join; point_in_interval_join buckets both sides
+    to the hour grain and equi-joins on the bucket, so cost is linear in
+    points + interval spans + true matches — the plan that survives a
+    100 TB event stream against a bounded window dimension. The oracle runs
+    DuckDB's native non-equi join over the identical derived windows."""
+    from ..operators.temporal import point_in_interval_join
+    ev = t(spark, sf_dir, "events")
+    hours = (ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    win = (hours.orderBy(F.col("c").desc(), F.col("h")).limit(20)
+           .select(F.col("h").alias("w_start"),
+                   (F.col("h") + F.expr("INTERVAL 1 HOUR")).alias("w_end")))
+    joined = point_in_interval_join(ev, win, "ts", "w_start", "w_end",
+                                    bucket="1 hour")
+    return (joined.groupBy(F.date_format("w_start", "yyyy-MM-dd HH:mm:ss")
+                           .alias("window_start"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users")))

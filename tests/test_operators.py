@@ -404,3 +404,32 @@ def test_pack_sequences_budget_bound(spark):
     for a, b in zip(rows_, rows_[1:]):
         if a["shard"] == b["shard"]:
             assert b["batch_id"] >= a["batch_id"]
+
+
+def test_point_in_interval_join_matches_naive(spark):
+    import datetime as _dt
+    from eirepolitic_data_pipeline_spark.operators.temporal import (
+        point_in_interval_join,
+    )
+    base = _dt.datetime(2026, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, base + _dt.timedelta(minutes=17 * i)) for i in range(200)],
+        "pid long, ts timestamp")
+    ivs = spark.createDataFrame(
+        [(j, base + _dt.timedelta(hours=j * 3),
+          base + _dt.timedelta(hours=j * 3, minutes=90)) for j in range(20)],
+        "wid long, w_start timestamp, w_end timestamp")
+    got = point_in_interval_join(pts, ivs, "ts", "w_start", "w_end",
+                                 bucket="1 hour")
+    naive = pts.crossJoin(ivs).filter(
+        (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+    g = {(r["pid"], r["wid"]) for r in got.collect()}
+    n = {(r["pid"], r["wid"]) for r in naive.collect()}
+    assert g == n and len(g) > 0
+
+    # left join keeps unmatched points with null interval columns
+    left = point_in_interval_join(pts, ivs, "ts", "w_start", "w_end",
+                                  bucket="1 hour", how="left")
+    assert left.filter(F.col("wid").isNull()).count() == \
+        pts.count() - len({p for p, _ in g})
+    assert left.count() == len(g) + pts.count() - len({p for p, _ in g})
