@@ -737,3 +737,51 @@ def q52_sequence_packing(spark, sf_dir):
                  F.sum("n_tok").cast("string").alias("n_tokens"),
                  F.min("doc_id").alias("first_doc"),
                  F.max("doc_id").alias("last_doc")))
+
+
+@register(
+    "q54_repetition_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+      FROM documents
+    ), bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+      FROM toks WHERE len(tk) >= 2
+    ), counts AS (
+      SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS VARCHAR)        AS n_bigrams,
+           max(c)                         AS top_bigram_n,
+           round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_bigram_fraction
+    FROM counts
+    GROUP BY doc_id
+    """,
+    survey_ref="beyond-ref: Gopher-style intra-doc repetition filter",
+)
+def q54_repetition_stats(spark, sf_dir):
+    """Intra-document repetition (the Gopher duplicate-n-gram filter family):
+    fraction of word bigrams taken by the most frequent bigram. Computed the
+    scalable way — explode bigrams, two-level aggregation keyed on
+    (doc, bigram) — rather than a per-element lambda scan, so the plan is a
+    plain partial-aggregated shuffle at any corpus size. High-fraction docs
+    are the boilerplate/spam cut in training-data curation."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    bi = (docs.select("doc_id", toks.alias("tk"))
+          .filter(F.size("tk") >= 2)
+          .select("doc_id", F.explode(F.transform(
+              F.sequence(F.lit(1), F.size("tk") - 1),
+              lambda i: F.concat_ws(" ", F.element_at(F.col("tk"), i),
+                                    F.element_at(F.col("tk"), i + 1))))
+              .alias("bigram")))
+    counts = bi.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    return (counts.groupBy("doc_id")
+            # string on both sides: DuckDB→pandas widens nullable sums
+            .agg(F.sum("c").cast("string").alias("n_bigrams"),
+                 F.max("c").alias("top_bigram_n"),
+                 F.round(F.max("c") / F.sum("c").cast("double"), 4)
+                 .alias("top_bigram_fraction")))
