@@ -286,6 +286,16 @@ def extract_video_frames(df: DataFrame, every_n: int = 1,
                 b = bytes(blob or b"")
                 if b[:4] != b"RAWV":
                     _require_codec("extract_video_frames", fake)
+                    # fake=True contract (matches decode_images/audio):
+                    # deterministic hash-derived frames, never zero rows
+                    h = hashlib.sha256(b).digest()
+                    n_fake = h[0] % 3 + 1
+                    import numpy as np
+                    for i in range(0, n_fake, every_n):
+                        px = np.frombuffer(
+                            (h * 2)[:12], dtype=np.uint8).reshape(2, 2, 3)
+                        rows.append({"media_id": mid, "frame_no": i,
+                                     "frame": encode_raw_image(px)})
                     continue
                 vid = decode_raw_video(b)
                 for i in range(0, vid.shape[0], every_n):
@@ -320,7 +330,9 @@ def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 x = samples.astype(np.float64)
                 rows.append({
                     "media_id": mid, "sample_rate": rate,
-                    "duration_ms": int(len(samples) * 1000 / rate),
+                    # rate=0 is a corrupt header, not a task failure
+                    "duration_ms": (int(len(samples) * 1000 / rate)
+                                    if rate > 0 else 0),
                     "rms": float(np.sqrt((x * x).mean())) if len(x) else 0.0,
                     "peak": int(np.abs(samples).max()) if len(x) else 0,
                 })

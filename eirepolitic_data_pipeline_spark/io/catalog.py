@@ -129,10 +129,12 @@ class BatchCatalog:
         if not batch_id:
             raise CatalogError(
                 f"refusing candidate write of {table!r} without a batch id")
-        if overwrite and batch_id == self.production_batch_id():
+        if overwrite and self._load_manifest(batch_id).get("promoted_at_unix"):
+            # EVER-promoted, not just currently-promoted: a past batch is a
+            # valid rollback target and must stay byte-identical.
             raise CatalogError(
-                f"batch {batch_id!r} is promoted — promoted batches are "
-                "immutable")
+                f"batch {batch_id!r} has been promoted — promoted batches "
+                "are immutable")
         path = self.batch_path(batch_id, table)
         row_count = df.count()
         mode = "overwrite" if overwrite else "errorifexists"
@@ -154,6 +156,11 @@ class BatchCatalog:
         if problems:
             raise CatalogError(
                 f"batch {batch_id!r} failed validation: {problems}")
+        # Stamp the manifest: from this moment the batch is immutable even
+        # after the pointer moves on (it remains a rollback target).
+        m = self._load_manifest(batch_id)
+        m["promoted_at_unix"] = int(time.time())
+        self._save_manifest(batch_id, m)
         self._write_pointer(batch_id, previous=self.production_batch_id())
 
     def rollback(self, to_batch_id: str):

@@ -40,11 +40,14 @@ class MergeWriter:
         """
         existing = None
         if accumulate:
-            try:
+            # Existence check, not a broad try/except: a transient READ
+            # failure must propagate (falling back to production and then
+            # overwriting the candidate would silently drop the prior
+            # micro-batches).
+            import os
+            if os.path.isdir(self.catalog.batch_path(batch_id, table)):
                 existing = self.catalog.read_table(self.spark, table,
                                                    batch_id=batch_id)
-            except Exception:
-                existing = None
         if existing is None:
             try:
                 existing = self.catalog.read_table(self.spark, table)

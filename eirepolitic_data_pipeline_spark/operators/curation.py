@@ -31,9 +31,14 @@ def hash_bucket(col: Column | str, buckets: int = BUCKETS,
                 salt: str = "") -> Column:
     """Uniform deterministic bucket in [0, buckets): first 8 hex chars of
     md5(salt || key) as an integer, mod buckets. Engine-portable: any SQL
-    runtime computes the identical bucket (md5 + hex-to-int + mod)."""
+    runtime computes the identical bucket (md5 + hex-to-int + mod).
+
+    NULL keys map to the bucket of the literal "__null__" — deterministic
+    and non-null, so NULL-key rows get a real split label and appear in
+    samples instead of silently falling through every comparison."""
     c = F.col(col) if isinstance(col, str) else col
-    h8 = F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8)
+    key = F.coalesce(c.cast("string"), F.lit("__null__"))
+    h8 = F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 8)
     return F.pmod(F.conv(h8, 16, 10).cast("long"), F.lit(buckets)).cast("int")
 
 

@@ -175,13 +175,15 @@ def pairs_from_postings(postings: DataFrame, key: str = "key",
     # Hash-repartition by key up front: the groupBy reuses this partitioning
     # (no second exchange) and the explicit count keeps AQE from coalescing
     # the small-byte-but-CPU-heavy pair-expansion stage onto one core. The
-    # count follows spark.sql.shuffle.partitions (the cluster-sized knob AQE
-    # also derives from), falling back to defaultParallelism in sessions
-    # that never set it — not pinned to the local core count.
+    # count follows spark.sql.shuffle.partitions — the cluster-sized knob —
+    # capped at 4x the session's core count so an untuned session (Spark's
+    # built-in 200 default) doesn't fragment the CPU-heavy stage into
+    # hundreds of tiny tasks on a small machine. (Note: conf.get's second
+    # argument is NOT the fallback for registered confs — the built-in
+    # default "200" always wins — so the cap does the sizing.)
     spark = postings.sparkSession
-    n_parts = int(spark.conf.get(
-        "spark.sql.shuffle.partitions",
-        str(spark.sparkContext.defaultParallelism)))
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = min(conf_parts, 4 * spark.sparkContext.defaultParallelism)
     postings = postings.repartition(n_parts, F.col(key))
     grouped = postings.groupBy(key).agg(
         F.array_sort(F.collect_list(F.struct(*payload))).alias("__ds"))

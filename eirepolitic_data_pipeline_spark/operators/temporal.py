@@ -115,7 +115,14 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame,
         .when(F.lit(bucket).contains("minute"), 60) \
         .when(F.lit(bucket).contains("day"), 86400).otherwise(1)
     step = (secs * unit)
-    iv = intervals.withColumn(
+    iv = intervals.filter(
+        # A malformed interval (end < start, or null bound) would make
+        # sequence() throw and fail the whole job; the containment filter
+        # would match nothing for it anyway — drop it up front (tolerant
+        # semantics, consistent with try_cast-style coercion elsewhere).
+        F.col(end_col).isNotNull() & F.col(start_col).isNotNull()
+        & (F.col(end_col) >= F.col(start_col))
+    ).withColumn(
         "__buckets",
         F.sequence(
             (F.unix_timestamp(F.col(start_col)) / step).cast("long") * step,
@@ -136,8 +143,15 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame,
         return joined
     if how != "left":
         raise ValueError("how must be 'inner' or 'left'")
+    # Null-SAFE anti-join: with the default equality condition a matched
+    # point row containing any NULL column would never equal itself and be
+    # re-emitted as "unmatched" (duplicate output).
     matched_keys = joined.select(*points.columns).distinct()
-    unmatched = points.join(matched_keys, points.columns, "left_anti")
+    cond = None
+    for c in points.columns:
+        eq = points[c].eqNullSafe(matched_keys[c])
+        cond = eq if cond is None else (cond & eq)
+    unmatched = points.join(matched_keys, cond, "left_anti")
     for c in intervals.columns:
         if c not in points.columns:
             unmatched = unmatched.withColumn(

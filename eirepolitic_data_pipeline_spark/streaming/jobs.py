@@ -48,7 +48,14 @@ def dedup_events_stream(events: DataFrame, id_col: str = "event_id",
     of re-delivered overlap rows)."""
     src = events
     if src.isStreaming:
+        # dropDuplicatesWithinWatermark, NOT dropDuplicates([id]): plain
+        # dedup only evicts state when the event-time column is part of the
+        # subset, so id-only dedup state would grow forever. The
+        # within-watermark variant keys state on the id and expires entries
+        # once the watermark passes — bounded state, the reference's
+        # overlap-window reconciliation exactly.
         src = src.withWatermark("ts", watermark)
+        return src.dropDuplicatesWithinWatermark([id_col])
     return src.dropDuplicates([id_col])
 
 
@@ -126,8 +133,11 @@ def streaming_merge_sink(events: DataFrame, writer, table: str, policy,
     """
     src = events
     if src.isStreaming:
-        src = src.withWatermark("ts", watermark)
-    src = src.dropDuplicates([id_col])
+        # Within-watermark dedup: bounded state (see dedup_events_stream).
+        src = (src.withWatermark("ts", watermark)
+               .dropDuplicatesWithinWatermark([id_col]))
+    else:
+        src = src.dropDuplicates([id_col])
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():

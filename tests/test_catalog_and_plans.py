@@ -203,3 +203,18 @@ def test_mismatch_review(spark):
            for r in detail.collect()}
     assert got == {("TD003", "legacy_only"): "Cara",
                    ("TD004", "candidate_only"): "Dara"}
+
+
+def test_ever_promoted_batch_stays_immutable(spark, catalog):
+    from eirepolitic_data_pipeline_spark.io.catalog import CatalogError
+    import pytest as _pytest
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    catalog.write_table(df, "t1", batch_id="b1")
+    catalog.promote("b1", ["t1"])
+    catalog.write_table(df, "t1", batch_id="b2")
+    catalog.promote("b2", ["t1"])
+    # b1 is no longer production but remains a rollback target: immutable
+    with _pytest.raises(CatalogError):
+        catalog.write_table(df, "t1", "b1", overwrite=True)
+    catalog.rollback("b1")
+    assert catalog.read_table(spark, "t1").count() == 1

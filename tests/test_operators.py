@@ -433,3 +433,43 @@ def test_point_in_interval_join_matches_naive(spark):
     assert left.filter(F.col("wid").isNull()).count() == \
         pts.count() - len({p for p, _ in g})
     assert left.count() == len(g) + pts.count() - len({p for p, _ in g})
+
+
+def test_interval_join_tolerates_malformed_and_null_rows(spark):
+    import datetime as _dt
+    from eirepolitic_data_pipeline_spark.operators.temporal import (
+        point_in_interval_join,
+    )
+    base = _dt.datetime(2026, 1, 1)
+    pts = spark.createDataFrame(
+        [(1, base + _dt.timedelta(minutes=30), "u"),
+         (2, base + _dt.timedelta(minutes=30), None),   # NULL payload col
+         (3, base + _dt.timedelta(days=9), "v")],       # matches nothing
+        "pid long, ts timestamp, tag string")
+    ivs = spark.createDataFrame(
+        [(10, base, base + _dt.timedelta(hours=1)),
+         (11, base + _dt.timedelta(hours=2), base)],    # end < start: dropped
+        "wid long, w_start timestamp, w_end timestamp")
+    out = point_in_interval_join(pts, ivs, "ts", "w_start", "w_end",
+                                 bucket="1 hour", how="left").collect()
+    by_pid = {}
+    for r in out:
+        by_pid.setdefault(r["pid"], []).append(r["wid"])
+    # NULL-column matched row appears exactly ONCE (null-safe anti-join)
+    assert by_pid[2] == [10]
+    assert by_pid[1] == [10]
+    assert by_pid[3] == [None]
+    assert len(out) == 3
+
+
+def test_dataset_split_null_keys_deterministic(spark):
+    from eirepolitic_data_pipeline_spark.operators.curation import (
+        dataset_split, hash_sample)
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "src")], "doc_id long, source string")
+    out = {r["doc_id"]: r["split"] for r in
+           dataset_split(df, "source").collect()}
+    assert out[1] == out[2] and out[1] in {"train", "val", "test"}
+    # NULL keys participate in sampling decisions (not silently dropped)
+    full = hash_sample(df, "source", 1.0)
+    assert full.count() == 3
