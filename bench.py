@@ -21,9 +21,18 @@ from eirepolitic_data_pipeline_spark import workload  # noqa: E402
 from eirepolitic_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
+def _sf_of(path: str):
+    """Scale factor from a dir like .../sf0.1; else the basename verbatim
+    (rsplit on the literal 'sf' mangles paths that merely contain it)."""
+    import re
+    base = os.path.basename(path.rstrip("/"))
+    m = re.fullmatch(r"sf([0-9.]+)", base)
+    return float(m.group(1)) if m else base
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = _sf_of(sf_dir)
     spark = get_spark("bench")
 
     qs = workload.queries()
@@ -38,7 +47,7 @@ def main():
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    warm_sf = warm_dir.rstrip("/").rsplit("sf", 1)[-1]
+    warm_sf = _sf_of(warm_dir)
     warm_t0 = time.perf_counter()
     for name, fn in qs.items():
         try:
@@ -61,11 +70,11 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf,
         # Cold-run transparency: the timed loop above measures steady-state;
         # a cold cluster additionally pays this one-time warm-up cost.
         "warmup_wall_seconds": warmup_wall,
-        "warmup_sf": float(warm_sf) if warm_sf.replace(".", "").isdigit() else warm_sf,
+        "warmup_sf": warm_sf,
     }))
     spark.stop()
 

@@ -77,8 +77,8 @@ class LLMColumnRunner:
                 raw = (client(prompt, tools=list(cfg.tools)) if cfg.tools
                        else client(prompt))
                 if cfg.strip_citations:
-                    raw = re.sub(r"\s{2,}", " ",
-                                 re.sub(r"\s*\[\d+\]\s*", " ", raw)).strip()
+                    from ..functions.scalar import strip_citations_py
+                    raw = strip_citations_py(raw)
                 return raw
 
             for pdf in batches:

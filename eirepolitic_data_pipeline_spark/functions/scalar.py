@@ -151,6 +151,16 @@ def strip_citations(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(s, r"\s{2,}", " "))
 
 
+def strip_citations_py(s: str | None) -> str:
+    """Python parity twin of ``strip_citations`` for mapInPandas/driver
+    paths (same convention as stable_hash_py/parse_iso_date_py). Note
+    ``.strip(" ")``, not ``.strip()``: Spark's F.trim removes ASCII spaces
+    only, and the twins must agree byte-for-byte."""
+    import re
+    s = re.sub(r"\s*\[\d+\]\s*", " ", s or "")
+    return re.sub(r"\s{2,}", " ", s).strip(" ")
+
+
 def clamp_words(col: Column | str, max_words: int) -> Column:
     """X15 — `llm_table_runner.py:124-130`: keep the first ``max_words``
     whitespace tokens rejoined by single spaces; ``max_words<=0`` means no

@@ -39,30 +39,32 @@ def fuzzy_containment_join(left: DataFrame, right: DataFrame,
     containment and ties break on the normalized right key, so the pick is
     deterministic under any partitioning.
 
-    Scale: the right side must be a bounded dimension (reference: 43
-    constituency images). It is broadcast and the theta condition runs as a
-    broadcast nested-loop join — left stays partition-parallel, no shuffle.
+    Scale: BOTH key spaces must be bounded dimensions (reference: 43
+    constituency images × constituency names). The match depends only on
+    the normalized LEFT KEY, so the best match is resolved once per
+    distinct key — a small distinct + aggregation — and attached back with
+    a broadcast equi-join; left rows are never window-partitioned by a
+    per-row id (nondeterministic under retries) and never fan out.
     Never call this with an unbounded right side: containment predicates
     can't hash-partition.
     """
     lk, rk = "__fuzzy_lk", "__fuzzy_rk"
-    rid = "__fuzzy_rowid"
-    l_keyed = (left
-               .withColumn(lk, normalize_name(left_col))
-               .withColumn(rid, F.monotonically_increasing_id()))
+    l_keyed = left.withColumn(lk, normalize_name(left_col))
     r_keyed = (right
                .select(normalize_name(right_col).alias(rk), *payload_cols)
                .filter(F.col(rk) != ""))
     cond = (F.col(lk) == F.col(rk)) | \
         F.col(lk).contains(F.col(rk)) | F.col(rk).contains(F.col(lk))
-    joined = l_keyed.join(F.broadcast(r_keyed), cond & (F.col(lk) != ""), "left")
-    pick = Window.partitionBy(rid).orderBy(
-        F.when(F.col(lk) == F.col(rk), 0).otherwise(1),
-        F.col(rk).asc_nulls_last())
-    return (joined
-            .withColumn("__pick", F.row_number().over(pick))
-            .filter(F.col("__pick") == 1)
-            .drop(lk, rk, rid, "__pick"))
+    keys = l_keyed.select(lk).filter(F.col(lk) != "").distinct()
+    cand = keys.join(F.broadcast(r_keyed), cond, "inner")
+    # exact equality outranks containment; ties break on the right key
+    rank = F.struct(
+        F.when(F.col(lk) == F.col(rk), 0).otherwise(1).alias("r0"),
+        F.col(rk).alias("r1"))
+    best = (cand.groupBy(lk)
+            .agg(F.min_by(F.struct(*payload_cols), rank).alias("__m"))
+            .select(lk, *[F.col(f"__m.{c}").alias(c) for c in payload_cols]))
+    return l_keyed.join(F.broadcast(best), lk, "left").drop(lk)
 
 
 def join_by_code_or_name(base: DataFrame, source: DataFrame,
@@ -80,30 +82,32 @@ def join_by_code_or_name(base: DataFrame, source: DataFrame,
     ``base`` must already carry ``member_code`` and ``member_key``. The
     lookup side is a per-member dimension — broadcast, no shuffle on base.
     """
+    def backfill(df: DataFrame) -> DataFrame:
+        # Consistent output schema regardless of which payload columns the
+        # source happened to ship: absent ones become typed null columns.
+        for c in payload_cols:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast("string"))
+        return df
+
     payload = [c for c in payload_cols if c in source.columns]
     if not payload:
-        out = base
-        for c in payload_cols:
-            out = out.withColumn(c, F.lit(None).cast("string"))
-        return out
+        return backfill(base)
     code_col = _first_column(source, ["member_code", "memberCode"])
     if code_col:
         lookup = (source
                   .select(F.col(code_col).cast("string").alias("member_code"),
                           *payload)
                   .dropDuplicates(["member_code"]))
-        return base.join(F.broadcast(lookup), "member_code", "left")
+        return backfill(base.join(F.broadcast(lookup), "member_code", "left"))
     source_name = _first_column(source, [name_col, "member_name"])
     if source_name:
         lookup = (source
                   .select(normalize_name(source_name).alias("member_key"),
                           *payload)
                   .dropDuplicates(["member_key"]))
-        return base.join(F.broadcast(lookup), "member_key", "left")
-    out = base
-    for c in payload_cols:
-        out = out.withColumn(c, F.lit(None).cast("string"))
-    return out
+        return backfill(base.join(F.broadcast(lookup), "member_key", "left"))
+    return backfill(base)
 
 
 def member_profile_metrics(members: DataFrame, votes: DataFrame,

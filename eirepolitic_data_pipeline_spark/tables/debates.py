@@ -211,9 +211,17 @@ def weekly_sentence_candidates(speeches: DataFrame,
         return F.trim(F.regexp_replace(
             F.coalesce(c.cast("string"), F.lit("")), r"\s+", " "))
 
+    from pyspark.sql import Window
+
     sentence_norm = F.regexp_replace(
         F.lower(F.col("sentence")),
         "^[ \"'“”‘’()\\[\\]]+|[ \"'“”‘’()\\[\\]]+$", "")
+    # Keep-first must be DETERMINISTIC (dropDuplicates keeps an arbitrary
+    # row under Spark partitioning): posexplode preserves document order,
+    # and the dedupe window orders by (date, position, sentence) — the
+    # reference's frame-order keep-first, pinned.
+    w = Window.partitionBy("week_id", "speaker_name", "sentence_norm") \
+        .orderBy("debate_date", "__pos", "sentence")
     return (
         speeches
         .withColumn("__d", parse_iso_date(date_col))
@@ -221,10 +229,12 @@ def weekly_sentence_candidates(speeches: DataFrame,
         .withColumn("week_id", week_id("__d"))
         .withColumn("debate_date", F.date_format("__d", "yyyy-MM-dd"))
         .withColumn("speaker_name", norm_ws(F.col(speaker_col)))
-        .withColumn("sentence",
-                    F.explode(sentence_candidates(text_col, max_words)))
+        .select("*", F.posexplode(sentence_candidates(text_col, max_words))
+                .alias("__pos", "sentence"))
         .withColumn("sentence_norm", sentence_norm)
-        .dropDuplicates(["week_id", "speaker_name", "sentence_norm"])
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__pos")
         .withColumn("word_count", F.size(F.split(F.col("sentence"), r"\s+")))
         .withColumn("candidate_id", F.substring(F.sha2(F.concat_ws(
             "||", F.col("week_id"), F.col("speaker_name"),
