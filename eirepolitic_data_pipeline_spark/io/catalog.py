@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 from typing import Optional
@@ -80,10 +81,21 @@ class BatchCatalog:
         is for accumulating writers (streaming micro-batches) that re-record
         the same table within the open candidate batch."""
         m = self._load_manifest(batch_id)
+        self._refuse_if_promoted(batch_id, m)
         if table in m["tables"] and not replace:
             raise CatalogError(f"duplicate table {table!r} in batch {batch_id!r}")
         m["tables"][table] = {"row_count": int(row_count), "status": status}
         self._save_manifest(batch_id, m)
+
+    def _refuse_if_promoted(self, batch_id: str, manifest: Optional[dict] = None):
+        """EVER-promoted batches are immutable — even for NEW table names:
+        a past batch is a valid rollback target and must stay byte-identical,
+        or rollback could surface content never validated at promote time."""
+        m = manifest if manifest is not None else self._load_manifest(batch_id)
+        if m.get("promoted_at_unix"):
+            raise CatalogError(
+                f"batch {batch_id!r} has been promoted — promoted batches "
+                "are immutable")
 
     def _load_manifest(self, batch_id: str) -> dict:
         p = self._manifest_path(batch_id)
@@ -129,16 +141,29 @@ class BatchCatalog:
         if not batch_id:
             raise CatalogError(
                 f"refusing candidate write of {table!r} without a batch id")
-        if overwrite and self._load_manifest(batch_id).get("promoted_at_unix"):
-            # EVER-promoted, not just currently-promoted: a past batch is a
-            # valid rollback target and must stay byte-identical.
-            raise CatalogError(
-                f"batch {batch_id!r} has been promoted — promoted batches "
-                "are immutable")
+        self._refuse_if_promoted(batch_id)
         path = self.batch_path(batch_id, table)
         row_count = df.count()
-        mode = "overwrite" if overwrite else "errorifexists"
-        df.write.mode(mode).parquet(path)
+        if overwrite and os.path.isdir(path):
+            # Atomic-swap overwrite: the incoming plan may READ the current
+            # table dir (accumulating merge writers do), and an in-place
+            # overwrite that fails mid-write destroys the only copy of every
+            # prior micro-batch merge. Write to a sibling temp dir, then swap
+            # with two renames — the old data survives on disk until the new
+            # write has fully committed. (On a rename-less object store this
+            # step would be a manifest/pointer update instead, exactly like
+            # promote()'s pointer write.)
+            tmp, old = path + ".__incoming", path + ".__replaced"
+            for stale in (tmp, old):
+                if os.path.isdir(stale):
+                    shutil.rmtree(stale)
+            df.write.mode("errorifexists").parquet(tmp)
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old)
+        else:
+            mode = "overwrite" if overwrite else "errorifexists"
+            df.write.mode(mode).parquet(path)
         self.record_table(batch_id, table, row_count, status,
                           replace=overwrite)
 

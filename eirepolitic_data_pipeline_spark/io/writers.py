@@ -33,10 +33,15 @@ class MergeWriter:
 
         ``accumulate`` is the streaming micro-batch mode: merge against the
         CANDIDATE batch's current state when it exists (else production), and
-        overwrite the candidate table — so successive micro-batches build up
+        replace the candidate table — so successive micro-batches build up
         one batch dir instead of colliding, and a checkpoint replay re-merges
-        idempotently. The merged frame is localCheckpoint()ed first because
-        Spark cannot overwrite a path that feeds the plan being written.
+        idempotently. The replace goes through the catalog's atomic-swap
+        overwrite (write to a temp dir, rename into place), so the merged
+        plan can read the current candidate dir directly — no localCheckpoint
+        (whose non-replicated, lineage-severed blocks would be the ONLY copy
+        of all prior micro-batch merges on a real cluster) and no window
+        where a mid-write failure has destroyed the previous state. The
+        returned frame re-reads the committed files, not the pre-swap plan.
         """
         existing = None
         if accumulate:
@@ -57,8 +62,10 @@ class MergeWriter:
         if snapshot_date is not None:
             from pyspark.sql import functions as F
             merged = merged.withColumn("snapshot_date", F.lit(snapshot_date))
-        if accumulate:
-            merged = merged.localCheckpoint()
         self.catalog.write_table(merged, table, batch_id,
                                  overwrite=accumulate)
+        if accumulate:
+            # The merged plan read the pre-swap candidate files, which the
+            # swap has replaced; hand back the committed on-disk state.
+            return self.catalog.read_table(self.spark, table, batch_id=batch_id)
         return merged

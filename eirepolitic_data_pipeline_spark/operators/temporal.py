@@ -109,12 +109,18 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame,
     union so the bucket join itself stays an equi-join).
     """
     # Bucket bounds via integer epoch arithmetic — engine-portable (the
-    # oracle mirrors it with the same floor-division) and cheap.
-    secs = F.regexp_extract(F.lit(bucket), r"(\d+)", 1).cast("long")
-    unit = F.when(F.lit(bucket).contains("hour"), 3600) \
-        .when(F.lit(bucket).contains("minute"), 60) \
-        .when(F.lit(bucket).contains("day"), 86400).otherwise(1)
-    step = (secs * unit)
+    # oracle mirrors it with the same floor-division) and cheap. The unit
+    # is validated driver-side: a silent fallback to seconds would turn
+    # '2 weeks' into a 2-SECOND step and explode a week-long interval into
+    # ~300k sequence elements per row with no diagnostic.
+    import re
+    m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", bucket)
+    if not m:
+        raise ValueError(
+            f"bucket {bucket!r} must be '<n> second|minute|hour|day(s)'")
+    step_secs = int(m.group(1)) * {"second": 1, "minute": 60,
+                                   "hour": 3600, "day": 86400}[m.group(2)]
+    step = F.lit(step_secs)
     iv = intervals.filter(
         # A malformed interval (end < start, or null bound) would make
         # sequence() throw and fail the whole job; the containment filter

@@ -116,7 +116,7 @@ def stateful_user_totals(events: DataFrame,
 
 def streaming_merge_sink(events: DataFrame, writer, table: str, policy,
                          batch_id: str, id_col: str = "event_id",
-                         watermark: str = "35 days",
+                         ts_col: str = "ts", watermark: str = "35 days",
                          checkpoint_dir: str | None = None):
     """Continuous ingestion into the engine's merge-on-write catalog.
 
@@ -125,16 +125,26 @@ def streaming_merge_sink(events: DataFrame, writer, table: str, policy,
     watermark (at-least-once delivery → exactly-once table contents), then
     applied to retained history under the table's write policy — the same
     upsert-keep-last reconciliation the reference runs per cron window
-    (`merge.py:14-30` + `io_s3.py:118-127`), now incremental. Replayed
-    batches are harmless: the policy merge is idempotent on the business
-    key, which is what makes checkpoint-recovery safe.
+    (`merge.py:14-30` + `io_s3.py:118-127`), now incremental.
+
+    ``policy`` must be key-idempotent (``upsert`` / ``snapshot_replace`` /
+    ``rebuild``): foreachBatch re-delivers a failed epoch from the
+    checkpoint, and only a keyed merge absorbs the replay. A plain
+    ``append`` policy would silently duplicate every replayed row, so it is
+    refused here — append-shaped streams should carry a deterministic id
+    and use upsert on it.
 
     Returns the StreamingQuery (caller owns awaitTermination / stop).
     """
+    if policy.mode == "append":
+        raise ValueError(
+            "streaming_merge_sink requires a key-idempotent policy "
+            "(upsert/snapshot_replace/rebuild); 'append' duplicates rows "
+            "when a failed epoch replays from the checkpoint")
     src = events
     if src.isStreaming:
         # Within-watermark dedup: bounded state (see dedup_events_stream).
-        src = (src.withWatermark("ts", watermark)
+        src = (src.withWatermark(ts_col, watermark)
                .dropDuplicatesWithinWatermark([id_col]))
     else:
         src = src.dropDuplicates([id_col])

@@ -4,8 +4,8 @@ beyond-reference operator families (task brief + SURVEY.md §7 step 9).
 
 Scale notes (these run at 100 TB, not 60k rows):
 - Pairwise similarity is NEVER all-pairs: candidates come from an inverted
-  shingle index (q24), MinHash band buckets (q25), or sign-LSH buckets (q28)
-  — each a key-partitioned shuffle join, no driver materialization.
+  shingle index (q23), MinHash band buckets (q24), or sign-LSH/IVF buckets
+  (q27) — each a key-partitioned shuffle join, no driver materialization.
 - All hashing is content-derived (md5/sha2 of strings), so results are
   deterministic and reproducible by any engine — no Spark-internal murmur3.
 """
@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions import scalar as sc
 from ..functions import text as tx
 from ..operators.dedupe import (minhash_signatures, pairs_from_postings,
                                 shingle_postings)
@@ -287,47 +288,88 @@ def q26_knn_bruteforce(spark, sf_dir):
 
 
 @register(
-    "q27_ann_sign_lsh",
+    "q27_ann_bucketed",
     """
-    WITH b AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+    WITH lsh AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
              array_to_string(list_transform(range(6), i ->
                CASE WHEN embedding[CAST(i AS INTEGER) + 1] >= 0 THEN '1' ELSE '0' END), '')
                AS bucket
       FROM embeddings
+    ),
+    cells AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 4) AS INTEGER) AS cx,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) * 4) AS INTEGER) AS cy
+      FROM embeddings
+    ),
+    sign_hits AS (
+      SELECT 'sign_lsh' AS method, q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             round(list_cosine_similarity(n.v, q.v), 6) AS cosine
+      FROM lsh q JOIN lsh n ON n.bucket = q.bucket AND n.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+      QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                                 ORDER BY cosine DESC, n.vec_id) <= 3
+    ),
+    ivf_hits AS (
+      SELECT 'ivf_grid' AS method, q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             round(list_cosine_similarity(n.v, q.v), 6) AS cosine
+      FROM cells q JOIN cells n
+        ON n.cx = q.cx AND n.cy = q.cy AND n.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+      QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                                 ORDER BY cosine DESC, n.vec_id) <= 3
     )
-    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-           round(list_cosine_similarity(n.v, q.v), 6) AS cosine
-    FROM b q JOIN b n ON n.bucket = q.bucket AND n.vec_id <> q.vec_id
-    WHERE q.vec_id < 5
-    QUALIFY row_number() OVER (PARTITION BY q.vec_id
-                               ORDER BY cosine DESC, n.vec_id) <= 3
+    SELECT * FROM sign_hits UNION ALL SELECT * FROM ivf_hits
     """,
-    survey_ref="beyond-ref: LSH-bucketed ANN",
+    survey_ref="beyond-ref: LSH-bucketed + IVF-bucketed ANN",
 )
-def q27_ann_sign_lsh(spark, sf_dir):
-    """Bucketed ANN: axis-aligned hyperplane LSH (sign of the first 6 dims)
-    → candidates share a bucket → exact cosine only within the bucket →
-    top-3 per query. The bucket equi-join partitions by bucket key, so at
-    scale each task sees one bucket's worth of candidates, never n²."""
+def q27_ann_bucketed(spark, sf_dir):
+    """Bucketed ANN, both scale paths over one scan, labeled by method:
+
+    - ``sign_lsh``: axis-aligned hyperplane LSH (sign of the first 6 dims)
+      → candidates share a bucket → exact cosine only within the bucket →
+      top-3 per query. The bucket equi-join partitions by bucket key, so at
+      scale each task sees one bucket's worth of candidates, never n².
+    - ``ivf_grid``: IVF-flavored — a deterministic coarse quantizer (grid
+      cell over the first two dimensions: a fixed codebook, no training
+      pass) builds an inverted file; probing scans only the query's cell.
+      Same partition-by-cell scaling argument as real IVF with kmeans
+      centroids; the quantizer is swappable without touching the join."""
     emb = spread(t(spark, sf_dir, "embeddings")).withColumn(
         "v", F.col("embedding").cast("array<double>"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id"))
+
+    def topk(frame, key_cols):
+        q = frame.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+            *[F.col(c).alias(f"q_{c}") for c in key_cols])
+        n = frame.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("v").alias("nv"), *key_cols)
+        cond = (F.col("neighbor_id") != F.col("query_id"))
+        for c in key_cols:
+            cond &= F.col(c) == F.col(f"q_{c}")
+        return (
+            q.join(n, cond)
+            .select("query_id", "neighbor_id",
+                    F.round(_cosine(F.col("nv"), F.col("qv")), 6).alias("cosine"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .drop("rn")
+        )
+
     bits = [F.when(F.col("embedding").getItem(i) >= 0, F.lit("1")).otherwise(F.lit("0"))
             for i in range(6)]
-    b = emb.select("vec_id", "label", "v", F.concat(*bits).alias("bucket"))
-    q = b.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb"))
-    n = b.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"),
-                 F.col("bucket").alias("nb"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        q.join(n, (F.col("nb") == F.col("qb")) & (F.col("neighbor_id") != F.col("query_id")))
-        .select("query_id", "neighbor_id",
-                F.round(_cosine(F.col("nv"), F.col("qv")), 6).alias("cosine"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .drop("rn")
-    )
+    lsh = topk(emb.select("vec_id", "v", F.concat(*bits).alias("bucket")),
+               ["bucket"])
+    cells = emb.select(
+        "vec_id", "v",
+        F.floor(F.col("embedding").getItem(0).cast("double") * 4).cast("int").alias("cx"),
+        F.floor(F.col("embedding").getItem(1).cast("double") * 4).cast("int").alias("cy"))
+    ivf = topk(cells, ["cx", "cy"])
+    return (lsh.select(F.lit("sign_lsh").alias("method"), "*")
+            .unionByName(ivf.select(F.lit("ivf_grid").alias("method"), "*")))
 
 
 @register(
@@ -370,82 +412,57 @@ def q37_cosine_neardup_pairs(spark, sf_dir):
     )
 
 
-@register(
-    "q38_ivf_grid_ann",
-    """
-    WITH cells AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-             CAST(floor(CAST(embedding[1] AS DOUBLE) * 4) AS INTEGER) AS cx,
-             CAST(floor(CAST(embedding[2] AS DOUBLE) * 4) AS INTEGER) AS cy
-      FROM embeddings
-    )
-    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-           round(list_cosine_similarity(n.v, q.v), 6) AS cosine
-    FROM cells q JOIN cells n
-      ON n.cx = q.cx AND n.cy = q.cy AND n.vec_id <> q.vec_id
-    WHERE q.vec_id < 5
-    QUALIFY row_number() OVER (PARTITION BY q.vec_id
-                               ORDER BY cosine DESC, n.vec_id) <= 3
-    """,
-    survey_ref="beyond-ref: IVF-bucketed ANN",
-)
-def q38_ivf_grid_ann(spark, sf_dir):
-    """IVF-flavored ANN: a deterministic coarse quantizer (grid cell over
-    the first two dimensions — a fixed codebook, no training pass) builds an
-    inverted file; probing scans only the query's cell. Same partition-by-
-    cell scaling argument as real IVF with kmeans centroids; the quantizer
-    is swappable without touching the join."""
-    emb = spread(t(spark, sf_dir, "embeddings")).withColumn(
-        "v", F.col("embedding").cast("array<double>"))
-    cells = emb.select(
-        "vec_id", "v",
-        F.floor(F.col("embedding").getItem(0).cast("double") * 4).cast("int").alias("cx"),
-        F.floor(F.col("embedding").getItem(1).cast("double") * 4).cast("int").alias("cy"))
-    q = cells.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("cx").alias("qx"), F.col("cy").alias("qy"))
-    n = cells.select(F.col("vec_id").alias("neighbor_id"),
-                     F.col("v").alias("nv"), "cx", "cy")
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
-                                               F.col("neighbor_id"))
-    return (
-        q.join(n, (F.col("cx") == F.col("qx")) & (F.col("cy") == F.col("qy"))
-               & (F.col("neighbor_id") != F.col("query_id")))
-        .select("query_id", "neighbor_id",
-                F.round(_cosine(F.col("nv"), F.col("qv")), 6).alias("cosine"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .drop("rn")
-    )
-
-
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
 
 @register(
     "q28_text_stats",
-    """
+    r"""
+    WITH cited AS (
+      SELECT doc_id, text, n_chars AS nc,
+             'Claim [' || CAST(n_chars % 50 AS VARCHAR) || '] ' || text
+               || ' [7] tail' AS t
+      FROM documents
+    ), stripped AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(t, '\s*\[\d+\]\s*', ' ', 'g'),
+                                 '\s{2,}', ' ', 'g')) AS s
+      FROM cited
+    )
     SELECT doc_id,
-           CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INTEGER) AS n_tokens,
-           CAST(length(text) AS INTEGER)                                       AS n_chars,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER)
+           CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER)                                      AS n_chars,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER)
              AS n_bpe_ish,
-           CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS INTEGER)
-             AS n_distinct_tokens
-    FROM documents
+           CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS INTEGER)
+             AS n_distinct_tokens,
+           array_to_string(list_slice(regexp_split_to_array(s, '\s+'), 1, 12), ' ')
+             AS brief,
+           CAST(len(regexp_split_to_array(s, '\s+')) AS BIGINT) AS clean_words
+    FROM stripped
     """,
-    survey_ref="X9 (+token counting)",
+    survey_ref="X9,X15 (+token counting, citation strip)",
 )
 def q28_text_stats(spark, sf_dir):
-    """Token / char / BPE-ish / distinct-token counts, all JVM-side."""
+    """Token / char / BPE-ish / distinct-token counts, all JVM-side — plus
+    the X15 citation-strip + word-clamp path: a synthetic web-search answer
+    ([n] markers around the document text) is stripped and clamped to a
+    12-word brief, the post-processing step of every web-enriched LLM
+    column. One projection pass over one documents scan, zero shuffles."""
     docs = spread(t(spark, sf_dir, "documents"))
+    cited = F.concat(
+        F.lit("Claim ["), (F.col("n_chars") % 50).cast("string"), F.lit("] "),
+        F.col("text"), F.lit(" [7] tail"))
+    clean = sc.strip_citations(cited)
     return docs.select(
         "doc_id",
         tx.token_count("text").cast("int").alias("n_tokens"),
         F.length("text").cast("int").alias("n_chars"),
         tx.bpe_ish_token_count("text").cast("int").alias("n_bpe_ish"),
         F.size(F.array_distinct(tx.tokens("text"))).cast("int").alias("n_distinct_tokens"),
+        sc.clamp_words(clean, 12).alias("brief"),
+        F.size(F.split(clean, r"\s+")).cast("long").alias("clean_words"),
     )
 
 
@@ -664,8 +681,10 @@ def q50_winnow_neardup_pairs(spark, sf_dir):
     """
     WITH b AS (
       SELECT doc_id, source,
-             CAST(CAST('0x' || substr(md5('split' || source), 1, 8) AS BIGINT)
-                  % 10000 AS INTEGER) AS bucket
+             -- coalesce mirrors hash_bucket's NULL-key contract (NULL source
+             -- hashes as '__null__', a deterministic bucket — never ELSE).
+             CAST(CAST('0x' || substr(md5('split' || coalesce(source, '__null__')), 1, 8)
+                       AS BIGINT) % 10000 AS INTEGER) AS bucket
       FROM documents
     )
     SELECT doc_id, source, bucket,

@@ -47,7 +47,7 @@ def q31_dq_summary_lineitem(spark, sf_dir):
 
 
 @register(
-    "q32_fk_orphan_counts",
+    "q32_integrity_checks",
     """
     SELECT
       (SELECT count(*) FROM lineitem l
@@ -58,19 +58,26 @@ def q31_dq_summary_lineitem(spark, sf_dir):
         AS order_orphans,
       (SELECT count(*) FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
-        AS customer_orphans
+        AS customer_orphans,
+      (SELECT CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT)
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        AS shipped_before_order,
+      (SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        AS joined_rows
     """,
-    survey_ref="Q3,J4",
+    survey_ref="Q2,Q3,J4",
 )
-def q32_fk_orphan_counts(spark, sf_dir):
-    """Q3 FK-integrity sweep: one left-anti count per declared FK edge.
+def q32_integrity_checks(spark, sf_dir):
+    """Q3 FK-integrity sweep + Q2 temporal integrity as ONE check report:
+    a left-anti count per declared FK edge, plus the valid_from ≤ valid_to
+    analog (ship date must not precede order date).
 
-    All three edges live in ONE plan (1-row aggregates cross-joined), so a
-    single action runs them — independent subtrees schedule concurrently
-    instead of three sequential driver-side jobs, and nothing materializes
-    on the driver."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
-    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    All edges live in ONE plan (1-row aggregates cross-joined), so a single
+    action runs them — independent subtrees schedule concurrently instead
+    of sequential driver-side jobs, and nothing materializes on the driver."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                               "o_orderdate")
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nat = t(spark, sf_dir, "nation").select("n_nationkey")
     a = (li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
@@ -79,30 +86,11 @@ def q32_fk_orphan_counts(spark, sf_dir):
          .agg(F.count(F.lit(1)).alias("order_orphans")))
     c = (cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey, "left_anti")
          .agg(F.count(F.lit(1)).alias("customer_orphans")))
-    return a.crossJoin(b).crossJoin(c)
-
-
-@register(
-    "q33_temporal_integrity",
-    """
-    SELECT CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT)
-             AS shipped_before_order,
-           count(*) AS joined_rows
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    """,
-    survey_ref="Q2",
-)
-def q33_temporal_integrity(spark, sf_dir):
-    """Q2 temporal integrity: valid_from ≤ valid_to analog — ship date must
-    not precede order date."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
-    return j.agg(
-        F.sum(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0))
-        .cast("long").alias("shipped_before_order"),
-        F.count(F.lit(1)).alias("joined_rows"),
-    )
+    d = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .agg(F.sum(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1)
+                    .otherwise(0)).cast("long").alias("shipped_before_order"),
+              F.count(F.lit(1)).alias("joined_rows")))
+    return a.crossJoin(b).crossJoin(c).crossJoin(d)
 
 
 @register(
@@ -116,14 +104,36 @@ def q33_temporal_integrity(spark, sf_dir):
            regexp_replace(regexp_replace(lower(trim(c_name)), '[^a-z0-9]+', '_', 'g'),
                           '^_+|_+$', '', 'g')  AS cust_snake,
            CASE WHEN trim(coalesce(c_mktsegment, '')) <> '' THEN trim(c_mktsegment)
-                ELSE trim(c_name) END          AS segment_or_name
+                ELSE trim(c_name) END          AS segment_or_name,
+           CASE WHEN round(c_acctbal, 2) = floor(round(c_acctbal, 2))
+                THEN CAST(CAST(round(c_acctbal, 2) AS BIGINT) AS VARCHAR)
+                ELSE CAST(round(c_acctbal, 2) AS VARCHAR) END AS bal_headline,
+           CASE WHEN (c_custkey % 113) <= 0 THEN 'N/A'
+                WHEN (c_custkey % 113) % 100 BETWEEN 10 AND 20
+                  THEN CAST(c_custkey % 113 AS VARCHAR) || 'th'
+                WHEN (c_custkey % 113) % 10 = 1
+                  THEN CAST(c_custkey % 113 AS VARCHAR) || 'st'
+                WHEN (c_custkey % 113) % 10 = 2
+                  THEN CAST(c_custkey % 113 AS VARCHAR) || 'nd'
+                WHEN (c_custkey % 113) % 10 = 3
+                  THEN CAST(c_custkey % 113 AS VARCHAR) || 'rd'
+                ELSE CAST(c_custkey % 113 AS VARCHAR) || 'th' END AS rank_ordinal,
+           CASE WHEN CAST(c_custkey % 200 AS DOUBLE) / 2
+                     = floor(CAST(c_custkey % 200 AS DOUBLE) / 2)
+                THEN CAST(CAST(CAST(c_custkey % 200 AS DOUBLE) / 2 AS BIGINT) AS VARCHAR) || '%'
+                ELSE CAST(CAST(c_custkey % 200 AS DOUBLE) / 2 AS VARCHAR) || '%' END
+             AS participation_pct
     FROM customer
     """,
-    survey_ref="X1,X2,X6,X14,X17",
+    survey_ref="X1,X2,X6,X13,X14,X16,X17",
 )
 def q34_scalar_function_parity(spark, sf_dir):
     """Pins the exact-parity scalar recipes (SURVEY §7 hard-part #1): the
-    stable_hash surrogate-ID, slug/snake normalizers, blank-aware coalesce."""
+    stable_hash surrogate-ID, slug/snake normalizers, blank-aware coalesce —
+    plus the X13/X16 headline-formatting family (int-or-2dp metric strings,
+    ordinal ranks with the 11th/21st quirks, percent strings). All pure
+    column expressions over one customer scan: zero shuffles, scan-wide
+    codegen."""
     cust = t(spark, sf_dir, "customer")
     return cust.select(
         "c_custkey",
@@ -131,6 +141,10 @@ def q34_scalar_function_parity(spark, sf_dir):
         sc.slugify("c_name").alias("cust_slug"),
         sc.snake_case("c_name").alias("cust_snake"),
         sc.coalesce_nonblank("c_mktsegment", "c_name").alias("segment_or_name"),
+        sc.int_or_2dp("c_acctbal").alias("bal_headline"),
+        sc.ordinal_rank(F.col("c_custkey") % 113).alias("rank_ordinal"),
+        sc.percent_string((F.col("c_custkey") % 200).cast("double") / 2)
+        .alias("participation_pct"),
     )
 
 
@@ -178,85 +192,6 @@ def q36_parse_iso_date_parity(spark, sf_dir):
     return raw.select(
         "o_orderkey", "messy_date",
         F.date_format(sc.parse_iso_date("messy_date"), "yyyy-MM-dd").alias("parsed_date"))
-
-
-@register(
-    "q40_formatting_parity",
-    """
-    SELECT c_custkey,
-           CASE WHEN round(c_acctbal, 2) = floor(round(c_acctbal, 2))
-                THEN CAST(CAST(round(c_acctbal, 2) AS BIGINT) AS VARCHAR)
-                ELSE CAST(round(c_acctbal, 2) AS VARCHAR) END AS bal_headline,
-           CASE WHEN (c_custkey % 113) <= 0 THEN 'N/A'
-                WHEN (c_custkey % 113) % 100 BETWEEN 10 AND 20
-                  THEN CAST(c_custkey % 113 AS VARCHAR) || 'th'
-                WHEN (c_custkey % 113) % 10 = 1
-                  THEN CAST(c_custkey % 113 AS VARCHAR) || 'st'
-                WHEN (c_custkey % 113) % 10 = 2
-                  THEN CAST(c_custkey % 113 AS VARCHAR) || 'nd'
-                WHEN (c_custkey % 113) % 10 = 3
-                  THEN CAST(c_custkey % 113 AS VARCHAR) || 'rd'
-                ELSE CAST(c_custkey % 113 AS VARCHAR) || 'th' END AS rank_ordinal,
-           CASE WHEN CAST(c_custkey % 200 AS DOUBLE) / 2
-                     = floor(CAST(c_custkey % 200 AS DOUBLE) / 2)
-                THEN CAST(CAST(CAST(c_custkey % 200 AS DOUBLE) / 2 AS BIGINT) AS VARCHAR) || '%'
-                ELSE CAST(CAST(c_custkey % 200 AS DOUBLE) / 2 AS VARCHAR) || '%' END
-             AS participation_pct
-    FROM customer
-    """,
-    survey_ref="X13,X16",
-)
-def q40_formatting_parity(spark, sf_dir):
-    """X13/X16 headline formatting: int-or-2dp metric strings, ordinal
-    ranks (11th/21st quirks included), and percent strings — pure column
-    expressions, zero shuffles, scan-wide codegen."""
-    cust = t(spark, sf_dir, "customer")
-    return cust.select(
-        "c_custkey",
-        sc.int_or_2dp("c_acctbal").alias("bal_headline"),
-        sc.ordinal_rank(F.col("c_custkey") % 113).alias("rank_ordinal"),
-        sc.percent_string((F.col("c_custkey") % 200).cast("double") / 2)
-        .alias("participation_pct"),
-    )
-
-
-@register(
-    "q44_citation_strip",
-    r"""
-    WITH cited AS (
-      SELECT doc_id,
-             'Claim [' || CAST(n_chars % 50 AS VARCHAR) || '] ' || text
-               || ' [7] tail' AS t
-      FROM documents
-    ), stripped AS (
-      SELECT doc_id,
-             trim(regexp_replace(regexp_replace(t, '\s*\[\d+\]\s*', ' ', 'g'),
-                                 '\s{2,}', ' ', 'g')) AS s
-      FROM cited
-    )
-    SELECT doc_id,
-           array_to_string(list_slice(regexp_split_to_array(s, '\s+'), 1, 12), ' ')
-             AS brief,
-           CAST(len(regexp_split_to_array(s, '\s+')) AS BIGINT) AS clean_words
-    FROM stripped
-    """,
-    survey_ref="X15",
-)
-def q44_citation_strip(spark, sf_dir):
-    """X15 citation stripping + word clamp as pure column expressions: a
-    synthetic web-search answer ([n] markers around the document text) is
-    stripped and clamped to a 12-word brief. Zero shuffles, scan-wide
-    codegen — the post-processing path of every web-enriched LLM column."""
-    docs = t(spark, sf_dir, "documents")
-    cited = F.concat(
-        F.lit("Claim ["), (F.col("n_chars") % 50).cast("string"), F.lit("] "),
-        F.col("text"), F.lit(" [7] tail"))
-    clean = sc.strip_citations(cited)
-    return docs.select(
-        "doc_id",
-        sc.clamp_words(clean, 12).alias("brief"),
-        F.size(F.split(clean, r"\s+")).cast("long").alias("clean_words"),
-    )
 
 
 @register(

@@ -20,6 +20,39 @@ class Query:
 
 QUERIES: dict[str, Query] = {}
 
+# Runtime-settable SQL confs the engine's plans assume. The bench/test
+# harnesses get these from session.get_spark, but the driver's correctness
+# gate hands us a PLAIN session (Spark defaults: 200 shuffle partitions,
+# cached plans pinning their shuffle partitioning). On a tiny fixture that
+# turns every mart stage into hundreds of near-empty tasks — measured 48s vs
+# ~3s for the yearly mart at sf0.01 — so each query entry re-applies the
+# confs idempotently before building its plan. All of them are per-session
+# SQL confs (safe to set at runtime, no core/cluster settings touched).
+_SESSION_CONFS = (
+    ("spark.sql.adaptive.enabled", "true"),
+    ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+    ("spark.sql.adaptive.skewJoin.enabled", "true"),
+    # Without this a .cache() pins the cached sub-plan's 200-partition
+    # shuffle; with it AQE re-plans cached frames like everything else.
+    ("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"),
+    ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    # The oracle comparison assumes naive-UTC timestamp semantics.
+    ("spark.sql.session.timeZone", "UTC"),
+)
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime SQL confs to a caller-provided session."""
+    conf = spark.conf
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    for k, v in _SESSION_CONFS + (("spark.sql.shuffle.partitions", str(n)),):
+        try:
+            if conf.get(k, None) != v:
+                conf.set(k, v)
+        except Exception:  # pragma: no cover - read-only/unknown conf
+            pass
+    return spark
+
 
 def register(name: str, sql: Optional[str], survey_ref: str = ""):
     """Decorator: register a (spark, sf_dir) -> DataFrame query builder."""
