@@ -9,10 +9,12 @@ shapes) is real and tested. Codec support is two-tier:
   resized, frame-sampled and feature-extracted FOR REAL, pure numpy, no
   external libraries — so the full decode→transform→re-encode pipeline is
   executable and tested end-to-end in this container;
-- **external codecs** (JPEG/PNG/MP4/…) are STUBBED behind
-  ``_require_codec`` (the libraries are not in this container) with a
-  deterministic fake used when ``fake=True``. Swap the stub for PIL/libav
-  calls in production — the Spark plan does not change.
+- **external formats** go through the ``codecs`` probe: PIL / soundfile
+  are used when installed (production containers), and PNG / WAV decode
+  for REAL with no external dependency (pure zlib+numpy PNG codec, stdlib
+  ``wave``) — so only JPEG/MP4/compressed-audio stay STUBBED behind
+  ``_require_codec`` with a deterministic fake used when ``fake=True``.
+  Whichever tier decodes, the Spark plan does not change.
 
 Scale notes: media bytes ride the shuffle only when explicitly selected;
 metadata-only plans never touch the blob column (Parquet column pruning),
@@ -196,10 +198,20 @@ def resize_nearest(arr, out_w: int, out_h: int):
     return arr[ys][:, xs]
 
 
+def _decode_any_image(b: bytes):
+    """RAWI natively, else the best probed codec tier (PIL → built-in PNG).
+    Returns HxWxC uint8 array or raises ValueError when nothing decodes."""
+    if b[:4] == b"RAWI":
+        return decode_raw_image(b)
+    from . import codecs
+    return codecs.decode_image_blob(b)
+
+
 def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
     """Image blobs → per-image stats (width, height, channels, mean/std
-    intensity). RAWI blobs decode natively; any other content requires a
-    codec (``_require_codec`` applies) — honest per-row dispatch, so a mixed
+    intensity). RAWI and PNG decode for real (PIL widens that to any format
+    it knows when installed); content no tier can decode requires a codec
+    (``_require_codec`` applies) — honest per-row dispatch, so a mixed
     table fails loudly rather than silently faking real JPEGs."""
     import numpy as np
     import pandas as pd
@@ -209,8 +221,11 @@ def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(blob or b"")
-                if b[:4] == b"RAWI":
-                    a = decode_raw_image(b)
+                try:
+                    a = _decode_any_image(b)
+                except ValueError:
+                    a = None
+                if a is not None:
                     rows.append({
                         "media_id": mid, "width": a.shape[1],
                         "height": a.shape[0], "channels": a.shape[2],
@@ -240,8 +255,9 @@ def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
 def image_thumbnails(df: DataFrame, max_side: int = 64,
                      fake: bool = False) -> DataFrame:
     """Image blobs → RAWI thumbnails with the long side clamped to
-    ``max_side`` (aspect preserved, nearest-neighbor). Real resize for RAWI
-    input; codec-gated otherwise."""
+    ``max_side`` (aspect preserved, nearest-neighbor). Real resize for any
+    decodable input (RAWI/PNG, plus whatever PIL adds when installed);
+    codec-gated otherwise."""
     import pandas as pd
 
     def thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -249,12 +265,13 @@ def image_thumbnails(df: DataFrame, max_side: int = 64,
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(blob or b"")
-                if b[:4] != b"RAWI":
+                try:
+                    a = _decode_any_image(b)
+                except ValueError:
                     _require_codec("image_thumbnails", fake)
                     rows.append({"media_id": mid, "thumbnail": b[:16],
                                  "thumb_w": 0, "thumb_h": 0})
                     continue
-                a = decode_raw_image(b)
                 h, w = a.shape[:2]
                 scale = max_side / max(h, w)
                 tw = max(1, int(w * scale)) if scale < 1 else w
@@ -311,22 +328,33 @@ def extract_video_frames(df: DataFrame, every_n: int = 1,
 
 
 def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
-    """RAWA audio → duration, RMS, peak amplitude (real numpy); codec-gated
-    for compressed formats."""
+    """RAWA and WAV audio → duration, RMS, peak amplitude (real numpy;
+    stdlib ``wave`` for WAV, soundfile widening the formats when installed);
+    codec-gated for compressed formats."""
     import numpy as np
     import pandas as pd
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(blob or b"")
-                if b[:4] != b"RAWA":
+                if b[:4] == b"RAWA":
+                    rate, samples = decode_raw_audio(b)
+                elif codecs.is_wav(b) or codecs.soundfile_mod() is not None:
+                    try:
+                        rate, samples = codecs.wav_decode(b)
+                    except Exception:
+                        _require_codec("audio_features", fake)
+                        rows.append({"media_id": mid, "sample_rate": 0,
+                                     "duration_ms": 0, "rms": 0.0, "peak": 0})
+                        continue
+                else:
                     _require_codec("audio_features", fake)
                     rows.append({"media_id": mid, "sample_rate": 0,
                                  "duration_ms": 0, "rms": 0.0, "peak": 0})
                     continue
-                rate, samples = decode_raw_audio(b)
                 x = samples.astype(np.float64)
                 rows.append({
                     "media_id": mid, "sample_rate": rate,
