@@ -78,6 +78,34 @@ def bucketed_join(spark: SparkSession, left: str, right: str,
     return spark.table(left).join(spark.table(right), list(keys), how)
 
 
+def persist_silver_bucketed(frames: dict, base_path: str,
+                            num_buckets: int,
+                            table_prefix: str = "bkt_") -> dict:
+    """Persist silver fact/dim frames bucketed on their recurring join/agg
+    key and return the re-read (bucketed-scan) frames.
+
+    ``frames`` maps table name → (DataFrame, bucket key columns). Each value
+    is written with ``write_bucketed`` (keys also sort keys) and read back
+    through the session catalog so the scan reports the bucketing as its
+    output partitioning. Feed the returned frames to the gold builders with
+    ``normalized_inputs=True`` (tables/gold.py) and the per-member fact
+    aggregations plan with ZERO Exchanges — the recurring-refresh shuffle of
+    the fact logs is paid once, at silver write time.
+
+    The silver writers trim string keys at write time, which is what makes
+    the normalized-inputs contract sound; this helper asserts nothing about
+    it — callers own the contract.
+    """
+    spark = next(iter(frames.values()))[0].sparkSession
+    out = {}
+    for name, (df, keys) in frames.items():
+        table = f"{table_prefix}{name}"
+        write_bucketed(df, table, list(keys), num_buckets,
+                       f"{base_path}/{name}")
+        out[name] = spark.table(table)
+    return out
+
+
 def exchanges_in_plan(df: DataFrame) -> int:
     """Count shuffle Exchanges in the physical plan (0 for a co-located
     bucketed join) — the assertion the tests and plan audits use."""

@@ -140,12 +140,28 @@ def gold_current_members(members: DataFrame, memberships: DataFrame,
 # gold_member_activity_yearly / monthly
 # ---------------------------------------------------------------------------
 
+def _member_key(col: str, normalized: bool) -> F.Column:
+    """Member-code normalization, or a plain alias under the normalized-
+    silver contract.
+
+    Silver tables written by this engine are trimmed at write time, so gold
+    builders may be told (``normalized_inputs=True``) to skip the defensive
+    re-trim. This is not just cosmetic: a plain column reference preserves
+    the scan's output partitioning, so when the silver log is stored
+    BUCKETED on the member key (io/bucketing.py) the per-member aggregations
+    below run with ZERO Exchanges — `trim(coalesce(c, ''))` is an opaque
+    derivation to the planner and forces a full re-shuffle of the fact table
+    on every refresh."""
+    return F.col(col) if normalized else _trimmed(col)
+
+
 def _speech_period_metrics(speeches: DataFrame, period: F.Column,
-                           period_name: str) -> DataFrame:
+                           period_name: str,
+                           normalized: bool = False) -> DataFrame:
     """A1: per (member, period) speech_count + distinct debate-day count."""
     return (
         speeches
-        .withColumn("member_code", _trimmed("speaker_member_code"))
+        .withColumn("member_code", _member_key("speaker_member_code", normalized))
         .withColumn("__d", blank_as_null("debate_date").try_cast("date"))
         .filter((F.col("member_code") != "") & F.col("__d").isNotNull())
         .withColumn(period_name, period)
@@ -174,7 +190,8 @@ def _vote_kind() -> F.Column:
 
 
 def _vote_period_metrics(votes: DataFrame, period: F.Column,
-                         period_name: str, with_kinds: bool) -> DataFrame:
+                         period_name: str, with_kinds: bool,
+                         normalized: bool = False) -> DataFrame:
     """A2 + A3: votes cast per (member, period), optionally kind counts.
 
     The reference pivots via `pd.crosstab` then joins back; a conditional-sum
@@ -182,7 +199,7 @@ def _vote_period_metrics(votes: DataFrame, period: F.Column,
     """
     base = (
         votes
-        .withColumn("member_code", _trimmed("member_code"))
+        .withColumn("member_code", _member_key("member_code", normalized))
         .withColumn("__d", blank_as_null("division_date").try_cast("date"))
         .filter((F.col("member_code") != "") & F.col("__d").isNotNull())
         .withColumn(period_name, period)
@@ -231,10 +248,14 @@ def _period_grid(current_members: DataFrame, metric_frames: list[DataFrame],
 def gold_member_activity_yearly(current_members: DataFrame, speeches: DataFrame,
                                 member_votes: DataFrame,
                                 divisions: DataFrame | None,
-                                snapshot_date: str) -> DataFrame:
+                                snapshot_date: str,
+                                normalized_inputs: bool = False) -> DataFrame:
     """Annual member activity: counts, participation pct, per-year dense ranks.
 
     PK (member_code, year); columns `tables.yml:242-248`.
+    ``normalized_inputs`` opts into the normalized-silver contract (see
+    ``_member_key``): with member-key-bucketed silver logs the fact
+    aggregations then run Exchange-free.
     """
     # The metric frames are (member × year)-bounded — dimension-sized no
     # matter how large the fact inputs are — and each is consumed 2-3× (grid
@@ -242,9 +263,11 @@ def gold_member_activity_yearly(current_members: DataFrame, speeches: DataFrame,
     # shuffles run once; MEMORY_AND_DISK spills if a pathological dimension
     # ever outgrows executor memory.
     year_of = F.year("__d").cast("string")
-    speech_metrics = _speech_period_metrics(speeches, year_of, "year").cache()
-    vote_metrics = _vote_period_metrics(member_votes, year_of, "year",
-                                        with_kinds=True).cache()
+    speech_metrics = _speech_period_metrics(
+        speeches, year_of, "year", normalized=normalized_inputs).cache()
+    vote_metrics = _vote_period_metrics(
+        member_votes, year_of, "year", with_kinds=True,
+        normalized=normalized_inputs).cache()
 
     # A4: distinct divisions per year; divisions table if usable, else votes.
     div_source = divisions
@@ -301,14 +324,16 @@ def gold_member_activity_yearly(current_members: DataFrame, speeches: DataFrame,
 
 def gold_member_activity_monthly(current_members: DataFrame,
                                  speeches: DataFrame, member_votes: DataFrame,
-                                 snapshot_date: str) -> DataFrame:
+                                 snapshot_date: str,
+                                 normalized_inputs: bool = False) -> DataFrame:
     """Monthly member activity (PK member_code, year_month; `tables.yml:250-256`)."""
     month_of = F.date_format("__d", "yyyy-MM")
     # Cached for the same reason as the yearly mart: bounded frames, 3 readers.
-    speech_metrics = _speech_period_metrics(speeches, month_of,
-                                            "year_month").cache()
-    vote_metrics = _vote_period_metrics(member_votes, month_of, "year_month",
-                                        with_kinds=False).cache()
+    speech_metrics = _speech_period_metrics(
+        speeches, month_of, "year_month", normalized=normalized_inputs).cache()
+    vote_metrics = _vote_period_metrics(
+        member_votes, month_of, "year_month", with_kinds=False,
+        normalized=normalized_inputs).cache()
     grid = _period_grid(current_members, [speech_metrics, vote_metrics],
                         [speech_metrics, vote_metrics],
                         "year_month", snapshot_date[:7])

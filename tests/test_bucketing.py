@@ -1,4 +1,5 @@
-"""Bucketed-table support: shuffle-free co-located joins (io/bucketing.py)."""
+"""Bucketed-table support: shuffle-free co-located joins (io/bucketing.py)
+and the bucketed-silver → gold-mart wiring (normalized-inputs contract)."""
 
 from __future__ import annotations
 
@@ -8,6 +9,7 @@ from eirepolitic_data_pipeline_spark.io.bucketing import (
     bucketed_join,
     buckets_for,
     exchanges_in_plan,
+    persist_silver_bucketed,
     register_bucketed,
     write_bucketed,
 )
@@ -72,3 +74,70 @@ def test_register_bucketed_reattaches_metadata(spark, tmp_path, no_broadcast):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_left")
         spark.sql("DROP TABLE IF EXISTS b_right")
+
+
+def _mart_fixtures(spark):
+    """Tiny roster / speech log / vote log in the silver string conventions
+    (already trimmed — the contract the silver writers uphold)."""
+    from pyspark.sql import functions as F
+    roster = spark.createDataFrame(
+        [(f"m{i}", f"Member {i}", f"C{i % 5}", "true") for i in range(20)],
+        "member_code string, full_name string, constituency_name string, "
+        "is_current_member string")
+    speeches = spark.createDataFrame(
+        [(f"m{i % 20}", f"202{4 + i % 2}-0{i % 9 + 1}-15", f"sp{i}")
+         for i in range(2000)],
+        "speaker_member_code string, debate_date string, speech_id string")
+    votes = spark.createDataFrame(
+        [(f"m{i % 20}", f"202{4 + i % 2}-0{i % 9 + 1}-20", f"v{i}",
+          ["ta", "nil", "staon"][i % 3], "", f"d{i % 40}", "")
+         for i in range(2000)],
+        "member_code string, division_date string, member_vote_id string, "
+        "vote_code string, vote_label string, division_id string, "
+        "constituency_name_at_vote string")
+    return roster, speeches, votes
+
+
+def test_bucketed_silver_marts_drop_fact_exchanges(spark, tmp_path,
+                                                   no_broadcast):
+    """The recurring-join wiring: silver logs persisted bucketed on the
+    member key + the builders' normalized-inputs contract ⇒ the per-member
+    fact aggregations plan WITHOUT Exchanges, and the mart output is
+    byte-identical to the defensive (re-trimming, shuffling) path."""
+    from eirepolitic_data_pipeline_spark.tables.gold import (
+        _speech_period_metrics,
+        _vote_period_metrics,
+        gold_member_activity_yearly,
+    )
+    from pyspark.sql import functions as F
+
+    roster, speeches, votes = _mart_fixtures(spark)
+    try:
+        bkt = persist_silver_bucketed(
+            {"speeches": (speeches, ["speaker_member_code"]),
+             "votes": (votes, ["member_code"])},
+            str(tmp_path / "silver"), num_buckets=8)
+
+        # the fact-side aggregations are Exchange-free on bucketed input...
+        year = F.year("__d").cast("string")
+        agg_b = _speech_period_metrics(bkt["speeches"], year, "year",
+                                       normalized=True)
+        assert exchanges_in_plan(agg_b) == 0
+        agg_v = _vote_period_metrics(bkt["votes"], year, "year",
+                                     with_kinds=True, normalized=True)
+        assert exchanges_in_plan(agg_v) == 0
+        # ...and shuffle on plain input with the defensive re-trim
+        assert exchanges_in_plan(
+            _speech_period_metrics(speeches, year, "year")) > 0
+
+        # full mart parity: bucketed+normalized == plain+defensive
+        a = gold_member_activity_yearly(
+            roster, bkt["speeches"], bkt["votes"], None, "2026-08-14",
+            normalized_inputs=True)
+        b = gold_member_activity_yearly(
+            roster, speeches, votes, None, "2026-08-14")
+        ra, rb = sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect()))
+        assert ra == rb and len(ra) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_speeches")
+        spark.sql("DROP TABLE IF EXISTS bkt_votes")
