@@ -4,6 +4,7 @@ from .rest import (  # noqa: F401
     PaginatedRestSource,
     RetryPolicy,
     bisect_date_windows,
+    endpoint_discovery,
     fetch_date_partitioned,
     fetch_with_fallback,
 )

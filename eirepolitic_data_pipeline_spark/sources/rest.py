@@ -225,3 +225,73 @@ def fetch_with_fallback(source: "PaginatedRestSource", endpoints: Sequence[str],
         except Exception as exc:  # noqa: BLE001 — any transport failure falls through
             last_exc = exc
     raise last_exc if last_exc else ValueError("no endpoints supplied")
+
+
+def endpoint_discovery(source: "PaginatedRestSource",
+                       endpoint_specs: Sequence[dict],
+                       limit: int = 5,
+                       max_depth: int = 4) -> tuple[list[dict], dict]:
+    """One-page endpoint discovery (`discovery.py:64-128`): probe each
+    declared endpoint with a single small page (never paginate), summarize
+    payload shape — result count, top-level keys, first-item wrapper keys,
+    and a stable 16-hex schema hash of the item's nested key paths (F9
+    introspection, shared with tables/silver.py) — and report ok/error per
+    endpoint plus an aggregate manifest.
+
+    Probe failures are DATA here, not exceptions: discovery's job is to
+    report which endpoints answer, so transport errors land in the row's
+    ``error`` column (`status_code`/``result_count`` zeroed) and only the
+    all-endpoints-dead case flips the manifest status. Specs are
+    ``{"name", "endpoint", "params"}`` dicts, mirroring the reference's
+    DISCOVERY_ENDPOINTS table.
+    """
+    from ..tables.silver import key_paths_py, stable_hash_py
+
+    rows: list[dict] = []
+    payload_shapes: dict[str, dict] = {}
+    for spec in endpoint_specs:
+        params = dict(spec.get("params") or {})
+        params["limit"] = min(int(params.get("limit", limit)), limit)
+        ok, status_code, error, payload = True, 200, None, {}
+        try:
+            payload = source._get(spec["endpoint"], params)
+        except Exception as exc:  # noqa: BLE001 — probe failure is data
+            ok, status_code, error, payload = False, 0, str(exc)[:300], {}
+        results = payload.get(source.results_key) \
+            if isinstance(payload, dict) else None
+        results_list = results if isinstance(results, list) else []
+        first = results_list[0] if results_list \
+            and isinstance(results_list[0], dict) else {}
+        item_key_paths = sorted(key_paths_py(first, max_depth=max_depth)) \
+            if first else []
+        top_keys = sorted(payload.keys()) if isinstance(payload, dict) else []
+        wrapper_keys = sorted(first.keys())
+        row = {
+            "endpoint_name": spec["name"],
+            "endpoint": spec["endpoint"],
+            "ok": ok,
+            "status_code": status_code,
+            "result_count": len(results_list),
+            "top_keys": ",".join(top_keys),
+            "result_wrapper_keys": ",".join(wrapper_keys),
+            "schema_hash": stable_hash_py(item_key_paths, length=16)
+            if item_key_paths else None,
+            "error": error,
+        }
+        rows.append(row)
+        payload_shapes[spec["name"]] = {
+            "endpoint": spec["endpoint"], "params": params, "ok": ok,
+            "status_code": status_code, "result_count": len(results_list),
+            "top_keys": top_keys, "result_wrapper_keys": wrapper_keys,
+            "item_key_paths": item_key_paths, "error": error,
+        }
+    manifest = {
+        "table": "_discovery",
+        "mode": "discover",
+        "status": "success" if any(r["ok"] for r in rows) else "failed",
+        "endpoint_count": len(rows),
+        "ok_count": sum(1 for r in rows if r["ok"]),
+        "failed_count": sum(1 for r in rows if not r["ok"]),
+        "payload_shapes": payload_shapes,
+    }
+    return rows, manifest

@@ -179,3 +179,62 @@ def test_speeches_from_xml_distributed(spark):
     assert len(rows) == 8
     assert {r["debate_id"] for r in rows} == {"d1", "d2"}
     assert out.schema["speech_order"].dataType.simpleString() == "int"
+
+
+# ---------------------------------------------------------------------------
+# endpoint discovery (reference discovery.py)
+# ---------------------------------------------------------------------------
+
+def test_endpoint_discovery_shapes_and_failures():
+    from eirepolitic_data_pipeline_spark.sources.rest import endpoint_discovery
+    from eirepolitic_data_pipeline_spark.tables.silver import stable_hash_py
+
+    def transport(endpoint, params):
+        assert params["limit"] <= 5  # one small page, never paginated
+        if endpoint == "/members":
+            return 200, {"head": {"counts": {"totalCount": 2}}, "results": [
+                {"member": {"memberCode": "m1",
+                            "memberships": [{"house": {"houseNo": "34"}}]}},
+                {"member": {"memberCode": "m2"}}]}
+        if endpoint == "/houses":
+            return 200, {"results": []}
+        raise RuntimeError("connection refused")
+
+    src = PaginatedRestSource(transport=transport, retry=NO_SLEEP)
+    specs = [
+        {"name": "members", "endpoint": "/members",
+         "params": {"chamber": "dail", "limit": 5}},
+        {"name": "houses", "endpoint": "/houses", "params": {"limit": 5}},
+        {"name": "votes_probe", "endpoint": "/votes", "params": {"limit": 5}},
+    ]
+    rows, manifest = endpoint_discovery(src, specs)
+    by = {r["endpoint_name"]: r for r in rows}
+
+    m = by["members"]
+    assert m["ok"] and m["result_count"] == 2
+    assert m["top_keys"] == "head,results"
+    assert m["result_wrapper_keys"] == "member"
+    # schema hash = stable hash of the FIRST item's nested key paths (F9)
+    expected_paths = sorted([
+        "member", "member.memberCode", "member.memberships",
+        "member.memberships[]", "member.memberships[].house"])
+    assert m["schema_hash"] == stable_hash_py(expected_paths, length=16)
+    assert manifest["payload_shapes"]["members"]["item_key_paths"] == \
+        expected_paths
+
+    h = by["houses"]
+    assert h["ok"] and h["result_count"] == 0 and h["schema_hash"] is None
+
+    v = by["votes_probe"]
+    assert not v["ok"] and "retries exhausted" in v["error"]
+    assert v["status_code"] == 0 and v["result_count"] == 0
+
+    assert manifest["status"] == "success"
+    assert (manifest["ok_count"], manifest["failed_count"]) == (2, 1)
+
+    # all-dead discovery flips to failed, but still returns rows
+    def dead(endpoint, params):
+        raise RuntimeError("down")
+    rows2, mani2 = endpoint_discovery(
+        PaginatedRestSource(transport=dead, retry=NO_SLEEP), specs[:1])
+    assert mani2["status"] == "failed" and len(rows2) == 1
