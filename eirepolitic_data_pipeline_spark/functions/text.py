@@ -202,3 +202,40 @@ def winnowed_fingerprints(col: Column | str, k: int = 5, window: int = 4,
                     lambda p: F.array_min(F.slice(grams, p, window)))
     ).otherwise(F.array().cast("array<bigint>"))
     return F.array_sort(F.array_distinct(minima))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (beyond-ref: training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+#: Conservative patterns chosen to behave identically under Java regex
+#: (Spark) and RE2 (DuckDB/the oracle): no backrefs, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    # international-ish phone: +optional country code, 9-15 digits with
+    # common separators, anchored on word boundaries to avoid bare numbers
+    "phone": r"\+\d[\d\- ]{7,13}\d",
+}
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts (email / ipv4 / phone) as JVM-side column
+    expressions — the detection half of training-data scrubbing, cheap
+    enough to ride along any quality-scoring projection pass."""
+    c = F.coalesce((F.col(col) if isinstance(col, str) else col)
+                   .cast("string"), F.lit(""))
+    return {f"n_{kind}": F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+            for kind, pat in PII_PATTERNS.items()}
+
+
+def redact_pii(col: Column | str, token: str = "[PII]") -> Column:
+    """Replace every PII match with ``token`` — chained regexp_replace,
+    zero UDFs, safe in any projection (the scrubbing half). Order matters:
+    emails first so their domain dots cannot be half-eaten by the ipv4
+    pattern."""
+    out = F.coalesce((F.col(col) if isinstance(col, str) else col)
+                     .cast("string"), F.lit(""))
+    for kind in ("email", "ipv4", "phone"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], token)
+    return out

@@ -321,11 +321,28 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b")
     )
-    edges = verified.unionByName(
-        verified.select(F.col("doc_b").alias("doc_a"),
-                        F.col("doc_a").alias("doc_b"))).persist()
-    labels = df.select(F.col(id_col).alias("id"),
-                       F.col(id_col).alias("label")).localCheckpoint()
+    return min_label_components(df.select(F.col(id_col).alias("id")),
+                                verified, max_iters) \
+        .select(F.col("id").alias(id_col), "canonical_id")
+
+
+def min_label_components(ids: DataFrame, pairs: DataFrame,
+                         max_iters: int = 10) -> DataFrame:
+    """Connected components by iterative min-label propagation: returns
+    (id, canonical_id) where canonical is the component minimum. ``ids``
+    has one ``id`` column; ``pairs`` has (doc_a, doc_b) undirected edges
+    (either orientation).
+
+    Scale: each iteration is one join + one groupBy on the edge list —
+    O(diameter) rounds, and near-dup components in real corpora have tiny
+    diameters (pairwise-similar clusters), so 2-3 rounds typical. The edge
+    list is persisted once; labels are localCheckpoint-ed per round to
+    truncate lineage. The per-round convergence check is a scalar count,
+    not a data collect."""
+    edges = pairs.select("doc_a", "doc_b").unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))).persist()
+    labels = ids.select("id", F.col("id").alias("label")).localCheckpoint()
     for _ in range(max_iters):
         nbr = (edges.join(labels, edges.doc_b == labels.id)
                .groupBy("doc_a").agg(F.min("label").alias("nbr_label")))
@@ -343,8 +360,35 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(F.col("id").alias(id_col),
-                         F.col("label").alias("canonical_id"))
+    return labels.select("id", F.col("label").alias("canonical_id"))
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 8) -> tuple[DataFrame, DataFrame]:
+    """Benchmark decontamination (beyond-ref; the n-gram-overlap test-set
+    filter every training-data pipeline needs, cf. GPT-3 appendix C /
+    Brown et al. 2020): drop corpus documents sharing ANY word n-gram with
+    the benchmark set. Returns ``(kept, contaminated)`` where contaminated
+    is (id, n_hits = number of distinct corpus-doc shingles also present
+    in the benchmark).
+
+    Plan: both sides run the same vectorized shingle kernel; the
+    benchmark's distinct 8-byte keys are typically tiny (eval sets are
+    thousands of docs) so the hit-join broadcasts — corpus-side work is one
+    map pass + one broadcast semi-join, no shuffle of the corpus. Long n
+    (default 8) keeps collisions to verbatim overlap, the standard
+    decontamination grain."""
+    ck = shingle_postings(corpus, text_col, id_col, n)
+    bk = F.broadcast(
+        shingle_postings(benchmark, text_col, id_col, n)
+        .select("key").distinct())
+    hits = (ck.join(bk, "key")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    contaminated = hits.select(F.col("doc_id").alias(id_col), "n_hits")
+    kept = corpus.join(contaminated.select(id_col), id_col, "left_anti")
+    return kept, contaminated
 
 
 # ---------------------------------------------------------------------------

@@ -144,3 +144,48 @@ def knn_bruteforce_pandas(vectors: DataFrame, queries_pdf, k: int,
     return (scored.filter(F.col("neighbor_id") != F.col("query_id"))
             .withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k))
+
+
+def ivf_grid_cells(vec_col: Column, grid: int = 4, dims: int = 2) -> Column:
+    """Deterministic coarse quantizer: grid cell over the first ``dims``
+    dimensions as a compact string key (fixed codebook, no training pass —
+    swap for kmeans centroids without touching callers)."""
+    parts = [F.floor(F.element_at(vec_col, i + 1).cast("double") * grid)
+             .cast("long").cast("string") for i in range(dims)]
+    return F.concat_ws(":", *parts)
+
+
+def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   grid: int = 4, dims: int = 2,
+                   max_iters: int = 10) -> DataFrame:
+    """Embedding-space near-duplicate collapse (SemDeDup-style, Abbas et
+    al. 2023): bucket vectors with a coarse quantizer, compare cosine only
+    WITHIN a bucket, link pairs >= ``threshold``, and collapse transitive
+    clusters to their min-id canonical via connected components. Returns
+    (id, canonical_id); keep one row per canonical_id to dedup.
+
+    Scale: the only shuffle is the cell equi-join, partitioned by cell key
+    — work tracks within-cell density, never n². Quantizer granularity
+    (``grid``/``dims``) bounds cell population the way IVF nlist does;
+    component closure reuses the min-label propagation shared with MinHash
+    dedup (O(cluster diameter) rounds, tiny for similarity cliques).
+    Same trade as SemDeDup's k-means clustering: near-dups straddling a
+    cell boundary are missed, accepted for linear cost."""
+    from .dedupe import min_label_components
+
+    cells = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        ivf_grid_cells(F.col(vec_col), grid, dims).alias("cell"))
+    a = cells.select(F.col("id").alias("doc_a"), F.col("v").alias("va"),
+                     F.col("cell").alias("ca"))
+    b = cells.select(F.col("id").alias("doc_b"), F.col("v").alias("vb"),
+                     F.col("cell").alias("cb"))
+    pairs = (a.join(b, (F.col("ca") == F.col("cb"))
+                    & (F.col("doc_a") < F.col("doc_b")))
+             .withColumn("cos", cosine_col(F.col("va"), F.col("vb")))
+             .filter(F.col("cos") >= threshold)
+             .select("doc_a", "doc_b"))
+    return min_label_components(cells.select("id"), pairs, max_iters) \
+        .select(F.col("id").alias(id_col), "canonical_id")

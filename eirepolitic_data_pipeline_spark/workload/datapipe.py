@@ -500,11 +500,14 @@ def q29_language_id(spark, sf_dir):
 
 @register(
     "q30_quality_scores",
-    """
+    r"""
     WITH base AS (
       SELECT doc_id, text,
-             string_split_regex(trim(lower(text)), '\\s+') AS toks,
-             CAST(length(text) AS DOUBLE) AS n_chars
+             string_split_regex(trim(lower(text)), '\s+') AS toks,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7 tel +353 1 234 5678' AS pii_text
       FROM documents
     )
     SELECT doc_id,
@@ -516,21 +519,49 @@ def q29_language_id(spark, sf_dir):
                  ELSE 0 END, 4) AS alpha_ratio,
            round(CASE WHEN len(toks) > 0
                  THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-                 ELSE 0 END, 4) AS distinct_token_ratio
+                 ELSE 0 END, 4) AS distinct_token_ratio,
+           CAST(len(regexp_extract_all(pii_text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+             AS n_email,
+           CAST(len(regexp_extract_all(pii_text,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER)
+             AS n_ipv4,
+           CAST(len(regexp_extract_all(pii_text, '\+\d[\d\- ]{7,13}\d'))
+                AS INTEGER) AS n_phone,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(pii_text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[PII]', 'g'),
+                '\+\d[\d\- ]{7,13}\d', '[PII]', 'g')) AS INTEGER)
+             AS redacted_len
     FROM base
     """,
-    survey_ref="beyond-ref: quality scoring",
+    survey_ref="beyond-ref: quality scoring + PII scrubbing",
 )
 def q30_quality_scores(spark, sf_dir):
-    """Gopher/C4-style quality features as one projection pass."""
+    """Gopher/C4-style quality features + PII detection/redaction counts in
+    one projection pass. The documents fixture carries no real PII, so a
+    deterministic synthetic tail (doc-derived email, IP, phone) is appended
+    before counting — the oracle applies the identical construction, making
+    the regex semantics (Java vs RE2, chosen to agree) hash-checked rather
+    than trivially zero. All JVM-side column expressions; redaction order
+    (email→ip→phone) pinned in functions/text.py:redact_pii."""
     docs = spread(t(spark, sf_dir, "documents"))
     q = tx.quality_features("text")
+    pii_text = F.concat(
+        F.col("text"), F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".7 tel +353 1 234 5678"))
+    counts = tx.pii_counts(pii_text)
     return docs.select(
         "doc_id",
         q["n_tokens"].alias("n_tokens"),
         F.round(q["mean_word_len"], 4).alias("mean_word_len"),
         F.round(q["alpha_ratio"], 4).alias("alpha_ratio"),
         F.round(q["distinct_token_ratio"], 4).alias("distinct_token_ratio"),
+        counts["n_email"].cast("int").alias("n_email"),
+        counts["n_ipv4"].cast("int").alias("n_ipv4"),
+        counts["n_phone"].cast("int").alias("n_phone"),
+        F.length(tx.redact_pii(pii_text)).cast("int").alias("redacted_len"),
     )
 
 

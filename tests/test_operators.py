@@ -473,3 +473,84 @@ def test_dataset_split_null_keys_deterministic(spark):
     # NULL keys participate in sampling decisions (not silently dropped)
     full = hash_sample(df, "source", 1.0)
     assert full.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: decontamination, semantic dedup, PII scrubbing
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_ngram_overlap(spark):
+    from eirepolitic_data_pipeline_spark.operators.dedupe import decontaminate
+    corpus = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog again and again ok"),
+        (2, "completely unrelated content with no benchmark overlap at all x"),
+        (3, "prefix words then the quick brown fox jumps over the lazy dog"),
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame([
+        (100, "quiz answer the quick brown fox jumps over the lazy dog end"),
+    ], "doc_id long, text string")
+    kept, contaminated = decontaminate(corpus, bench, n=8)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2]
+    bad = {r["doc_id"]: r["n_hits"] for r in contaminated.collect()}
+    assert set(bad) == {1, 3} and all(v >= 1 for v in bad.values())
+    # long-n grain: a short shared phrase is NOT contamination
+    kept2, _ = decontaminate(
+        corpus.filter("doc_id = 2"),
+        spark.createDataFrame([(9, "unrelated content here")],
+                              "doc_id long, text string"), n=8)
+    assert kept2.count() == 1
+
+
+def test_semantic_dedup_components(spark):
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        semantic_dedup)
+    # same-cell near-identical vectors (cosine ~1) + a distinct vector in
+    # the same cell + one in another cell
+    rows = [
+        (1, [0.10, 0.10, 0.9, 0.0]),
+        (2, [0.101, 0.1, 0.9, 0.001]),    # ~dup of 1
+        (3, [0.102, 0.099, 0.901, 0.0]),  # ~dup of 1/2 (transitive chain)
+        (4, [0.12, 0.12, -0.9, 0.0]),     # same cell, opposite direction
+        (5, [-0.9, -0.9, 0.1, 0.0]),      # different cell
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["canonical_id"]
+           for r in semantic_dedup(df, threshold=0.99).collect()}
+    assert out[1] == out[2] == out[3] == 1   # chain collapses to min id
+    assert out[4] == 4 and out[5] == 5       # not merged
+    # keep-one-per-canonical leaves 3 rows
+    assert len(set(out.values())) == 3
+
+
+def test_pii_counts_and_redaction(spark):
+    from eirepolitic_data_pipeline_spark.functions.text import (
+        pii_counts, redact_pii)
+    df = spark.createDataFrame([
+        ("mail a.b-c_1@sub.example.co.uk or x@y.io, ip 192.168.0.1, "
+         "call +353 1 234 5678 end",),
+        ("no pii here, just version 1.2 and year 2026",),
+        (None,),
+    ], "t string")
+    c = pii_counts("t")
+    out = df.select(
+        c["n_email"].alias("e"), c["n_ipv4"].alias("i"),
+        c["n_phone"].alias("p"), redact_pii("t").alias("r")).collect()
+    assert (out[0]["e"], out[0]["i"], out[0]["p"]) == (2, 1, 1)
+    assert out[0]["r"] == ("mail [PII] or [PII], ip [PII], call [PII] end")
+    # dotted-but-not-ip and bare numbers are left alone
+    assert (out[1]["e"], out[1]["i"], out[1]["p"]) == (0, 0, 0)
+    assert out[1]["r"].startswith("no pii here")
+    assert (out[2]["e"], out[2]["i"], out[2]["p"]) == (0, 0, 0)
+    assert out[2]["r"] == ""
+
+
+def test_min_label_components_chain_and_isolates(spark):
+    from eirepolitic_data_pipeline_spark.operators.dedupe import (
+        min_label_components)
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    # chain 1-2-3, pair 5-6, isolate 4
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (6, 5)], "doc_a long, doc_b long")
+    out = {r["id"]: r["canonical_id"]
+           for r in min_label_components(ids, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
