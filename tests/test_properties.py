@@ -143,3 +143,64 @@ def test_pack_sequences_invariants_fuzz(spark, toks, budget, shards):
         seq = sorted((r["doc_id"], r["batch_id"])
                      for r in packed if r["shard"] == shard)
         assert all(b1 <= b2 for (_, b1), (_, b2) in zip(seq, seq[1:]))
+
+
+# ---------------------------------------------------------------------------
+# decontamination / PII / component invariants (round-4 operators)
+# ---------------------------------------------------------------------------
+
+@SPARK_SETTINGS
+@given(docs=st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1,
+    max_size=8),
+    bench_idx=st.lists(st.integers(0, 7), max_size=3))
+def test_decontaminate_partitions_corpus_fuzz(spark, docs, bench_idx):
+    """kept ∪ contaminated == corpus, disjoint; benchmark members always
+    contaminate themselves when they have any n-gram at all."""
+    from eirepolitic_data_pipeline_spark.operators.dedupe import decontaminate
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string")
+    bench_rows = [(100 + j, docs[i]) for j, i in enumerate(bench_idx)
+                  if i < len(docs)]
+    bench = spark.createDataFrame(bench_rows or [(999, "zzz")],
+                                  "doc_id long, text string")
+    kept, contaminated = decontaminate(corpus, bench, n=3)
+    k = {r["doc_id"] for r in kept.collect()}
+    c = {r["doc_id"] for r in contaminated.collect()}
+    assert k | c == set(range(len(docs)))
+    assert not (k & c)
+
+
+@SPARK_SETTINGS
+@given(s=st.text(min_size=0, max_size=80))
+def test_redact_pii_idempotent_fuzz(spark, s):
+    """redact(redact(x)) == redact(x): the replacement token can never
+    itself match a PII pattern."""
+    from eirepolitic_data_pipeline_spark.functions.text import redact_pii
+    df = spark.createDataFrame([(s,)], "t string")
+    row = df.select(
+        redact_pii("t").alias("once"),
+        redact_pii(redact_pii("t")).alias("twice")).collect()[0]
+    assert row["once"] == row["twice"]
+
+
+@SPARK_SETTINGS
+@given(edges=st.lists(
+    st.tuples(st.integers(1, 8), st.integers(1, 8)), max_size=10))
+def test_min_label_components_is_a_valid_partition_fuzz(spark, edges):
+    """Every id gets a canonical ≤ itself; endpoints of every edge share a
+    canonical; canonicals are their own canonical (idempotent labels)."""
+    from eirepolitic_data_pipeline_spark.operators.dedupe import (
+        min_label_components)
+    ids = spark.createDataFrame([(i,) for i in range(1, 9)], "id long")
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b] or [(1, 1)],
+        "doc_a long, doc_b long")
+    out = {r["id"]: r["canonical_id"]
+           for r in min_label_components(ids, pairs).collect()}
+    assert set(out) == set(range(1, 9))
+    assert all(c <= i for i, c in out.items())
+    assert all(out[c] == c for c in out.values())
+    for a, b in edges:
+        if a != b:
+            assert out[a] == out[b]

@@ -44,8 +44,11 @@ def audit(plan: str) -> dict:
     arrow = sum(1 for ln in lines
                 if "ArrowEvalPython" in ln or "MapInPandas" in ln
                 or "FlatMapGroupsInPandas" in ln)
+    # stop at end-of-line: Spark truncates long plan strings, so a greedy
+    # [^>]* would run past an unclosed struct< into following plan lines
+    # and report phantom 200-column scans
     read_widths = [len(s.split(",")) for s in
-                   re.findall(r"ReadSchema: struct<([^>]*)>", plan)]
+                   re.findall(r"ReadSchema: struct<([^>\n]*)", plan)]
     return {
         "shuffles": shuffles, "broadcasts": bcasts, "scans": scans,
         "scans_with_pushdown": pushed, "rowwise_python": py_rowwise,
