@@ -60,24 +60,30 @@ def main():
     # Each query runs N times and reports the per-query MEDIAN: single-shot
     # timing on sub-second queries has ±50% jitter (GC, page cache, thread
     # scheduling), which round-over-round grading misread as regressions.
-    # The headline value is the sum of medians (steady-state workload cost);
-    # wall_seconds_all_runs is the raw N-pass loop wall for transparency.
+    # The N samples come from N INTERLEAVED full passes over the workload
+    # (pass 1 of every query, then pass 2, ...), not N back-to-back runs of
+    # one query — a transient noisy window on the host then inflates one
+    # sample of many queries instead of all samples of a few, and the
+    # median rejects it. Headline value = sum of medians (steady-state
+    # workload cost); wall_seconds_all_runs = raw N-pass loop wall.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in qs}
+    failed: set[str] = set()
     loop_t0 = time.perf_counter()
-    for name, fn in qs.items():
-        samples = []
-        for _ in range(n_runs):
+    for _ in range(n_runs):
+        for name, fn in qs.items():
+            if name in failed:
+                continue
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                samples.append(time.perf_counter() - t0)
+                samples[name].append(time.perf_counter() - t0)
             except Exception as e:  # pragma: no cover - bench robustness
                 print(f"bench error in {name}: {e}", file=sys.stderr)
-                break
-        if samples:
-            timings[name] = round(statistics.median(samples), 3)
-        else:
-            timings[name] = -1.0
+                failed.add(name)
+    for name in qs:
+        timings[name] = (round(statistics.median(samples[name]), 3)
+                         if samples[name] else -1.0)
     all_runs_wall = round(time.perf_counter() - loop_t0, 3)
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(json.dumps({

@@ -75,25 +75,32 @@ def png_decode(blob: bytes):
     import numpy as np
     if not is_png(blob):
         raise ValueError("not a PNG")
-    pos, w, h, depth, ctype, interlace = 8, 0, 0, 0, 0, 0
-    idat = []
-    while pos + 8 <= len(blob):
-        (ln,), typ = struct.unpack(">I", blob[pos:pos + 4]), blob[pos + 4:pos + 8]
-        data = blob[pos + 8:pos + 8 + ln]
-        pos += 12 + ln  # len + type + data + crc
-        if typ == b"IHDR":
-            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data)
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-    if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
-        raise ValueError(
-            f"unsupported PNG (depth={depth}, color={ctype}, "
-            f"interlace={interlace})")
-    c = _PNG_CHANNELS[ctype]
-    raw = zlib.decompress(b"".join(idat))
+    # Corrupt blobs must surface as ValueError — that is the contract the
+    # decode stages' fallback-to-codec-gate dispatch relies on; a raw
+    # zlib.error/struct.error from one bad row would crash the whole task.
+    try:
+        pos, w, h, depth, ctype, interlace = 8, 0, 0, 0, 0, 0
+        idat = []
+        while pos + 8 <= len(blob):
+            (ln,), typ = struct.unpack(">I", blob[pos:pos + 4]), \
+                blob[pos + 4:pos + 8]
+            data = blob[pos + 8:pos + 8 + ln]
+            pos += 12 + ln  # len + type + data + crc
+            if typ == b"IHDR":
+                w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", data)
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+        if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
+            raise ValueError(
+                f"unsupported PNG (depth={depth}, color={ctype}, "
+                f"interlace={interlace})")
+        c = _PNG_CHANNELS[ctype]
+        raw = zlib.decompress(b"".join(idat))
+    except (zlib.error, struct.error) as e:
+        raise ValueError(f"corrupt PNG: {e}") from e
     stride = w * c
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG payload size mismatch")
@@ -108,14 +115,22 @@ def png_decode(blob: bytes):
             cur = line
         elif ftype == 2:                     # Up
             cur = (line + prev).astype(np.uint8)
-        elif ftype in (1, 3, 4):             # Sub / Average / Paeth: per-pixel
+        elif ftype == 1:                     # Sub: per-lane prefix sum —
+            # addition mod 256 is associative, so cumsum then &0xFF is the
+            # exact recurrence cur[x] = line[x] + cur[x-c], fully vectorized
+            lanes = line.astype(np.int64).reshape(-1, c)
+            cur = (np.cumsum(lanes, axis=0) & 0xFF).astype(
+                np.uint8).reshape(stride)
+        elif ftype in (3, 4):                # Average / Paeth: the floor/
+            # predictor nonlinearity breaks the prefix trick, so these stay
+            # a scalar loop — acceptable because this whole built-in tier is
+            # the no-dependency fallback; photographic PNGs (where Paeth
+            # dominates) should go through the PIL tier in production
             cur = line
             for x in range(stride):
                 a = int(cur[x - c]) if x >= c else 0
                 b = int(prev[x])
-                if ftype == 1:
-                    cur[x] = (cur[x] + a) & 0xFF
-                elif ftype == 3:
+                if ftype == 3:
                     cur[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
                 else:
                     cc = int(prev[x - c]) if x >= c else 0

@@ -96,6 +96,8 @@ def persist_silver_bucketed(frames: dict, base_path: str,
     the normalized-inputs contract sound; this helper asserts nothing about
     it — callers own the contract.
     """
+    if not frames:
+        raise ValueError("persist_silver_bucketed: frames must not be empty")
     spark = next(iter(frames.values()))[0].sparkSession
     out = {}
     for name, (df, keys) in frames.items():

@@ -144,16 +144,21 @@ class BatchCatalog:
         self._refuse_if_promoted(batch_id)
         path = self.batch_path(batch_id, table)
         row_count = df.count()
+        self._recover_interrupted_swap(path)
         if overwrite and os.path.isdir(path):
             # Atomic-swap overwrite: the incoming plan may READ the current
             # table dir (accumulating merge writers do), and an in-place
             # overwrite that fails mid-write destroys the only copy of every
             # prior micro-batch merge. Write to a sibling temp dir, then swap
             # with two renames — the old data survives on disk until the new
-            # write has fully committed. (On a rename-less object store this
-            # step would be a manifest/pointer update instead, exactly like
-            # promote()'s pointer write.)
+            # write has fully committed, and a crash between the renames is
+            # healed by _recover_interrupted_swap on the next touch. (On a
+            # rename-less object store this step would be a manifest/pointer
+            # update instead, exactly like promote()'s pointer write.)
             tmp, old = path + ".__incoming", path + ".__replaced"
+            # Stale leftovers are only deletable because path exists here:
+            # with a live table dir, both siblings are from swaps that
+            # either committed (old) or never started renaming (tmp).
             for stale in (tmp, old):
                 if os.path.isdir(stale):
                     shutil.rmtree(stale)
@@ -167,13 +172,32 @@ class BatchCatalog:
         self.record_table(batch_id, table, row_count, status,
                           replace=overwrite)
 
+    def _recover_interrupted_swap(self, path: str):
+        """Heal a swap that crashed between its two renames: the table then
+        exists ONLY at ``path.__replaced`` — restore it before anything
+        reads, writes, or cleans 'stale' siblings, or the sole surviving
+        copy of prior merges would be treated as garbage."""
+        old = path + ".__replaced"
+        if not os.path.isdir(path) and os.path.isdir(old):
+            os.rename(old, path)
+
+    def candidate_table_exists(self, batch_id: str, table: str) -> bool:
+        """Existence check for accumulating writers — swap-crash-aware, so
+        a recovering stream merges against the restored prior state instead
+        of silently falling back to production."""
+        path = self.batch_path(batch_id, table)
+        self._recover_interrupted_swap(path)
+        return os.path.isdir(path)
+
     def read_table(self, spark: SparkSession, table: str,
                    batch_id: Optional[str] = None) -> DataFrame:
         """Read a table; production reads resolve through the pointer."""
         bid = batch_id or self.production_batch_id()
         if bid is None:
             raise CatalogError(f"no production batch promoted; cannot read {table!r}")
-        return spark.read.parquet(self.batch_path(bid, table))
+        path = self.batch_path(bid, table)
+        self._recover_interrupted_swap(path)
+        return spark.read.parquet(path)
 
     # -- promote / rollback ----------------------------------------------------
     def promote(self, batch_id: str, expected_tables: list[str]):

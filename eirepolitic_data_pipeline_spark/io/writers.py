@@ -48,9 +48,10 @@ class MergeWriter:
             # Existence check, not a broad try/except: a transient READ
             # failure must propagate (falling back to production and then
             # overwriting the candidate would silently drop the prior
-            # micro-batches).
-            import os
-            if os.path.isdir(self.catalog.batch_path(batch_id, table)):
+            # micro-batches). The catalog's check is swap-crash-aware: it
+            # restores a candidate stranded at its `.__replaced` sibling
+            # before answering.
+            if self.catalog.candidate_table_exists(batch_id, table):
                 existing = self.catalog.read_table(self.spark, table,
                                                    batch_id=batch_id)
         if existing is None:

@@ -105,15 +105,25 @@ def _pair_row(spark: SparkSession, pair: ComparisonPair,
                      and pair.legacy_join_column in legacy.columns
                      and pair.unified_join_column in unified.columns)
     if both_joinable:
-        lk = _keys(legacy, pair.legacy_join_column)
-        uk = _keys(unified, pair.unified_join_column)
-        row = (row
-               .crossJoin(lk.join(uk, "__k", "left_semi").agg(
-                   F.count(F.lit(1)).cast("string").alias("matched_key_count")))
-               .crossJoin(lk.join(uk, "__k", "left_anti").agg(
-                   F.count(F.lit(1)).cast("string").alias("legacy_only_key_count")))
-               .crossJoin(uk.join(lk, "__k", "left_anti").agg(
-                   F.count(F.lit(1)).cast("string").alias("unified_only_key_count"))))
+        # ONE full-outer join of the two distinct key sets yields matched /
+        # legacy-only / unified-only in a single aggregate — each table is
+        # scanned and distinct-shuffled once (separate semi+anti+anti joins
+        # would re-evaluate both key-set subtrees three times each).
+        lk = _keys(legacy, pair.legacy_join_column).withColumn("__l", F.lit(1))
+        uk = _keys(unified, pair.unified_join_column).withColumn("__u", F.lit(1))
+        key_stats = (
+            lk.join(uk, "__k", "full_outer").agg(
+                F.coalesce(F.sum(F.when(F.col("__l").isNotNull()
+                                        & F.col("__u").isNotNull(), 1)
+                                 .otherwise(0)), F.lit(0))
+                .cast("string").alias("matched_key_count"),
+                F.coalesce(F.sum(F.when(F.col("__u").isNull(), 1)
+                                 .otherwise(0)), F.lit(0))
+                .cast("string").alias("legacy_only_key_count"),
+                F.coalesce(F.sum(F.when(F.col("__l").isNull(), 1)
+                                 .otherwise(0)), F.lit(0))
+                .cast("string").alias("unified_only_key_count")))
+        row = row.crossJoin(key_stats)
     else:
         # blank, as the reference leaves unjoinable pairs ("" not 0)
         row = row.select(
@@ -140,6 +150,9 @@ def cutover_comparison_report(
 
     ``resolve`` maps a table name to its DataFrame, or None when the object
     does not exist (the reference's object_exists probe)."""
+    if not pairs:
+        return spark.createDataFrame(
+            [], ", ".join(f"{c} string" for c in CUTOVER_COLUMNS))
     rows = [_pair_row(spark, p, resolve(p.legacy_table),
                       resolve(p.unified_table)) for p in pairs]
     out = rows[0]

@@ -116,8 +116,9 @@ def stateful_user_totals(events: DataFrame,
 
 def streaming_merge_sink(events: DataFrame, writer, table: str, policy,
                          batch_id: str, id_col: str = "event_id",
-                         ts_col: str = "ts", watermark: str = "35 days",
-                         checkpoint_dir: str | None = None):
+                         watermark: str = "35 days",
+                         checkpoint_dir: str | None = None,
+                         ts_col: str = "ts"):
     """Continuous ingestion into the engine's merge-on-write catalog.
 
     Wires Structured Streaming to the MergeWriter through ``foreachBatch``:

@@ -505,7 +505,9 @@ def q29_language_id(spark, sf_dir):
       SELECT doc_id, text,
              string_split_regex(trim(lower(text)), '\s+') AS toks,
              CAST(length(text) AS DOUBLE) AS n_chars,
-             text || ' contact u' || CAST(doc_id AS VARCHAR)
+             -- coalesce mirrors the Spark side's NULL-text handling
+             -- (pii_counts coalesces to ''); bare || would propagate NULL
+             coalesce(text, '') || ' contact u' || CAST(doc_id AS VARCHAR)
                   || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
                   || '.7 tel +353 1 234 5678' AS pii_text
       FROM documents
@@ -547,9 +549,12 @@ def q30_quality_scores(spark, sf_dir):
     (email→ip→phone) pinned in functions/text.py:redact_pii."""
     docs = spread(t(spark, sf_dir, "documents"))
     q = tx.quality_features("text")
+    # coalesce matches the oracle CTE: F.concat propagates NULL, which
+    # would zero the counts on a NULL-text row while the oracle counted the
+    # synthetic tail
     pii_text = F.concat(
-        F.col("text"), F.lit(" contact u"), F.col("doc_id").cast("string"),
-        F.lit("@example.com from 10.0."),
+        F.coalesce(F.col("text"), F.lit("")), F.lit(" contact u"),
+        F.col("doc_id").cast("string"), F.lit("@example.com from 10.0."),
         (F.col("doc_id") % 256).cast("string"), F.lit(".7 tel +353 1 234 5678"))
     counts = tx.pii_counts(pii_text)
     return docs.select(

@@ -218,3 +218,29 @@ def test_ever_promoted_batch_stays_immutable(spark, catalog):
         catalog.write_table(df, "t1", "b1", overwrite=True)
     catalog.rollback("b1")
     assert catalog.read_table(spark, "t1").count() == 1
+
+
+def test_interrupted_swap_recovers_not_garbage_collected(spark, catalog, tmp_path):
+    """A crash between the swap's two renames strands the candidate at
+    .__replaced; the next read / existence check / overwrite must restore
+    it — never fall back to production or rmtree it as stale."""
+    import os
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    catalog.write_table(df, "t", "bx", overwrite=True)
+    path = catalog.batch_path("bx", "t")
+    os.rename(path, path + ".__replaced")  # simulate mid-swap crash
+
+    assert catalog.candidate_table_exists("bx", "t")   # recovery happened
+    assert os.path.isdir(path) and not os.path.isdir(path + ".__replaced")
+    assert catalog.read_table(spark, "t", batch_id="bx").count() == 2
+
+    # same recovery through the read path alone
+    os.rename(path, path + ".__replaced")
+    assert catalog.read_table(spark, "t", batch_id="bx").count() == 2
+
+    # and through an overwrite: the new write must merge-visible the
+    # restored data, not silently treat the stranded dir as stale garbage
+    os.rename(path, path + ".__replaced")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    catalog.write_table(df2, "t", "bx", overwrite=True)
+    assert catalog.read_table(spark, "t", batch_id="bx").count() == 1

@@ -173,3 +173,42 @@ def test_formats_without_any_tier_stay_gated(spark):
             ei.value, NotImplementedError)
     out = decode_images(df, fake=True).collect()[0]
     assert out["channels"] == 3
+
+
+def test_corrupt_png_falls_through_to_codec_gate(spark):
+    """A blob with PNG magic but corrupt contents must surface as
+    ValueError inside the codec (not zlib/struct errors), so the decode
+    stages' dispatch can fall through to the gate / fake path instead of
+    crashing the task."""
+    good = codecs.png_encode(_img(6, 6, 3))
+    truncated = good[: len(good) - 20]          # broken IDAT/IEND
+    bad_ihdr = good[:12] + b"\x01\x02"          # mangled header
+    for blob in (truncated, bad_ihdr, codecs.PNG_MAGIC + b"garbage"):
+        with pytest.raises(ValueError):
+            codecs.png_decode(blob)
+    df = spark.createDataFrame(
+        [(9, "image", bytearray(truncated), "image/png",
+          None, None, None, None)], schema=MEDIA_SCHEMA)
+    out = decode_images(df, fake=True).collect()  # falls through, no crash
+    assert out[0]["channels"] == 3
+    with pytest.raises(Exception):
+        decode_images(df).collect()               # gated without fake
+
+
+def test_png_sub_filter_vectorized_roundtrip():
+    """Filter-1 (Sub) lines decode via the cumsum fast path — pin parity
+    against the definitionally-filtered bytes."""
+    a = _img(4, 50, 3, seed=11)
+    h, w, c = a.shape
+    stride = w * c
+    flat = a.reshape(h, stride).astype(np.int32)
+    lines = []
+    for y in range(h):
+        cur = flat[y]
+        left = np.concatenate([np.zeros(c, dtype=np.int32), cur[:-c]])
+        lines.append(b"\x01" + ((cur - left) & 0xFF).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (codecs.PNG_MAGIC + codecs._png_chunk(b"IHDR", ihdr)
+            + codecs._png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + codecs._png_chunk(b"IEND", b""))
+    assert (codecs.png_decode(blob) == a).all()
