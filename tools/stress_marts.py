@@ -1,0 +1,183 @@
+"""Gold-mart scale stress: run the flagship activity-mart builder on a
+synthetic silver log ~30x the sf0.1 fact volume and record the cost of the
+defensive path vs the bucketed + normalized-inputs path.
+
+What it checks:
+
+1. The mart builder completes on a multi-million-row fact log with
+   dimension-bounded output (members x years) — the grid/join/window plan
+   never materializes fact-sized intermediates.
+2. The bucketed-silver contract (io/bucketing.py + normalized_inputs=True)
+   removes the fact-side aggregation Exchanges at a size where that matters,
+   and produces byte-identical mart rows.
+
+Appends a section to STRESS.md and exits non-zero if outputs diverge.
+
+Usage::
+
+    python tools/stress_marts.py [--rows 20000000] [--members 2000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from eirepolitic_data_pipeline_spark.io.bucketing import (  # noqa: E402
+    buckets_for,
+    exchanges_in_plan,
+    persist_silver_bucketed,
+    write_bucketed,
+)
+from eirepolitic_data_pipeline_spark.session import get_spark  # noqa: E402
+from eirepolitic_data_pipeline_spark.tables.gold import (  # noqa: E402
+    gold_member_activity_yearly,
+)
+
+
+def build_silver(spark, n_rows: int, n_members: int, path: str):
+    """Synthetic silver logs in the string conventions, pre-trimmed (the
+    normalized-silver contract), written to parquet."""
+    votes = spark.range(n_rows).select(
+        F.concat(F.lit("m"), (F.col("id") % n_members).cast("string"))
+        .alias("member_code"),
+        F.concat(F.lit("202"), ((F.col("id") / 7).cast("long") % 5 + 1).cast("string"),
+                 F.lit("-0"), (F.col("id") % 9 + 1).cast("string"),
+                 F.lit("-"), F.lpad((F.col("id") % 28 + 1).cast("string"),
+                                    2, "0")).alias("division_date"),
+        F.col("id").cast("string").alias("member_vote_id"),
+        F.element_at(F.array(F.lit("ta"), F.lit("nil"), F.lit("staon")),
+                     (F.col("id") % 3 + 1).cast("int")).alias("vote_code"),
+        F.lit("").alias("vote_label"),
+        (F.col("id") % 50000).cast("string").alias("division_id"),
+        F.lit("").alias("constituency_name_at_vote"))
+    votes.write.mode("overwrite").parquet(os.path.join(path, "votes"))
+    speeches = spark.range(n_rows // 4).select(
+        F.concat(F.lit("m"), (F.col("id") % n_members).cast("string"))
+        .alias("speaker_member_code"),
+        F.concat(F.lit("202"), ((F.col("id") / 3).cast("long") % 5 + 1).cast("string"),
+                 F.lit("-0"), (F.col("id") % 9 + 1).cast("string"),
+                 F.lit("-"), F.lpad((F.col("id") % 28 + 1).cast("string"),
+                                    2, "0")).alias("debate_date"),
+        F.col("id").cast("string").alias("speech_id"))
+    speeches.write.mode("overwrite").parquet(os.path.join(path, "speeches"))
+    roster = spark.range(n_members).select(
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("member_code"),
+        F.concat(F.lit("Member "), F.col("id").cast("string"))
+        .alias("full_name"),
+        F.concat(F.lit("C"), (F.col("id") % 40).cast("string"))
+        .alias("constituency_name"),
+        F.lit("true").alias("is_current_member"))
+    return (roster,
+            spark.read.parquet(os.path.join(path, "speeches")),
+            spark.read.parquet(os.path.join(path, "votes")))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=20_000_000)
+    ap.add_argument("--members", type=int, default=2000)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "STRESS.md"))
+    args = ap.parse_args()
+
+    spark = get_spark("stress_marts")
+    cores = spark.sparkContext.defaultParallelism
+    tmp = tempfile.mkdtemp(prefix="stress_marts_")
+    roster, speeches, votes = build_silver(spark, args.rows, args.members, tmp)
+    n_votes, n_speeches = votes.count(), speeches.count()
+    print(f"silver: {n_votes} votes, {n_speeches} speeches, "
+          f"{args.members} members, {cores} cores")
+
+    # defensive path (unknown provenance: re-trim + shuffle)
+    t0 = time.perf_counter()
+    plain = gold_member_activity_yearly(roster, speeches, votes, None,
+                                        "2026-08-14")
+    n_plain = plain.count()
+    t_plain = round(time.perf_counter() - t0, 1)
+    spark.catalog.clearCache()
+
+    # bucketed + normalized contract
+    nb = buckets_for(args.rows, rows_per_bucket=args.rows // cores + 1)
+    t0 = time.perf_counter()
+    bkt = persist_silver_bucketed(
+        {"speeches": (speeches, ["speaker_member_code"]),
+         "votes": (votes, ["member_code"])},
+        os.path.join(tmp, "bucketed"), num_buckets=nb)
+    t_persist = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    bucketed = gold_member_activity_yearly(
+        roster, bkt["speeches"], bkt["votes"], None, "2026-08-14",
+        normalized_inputs=True)
+    n_bkt = bucketed.count()
+    t_bkt = round(time.perf_counter() - t0, 1)
+
+    same = sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, bucketed.collect()))
+    dim_bounded = n_plain <= args.members * 6  # members x (5 years + slack)
+    print(f"plain: {t_plain}s, bucketed: {t_bkt}s "
+          f"(+{t_persist}s one-time persist), rows {n_plain}/{n_bkt}, "
+          f"identical={same}, dimension-bounded={dim_bounded}")
+    spark.catalog.clearCache()
+
+    # The win case bucketing exists for: the RECURRING MERGE join — every
+    # incremental refresh anti-joins the incoming window against retained
+    # history on the primary key, both sides fact-sized. Plain plan
+    # shuffles both 20M-row sides every refresh; bucketed + sorted storage
+    # sort-merge-joins in place (zero Exchanges, zero Sorts).
+    incoming = votes.filter(F.col("member_vote_id").cast("long") % 10 < 3)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    t0 = time.perf_counter()
+    n_new_plain = votes.join(incoming, "member_vote_id", "left_anti").count()
+    t_merge_plain = round(time.perf_counter() - t0, 1)
+    write_bucketed(votes, "stress_hist", ["member_vote_id"], nb,
+                   os.path.join(tmp, "hist"))
+    write_bucketed(incoming, "stress_inc", ["member_vote_id"], nb,
+                   os.path.join(tmp, "inc"))
+    hist_t, inc_t = spark.table("stress_hist"), spark.table("stress_inc")
+    merge_b = hist_t.join(inc_t, "member_vote_id", "left_anti")
+    n_ex = exchanges_in_plan(merge_b)
+    t0 = time.perf_counter()
+    n_new_bkt = merge_b.count()
+    t_merge_bkt = round(time.perf_counter() - t0, 1)
+    spark.sql("DROP TABLE IF EXISTS stress_hist")
+    spark.sql("DROP TABLE IF EXISTS stress_inc")
+    merge_same = n_new_plain == n_new_bkt
+    print(f"merge join: plain {t_merge_plain}s vs bucketed {t_merge_bkt}s "
+          f"(exchanges={n_ex}), rows {n_new_plain}/{n_new_bkt}")
+
+    with open(args.out, "a") as f:
+        f.write(
+            "\n## Gold-mart scale stress (tools/stress_marts.py)\n\n"
+            f"Synthetic silver: **{n_votes} vote rows + {n_speeches} speech "
+            f"rows**, {args.members} members, local[{cores}], "
+            f"{nb} buckets.\n\n"
+            "| path | mart wall (s) | output rows | notes |\n"
+            "|---|---|---|---|\n"
+            f"| defensive (re-trim, shuffled aggs) | {t_plain} | {n_plain} "
+            "| unknown-provenance default |\n"
+            f"| bucketed silver + normalized_inputs | {t_bkt} | {n_bkt} | "
+            f"fact aggs Exchange-free; one-time bucketed persist "
+            f"{t_persist}s amortized across every refresh |\n\n"
+            f"Outputs byte-identical: **{same}**. Output stays "
+            f"dimension-bounded (members x years = {n_plain} rows from "
+            f"{n_votes + n_speeches} fact rows): **{dim_bounded}**.\n\n"
+            "Recurring-merge join (the bucketing win case — both sides "
+            f"fact-sized, every refresh): plain {t_merge_plain}s vs "
+            f"bucketed {t_merge_bkt}s ({n_ex} Exchanges in the bucketed "
+            f"plan), identical result counts: **{merge_same}**.\n")
+    print(f"appended mart section to {args.out}")
+    spark.stop()
+    sys.exit(0 if (same and dim_bounded and merge_same) else 1)
+
+
+if __name__ == "__main__":
+    main()
