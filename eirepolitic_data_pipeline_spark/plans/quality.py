@@ -266,3 +266,38 @@ def mismatch_review(legacy: DataFrame, candidate: DataFrame,
                .crossJoin(candidate_only.agg(
                    F.count(F.lit(1)).alias("candidate_only_count"))))
     return summary, detail
+
+
+def profile_table(df: DataFrame,
+                  approx_distinct_rsd: float = 0.05) -> DataFrame:
+    """Per-column profile as ONE aggregation pass (beyond-ref; the
+    table-profiling report DQ dashboards are built on): for every column —
+    null count, blank count (string), approx distinct, min/max (rendered to
+    string), plus table row count.
+
+    All statistics compile into a single agg (map-side combined, one
+    shuffle to 1 row) and unpivot driver-side into one row per column, so
+    profiling a 100 TB table costs one scan regardless of column count.
+    approx_count_distinct keeps the distinct estimate mergeable (HLL);
+    exact NDV would need one shuffle per column."""
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in df.columns:
+        col, dt = F.col(c), dict(df.dtypes)[c]
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"__null__{c}"),
+            (F.sum((F.trim(col) == "").cast("long")) if dt == "string"
+             else F.lit(None).cast("long")).alias(f"__blank__{c}"),
+            F.approx_count_distinct(col, approx_distinct_rsd)
+            .alias(f"__ndv__{c}"),
+            F.min(col).cast("string").alias(f"__min__{c}"),
+            F.max(col).cast("string").alias(f"__max__{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    out = [(c, dict(df.dtypes)[c], row["__rows"], row[f"__null__{c}"],
+            row[f"__blank__{c}"], row[f"__ndv__{c}"],
+            row[f"__min__{c}"], row[f"__max__{c}"]) for c in df.columns]
+    return spark.createDataFrame(
+        out, "column string, dtype string, row_count long, n_null long, "
+             "n_blank long, approx_distinct long, min_value string, "
+             "max_value string")

@@ -100,3 +100,35 @@ def test_delete_column_in_place(spark, tmp_path, fmt):
     assert delete_column(spark, path, "doomed", fmt=fmt) is False
     with pytest.raises(ValueError):
         delete_column(spark, path, "doomed", fmt=fmt, strict=True)
+
+
+def test_compact_dataset_reduces_files(spark, tmp_path):
+    from eirepolitic_data_pipeline_spark.io.maintenance import compact_dataset
+    path = str(tmp_path / "frag")
+    # fragment: 24 tiny files
+    spark.range(2400).repartition(24).write.parquet(path)
+    import os
+    before = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(before) == 24
+    tele = compact_dataset(spark, path, target_file_bytes=10**9)
+    after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert tele["files_before"] == 24 and tele["files_after"] == len(after) == 1
+    assert spark.read.parquet(path).count() == 2400
+    # idempotent second pass
+    tele2 = compact_dataset(spark, path, target_file_bytes=10**9)
+    assert tele2["files_after"] == 1
+
+
+def test_profile_table_one_pass(spark):
+    from eirepolitic_data_pipeline_spark.plans.quality import profile_table
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "", None), (3, None, 2.5), (3, "b", 2.5)],
+        "id long, name string, v double")
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(prof) == {"id", "name", "v"}
+    assert prof["id"]["row_count"] == 4 and prof["id"]["n_null"] == 0
+    assert prof["name"]["n_null"] == 1 and prof["name"]["n_blank"] == 1
+    assert prof["v"]["n_null"] == 1 and prof["v"]["n_blank"] is None
+    assert prof["id"]["approx_distinct"] == 3      # exact at tiny NDV
+    assert (prof["id"]["min_value"], prof["id"]["max_value"]) == ("1", "3")
+    assert prof["v"]["max_value"] == "2.5"
