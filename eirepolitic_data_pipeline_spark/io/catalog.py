@@ -76,15 +76,21 @@ class BatchCatalog:
 
     # -- manifest ------------------------------------------------------------
     def record_table(self, batch_id: str, table: str, row_count: int,
-                     status: str = "ok", replace: bool = False):
+                     status: str = "ok", replace: bool = False,
+                     partition_by: tuple = ()):
         """Per-table batch entry (reference `batch.py:91-130`). ``replace``
         is for accumulating writers (streaming micro-batches) that re-record
-        the same table within the open candidate batch."""
+        the same table within the open candidate batch. ``partition_by``
+        remembers the hive partition columns so reads can undo Spark's
+        partition-value type inference (a `snapshot_date=2026-08-14` key
+        would otherwise come back as DateType, breaking the string-typed
+        silver contract)."""
         m = self._load_manifest(batch_id)
         self._refuse_if_promoted(batch_id, m)
         if table in m["tables"] and not replace:
             raise CatalogError(f"duplicate table {table!r} in batch {batch_id!r}")
-        m["tables"][table] = {"row_count": int(row_count), "status": status}
+        m["tables"][table] = {"row_count": int(row_count), "status": status,
+                              "partition_by": list(partition_by)}
         self._save_manifest(batch_id, m)
 
     def _refuse_if_promoted(self, batch_id: str, manifest: Optional[dict] = None):
@@ -128,7 +134,8 @@ class BatchCatalog:
 
     # -- write/read ----------------------------------------------------------
     def write_table(self, df: DataFrame, table: str, batch_id: Optional[str],
-                    status: str = "ok", overwrite: bool = False):
+                    status: str = "ok", overwrite: bool = False,
+                    partition_by: tuple = ()):
         """Candidate write — always lands in a batch dir.
 
         A production-bound write without a batch id is refused, mirroring the
@@ -162,15 +169,23 @@ class BatchCatalog:
             for stale in (tmp, old):
                 if os.path.isdir(stale):
                     shutil.rmtree(stale)
-            df.write.mode("errorifexists").parquet(tmp)
+            self._writer(df, "errorifexists", partition_by).parquet(tmp)
             os.rename(path, old)
             os.rename(tmp, path)
             shutil.rmtree(old)
         else:
             mode = "overwrite" if overwrite else "errorifexists"
-            df.write.mode(mode).parquet(path)
+            self._writer(df, mode, partition_by).parquet(path)
         self.record_table(batch_id, table, row_count, status,
-                          replace=overwrite)
+                          replace=overwrite, partition_by=partition_by)
+
+    @staticmethod
+    def _writer(df: DataFrame, mode: str, partition_by: tuple = ()):
+        """Hive-style partitioned writer (`snapshot_date={d}` keys, the
+        reference's published layout) when partition columns are given —
+        readers then get partition pruning on those keys for free."""
+        w = df.write.mode(mode)
+        return w.partitionBy(*partition_by) if partition_by else w
 
     def _recover_interrupted_swap(self, path: str):
         """Heal a swap that crashed between its two renames: the table then
@@ -197,7 +212,19 @@ class BatchCatalog:
             raise CatalogError(f"no production batch promoted; cannot read {table!r}")
         path = self.batch_path(bid, table)
         self._recover_interrupted_swap(path)
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        # Undo partition-value type inference: hive keys are strings in this
+        # layout (see record_table); a date-shaped snapshot_date must come
+        # back as the string it was written as.
+        entry = self._load_manifest(bid)["tables"].get(table, {})
+        for c in entry.get("partition_by", []):
+            if c in df.columns:
+                from pyspark.sql import functions as F
+                df = df.withColumn(
+                    c, F.date_format(F.col(c), "yyyy-MM-dd")
+                    if dict(df.dtypes).get(c) == "date"
+                    else F.col(c).cast("string"))
+        return df
 
     # -- promote / rollback ----------------------------------------------------
     def promote(self, batch_id: str, expected_tables: list[str]):

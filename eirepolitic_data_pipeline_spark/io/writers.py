@@ -60,11 +60,15 @@ class MergeWriter:
             except CatalogError:
                 existing = None
         merged = merge_for_policy(existing, incoming, policy)
+        partition_by = ()
         if snapshot_date is not None:
             from pyspark.sql import functions as F
             merged = merged.withColumn("snapshot_date", F.lit(snapshot_date))
+            # hive-style snapshot_date={d} layout, as documented above
+            partition_by = ("snapshot_date",)
         self.catalog.write_table(merged, table, batch_id,
-                                 overwrite=accumulate)
+                                 overwrite=accumulate,
+                                 partition_by=partition_by)
         if accumulate:
             # The merged plan read the pre-swap candidate files, which the
             # swap has replaced; hand back the committed on-disk state.

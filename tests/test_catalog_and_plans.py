@@ -244,3 +244,31 @@ def test_interrupted_swap_recovers_not_garbage_collected(spark, catalog, tmp_pat
     df2 = spark.createDataFrame([(3, "c")], "id long, v string")
     catalog.write_table(df2, "t", "bx", overwrite=True)
     assert catalog.read_table(spark, "t", batch_id="bx").count() == 1
+
+
+def test_snapshot_date_writes_hive_partitioned(spark, catalog, tmp_path):
+    """MergeWriter's snapshot_date lands as a hive-style snapshot_date={d}
+    layout (the reference's published key scheme), so readers prune on it."""
+    import os
+    from eirepolitic_data_pipeline_spark.io.writers import MergeWriter
+    from eirepolitic_data_pipeline_spark.operators.merge import WritePolicy
+
+    writer = MergeWriter(catalog=catalog, spark=spark)
+    policy = WritePolicy(mode="upsert", primary_key=["id"])
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    writer.write(df, "snap_t", policy, batch_id="bs",
+                 snapshot_date="2026-08-14")
+    path = catalog.batch_path("bs", "snap_t")
+    assert os.path.isdir(os.path.join(path, "snapshot_date=2026-08-14"))
+    back = catalog.read_table(spark, "snap_t", batch_id="bs")
+    assert back.count() == 2
+    assert {r["snapshot_date"] for r in back.collect()} == {"2026-08-14"}
+    # second refresh upserts retained history under a NEW snapshot partition
+    catalog.promote("bs", ["snap_t"])
+    df2 = spark.createDataFrame([(2, "b2"), (3, "c")], "id long, v string")
+    writer.write(df2, "snap_t", policy, batch_id="bs2",
+                 snapshot_date="2026-08-21")
+    b2 = catalog.read_table(spark, "snap_t", batch_id="bs2")
+    assert {r["snapshot_date"] for r in b2.collect()} == {"2026-08-21"}
+    assert {(r["id"], r["v"]) for r in b2.collect()} == \
+        {(1, "a"), (2, "b2"), (3, "c")}
