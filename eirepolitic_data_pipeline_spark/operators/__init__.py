@@ -1,10 +1,13 @@
 from .merge import WritePolicy, merge_for_policy  # noqa: F401
 from .dedupe import (  # noqa: F401
+    decontaminate,
     dedupe_keep_first,
     dedupe_keep_last,
     dedupe_with_conflicts,
     exact_duplicate_groups,
     jaccard_similar_pairs,
+    min_label_components,
+    minhash_dedup,
     minhash_lsh_candidates,
     simhash_near_pairs,
     simhash_signatures,
@@ -16,7 +19,13 @@ from .temporal import (  # noqa: F401
     temporal_integrity_report,
 )
 from .ranking import argmax_per_group, dense_rank_in, top_n_per_group  # noqa: F401
-from .similarity import cosine_col, knn_bruteforce, knn_lsh  # noqa: F401
+from .similarity import (  # noqa: F401
+    cosine_col,
+    knn_bruteforce,
+    knn_lsh,
+    semantic_dedup,
+)
+from .sketches import hll_estimate, hll_merge, hll_rollup  # noqa: F401
 from .skew import salted_agg, salted_string_agg, salted_top_n  # noqa: F401
 from .curation import (  # noqa: F401
     dataset_split,
