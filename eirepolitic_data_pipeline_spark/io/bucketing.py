@@ -27,6 +27,7 @@ import math
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def buckets_for(row_estimate: int, rows_per_bucket: int = 5_000_000,
@@ -114,3 +115,24 @@ def exchanges_in_plan(df: DataFrame) -> int:
     plan = df._jdf.queryExecution().executedPlan().toString()
     return sum(1 for line in plan.splitlines() if "Exchange" in line
                and "BroadcastExchange" not in line)
+
+
+def write_range_sorted(df: DataFrame, path: str, cols: Sequence[str],
+                       mode: str = "overwrite",
+                       num_files: Optional[int] = None) -> None:
+    """Range-partition + sort-within-partitions on ``cols`` before writing
+    parquet — the data-skipping layout lever that complements hive
+    partitioning (coarse pruning) and bucketing (join clustering).
+
+    Sorting clusters each value range into few row groups, so parquet's
+    min/max row-group statistics let a pushed-down predicate skip almost
+    the whole table for selective filters; unsorted data scatters every
+    value across all row groups and the same pushed filter reads everything.
+    Use on high-selectivity query columns (ids, timestamps) that are not
+    the partition key. ``num_files`` pins the range-partition count (and so
+    the output file count); default lets AQE size it from the data, which
+    on small inputs collapses to one file."""
+    parts = [F.col(c) for c in cols]
+    rp = (df.repartitionByRange(num_files, *parts) if num_files
+          else df.repartitionByRange(*parts))
+    rp.sortWithinPartitions(*cols).write.mode(mode).parquet(path)

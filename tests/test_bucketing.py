@@ -141,3 +141,37 @@ def test_bucketed_silver_marts_drop_fact_exchanges(spark, tmp_path,
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_speeches")
         spark.sql("DROP TABLE IF EXISTS bkt_votes")
+
+
+def test_write_range_sorted_clusters_for_skipping(spark, tmp_path):
+    """Range-sorted layout: each file holds a contiguous key range (the
+    property parquet min/max skipping needs), the pushed filter reaches the
+    scan, and the data round-trips completely."""
+    import pyarrow.parquet as pq
+    import os
+    from eirepolitic_data_pipeline_spark.io.bucketing import write_range_sorted
+    from pyspark.sql import functions as F
+
+    df = spark.range(100000).select(
+        (F.col("id") * 2654435761 % 100000).alias("k"),  # scrambled order
+        F.col("id").alias("payload"))
+    path = str(tmp_path / "sorted")
+    write_range_sorted(df, path, ["k"], num_files=8)
+
+    # per-file min/max ranges must be (nearly) disjoint — contiguity proof
+    ranges = []
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            t = pq.read_table(os.path.join(path, name), columns=["k"])
+            ks = t["k"].to_pylist()
+            ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    assert len(ranges) > 1
+    overlaps = sum(1 for (a, b), (c, d) in zip(ranges, ranges[1:]) if c < b)
+    assert overlaps == 0
+
+    back = spark.read.parquet(path)
+    sel = back.filter(F.col("k") == 12345)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,12345)" in plan
+    assert back.count() == 100000 and sel.count() == df.filter("(id * 2654435761) % 100000 = 12345").count()
