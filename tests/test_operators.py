@@ -598,3 +598,55 @@ def test_hll_merge_tolerates_mixed_precision(spark):
     fine = hll_rollup(df.filter("id >= 500"), ["g"], "v", lg_k=14)
     est = hll_estimate(hll_merge(coarse.unionByName(fine), ["g"])).collect()[0]
     assert abs(est["approx_distinct"] - 1000) / 1000 < 0.08
+
+
+def test_incremental_additive_equals_full_recompute(spark):
+    from eirepolitic_data_pipeline_spark.operators.incremental import (
+        incremental_additive)
+    from pyspark.sql import functions as F
+
+    full = spark.range(10000).select(
+        (F.col("id") % 7).alias("g"), F.col("id").alias("v"))
+    b1, b2 = full.filter("id < 6000"), full.filter("id >= 6000")
+
+    def rollup(df):
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+
+    prev = rollup(b1)
+    got = {r["g"]: (r["n"], r["total"]) for r in
+           incremental_additive(prev, rollup(b2), ["g"],
+                                ["n", "total"]).collect()}
+    want = {r["g"]: (r["n"], r["total"]) for r in rollup(full).collect()}
+    assert got == want
+
+    # delta introducing a brand-new group; prev-only group untouched
+    prev2 = rollup(b1.filter("g <> 0"))
+    delta = rollup(b2.filter("g = 0")).withColumn(
+        "g", F.lit(99))  # synthetic new group
+    out = {r["g"]: r["n"] for r in incremental_additive(
+        prev2, delta, ["g"], ["n", "total"]).collect()}
+    assert 99 in out and 1 in out and 0 not in out
+
+
+def test_recompute_groups_partial_rebuild(spark):
+    from eirepolitic_data_pipeline_spark.operators.incremental import (
+        recompute_groups)
+    from pyspark.sql import functions as F
+
+    facts = spark.range(1000).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("v"))
+
+    def agg_fn(df):
+        # median: non-additive, needs the partial-rebuild path
+        return df.groupBy("g").agg(
+            F.expr("percentile(v, 0.5)").alias("med"))
+
+    prev = agg_fn(facts).withColumn(
+        "med", F.when(F.col("g") == 2, -1.0).otherwise(F.col("med")))
+    affected = spark.createDataFrame([(2,)], "g long")
+    out = {r["g"]: r["med"] for r in
+           recompute_groups(prev, facts, affected, ["g"], agg_fn).collect()}
+    true = {r["g"]: r["med"] for r in agg_fn(facts).collect()}
+    assert out[2] == true[2]            # rebuilt group corrected
+    assert out == true                  # untouched groups preserved as-is
