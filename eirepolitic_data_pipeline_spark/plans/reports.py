@@ -131,9 +131,11 @@ def _pair_row(spark: SparkSession, pair: ComparisonPair,
             F.lit("").alias("legacy_only_key_count"),
             F.lit("").alias("unified_only_key_count"))
 
-    status = (F.when(F.lit(not unified_exists) | (F.col("unified_rows") == 0),
-                     "fail")
-              .when(F.lit(not legacy_exists), "warn")
+    # reference order (`cutover_comparison.py:100-102`): the missing-legacy
+    # "warn" is assigned AFTER the pass/fail decision, so it overrides fail
+    status = (F.when(F.lit(not legacy_exists), "warn")
+              .when(F.lit(not unified_exists) | (F.col("unified_rows") == 0),
+                    "fail")
               .otherwise("pass"))
     out = row.select(*[
         lits[c] .alias(c) if c in lits

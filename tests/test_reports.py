@@ -58,6 +58,13 @@ def test_cutover_report_key_algebra_and_status(spark):
     assert rows["empty_unified"]["status"] == "fail"
     assert rows["missing_unified"]["status"] == "fail"
     assert rows["missing_unified"]["unified_rows"] == "0"
+    # reference precedence: missing legacy warns EVEN IF unified is also
+    # missing/empty (the warn assignment follows the pass/fail decision)
+    both_gone = cutover_comparison_report(
+        spark, [ComparisonPair("neither", "nope_l", "nope_u",
+                               "member_code", "member_code")],
+        tables.get).collect()[0]
+    assert both_gone["status"] == "warn"
     # deterministic id: same pair → same id
     rep2 = cutover_comparison_report(spark, pairs[:1], tables.get)
     assert rep2.collect()[0]["comparison_id"] == m["comparison_id"]
