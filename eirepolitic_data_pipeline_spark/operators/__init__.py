@@ -33,4 +33,6 @@ from .curation import (  # noqa: F401
     hash_bucket,
     hash_sample,
     pack_sequences,
+    resample_periodic,
+    stratified_sample,
 )

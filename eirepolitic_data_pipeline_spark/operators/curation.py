@@ -115,3 +115,80 @@ def pack_sequences(df: DataFrame, id_col: str, token_col: Column | str,
                         F.floor((F.col("__cum") - tok) / budget).cast("int"))
             .withColumnRenamed("__shard", "shard")
             .drop("__cum"))
+
+
+def stratified_sample(df: DataFrame, strata_cols: Sequence[str],
+                      fractions: Mapping[tuple, float] | float,
+                      key_col: str, salt: str = "strat") -> DataFrame:
+    """Deterministic per-stratum sampling: each stratum keeps its own
+    fraction, decided by the same md5 bucket arithmetic as the splits (so
+    re-runs, retries and incremental refreshes keep identical membership,
+    and a row's fate never depends on which stratum others land in).
+
+    ``fractions`` is either one float for every stratum or a mapping from
+    stratum value tuples to fractions (missing strata keep 0.0 — explicit
+    opt-in, the safe default for curation allow-lists). The per-stratum
+    fraction map is dimension-sized and joins broadcast."""
+    b = hash_bucket(F.col(key_col), salt=salt)
+    if isinstance(fractions, Mapping):
+        spark = df.sparkSession
+        rows = [(*k, float(v)) for k, v in fractions.items()]
+        schema = ", ".join(f"{c} string" for c in strata_cols) + \
+            ", __frac double"
+        frac_df = spark.createDataFrame(rows, schema)
+        joined = df.join(
+            F.broadcast(frac_df),
+            [df[c].cast("string") == frac_df[c] for c in strata_cols],
+            "left").drop(*[frac_df[c] for c in strata_cols])
+        out = joined.filter(
+            b < (F.coalesce(F.col("__frac"), F.lit(0.0)) * BUCKETS)
+        ).drop("__frac")
+        return out
+    return df.filter(b < F.lit(float(fractions) * BUCKETS))
+
+
+def resample_periodic(df: DataFrame, key_cols: Sequence[str], ts_col: str,
+                      step: str, value_cols: Sequence[str],
+                      fill: str = "ffill") -> DataFrame:
+    """Per-key periodic resampling with gap fill: emit one row per ``step``
+    tick between each key's first and last observation, carrying values
+    forward over gaps (``fill='ffill'``) or leaving them null
+    (``fill='none'``).
+
+    The time grid is generated per key with sequence+explode — bounded by
+    span/step per key, never by table size — then observations attach via
+    a left join on the bucketed tick and forward-fill runs as one
+    last(ignorenulls) window per key ordered by tick. Two shuffles on the
+    key (grid agg + window), both AQE-coalescible; the reference's period
+    grids (A1-A5 zero-filled marts) are the calendar-grain cousins of this
+    operator."""
+    if fill not in ("ffill", "none"):
+        raise ValueError("fill must be 'ffill' or 'none'")
+    import re
+    m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", step)
+    if not m:
+        raise ValueError(
+            f"step {step!r} must be '<n> second|minute|hour|day(s)'")
+    secs = int(m.group(1)) * {"second": 1, "minute": 60,
+                              "hour": 3600, "day": 86400}[m.group(2)]
+    keys = list(key_cols)
+    tick = (F.unix_timestamp(F.col(ts_col)) / secs).cast("long") * secs
+    obs = df.withColumn("__tick", tick)
+    grid = (obs.groupBy(*keys)
+            .agg(F.min("__tick").alias("__lo"), F.max("__tick").alias("__hi"))
+            .select(*keys, F.explode(
+                F.sequence("__lo", "__hi", F.lit(secs))).alias("__tick")))
+    # keep-last per (key, tick): the newest observation inside a bucket wins
+    w_tick = Window.partitionBy(*keys, "__tick").orderBy(
+        F.col(ts_col).desc())
+    latest = (obs.withColumn("__rn", F.row_number().over(w_tick))
+              .filter(F.col("__rn") == 1)
+              .select(*keys, "__tick", *value_cols))
+    out = grid.join(latest, [*keys, "__tick"], "left")
+    if fill == "ffill":
+        w = (Window.partitionBy(*keys).orderBy("__tick")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        for c in value_cols:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.withColumn(
+        ts_col, F.timestamp_seconds(F.col("__tick"))).drop("__tick")

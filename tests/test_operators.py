@@ -650,3 +650,55 @@ def test_recompute_groups_partial_rebuild(spark):
     true = {r["g"]: r["med"] for r in agg_fn(facts).collect()}
     assert out[2] == true[2]            # rebuilt group corrected
     assert out == true                  # untouched groups preserved as-is
+
+
+def test_stratified_sample_deterministic_per_stratum(spark):
+    from eirepolitic_data_pipeline_spark.operators.curation import (
+        stratified_sample)
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(f"d{i}", "en" if i % 2 == 0 else "ga") for i in range(4000)],
+        "doc_id string, lang string")
+    out = stratified_sample(df, ["lang"], {("en",): 0.5, ("ga",): 0.1},
+                            key_col="doc_id")
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(got["en"] / 2000 - 0.5) < 0.05
+    assert abs(got["ga"] / 2000 - 0.1) < 0.05
+    # deterministic across runs
+    again = stratified_sample(df, ["lang"], {("en",): 0.5, ("ga",): 0.1},
+                              key_col="doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
+    # missing stratum => excluded (explicit opt-in)
+    assert stratified_sample(df, ["lang"], {("en",): 0.5},
+                             key_col="doc_id") \
+        .filter("lang = 'ga'").count() == 0
+    # scalar fraction applies everywhere
+    flat = stratified_sample(df, ["lang"], 0.25, key_col="doc_id")
+    assert abs(flat.count() / 4000 - 0.25) < 0.05
+
+
+def test_resample_periodic_gap_fill(spark):
+    from eirepolitic_data_pipeline_spark.operators.curation import (
+        resample_periodic)
+    import datetime as dt
+    rows = [
+        ("a", dt.datetime(2026, 1, 1, 0, 0), 1.0),
+        ("a", dt.datetime(2026, 1, 1, 0, 10), 1.5),   # same hour as above
+        ("a", dt.datetime(2026, 1, 1, 3, 0), 4.0),    # 2-hour gap
+        ("b", dt.datetime(2026, 1, 1, 5, 0), 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = resample_periodic(df, ["k"], "ts", "1 hour", ["v"])
+    a = {r["ts"].hour: r["v"] for r in out.filter("k = 'a'").collect()}
+    # grid covers hours 0..3; bucket keeps LAST obs per tick; gap filled
+    assert a == {0: 1.5, 1: 1.5, 2: 1.5, 3: 4.0}
+    assert out.filter("k = 'b'").count() == 1
+    # fill='none' leaves the gap hours null
+    holes = resample_periodic(df, ["k"], "ts", "1 hour", ["v"], fill="none")
+    a2 = {r["ts"].hour: r["v"] for r in holes.filter("k = 'a'").collect()}
+    assert a2[1] is None and a2[2] is None and a2[0] == 1.5
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        resample_periodic(df, ["k"], "ts", "2 weeks", ["v"])
