@@ -29,8 +29,9 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
+
+from . import atomic
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -81,10 +82,9 @@ class BatchCatalog:
         """Per-table batch entry (reference `batch.py:91-130`). ``replace``
         is for accumulating writers (streaming micro-batches) that re-record
         the same table within the open candidate batch. ``partition_by``
-        remembers the hive partition columns so reads can undo Spark's
-        partition-value type inference (a `snapshot_date=2026-08-14` key
-        would otherwise come back as DateType, breaking the string-typed
-        silver contract)."""
+        records the hive partition columns so maintenance jobs (compaction,
+        re-layout) can preserve the layout without re-inferring it from
+        directory names."""
         m = self._load_manifest(batch_id)
         self._refuse_if_promoted(batch_id, m)
         if table in m["tables"] and not replace:
@@ -151,28 +151,20 @@ class BatchCatalog:
         self._refuse_if_promoted(batch_id)
         path = self.batch_path(batch_id, table)
         row_count = df.count()
-        self._recover_interrupted_swap(path)
+        atomic.heal_interrupted_swap(path)
         if overwrite and os.path.isdir(path):
             # Atomic-swap overwrite: the incoming plan may READ the current
             # table dir (accumulating merge writers do), and an in-place
             # overwrite that fails mid-write destroys the only copy of every
-            # prior micro-batch merge. Write to a sibling temp dir, then swap
-            # with two renames — the old data survives on disk until the new
-            # write has fully committed, and a crash between the renames is
-            # healed by _recover_interrupted_swap on the next touch. (On a
-            # rename-less object store this step would be a manifest/pointer
-            # update instead, exactly like promote()'s pointer write.)
-            tmp, old = path + ".__incoming", path + ".__replaced"
-            # Stale leftovers are only deletable because path exists here:
-            # with a live table dir, both siblings are from swaps that
-            # either committed (old) or never started renaming (tmp).
-            for stale in (tmp, old):
-                if os.path.isdir(stale):
-                    shutil.rmtree(stale)
+            # prior micro-batch merge. io/atomic.py's two-rename protocol:
+            # the old data survives on disk until the new write has fully
+            # committed, and a crash between the renames is healed on the
+            # writer's next touch. (On a rename-less object store this step
+            # would be a manifest/pointer update instead, exactly like
+            # promote()'s pointer write.)
+            tmp = atomic.incoming_path(path)
             self._writer(df, "errorifexists", partition_by).parquet(tmp)
-            os.rename(path, old)
-            os.rename(tmp, path)
-            shutil.rmtree(old)
+            atomic.swap_in(path)
         else:
             mode = "overwrite" if overwrite else "errorifexists"
             self._writer(df, mode, partition_by).parquet(path)
@@ -187,44 +179,38 @@ class BatchCatalog:
         w = df.write.mode(mode)
         return w.partitionBy(*partition_by) if partition_by else w
 
-    def _recover_interrupted_swap(self, path: str):
-        """Heal a swap that crashed between its two renames: the table then
-        exists ONLY at ``path.__replaced`` — restore it before anything
-        reads, writes, or cleans 'stale' siblings, or the sole surviving
-        copy of prior merges would be treated as garbage."""
-        old = path + ".__replaced"
-        if not os.path.isdir(path) and os.path.isdir(old):
-            os.rename(old, path)
-
     def candidate_table_exists(self, batch_id: str, table: str) -> bool:
         """Existence check for accumulating writers — swap-crash-aware, so
         a recovering stream merges against the restored prior state instead
-        of silently falling back to production."""
+        of silently falling back to production. WRITER-side only (the
+        single writer that owns the candidate); readers never heal, because
+        a reader that renames `.__replaced` back while a live swap is
+        between its two renames would crash that swap (the healer cannot
+        tell a crashed swap from one in flight)."""
         path = self.batch_path(batch_id, table)
-        self._recover_interrupted_swap(path)
+        atomic.heal_interrupted_swap(path)
         return os.path.isdir(path)
 
     def read_table(self, spark: SparkSession, table: str,
                    batch_id: Optional[str] = None) -> DataFrame:
-        """Read a table; production reads resolve through the pointer."""
+        """Read a table; production reads resolve through the pointer.
+
+        Partition-value type inference is disabled for the read (and the
+        previous session value restored immediately — schema is fixed at
+        analysis time): hive keys are strings in this layout, and inference
+        would round-trip `snapshot_date=2026-8-1` into '2026-08-01',
+        silently rewriting non-canonical values."""
         bid = batch_id or self.production_batch_id()
         if bid is None:
             raise CatalogError(f"no production batch promoted; cannot read {table!r}")
         path = self.batch_path(bid, table)
-        self._recover_interrupted_swap(path)
-        df = spark.read.parquet(path)
-        # Undo partition-value type inference: hive keys are strings in this
-        # layout (see record_table); a date-shaped snapshot_date must come
-        # back as the string it was written as.
-        entry = self._load_manifest(bid)["tables"].get(table, {})
-        for c in entry.get("partition_by", []):
-            if c in df.columns:
-                from pyspark.sql import functions as F
-                df = df.withColumn(
-                    c, F.date_format(F.col(c), "yyyy-MM-dd")
-                    if dict(df.dtypes).get(c) == "date"
-                    else F.col(c).cast("string"))
-        return df
+        conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = spark.conf.get(conf_key, "true")
+        try:
+            spark.conf.set(conf_key, "false")
+            return spark.read.parquet(path)
+        finally:
+            spark.conf.set(conf_key, prev)
 
     # -- promote / rollback ----------------------------------------------------
     def promote(self, batch_id: str, expected_tables: list[str]):

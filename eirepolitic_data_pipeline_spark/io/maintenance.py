@@ -1,21 +1,42 @@
-"""In-place dataset maintenance — reference S16 (`process/delete_s3_column.py`).
+"""In-place dataset maintenance — reference S16 (`process/delete_s3_column.py`)
+plus small-file compaction.
 
-The reference ships a one-off utility that drops a single column from a
-published CSV + Parquet pair in place (`delete_s3_column.py:56-74`), with
-a STRICT switch: strict → error if the column is absent, lax → no-op.
-
-Spark-first shape: read the dataset, `df.drop(col)`, rewrite atomically
-(write to a sibling temp dir, then swap) — never rewrite a live path in
-place, because a failed overwrite would destroy the only copy. Parquet
-column drops are metadata-cheap to plan (the scan prunes to the kept
-columns), and the rewrite parallelizes across partitions.
+All rewrites go through io/atomic.py's crash-safe swap (fixed-suffix temp +
+two renames + heal-on-next-touch): a failed rewrite NEVER leaves the live
+path destroyed, and a crash mid-swap is recoverable because the backup sits
+at a deterministic suffix the next run can find — unlike a random-suffix
+backup dir, which no later run can tell from garbage.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
+import re
+
+from . import atomic
+
+_HIVE_DIR_RE = re.compile(r"^[^=/]+=[^/]*$")
+
+
+def _hive_partition_dirs(path: str) -> list[str]:
+    """Top-level hive partition entries (``col=value`` dirs) under path."""
+    try:
+        return sorted(n for n in os.listdir(path)
+                      if _HIVE_DIR_RE.match(n)
+                      and os.path.isdir(os.path.join(path, n)))
+    except FileNotFoundError:
+        return []
+
+
+def _swap_rewrite(df, path: str, fmt: str):
+    tmp = atomic.incoming_path(path)
+    writer = df.write.format(fmt).mode("errorifexists")
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    elif fmt == "parquet":
+        writer = writer.option("compression", "snappy")
+    writer.save(tmp)
+    atomic.swap_in(path)
 
 
 def delete_column(spark, path: str, column: str, *, fmt: str = "parquet",
@@ -26,6 +47,7 @@ def delete_column(spark, path: str, column: str, *, fmt: str = "parquet",
     no-op. ``strict=True`` raises instead of no-op'ing, mirroring the
     reference's STRICT=1 (`delete_s3_column.py:17-19,58,68`).
     """
+    atomic.heal_interrupted_swap(path)
     reader = spark.read.format(fmt)
     if fmt == "csv":
         reader = reader.option("header", True)
@@ -34,19 +56,7 @@ def delete_column(spark, path: str, column: str, *, fmt: str = "parquet",
         if strict:
             raise ValueError(f"Column {column!r} not found in {path}")
         return False
-
-    tmp = f"{path.rstrip('/')}__rewrite_{uuid.uuid4().hex[:8]}"
-    writer = df.drop(column).write.format(fmt).mode("overwrite")
-    if fmt == "csv":
-        writer = writer.option("header", True)
-    elif fmt == "parquet":
-        writer = writer.option("compression", "snappy")
-    writer.save(tmp)
-
-    backup = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, backup)
-    os.rename(tmp, path)
-    shutil.rmtree(backup)
+    _swap_rewrite(df.drop(column), path, fmt)
     return True
 
 
@@ -55,14 +65,34 @@ def compact_dataset(spark, path: str, *, target_file_bytes: int = 128 * 2**20,
     """Small-file compaction: rewrite the dataset at ``path`` into files of
     ~``target_file_bytes`` each (beyond-ref; the standard remedy for the
     small-files problem every incremental-refresh layout accumulates —
-    thousands of micro-batch part files turn scan planning and NameNode/
-    listing pressure into the bottleneck long before data volume does).
+    thousands of micro-batch part files turn scan planning and listing
+    pressure into the bottleneck long before data volume does).
 
-    File count = ceil(on-disk bytes / target); the rewrite round-robins to
-    exactly that many partitions and swaps atomically (temp dir + two
-    renames — same crash-safe recipe as delete_column and the catalog's
-    candidate swap). Returns {files_before, files_after, bytes} telemetry.
+    Hive-partitioned layouts are compacted PER LEAF PARTITION (each
+    ``col=value`` subtree recursed independently): reading the root and
+    rewriting flat would fold the partition dirs into inferred typed data
+    columns and destroy both the layout and the string-typed partition
+    values. Leaf-wise compaction touches only files inside each partition
+    dir, so layout, pruning, and partition-value spelling are untouched.
+
+    File count per leaf = ceil(on-disk bytes / target); the rewrite
+    round-robins to exactly that many partitions and swaps atomically.
+    Returns {files_before, files_after, bytes, partitions} telemetry.
     """
+    parts = _hive_partition_dirs(path)
+    if parts:
+        total = {"files_before": 0, "files_after": 0, "bytes": 0,
+                 "partitions": 0}
+        for p in parts:
+            sub = compact_dataset(spark, os.path.join(path, p),
+                                  target_file_bytes=target_file_bytes,
+                                  fmt=fmt)
+            for k in total:
+                total[k] += sub[k]
+        return total
+
+    atomic.heal_interrupted_swap(path)
+
     def _du(p):
         files = []
         for root, _dirs, names in os.walk(p):
@@ -73,13 +103,8 @@ def compact_dataset(spark, path: str, *, target_file_bytes: int = 128 * 2**20,
     files_before, n_bytes = _du(path)
     n_files = max(1, -(-n_bytes // target_file_bytes))  # ceil
     df = spark.read.format(fmt).load(path)
-    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
-    (df.repartition(n_files).write.format(fmt).mode("overwrite")
-     .option("compression", "snappy").save(tmp))
-    backup = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, backup)
-    os.rename(tmp, path)
-    shutil.rmtree(backup)
+    _swap_rewrite(df.repartition(n_files), path, fmt)
     files_after, _ = _du(path)
     return {"files_before": len(files_before),
-            "files_after": len(files_after), "bytes": n_bytes}
+            "files_after": len(files_after), "bytes": n_bytes,
+            "partitions": 1}

@@ -172,15 +172,20 @@ def resample_periodic(df: DataFrame, key_cols: Sequence[str], ts_col: str,
     secs = int(m.group(1)) * {"second": 1, "minute": 60,
                               "hour": 3600, "day": 86400}[m.group(2)]
     keys = list(key_cols)
-    tick = (F.unix_timestamp(F.col(ts_col)) / secs).cast("long") * secs
+    # floor, not cast: cast('long') truncates toward zero, so pre-1970
+    # (negative-epoch) timestamps would land one bucket LATE
+    tick = F.floor(F.unix_timestamp(F.col(ts_col)) / secs) * secs
     obs = df.withColumn("__tick", tick)
     grid = (obs.groupBy(*keys)
             .agg(F.min("__tick").alias("__lo"), F.max("__tick").alias("__hi"))
             .select(*keys, F.explode(
                 F.sequence("__lo", "__hi", F.lit(secs))).alias("__tick")))
-    # keep-last per (key, tick): the newest observation inside a bucket wins
+    # keep-last per (key, tick): the newest observation inside a bucket
+    # wins; value columns break exact-timestamp ties so the pick is
+    # deterministic under retries/speculation (module contract)
     w_tick = Window.partitionBy(*keys, "__tick").orderBy(
-        F.col(ts_col).desc())
+        F.col(ts_col).desc(), *[F.col(c).desc_nulls_last()
+                                for c in value_cols])
     latest = (obs.withColumn("__rn", F.row_number().over(w_tick))
               .filter(F.col("__rn") == 1)
               .select(*keys, "__tick", *value_cols))

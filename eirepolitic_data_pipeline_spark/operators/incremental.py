@@ -33,10 +33,18 @@ def incremental_additive(prev: DataFrame, delta_agg: DataFrame,
 
     ``delta_agg`` must be aggregated at the same grain with the same
     column names (build it with the same groupBy the original rollup
-    used over ONLY the delta rows)."""
-    merged = prev.alias("p").join(delta_agg.alias("d"), list(keys),
-                                  "full_outer")
-    out_cols = [F.col(k).alias(k) for k in keys]
+    used over ONLY the delta rows).
+
+    The join is NULL-SAFE on the keys: groupBy routinely emits a NULL
+    group for facts with a null dimension, and plain equality would
+    double-row it (prev's and delta's null groups never matching)."""
+    cond = None
+    for k in keys:
+        eq = F.col(f"p.{k}").eqNullSafe(F.col(f"d.{k}"))
+        cond = eq if cond is None else (cond & eq)
+    merged = prev.alias("p").join(delta_agg.alias("d"), cond, "full_outer")
+    out_cols = [F.coalesce(F.col(f"p.{k}"), F.col(f"d.{k}")).alias(k)
+                for k in keys]
     for c in value_cols:
         out_cols.append(
             (F.coalesce(F.col(f"p.{c}"), F.lit(0))
@@ -60,8 +68,19 @@ def recompute_groups(prev: DataFrame, facts: DataFrame,
     Cost: one semi-join-pruned scan of the fact table (partition/bucket
     layout on the keys makes it a fraction of history) + an anti-join on
     the dimension-sized rollup. ``agg_fn(facts_subset)`` must return the
-    rollup grain with prev's schema."""
+    rollup grain with prev's schema. Joins are NULL-SAFE on the keys so a
+    null group listed in ``affected_keys`` really gets rebuilt (plain
+    equality would silently keep its stale row)."""
     ak = affected_keys.select(*keys).distinct()
-    rebuilt = agg_fn(facts.join(F.broadcast(ak), list(keys), "left_semi"))
-    untouched = prev.join(ak, list(keys), "left_anti")
+
+    def _ns(left, right):
+        cond = None
+        for k in keys:
+            eq = left[k].eqNullSafe(right[k])
+            cond = eq if cond is None else (cond & eq)
+        return cond
+
+    rebuilt = agg_fn(
+        facts.join(F.broadcast(ak), _ns(facts, ak), "left_semi"))
+    untouched = prev.join(ak, _ns(prev, ak), "left_anti")
     return untouched.unionByName(rebuilt)

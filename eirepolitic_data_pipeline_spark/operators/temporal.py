@@ -130,16 +130,21 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame,
         & (F.col(end_col) >= F.col(start_col))
     ).withColumn(
         "__buckets",
+        # floor, not cast('long'): truncation-toward-zero would fold the
+        # two buckets around epoch into one for negative timestamps. The
+        # mapping is applied identically to both sides so candidates were
+        # still consistent, but floor keeps buckets uniform-width (and
+        # matches resample_periodic's arithmetic).
         F.sequence(
-            (F.unix_timestamp(F.col(start_col)) / step).cast("long") * step,
+            F.floor(F.unix_timestamp(F.col(start_col)) / step) * step,
             # end is exclusive, but a point in the end's bucket before the
             # end still matches — include the end bucket
-            (F.unix_timestamp(F.col(end_col)) / step).cast("long") * step,
+            F.floor(F.unix_timestamp(F.col(end_col)) / step) * step,
             step,
         )).withColumn("__bucket", F.explode("__buckets")).drop("__buckets")
     p2 = points.withColumn(
         "__bucket",
-        (F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step)
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step) * step)
     on = ["__bucket", *equi_keys]
     joined = (p2.join(iv, on, "inner")
               .filter((F.col(ts_col) >= F.col(start_col))

@@ -281,16 +281,22 @@ def profile_table(df: DataFrame,
     approx_count_distinct keeps the distinct estimate mergeable (HLL);
     exact NDV would need one shuffle per column."""
     aggs = [F.count(F.lit(1)).alias("__rows")]
+    null_long = F.lit(None).cast("long")
     for c in df.columns:
         col, dt = F.col(c), dict(df.dtypes)[c]
+        # map columns are unorderable and unhashable for these aggregates —
+        # one such column must not fail the whole profile; emit nulls
+        orderable = not dt.startswith("map<")
         aggs += [
             F.sum(col.isNull().cast("long")).alias(f"__null__{c}"),
             (F.sum((F.trim(col) == "").cast("long")) if dt == "string"
-             else F.lit(None).cast("long")).alias(f"__blank__{c}"),
-            F.approx_count_distinct(col, approx_distinct_rsd)
-            .alias(f"__ndv__{c}"),
-            F.min(col).cast("string").alias(f"__min__{c}"),
-            F.max(col).cast("string").alias(f"__max__{c}"),
+             else null_long).alias(f"__blank__{c}"),
+            (F.approx_count_distinct(col, approx_distinct_rsd) if orderable
+             else null_long).alias(f"__ndv__{c}"),
+            (F.min(col).cast("string") if orderable
+             else F.lit(None).cast("string")).alias(f"__min__{c}"),
+            (F.max(col).cast("string") if orderable
+             else F.lit(None).cast("string")).alias(f"__max__{c}"),
         ]
     row = df.agg(*aggs).collect()[0]
     spark = df.sparkSession

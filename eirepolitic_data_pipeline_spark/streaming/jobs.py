@@ -115,7 +115,7 @@ def stateful_user_totals(events: DataFrame,
 
 
 def streaming_merge_sink(events: DataFrame, writer, table: str, policy,
-                         batch_id: str, id_col: str = "event_id",
+                         batch_id: str, *, id_col: str = "event_id",
                          watermark: str = "35 days",
                          checkpoint_dir: str | None = None,
                          ts_col: str = "ts"):

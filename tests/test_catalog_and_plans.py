@@ -222,24 +222,29 @@ def test_ever_promoted_batch_stays_immutable(spark, catalog):
 
 def test_interrupted_swap_recovers_not_garbage_collected(spark, catalog, tmp_path):
     """A crash between the swap's two renames strands the candidate at
-    .__replaced; the next read / existence check / overwrite must restore
-    it — never fall back to production or rmtree it as stale."""
+    .__replaced; the WRITER's next touch (existence check / overwrite) must
+    restore it — never fall back to production or rmtree it as stale.
+    Readers deliberately do NOT heal (a reader renaming .__replaced back
+    would race an in-flight swap and crash it), so a pure read of the
+    crashed path fails loudly until the writer recovers."""
     import os
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
     catalog.write_table(df, "t", "bx", overwrite=True)
     path = catalog.batch_path("bx", "t")
     os.rename(path, path + ".__replaced")  # simulate mid-swap crash
 
-    assert catalog.candidate_table_exists("bx", "t")   # recovery happened
+    # reader-side: loud failure, no healing, stranded copy untouched
+    with pytest.raises(Exception):
+        catalog.read_table(spark, "t", batch_id="bx").count()
+    assert os.path.isdir(path + ".__replaced")
+
+    # writer-side existence check heals
+    assert catalog.candidate_table_exists("bx", "t")
     assert os.path.isdir(path) and not os.path.isdir(path + ".__replaced")
     assert catalog.read_table(spark, "t", batch_id="bx").count() == 2
 
-    # same recovery through the read path alone
-    os.rename(path, path + ".__replaced")
-    assert catalog.read_table(spark, "t", batch_id="bx").count() == 2
-
-    # and through an overwrite: the new write must merge-visible the
-    # restored data, not silently treat the stranded dir as stale garbage
+    # and through an overwrite: the new write must see the restored data,
+    # not silently treat the stranded dir as stale garbage
     os.rename(path, path + ".__replaced")
     df2 = spark.createDataFrame([(3, "c")], "id long, v string")
     catalog.write_table(df2, "t", "bx", overwrite=True)
@@ -272,3 +277,14 @@ def test_snapshot_date_writes_hive_partitioned(spark, catalog, tmp_path):
     assert {r["snapshot_date"] for r in b2.collect()} == {"2026-08-21"}
     assert {(r["id"], r["v"]) for r in b2.collect()} == \
         {(1, "a"), (2, "b2"), (3, "c")}
+
+
+def test_noncanonical_partition_values_roundtrip(spark, catalog):
+    """Partition-value inference is defeated on catalog reads: a
+    non-canonical snapshot key comes back exactly as written."""
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(1,)], "id long").withColumn(
+        "snapshot_date", F.lit("2026-8-1"))
+    catalog.write_table(df, "nc_t", "bnc", partition_by=("snapshot_date",))
+    back = catalog.read_table(spark, "nc_t", batch_id="bnc").collect()[0]
+    assert back["snapshot_date"] == "2026-8-1"

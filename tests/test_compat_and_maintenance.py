@@ -132,3 +132,36 @@ def test_profile_table_one_pass(spark):
     assert prof["id"]["approx_distinct"] == 3      # exact at tiny NDV
     assert (prof["id"]["min_value"], prof["id"]["max_value"]) == ("1", "3")
     assert prof["v"]["max_value"] == "2.5"
+
+
+def test_compact_dataset_preserves_hive_partitions(spark, tmp_path):
+    """Compaction recurses per partition leaf: the snapshot_date= layout,
+    the string-typed partition values, and the data all survive."""
+    import os
+    from eirepolitic_data_pipeline_spark.io.maintenance import compact_dataset
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "part")
+    df = spark.range(600).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "2026-8-1").otherwise("2026-08-02")
+        .alias("snapshot_date"))
+    df.repartition(6).write.partitionBy("snapshot_date").parquet(path)
+    tele = compact_dataset(spark, path, target_file_bytes=10**9)
+    assert tele["partitions"] == 2 and tele["files_after"] == 2
+    # layout intact, incl. the NON-canonical date spelling
+    assert sorted(n for n in os.listdir(path) if n.startswith("snap")) == \
+        ["snapshot_date=2026-08-02", "snapshot_date=2026-8-1"]
+    # full data survives; reading one leaf gives plain (layout-free) rows
+    assert spark.read.parquet(path).count() == 600
+
+
+def test_profile_table_tolerates_map_columns(spark):
+    from eirepolitic_data_pipeline_spark.plans.quality import profile_table
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(1, "x")], "id long, k string").select(
+        "id", F.create_map(F.col("k"), F.col("id")).alias("m"))
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["m"]["n_null"] == 0
+    assert prof["m"]["approx_distinct"] is None
+    assert prof["m"]["min_value"] is None
+    assert prof["id"]["approx_distinct"] == 1

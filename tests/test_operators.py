@@ -702,3 +702,47 @@ def test_resample_periodic_gap_fill(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         resample_periodic(df, ["k"], "ts", "2 weeks", ["v"])
+
+
+def test_incremental_additive_null_keys_merge(spark):
+    """NULL group keys (groupBy emits them for null dimensions) must merge
+    null-safely — not double-row."""
+    from eirepolitic_data_pipeline_spark.operators.incremental import (
+        incremental_additive, recompute_groups)
+    from pyspark.sql import functions as F
+    prev = spark.createDataFrame([(None, 5), ("a", 1)], "g string, n long")
+    delta = spark.createDataFrame([(None, 3), ("b", 2)], "g string, n long")
+    out = {r["g"]: r["n"] for r in
+           incremental_additive(prev, delta, ["g"], ["n"]).collect()}
+    assert out == {None: 8, "a": 1, "b": 2}
+
+    # recompute_groups: a null key in affected_keys really rebuilds
+    facts = spark.createDataFrame(
+        [(None, 1), (None, 2), ("a", 7)], "g string, v long")
+
+    def agg_fn(df):
+        return df.groupBy("g").agg(F.sum("v").alias("n"))
+
+    stale = spark.createDataFrame([(None, -99), ("a", 7)], "g string, n long")
+    affected = spark.createDataFrame([(None,)], "g string")
+    got = {r["g"]: r["n"] for r in
+           recompute_groups(stale, facts, affected, ["g"], agg_fn).collect()}
+    assert got == {None: 3, "a": 7}
+
+
+def test_resample_periodic_pre_epoch_floor(spark):
+    """Pre-1970 timestamps floor to the bucket CONTAINING them (truncation
+    toward zero would push them one bucket late)."""
+    from eirepolitic_data_pipeline_spark.operators.curation import (
+        resample_periodic)
+    import datetime as dt
+    df = spark.createDataFrame(
+        [("a", dt.datetime(1969, 12, 31, 23, 30), 1.0),
+         ("a", dt.datetime(1970, 1, 1, 1, 30), 2.0)],
+        "k string, ts timestamp, v double")
+    out = sorted((r["ts"], r["v"]) for r in
+                 resample_periodic(df, ["k"], "ts", "1 hour", ["v"]).collect())
+    assert out[0][0] == dt.datetime(1969, 12, 31, 23, 0)   # contains the obs
+    # 23:00 observed 1.0, 00:00 gap ffilled, 01:00 observed 2.0
+    assert [v for _, v in out] == [1.0, 1.0, 2.0]
+    assert out[-1][0] == dt.datetime(1970, 1, 1, 1, 0)
