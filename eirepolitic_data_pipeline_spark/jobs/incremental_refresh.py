@@ -1,0 +1,121 @@
+"""Incremental rollup refresh — the end-to-end wiring of the incremental
+operators into the engine's batch/catalog lifecycle.
+
+Replaces the recompute-everything refresh for additive rollups: each run
+aggregates ONLY the new window's facts, merges them into the persisted
+rollup (``operators.incremental.incremental_additive``), keeps distinct
+counts exact-enough via mergeable HLL sketches
+(``operators.sketches``), and lands the result through the normal
+candidate-batch → promote flow, so rollback and batch immutability apply
+unchanged. Cost per refresh: O(delta + rollup), never O(history).
+
+The overlap-window re-delivery problem (the same fact arriving in two
+consecutive windows) is handled BEFORE aggregation: the delta is
+anti-joined against the processed-id log — the same resume-map pattern the
+LLM runner uses — so a fact is counted exactly once however many windows
+re-deliver it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.catalog import BatchCatalog, CatalogError
+from ..operators.incremental import incremental_additive
+from ..operators.sketches import hll_estimate, hll_merge, hll_rollup
+
+PROCESSED_SUFFIX = "__processed_ids"
+SKETCH_SUFFIX = "__distinct_sketch"
+
+
+@dataclass
+class IncrementalRollup:
+    """One maintained rollup: additive metrics + optional HLL distinct."""
+
+    catalog: BatchCatalog
+    spark: SparkSession
+    table: str
+    keys: Sequence[str]
+    fact_id_col: str
+    count_cols: Sequence[str]          # additive metric columns of agg_fn
+    distinct_col: Optional[str] = None  # fact column for approx-distinct
+    # event-time column carried into the processed-id log so it can be
+    # PRUNED to the re-delivery horizon (the batch analog of watermark
+    # state eviction): without pruning the log grows O(all facts ever);
+    # with it, O(facts inside the overlap window).
+    fact_ts_col: Optional[str] = None
+
+    def _read_or_none(self, table: str) -> Optional[DataFrame]:
+        try:
+            return self.catalog.read_table(self.spark, table)
+        except (CatalogError, Exception) as e:  # no production batch yet
+            if "PATH_NOT_FOUND" in str(e) or isinstance(e, CatalogError):
+                return None
+            raise
+
+    def refresh(self, delta_facts: DataFrame, agg_fn, batch_id: str,
+                horizon: Optional[str] = None) -> DataFrame:
+        """Apply one refresh window. ``agg_fn(facts)`` must produce the
+        rollup grain (keys + count_cols). Writes rollup + sketch +
+        processed-id log into the candidate batch; caller promotes.
+
+        ``horizon`` (requires ``fact_ts_col``): drop processed-id entries
+        whose event time precedes it — ids older than the earliest possible
+        re-delivery window can never be re-delivered, so keeping them only
+        bloats the log. Facts older than a pruned horizon that DO arrive
+        again would double-count; pick the horizon = the oldest window
+        start the orchestration can still issue (cf. jobs/refresh.py's
+        35-day weekly lookback)."""
+        prev = self._read_or_none(self.table)
+        if prev is not None and self.distinct_col is not None:
+            # the persisted estimate is stale by construction — it is
+            # re-derived from the merged sketch below
+            prev = prev.drop("approx_distinct")
+        seen = self._read_or_none(self.table + PROCESSED_SUFFIX)
+
+        # exactly-once per fact across overlapping windows
+        new_facts = delta_facts
+        if seen is not None:
+            new_facts = delta_facts.join(seen, self.fact_id_col, "left_anti")
+
+        delta_agg = agg_fn(new_facts)
+        rollup = (incremental_additive(prev, delta_agg, self.keys,
+                                       self.count_cols)
+                  if prev is not None else delta_agg)
+
+        out = rollup
+        if self.distinct_col is not None:
+            sk = hll_rollup(new_facts, self.keys, self.distinct_col)
+            prev_sk = self._read_or_none(self.table + SKETCH_SUFFIX)
+            merged_sk = (hll_merge(prev_sk.unionByName(sk), self.keys)
+                         if prev_sk is not None else sk)
+            self.catalog.write_table(merged_sk, self.table + SKETCH_SUFFIX,
+                                     batch_id)
+            est = hll_estimate(merged_sk)
+            out = rollup.join(est, list(self.keys), "left")
+
+        id_cols = [self.fact_id_col] + (
+            [self.fact_ts_col] if self.fact_ts_col else [])
+        ids = new_facts.select(*id_cols).dropDuplicates([self.fact_id_col])
+        all_ids = ids if seen is None else \
+            seen.unionByName(ids).dropDuplicates([self.fact_id_col])
+        if horizon is not None:
+            if self.fact_ts_col is None:
+                raise ValueError("horizon pruning requires fact_ts_col")
+            all_ids = all_ids.filter(F.col(self.fact_ts_col) >= horizon)
+        self.catalog.write_table(all_ids, self.table + PROCESSED_SUFFIX,
+                                 batch_id)
+        self.catalog.write_table(out, self.table, batch_id)
+        return out
+
+    @property
+    def tables(self) -> list[str]:
+        """All tables one refresh writes — pass to catalog.promote."""
+        out = [self.table, self.table + PROCESSED_SUFFIX]
+        if self.distinct_col is not None:
+            out.append(self.table + SKETCH_SUFFIX)
+        return out
