@@ -96,7 +96,13 @@ class IncrementalRollup:
             self.catalog.write_table(merged_sk, self.table + SKETCH_SUFFIX,
                                      batch_id)
             est = hll_estimate(merged_sk)
-            out = rollup.join(est, list(self.keys), "left")
+            # null-safe like the additive merge: the NULL group's estimate
+            # must attach too
+            cond = None
+            for k in self.keys:
+                eq = rollup[k].eqNullSafe(est[k])
+                cond = eq if cond is None else (cond & eq)
+            out = rollup.join(est, cond, "left").drop(*[est[k] for k in self.keys])
 
         id_cols = [self.fact_id_col] + (
             [self.fact_ts_col] if self.fact_ts_col else [])

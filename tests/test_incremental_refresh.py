@@ -96,3 +96,29 @@ def test_processed_id_log_horizon_pruning(spark, tmp_path):
             catalog=catalog, spark=spark, table="x", keys=["year"],
             fact_id_col="fact_id", count_cols=["n_votes"]).refresh(
             _facts(spark, 0, 10), _agg, batch_id="w3", horizon=horizon)
+
+
+def test_incremental_refresh_null_group(spark, tmp_path):
+    """A NULL group key flows through the whole job: additive merge,
+    sketch estimate attach, and exactly-once re-delivery."""
+    catalog = BatchCatalog(root=str(tmp_path / "wh"))
+    job = IncrementalRollup(
+        catalog=catalog, spark=spark, table="ng", keys=["year"],
+        fact_id_col="fact_id", count_cols=["n_votes"],
+        distinct_col="member", fact_ts_col="ts")
+
+    def facts(lo, hi):
+        return _facts(spark, lo, hi).withColumn(
+            "year", F.when(F.col("year") == 0, None).otherwise(F.col("year")))
+
+    job.refresh(facts(0, 300), _agg, batch_id="w1")
+    catalog.promote("w1", job.tables)
+    job.refresh(facts(200, 500), _agg, batch_id="w2")  # overlap 200-299
+    catalog.promote("w2", job.tables)
+    got = {r["year"]: (r["n_votes"], r["approx_distinct"])
+           for r in catalog.read_table(spark, "ng").collect()}
+    full = facts(0, 500)
+    want = {r["year"]: (r["n"], r["d"]) for r in full.groupBy("year").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("member").alias("d")).collect()}
+    assert None in got and got == want
