@@ -18,9 +18,10 @@ re-deliver it.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Optional, Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -48,12 +49,27 @@ class IncrementalRollup:
     # state eviction): without pruning the log grows O(all facts ever);
     # with it, O(facts inside the overlap window).
     fact_ts_col: Optional[str] = None
+    # the batch this instance last wrote: refresh() refuses to run again
+    # until it has been promoted, because prev/seen resolve through the
+    # production pointer — an unpromoted window would silently vanish from
+    # the next rollup.
+    _last_batch: Optional[str] = field(default=None, init=False, repr=False)
 
     def _read_or_none(self, table: str) -> Optional[DataFrame]:
+        """Persisted state, or None when it genuinely does not exist yet.
+        Only the two absence cases return None — no production pointer
+        (CatalogError) and a missing table path (AnalysisException with the
+        PATH_NOT_FOUND condition); any other read failure propagates, since
+        treating a transient error as "no history" would silently reset the
+        rollup to this window's delta."""
         try:
             return self.catalog.read_table(self.spark, table)
-        except (CatalogError, Exception) as e:  # no production batch yet
-            if "PATH_NOT_FOUND" in str(e) or isinstance(e, CatalogError):
+        except CatalogError:
+            return None
+        except AnalysisException as e:
+            get_cond = getattr(e, "getCondition", None) or \
+                getattr(e, "getErrorClass", None)
+            if get_cond is not None and get_cond() == "PATH_NOT_FOUND":
                 return None
             raise
 
@@ -61,7 +77,8 @@ class IncrementalRollup:
                 horizon: Optional[str] = None) -> DataFrame:
         """Apply one refresh window. ``agg_fn(facts)`` must produce the
         rollup grain (keys + count_cols). Writes rollup + sketch +
-        processed-id log into the candidate batch; caller promotes.
+        processed-id log into the candidate batch; caller promotes BEFORE
+        the next refresh (enforced — see _last_batch).
 
         ``horizon`` (requires ``fact_ts_col``): drop processed-id entries
         whose event time precedes it — ids older than the earliest possible
@@ -70,52 +87,79 @@ class IncrementalRollup:
         again would double-count; pick the horizon = the oldest window
         start the orchestration can still issue (cf. jobs/refresh.py's
         35-day weekly lookback)."""
+        # validate EVERYTHING before the first write: a partial candidate
+        # batch poisons same-batch retries (duplicate-table refusals)
+        if horizon is not None and self.fact_ts_col is None:
+            raise ValueError("horizon pruning requires fact_ts_col")
+        if self._last_batch is not None \
+                and self.catalog.production_batch_id() != self._last_batch:
+            raise CatalogError(
+                f"previous refresh batch {self._last_batch!r} was not "
+                "promoted; its window would silently vanish from this "
+                "rollup (prev/seen resolve through the production pointer)")
+
         prev = self._read_or_none(self.table)
-        if prev is not None and self.distinct_col is not None:
-            # the persisted estimate is stale by construction — it is
-            # re-derived from the merged sketch below
+        if prev is not None and "approx_distinct" in prev.columns:
+            # the persisted estimate is stale by construction (re-derived
+            # from the merged sketch below); drop it even when distinct_col
+            # was turned OFF, or the passthrough merge would republish a
+            # frozen estimate forever
             prev = prev.drop("approx_distinct")
         seen = self._read_or_none(self.table + PROCESSED_SUFFIX)
 
-        # exactly-once per fact across overlapping windows
-        new_facts = delta_facts
+        # exactly-once per fact: dedupe WITHIN the window (a source can
+        # deliver one fact twice in a single fetch) and against prior
+        # windows (overlap re-delivery). Persisted because three written
+        # outputs consume this frame — without it the delta scan and
+        # anti-join would re-execute per output, and a non-deterministic
+        # source could make rollup, sketch and id log disagree.
+        new_facts = delta_facts.dropDuplicates([self.fact_id_col])
         if seen is not None:
-            new_facts = delta_facts.join(seen, self.fact_id_col, "left_anti")
+            new_facts = new_facts.join(seen.select(self.fact_id_col),
+                                       self.fact_id_col, "left_anti")
+        new_facts = new_facts.persist()
+        try:
+            delta_agg = agg_fn(new_facts)
+            rollup = (incremental_additive(prev, delta_agg, self.keys,
+                                           self.count_cols)
+                      if prev is not None else delta_agg)
 
-        delta_agg = agg_fn(new_facts)
-        rollup = (incremental_additive(prev, delta_agg, self.keys,
-                                       self.count_cols)
-                  if prev is not None else delta_agg)
+            out = rollup
+            if self.distinct_col is not None:
+                sk = hll_rollup(new_facts, self.keys, self.distinct_col)
+                prev_sk = self._read_or_none(self.table + SKETCH_SUFFIX)
+                merged_sk = (hll_merge(prev_sk.unionByName(sk), self.keys)
+                             if prev_sk is not None else sk)
+                self.catalog.write_table(
+                    merged_sk, self.table + SKETCH_SUFFIX, batch_id)
+                # estimate from the COMMITTED sketch files, not the live
+                # plan — one execution of the union, consistent with what
+                # the next refresh will read
+                est = hll_estimate(self.catalog.read_table(
+                    self.spark, self.table + SKETCH_SUFFIX,
+                    batch_id=batch_id))
+                # null-safe like the additive merge: the NULL group's
+                # estimate must attach too
+                cond = None
+                for k in self.keys:
+                    eq = rollup[k].eqNullSafe(est[k])
+                    cond = eq if cond is None else (cond & eq)
+                out = rollup.join(est, cond, "left").drop(
+                    *[est[k] for k in self.keys])
 
-        out = rollup
-        if self.distinct_col is not None:
-            sk = hll_rollup(new_facts, self.keys, self.distinct_col)
-            prev_sk = self._read_or_none(self.table + SKETCH_SUFFIX)
-            merged_sk = (hll_merge(prev_sk.unionByName(sk), self.keys)
-                         if prev_sk is not None else sk)
-            self.catalog.write_table(merged_sk, self.table + SKETCH_SUFFIX,
+            id_cols = [self.fact_id_col] + (
+                [self.fact_ts_col] if self.fact_ts_col else [])
+            ids = new_facts.select(*id_cols)
+            all_ids = ids if seen is None else \
+                seen.unionByName(ids).dropDuplicates([self.fact_id_col])
+            if horizon is not None:
+                all_ids = all_ids.filter(F.col(self.fact_ts_col) >= horizon)
+            self.catalog.write_table(all_ids, self.table + PROCESSED_SUFFIX,
                                      batch_id)
-            est = hll_estimate(merged_sk)
-            # null-safe like the additive merge: the NULL group's estimate
-            # must attach too
-            cond = None
-            for k in self.keys:
-                eq = rollup[k].eqNullSafe(est[k])
-                cond = eq if cond is None else (cond & eq)
-            out = rollup.join(est, cond, "left").drop(*[est[k] for k in self.keys])
-
-        id_cols = [self.fact_id_col] + (
-            [self.fact_ts_col] if self.fact_ts_col else [])
-        ids = new_facts.select(*id_cols).dropDuplicates([self.fact_id_col])
-        all_ids = ids if seen is None else \
-            seen.unionByName(ids).dropDuplicates([self.fact_id_col])
-        if horizon is not None:
-            if self.fact_ts_col is None:
-                raise ValueError("horizon pruning requires fact_ts_col")
-            all_ids = all_ids.filter(F.col(self.fact_ts_col) >= horizon)
-        self.catalog.write_table(all_ids, self.table + PROCESSED_SUFFIX,
-                                 batch_id)
-        self.catalog.write_table(out, self.table, batch_id)
+            self.catalog.write_table(out, self.table, batch_id)
+        finally:
+            new_facts.unpersist()
+        self._last_batch = batch_id
         return out
 
     @property

@@ -76,8 +76,9 @@ def test_processed_id_log_horizon_pruning(spark, tmp_path):
     # horizon past the first 300 facts' event times → log shrinks even as
     # new facts arrive (bounded by the re-delivery window, not history)
     import datetime
-    horizon = datetime.datetime.utcfromtimestamp(
-        1_700_000_000 + 300 * 60).strftime("%Y-%m-%d %H:%M:%S")
+    horizon = datetime.datetime.fromtimestamp(
+        1_700_000_000 + 300 * 60,
+        tz=datetime.timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
     job.refresh(_facts(spark, 500, 700), _agg, batch_id="w2",
                 horizon=horizon)
     catalog.promote("w2", job.tables)
@@ -122,3 +123,47 @@ def test_incremental_refresh_null_group(spark, tmp_path):
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("member").alias("d")).collect()}
     assert None in got and got == want
+
+
+def test_within_window_duplicates_count_once(spark, tmp_path):
+    catalog = BatchCatalog(root=str(tmp_path / "wh"))
+    job = IncrementalRollup(
+        catalog=catalog, spark=spark, table="d", keys=["year"],
+        fact_id_col="fact_id", count_cols=["n_votes"])
+    doubled = _facts(spark, 0, 100).unionByName(_facts(spark, 0, 100))
+    job.refresh(doubled, _agg, batch_id="w1")
+    catalog.promote("w1", job.tables)
+    got = {r["year"]: r["n_votes"] for r in
+           catalog.read_table(spark, "d").collect()}
+    assert sum(got.values()) == 100  # one source page delivered twice
+
+
+def test_refresh_refuses_unpromoted_previous_batch(spark, tmp_path):
+    from eirepolitic_data_pipeline_spark.io.catalog import CatalogError
+    catalog = BatchCatalog(root=str(tmp_path / "wh"))
+    job = IncrementalRollup(
+        catalog=catalog, spark=spark, table="g", keys=["year"],
+        fact_id_col="fact_id", count_cols=["n_votes"])
+    job.refresh(_facts(spark, 0, 50), _agg, batch_id="w1")
+    # w1 never promoted: its facts would silently vanish from w2's rollup
+    with pytest.raises(CatalogError, match="not.*promoted|was not"):
+        job.refresh(_facts(spark, 50, 100), _agg, batch_id="w2")
+    catalog.promote("w1", job.tables)
+    job.refresh(_facts(spark, 50, 100), _agg, batch_id="w2")  # now fine
+    catalog.promote("w2", job.tables)
+    assert sum(r["n_votes"] for r in
+               catalog.read_table(spark, "g").collect()) == 100
+
+
+def test_horizon_validation_before_any_write(spark, tmp_path):
+    catalog = BatchCatalog(root=str(tmp_path / "wh"))
+    job = IncrementalRollup(
+        catalog=catalog, spark=spark, table="v", keys=["year"],
+        fact_id_col="fact_id", count_cols=["n_votes"],
+        distinct_col="member")  # no fact_ts_col
+    with pytest.raises(ValueError, match="fact_ts_col"):
+        job.refresh(_facts(spark, 0, 10), _agg, batch_id="w1",
+                    horizon="2026-01-01")
+    # nothing was written — the SAME batch id is still cleanly usable
+    job.refresh(_facts(spark, 0, 10), _agg, batch_id="w1")
+    catalog.promote("w1", job.tables)
