@@ -192,6 +192,14 @@ def main():
         print(f"uncapped contrast (1500 hot docs): capped {n_capped} pairs "
               f"in {t_capped}s vs uncapped {n_uncapped} pairs in {t_uncapped}s")
 
+    # rewrite only this script's section; stress_marts.py appends its own
+    # section to the same file and a rerun here must not wipe it
+    tail = ""
+    if os.path.exists(args.out):
+        prior = open(args.out).read()
+        idx = prior.find("\n## ")
+        if idx >= 0:
+            tail = prior[idx:]
     with open(args.out, "w") as f:
         f.write(
             "# Dedup skew stress (tools/stress_dedup.py)\n\n"
@@ -223,6 +231,7 @@ def main():
                 "cluster size (cost scales with the square).\n")
         f.write(f"\nResult: **{'PASS' if all_ok else 'FAIL'}**. "
                 "Rerun: `python tools/stress_dedup.py`.\n")
+        f.write(tail)
     print(f"wrote {args.out}: {'PASS' if all_ok else 'FAIL'}")
     spark.stop()
     sys.exit(0 if all_ok else 1)
