@@ -683,17 +683,28 @@ def q50_winnow_neardup_pairs(spark, sf_dir):
     that keeps recall under the cap — exact copies score 1.0 no matter how
     many of their fingerprints were globally common (verified in the 20x
     scale stress; normalizing by the full set collapsed to zero pairs
-    there). No all-pairs anywhere: one key shuffle for the stop filter,
-    one doc shuffle for kept-set sizes, bounded pair expansion per key."""
+    there). No all-pairs anywhere: bounded pair expansion per key.
+
+    The stop filter and kept-set sizes are WINDOW counts, not agg +
+    join-back: the agg/semi-join form branches the plan, and every branch
+    re-runs the winnowing kernel (4 Arrow passes over the corpus in the
+    explain — the kernel, not the shuffles, is the measured cost). The
+    linear window chain runs the kernel exactly once for the same result:
+    same shuffle count (key, doc, key), each partition-bounded (df <= cap
+    per key after the filter; fingerprints-per-doc bounded by doc length).
+    At production scale the fingerprint frame would be a persisted silver
+    table; within one query the linear chain is the next best thing."""
     from ..operators.dedupe import pairs_from_postings, winnowed_fingerprint_frame
     docs = spread(t(spark, sf_dir, "documents"))
     fpf = winnowed_fingerprint_frame(docs, "doc_id", "text", k=5, window=4)
     postings = fpf.select("doc_id", F.explode("fingerprints").alias("key"))
-    ok = (postings.groupBy("key").agg(F.count(F.lit(1)).alias("df"))
-          .filter(F.col("df") <= 100).select("key"))
-    kept = postings.join(ok, "key", "left_semi")
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_kept"))
-    kept2 = kept.join(sizes, "doc_id")
+    kept = (postings
+            .withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("key")))
+            .filter(F.col("__df") <= 100))
+    kept2 = (kept
+             .withColumn("n_kept",
+                         F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+             .select("doc_id", "key", "n_kept"))
     pairs = pairs_from_postings(kept2, key="key", payload_cols=["n_kept"],
                                 max_df=100)
     return (
