@@ -368,13 +368,18 @@ def _member_constituency_lookup(current_members: DataFrame,
         _trimmed("member_code").alias("member_code"),
         _trimmed("constituency_name_at_vote").alias("constituency_name"),
         F.lit(1).alias("__prio"))
-    w = Window.partitionBy("member_code").orderBy("__prio", "constituency_name")
+    # Keep-first by (__prio, name) per member — as min(struct(prio, name)),
+    # which orders field-by-field exactly like the row_number window this
+    # replaces. The agg gets a map-side partial combine, so the shuffle
+    # carries member-sized partials; the window form sorted the full
+    # fact-sized union on every refresh.
     return (
         a.unionByName(b)
         .filter((F.col("member_code") != "") & (F.col("constituency_name") != ""))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("member_code", "constituency_name")
+        .groupBy("member_code")
+        .agg(F.min(F.struct("__prio", "constituency_name")).alias("__best"))
+        .select("member_code", F.col("__best.constituency_name")
+                .alias("constituency_name"))
     )
 
 
