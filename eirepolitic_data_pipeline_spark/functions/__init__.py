@@ -25,3 +25,8 @@ from .text import (  # noqa: F401
     tokens,
     word_shingles,
 )
+from .urls import (  # noqa: F401
+    canonical_url,
+    registered_domain,
+    url_host,
+)

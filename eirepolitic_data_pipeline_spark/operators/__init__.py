@@ -30,8 +30,11 @@ from .incremental import incremental_additive, recompute_groups  # noqa: F401
 from .skew import salted_agg, salted_string_agg, salted_top_n  # noqa: F401
 from .curation import (  # noqa: F401
     dataset_split,
+    domain_stats,
+    filter_domains,
     hash_bucket,
     hash_sample,
+    mix_sources,
     pack_sequences,
     resample_periodic,
     stratified_sample,

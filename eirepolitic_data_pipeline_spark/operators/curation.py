@@ -147,6 +147,95 @@ def stratified_sample(df: DataFrame, strata_cols: Sequence[str],
     return df.filter(b < F.lit(float(fractions) * BUCKETS))
 
 
+def filter_domains(df: DataFrame, url_col: str, domains: DataFrame | Sequence[str],
+                   mode: str = "block", domain_col: str = "domain") -> DataFrame:
+    """Domain-level allow/block filtering keyed on the registered domain
+    (eTLD+1) of ``url_col`` — the standard web-corpus curation gate.
+
+    ``domains`` is either a DataFrame with ``domain_col`` (the production
+    path: blocklists are tables, joined broadcast when they fit and as a
+    plain shuffled semi/anti join when they don't — Spark demotes the
+    broadcast automatically via AQE) or an in-code sequence for small
+    fixed lists. ``mode='block'`` drops matching rows (anti join);
+    ``mode='allow'`` keeps only matches (semi join). Rows whose URL has no
+    parseable host have a NULL domain: they never match a list entry, so
+    'block' keeps them and 'allow' drops them — the conservative default
+    on both sides."""
+    if mode not in ("block", "allow"):
+        raise ValueError("mode must be 'block' or 'allow'")
+    from ..functions.urls import registered_domain, url_host
+    dom = registered_domain(url_host(url_col))
+    tagged = df.withColumn("__domain", dom)
+    if not isinstance(domains, DataFrame):
+        rows = [(str(d),) for d in domains]
+        domains = df.sparkSession.createDataFrame(rows, f"{domain_col} string")
+    dim = domains.select(F.col(domain_col).alias("__domain")).distinct()
+    how = "left_anti" if mode == "block" else "left_semi"
+    return tagged.join(F.broadcast(dim), "__domain", how).drop("__domain")
+
+
+def domain_stats(df: DataFrame, url_col: str) -> DataFrame:
+    """Per-registered-domain document counts and corpus share — the
+    profiling pass that feeds blocklist decisions and mixing weights.
+    One map-side-combined agg on the domain plus a 1-row broadcast for the
+    total; NULL-host rows are reported under domain NULL rather than
+    dropped, so the shares always sum to 1."""
+    from ..functions.urls import registered_domain, url_host
+    counts = (df.withColumn("domain", registered_domain(url_host(url_col)))
+              .groupBy("domain").agg(F.count(F.lit(1)).alias("doc_count")))
+    total = counts.agg(F.sum("doc_count").alias("__total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .withColumn("share",
+                        F.round(F.col("doc_count") / F.col("__total"), 6))
+            .drop("__total"))
+
+
+def mix_sources(df: DataFrame, source_col: str, key_col: str,
+                alpha: float = 0.7, target_rows: int | None = None,
+                salt: str = "mix") -> DataFrame:
+    """Temperature-weighted source mixing (downsample-only): keep each
+    source with probability proportional to ``count^alpha`` — the standard
+    multilingual/multi-source rebalancing rule (alpha=1 preserves natural
+    proportions, alpha=0 equalizes sources, 0.6-0.8 is the usual pretraining
+    compromise).
+
+    Per-source keep fractions are computed fully distributed: one
+    map-side-combined count agg (source-dimension-sized), a 1-row broadcast
+    for the normalizer, then a broadcast join of the fraction map and the
+    same deterministic md5-bucket membership test as the splits — re-runs,
+    retries and incremental refreshes keep the identical sample, and a
+    bigger ``target_rows`` strictly grows it (nested samples).
+
+    Downsample-only by design: a source whose quota exceeds its size keeps
+    everything (fraction capped at 1), so the realized total can undershoot
+    ``target_rows`` when small sources can't fill their boosted quota —
+    upweighting those is the training loop's job (use the emitted
+    ``mix_weight`` = quota/kept as the example weight), not the storage
+    layer's (duplicating rows bakes one schedule into the corpus).
+    ``target_rows`` defaults to the input row count."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    norm = counts.agg(F.sum(F.pow("__n", F.lit(alpha))).alias("__z"),
+                      F.sum("__n").alias("__total"))
+    plan = (counts.crossJoin(F.broadcast(norm))
+            .withColumn("__quota",
+                        (F.coalesce(F.lit(target_rows).cast("double"),
+                                    F.col("__total").cast("double"))
+                         * F.pow("__n", F.lit(alpha)) / F.col("__z")))
+            .withColumn("__frac",
+                        F.least(F.lit(1.0), F.col("__quota") / F.col("__n")))
+            .withColumn("mix_weight",
+                        F.round(F.col("__quota")
+                                / F.least(F.col("__quota").cast("double"),
+                                          F.col("__n").cast("double")), 6))
+            .select(source_col, "__frac", "mix_weight"))
+    out = df.join(F.broadcast(plan), source_col)
+    return (out.filter(hash_bucket(F.col(key_col), BUCKETS, salt)
+                       < F.col("__frac") * BUCKETS)
+            .drop("__frac"))
+
+
 def resample_periodic(df: DataFrame, key_cols: Sequence[str], ts_col: str,
                       step: str, value_cols: Sequence[str],
                       fill: str = "ffill") -> DataFrame:

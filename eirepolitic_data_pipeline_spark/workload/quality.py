@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import scalar as sc
+from ..functions import urls as ur
 from .registry import register, t
 
 
@@ -122,10 +123,28 @@ def q32_integrity_checks(spark, sf_dir):
                      = floor(CAST(c_custkey % 200 AS DOUBLE) / 2)
                 THEN CAST(CAST(CAST(c_custkey % 200 AS DOUBLE) / 2 AS BIGINT) AS VARCHAR) || '%'
                 ELSE CAST(CAST(c_custkey % 200 AS DOUBLE) / 2 AS VARCHAR) || '%' END
-             AS participation_pct
+             AS participation_pct,
+           -- URL-curation parity (functions/urls.py): the oracle derives the
+           -- expected canonical form INDEPENDENTLY from the generation
+           -- recipe below (scheme lowered, www./:443/userinfo/fragment/
+           -- trailing slash gone, tracking params dropped, survivors
+           -- sorted: a=1 < b=N), so the canonicalizer is checked against
+           -- ground truth, not a transliterated copy of its own regexes.
+           (CASE WHEN c_custkey % 2 = 0 THEN 'https' ELSE 'http' END)
+             || '://site' || CAST(c_custkey % 50 AS VARCHAR)
+             || (CASE WHEN c_custkey % 3 = 0 THEN '.example.co.uk'
+                      ELSE '.example.com' END)
+             || (CASE WHEN c_custkey % 5 = 1 THEN ':8080' ELSE '' END)
+             || '/Path/' || CAST(c_custkey AS VARCHAR)
+             || '?a=1&b=' || CAST(c_custkey % 7 AS VARCHAR) AS url_canonical,
+           'site' || CAST(c_custkey % 50 AS VARCHAR)
+             || (CASE WHEN c_custkey % 3 = 0 THEN '.example.co.uk'
+                      ELSE '.example.com' END) AS url_host_out,
+           CASE WHEN c_custkey % 3 = 0 THEN 'example.co.uk'
+                ELSE 'example.com' END AS url_domain
     FROM customer
     """,
-    survey_ref="X1,X2,X6,X13,X14,X16,X17",
+    survey_ref="X1,X2,X6,X13,X14,X16,X17 (+urls)",
 )
 def q34_scalar_function_parity(spark, sf_dir):
     """Pins the exact-parity scalar recipes (SURVEY §7 hard-part #1): the
@@ -145,6 +164,31 @@ def q34_scalar_function_parity(spark, sf_dir):
         sc.ordinal_rank(F.col("c_custkey") % 113).alias("rank_ordinal"),
         sc.percent_string((F.col("c_custkey") % 200).cast("double") / 2)
         .alias("participation_pct"),
+        ur.canonical_url(_synth_url()).alias("url_canonical"),
+        ur.url_host(_synth_url()).alias("url_host_out"),
+        ur.registered_domain(ur.url_host(_synth_url())).alias("url_domain"),
+    )
+
+
+def _synth_url() -> F.Column:
+    """Deterministic messy URL per customer row — uppercase scheme on odd
+    keys, www. prefix, userinfo on %11, explicit :443 default port on %5==0
+    and a real :8080 on %5==1, optional trailing slash, tracking params
+    around the real ones, fragment on %6==0. q34's oracle states what the
+    canonicalizer must produce for this recipe."""
+    k = F.col("c_custkey")
+    return F.concat(
+        F.when(k % 2 == 0, "https").otherwise("HTTP"),
+        F.lit("://"),
+        F.when(k % 11 == 0, "user:pw@").otherwise(""),
+        F.lit("www.site"), (k % 50).cast("string"),
+        F.when(k % 3 == 0, ".example.co.uk").otherwise(".example.com"),
+        F.when(k % 5 == 0, ":443").when(k % 5 == 1, ":8080").otherwise(""),
+        F.lit("/Path/"), k.cast("string"),
+        F.when(k % 4 == 0, "/").otherwise(""),
+        F.lit("?utm_source=x&b="), (k % 7).cast("string"),
+        F.lit("&a=1&gclid=zz"),
+        F.when(k % 6 == 0, "#frag").otherwise(""),
     )
 
 

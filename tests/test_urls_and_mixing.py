@@ -1,0 +1,159 @@
+"""URL curation functions (functions/urls.py) and the domain/mixing
+operators (operators/curation.py): canonicalization, eTLD+1 grouping,
+blocklist filtering, domain profiling, temperature-weighted source mixing.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _one(spark, expr, value):
+    df = spark.createDataFrame([(value,)], "u string")
+    return df.select(expr.alias("out")).first()["out"]
+
+
+def test_url_host_and_registered_domain(spark):
+    from eirepolitic_data_pipeline_spark.functions.urls import (
+        registered_domain, url_host)
+    cases = {
+        "https://www.Example.COM:443/a/b": "example.com",
+        "http://user:pw@blog.example.co.uk:8080/x": "blog.example.co.uk",
+        "https://localhost/path": "localhost",
+        "not a url": None,
+        "/relative/path": None,
+    }
+    for url, host in cases.items():
+        assert _one(spark, url_host(F.col("u")), url) == host, url
+    dom_cases = {
+        "https://cdn.static.example.com/a": "example.com",
+        "https://blog.example.co.uk/x": "example.co.uk",
+        "https://example.co.uk/": "example.co.uk",
+        "https://localhost/": "localhost",
+        "https://a.b.c.com.au/": "c.com.au",
+    }
+    for url, dom in dom_cases.items():
+        got = _one(spark, registered_domain(url_host(F.col("u"))), url)
+        assert got == dom, (url, got)
+
+
+def test_canonical_url_normalizes_noise():
+    # Pure column expressions — exercised via a local session in the next
+    # test; here just assert the exported names exist (import contract).
+    from eirepolitic_data_pipeline_spark.functions import canonical_url  # noqa: F401
+
+
+def test_canonical_url_cases(spark):
+    from eirepolitic_data_pipeline_spark.functions.urls import canonical_url
+    cases = {
+        # tracking params dropped, survivors sorted, fragment stripped
+        "https://www.Example.com/a/?b=2&utm_source=x&a=1#frag":
+            "https://example.com/a?a=1&b=2",
+        # default port + userinfo stripped; non-default port kept
+        "HTTPS://u@Example.com:443/p/": "https://example.com/p",
+        "https://example.com:8443/p": "https://example.com:8443/p",
+        # bare host; trailing slash trimmed
+        "http://example.com/": "http://example.com",
+        # all params tracking → no query at all
+        "http://example.com/x?utm_campaign=a&gclid=z": "http://example.com/x",
+        "garbage": None,
+    }
+    for url, want in cases.items():
+        got = _one(spark, canonical_url(F.col("u")), url)
+        assert got == want, (url, got, want)
+    # canonical equality across noise variants — the dedup property
+    variants = [
+        "https://www.example.com/art?id=7&utm_source=tw#top",
+        "https://example.com:443/art/?id=7",
+        "https://example.com/art?utm_medium=m&id=7",
+    ]
+    df = spark.createDataFrame([(v,) for v in variants], "u string")
+    outs = {r["c"] for r in
+            df.select(canonical_url(F.col("u")).alias("c")).collect()}
+    assert outs == {"https://example.com/art?id=7"}
+
+
+def test_filter_domains_block_and_allow(spark):
+    from eirepolitic_data_pipeline_spark.operators.curation import filter_domains
+    rows = [
+        (1, "https://spam.example.com/a"),
+        (2, "https://www.good.org/b"),
+        (3, "https://sub.good.org/c"),
+        (4, "not a url"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    blocked = filter_domains(df, "url", ["example.com"], mode="block")
+    assert {r["doc_id"] for r in blocked.collect()} == {2, 3, 4}
+    allowed = filter_domains(df, "url", ["good.org"], mode="allow")
+    assert {r["doc_id"] for r in allowed.collect()} == {2, 3}
+    # DataFrame-valued list behaves identically
+    dim = spark.createDataFrame([("example.com",)], "domain string")
+    assert {r["doc_id"] for r in
+            filter_domains(df, "url", dim, mode="block").collect()} == {2, 3, 4}
+    try:
+        filter_domains(df, "url", [], mode="nope")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_domain_stats_shares_sum_to_one(spark):
+    from eirepolitic_data_pipeline_spark.operators.curation import domain_stats
+    rows = [(i, f"https://s{i % 3}.example{i % 2}.com/p") for i in range(60)]
+    rows.append((99, "garbage"))
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = domain_stats(df, "url").collect()
+    assert sum(r["doc_count"] for r in out) == 61
+    assert abs(sum(r["share"] for r in out) - 1.0) < 1e-4
+    doms = {r["domain"] for r in out}
+    assert doms == {"example0.com", "example1.com", None}
+
+
+def test_mix_sources_alpha_extremes_and_determinism(spark):
+    from eirepolitic_data_pipeline_spark.operators.curation import mix_sources
+    # 3 sources with very different sizes: 4000 / 900 / 100
+    rows = ([(i, "big") for i in range(4000)]
+            + [(10_000 + i, "mid") for i in range(900)]
+            + [(20_000 + i, "small") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    # alpha=1: natural proportions — every source keeps ~everything
+    nat = mix_sources(df, "source", "doc_id", alpha=1.0)
+    counts = {r["source"]: r["n"] for r in
+              nat.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 4000, "mid": 900, "small": 100}
+    assert all(r["mix_weight"] == 1.0 for r in nat.select("mix_weight").distinct().collect())
+
+    # alpha=0 with target 1500: equal quotas of 500; small keeps all 100
+    # (downsample-only) and carries weight 5x for the training loop
+    eq = mix_sources(df, "source", "doc_id", alpha=0.0, target_rows=1500)
+    got = {r["source"]: (r["n"], r["w"]) for r in
+           eq.groupBy("source").agg(F.count("*").alias("n"),
+                                    F.first("mix_weight").alias("w")).collect()}
+    assert got["small"][0] == 100 and abs(got["small"][1] - 5.0) < 1e-6
+    for s in ("big", "mid"):
+        n, w = got[s]
+        assert abs(n - 500) < 120          # md5-bucket sampling tolerance
+        assert w == 1.0
+
+    # deterministic: identical membership on re-run
+    a = {r["doc_id"] for r in eq.collect()}
+    b = {r["doc_id"] for r in
+         mix_sources(df, "source", "doc_id", alpha=0.0, target_rows=1500).collect()}
+    assert a == b
+
+    # alpha between: quotas ordered big > mid > small but flatter than natural
+    t = mix_sources(df, "source", "doc_id", alpha=0.5, target_rows=2000)
+    n = {r["source"]: r["n"] for r in
+         t.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert n["big"] > n["mid"] > n["small"]
+    z = math.sqrt(4000) + math.sqrt(900) + math.sqrt(100)
+    assert abs(n["big"] - 2000 * math.sqrt(4000) / z) < 160
+
+    try:
+        mix_sources(df, "source", "doc_id", alpha=-1)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
