@@ -16,12 +16,18 @@ from pyspark.sql import functions as F
 
 
 def cosine_col(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<double> columns (sequential fold)."""
+    """Cosine similarity of two array<double> columns (sequential fold).
+
+    Zero-norm vectors score 0.0 ("orthogonal to everything"), not NaN:
+    Spark orders NaN ABOVE every real number, so a single all-zero
+    embedding would otherwise rank as the TOP neighbor of every query in
+    the descending top-k windows downstream."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     na = F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     nb = F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    return dot / (F.sqrt(na) * F.sqrt(nb))
+    return F.when((na > 0) & (nb > 0),
+                  dot / (F.sqrt(na) * F.sqrt(nb))).otherwise(F.lit(0.0))
 
 
 def knn_bruteforce(vectors: DataFrame, queries: DataFrame, k: int,
@@ -155,10 +161,19 @@ def ivf_grid_cells(vec_col: Column, grid: int = 4, dims: int = 2) -> Column:
     return F.concat_ws(":", *parts)
 
 
+#: Hot-cell guard for semantic_dedup: cells holding more vectors than this
+#: are skipped by the pair join (their rows stay their own canonicals).
+#: Mirrors DEFAULT_MAX_DF in operators.dedupe — a degenerate cell (e.g. the
+#: zero-vector cell, or a too-coarse quantizer) would otherwise expand
+#: quadratically inside one task.
+DEFAULT_MAX_CELL = 10_000
+
+
 def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    grid: int = 4, dims: int = 2,
-                   max_iters: int = 10) -> DataFrame:
+                   max_iters: int = 10,
+                   max_cell: Optional[int] = DEFAULT_MAX_CELL) -> DataFrame:
     """Embedding-space near-duplicate collapse (SemDeDup-style, Abbas et
     al. 2023): bucket vectors with a coarse quantizer, compare cosine only
     WITHIN a bucket, link pairs >= ``threshold``, and collapse transitive
@@ -171,17 +186,28 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
     component closure reuses the min-label propagation shared with MinHash
     dedup (O(cluster diameter) rounds, tiny for similarity cliques).
     Same trade as SemDeDup's k-means clustering: near-dups straddling a
-    cell boundary are missed, accepted for linear cost."""
+    cell boundary are missed, accepted for linear cost. ``max_cell`` is
+    the hot-cell skew guard: cells above it skip pairwise comparison
+    entirely (rows stay their own canonicals — the conservative,
+    keep-everything direction), because one degenerate cell would expand
+    quadratically in a single task. The window count shares the pair
+    join's cell partitioning, so the guard adds no extra exchange."""
     from .dedupe import min_label_components
 
     cells = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         ivf_grid_cells(F.col(vec_col), grid, dims).alias("cell"))
-    a = cells.select(F.col("id").alias("doc_a"), F.col("v").alias("va"),
-                     F.col("cell").alias("ca"))
-    b = cells.select(F.col("id").alias("doc_b"), F.col("v").alias("vb"),
-                     F.col("cell").alias("cb"))
+    paired = cells
+    if max_cell is not None:
+        paired = (cells
+                  .withColumn("__celln", F.count(F.lit(1)).over(
+                      Window.partitionBy("cell")))
+                  .filter(F.col("__celln") <= max_cell))
+    a = paired.select(F.col("id").alias("doc_a"), F.col("v").alias("va"),
+                      F.col("cell").alias("ca"))
+    b = paired.select(F.col("id").alias("doc_b"), F.col("v").alias("vb"),
+                      F.col("cell").alias("cb"))
     pairs = (a.join(b, (F.col("ca") == F.col("cb"))
                     & (F.col("doc_a") < F.col("doc_b")))
              .withColumn("cos", cosine_col(F.col("va"), F.col("vb")))

@@ -746,3 +746,36 @@ def test_resample_periodic_pre_epoch_floor(spark):
     # 23:00 observed 1.0, 00:00 gap ffilled, 01:00 observed 2.0
     assert [v for _, v in out] == [1.0, 1.0, 2.0]
     assert out[-1][0] == dt.datetime(1970, 1, 1, 1, 0)
+
+
+def test_cosine_zero_vector_scores_zero_not_nan(spark):
+    """A zero embedding must not rank first: NaN sorts above every real in
+    a descending Spark sort, so cosine of a zero-norm vector is pinned to
+    0.0 instead."""
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    q = vecs.filter(F.col("vec_id") == 1)
+    out = knn_bruteforce(vecs, q, k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [2, 3]
+    by_id = {r["neighbor_id"]: r["cosine"] for r in out}
+    assert by_id[3] == 0.0
+
+
+def test_semantic_dedup_hot_cell_cap(spark):
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        semantic_dedup)
+    # 30 near-identical vectors in one cell + a 2-vector dup pair elsewhere
+    rows = [(i, [0.5 + i * 1e-6, 0.5, 0.5, 0.0]) for i in range(30)]
+    rows += [(100, [-0.9, -0.9, 0.1, 0.0]), (101, [-0.9, -0.9001, 0.1, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # cap below the hot cell: its rows stay their own canonicals, the
+    # small cell still collapses
+    capped = {r["vec_id"]: r["canonical_id"]
+              for r in semantic_dedup(df, threshold=0.99, max_cell=10).collect()}
+    assert all(capped[i] == i for i in range(30))
+    assert capped[100] == capped[101] == 100
+    # uncapped: the hot cell collapses to one canonical
+    full = {r["vec_id"]: r["canonical_id"]
+            for r in semantic_dedup(df, threshold=0.99, max_cell=None).collect()}
+    assert all(full[i] == 0 for i in range(30))
