@@ -82,8 +82,11 @@ def main():
                 print(f"bench error in {name}: {e}", file=sys.stderr)
                 failed.add(name)
     for name in qs:
+        # ANY failed pass marks the query failed (-1) even if earlier
+        # passes produced samples — a median would make a query that
+        # started erroring mid-run look healthy in the headline JSON.
         timings[name] = (round(statistics.median(samples[name]), 3)
-                         if samples[name] else -1.0)
+                         if samples[name] and name not in failed else -1.0)
     all_runs_wall = round(time.perf_counter() - loop_t0, 3)
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(json.dumps({

@@ -340,17 +340,17 @@ def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(blob or b"")
+                # undecodable (unknown format, or a corrupt WAV) → one
+                # shared codec-gated fallback row shape
+                rate, samples = None, None
                 if b[:4] == b"RAWA":
                     rate, samples = decode_raw_audio(b)
                 elif codecs.is_wav(b) or codecs.soundfile_mod() is not None:
                     try:
                         rate, samples = codecs.wav_decode(b)
                     except Exception:
-                        _require_codec("audio_features", fake)
-                        rows.append({"media_id": mid, "sample_rate": 0,
-                                     "duration_ms": 0, "rms": 0.0, "peak": 0})
-                        continue
-                else:
+                        pass
+                if samples is None:
                     _require_codec("audio_features", fake)
                     rows.append({"media_id": mid, "sample_rate": 0,
                                  "duration_ms": 0, "rms": 0.0, "peak": 0})

@@ -85,21 +85,26 @@ def canonical_url(col: Column | str) -> Column:
     """Canonical form of an absolute URL for exact/URL-level dedup:
 
     - fragment stripped;
-    - scheme and host lowercased; userinfo, ``www.`` and explicit
-      ``:80``/``:443`` default ports dropped;
+    - scheme and host lowercased; userinfo, ``www.`` and the scheme's OWN
+      default port (``:80`` for http, ``:443`` for https) dropped;
     - trailing slashes trimmed off the path;
     - tracking query parameters (``TRACKING_PARAM_RE``) removed and the
       survivors SORTED, so parameter order never splits a dedup group.
 
-    NULL when the value has no ``scheme://host`` shape. Ports other than
-    the defaults are intentionally preserved (they address a different
-    origin)."""
+    NULL when the value has no ``scheme://host`` shape. Any other port is
+    preserved — including ``http://host:443`` and ``https://host:80``,
+    which are NON-default for their scheme and address a different origin
+    than the portless URL."""
     raw = _c(col)
     u = F.regexp_replace(raw, "#.*", "")
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
     auth = F.regexp_extract(u, _AUTHORITY_RE, 1)
     hostport = F.lower(F.regexp_replace(auth, "^[^@]*@", ""))
-    hostport = F.regexp_replace(hostport, ":(80|443)$", "")
+    hostport = (F.when(scheme == "http",
+                       F.regexp_replace(hostport, ":80$", ""))
+                .when(scheme == "https",
+                      F.regexp_replace(hostport, ":443$", ""))
+                .otherwise(hostport))
     hostport = F.regexp_replace(hostport, r"^www\.", "")
     path = F.regexp_replace(F.regexp_extract(u, _PATH_RE, 1), "/+$", "")
     query = F.regexp_extract(u, r"\?([^#]*)", 1)

@@ -103,6 +103,21 @@ class BatchCatalog:
                 f"batch {batch_id!r} has been promoted — promoted batches "
                 "are immutable")
 
+    def unpromoted_batches_containing(self, table: str) -> list[str]:
+        """Batch ids whose manifest records ``table`` but was never
+        promoted — i.e. completed-but-unpromoted candidate work. Durable
+        (reads the manifests on disk), so a NEW process can detect a
+        previous run that crashed between write and promote; the
+        incremental-refresh guard is built on this."""
+        bdir = os.path.join(self.root, "batches")
+        try:
+            ids = sorted(os.listdir(bdir))
+        except FileNotFoundError:
+            return []
+        return [bid for bid in ids
+                if not (m := self._load_manifest(bid)).get("promoted_at_unix")
+                and table in m.get("tables", {})]
+
     def _load_manifest(self, batch_id: str) -> dict:
         p = self._manifest_path(batch_id)
         try:

@@ -49,11 +49,15 @@ class IncrementalRollup:
     # state eviction): without pruning the log grows O(all facts ever);
     # with it, O(facts inside the overlap window).
     fact_ts_col: Optional[str] = None
-    # the batch this instance last wrote: refresh() refuses to run again
-    # until it has been promoted, because prev/seen resolve through the
-    # production pointer — an unpromoted window would silently vanish from
-    # the next rollup.
-    _last_batch: Optional[str] = field(default=None, init=False, repr=False)
+    # refresh() refuses to run while a COMPLETED but unpromoted refresh
+    # batch for this rollup exists in the catalog, because prev/seen
+    # resolve through the production pointer — an unpromoted window would
+    # silently vanish from the next rollup. The check reads the batch
+    # manifests on disk (catalog.unpromoted_batches_containing), NOT
+    # process memory, so it survives the exact crash-between-refresh-and-
+    # promote scenario it exists to catch. The rollup table is written
+    # LAST, so its presence in a manifest implies the whole batch
+    # (id log + sketch + rollup) completed and is promotable.
 
     def _read_or_none(self, table: str) -> Optional[DataFrame]:
         """Persisted state, or None when it genuinely does not exist yet.
@@ -78,7 +82,7 @@ class IncrementalRollup:
         """Apply one refresh window. ``agg_fn(facts)`` must produce the
         rollup grain (keys + count_cols). Writes rollup + sketch +
         processed-id log into the candidate batch; caller promotes BEFORE
-        the next refresh (enforced — see _last_batch).
+        the next refresh (enforced durably via the catalog manifests).
 
         ``horizon`` (requires ``fact_ts_col``): drop processed-id entries
         whose event time precedes it — ids older than the earliest possible
@@ -91,12 +95,15 @@ class IncrementalRollup:
         # batch poisons same-batch retries (duplicate-table refusals)
         if horizon is not None and self.fact_ts_col is None:
             raise ValueError("horizon pruning requires fact_ts_col")
-        if self._last_batch is not None \
-                and self.catalog.production_batch_id() != self._last_batch:
+        stale = self.catalog.unpromoted_batches_containing(self.table)
+        if stale:
             raise CatalogError(
-                f"previous refresh batch {self._last_batch!r} was not "
-                "promoted; its window would silently vanish from this "
-                "rollup (prev/seen resolve through the production pointer)")
+                f"unpromoted refresh batch(es) {stale!r} contain "
+                f"{self.table!r}; running another refresh would resolve "
+                "prev/seen through the production pointer and silently drop "
+                "those windows from the rollup. Promote the stale batch "
+                "(it completed — the rollup table is written last) or "
+                "delete its directory to abandon the window.")
 
         prev = self._read_or_none(self.table)
         if prev is not None and "approx_distinct" in prev.columns:
@@ -159,7 +166,6 @@ class IncrementalRollup:
             self.catalog.write_table(out, self.table, batch_id)
         finally:
             new_facts.unpersist()
-        self._last_batch = batch_id
         return out
 
     @property

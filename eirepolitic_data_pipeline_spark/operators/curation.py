@@ -132,7 +132,11 @@ def stratified_sample(df: DataFrame, strata_cols: Sequence[str],
     b = hash_bucket(F.col(key_col), salt=salt)
     if isinstance(fractions, Mapping):
         spark = df.sparkSession
-        rows = [(*k, float(v)) for k, v in fractions.items()]
+        # stringify stratum keys: the join below casts the DATA side to
+        # string, so non-string keys (int years, dates) are meant to work —
+        # createDataFrame against the all-string schema would reject them
+        rows = [(*[str(p) for p in k], float(v))
+                for k, v in fractions.items()]
         schema = ", ".join(f"{c} string" for c in strata_cols) + \
             ", __frac double"
         frac_df = spark.createDataFrame(rows, schema)
@@ -166,12 +170,19 @@ def filter_domains(df: DataFrame, url_col: str, domains: DataFrame | Sequence[st
     from ..functions.urls import registered_domain, url_host
     dom = registered_domain(url_host(url_col))
     tagged = df.withColumn("__domain", dom)
-    if not isinstance(domains, DataFrame):
-        rows = [(str(d),) for d in domains]
-        domains = df.sparkSession.createDataFrame(rows, f"{domain_col} string")
-    dim = domains.select(F.col(domain_col).alias("__domain")).distinct()
     how = "left_anti" if mode == "block" else "left_semi"
-    return tagged.join(F.broadcast(dim), "__domain", how).drop("__domain")
+    if not isinstance(domains, DataFrame):
+        # in-code list: bounded by construction, safe to hint broadcast
+        rows = [(str(d),) for d in domains]
+        dim = (df.sparkSession.createDataFrame(rows, f"{domain_col} string")
+               .select(F.col(domain_col).alias("__domain")).distinct())
+        return tagged.join(F.broadcast(dim), "__domain", how).drop("__domain")
+    # DataFrame-valued lists get NO broadcast hint — an explicit hint is
+    # never demoted, so a multi-GB blocklist would be collected to the
+    # driver. The planner broadcasts it when it fits
+    # (autoBroadcastJoinThreshold) and shuffles otherwise.
+    dim = domains.select(F.col(domain_col).alias("__domain")).distinct()
+    return tagged.join(dim, "__domain", how).drop("__domain")
 
 
 def domain_stats(df: DataFrame, url_col: str) -> DataFrame:
@@ -253,13 +264,8 @@ def resample_periodic(df: DataFrame, key_cols: Sequence[str], ts_col: str,
     operator."""
     if fill not in ("ffill", "none"):
         raise ValueError("fill must be 'ffill' or 'none'")
-    import re
-    m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", step)
-    if not m:
-        raise ValueError(
-            f"step {step!r} must be '<n> second|minute|hour|day(s)'")
-    secs = int(m.group(1)) * {"second": 1, "minute": 60,
-                              "hour": 3600, "day": 86400}[m.group(2)]
+    from .temporal import parse_step_seconds
+    secs = parse_step_seconds(step)
     keys = list(key_cols)
     # floor, not cast: cast('long') truncates toward zero, so pre-1970
     # (negative-epoch) timestamps would land one bucket LATE

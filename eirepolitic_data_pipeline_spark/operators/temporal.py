@@ -16,6 +16,20 @@ from pyspark.sql import functions as F
 OPEN_END = "9999-12-31"
 
 
+def parse_step_seconds(step: str, what: str = "step") -> int:
+    """'<n> second|minute|hour|day(s)' -> seconds. Unrecognized units are a
+    hard error: a silent fallback to seconds would turn '2 weeks' into a
+    2-SECOND step and explode week-long grids/intervals by ~300000x with no
+    diagnostic. Shared by point_in_interval_join and resample_periodic."""
+    import re
+    m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", step)
+    if not m:
+        raise ValueError(
+            f"{what} {step!r} must be '<n> second|minute|hour|day(s)'")
+    return int(m.group(1)) * {"second": 1, "minute": 60,
+                              "hour": 3600, "day": 86400}[m.group(2)]
+
+
 def _end_or_sentinel(end: str) -> Column:
     return F.coalesce(F.col(end), F.lit(OPEN_END).cast("date"))
 
@@ -113,13 +127,7 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame,
     # is validated driver-side: a silent fallback to seconds would turn
     # '2 weeks' into a 2-SECOND step and explode a week-long interval into
     # ~300k sequence elements per row with no diagnostic.
-    import re
-    m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", bucket)
-    if not m:
-        raise ValueError(
-            f"bucket {bucket!r} must be '<n> second|minute|hour|day(s)'")
-    step_secs = int(m.group(1)) * {"second": 1, "minute": 60,
-                                   "hour": 3600, "day": 86400}[m.group(2)]
+    step_secs = parse_step_seconds(bucket, what="bucket")
     step = F.lit(step_secs)
     iv = intervals.filter(
         # A malformed interval (end < start, or null bound) would make

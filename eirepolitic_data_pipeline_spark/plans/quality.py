@@ -284,9 +284,11 @@ def profile_table(df: DataFrame,
     null_long = F.lit(None).cast("long")
     for c in df.columns:
         col, dt = F.col(c), dict(df.dtypes)[c]
-        # map columns are unorderable and unhashable for these aggregates —
-        # one such column must not fail the whole profile; emit nulls
-        orderable = not dt.startswith("map<")
+        # columns containing a map ANYWHERE in the type (top-level map<>,
+        # array<map<>>, struct with a map field) are unorderable and
+        # unhashable for these aggregates — one such column must not fail
+        # the whole profile; emit nulls
+        orderable = "map<" not in dt
         aggs += [
             F.sum(col.isNull().cast("long")).alias(f"__null__{c}"),
             (F.sum((F.trim(col) == "").cast("long")) if dt == "string"

@@ -134,7 +134,12 @@ def q32_integrity_checks(spark, sf_dir):
              || '://site' || CAST(c_custkey % 50 AS VARCHAR)
              || (CASE WHEN c_custkey % 3 = 0 THEN '.example.co.uk'
                       ELSE '.example.com' END)
-             || (CASE WHEN c_custkey % 5 = 1 THEN ':8080' ELSE '' END)
+             -- %5=0 synthesizes an explicit :443, which is only the
+             -- DEFAULT port for the https rows (even keys) — on http rows
+             -- it is a real non-default port and must survive
+             || (CASE WHEN c_custkey % 5 = 1 THEN ':8080'
+                      WHEN c_custkey % 5 = 0 AND c_custkey % 2 = 1 THEN ':443'
+                      ELSE '' END)
              || '/Path/' || CAST(c_custkey AS VARCHAR)
              || '?a=1&b=' || CAST(c_custkey % 7 AS VARCHAR) AS url_canonical,
            'site' || CAST(c_custkey % 50 AS VARCHAR)

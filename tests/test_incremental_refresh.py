@@ -146,8 +146,16 @@ def test_refresh_refuses_unpromoted_previous_batch(spark, tmp_path):
         fact_id_col="fact_id", count_cols=["n_votes"])
     job.refresh(_facts(spark, 0, 50), _agg, batch_id="w1")
     # w1 never promoted: its facts would silently vanish from w2's rollup
-    with pytest.raises(CatalogError, match="not.*promoted|was not"):
+    with pytest.raises(CatalogError, match="unpromoted"):
         job.refresh(_facts(spark, 50, 100), _agg, batch_id="w2")
+    # the guard is durable: a FRESH instance (new process after a crash
+    # between refresh and promote) must refuse just the same
+    job2 = IncrementalRollup(
+        catalog=BatchCatalog(root=str(tmp_path / "wh")), spark=spark,
+        table="g", keys=["year"], fact_id_col="fact_id",
+        count_cols=["n_votes"])
+    with pytest.raises(CatalogError, match="unpromoted"):
+        job2.refresh(_facts(spark, 50, 100), _agg, batch_id="w2")
     catalog.promote("w1", job.tables)
     job.refresh(_facts(spark, 50, 100), _agg, batch_id="w2")  # now fine
     catalog.promote("w2", job.tables)

@@ -54,6 +54,10 @@ def test_canonical_url_cases(spark):
         # default port + userinfo stripped; non-default port kept
         "HTTPS://u@Example.com:443/p/": "https://example.com/p",
         "https://example.com:8443/p": "https://example.com:8443/p",
+        # :443 on http / :80 on https are NON-default → different origin
+        "http://Example.com:443/x": "http://example.com:443/x",
+        "https://example.com:80/x": "https://example.com:80/x",
+        "http://example.com:80/x": "http://example.com/x",
         # bare host; trailing slash trimmed
         "http://example.com/": "http://example.com",
         # all params tracking → no query at all
