@@ -2,6 +2,7 @@ from .merge import WritePolicy, merge_for_policy  # noqa: F401
 from .dedupe import (  # noqa: F401
     decontaminate,
     dedupe_keep_first,
+    dedupe_lines,
     dedupe_keep_last,
     dedupe_with_conflicts,
     exact_duplicate_groups,

@@ -391,6 +391,51 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     return kept, contaminated
 
 
+def dedupe_lines(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", max_df: int = 1,
+                 min_chars: int = 10) -> DataFrame:
+    """Corpus-level LINE dedup (beyond-ref; C4's "discard every duplicated
+    three-sentence span" / RefinedWeb's duplicated-line removal, at line
+    grain): drop each line that occurs in more than ``max_df`` documents —
+    navigation chrome, cookie banners, boilerplate footers — and reassemble
+    the remaining lines in their original order. Lines shorter than
+    ``min_chars`` (after trim) are exempt: short strings ("Yes.", list
+    bullets) collide legitimately and carry no boilerplate signal.
+
+    Returns (id, text) with the cleaned text; documents whose every line
+    was boilerplate come back with empty text (the caller's quality filter
+    drops them — this operator never removes documents, so row counts are
+    stable for downstream joins).
+
+    Plan: posexplode lines (map-side) → per-line-hash distinct-doc counts
+    as a two-level AGGREGATE (dedupe (key, doc), then count per key — both
+    map-side combined, so the shuffle carries partials) → equi-join the
+    counts back → regroup per doc and concat_ws over collect_list sorted
+    by the original position. A hot boilerplate line ("Accept cookies" in
+    every doc) is safe at every step: the count is a partial-aggregated
+    scalar, and the join back is a plain equi-join AQE can skew-split —
+    never a pair expansion, never a per-row set. (A window
+    count-distinct-doc would materialize that hot line's full doc SET per
+    row — exactly the blowup this shape avoids.)"""
+    lines = (df.select(id_col, F.posexplode(F.split(F.col(text_col), "\n"))
+                       .alias("pos", "line"))
+             .withColumn("__norm", F.lower(F.trim(F.col("line"))))
+             .withColumn("__key", F.md5(F.col("__norm"))))
+    counts = (lines.select("__key", id_col).distinct()
+              .groupBy("__key").agg(F.count(F.lit(1)).alias("__df")))
+    kept = (lines.join(counts, "__key")
+            .filter((F.length("__norm") < min_chars)
+                    | (F.col("__df") <= max_df)))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.concat_ws("\n", F.array_sort(F.collect_list(
+                   F.struct("pos", "line"))).getField("line"))
+                    .alias(text_col)))
+    # left join back so fully-boilerplate docs survive with empty text
+    return (df.select(id_col)
+            .join(rebuilt, id_col, "left")
+            .withColumn(text_col, F.coalesce(F.col(text_col), F.lit(""))))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

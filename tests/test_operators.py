@@ -779,3 +779,29 @@ def test_semantic_dedup_hot_cell_cap(spark):
     full = {r["vec_id"]: r["canonical_id"]
             for r in semantic_dedup(df, threshold=0.99, max_cell=None).collect()}
     assert all(full[i] == 0 for i in range(30))
+
+
+def test_dedupe_lines_strips_boilerplate_preserves_order(spark):
+    from eirepolitic_data_pipeline_spark.operators.dedupe import dedupe_lines
+    banner = "accept all cookies to continue"
+    rows = [
+        (1, f"unique opening line one\n{banner}\nmiddle content doc one\nok"),
+        (2, f"{banner}\nsecond doc body text here"),
+        (3, f"third doc only body line\n{banner}"),
+        (4, banner),                       # fully boilerplate
+        (5, "untouched standalone document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in dedupe_lines(df).collect()}
+    # banner removed everywhere, original line order preserved
+    assert out[1] == "unique opening line one\nmiddle content doc one\nok"
+    assert out[2] == "second doc body text here"
+    assert out[3] == "third doc only body line"
+    # fully-boilerplate doc survives with empty text (row counts stable)
+    assert out[4] == ""
+    assert out[5] == "untouched standalone document"
+    # "ok" is under min_chars: exempt even though it could collide
+    many_ok = spark.createDataFrame(
+        [(i, "ok\nbody %d" % i) for i in range(5)], "doc_id long, text string")
+    out2 = {r["doc_id"]: r["text"] for r in dedupe_lines(many_ok).collect()}
+    assert all(t.startswith("ok\n") for t in out2.values())
