@@ -204,3 +204,62 @@ def test_min_label_components_is_a_valid_partition_fuzz(spark, edges):
     for a, b in edges:
         if a != b:
             assert out[a] == out[b]
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (Spark-backed — small example counts)
+# ---------------------------------------------------------------------------
+
+url_hosts = st.from_regex(r"[a-z]{1,8}(\.[a-z]{2,6}){1,3}", fullmatch=True)
+url_paths = st.from_regex(r"(/[A-Za-z0-9]{0,6}){0,3}/?", fullmatch=True)
+url_params = st.lists(
+    st.one_of(st.from_regex(r"[a-z]{1,4}=[A-Za-z0-9]{0,4}", fullmatch=True),
+              st.sampled_from(["utm_source=x", "gclid=1", "fbclid=2",
+                               "ref=home"])),
+    min_size=0, max_size=4)
+
+
+@SPARK_SETTINGS
+@given(scheme=st.sampled_from(["http", "https", "HTTP", "HTTPS"]),
+       www=st.booleans(), host=url_hosts, path=url_paths, params=url_params,
+       frag=st.sampled_from(["", "#top", "#a-b"]))
+def test_canonical_url_idempotent_fuzz(spark, scheme, www, host, path,
+                                       params, frag):
+    """canonical_url is a PROJECTION: applying it to its own output is a
+    no-op. This is the property URL-level dedup relies on — a canonical
+    key must not depend on how many normalization passes ran."""
+    from eirepolitic_data_pipeline_spark.functions.urls import canonical_url
+    q = ("?" + "&".join(params)) if params else ""
+    url = f"{scheme}://{'www.' if www else ''}{host}{path}{q}{frag}"
+    df = spark.createDataFrame([(url,)], "u string")
+    once = df.select(canonical_url(F.col("u")).alias("c")).first()["c"]
+    assert once is not None
+    twice = (spark.createDataFrame([(once,)], "u string")
+             .select(canonical_url(F.col("u")).alias("c")).first()["c"])
+    assert twice == once
+
+
+@SPARK_SETTINGS
+@given(rows=st.lists(st.tuples(st.integers(0, 500), st.integers(0, 2)),
+                     min_size=1, max_size=40, unique_by=lambda t: t[0]),
+       alpha=st.sampled_from([0.0, 0.5, 0.7, 1.0]),
+       target=st.integers(1, 60))
+def test_mix_sources_invariants_fuzz(spark, rows, alpha, target):
+    """mix_sources never upsamples (per-source kept <= source size), keeps
+    every row a member of its original source, and is deterministic."""
+    from eirepolitic_data_pipeline_spark.operators.curation import mix_sources
+    df = spark.createDataFrame(
+        [(i, f"s{s}") for i, s in rows], "doc_id long, source string")
+    sizes = {f"s{s}": sum(1 for _, x in rows if x == s) for _, s in rows}
+    out = mix_sources(df, "source", "doc_id", alpha=alpha,
+                      target_rows=target).collect()
+    kept = {}
+    for r in out:
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+        assert r["mix_weight"] >= 1.0
+    for s, n in kept.items():
+        assert n <= sizes[s]
+    again = mix_sources(df, "source", "doc_id", alpha=alpha,
+                        target_rows=target).collect()
+    assert sorted(r["doc_id"] for r in again) == \
+        sorted(r["doc_id"] for r in out)

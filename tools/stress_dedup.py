@@ -37,6 +37,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from eirepolitic_data_pipeline_spark.operators.dedupe import (  # noqa: E402
     DEFAULT_MAX_DF,
+    dedupe_lines,
     minhash_signatures,
     pairs_from_postings,
     shingle_postings,
@@ -158,6 +159,27 @@ def main():
         .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("shared_fp"))
     all_ok &= run_method("winnow-pairs", wn, results, args.skew_limit)
 
+    # 4. Corpus-level line dedup with a maximally hot line: EVERY document
+    # gets the same banner line prepended (line df = n_docs). The two-level
+    # count + equi-join plan must stay bounded — a window collect_set here
+    # would materialize an n_docs-sized set per row.
+    banner = "please accept all cookies to continue reading this page today"
+    lined = corpus.select(
+        "doc_id", F.concat(F.lit(banner + "\n"), "text").alias("text"))
+    cleaned = dedupe_lines(lined)
+    # the timed frame must REFERENCE the rebuilt text: a bare count() lets
+    # Catalyst eliminate the (unique-keyed) rebuild join and measure only
+    # the id scan
+    materialized = cleaned.filter(F.length("text") >= 0)
+    all_ok &= run_method(f"line-dedup (banner df={n_docs})", materialized,
+                         results, args.skew_limit)
+    leftover = cleaned.filter(F.col("text").contains(banner)).count()
+    conserved = cleaned.count() == n_docs
+    line_ok = leftover == 0 and conserved
+    all_ok &= line_ok
+    print(f"line-dedup: banner rows left {leftover}, rows conserved "
+          f"{conserved} {'OK' if line_ok else 'FAIL'}")
+
     # Hot-cluster containment: the boilerplate shingles have df = n_hot >>
     # cap, so hot x hot pairs must come only from the unique tails (none) —
     # a capped run can never emit the ~n_hot^2/2 boilerplate pairs.
@@ -208,7 +230,7 @@ def main():
             f"cluster), local[{cores}], "
             f"shuffle partitions {spark.conf.get('spark.sql.shuffle.partitions')}. "
             f"Skew bound: max/median partition rows <= {args.skew_limit}.\n\n"
-            "| method | wall (s) | candidate pairs | partitions | "
+            "| method | wall (s) | output rows (pairs) | partitions | "
             "max part rows | median part rows | skew ratio | bound |\n"
             "|---|---|---|---|---|---|---|---|\n")
         for r in results:
@@ -216,6 +238,12 @@ def main():
                     f"{r['partitions']} | {r['max_rows']} | "
                     f"{r['median_rows']} | {r['skew_ratio']} | "
                     f"{'ok' if r['ok'] else 'VIOLATED'} |\n")
+        f.write(
+            f"\nLine-dedup hot-line bound: a banner line present in ALL "
+            f"{n_docs} documents (the worst possible line skew) is removed "
+            f"with rows conserved ({'PASS' if line_ok else 'FAIL'}) — the "
+            "distinct-doc count is a two-level map-side-combined aggregate "
+            "joined back per line, never a per-row set.\n")
         f.write(
             f"\nHot-cluster containment: {hot_pairs} hot-x-hot candidate "
             f"pairs under the default cap (DEFAULT_MAX_DF="
