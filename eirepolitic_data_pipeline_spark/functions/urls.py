@@ -32,9 +32,13 @@ SECOND_LEVEL_SUFFIXES = (
     "co.in", "co.za", "co.kr", "co.id", "co.th",
 )
 
-#: Query parameters dropped by canonical_url: tracking/session noise whose
-#: presence makes byte-identical pages look distinct to exact dedup.
-TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|mc_cid|ref|ref_src|igshid|spm)(=|$)"
+#: Query-parameter names dropped by canonical_url: tracking/session noise
+#: whose presence makes byte-identical pages look distinct to exact dedup.
+_TRACKING_KEYS = (r"utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|mc_cid"
+                  r"|ref|ref_src|igshid|spm")
+#: Matches one whole tracking parameter (with its leading separator) inside
+#: a query string; '(?=&|$)' keeps 'ref' from eating 'referer=x'.
+TRACKING_PARAM_RE = rf"(^|&)({_TRACKING_KEYS})(=[^&]*)?(?=&|$)"
 
 _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 _AUTHORITY_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
@@ -108,10 +112,14 @@ def canonical_url(col: Column | str) -> Column:
     hostport = F.regexp_replace(hostport, r"^www\.", "")
     path = F.regexp_replace(F.regexp_extract(u, _PATH_RE, 1), "/+$", "")
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
-    params = F.array_sort(F.filter(
-        F.split(query, "&"),
-        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE)))
-    qs = F.array_join(params, "&")
+    # Tracking-param removal and cleanup run at STRING level (regex chain),
+    # not as a higher-order filter(lambda): HOF lambdas are CodegenFallback
+    # — interpreted per element — and measurably dominate this function's
+    # cost. Only the final sort touches an array, via sort_array (a plain
+    # expression, no lambda).
+    q1 = F.regexp_replace(query, TRACKING_PARAM_RE, "")
+    q2 = F.regexp_replace(F.regexp_replace(q1, "&&+", "&"), "^&+|&+$", "")
+    qs = F.array_join(F.sort_array(F.split(q2, "&")), "&")
     out = F.concat(
         scheme, F.lit("://"), hostport, path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")))
