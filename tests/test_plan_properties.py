@@ -1,0 +1,99 @@
+"""Plan-shape regression tests: the scale-critical physical-plan
+properties the workload's docstrings claim, asserted so a future change
+cannot silently regress them.
+
+These inspect the STATIC executed plan (same mechanics as
+tools/plan_audit.py) — counts hold regardless of data size, so they run
+at the smoke fixture. Bounds are exact where the claim is exact ("pure
+projection, zero shuffles") and upper bounds where AQE may legally vary
+the plan.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan: str) -> int:
+    return sum(1 for ln in plan.splitlines()
+               if "Exchange hashpartitioning" in ln
+               or "Exchange rangepartitioning" in ln
+               or "Exchange RoundRobinPartitioning" in ln)
+
+
+def _queries():
+    import __spark_entry__ as entry
+    return entry.queries()
+
+
+def test_no_rowwise_python_udf_anywhere(spark):
+    """BatchEvalPython (row-at-a-time Python) must appear in NO query plan
+    — Arrow stages (mapInPandas) are the only sanctioned Python path."""
+    offenders = []
+    for name, fn in _queries().items():
+        if "BatchEvalPython" in _plan(fn(spark, SF_SMOKE)):
+            offenders.append(name)
+    assert offenders == []
+
+
+def test_pure_projection_queries_have_zero_shuffles(spark):
+    """q51 (dataset split) and q30 (quality scores) claim one-pass
+    projection plans: no Exchange of any kind."""
+    qs = _queries()
+    for name in ("q51_dataset_split", "q30_quality_scores",
+                 "q29_language_id"):
+        plan = _plan(qs[name](spark, SF_SMOKE))
+        assert _shuffles(plan) == 0, f"{name} gained a shuffle"
+
+
+def test_exact_dedup_is_single_shuffle(spark):
+    """q22: one hash shuffle on the fingerprint, nothing else."""
+    plan = _plan(_queries()["q22_exact_dedup_fingerprint"](spark, SF_SMOKE))
+    assert _shuffles(plan) == 1
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """Cross joins in the workload are bounded broadcast grids
+    (BroadcastNestedLoopJoin); an unhinted CartesianProduct would be a
+    100 TB scale bug."""
+    offenders = []
+    for name, fn in _queries().items():
+        if "CartesianProduct" in _plan(fn(spark, SF_SMOKE)):
+            offenders.append(name)
+    assert offenders == []
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    """q41's source-side filters must reach the scan (PushedFilters
+    non-empty), and its scan must stay pruned to the projected columns."""
+    plan = _plan(_queries()["q41_compat_projection"](spark, SF_SMOKE))
+    assert re.search(r"PushedFilters: \[[^\]]", plan), "pushdown lost"
+    widths = [len(s.split(",")) for s in
+              re.findall(r"ReadSchema: struct<([^>\n]*)", plan)]
+    assert widths and max(widths) <= 6, f"scan no longer pruned: {widths}"
+
+
+def test_winnow_kernel_runs_once_in_q50(spark):
+    """q50's Arrow winnowing kernel must appear exactly once in the plan —
+    the agg+join formulation re-ran it 4x (fixed in round 4); a regression
+    here quadruples the dominant cost at corpus scale."""
+    plan = _plan(_queries()["q50_winnow_neardup_pairs"](spark, SF_SMOKE))
+    arrow = sum(1 for ln in plan.splitlines()
+                if "MapInPandas" in ln or "ArrowEvalPython" in ln)
+    assert arrow == 1, f"winnow kernel appears {arrow}x"
+
+
+def test_knn_query_side_is_broadcast(spark):
+    """q26: the tiny query side must broadcast — a shuffled or cartesian
+    plan would move the full vector corpus."""
+    plan = _plan(_queries()["q26_knn_bruteforce"](spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
