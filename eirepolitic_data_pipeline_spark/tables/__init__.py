@@ -19,7 +19,11 @@ from .silver import (  # noqa: F401
     silver_houses,
     silver_parties,
     silver_division_tallies,
+    silver_divisions,
+    silver_member_constituencies,
     silver_member_memberships,
+    silver_member_offices,
+    silver_member_parties,
     silver_member_votes,
     silver_members,
     silver_questions,

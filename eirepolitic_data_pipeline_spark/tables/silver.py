@@ -37,13 +37,20 @@ def _txt(value: Any) -> str:
 
 
 def _first(d: Any, *keys: str) -> str:
-    """First non-blank text among candidate keys (schema-on-read fallback)."""
+    """First non-blank SCALAR text among candidate keys (schema-on-read
+    fallback). Mapping/list values are skipped, not stringified — the
+    reference's `_first_text` (`table_member_offices.py:229-237`) does the
+    same, so a nested officeName map falls through to the dedicated
+    nested-name walk instead of leaking a dict repr into the column."""
     if not isinstance(d, Mapping):
         return ""
     for k in keys:
-        v = _txt(d.get(k))
-        if v:
-            return v
+        v = d.get(k)
+        if v is None or isinstance(v, (Mapping, list)):
+            continue
+        t = _txt(v)
+        if t:
+            return t
     return ""
 
 
@@ -387,6 +394,25 @@ MEMBERSHIP_COLUMNS = [
 ]
 
 
+def _membership_identity(m: Mapping[str, Any], code: str, uri: str) -> str:
+    """THE membership id: URI when present, else a generated hash that
+    ignores the end date (so an interval whose end moved updates the same
+    row). Shared by silver_member_memberships and the three membership
+    sub-dimension tables, whose membership_id column is an FK to it —
+    divergent recipes would orphan every generated-id sub-row."""
+    mem_uri = _first(m, "uri", "membershipUri")
+    if mem_uri:
+        return mem_uri
+    house = _first_map(m, "house", "houseRecord")
+    start = _membership_bound(m, "start") or ""
+    h_uri = _first(house, "uri", "houseUri")
+    h_no = _house_no_of(m)
+    h_code = _first(house, "houseCode", "chamberCode") \
+        or _first(m, "houseCode", "chamber")
+    return "generated:membership:" + \
+        stable_hash_py([code, uri, h_uri, h_no, h_code, start])
+
+
 def silver_member_memberships(df: DataFrame, json_col: str = "payload",
                               snapshot_date: str = "",
                               today: Optional[date] = None) -> DataFrame:
@@ -412,9 +438,7 @@ def silver_member_memberships(df: DataFrame, json_col: str = "payload",
                     h_code = _first(house, "houseCode", "chamberCode") \
                         or _first(m, "houseCode", "chamber")
                     chamber = h_code or _first(house, "chamber", "chamberType")
-                    mem_uri = _first(m, "uri", "membershipUri")
-                    mem_id = mem_uri or "generated:membership:" + \
-                        stable_hash_py([code, uri, h_uri, h_no, h_code, start])
+                    mem_id = _membership_identity(m, code, uri)
                     yield {
                         "membership_id": mem_id,
                         "member_code": code,
@@ -433,6 +457,180 @@ def silver_member_memberships(df: DataFrame, json_col: str = "payload",
 
     out = _flatten_stage(df, json_col, MEMBERSHIP_COLUMNS, rows_of)
     return out.dropDuplicates(["membership_id"])
+
+
+# ---------------------------------------------------------------------------
+# membership sub-dimensions: parties / constituencies / offices (F2 + F3)
+# ---------------------------------------------------------------------------
+
+def _record_bound(r: Mapping[str, Any], which: str) -> str:
+    """Interval bound of a nested party/represent/office record
+    (`table_member_parties.py:240-247`): dateRange else flat keys."""
+    rng = _first_map(r, "dateRange", "date_range", "memberDateRange")
+    v = _txt(rng.get(which)) if rng else ""
+    if not v:
+        v = _first(r, {"start": "startDate", "end": "endDate"}[which],
+                   {"start": "dateStart", "end": "dateEnd"}[which])
+    return parse_iso_date_py(v) or "" if v else ""
+
+
+def _office_name_of(office: Mapping[str, Any]) -> str:
+    """Office display name with the reference's nested-name fallback walk
+    (`table_member_offices.py:174-212`): direct keys, then officeName /
+    names / name entries carrying showAs/nameEn/nameGa/name/title."""
+    direct = _first(office, "showAs", "officeName", "name", "title",
+                    "role", "position")
+    if direct:
+        return direct
+    for key in ("officeName", "names", "name"):
+        value = office.get(key)
+        entries = value if isinstance(value, list) else [value]
+        for entry in entries:
+            if isinstance(entry, Mapping):
+                text = _first(entry, "showAs", "nameEn", "nameGa",
+                              "name", "title")
+                if text:
+                    return text
+    return ""
+
+
+#: (table-name suffix, membership keys, entry wrappers, uri keys,
+#:  name resolver, fall back missing bounds to the membership's,
+#:  generated-uri hash parts) — one spec per sub-dimension table.
+_SUBDIM_SPECS: dict[str, dict[str, Any]] = {
+    "party": {
+        "keys": ("parties", "party"),
+        "wrappers": ("party", "partyDetails"),
+        "uri_keys": ("uri", "partyUri"),
+        "name_of": lambda r: _first(r, "showAs", "partyName", "name"),
+        "bounds_from_membership": False,
+        "uri_hash_parts": lambda name, mem_id: [name],
+        "columns": ["member_party_id", "membership_id", "member_code",
+                    "party_uri", "party_name", "party_start", "party_end",
+                    "is_current", "snapshot_date"],
+    },
+    "constituency": {
+        # reference reads represents/represent; real payloads also carry a
+        # direct constituency/constituencyOrPanel map (cf. _constituency_of)
+        "keys": ("represents", "represent", "constituency",
+                 "constituencyOrPanel"),
+        "wrappers": ("represent", "constituencyOrPanel", "constituency"),
+        "uri_keys": ("uri", "constituencyUri"),
+        "name_of": lambda r: _first(r, "showAs", "name", "constituencyName",
+                                    "representName"),
+        "bounds_from_membership": True,
+        "uri_hash_parts": lambda name, mem_id: [name, mem_id],
+        "columns": ["member_constituency_id", "membership_id", "member_code",
+                    "constituency_uri", "constituency_name",
+                    "represent_start", "represent_end", "is_current",
+                    "snapshot_date"],
+    },
+    "office": {
+        "keys": ("offices", "office"),
+        "wrappers": ("office", "officeDetails"),
+        "uri_keys": ("uri", "officeUri"),
+        "name_of": _office_name_of,
+        "bounds_from_membership": False,
+        "uri_hash_parts": lambda name, mem_id: [name],
+        "columns": ["member_office_id", "membership_id", "member_code",
+                    "office_uri", "office_name", "office_start",
+                    "office_end", "is_current", "snapshot_date"],
+    },
+}
+
+
+def _membership_subdimension(df: DataFrame, kind: str, json_col: str,
+                             snapshot_date: str,
+                             today: Optional[date]) -> DataFrame:
+    """One row per (membership, nested interval entry) for parties /
+    constituencies / offices — the F2 second-level explosion plus the
+    reference's id recipes (`table_member_parties.py:186-225`,
+    `table_member_constituencies.py:206-261`,
+    `table_member_offices.py:156-195`).
+
+    The reference collapses exact business-key duplicates keeping the
+    first row (history_dedupe.py:16-60); Spark has no input order, so the
+    translation is a DETERMINISTIC keep-first ordered by the compared
+    fields — same kept set whenever duplicates agree, stable pick when
+    they conflict."""
+    spec = _SUBDIM_SPECS[kind]
+    id_col = spec["columns"][0]
+    uri_col, name_col = spec["columns"][3], spec["columns"][4]
+    start_col, end_col = spec["columns"][5], spec["columns"][6]
+
+    def rows_of(payload: Any) -> Iterator[dict[str, Any]]:
+        for item in _results_of(payload):
+            for record in iter_member_records(item):
+                code = _member_code_of(record)
+                uri = _first(record, "uri", "memberUri")
+                for m in iter_memberships(record, item):
+                    mem_id = _membership_identity(m, code, uri)
+                    value = None
+                    for k in spec["keys"]:
+                        value = m.get(k)
+                        if value:
+                            break
+                    entries = value if isinstance(value, list) else \
+                        [value] if isinstance(value, Mapping) else []
+                    for entry in entries:
+                        if not isinstance(entry, Mapping):
+                            continue
+                        r = _unwrap(entry, spec["wrappers"])
+                        name = spec["name_of"](r)
+                        start = _record_bound(r, "start")
+                        end = _record_bound(r, "end")
+                        if spec["bounds_from_membership"]:
+                            start = start or _membership_bound(m, "start") or ""
+                            end = end or _membership_bound(m, "end") or ""
+                        sub_uri = _first(r, *spec["uri_keys"]) or \
+                            f"generated:{kind}:" + stable_hash_py(
+                                spec["uri_hash_parts"](name, mem_id))
+                        yield {
+                            id_col: f"generated:member_{kind}:" +
+                            stable_hash_py([mem_id, code, sub_uri, start]),
+                            "membership_id": mem_id,
+                            "member_code": code,
+                            uri_col: sub_uri,
+                            name_col: name,
+                            start_col: start,
+                            end_col: end,
+                            "is_current": str(is_current_range_py(
+                                start, end, today=today)).lower(),
+                            "snapshot_date": snapshot_date,
+                        }
+
+    out = _flatten_stage(df, json_col, spec["columns"], rows_of)
+    from ..operators.dedupe import dedupe_keep_first
+    return dedupe_keep_first(
+        out, ["member_code", uri_col, start_col, end_col],
+        order_by=[name_col, "is_current", id_col])
+
+
+def silver_member_parties(df: DataFrame, json_col: str = "payload",
+                          snapshot_date: str = "",
+                          today: Optional[date] = None) -> DataFrame:
+    """Member ↔ party intervals (`table_member_parties.py`)."""
+    return _membership_subdimension(df, "party", json_col, snapshot_date,
+                                    today)
+
+
+def silver_member_constituencies(df: DataFrame, json_col: str = "payload",
+                                 snapshot_date: str = "",
+                                 today: Optional[date] = None) -> DataFrame:
+    """Member ↔ constituency/panel intervals
+    (`table_member_constituencies.py`); bounds fall back to the membership
+    interval when the represent entry carries none."""
+    return _membership_subdimension(df, "constituency", json_col,
+                                    snapshot_date, today)
+
+
+def silver_member_offices(df: DataFrame, json_col: str = "payload",
+                          snapshot_date: str = "",
+                          today: Optional[date] = None) -> DataFrame:
+    """Member ↔ office intervals (`table_member_offices.py`), including the
+    nested office-name fallback walk."""
+    return _membership_subdimension(df, "office", json_col, snapshot_date,
+                                    today)
 
 
 # ---------------------------------------------------------------------------
@@ -470,6 +668,121 @@ def _division_id_of(record: Mapping[str, Any]) -> str:
 
 def _division_record(item: Mapping[str, Any]) -> Mapping[str, Any]:
     return _first_map(item, "division", "vote", "divisionRecord") or item
+
+
+def _deep_first(value: Any, target_key: str) -> str:
+    """Recursive-descent first scalar text for ``target_key`` — the
+    reference's `_deep_first_text` (`table_divisions.py:241-255`)."""
+    if isinstance(value, Mapping):
+        v = value.get(target_key)
+        if v is not None and not isinstance(v, (Mapping, list)):
+            t = _txt(v)
+            if t:
+                return t
+        for child in value.values():
+            found = _deep_first(child, target_key)
+            if found:
+                return found
+    elif isinstance(value, list):
+        for child in value:
+            found = _deep_first(child, target_key)
+            if found:
+                return found
+    return ""
+
+
+DIVISION_COLUMNS = [
+    "division_id", "vote_id", "division_date", "chamber", "house_uri",
+    "house_no", "committee_code", "subject", "outcome", "debate_id",
+    "debate_section_id", "debate_show_as", "api_result_hash",
+    "snapshot_date",
+]
+
+
+def silver_divisions(df: DataFrame, json_col: str = "payload",
+                     snapshot_date: str = "") -> DataFrame:
+    """One row per division/vote header (`table_divisions.py:155-206`):
+    id precedence uri > voteId > generated record hash, date fallback chain
+    ending at the page's contextDate, deep-descent fallbacks for house /
+    debate locators, and the debate-section URI synthesized from the
+    debate URI + section eId when only the eId is present."""
+
+    def rows_of(payload: Any) -> Iterator[dict[str, Any]]:
+        ctx_date = ""
+        if isinstance(payload, Mapping):
+            ctx_date = parse_iso_date_py(payload.get("contextDate")) or ""
+        for item in _results_of(payload):
+            if not isinstance(item, Mapping):
+                continue
+            record = _division_record(item)
+            uri = _first(record, "uri", "divisionUri", "voteUri")
+            vote_id = _first(record, "voteId", "divisionId", "id", "eId")
+            division_id = uri or vote_id or \
+                "generated:division:" + record_hash_py(record, 24)
+            item_ctx = parse_iso_date_py(item.get("contextDate")) \
+                if isinstance(item, Mapping) else None
+            division_date = parse_iso_date_py(record.get("date")) \
+                or parse_iso_date_py(record.get("voteDate")) \
+                or parse_iso_date_py(record.get("divisionDate")) \
+                or item_ctx or ctx_date or ""
+
+            house = _first_map(record, "house")
+            chamber_rec = _first_map(record, "chamber")
+            house_uri = _first(house, "uri") or _first(chamber_rec, "uri") \
+                or _deep_first(record, "houseUri")
+            house_no = _first(house, "houseNo", "number") \
+                or _deep_first(record, "houseNo")
+            chamber = _first(house, "houseCode", "chamberCode", "showAs") \
+                or _first(chamber_rec, "houseCode", "chamberCode", "showAs") \
+                or _deep_first(record, "chamberCode")
+
+            debate = _first_map(record, "debate", "debateRecord")
+            debate_uri = _first(debate, "uri", "debateUri") \
+                or _deep_first(record, "debateUri")
+            section = _first_map(record, "debateSection")
+            section_uri = _first(section, "uri", "sectionUri") \
+                or _deep_first(record, "debateSectionUri")
+            section_eid = _first(debate, "debateSection") \
+                or _first(section, "debateSectionId", "sectionId", "eId") \
+                or _deep_first(record, "debateSectionId")
+            if not section_uri and section_eid and debate_uri:
+                section_uri = debate_uri.rsplit("/", 1)[0] + "/" + section_eid
+            debate_show_as = _first(section, "showAs", "heading", "title") \
+                or _first(debate, "showAs", "title") \
+                or _deep_first(record, "debateShowAs")
+
+            subject_rec = _first_map(record, "subject")
+            subject = _first(subject_rec, "showAs", "title", "text", "name") \
+                or _first(record, "subject", "showAs", "title", "motion",
+                          "question") \
+                or _deep_first(record, "subjectText")
+            outcome = _first(record, "outcome", "result", "decision",
+                             "voteResult") \
+                or _deep_first(record, "outcome") \
+                or _deep_first(record, "result")
+            committee = _first(house, "committeeCode") \
+                or _first(record, "committeeCode") \
+                or _deep_first(record, "committeeId")
+
+            yield {
+                "division_id": division_id,
+                "vote_id": vote_id,
+                "division_date": division_date,
+                "chamber": chamber,
+                "house_uri": house_uri,
+                "house_no": house_no,
+                "committee_code": committee,
+                "subject": subject,
+                "outcome": outcome,
+                "debate_id": debate_uri,
+                "debate_section_id": section_uri,
+                "debate_show_as": debate_show_as,
+                "api_result_hash": record_hash_py(item),
+                "snapshot_date": snapshot_date,
+            }
+
+    out = _flatten_stage(df, json_col, DIVISION_COLUMNS, rows_of)
+    return out.dropDuplicates(["division_id"])
 
 
 def silver_member_votes(df: DataFrame, json_col: str = "payload",

@@ -352,3 +352,113 @@ def test_payload_key_paths_dataframe(spark):
     got = {r["key_path"]: r["n_rows"]
            for r in payload_key_paths(df).collect()}
     assert got == {"a": 2, "a.b": 1, "c": 1, "c[]": 1}
+
+
+def test_membership_subdimensions(spark, members_payload):
+    from eirepolitic_data_pipeline_spark.tables import (
+        silver_member_constituencies, silver_member_offices,
+        silver_member_parties)
+    pdf = _payload_df(spark, members_payload)
+    parties = {(r["membership_id"], r["party_name"]): r
+               for r in silver_member_parties(
+                   pdf, snapshot_date=SNAP, today=TODAY).collect()}
+    assert set(parties) == {("/membership/1", "New Party"),
+                            ("/membership/0", "Old Party")}
+    p1 = parties[("/membership/1", "New Party")]
+    assert p1["member_code"] == "TD001"
+    assert p1["party_uri"].startswith("generated:party:")
+    assert p1["member_party_id"].startswith("generated:member_party:")
+    # party entries carry no own dateRange and parties do NOT inherit the
+    # membership bounds (reference: _date_start over the party record only)
+    assert (p1["party_start"], p1["party_end"]) == ("", "")
+    assert p1["is_current"] == "true"
+
+    cons = {(r["membership_id"], r["constituency_name"]): r
+            for r in silver_member_constituencies(
+                pdf, snapshot_date=SNAP, today=TODAY).collect()}
+    assert set(cons) == {("/membership/1", "Wicklow-Wexford"),
+                         ("/membership/0", "Wicklow")}
+    c1 = cons[("/membership/1", "Wicklow-Wexford")]
+    # constituencies DO inherit missing bounds from the membership interval
+    assert (c1["represent_start"], c1["represent_end"]) == ("2024-01-01", "")
+    assert c1["is_current"] == "true"
+    c0 = cons[("/membership/0", "Wicklow")]
+    assert (c0["represent_start"], c0["represent_end"]) \
+        == ("2020-01-01", "2023-12-31")
+    assert c0["is_current"] == "false"
+
+    # offices: nested name fallback + own bounds
+    office_payload = {"results": [{"member": {
+        "memberCode": "TD010", "fullName": "Donal Kehoe",
+        "memberships": [{"membership": {
+            "uri": "/membership/10",
+            "offices": [
+                {"office": {
+                    "officeName": {"nameEn": "Minister for Transport"},
+                    "dateRange": {"start": "2024-02-01", "end": None}}},
+                {"office": {"showAs": "Whip",
+                            "dateRange": {"start": "2020-01-01",
+                                          "end": "2021-06-30"}}},
+            ]}}]}}]}
+    offices = {r["office_name"]: r for r in silver_member_offices(
+        _payload_df(spark, office_payload), snapshot_date=SNAP,
+        today=TODAY).collect()}
+    assert set(offices) == {"Minister for Transport", "Whip"}
+    assert offices["Minister for Transport"]["office_start"] == "2024-02-01"
+    assert offices["Minister for Transport"]["is_current"] == "true"
+    assert offices["Whip"]["is_current"] == "false"
+    assert offices["Whip"]["member_office_id"].startswith(
+        "generated:member_office:")
+
+
+def test_subdimension_membership_fk_matches_memberships_table(spark):
+    """The generated membership_id recipe must agree between
+    silver_member_memberships and every sub-dimension (FK integrity)."""
+    from eirepolitic_data_pipeline_spark.tables import (
+        silver_member_parties)
+    payload = {"results": [{"member": {
+        "memberCode": "TD011", "fullName": "E F",
+        "memberships": [{"membership": {
+            "house": {"houseNo": "34", "houseCode": "dail",
+                      "uri": "/house/34"},
+            "dateRange": {"start": "2024-01-01", "end": None},
+            "parties": [{"party": {"showAs": "P1"}}]}}]}}]}
+    pdf = _payload_df(spark, payload)
+    mm = silver_member_memberships(pdf, today=TODAY).collect()[0]
+    mp = silver_member_parties(pdf, today=TODAY).collect()[0]
+    assert mp["membership_id"] == mm["membership_id"]
+    assert mp["membership_id"].startswith("generated:membership:")
+
+
+def test_silver_divisions(spark):
+    from eirepolitic_data_pipeline_spark.tables import silver_divisions
+    payload = {"contextDate": "2025-03-07", "results": [
+        {"division": {
+            "uri": "/div/D1", "voteId": "vote-1", "date": "2025-03-05",
+            "house": {"houseNo": "34", "houseCode": "dail",
+                      "uri": "/house/34"},
+            "subject": {"showAs": "Second Stage"},
+            "outcome": "Carried",
+            "debate": {"uri": "/debate/2025-03-05/dail",
+                       "debateSection": "dbsect_12"},
+            "taVotes": []}},
+        # minimal record: id generated, date from page contextDate,
+        # locators via deep descent
+        {"vote": {"nested": {"houseNo": "33",
+                             "debateUri": "/debate/x"},
+                  "result": "Lost"}},
+    ]}
+    out = {r["division_id"]: r for r in silver_divisions(
+        _payload_df(spark, payload), snapshot_date=SNAP).collect()}
+    d1 = out["/div/D1"]
+    assert (d1["vote_id"], d1["division_date"], d1["chamber"]) \
+        == ("vote-1", "2025-03-05", "dail")
+    assert d1["subject"] == "Second Stage" and d1["outcome"] == "Carried"
+    # section URI synthesized from debate uri + section eId
+    assert d1["debate_section_id"] == "/debate/2025-03-05/dbsect_12"
+    gen = [r for k, r in out.items() if k.startswith("generated:division:")]
+    assert len(gen) == 1
+    g = gen[0]
+    assert g["division_date"] == "2025-03-07"        # page contextDate
+    assert g["house_no"] == "33" and g["debate_id"] == "/debate/x"
+    assert g["outcome"] == "Lost"
