@@ -1,0 +1,316 @@
+"""`build_table` — the reference's primary entry point (SURVEY §3.1,
+`extract/oireachtas/build_table.py:58-75,269+`) re-expressed over this
+engine's catalog/registry/builders:
+
+    python -m eirepolitic_data_pipeline_spark.jobs.build_table \
+        --table silver_members --mode full --batch-id b42 \
+        --raw-root /data/raw --warehouse /data/warehouse [--promote]
+
+One invocation builds ONE declared table end-to-end: resolve inputs (raw
+payload files for silver, catalog reads for gold), run the builder, run
+the declared-PK DQ gate, conform to the registry schema, and land the
+result in the immutable candidate batch via the write-policy merge.
+``--mode test`` caps the raw input rows (reference P11 semantics);
+promotion stays explicit (``--promote``), mirroring the reference's
+``--publish-latest`` gate.
+
+The raw layout is one JSON-lines file per API source under ``--raw-root``
+(``members.jsonl`` …, one fetched page payload per line) — the shape
+`sources.rest.PaginatedRestSource.fetch_all` archives. Control tables are
+produced by the run machinery (io/catalog manifests, plans/quality
+results), not by builders, and silver_speeches requires the XML debate
+corpus (sources/xml.py) — build_table reports these as unsupported
+rather than pretending.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import inspect
+import json
+import os
+from dataclasses import dataclass, field
+from datetime import date
+from typing import Any, Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.catalog import BatchCatalog, CatalogError
+from ..io.writers import MergeWriter
+from ..plans.default_tables import DEFAULT_TABLES_CONFIG
+from ..plans.quality import DQSuite
+from ..plans.registry import TableRegistry
+from ..tables import (
+    gold_constituency_activity_yearly,
+    gold_content_fact_pool,
+    gold_current_members,
+    gold_member_activity_monthly,
+    gold_member_activity_yearly,
+    silver_bill_debates,
+    silver_bill_events,
+    silver_bill_related_docs,
+    silver_bill_sponsors,
+    silver_bill_stages,
+    silver_bill_versions,
+    silver_bills,
+    silver_constituencies,
+    silver_debate_records,
+    silver_debate_sections,
+    silver_division_tallies,
+    silver_divisions,
+    silver_houses,
+    silver_member_constituencies,
+    silver_member_memberships,
+    silver_member_offices,
+    silver_member_parties,
+    silver_member_votes,
+    silver_members,
+    silver_parties,
+    silver_questions,
+    silver_source_files,
+)
+
+VALID_MODES = ("full", "test")
+
+#: silver table → (builder, raw-source stem). One payload archive feeds
+#: every table exploded from that endpoint, exactly as one fetched page
+#: does in the reference.
+SILVER_BUILDERS: dict[str, tuple[Callable[..., DataFrame], str]] = {
+    "silver_members": (silver_members, "members"),
+    "silver_member_memberships": (silver_member_memberships, "members"),
+    "silver_member_parties": (silver_member_parties, "members"),
+    "silver_member_constituencies": (silver_member_constituencies, "members"),
+    "silver_member_offices": (silver_member_offices, "members"),
+    "silver_houses": (silver_houses, "houses"),
+    "silver_parties": (silver_parties, "parties"),
+    "silver_constituencies": (silver_constituencies, "constituencies"),
+    "silver_divisions": (silver_divisions, "divisions"),
+    "silver_member_votes": (silver_member_votes, "divisions"),
+    "silver_division_tallies": (silver_division_tallies, "divisions"),
+    "silver_questions": (silver_questions, "questions"),
+    "silver_debate_records": (silver_debate_records, "debates"),
+    "silver_debate_sections": (silver_debate_sections, "debates"),
+    "silver_source_files": (silver_source_files, "debates"),
+    "silver_bills": (silver_bills, "legislation"),
+    "silver_bill_versions": (silver_bill_versions, "legislation"),
+    "silver_bill_stages": (silver_bill_stages, "legislation"),
+    "silver_bill_sponsors": (silver_bill_sponsors, "legislation"),
+    "silver_bill_related_docs": (silver_bill_related_docs, "legislation"),
+    "silver_bill_debates": (silver_bill_debates, "legislation"),
+    "silver_bill_events": (silver_bill_events, "legislation"),
+}
+
+#: gold table → (builder fn, catalog input tables in positional order,
+#: which inputs may be absent → empty frame).
+GOLD_BUILDERS: dict[str, tuple[Callable[..., DataFrame], list[str],
+                               set[str]]] = {
+    "gold_current_members": (
+        gold_current_members,
+        ["silver_members", "silver_member_memberships",
+         "silver_member_parties", "silver_member_constituencies",
+         "silver_member_offices"],
+        {"silver_member_parties", "silver_member_constituencies",
+         "silver_member_offices"}),
+    "gold_member_activity_yearly": (
+        gold_member_activity_yearly,
+        ["silver_members", "silver_speeches", "silver_member_votes",
+         "silver_divisions"],
+        {"silver_speeches", "silver_divisions"}),
+    "gold_member_activity_monthly": (
+        gold_member_activity_monthly,
+        ["silver_members", "silver_speeches", "silver_member_votes"],
+        {"silver_speeches"}),
+    "gold_constituency_activity_yearly": (
+        gold_constituency_activity_yearly,
+        ["silver_members", "silver_speeches", "silver_member_votes"],
+        {"silver_speeches"}),
+    "gold_content_fact_pool": (
+        gold_content_fact_pool,
+        ["gold_member_activity_yearly", "gold_member_activity_monthly",
+         "gold_constituency_activity_yearly", "gold_current_members"],
+        set()),
+}
+
+#: schema stubs for optional gold inputs that may have no catalog table
+_EMPTY_INPUT_COLUMNS = {
+    "silver_speeches": ["speaker_member_code", "debate_date", "speech_id"],
+    "silver_divisions": ["division_id", "division_date"],
+    "silver_member_parties": ["member_code", "party_name", "party_start",
+                              "party_end", "is_current"],
+    "silver_member_constituencies": ["member_code", "constituency_name",
+                                     "represent_start", "represent_end",
+                                     "is_current"],
+    "silver_member_offices": ["member_code", "office_name", "office_start",
+                              "office_end", "is_current"],
+}
+
+UNSUPPORTED = {
+    "silver_speeches": "requires the XML debate corpus — parse with "
+                       "sources.xml.parse_debate_xml and land via MergeWriter",
+    "control_pipeline_runs": "written by the run machinery, not a builder",
+    "control_table_manifests": "written by io.catalog manifests",
+    "control_data_quality_results": "written by plans.quality suites",
+}
+
+
+@dataclass
+class BuildResult:
+    table: str
+    batch_id: str
+    row_count: int
+    dq_passed: bool
+    dq: list = field(default_factory=list)
+    promoted: bool = False
+
+
+def _read_raw(spark: SparkSession, raw_root: str, stem: str,
+              mode: str, limit: int) -> DataFrame:
+    """Payload frame from the raw archive: every line of
+    ``{raw_root}/{stem}.jsonl`` (or ``{stem}/*.jsonl``) is one page
+    payload. mode=test caps pages read — reference P11."""
+    paths = [p for pat in (f"{stem}.jsonl", os.path.join(stem, "*.jsonl"))
+             for p in glob.glob(os.path.join(raw_root, pat))]
+    if not paths:
+        raise FileNotFoundError(
+            f"no raw payloads for source {stem!r} under {raw_root!r}")
+    df = spark.read.text(paths).withColumnRenamed("value", "payload")
+    if mode == "test":
+        df = df.limit(max(1, limit))
+    return df
+
+
+def _stringified(df: DataFrame) -> DataFrame:
+    """Catalog tables are typed (conform casts); builders speak the silver
+    string convention (blank == missing) — cast back, null → ''."""
+    return df.select(*[
+        F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c)
+        for c in df.columns])
+
+
+def _call_builder(fn: Callable[..., DataFrame], df: DataFrame,
+                  snapshot_date: str, today: Optional[date]) -> DataFrame:
+    kwargs: dict[str, Any] = {"snapshot_date": snapshot_date}
+    if "today" in inspect.signature(fn).parameters:
+        kwargs["today"] = today
+    return fn(df, **kwargs)
+
+
+def build_table(spark: SparkSession, catalog: BatchCatalog,
+                registry: TableRegistry, table: str, *, batch_id: str,
+                raw_root: str = "", mode: str = "full", limit: int = 25,
+                snapshot_date: str = "", today: Optional[date] = None,
+                promote: bool = False) -> BuildResult:
+    """Build one table into the candidate batch. Raises CatalogError for
+    unsupported tables and ValueError for bad modes; DQ failure aborts
+    BEFORE any write (the reference's dq_status=fail short-circuit)."""
+    if mode not in VALID_MODES:
+        raise ValueError(f"mode must be one of {VALID_MODES}")
+    if table in UNSUPPORTED:
+        raise CatalogError(f"{table}: unsupported by build_table — "
+                           + UNSUPPORTED[table])
+    snapshot_date = snapshot_date or date.today().isoformat()
+    today = today or date.fromisoformat(snapshot_date)
+
+    if table in SILVER_BUILDERS:
+        fn, stem = SILVER_BUILDERS[table]
+        raw = _read_raw(spark, raw_root, stem, mode, limit)
+        out = _call_builder(fn, raw, snapshot_date, today)
+    elif table in GOLD_BUILDERS:
+        fn, input_tables, optional = GOLD_BUILDERS[table]
+        inputs = []
+        for name in input_tables:
+            try:
+                # inputs built earlier in THIS batch win over production —
+                # batches are full immutable snapshots (one batch per
+                # refresh run, promoted once at the end), so gold layers
+                # must see the silver tables the same run just produced
+                bid = batch_id if catalog.candidate_table_exists(
+                    batch_id, name) else None
+                inputs.append(_stringified(
+                    catalog.read_table(spark, name, batch_id=bid)))
+            except Exception as e:
+                if name in UNSUPPORTED or name in optional:
+                    cols = _EMPTY_INPUT_COLUMNS.get(name)
+                    if cols is None:
+                        inputs.append(None)
+                        continue
+                    inputs.append(spark.createDataFrame(
+                        [], ", ".join(f"{c} string" for c in cols)))
+                else:
+                    raise CatalogError(
+                        f"{table}: required input {name!r} not readable "
+                        f"({e}); build and promote it first") from e
+        out = fn(*inputs, snapshot_date)
+    else:
+        raise CatalogError(f"unknown table {table!r}; registry declares: "
+                           + ", ".join(sorted(registry.tables)))
+
+    tdef = registry[table]
+    pk = list(tdef.policy.primary_key)
+    suite = DQSuite().min_rows(0 if mode == "test" else 1)
+    if pk:
+        suite = suite.unique(pk).non_blank(pk[0])
+    dq = suite.run(out)
+    if not DQSuite.passed(dq):
+        raise CatalogError(
+            f"{table}: DQ gate failed before write: "
+            + "; ".join(str(c) for c in dq if not c.passed))
+
+    conformed = tdef.conform(out)
+    writer = MergeWriter(catalog=catalog, spark=spark)
+    merged = writer.write(conformed, table, tdef.policy, batch_id=batch_id)
+    n = merged.count()
+    if promote:
+        catalog.promote(batch_id, [table])
+    return BuildResult(table=table, batch_id=batch_id, row_count=n,
+                       dq_passed=True, dq=dq, promoted=promote)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    ap = argparse.ArgumentParser(prog="build_table")
+    ap.add_argument("--table")
+    ap.add_argument("--mode", choices=VALID_MODES, default="test")
+    ap.add_argument("--batch-id", default=os.getenv("SPARK_GRAFT_BATCH_ID", ""))
+    ap.add_argument("--raw-root", default="")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--snapshot-date", default="")
+    ap.add_argument("--limit", type=int, default=25)
+    ap.add_argument("--promote", action="store_true")
+    ap.add_argument("--list-tables", action="store_true")
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args(argv)
+
+    registry = TableRegistry.from_dict(DEFAULT_TABLES_CONFIG)
+    if args.list_tables:
+        for name in sorted(registry.tables):
+            status = ("builder" if name in SILVER_BUILDERS
+                      or name in GOLD_BUILDERS else "unsupported")
+            print(f"{name}\t{status}")
+        return 0
+    if not args.table:
+        ap.error("--table is required (or --list-tables)")
+    if not args.batch_id:
+        ap.error("--batch-id is required (env SPARK_GRAFT_BATCH_ID)")
+
+    from ..session import get_spark
+    spark = get_spark(f"build_table:{args.table}")
+    catalog = BatchCatalog(root=args.warehouse)
+    res = build_table(
+        spark, catalog, registry, args.table, batch_id=args.batch_id,
+        raw_root=args.raw_root, mode=args.mode, limit=args.limit,
+        snapshot_date=args.snapshot_date, promote=args.promote)
+    if args.json:
+        print(json.dumps({
+            "table": res.table, "batch_id": res.batch_id,
+            "row_count": res.row_count, "dq_passed": res.dq_passed,
+            "promoted": res.promoted}))
+    else:
+        print(f"{res.table}: {res.row_count} rows in batch "
+              f"{res.batch_id} (promoted={res.promoted})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
