@@ -147,8 +147,6 @@ _EMPTY_INPUT_COLUMNS = {
 }
 
 UNSUPPORTED = {
-    "silver_speeches": "requires the XML debate corpus — parse with "
-                       "sources.xml.parse_debate_xml and land via MergeWriter",
     "control_pipeline_runs": "written by the run machinery, not a builder",
     "control_table_manifests": "written by io.catalog manifests",
     "control_data_quality_results": "written by plans.quality suites",
@@ -213,7 +211,21 @@ def build_table(spark: SparkSession, catalog: BatchCatalog,
     snapshot_date = snapshot_date or date.today().isoformat()
     today = today or date.fromisoformat(snapshot_date)
 
-    if table in SILVER_BUILDERS:
+    if table == "silver_speeches":
+        # XML corpus, not JSON pages: debate_xml.jsonl rows carry
+        # {debate_id, debate_date, xml_uri, xml_url, xml} — the downloaded
+        # archive shape sources/files.py's XML fetch (S6) produces
+        from ..tables import silver_speeches
+        paths = [p for pat in ("debate_xml.jsonl", "debate_xml/*.jsonl")
+                 for p in glob.glob(os.path.join(raw_root, pat))]
+        if not paths:
+            raise FileNotFoundError(
+                f"no raw payloads for source 'debate_xml' under {raw_root!r}")
+        corpus = spark.read.json(paths)
+        if mode == "test":
+            corpus = corpus.limit(max(1, limit))
+        out = silver_speeches(corpus, snapshot_date=snapshot_date)
+    elif table in SILVER_BUILDERS:
         fn, stem = SILVER_BUILDERS[table]
         raw = _read_raw(spark, raw_root, stem, mode, limit)
         out = _call_builder(fn, raw, snapshot_date, today)
@@ -286,7 +298,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     if args.list_tables:
         for name in sorted(registry.tables):
             status = ("builder" if name in SILVER_BUILDERS
-                      or name in GOLD_BUILDERS else "unsupported")
+                      or name in GOLD_BUILDERS
+                      or name == "silver_speeches" else "unsupported")
             print(f"{name}\t{status}")
         return 0
     if not args.table:

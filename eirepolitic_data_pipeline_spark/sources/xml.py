@@ -29,7 +29,9 @@ from pyspark.sql import DataFrame
 NON_JOINABLE_SECTIONS = {"prelude", "division", "ta", "nil", "staon"}
 
 SPEECH_SCHEMA = ("debate_id string, speech_id string, speech_order int, "
-                 "section_path string, member_code string, speaker_ref string, "
+                 "section_path string, section_eid string, "
+                 "member_code string, speaker_ref string, "
+                 "speaker_name string, match_method string, "
                  "language string, text string, word_count int, char_count int")
 
 _MEMBER_HREF_RE = re.compile(r"/member/id/([^/]+)/?")
@@ -44,18 +46,33 @@ def _stable_hash(*parts, length: int = 16) -> str:
     return hashlib.sha256(joined.encode("utf-8")).hexdigest()[:length]
 
 
-def _person_refs(root: ET.Element) -> dict[str, str]:
-    """TLCPerson id → member_code (href marker parse, reference
-    `xml_debates.py:153-179`)."""
-    refs: dict[str, str] = {}
+def _person_refs(root: ET.Element) -> dict[str, dict[str, str]]:
+    """TLCPerson id → {member_code, show_as} (href marker parse + display
+    name, reference `xml_debates.py:153-179`)."""
+    refs: dict[str, dict[str, str]] = {}
     for el in root.iter():
         if _local(el.tag) == "TLCPerson":
             pid = el.attrib.get("eId") or el.attrib.get("id") or ""
             href = el.attrib.get("href", "")
             m = _MEMBER_HREF_RE.search(href)
             if pid:
-                refs[pid] = m.group(1) if m else ""
+                refs[pid] = {"member_code": m.group(1) if m else "",
+                             "show_as": el.attrib.get("showAs", "")
+                             or el.attrib.get("name", "")}
     return refs
+
+
+def _speaker_name_of(el: ET.Element, by: str) -> str:
+    """Display name from a from/docProponent/speaker child, else the
+    humanized ref (reference `xml_debates.py:202-213`)."""
+    for child in el:
+        if _local(child.tag) in ("from", "docProponent", "speaker"):
+            text = _text_of(child)
+            if text:
+                return text
+    if by:
+        return re.sub(r"[_-]+", " ", by).strip()
+    return ""
 
 
 def _text_of(el: ET.Element) -> str:
@@ -85,10 +102,14 @@ def parse_debate_xml(debate_id: str, xml_bytes: bytes) -> list[dict]:
         if name == "speech":
             order[0] += 1
             by = (el.attrib.get("by") or "").lstrip("#")
-            member_code = refs.get(by, "")
+            person = refs.get(by, {})
+            member_code = person.get("member_code", "")
+            match_method = "xml_tlc_person_href" if member_code else ""
             if not member_code and by:
                 m = _MEMBER_HREF_RE.search(by)
                 member_code = m.group(1) if m else ""
+                if member_code:
+                    match_method = "speaker_ref_member_code"
             text = " ".join(
                 _text_of(child) for child in el
                 if _local(child.tag) in ("p", "blockContainer")) or _text_of(el)
@@ -96,9 +117,13 @@ def parse_debate_xml(debate_id: str, xml_bytes: bytes) -> list[dict]:
                 "debate_id": debate_id,
                 "speech_id": _stable_hash(debate_id, order[0], by),
                 "speech_order": order[0],
-                "section_path": "/".join(section_stack),
+                "section_path": "/".join(n for n, _ in section_stack),
+                "section_eid": section_stack[-1][1] if section_stack else "",
                 "member_code": member_code,
                 "speaker_ref": by,
+                "speaker_name": _speaker_name_of(el, by)
+                or person.get("show_as", ""),
+                "match_method": match_method,
                 "language": lang or "",
                 "text": text,
                 "word_count": len(text.split()),
@@ -109,7 +134,8 @@ def parse_debate_xml(debate_id: str, xml_bytes: bytes) -> list[dict]:
         if name == "debateSection":
             sec = el.attrib.get("name", "")
             if sec and sec not in NON_JOINABLE_SECTIONS:
-                new_stack = section_stack + (sec,)
+                new_stack = section_stack + (
+                    (sec, el.attrib.get("eId") or el.attrib.get("id") or ""),)
         for child in el:
             walk(child, new_stack, lang)
 

@@ -32,6 +32,7 @@ from .silver import (  # noqa: F401
 from .debates import (  # noqa: F401
     silver_debate_records,
     silver_debate_sections,
+    silver_speeches,
     weekly_sentence_candidates,
 )
 from .bills import (  # noqa: F401

@@ -22,6 +22,7 @@ from typing import Any, Iterator, Mapping
 
 from pyspark.sql import DataFrame
 
+from ..functions import scalar as sc
 from .silver import (
     _first,
     _first_map,
@@ -241,4 +242,85 @@ def weekly_sentence_candidates(speeches: DataFrame,
             F.col("sentence")), 256), 1, 24))
         .select("candidate_id", "week_id", "debate_date", "speaker_name",
                 "sentence", "sentence_norm", "word_count")
+    )
+
+
+SPEECH_COLUMNS = [
+    "speech_id", "debate_id", "debate_section_id", "debate_date",
+    "speech_order", "speaker_ref", "speaker_name", "speaker_member_code",
+    "speaker_match_method", "speaker_match_confidence", "speech_text",
+    "speech_text_hash", "word_count", "char_count", "language",
+    "source_file_id", "xml_source_key", "snapshot_date",
+]
+
+
+def silver_speeches(xml_df: DataFrame, snapshot_date: str = "",
+                    id_col: str = "debate_id", xml_col: str = "xml",
+                    date_col: str = "debate_date") -> DataFrame:
+    """Debate XML corpus → the silver_speeches table
+    (`table_speeches.py:230-283`): the F7 Akoma walk per document, then
+    the reference's row normalization as pure column expressions —
+    match method/confidence (TLCPerson href = 1.0, ref-marker = 0.8),
+    sha-256[:24] text hash, section URI from the debate URI base +
+    section eId, and the deterministic source-file id / raw-archive key.
+
+    ``xml_df``: one row per debate document — (debate_id, xml,
+    [debate_date], [xml_uri], [xml_url]); the download itself is the
+    source layer's job (sources/files.py S6). Parsing is the
+    mapInPandas UDTF in sources/xml.py — partition-parallel over
+    debates, no shuffle until the PK dedupe."""
+    from pyspark.sql import functions as F
+
+    from ..sources.xml import speeches_from_xml
+
+    for opt in (date_col, "xml_uri", "xml_url"):
+        if opt not in xml_df.columns:
+            xml_df = xml_df.withColumn(opt, F.lit(""))
+    parsed = speeches_from_xml(xml_df, id_col=id_col, xml_col=xml_col)
+    meta = xml_df.select(id_col, date_col, "xml_uri", "xml_url")
+    out = parsed.join(meta, id_col, "left")
+
+    # `table_speeches.py:276-284`: source_file id over the locator pair,
+    # archive key from slugged debate id (last 120 chars) + slugged id
+    sfid = F.concat(F.lit("source_file:"), sc.stable_hash(
+        F.lit("debate"), F.col(id_col), F.lit("xml"),
+        F.col("xml_uri"), F.col("xml_url"), length=24))
+    slug = lambda c: F.regexp_replace(  # noqa: E731
+        F.regexp_replace(F.regexp_replace(c, "^https?://", ""),
+                         r"[^A-Za-z0-9\-_.]", "-"), "^-+|-+$", "")
+    entity_slug = F.substring(slug(F.col(id_col)), -120, 120)
+    base = F.when(F.col(id_col).contains("/"),
+                  F.regexp_replace(F.col(id_col), "/[^/]*$", "")) \
+        .otherwise(F.col(id_col))
+    return (
+        out.select(
+            F.col("speech_id"),
+            F.col(id_col).alias("debate_id"),
+            F.when(F.col("section_eid") != "",
+                   F.concat(base, F.lit("/"), F.col("section_eid")))
+            .otherwise(F.lit("")).alias("debate_section_id"),
+            F.coalesce(F.col(date_col), F.lit("")).alias("debate_date"),
+            F.col("speech_order"),
+            F.col("speaker_ref"),
+            F.col("speaker_name"),
+            F.col("member_code").alias("speaker_member_code"),
+            F.col("match_method").alias("speaker_match_method"),
+            F.when(F.col("match_method") == "xml_tlc_person_href", 1.0)
+            .when(F.col("match_method") == "speaker_ref_member_code", 0.8)
+            .otherwise(F.lit(None).cast("double"))
+            .alias("speaker_match_confidence"),
+            F.col("text").alias("speech_text"),
+            F.substring(F.sha2(F.col("text"), 256), 1, 24)
+            .alias("speech_text_hash"),
+            F.col("word_count"), F.col("char_count"),
+            F.col("language"),
+            sfid.alias("source_file_id"),
+            F.concat(F.lit("raw/source_files/debate/"),
+                     F.when(entity_slug != "", entity_slug)
+                     .otherwise(F.lit("debate")),
+                     F.lit("/"), slug(sfid), F.lit(".xml"))
+            .alias("xml_source_key"),
+            F.lit(snapshot_date).alias("snapshot_date"),
+        )
+        .dropDuplicates(["speech_id"])
     )

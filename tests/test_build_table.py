@@ -65,6 +65,16 @@ def _divisions_page():
         }}}]}
 
 
+_SPEECH_XML = """<?xml version="1.0"?>
+<akomaNtoso><references>
+  <TLCPerson eId="P1" href="/ie/oireachtas/member/id/TD001/"/>
+</references><debate>
+  <debateSection name="housing" eId="dbsect_1">
+    <speech by="#P1"><p>A substantive housing point.</p></speech>
+  </debateSection>
+</debate></akomaNtoso>"""
+
+
 @pytest.fixture()
 def raw_root(tmp_path):
     root = tmp_path / "raw"
@@ -72,6 +82,11 @@ def raw_root(tmp_path):
     (root / "members.jsonl").write_text(json.dumps(_members_page()) + "\n")
     (root / "divisions.jsonl").write_text(
         json.dumps(_divisions_page()) + "\n")
+    (root / "debate_xml.jsonl").write_text(json.dumps({
+        "debate_id": "/debate/2025-03-05/dail",
+        "debate_date": "2025-03-05",
+        "xml_uri": "/debate/xml", "xml_url": "https://host/d.xml",
+        "xml": _SPEECH_XML}) + "\n")
     return str(root)
 
 
@@ -84,7 +99,7 @@ def test_build_table_silver_to_gold(spark, tmp_path, raw_root):
     for t in ("silver_members", "silver_member_memberships",
               "silver_member_parties", "silver_member_constituencies",
               "silver_member_offices", "silver_member_votes",
-              "silver_divisions"):
+              "silver_divisions", "silver_speeches"):
         built[t] = build_table(spark, catalog, registry, t, **kw)
         assert isinstance(built[t], BuildResult) and built[t].dq_passed
     assert built["silver_members"].row_count == 2
@@ -97,7 +112,7 @@ def test_build_table_silver_to_gold(spark, tmp_path, raw_root):
     res = build_table(spark, catalog, registry, "gold_current_members",
                       batch_id="b1", snapshot_date=SNAP)
     assert res.row_count == 2
-    # yearly mart: speeches absent → empty-frame fallback, votes drive it
+    # yearly mart over the same batch (speeches present this time)
     res_y = build_table(spark, catalog, registry,
                         "gold_member_activity_yearly",
                         batch_id="b1", snapshot_date=SNAP)
@@ -114,6 +129,9 @@ def test_build_table_silver_to_gold(spark, tmp_path, raw_root):
         spark, "gold_member_activity_yearly").collect()}
     assert got[("TD001", "2025")]["votes_cast_count"] == 1
     assert got[("TD001", "2025")]["division_count"] == 1
+    # the XML-built speeches table feeds the mart's speech counts
+    assert got[("TD001", "2025")]["speech_count"] == 1
+    assert got[("TD002", "2025")]["speech_count"] == 0
 
 
 def test_build_table_mode_test_caps_input(spark, tmp_path, raw_root):

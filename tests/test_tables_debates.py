@@ -119,3 +119,51 @@ def test_weekly_sentence_candidates(spark):
         "||".join(["202509", "Aoife Byrne", "This is ridiculous!"])
         .encode()).hexdigest()[:24]
     assert r["candidate_id"] == expected
+
+
+def test_silver_speeches_from_xml_corpus(spark):
+    from tests.test_sources import DEBATE_XML
+    from eirepolitic_data_pipeline_spark.tables import silver_speeches
+    df = spark.createDataFrame(
+        [("/debate/2025-03-05/dail", "2025-03-05",
+          "/debate/xml", "https://host/debate.xml", DEBATE_XML)],
+        "debate_id string, debate_date string, xml_uri string, "
+        "xml_url string, xml string")
+    out = {r["speech_order"]: r for r in
+           silver_speeches(df, snapshot_date="2026-08-13").collect()}
+    assert len(out) == 4
+    s2 = out[2]
+    assert s2["debate_id"] == "/debate/2025-03-05/dail"
+    assert s2["speaker_member_code"] == "alice-1"
+    assert s2["speaker_match_method"] == "xml_tlc_person_href"
+    assert s2["speaker_match_confidence"] == 1.0
+    assert s2["speech_text"] == "First housing point. Second point."
+    assert s2["word_count"] == 5 and s2["char_count"] == len(s2["speech_text"])
+    assert len(s2["speech_text_hash"]) == 24
+    assert s2["debate_date"] == "2025-03-05"
+    # section id = debate-uri base + section eId; fixture sections carry
+    # no eId so the locator stays blank rather than inventing one
+    assert s2["debate_section_id"] == ""
+    assert s2["source_file_id"].startswith("source_file:")
+    assert s2["xml_source_key"].startswith("raw/source_files/debate/")
+    assert s2["xml_source_key"].endswith(".xml")
+    # unmatched speaker: no method, null confidence, humanized ref name
+    s4 = out[4]
+    assert s4["speaker_member_code"] == ""
+    assert s4["speaker_match_method"] == ""
+    assert s4["speaker_match_confidence"] is None
+    assert s4["speaker_name"] == "unknown"
+
+
+def test_silver_speeches_section_eid_locator(spark):
+    from eirepolitic_data_pipeline_spark.tables import silver_speeches
+    xml = """<?xml version="1.0"?>
+<akomaNtoso><debate>
+  <debateSection name="housing" eId="dbsect_7">
+    <speech by="#X"><p>Point made.</p></speech>
+  </debateSection>
+</debate></akomaNtoso>"""
+    df = spark.createDataFrame(
+        [("/debate/2025-03-05/dail", xml)], "debate_id string, xml string")
+    row = silver_speeches(df, snapshot_date="2026-08-13").collect()[0]
+    assert row["debate_section_id"] == "/debate/2025-03-05/dbsect_7"
