@@ -206,6 +206,19 @@ class BatchCatalog:
         atomic.heal_interrupted_swap(path)
         return os.path.isdir(path)
 
+    def batch_tables(self, batch_id: str) -> list[str]:
+        """Tables the batch manifest records, sorted — what promote should
+        validate when a run promotes the whole batch."""
+        return sorted(self._load_manifest(batch_id).get("tables", {}))
+
+    def batch_has_table(self, batch_id: str, table: str) -> bool:
+        """READER-side existence check: consults only the batch manifest,
+        never the filesystem, so it cannot interfere with a concurrent
+        writer's in-flight atomic swap (candidate_table_exists heals and
+        is writer-only). record_table runs after the data lands, so a
+        manifest entry implies a complete readable table."""
+        return table in self._load_manifest(batch_id).get("tables", {})
+
     def read_table(self, spark: SparkSession, table: str,
                    batch_id: Optional[str] = None) -> DataFrame:
         """Read a table; production reads resolve through the pointer.

@@ -16,11 +16,16 @@ promotion stays explicit (``--promote``), mirroring the reference's
 
 The raw layout is one JSON-lines file per API source under ``--raw-root``
 (``members.jsonl`` …, one fetched page payload per line) — the shape
-`sources.rest.PaginatedRestSource.fetch_all` archives. Control tables are
-produced by the run machinery (io/catalog manifests, plans/quality
-results), not by builders, and silver_speeches requires the XML debate
-corpus (sources/xml.py) — build_table reports these as unsupported
-rather than pretending.
+`sources.rest.PaginatedRestSource.fetch_all` archives; silver_speeches
+reads ``debate_xml.jsonl`` rows carrying the downloaded XML documents.
+Control tables are produced by the run machinery (io/catalog manifests,
+plans/quality results), not by builders — build_table reports them as
+unsupported rather than pretending.
+
+The production pointer is batch-GLOBAL: a promote moves every read to
+the promoted batch, so a refresh run builds ALL its tables into one
+batch and passes ``--promote`` on the last invocation (promotion
+validates the batch's entire manifest).
 """
 
 from __future__ import annotations
@@ -34,6 +39,7 @@ from dataclasses import dataclass, field
 from datetime import date
 from typing import Any, Callable, Optional, Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -164,19 +170,47 @@ class BuildResult:
 
 
 def _read_raw(spark: SparkSession, raw_root: str, stem: str,
-              mode: str, limit: int) -> DataFrame:
+              mode: str, limit: int, fmt: str = "text") -> DataFrame:
     """Payload frame from the raw archive: every line of
     ``{raw_root}/{stem}.jsonl`` (or ``{stem}/*.jsonl``) is one page
-    payload. mode=test caps pages read — reference P11."""
+    payload — read as one text column named ``payload`` (``fmt='text'``,
+    the JSON-string input the silver builders parse themselves) or as
+    schema-inferred rows (``fmt='json'``, the XML-corpus shape). mode=test
+    caps pages read — reference P11."""
     paths = [p for pat in (f"{stem}.jsonl", os.path.join(stem, "*.jsonl"))
              for p in glob.glob(os.path.join(raw_root, pat))]
     if not paths:
         raise FileNotFoundError(
             f"no raw payloads for source {stem!r} under {raw_root!r}")
-    df = spark.read.text(paths).withColumnRenamed("value", "payload")
+    if fmt == "json":
+        df = spark.read.json(paths)
+    else:
+        df = spark.read.text(paths).withColumnRenamed("value", "payload")
     if mode == "test":
         df = df.limit(max(1, limit))
     return df
+
+
+def _read_input_or_none(spark: SparkSession, catalog: BatchCatalog,
+                        name: str, batch_id: str) -> Optional[DataFrame]:
+    """Gold-input read with candidate-first resolution; returns None ONLY
+    for genuine absence (no manifest entry in the candidate batch AND no
+    production copy). Any other failure — corrupt files, I/O errors on a
+    table that exists — propagates: substituting an empty stub there
+    would silently blank the mart's columns. The candidate check reads
+    the batch manifest (batch_has_table), never the filesystem, so it
+    cannot disturb a concurrent writer's atomic swap."""
+    bid = batch_id if catalog.batch_has_table(batch_id, name) else None
+    try:
+        return _stringified(catalog.read_table(spark, name, batch_id=bid))
+    except CatalogError:
+        return None        # no production pointer yet
+    except AnalysisException as e:
+        get_cond = getattr(e, "getCondition", None) or \
+            getattr(e, "getErrorClass", None)
+        if get_cond is not None and get_cond() == "PATH_NOT_FOUND":
+            return None    # pointer exists, table absent from that batch
+        raise
 
 
 def _stringified(df: DataFrame) -> DataFrame:
@@ -216,14 +250,8 @@ def build_table(spark: SparkSession, catalog: BatchCatalog,
         # {debate_id, debate_date, xml_uri, xml_url, xml} — the downloaded
         # archive shape sources/files.py's XML fetch (S6) produces
         from ..tables import silver_speeches
-        paths = [p for pat in ("debate_xml.jsonl", "debate_xml/*.jsonl")
-                 for p in glob.glob(os.path.join(raw_root, pat))]
-        if not paths:
-            raise FileNotFoundError(
-                f"no raw payloads for source 'debate_xml' under {raw_root!r}")
-        corpus = spark.read.json(paths)
-        if mode == "test":
-            corpus = corpus.limit(max(1, limit))
+        corpus = _read_raw(spark, raw_root, "debate_xml", mode, limit,
+                           fmt="json")
         out = silver_speeches(corpus, snapshot_date=snapshot_date)
     elif table in SILVER_BUILDERS:
         fn, stem = SILVER_BUILDERS[table]
@@ -233,27 +261,26 @@ def build_table(spark: SparkSession, catalog: BatchCatalog,
         fn, input_tables, optional = GOLD_BUILDERS[table]
         inputs = []
         for name in input_tables:
-            try:
-                # inputs built earlier in THIS batch win over production —
-                # batches are full immutable snapshots (one batch per
-                # refresh run, promoted once at the end), so gold layers
-                # must see the silver tables the same run just produced
-                bid = batch_id if catalog.candidate_table_exists(
-                    batch_id, name) else None
-                inputs.append(_stringified(
-                    catalog.read_table(spark, name, batch_id=bid)))
-            except Exception as e:
-                if name in UNSUPPORTED or name in optional:
-                    cols = _EMPTY_INPUT_COLUMNS.get(name)
-                    if cols is None:
-                        inputs.append(None)
-                        continue
-                    inputs.append(spark.createDataFrame(
-                        [], ", ".join(f"{c} string" for c in cols)))
-                else:
-                    raise CatalogError(
-                        f"{table}: required input {name!r} not readable "
-                        f"({e}); build and promote it first") from e
+            # inputs built earlier in THIS batch win over production —
+            # batches are full immutable snapshots (one batch per refresh
+            # run, promoted once at the end), so gold layers must see the
+            # silver tables the same run just produced
+            df = _read_input_or_none(spark, catalog, name, batch_id)
+            if df is not None:
+                inputs.append(df)
+                continue
+            if name not in optional:
+                raise CatalogError(
+                    f"{table}: required input {name!r} does not exist in "
+                    f"batch {batch_id!r} or production; build it first")
+            cols = _EMPTY_INPUT_COLUMNS.get(name)
+            if cols is None:
+                raise CatalogError(
+                    f"{table}: optional input {name!r} is absent and has "
+                    "no _EMPTY_INPUT_COLUMNS stub — add one so the "
+                    "builder receives a typed empty frame, not None")
+            inputs.append(spark.createDataFrame(
+                [], ", ".join(f"{c} string" for c in cols)))
         out = fn(*inputs, snapshot_date)
     else:
         raise CatalogError(f"unknown table {table!r}; registry declares: "
@@ -275,7 +302,12 @@ def build_table(spark: SparkSession, catalog: BatchCatalog,
     merged = writer.write(conformed, table, tdef.policy, batch_id=batch_id)
     n = merged.count()
     if promote:
-        catalog.promote(batch_id, [table])
+        # The production pointer is batch-GLOBAL: promoting moves every
+        # read to this batch, so promote validates the batch's ENTIRE
+        # manifest (all tables this run built), not just this table.
+        # Build every table of the run into one batch, then pass
+        # --promote on the last invocation.
+        catalog.promote(batch_id, catalog.batch_tables(batch_id))
     return BuildResult(table=table, batch_id=batch_id, row_count=n,
                        dq_passed=True, dq=dq, promoted=promote)
 

@@ -62,14 +62,20 @@ def _person_refs(root: ET.Element) -> dict[str, dict[str, str]]:
     return refs
 
 
-def _speaker_name_of(el: ET.Element, by: str) -> str:
-    """Display name from a from/docProponent/speaker child, else the
-    humanized ref (reference `xml_debates.py:202-213`)."""
+def _speaker_name_of(el: ET.Element, by: str, show_as: str) -> str:
+    """Display name: from/docProponent/speaker child, else the TLCPerson
+    showAs, else the humanized ref. The reference
+    (`xml_debates.py:111,202-213`) orders humanized-ref BEFORE showAs,
+    which makes its showAs fallback unreachable (show_as can only be
+    non-empty when `by` is) — deliberate divergence: the registry's
+    display name beats a de-underscored eId."""
     for child in el:
         if _local(child.tag) in ("from", "docProponent", "speaker"):
             text = _text_of(child)
             if text:
                 return text
+    if show_as:
+        return show_as
     if by:
         return re.sub(r"[_-]+", " ", by).strip()
     return ""
@@ -121,8 +127,8 @@ def parse_debate_xml(debate_id: str, xml_bytes: bytes) -> list[dict]:
                 "section_eid": section_stack[-1][1] if section_stack else "",
                 "member_code": member_code,
                 "speaker_ref": by,
-                "speaker_name": _speaker_name_of(el, by)
-                or person.get("show_as", ""),
+                "speaker_name": _speaker_name_of(
+                    el, by, person.get("show_as", "")),
                 "match_method": match_method,
                 "language": lang or "",
                 "text": text,

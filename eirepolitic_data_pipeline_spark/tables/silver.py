@@ -600,10 +600,21 @@ def _membership_subdimension(df: DataFrame, kind: str, json_col: str,
                         }
 
     out = _flatten_stage(df, json_col, spec["columns"], rows_of)
+    from pyspark.sql import functions as F
+
     from ..operators.dedupe import dedupe_keep_first
-    return dedupe_keep_first(
+    deduped = dedupe_keep_first(
         out, ["member_code", uri_col, start_col, end_col],
         order_by=[name_col, "is_current", id_col])
+    # The generated row id ignores the END date (like the membership id:
+    # an interval whose end moved must update the same row), so entries
+    # differing only in end share a PK and survive the business-key
+    # dedupe above — collapse them keeping the current/open row, then
+    # latest end, deterministically.
+    return dedupe_keep_first(
+        deduped, [id_col],
+        order_by=[F.col("is_current").desc(),
+                  F.col(end_col).desc_nulls_last(), F.col(name_col)])
 
 
 def silver_member_parties(df: DataFrame, json_col: str = "payload",

@@ -462,3 +462,27 @@ def test_silver_divisions(spark):
     assert g["division_date"] == "2025-03-07"        # page contextDate
     assert g["house_no"] == "33" and g["debate_id"] == "/debate/x"
     assert g["outcome"] == "Lost"
+
+
+def test_subdimension_end_moved_collapses_to_one_pk_row(spark):
+    """Two office entries identical except the end bound share a generated
+    PK (the id ignores end, like the membership id); the open/current row
+    must win and the PK stay unique."""
+    from eirepolitic_data_pipeline_spark.tables import silver_member_offices
+    payload = {"results": [{"member": {
+        "memberCode": "TD012", "fullName": "G H",
+        "memberships": [{"membership": {
+            "uri": "/membership/12",
+            "offices": [
+                {"office": {"uri": "/office/7", "showAs": "Whip",
+                            "dateRange": {"start": "2020-01-01",
+                                          "end": None}}},
+                {"office": {"uri": "/office/7", "showAs": "Whip",
+                            "dateRange": {"start": "2020-01-01",
+                                          "end": "2021-06-30"}}},
+            ]}}]}}]}
+    rows = silver_member_offices(_payload_df(spark, payload),
+                                 today=TODAY).collect()
+    assert len(rows) == 1
+    assert rows[0]["office_end"] == ""        # open interval kept
+    assert rows[0]["is_current"] == "true"
