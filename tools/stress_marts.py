@@ -154,7 +154,16 @@ def main():
     print(f"merge join: plain {t_merge_plain}s vs bucketed {t_merge_bkt}s "
           f"(exchanges={n_ex}), rows {n_new_plain}/{n_new_bkt}")
 
-    with open(args.out, "a") as f:
+    # replace this script's own section on rerun (keep everything before
+    # it, e.g. the dedup stress section) instead of appending duplicates
+    prior = ""
+    if os.path.exists(args.out):
+        prior = open(args.out).read()
+        idx = prior.find("## Gold-mart scale stress")
+        if idx >= 0:
+            prior = prior[:idx].rstrip() + "\n\n"
+    with open(args.out, "w") as f:
+        f.write(prior)
         f.write(
             "\n## Gold-mart scale stress (tools/stress_marts.py)\n\n"
             f"Synthetic silver: **{n_votes} vote rows + {n_speeches} speech "
@@ -173,8 +182,22 @@ def main():
             "Recurring-merge join (the bucketing win case — both sides "
             f"fact-sized, every refresh): plain {t_merge_plain}s vs "
             f"bucketed {t_merge_bkt}s ({n_ex} Exchanges in the bucketed "
-            f"plan), identical result counts: **{merge_same}**.\n")
-    print(f"appended mart section to {args.out}")
+            f"plan), identical result counts: **{merge_same}**.\n\n"
+            "Honest read of the wall clocks: this host's 10-20 s jobs "
+            "swing 2-4x under background load, so single-run walls bound, "
+            "not rank, the two paths. What IS deterministic and verified: "
+            "the bucketed + normalized path plans the fact-side "
+            "aggregations and the merge join with ZERO Exchanges "
+            "(plan-asserted here and in tests/test_bucketing.py) and "
+            "produces byte-identical output. Where that matters at "
+            "cluster scale: shuffles whose volume is FACT-sized — the "
+            "recurring merge/dedupe joins and non-combinable aggregates. "
+            "The marts' own combinable aggregations shuffle only "
+            "dimension-sized partial aggregates, so for them bucketing is "
+            "a wash by construction; it is wired as an opt-in per table, "
+            "defensive re-trim remaining the default for inputs of "
+            "unknown provenance.\n")
+    print(f"wrote mart section to {args.out}")
     spark.stop()
     sys.exit(0 if (same and dim_bounded and merge_same) else 1)
 
