@@ -30,6 +30,7 @@ from .sketches import hll_estimate, hll_merge, hll_rollup  # noqa: F401
 from .incremental import incremental_additive, recompute_groups  # noqa: F401
 from .skew import salted_agg, salted_string_agg, salted_top_n  # noqa: F401
 from .curation import (  # noqa: F401
+    curate_corpus,
     dataset_split,
     domain_stats,
     filter_domains,

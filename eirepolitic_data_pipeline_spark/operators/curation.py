@@ -247,6 +247,69 @@ def mix_sources(df: DataFrame, source_col: str, key_col: str,
             .drop("__frac"))
 
 
+def curate_corpus(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", source_col: str = "source",
+                  benchmark: DataFrame | None = None,
+                  min_tokens: int = 5, min_alpha_ratio: float = 0.5,
+                  max_line_df: int = 100,
+                  near_dup_threshold: float = 0.7,
+                  split_weights: Mapping[str, float] | None = None) -> DataFrame:
+    """The flagship end-to-end training-data curation recipe, composed
+    from this module's and ``operators.dedupe``'s primitives in the order
+    web-scale pipelines (C4 / Gopher / RefinedWeb) run them:
+
+    1. quality gate — token count + alpha ratio thresholds (cheap map
+       pass first, so every later stage sees less data);
+    2. corpus-level boilerplate-line removal (``dedupe_lines`` with a
+       BOILERPLATE threshold — ``max_line_df`` documents; 1 here would
+       strip the shared body of exact duplicates before step 3 could
+       pick a canonical), then a re-check of the token floor;
+    3. exact dedup — one row per normalized-content fingerprint, min id
+       canonical (one shuffle);
+    4. near-dup collapse — MinHash/LSH + verify + connected components
+       (``minhash_dedup``), keep the component canonical;
+    5. optional benchmark decontamination (``decontaminate``);
+    6. deterministic leakage-safe split labels keyed on ``source_col``.
+
+    Returns the curated frame (original columns + ``split``) with a
+    ``curation_stage`` column left OUT by design — stage attrition is the
+    caller's telemetry concern (count the frames between stages); baking
+    counts in here would force an action per stage inside the operator.
+
+    Every stage is the already-stress-tested scale shape: map-side
+    filters, the skew-capped posting-list expansion, bounded component
+    closure — no new shuffle pattern is introduced by the composition."""
+    from ..functions.text import quality_features
+    from .dedupe import (dedupe_lines, decontaminate,
+                         exact_duplicate_groups, minhash_dedup)
+
+    q = quality_features(text_col)
+    kept = docs.filter((q["n_tokens"] >= min_tokens)
+                       & (q["alpha_ratio"] >= min_alpha_ratio))
+
+    cleaned = dedupe_lines(kept.select(id_col, text_col), text_col, id_col,
+                           max_df=max_line_df)
+    others = [c for c in kept.columns if c != text_col]
+    kept = (kept.select(*others).join(cleaned, id_col)
+            .filter(quality_features(text_col)["n_tokens"] >= min_tokens))
+
+    exact = exact_duplicate_groups(kept, text_col, id_col)
+    kept = kept.join(
+        exact.filter(F.col(id_col) == F.col("canonical_id"))
+        .select(id_col), id_col, "left_semi")
+
+    comp = minhash_dedup(kept, text_col, id_col,
+                         threshold=near_dup_threshold)
+    kept = kept.join(
+        comp.filter(F.col(id_col) == F.col("canonical_id"))
+        .select(id_col), id_col, "left_semi")
+
+    if benchmark is not None:
+        kept, _ = decontaminate(kept, benchmark, text_col, id_col)
+
+    return dataset_split(kept, source_col, split_weights)
+
+
 def resample_periodic(df: DataFrame, key_cols: Sequence[str], ts_col: str,
                       step: str, value_cols: Sequence[str],
                       fill: str = "ffill") -> DataFrame:

@@ -161,3 +161,39 @@ def test_mix_sources_alpha_extremes_and_determinism(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_curate_corpus_end_to_end(spark):
+    """The composed curation recipe: quality gate → line dedup → exact
+    dedup → near-dup collapse → decontamination → split labels."""
+    from eirepolitic_data_pipeline_spark.operators.curation import (
+        curate_corpus)
+    banner = "accept all cookies to continue browsing this site now"
+    body = ("the quick brown fox jumps over the lazy dog and keeps on "
+            "running through the quiet green fields after sunrise")
+    rows = [
+        (1, f"{banner}\n{body}", "sA"),
+        (2, f"{banner}\n{body}", "sA"),              # exact dup of 1
+        (3, f"{banner}\n{body} extra tail words", "sA"),  # near-dup of 1
+        (4, "!!!! ???? ....", "sB"),                 # fails alpha gate
+        (5, "short", "sB"),                          # fails token floor
+        (6, banner, "sB"),                           # only boilerplate
+        (7, "completely different independent document about sailing "
+            "boats across the northern atlantic in winter storms", "sB"),
+        (8, body, "sC"),                             # near-dup of 1 (no banner)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame(
+        [(100, "sailing boats across the northern atlantic in winter "
+               "storms is a benchmark sentence")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           curate_corpus(docs, benchmark=bench, max_line_df=3).collect()}
+    # 1 survives as the canonical of {1,2,3,8}; 7 is killed by the
+    # benchmark 8-gram overlap; 4/5/6 fail gates
+    assert set(out) == {1}
+    assert out[1]["text"] == body                    # banner stripped
+    assert out[1]["split"] in {"train", "val", "test"}
+    # without the benchmark, 7 survives too
+    out2 = {r["doc_id"] for r in
+            curate_corpus(docs, max_line_df=3).collect()}
+    assert out2 == {1, 7}
