@@ -44,10 +44,16 @@ def extract_json_payload(raw: str) -> Any:
 
 
 def parse_scores(text: str, expected_ids: Sequence[str],
-                 lo: int = 1, hi: int = 100) -> Dict[str, int]:
+                 lo: int = 1, hi: int = 100,
+                 id_key: str = "candidate_id") -> Dict[str, int]:
     """Strict id-set validation (reference `:333-358`): every expected id
     exactly once, nothing extra; non-dict items and unparseable scores are
-    skipped (and then surface as missing ids); scores clamp to [lo, hi]."""
+    skipped (and then surface as missing ids); scores clamp to [lo, hi].
+
+    ``id_key`` must match the key ``build_scoring_prompt`` instructed the
+    model to use — the prompt parameterizes it, so the parser must too
+    (a config with ``id_col != 'candidate_id'`` could otherwise never
+    validate a single response)."""
     data = extract_json_payload(text)
     items = data["scores"] if isinstance(data, dict) and "scores" in data else data
     if not isinstance(items, list):
@@ -57,7 +63,7 @@ def parse_scores(text: str, expected_ids: Sequence[str],
     for item in items:
         if not isinstance(item, dict):
             continue
-        cid = str(item.get("candidate_id", "")).strip()
+        cid = str(item.get(id_key, "")).strip()
         if not cid:
             continue
         try:
@@ -128,7 +134,7 @@ class BatchScoreRunner:
         for _ in range(cfg.max_retries):
             try:
                 return parse_scores(client(attempt_prompt), expected,
-                                    cfg.lo, cfg.hi)
+                                    cfg.lo, cfg.hi, id_key=cfg.id_col)
             except (ValueError, json.JSONDecodeError, KeyError) as e:
                 last_err = e
                 attempt_prompt = (

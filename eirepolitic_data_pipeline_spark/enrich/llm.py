@@ -103,14 +103,24 @@ class LLMColumnRunner:
     def run(self, df: DataFrame,
             existing: Optional[DataFrame] = None) -> DataFrame:
         """Enrich ``df`` with the configured column; rows already present in
-        ``existing`` (same id, non-null output) are reused, not recomputed."""
+        ``existing`` (same id, non-null output) are reused, not recomputed.
+
+        Resume is KEYED on ``id_col``: rows with a null id cannot join an
+        answer back, so they bypass the LLM and carry ``cfg.fallback``
+        instead of silently vanishing (a null key never matches any join)."""
         cfg = self.config
+        null_rows = df.filter(F.col(cfg.id_col).isNull()) \
+            .withColumn(cfg.output_col, F.lit(cfg.fallback).cast("string"))
+        df = df.filter(F.col(cfg.id_col).isNotNull())
         todo = df
         done = None
         if existing is not None and not cfg.overwrite:
-            done = existing.select(
-                cfg.id_col, F.col(cfg.output_col)).filter(
-                F.col(cfg.output_col).isNotNull())
+            # one answer per id even if `existing` accumulated duplicates
+            # (unioned prior runs): max is an arbitrary-but-deterministic
+            # pick, so the reused join cannot multiply rows
+            done = (existing.filter(F.col(cfg.output_col).isNotNull())
+                    .groupBy(cfg.id_col)
+                    .agg(F.max(cfg.output_col).alias(cfg.output_col)))
             todo = df.join(done.select(cfg.id_col), cfg.id_col, "left_anti")
 
         in_cols = [cfg.id_col, *[c for c in cfg.input_cols if c != cfg.id_col]]
@@ -123,4 +133,4 @@ class LLMColumnRunner:
         if done is not None:
             reused = df.join(done, cfg.id_col, "inner")
             out = out.filter(F.col(cfg.output_col).isNotNull()).unionByName(reused)
-        return out
+        return out.unionByName(null_rows)

@@ -362,7 +362,10 @@ def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
                     "duration_ms": (int(len(samples) * 1000 / rate)
                                     if rate > 0 else 0),
                     "rms": float(np.sqrt((x * x).mean())) if len(x) else 0.0,
-                    "peak": int(np.abs(samples).max()) if len(x) else 0,
+                    # abs on the float64 copy: np.abs on int16 wraps at
+                    # -32768 (abs(-32768) == -32768), reporting a negative
+                    # peak for full-scale negative samples
+                    "peak": int(np.abs(x).max()) if len(x) else 0,
                 })
             yield pd.DataFrame(
                 rows, columns=["media_id", "sample_rate", "duration_ms",

@@ -48,8 +48,12 @@ def to_public_profile_url(member_uri: Optional[str]) -> Optional[str]:
         return None
     if "data.oireachtas.ie" in member_uri and \
             "/ie/oireachtas/member/id/" in member_uri:
-        return member_uri.replace(_DATA_URI_PREFIX,
-                                  _PUBLIC_PREFIX).rstrip("/") + "/"
+        # regex, not str.replace of the exact https prefix: an http:// (or
+        # scheme-relative) data-API URI satisfies the condition above, and
+        # a no-op replace would return the raw data URI as the "public
+        # profile URL" — the fetch then gets JSON instead of the page
+        code = member_uri.split("/ie/oireachtas/member/id/", 1)[1]
+        return _PUBLIC_PREFIX + code.rstrip("/") + "/"
     if member_uri.startswith(("http://", "https://")):
         return member_uri.rstrip("/") + "/"
     return None

@@ -165,7 +165,6 @@ class BatchCatalog:
                 f"refusing candidate write of {table!r} without a batch id")
         self._refuse_if_promoted(batch_id)
         path = self.batch_path(batch_id, table)
-        row_count = df.count()
         atomic.heal_interrupted_swap(path)
         if overwrite and os.path.isdir(path):
             # Atomic-swap overwrite: the incoming plan may READ the current
@@ -183,6 +182,12 @@ class BatchCatalog:
         else:
             mode = "overwrite" if overwrite else "errorifexists"
             self._writer(df, mode, partition_by).parquet(path)
+        # Count from the COMMITTED parquet footers, not a pre-write
+        # df.count(): counting the plan executes it a second time (2x cost,
+        # and a non-deterministic enrichment stage could make the manifest
+        # disagree with the rows actually written). The footer count is a
+        # metadata read.
+        row_count = df.sparkSession.read.parquet(path).count()
         self.record_table(batch_id, table, row_count, status,
                           replace=overwrite, partition_by=partition_by)
 
@@ -254,6 +259,15 @@ class BatchCatalog:
         self._write_pointer(batch_id, previous=self.production_batch_id())
 
     def rollback(self, to_batch_id: str):
+        """Re-point production at a PREVIOUSLY PROMOTED batch. A batch that
+        was never promoted is still mutable (write_table accepts it), so
+        pointing production at it would let readers observe tables being
+        swapped out from under them — the immutability invariant promote()
+        stamps is exactly what makes a batch a valid rollback target."""
         if not os.path.isdir(os.path.join(self.root, "batches", to_batch_id)):
             raise CatalogError(f"unknown batch {to_batch_id!r}")
+        if not self._load_manifest(to_batch_id).get("promoted_at_unix"):
+            raise CatalogError(
+                f"batch {to_batch_id!r} was never promoted — it is still "
+                "mutable and unvalidated, so it cannot serve production")
         self._write_pointer(to_batch_id, previous=self.production_batch_id())

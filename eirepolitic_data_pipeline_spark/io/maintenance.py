@@ -46,7 +46,28 @@ def delete_column(spark, path: str, column: str, *, fmt: str = "parquet",
     Returns True if the column existed and was removed; False for the lax
     no-op. ``strict=True`` raises instead of no-op'ing, mirroring the
     reference's STRICT=1 (`delete_s3_column.py:17-19,58,68`).
+
+    Hive-partitioned layouts recurse PER LEAF PARTITION, same as
+    compact_dataset and for the same reason: reading the root folds the
+    ``col=value`` dirs into inferred typed data columns and a flat rewrite
+    would destroy the layout (pruning gone) and silently canonicalize the
+    partition-value spellings. Deleting a partition column itself is
+    refused — that is a re-layout, not a column delete.
     """
+    parts = _hive_partition_dirs(path)
+    if parts:
+        if any(p.split("=", 1)[0] == column for p in parts):
+            raise ValueError(
+                f"{column!r} is a hive PARTITION column of {path}; deleting "
+                "it changes the physical layout — rewrite via "
+                "compact/re-partition instead")
+        removed = False
+        for p in parts:
+            removed |= delete_column(spark, os.path.join(path, p),
+                                     column, fmt=fmt, strict=False)
+        if strict and not removed:
+            raise ValueError(f"Column {column!r} not found in {path}")
+        return removed
     atomic.heal_interrupted_swap(path)
     reader = spark.read.format(fmt)
     if fmt == "csv":

@@ -11,6 +11,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.merge import WritePolicy, merge_for_policy
@@ -58,7 +59,19 @@ class MergeWriter:
             try:
                 existing = self.catalog.read_table(self.spark, table)
             except CatalogError:
-                existing = None
+                existing = None     # no production pointer yet
+            except AnalysisException as e:
+                # A table ABSENT from the production batch (first write of
+                # a NEW table after some batch was promoted) is genuine
+                # absence; any other read failure propagates — treating a
+                # corrupt existing table as "no history" would silently
+                # reset retained history to this write's input.
+                get_cond = getattr(e, "getCondition", None) or \
+                    getattr(e, "getErrorClass", None)
+                if get_cond is not None and get_cond() == "PATH_NOT_FOUND":
+                    existing = None
+                else:
+                    raise
         merged = merge_for_policy(existing, incoming, policy)
         partition_by = ()
         if snapshot_date is not None:

@@ -118,7 +118,8 @@ def streaming_merge_sink(events: DataFrame, writer, table: str, policy,
                          batch_id: str, *, id_col: str = "event_id",
                          watermark: str = "35 days",
                          checkpoint_dir: str | None = None,
-                         ts_col: str = "ts"):
+                         ts_col: str = "ts",
+                         processing_interval: str | None = None):
     """Continuous ingestion into the engine's merge-on-write catalog.
 
     Wires Structured Streaming to the MergeWriter through ``foreachBatch``:
@@ -135,27 +136,38 @@ def streaming_merge_sink(events: DataFrame, writer, table: str, policy,
     refused here — append-shaped streams should carry a deterministic id
     and use upsert on it.
 
-    Returns the StreamingQuery (caller owns awaitTermination / stop).
+    ``processing_interval`` selects the trigger: None (default) runs
+    availableNow — drain what exists and stop, the batch-orchestrated
+    refresh shape; a duration string ("30 seconds") runs the continuous
+    micro-batch trigger for a long-lived ingestion query.
+
+    Streaming input returns the StreamingQuery (caller owns
+    awaitTermination / stop). A BATCH frame (tests, backfills) cannot
+    writeStream — it is applied through the same merge path once and
+    returns None.
     """
     if policy.mode == "append":
         raise ValueError(
             "streaming_merge_sink requires a key-idempotent policy "
             "(upsert/snapshot_replace/rebuild); 'append' duplicates rows "
             "when a failed epoch replays from the checkpoint")
-    src = events
-    if src.isStreaming:
-        # Within-watermark dedup: bounded state (see dedup_events_stream).
-        src = (src.withWatermark(ts_col, watermark)
-               .dropDuplicatesWithinWatermark([id_col]))
-    else:
-        src = src.dropDuplicates([id_col])
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         writer.write(batch_df, table, policy, batch_id, accumulate=True)
 
-    w = src.writeStream.foreachBatch(apply_batch).trigger(availableNow=True)
+    if not events.isStreaming:
+        apply_batch(events.dropDuplicates([id_col]), 0)
+        return None
+    # Within-watermark dedup: bounded state (see dedup_events_stream).
+    src = (events.withWatermark(ts_col, watermark)
+           .dropDuplicatesWithinWatermark([id_col]))
+    w = src.writeStream.foreachBatch(apply_batch)
+    if processing_interval is None:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime=processing_interval)
     if checkpoint_dir is not None:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
