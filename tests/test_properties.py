@@ -263,3 +263,52 @@ def test_mix_sources_invariants_fuzz(spark, rows, alpha, target):
                         target_rows=target).collect()
     assert sorted(r["doc_id"] for r in again) == \
         sorted(r["doc_id"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# corpus line dedup (Spark-backed)
+# ---------------------------------------------------------------------------
+
+line_texts = st.lists(
+    st.sampled_from([
+        "please accept all cookies to continue",     # likely-hot banner
+        "subscribe to our newsletter for updates",   # second banner
+        "unique content about topic alpha omega",
+        "another body line with its own words here",
+        "ok",                                        # under min_chars
+        "",
+    ]),
+    min_size=0, max_size=5)
+
+
+@SPARK_SETTINGS
+@given(docs=st.lists(line_texts, min_size=1, max_size=8),
+       max_df=st.integers(1, 3))
+def test_dedupe_lines_invariants_fuzz(spark, docs, max_df):
+    """Row conservation, short-line exemption, and idempotence for any
+    line composition and frequency cap."""
+    from eirepolitic_data_pipeline_spark.operators.dedupe import dedupe_lines
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedupe_lines(df, max_df=max_df).collect()
+    # 1. documents are never dropped
+    assert {r["doc_id"] for r in out} == {i for i, _ in rows}
+    by_id = {r["doc_id"]: r["text"] for r in out}
+    # 2. short lines (< min_chars after trim) always survive, and every
+    #    surviving line came from the original doc in original order
+    for i, lines in enumerate(docs):
+        out_lines = by_id[i].split("\n") if by_id[i] else []
+        orig_iter = iter(lines)
+        for ln in out_lines:
+            for cand in orig_iter:
+                if cand == ln:
+                    break
+            else:
+                raise AssertionError(f"line {ln!r} out of order / invented")
+        assert [l for l in lines if 0 < len(l.strip()) < 10
+                ] == [l for l in out_lines if 0 < len(l.strip()) < 10]
+    # 3. idempotent: a second pass changes nothing
+    again = {r["doc_id"]: r["text"] for r in dedupe_lines(
+        spark.createDataFrame(out, "doc_id long, text string"),
+        max_df=max_df).collect()}
+    assert again == by_id
