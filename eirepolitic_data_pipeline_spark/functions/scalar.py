@@ -205,8 +205,15 @@ def int_or_2dp(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     n = F.coalesce(c.cast("string").try_cast("double"), F.lit(0.0))
     r = F.round(n, 2)
-    return F.when(r == F.floor(r), r.cast("long").cast("string")) \
-        .otherwise(r.cast("string"))
+    # DECIMAL render, not double->string: Spark casts doubles >= 1e7 to
+    # scientific notation ('1.23456785E7'), which no headline (or the
+    # DuckDB oracle's CAST AS VARCHAR) ever shows. decimal(38,2) prints
+    # plain digits; the non-whole branch strips a trailing zero so
+    # '12.50' reads '12.5' like str(round(v, 2)).
+    plain = F.regexp_replace(r.cast("decimal(38,2)").cast("string"),
+                             "0$", "")
+    return F.when(r == F.floor(r), r.cast("decimal(38,0)").cast("string")) \
+        .otherwise(plain)
 
 
 def ordinal_rank(col: Column | str) -> Column:
@@ -231,8 +238,11 @@ def percent_string(col: Column | str) -> Column:
     t = F.trim(F.coalesce(c.cast("string"), F.lit("")))
     missing = (t == "") | F.lower(t).isin("none", "nan", "null")
     n = t.try_cast("double")
-    whole = F.concat(n.cast("long").cast("string"), F.lit("%"))
-    frac = F.concat(F.round(n, 1).cast("string"), F.lit("%"))
+    # decimal renders avoid the >= 1e7 scientific-notation cast (see
+    # int_or_2dp); one decimal place is exact for the non-whole branch
+    whole = F.concat(n.cast("decimal(38,0)").cast("string"), F.lit("%"))
+    frac = F.concat(F.round(n, 1).cast("decimal(38,1)").cast("string"),
+                    F.lit("%"))
     return F.when(missing, F.lit("N/A")) \
         .when(t.endswith("%"), t) \
         .when(n.isNull(), t) \

@@ -95,9 +95,20 @@ def quality_features(col: Column | str) -> dict[str, Column]:
 
 
 def marker_hits(col: Column | str, lang: str) -> Column:
-    """Count of tokens that are in LANG_MARKERS[lang] (JVM-side array pass)."""
+    """Count of marker occurrences for one language (JVM-side).
+
+    Whitespace-token languages count marker TOKENS; a language whose
+    markers are all single characters (zh) counts marker CHARACTERS via
+    translate — unsegmented scripts have no whitespace tokens, so the
+    token form would score real Chinese text 0 and mislabel it 'und'."""
+    markers = LANG_MARKERS[lang]
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.lower(F.trim(F.coalesce(c.cast("string"), F.lit(""))))
+    if all(len(m) == 1 for m in markers):
+        return (F.length(t)
+                - F.length(F.translate(t, "".join(markers), ""))).cast("int")
     toks = tokens(col)
-    marker_arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    marker_arr = F.array(*[F.lit(m) for m in markers])
     return F.size(F.filter(toks, lambda x: F.array_contains(marker_arr, x)))
 
 

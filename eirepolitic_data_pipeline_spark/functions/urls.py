@@ -51,12 +51,17 @@ def _c(col: Column | str) -> Column:
 
 def url_host(col: Column | str, strip_www: bool = True) -> Column:
     """Lowercased host from an absolute URL: authority minus userinfo and
-    port, optionally minus a leading ``www.``. NULL when the value has no
-    ``scheme://host`` shape (relative links, garbage)."""
+    port, optionally minus a leading ``www.``; a trailing FQDN dot
+    (``example.com.``) is canonicalized away — it denotes the same host,
+    and the empty last label would otherwise corrupt registered_domain's
+    label arithmetic (every ``x.com.`` host would group under ``com.``).
+    NULL when the value has no ``scheme://host`` shape (relative links,
+    garbage)."""
     u = F.regexp_replace(_c(col), "#.*", "")
     auth = F.regexp_extract(u, _AUTHORITY_RE, 1)
     host = F.lower(F.regexp_replace(F.regexp_replace(auth, "^[^@]*@", ""),
                                     ":[0-9]*$", ""))
+    host = F.regexp_replace(host, r"\.$", "")
     if strip_www:
         host = F.regexp_replace(host, r"^www\.", "")
     return F.when(host != "", host)
@@ -109,7 +114,10 @@ def canonical_url(col: Column | str) -> Column:
                 .when(scheme == "https",
                       F.regexp_replace(hostport, ":443$", ""))
                 .otherwise(hostport))
+    # same FQDN-dot canonicalization as url_host, handling the form with
+    # a retained non-default port ('example.com.:8080')
     hostport = F.regexp_replace(hostport, r"^www\.", "")
+    hostport = F.regexp_replace(hostport, r"\.(:\d+)?$", "$1")
     path = F.regexp_replace(F.regexp_extract(u, _PATH_RE, 1), "/+$", "")
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
     # Tracking-param removal and cleanup run at STRING level (regex chain),

@@ -51,13 +51,21 @@ def salted_top_n(df: DataFrame, partition: Sequence[str],
 
     ``order_by`` must totally order rows within a key (include a unique
     tiebreak) — the same determinism contract as the one-phase operator.
-    ``salt_on`` defaults to every input column (sort-order expressions can't
-    be hashed); pass explicit columns to control bucket placement.
+    ``salt_on`` defaults to every input column PLUS the physical partition
+    id: a hot key whose duplicate rows are byte-identical (dirty feeds'
+    default values) hashes every copy to ONE bucket under a pure
+    content-hash salt, recreating exactly the single-task pile-up this
+    operator exists to bound. spark_partition_id varies per run's physical
+    layout, but the RESULT stays deterministic: identical rows are
+    interchangeable, and phase 2 re-ranks with the caller's total order —
+    the salt only chooses which indistinguishable copies each bucket
+    sees. Pass explicit columns to control bucket placement.
     """
     if n <= 0:
         raise ValueError("n must be positive")
     salt_src = (list(salt_on) if salt_on is not None
-                else [F.col(c) for c in df.columns])
+                else [F.col(c) for c in df.columns]
+                + [F.spark_partition_id()])
     salted = df.withColumn(_SALT, _salt_col(salt_src, buckets))
     w1 = Window.partitionBy(*partition, _SALT).orderBy(*order_by)
     survivors = (salted.withColumn("__rn1", F.row_number().over(w1))
@@ -96,6 +104,12 @@ def salted_agg(df: DataFrame, keys: Sequence[str],
 
     avg/countDistinct are intentionally rejected: decompose them
     (sum+count / two-level distinct) before salting.
+
+    The default salt includes the physical partition id for the same
+    reason as salted_top_n's: byte-identical duplicate rows of a hot key
+    would all content-hash into ONE bucket. The re-combine phase is
+    bucket-placement-insensitive (that is what _RECOMBINE certifies), so
+    the result is unchanged.
     """
     for out, (name, _) in aggs.items():
         if name not in _RECOMBINE:
@@ -103,7 +117,7 @@ def salted_agg(df: DataFrame, keys: Sequence[str],
                 f"{out}: '{name}' is not re-combinable; use one of "
                 f"{sorted(_RECOMBINE)} or decompose the aggregate first")
     salt_src = list(salt_on) if salt_on is not None else [
-        F.col(c) for c in df.columns]
+        F.col(c) for c in df.columns] + [F.spark_partition_id()]
     salted = df.withColumn(_SALT, _salt_col(salt_src, buckets))
     phase1 = salted.groupBy(*keys, _SALT).agg(*[
         _RECOMBINE[name][0](col).alias(out)

@@ -76,16 +76,21 @@ def temporal_integrity_report(df: DataFrame, start: str, end: str,
     """Q2 — one-row report: rows with start>end; rows flagged current whose
     start is in the future (reference `merge.py:33-73`)."""
     now = today if today is not None else F.current_date()
+    # coalesce to 0: F.sum over ZERO rows is NULL, and a gate like
+    # `report.start_after_end == 0` on an empty (healthy) table would
+    # evaluate NULL instead of passing
     checks = [
-        F.sum(F.when(F.col(start).isNotNull() & F.col(end).isNotNull()
-                     & (F.col(start) > F.col(end)), 1).otherwise(0))
-        .cast("long").alias("start_after_end"),
+        F.coalesce(
+            F.sum(F.when(F.col(start).isNotNull() & F.col(end).isNotNull()
+                         & (F.col(start) > F.col(end)), 1).otherwise(0)),
+            F.lit(0)).cast("long").alias("start_after_end"),
     ]
     if is_current:
         checks.append(
-            F.sum(F.when(F.col(is_current).cast("boolean")
-                         & (F.col(start) > now), 1).otherwise(0))
-            .cast("long").alias("future_dated_current"))
+            F.coalesce(
+                F.sum(F.when(F.col(is_current).cast("boolean")
+                             & (F.col(start) > now), 1).otherwise(0)),
+                F.lit(0)).cast("long").alias("future_dated_current"))
     return df.agg(*checks)
 
 
@@ -121,7 +126,20 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame,
     container); a point in no interval is dropped (inner) or kept with
     null interval columns (``how='left'``, implemented as inner + anti
     union so the bucket join itself stays an equi-join).
+
+    The two sides must not share column names beyond ``equi_keys``: the
+    output carries both sides' columns, so a shared name is ambiguous
+    (Spark would emit duplicate columns on inner and throw
+    AMBIGUOUS_REFERENCE on the left path's re-select). Validated up
+    front with a clear error — rename before joining.
     """
+    clash = (set(points.columns) & set(intervals.columns)) \
+        - set(equi_keys)
+    if clash:
+        raise ValueError(
+            f"point_in_interval_join: columns {sorted(clash)} exist on "
+            "BOTH sides but are not equi_keys; rename one side (the "
+            "output carries both sides' columns)")
     # Bucket bounds via integer epoch arithmetic — engine-portable (the
     # oracle mirrors it with the same floor-division) and cheap. The unit
     # is validated driver-side: a silent fallback to seconds would turn

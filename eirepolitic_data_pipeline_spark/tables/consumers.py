@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import blank_as_null, normalize_name
+from ..operators.ranking import argmax_per_group, dense_rank_in
 
 
 def _first_column(df: DataFrame, candidates: list[str]) -> str | None:
@@ -57,10 +58,14 @@ def fuzzy_containment_join(left: DataFrame, right: DataFrame,
         F.col(lk).contains(F.col(rk)) | F.col(rk).contains(F.col(lk))
     keys = l_keyed.select(lk).filter(F.col(lk) != "").distinct()
     cand = keys.join(F.broadcast(r_keyed), cond, "inner")
-    # exact equality outranks containment; ties break on the right key
+    # exact equality outranks containment; ties break on the right key,
+    # then on the payload itself — two right rows can NORMALIZE to the
+    # same key ('Dublin Bay North.png' / 'DUBLIN-BAY-NORTH.png'), and a
+    # non-total order would make min_by's pick partitioning-dependent
     rank = F.struct(
         F.when(F.col(lk) == F.col(rk), 0).otherwise(1).alias("r0"),
-        F.col(rk).alias("r1"))
+        F.col(rk).alias("r1"),
+        *[F.col(c).alias(f"r{i + 2}") for i, c in enumerate(payload_cols)])
     best = (cand.groupBy(lk)
             .agg(F.min_by(F.struct(*payload_cols), rank).alias("__m"))
             .select(lk, *[F.col(f"__m.{c}").alias(c) for c in payload_cols]))
@@ -172,18 +177,19 @@ def member_profile_metrics(members: DataFrame, votes: DataFrame,
                    .filter((F.trim("member_code") != "")
                            & (F.upper("__issue") != "NONE")
                            & (F.col("__issue") != "")))
-        counts = (working.groupBy("member_code")
-                  .agg(F.count(F.lit(1)).alias(m("speech_count")))
-                  .withColumn(m("speech_rank"), F.dense_rank().over(
-                      Window.orderBy(F.col(m("speech_count")).desc()))))
+        # dense_rank needs no unique tiebreak: equal counts SHARE a rank
+        # by definition, which is already deterministic
+        counts = dense_rank_in(
+            working.groupBy("member_code")
+            .agg(F.count(F.lit(1)).alias(m("speech_count"))),
+            [], [F.col(m("speech_count")).desc()], m("speech_rank"))
         issues = (working.groupBy("member_code", "__issue")
                   .agg(F.count(F.lit(1)).alias(m("top_issue_count"))))
-        top_issue = (issues.withColumn("__rn", F.row_number().over(
-            Window.partitionBy("member_code")
-            .orderBy(F.col(m("top_issue_count")).desc(), F.col("__issue"))))
-            .filter(F.col("__rn") == 1)
+        top_issue = argmax_per_group(
+            issues, ["member_code"],
+            [F.col(m("top_issue_count")).desc(), F.col("__issue")]) \
             .select("member_code", F.col("__issue").alias(m("top_issue")),
-                    m("top_issue_count")))
+                    m("top_issue_count"))
         speech_metrics = counts.join(top_issue, "member_code", "left")
 
     # Vote participation: distinct (member, vote) pairs vs global distinct.
@@ -196,11 +202,16 @@ def member_profile_metrics(members: DataFrame, votes: DataFrame,
         if vote_date_col:
             working = working.filter(
                 F.year(blank_as_null(vote_date_col).try_cast("date")) == target_year)
+        # the GLOBAL denominator counts every division that occurred —
+        # including ones recorded only with blank member codes; computing
+        # it after the member dropna inflated every member's pct
+        total_vote_ids = (working
+                          .select(blank_as_null(vote_id_col).alias("__vote_id"))
+                          .dropna().distinct().count())
         pairs = (working
                  .select(blank_as_null(member_col).alias("member_code"),
                          blank_as_null(vote_id_col).alias("__vote_id"))
                  .dropna().dropDuplicates())
-        total_vote_ids = pairs.select("__vote_id").distinct().count()
         vote_metrics = pairs.groupBy("member_code").agg(
             F.count(F.lit(1)).alias(m("distinct_votes_participated")))
         pct = (F.round(F.col(m("distinct_votes_participated"))

@@ -467,6 +467,12 @@ def q28_text_stats(spark, sf_dir):
 
 
 def _lang_hits_sql(lang: str, markers: tuple[str, ...]) -> str:
+    if all(len(m) == 1 for m in markers):
+        # unsegmented script (zh): count marker CHARS, mirroring
+        # functions/text.py:marker_hits
+        joined = "".join(markers)
+        return (f"(length(trim(lower(text))) - "
+                f"length(translate(trim(lower(text)), '{joined}', '')))")
     arr = ", ".join(f"'{m}'" for m in markers)
     return (f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
             f"tok -> list_contains([{arr}], tok)))")

@@ -344,7 +344,12 @@ def q39_asof_join_last_click(spark, sf_dir):
         F.lit(None).cast("long").alias("click_event_id"),
         F.lit(None).cast("double").alias("click_raw"),
         F.col("event_id").alias("error_event_id"))
-    w = (Window.partitionBy("user_id").orderBy("ts", "side")
+    # click_event_id is the unique tiebreak: two clicks at one timestamp
+    # would otherwise make "last click" shuffle-order-dependent (the
+    # module rule — every ORDER BY carries a unique tiebreak); the max id
+    # deterministically wins an exact tie.
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "side", F.col("click_event_id").asc_nulls_last())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (
         clicks.unionByName(errors)

@@ -133,3 +133,81 @@ def test_public_profile_url_http_data_uri():
     assert to_public_profile_url(
         "https://data.oireachtas.ie/ie/oireachtas/member/id/X.Y") \
         == "https://www.oireachtas.ie/en/members/member/X.Y/"
+
+
+def test_int_or_2dp_no_scientific_notation(spark):
+    from eirepolitic_data_pipeline_spark.functions.scalar import (
+        int_or_2dp, percent_string)
+    df = spark.createDataFrame(
+        [("12345678.5",), ("99999999999.25",), ("12.50",), ("7",)],
+        "v string")
+    got = [(r["i"], r["p"]) for r in df.select(
+        int_or_2dp("v").alias("i"), percent_string("v").alias("p")).collect()]
+    assert got == [("12345678.5", "12345678.5%"),
+                   ("99999999999.25", "99999999999.3%"),
+                   ("12.5", "12.5%"), ("7", "7%")]
+
+
+def test_language_guess_detects_unsegmented_chinese(spark):
+    from eirepolitic_data_pipeline_spark.functions.text import language_guess
+    df = spark.createDataFrame(
+        [("我是一个学生我不知道这是在哪里",), ("the cat and the dog",),
+         ("xyzzy plugh",)], "text string")
+    got = [r["g"] for r in
+           df.select(language_guess("text").alias("g")).collect()]
+    assert got == ["zh", "en", "und"]
+
+
+def test_temporal_integrity_report_empty_frame_zeroes(spark):
+    from eirepolitic_data_pipeline_spark.operators.temporal import (
+        temporal_integrity_report)
+    empty = spark.createDataFrame(
+        [], "s date, e date, cur string")
+    row = temporal_integrity_report(empty, "s", "e",
+                                    is_current="cur").collect()[0]
+    assert row["start_after_end"] == 0
+    assert row["future_dated_current"] == 0
+
+
+def test_point_in_interval_join_rejects_column_clash(spark):
+    from eirepolitic_data_pipeline_spark.operators.temporal import (
+        point_in_interval_join)
+    pts = spark.createDataFrame(
+        [(1, "2026-01-01 00:30:00")], "pid long, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    iv = spark.createDataFrame(
+        [(9, "2026-01-01 00:00:00", "2026-01-01 01:00:00")],
+        "pid long, s string, e string") \
+        .withColumn("s", F.col("s").cast("timestamp")) \
+        .withColumn("e", F.col("e").cast("timestamp"))
+    with pytest.raises(ValueError, match="pid"):
+        point_in_interval_join(pts, iv, "ts", "s", "e")
+
+
+def test_registered_domain_trailing_dot_fqdn(spark):
+    from eirepolitic_data_pipeline_spark.functions.urls import (
+        registered_domain, url_host)
+    df = spark.createDataFrame([("http://example.com./x",)], "u string")
+    got = df.select(
+        url_host(F.col("u")).alias("h"),
+        registered_domain(url_host(F.col("u"))).alias("d")).first()
+    assert got["h"] == "example.com"       # FQDN dot canonicalized away
+    assert got["d"] == "example.com"
+
+
+def test_profile_metrics_denominator_counts_blank_member_divisions(spark):
+    from eirepolitic_data_pipeline_spark.tables.consumers import (
+        member_profile_metrics)
+    members = spark.createDataFrame(
+        [("M1", "Ann Doe", "Carlow", "P1")],
+        "member_code string, full_name string, constituency string, party string")
+    votes = spark.createDataFrame(
+        [("M1", "d1", "2025-01-01"), ("M1", "d2", "2025-01-02"),
+         ("", "d3", "2025-01-03")],
+        "member_code string, division_id string, division_date string")
+    photos = spark.createDataFrame([], "member_code string, photo_url string")
+    debates = spark.createDataFrame([], "member_code string, issue string")
+    row = member_profile_metrics(members, votes, photos, debates,
+                                 2025).collect()[0]
+    # 3 divisions occurred (d3 only via a blank member row): 2/3 -> 67%
+    assert row["vote_participation_pct_2025"] == 67
