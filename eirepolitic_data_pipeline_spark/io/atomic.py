@@ -53,8 +53,17 @@ def incoming_path(path: str) -> str:
 def swap_in(path: str) -> None:
     """Commit ``path.__incoming`` over ``path`` with two renames; the old
     data survives at the fixed ``.__replaced`` suffix until the new write
-    is fully live."""
+    is fully live.
+
+    The incoming dir must EXIST before the live data is renamed away —
+    swapping with a missing/failed incoming write would take the dataset
+    offline (sole copy parked at ``.__replaced``) until the next
+    writer-side heal."""
     tmp, old = path + INCOMING_SUFFIX, path + REPLACED_SUFFIX
+    if not os.path.isdir(tmp):
+        raise FileNotFoundError(
+            f"swap_in: incoming dir {tmp!r} does not exist — write the "
+            "replacement there first (incoming_path)")
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

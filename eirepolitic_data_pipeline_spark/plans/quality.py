@@ -203,9 +203,13 @@ def contract_checks(df: DataFrame, required_columns: Sequence[str],
     if primary_key and set(primary_key) <= set(df.columns):
         suite.unique(primary_key)
     if max_age_days is not None and freshness_col and freshness_col in df.columns:
+        # try_cast: silver stores blanks as '' and ANSI cast('' AS DATE)
+        # throws, taking the whole one-pass suite down with it; an
+        # unparseable date simply doesn't count as stale
         suite.custom(
             f"freshness<={max_age_days}d",
-            F.datediff(F.current_date(), F.col(freshness_col).cast("date")) > max_age_days)
+            F.datediff(F.current_date(),
+                       F.col(freshness_col).try_cast("date")) > max_age_days)
     results.extend(suite.run(df))
     return results
 

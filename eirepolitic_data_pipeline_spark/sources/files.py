@@ -135,7 +135,17 @@ def write_csv_export(df: DataFrame, path: str, *, bom: bool = False,
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").option("header", True).csv(path)
     if bom:
-        for part in _glob.glob(os.path.join(path, "part-*.csv")):
+        parts = _glob.glob(os.path.join(path, "part-*.csv"))
+        if not parts:
+            # glob runs on the DRIVER's local filesystem: an s3://-style
+            # path (or a compression codec changing the extension) matches
+            # nothing, and a silent no-op would hand Excel consumers
+            # BOM-less mojibake while the caller believes bom was applied
+            raise RuntimeError(
+                f"bom=True found no local part-*.csv under {path!r}; the "
+                "BOM splice needs a driver-local uncompressed export — "
+                "write locally, splice, then upload")
+        for part in parts:
             with open(part, "rb") as f:
                 data = f.read()
             if not data.startswith(_BOM):

@@ -56,17 +56,22 @@ class PaginatedRestSource:
     def _get(self, endpoint: str, params: dict) -> dict:
         last_err: Optional[Exception] = None
         for attempt in range(self.retry.retries):
+            # no backoff sleep after the FINAL failed attempt — there is
+            # no retry left to wait for, only the exhausted-retries raise
+            final = attempt == self.retry.retries - 1
             try:
                 status, payload = self.transport(endpoint, params)
             except Exception as e:  # transport-level failure is retryable
                 last_err = e
-                self.retry.sleep((attempt + 1) * self.retry.backoff_seconds)
+                if not final:
+                    self.retry.sleep((attempt + 1) * self.retry.backoff_seconds)
                 continue
             if status == 422:
                 raise OffsetCeilingError(f"{endpoint} offset ceiling at {params}")
             if status in self.retry.retryable_statuses:
                 last_err = RuntimeError(f"HTTP {status}")
-                self.retry.sleep((attempt + 1) * self.retry.backoff_seconds)
+                if not final:
+                    self.retry.sleep((attempt + 1) * self.retry.backoff_seconds)
                 continue
             if status != 200:
                 raise RuntimeError(f"HTTP {status} from {endpoint}")
@@ -134,7 +139,14 @@ class PaginatedRestSource:
 
 
 def _page_signature(page_rows: list) -> str:
-    return json.dumps(page_rows[:3], sort_keys=True, default=str)[:2000]
+    """Digest of the WHOLE page: a prefix-only signature (first rows,
+    truncated) flagged legitimately different pages that shared their
+    leading rows (sort-tie boundaries, offset drift) as repeats and
+    aborted the fetch. Hashing every row costs microseconds next to the
+    network round-trip."""
+    import hashlib
+    payload = json.dumps(page_rows, sort_keys=True, default=str)
+    return hashlib.sha256(payload.encode("utf-8")).hexdigest()
 
 
 # ---------------------------------------------------------------------------
@@ -173,6 +185,8 @@ def bisect_date_windows(date_start: date, date_end: date,
                         max_days: int) -> list[tuple[date, date]]:
     """Pre-split a range into ≤max_days non-overlapping windows — the scale
     path: one Spark task per window, union handled natively."""
+    if max_days <= 0:
+        raise ValueError("max_days must be positive")
     out = []
     cur = date_start
     while cur <= date_end:
@@ -191,6 +205,10 @@ def fetch_distributed(spark, source_factory: Callable[[], PaginatedRestSource],
     inside it)."""
     import pandas as pd
 
+    if not windows:
+        # repartition(0) is rejected with an error naming the wrong thing;
+        # an empty window list simply has nothing to fetch
+        return spark.createDataFrame([], "raw string")
     win_df = spark.createDataFrame(
         [(a.isoformat(), b.isoformat()) for a, b in windows],
         "date_start string, date_end string",

@@ -42,8 +42,11 @@ def _local(tag: str) -> str:
 
 
 def _stable_hash(*parts, length: int = 16) -> str:
-    joined = "|".join(str(p).lower() for p in parts)
-    return hashlib.sha256(joined.encode("utf-8")).hexdigest()[:length]
+    """Thin adapter over the engine-wide X6 recipe (tables/silver
+    stable_hash_py) — one implementation, so speech_id can never silently
+    diverge from every other stable id."""
+    from ..tables.silver import stable_hash_py
+    return stable_hash_py(parts, length=length)
 
 
 def _person_refs(root: ET.Element) -> dict[str, dict[str, str]]:
@@ -88,6 +91,23 @@ def _text_of(el: ET.Element) -> str:
     return " ".join(parts)
 
 
+_ATTRIBUTION_TAGS = ("from", "docProponent", "speaker")
+
+
+def _speech_text_of(el: ET.Element) -> str:
+    """Speech body: join of p/blockContainer children; the fallback for
+    speeches without them walks every child EXCEPT the speaker-attribution
+    tags — a bare _text_of(el) would splice the <from> display name into
+    speech_text and inflate the word counts."""
+    text = " ".join(_text_of(child) for child in el
+                    if _local(child.tag) in ("p", "blockContainer"))
+    if text:
+        return text
+    return " ".join(
+        t for child in el if _local(child.tag) not in _ATTRIBUTION_TAGS
+        for t in [_text_of(child)] if t)
+
+
 def _lang_of(el: ET.Element, inherited: str) -> str:
     for k, v in el.attrib.items():
         if _local(k) == "lang" and v:
@@ -116,9 +136,7 @@ def parse_debate_xml(debate_id: str, xml_bytes: bytes) -> list[dict]:
                 member_code = m.group(1) if m else ""
                 if member_code:
                     match_method = "speaker_ref_member_code"
-            text = " ".join(
-                _text_of(child) for child in el
-                if _local(child.tag) in ("p", "blockContainer")) or _text_of(el)
+            text = _speech_text_of(el)
             rows.append({
                 "debate_id": debate_id,
                 "speech_id": _stable_hash(debate_id, order[0], by),
@@ -160,8 +178,19 @@ def speeches_from_xml(df: DataFrame, id_col: str = "debate_id",
         for pdf in batches:
             out: list[dict] = []
             for did, xml in zip(pdf[id_col], pdf[xml_col]):
+                # tolerant per document: the download layer deliberately
+                # leaves null content for failed fetches (files.py
+                # fetch_documents), and one malformed document must not
+                # abort the whole corpus parse — both skip this debate.
+                # (Arrow→pandas can surface missing values as None or NaN
+                # depending on dtype, hence the type check, not an is-None.)
+                if not isinstance(xml, (str, bytes, bytearray)):
+                    continue
                 data = xml.encode("utf-8") if isinstance(xml, str) else bytes(xml)
-                out.extend(parse_debate_xml(str(did), data))
+                try:
+                    out.extend(parse_debate_xml(str(did), data))
+                except ET.ParseError:
+                    continue
             yield pd.DataFrame(
                 out, columns=[c.split(" ")[0] for c in SPEECH_SCHEMA.split(", ")])
 

@@ -211,3 +211,93 @@ def test_profile_metrics_denominator_counts_blank_member_divisions(spark):
                                  2025).collect()[0]
     # 3 divisions occurred (d3 only via a blank member row): 2/3 -> 67%
     assert row["vote_participation_pct_2025"] == 67
+
+
+def test_speeches_from_xml_tolerates_null_and_malformed(spark):
+    from eirepolitic_data_pipeline_spark.sources.xml import speeches_from_xml
+    good = ('<akomaNtoso><debate><debateSection name="housing">'
+            '<speech by="#p"><p>Fine point.</p></speech>'
+            '</debateSection></debate></akomaNtoso>')
+    df = spark.createDataFrame(
+        [("d1", good), ("d2", None), ("d3", "<not-xml")],
+        "debate_id string, xml string")
+    rows = speeches_from_xml(df).collect()
+    assert [r["debate_id"] for r in rows] == ["d1"]
+
+
+def test_speech_text_fallback_excludes_speaker_attribution():
+    from eirepolitic_data_pipeline_spark.sources.xml import parse_debate_xml
+    xml = ('<akomaNtoso><debate><speech by="#p1">'
+           '<from>Mr. John Smith</from>'
+           '<summary>The budget passed.</summary></speech>'
+           '</debate></akomaNtoso>')
+    row = parse_debate_xml("d", xml.encode())[0]
+    assert row["text"] == "The budget passed."
+    assert row["word_count"] == 3
+    assert row["speaker_name"] == "Mr. John Smith"
+
+
+def test_page_signature_covers_whole_page():
+    from eirepolitic_data_pipeline_spark.sources.rest import _page_signature
+    shared = [{"id": i} for i in range(3)]
+    a = _page_signature(shared + [{"id": 10}])
+    b = _page_signature(shared + [{"id": 11}])
+    assert a != b                        # prefix-only signature called these equal
+
+
+def test_bisect_rejects_nonpositive_and_get_skips_final_sleep():
+    from datetime import date
+    from eirepolitic_data_pipeline_spark.sources.rest import (
+        PaginatedRestSource, RetryPolicy, bisect_date_windows)
+    with pytest.raises(ValueError, match="positive"):
+        bisect_date_windows(date(2024, 1, 1), date(2024, 1, 9), 0)
+    sleeps = []
+    src = PaginatedRestSource(
+        transport=lambda e, p: (500, {}),
+        retry=RetryPolicy(retries=3, backoff_seconds=2.0,
+                          sleep=sleeps.append))
+    with pytest.raises(RuntimeError, match="exhausted"):
+        src._get("/x", {})
+    assert len(sleeps) == 2              # no sleep after the final attempt
+
+
+def test_fetch_distributed_empty_windows(spark):
+    from eirepolitic_data_pipeline_spark.sources.rest import (
+        PaginatedRestSource, fetch_distributed)
+    out = fetch_distributed(spark, PaginatedRestSource, "/x", [])
+    assert out.columns == ["raw"] and out.count() == 0
+
+
+def test_contract_freshness_survives_blank_dates(spark):
+    from eirepolitic_data_pipeline_spark.plans.quality import contract_checks
+    df = spark.createDataFrame(
+        [("k1", "2026-08-13"), ("k2", "")],
+        "pk string, snapshot_date string")
+    results = contract_checks(df, required_columns=["pk"],
+                              primary_key=["pk"], min_rows=1,
+                              max_age_days=30,
+                              freshness_col="snapshot_date")
+    assert any("freshness" in r.name for r in results)  # suite completed
+
+
+def test_swap_in_requires_incoming(tmp_path):
+    from eirepolitic_data_pipeline_spark.io import atomic
+    live = tmp_path / "data"
+    live.mkdir(); (live / "f.txt").write_text("x")
+    with pytest.raises(FileNotFoundError, match="incoming"):
+        atomic.swap_in(str(live))
+    assert (live / "f.txt").read_text() == "x"   # dataset never went offline
+
+
+def test_csv_bom_refuses_silent_noop(spark, tmp_path):
+    from eirepolitic_data_pipeline_spark.sources.files import write_csv_export
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(Exception):
+        # unreachable-by-glob path (file URI scheme confuses local glob)
+        write_csv_export(df, "memory-nonexistent://bucket/x", bom=True)
+    # normal local path still works and gets the BOM
+    p = str(tmp_path / "out")
+    write_csv_export(df, p, bom=True, single_file=True)
+    import glob as g
+    part = g.glob(p + "/part-*.csv")[0]
+    assert open(part, "rb").read().startswith(b"\xef\xbb\xbf")
