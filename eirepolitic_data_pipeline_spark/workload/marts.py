@@ -100,7 +100,10 @@ def _base_log(spark, sf_dir):
         F.lit("").alias("constituency_name_at_vote"),
     )
     p = spark.sparkContext.defaultParallelism
-    if li.rdd.getNumPartitions() < p:
+    # len(inputFiles()) approximates the scan's split count without
+    # instantiating the RDD lineage on the driver (each fixture file is a
+    # single row-group, so files == splits here).
+    if len(li.inputFiles()) < p:
         base = base.repartition(p)
     return base.cache()
 
