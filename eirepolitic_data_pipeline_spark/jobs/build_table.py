@@ -233,10 +233,17 @@ def build_table(spark: SparkSession, catalog: BatchCatalog,
                 registry: TableRegistry, table: str, *, batch_id: str,
                 raw_root: str = "", mode: str = "full", limit: int = 25,
                 snapshot_date: str = "", today: Optional[date] = None,
-                promote: bool = False) -> BuildResult:
+                promote: bool = False,
+                allow_shrink: bool = False) -> BuildResult:
     """Build one table into the candidate batch. Raises CatalogError for
     unsupported tables and ValueError for bad modes; DQ failure aborts
-    BEFORE any write (the reference's dq_status=fail short-circuit)."""
+    BEFORE any write (the reference's dq_status=fail short-circuit).
+
+    ``promote`` refuses to move the batch-global production pointer onto a
+    batch whose manifest is MISSING tables the current production batch
+    serves — promoting a subset would silently remove every absent table
+    from production reads. ``allow_shrink=True`` (CLI ``--allow-shrink``)
+    is the explicit override for intentional table retirement."""
     if mode not in VALID_MODES:
         raise ValueError(f"mode must be one of {VALID_MODES}")
     if table in UNSUPPORTED:
@@ -307,7 +314,22 @@ def build_table(spark: SparkSession, catalog: BatchCatalog,
         # manifest (all tables this run built), not just this table.
         # Build every table of the run into one batch, then pass
         # --promote on the last invocation.
-        catalog.promote(batch_id, catalog.batch_tables(batch_id))
+        batch_set = catalog.batch_tables(batch_id)
+        prod_id = catalog.production_batch_id()
+        if prod_id and prod_id != batch_id:
+            # batch_tables(batch_id) alone is self-referential — a batch
+            # holding a SUBSET of production's tables would validate
+            # against itself and silently drop every absent table from
+            # production reads on promote.
+            shrink = sorted(set(catalog.batch_tables(prod_id)) - set(batch_set))
+            if shrink and not allow_shrink:
+                raise CatalogError(
+                    f"promote refused: batch {batch_id!r} is missing "
+                    f"{len(shrink)} table(s) the production batch "
+                    f"{prod_id!r} currently serves ({', '.join(shrink)}); "
+                    "build them into this batch first, or pass "
+                    "--allow-shrink to retire them deliberately")
+        catalog.promote(batch_id, batch_set)
     return BuildResult(table=table, batch_id=batch_id, row_count=n,
                        dq_passed=True, dq=dq, promoted=promote)
 
@@ -322,6 +344,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     ap.add_argument("--snapshot-date", default="")
     ap.add_argument("--limit", type=int, default=25)
     ap.add_argument("--promote", action="store_true")
+    ap.add_argument("--allow-shrink", action="store_true",
+                    help="let --promote move production onto a batch that "
+                         "serves FEWER tables than the current production "
+                         "batch (deliberate table retirement)")
     ap.add_argument("--list-tables", action="store_true")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
@@ -345,7 +371,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     res = build_table(
         spark, catalog, registry, args.table, batch_id=args.batch_id,
         raw_root=args.raw_root, mode=args.mode, limit=args.limit,
-        snapshot_date=args.snapshot_date, promote=args.promote)
+        snapshot_date=args.snapshot_date, promote=args.promote,
+        allow_shrink=args.allow_shrink)
     if args.json:
         print(json.dumps({
             "table": res.table, "batch_id": res.batch_id,

@@ -190,8 +190,14 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
     the hot-cell skew guard: cells above it skip pairwise comparison
     entirely (rows stay their own canonicals — the conservative,
     keep-everything direction), because one degenerate cell would expand
-    quadratically in a single task. The window count shares the pair
-    join's cell partitioning, so the guard adds no extra exchange."""
+    quadratically in a single task. The cell counts come from a
+    groupBy(cell) count (map-side partial aggregation) joined back as a
+    semi-join — NOT a window over partitionBy(cell): a window would
+    buffer the degenerate cell's rows, embedding arrays included, in one
+    task BEFORE filtering it out, i.e. the guard against the pathological
+    cell would itself be exposed to that cell's size. The count agg only
+    ever shuffles (cell, partial-count) rows, and the semi-join shares
+    the pair join's cell partitioning."""
     from .dedupe import min_label_components
 
     cells = vectors.select(
@@ -200,10 +206,11 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
         ivf_grid_cells(F.col(vec_col), grid, dims).alias("cell"))
     paired = cells
     if max_cell is not None:
-        paired = (cells
-                  .withColumn("__celln", F.count(F.lit(1)).over(
-                      Window.partitionBy("cell")))
-                  .filter(F.col("__celln") <= max_cell))
+        small_cells = (cells.groupBy("cell")
+                       .agg(F.count(F.lit(1)).alias("__celln"))
+                       .filter(F.col("__celln") <= max_cell)
+                       .select("cell"))
+        paired = cells.join(small_cells, "cell", "left_semi")
     a = paired.select(F.col("id").alias("doc_a"), F.col("v").alias("va"),
                       F.col("cell").alias("ca"))
     b = paired.select(F.col("id").alias("doc_b"), F.col("v").alias("vb"),

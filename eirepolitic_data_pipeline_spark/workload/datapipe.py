@@ -691,22 +691,27 @@ def q50_winnow_neardup_pairs(spark, sf_dir):
     scale stress; normalizing by the full set collapsed to zero pairs
     there). No all-pairs anywhere: bounded pair expansion per key.
 
-    The stop filter and kept-set sizes are WINDOW counts, not agg +
-    join-back: the agg/semi-join form branches the plan, and every branch
-    re-runs the winnowing kernel (4 Arrow passes over the corpus in the
-    explain — the kernel, not the shuffles, is the measured cost). The
-    linear window chain runs the kernel exactly once for the same result:
-    same shuffle count (key, doc, key), each partition-bounded (df <= cap
-    per key after the filter; fingerprints-per-doc bounded by doc length).
-    At production scale the fingerprint frame would be a persisted silver
-    table; within one query the linear chain is the next best thing."""
+    The fingerprint frame is localCheckpoint-materialized — the in-query
+    analog of the persisted silver table it would be at production scale —
+    so the winnowing kernel's Arrow passes run exactly ONCE even though
+    the plan branches. That lets the STOP-KEY filter be the skew-safe
+    shape: a map-side-combined groupBy(key) count joined back, never a
+    window over partitionBy(key) — a globally-hot fingerprint would funnel
+    its whole posting list into one window task BEFORE the df<=100 filter
+    could drop it, whereas the two-level agg partial-aggregates the hot
+    key on every input partition and AQE can split the join. The n_kept
+    count stays a window over doc_id: that partition is bounded by
+    fingerprints-per-doc (document length), not corpus popularity."""
     from ..operators.dedupe import pairs_from_postings, winnowed_fingerprint_frame
     docs = spread(t(spark, sf_dir, "documents"))
-    fpf = winnowed_fingerprint_frame(docs, "doc_id", "text", k=5, window=4)
+    fpf = winnowed_fingerprint_frame(docs, "doc_id", "text", k=5,
+                                     window=4).localCheckpoint()
     postings = fpf.select("doc_id", F.explode("fingerprints").alias("key"))
-    kept = (postings
-            .withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("key")))
-            .filter(F.col("__df") <= 100))
+    ok_keys = (postings.groupBy("key")
+               .agg(F.count(F.lit(1)).alias("__df"))
+               .filter(F.col("__df") <= 100)
+               .select("key"))
+    kept = postings.join(ok_keys, "key", "left_semi")
     kept2 = (kept
              .withColumn("n_kept",
                          F.count(F.lit(1)).over(Window.partitionBy("doc_id")))

@@ -166,3 +166,32 @@ def test_build_table_cli_list(capsys):
     out = capsys.readouterr().out
     assert "silver_members\tbuilder" in out
     assert "control_pipeline_runs\tunsupported" in out
+
+
+def test_promote_refuses_shrinking_batch(spark, tmp_path, raw_root):
+    """--promote on a batch holding a SUBSET of production's tables must
+    refuse (the pointer is batch-global: promoting would silently remove
+    every absent table from production reads); --allow-shrink is the
+    explicit retirement override."""
+    registry = TableRegistry.from_dict(DEFAULT_TABLES_CONFIG)
+    catalog = BatchCatalog(root=str(tmp_path / "wh"))
+    kw = dict(raw_root=raw_root, mode="full", snapshot_date=SNAP,
+              today=TODAY)
+    build_table(spark, catalog, registry, "silver_members",
+                batch_id="b1", **kw)
+    build_table(spark, catalog, registry, "silver_member_parties",
+                batch_id="b1", promote=True, **kw)
+    assert catalog.production_batch_id() == "b1"
+
+    # b2 rebuilds only ONE of production's two tables (batch paths are
+    # immutable, so each promote attempt builds a fresh table into b2)
+    build_table(spark, catalog, registry, "silver_members",
+                batch_id="b2", **kw)
+    with pytest.raises(CatalogError, match="silver_member_parties"):
+        build_table(spark, catalog, registry, "silver_member_constituencies",
+                    batch_id="b2", promote=True, **kw)
+    assert catalog.production_batch_id() == "b1"  # pointer untouched
+
+    build_table(spark, catalog, registry, "silver_member_offices",
+                batch_id="b2", promote=True, allow_shrink=True, **kw)
+    assert catalog.production_batch_id() == "b2"

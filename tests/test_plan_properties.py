@@ -82,13 +82,41 @@ def test_filter_pushdown_reaches_parquet_scan(spark):
 
 
 def test_winnow_kernel_runs_once_in_q50(spark):
-    """q50's Arrow winnowing kernel must appear exactly once in the plan —
-    the agg+join formulation re-ran it 4x (fixed in round 4); a regression
-    here quadruples the dominant cost at corpus scale."""
+    """q50's Arrow winnowing kernel must appear AT MOST once in the plan —
+    the r3 agg+join formulation re-ran it 4x; since round 5 the
+    fingerprint frame is localCheckpoint-materialized (the kernel runs
+    once at build, then the plan reads the checkpoint, so 0 appearances
+    is the expected steady state). >1 is the regression being guarded."""
     plan = _plan(_queries()["q50_winnow_neardup_pairs"](spark, SF_SMOKE))
     arrow = sum(1 for ln in plan.splitlines()
                 if "MapInPandas" in ln or "ArrowEvalPython" in ln)
-    assert arrow == 1, f"winnow kernel appears {arrow}x"
+    assert arrow <= 1, f"winnow kernel appears {arrow}x"
+
+
+def test_q50_stop_key_filter_is_not_a_key_window(spark):
+    """q50's stop-key (df<=100) filter must be a map-side-combined count
+    agg + semi-join, never a window over partitionBy(key): a globally-hot
+    fingerprint would funnel its whole posting list into ONE window task
+    BEFORE the filter drops it. The only window left partitions by doc_id
+    (bounded by document length)."""
+    plan = _plan(_queries()["q50_winnow_neardup_pairs"](spark, SF_SMOKE))
+    wins = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert all("doc_id" in ln for ln in wins), wins
+    assert len(wins) == 1, f"unexpected extra windows: {wins}"
+
+
+def test_semantic_dedup_hot_cell_guard_is_not_a_window(spark):
+    """semantic_dedup's max_cell guard must not buffer the degenerate cell
+    (embeddings included) in one window task to count it — the guard
+    against the pathological cell must not itself be exposed to that
+    cell's size. Plan must carry zero Window operators."""
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        semantic_dedup)
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.99, max_cell=10)
+    assert "windowspecdefinition(" not in _plan(out)
 
 
 def test_knn_query_side_is_broadcast(spark):
