@@ -1,0 +1,236 @@
+"""End-to-end skew stress for the composed curation recipe
+(operators/curation.py:curate_corpus): the flagship LLM-training-data
+deliverable, pushed through the same ~50x-sf0.1 corpus with a pathological
+hot boilerplate cluster that stress_dedup.py uses for the ingredient
+stages — this tool proves the COMPOSITION holds, not just the parts.
+
+What it checks (the 100 TB failure modes of a curation pipeline):
+
+1. **Per-stage bounded skew** — the frame after every stage of the recipe
+   (quality gate, line dedup, exact dedup, near-dup collapse) must spread
+   across partitions (max/median partition rows bounded); a hot cluster
+   must never funnel a stage through one task.
+2. **End-to-end invariants** —
+   - output ids are a SUBSET of input ids (curation only drops);
+   - no two output documents share a content fingerprint (exact dedup is
+     effective THROUGH the composition, i.e. later stages don't resurrect
+     duplicates);
+   - decontamination is total: every document sharing an 8-gram with the
+     benchmark is gone (here the whole hot cluster, since its documents
+     share the boilerplate prefix with the benchmark sample);
+   - split labels are leakage-safe: each source lands in exactly one of
+     train/val/test;
+   - attrition accounting: stage counts telescope (each stage's output
+     feeds the next; the composed operator's final count equals the last
+     stage count) — the composition loses nothing on the floor.
+3. **The hot cluster is contained, not exploded** — capped candidate
+   generation means the 12k-document boilerplate cluster survives near-dup
+   collapse as singletons (the documented conservative keep-everything
+   direction) instead of expanding to ~72M pairs in a handful of tasks.
+
+Appends a section to STRESS.md and exits non-zero on any violation.
+Standalone; not part of the per-round bench. Usage::
+
+    python tools/stress_curate.py [--scale 50] [--hot 12000] [--out STRESS.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from eirepolitic_data_pipeline_spark.functions.text import (  # noqa: E402
+    doc_fingerprint, quality_features)
+from eirepolitic_data_pipeline_spark.operators.curation import (  # noqa: E402
+    curate_corpus)
+from eirepolitic_data_pipeline_spark.operators.dedupe import (  # noqa: E402
+    dedupe_lines, exact_duplicate_groups, minhash_dedup)
+from eirepolitic_data_pipeline_spark.session import get_spark  # noqa: E402
+from tools.stress_dedup import (  # noqa: E402
+    build_corpus, partition_profile)
+
+HOT_ID_FLOOR = 10 ** 9  # build_corpus gives hot-cluster docs ids >= this
+
+
+def stage(name, df, results, skew_limit):
+    """Count + partition-profile one stage frame; returns (count, ok)."""
+    t0 = time.perf_counter()
+    n = df.count()
+    wall = round(time.perf_counter() - t0, 1)
+    prof = partition_profile(df)
+    ok = prof["skew_ratio"] <= skew_limit
+    results.append({"stage": name, "wall_s": wall, "rows": n, **prof,
+                    "ok": ok})
+    print(f"{name}: {wall}s, {n} rows, max/median partition rows "
+          f"{prof['max_rows']}/{prof['median_rows']} "
+          f"(ratio {prof['skew_ratio']}) {'OK' if ok else 'SKEW VIOLATION'}")
+    return n, ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--scale", type=int, default=50)
+    ap.add_argument("--hot", type=int, default=12000)
+    ap.add_argument("--benchmark-docs", type=int, default=500)
+    ap.add_argument("--skew-limit", type=float, default=10.0)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "STRESS.md"))
+    args = ap.parse_args()
+
+    spark = get_spark("stress_curate")
+    cores = spark.sparkContext.defaultParallelism
+    tmp = tempfile.mkdtemp(prefix="stress_curate_")
+    corpus, n_base, n_docs = build_corpus(
+        spark, args.sf_dir, args.scale, args.hot, os.path.join(tmp, "corpus"))
+    # ~200 sources = the split's leakage boundary; derived from doc_id so
+    # every rerun is deterministic
+    corpus = corpus.withColumn(
+        "source", F.concat(F.lit("site"), F.pmod(F.col("doc_id"), F.lit(199))))
+    print(f"corpus: {n_docs} docs ({n_base} base x {args.scale}, "
+          f"{args.hot} hot-cluster), {cores} cores")
+
+    # benchmark = verbatim copies of hot documents: every hot doc shares
+    # the >=8-gram boilerplate prefix with them, so decontamination must
+    # remove the ENTIRE hot cluster — a totality check, not a sample check
+    benchmark = (corpus.filter(F.col("doc_id") >= HOT_ID_FLOOR)
+                 .limit(args.benchmark_docs).select("doc_id", "text")
+                 .localCheckpoint())
+
+    results, all_ok = [], True
+    checks = []
+
+    def check(name, ok, detail=""):
+        nonlocal all_ok
+        all_ok &= ok
+        checks.append((name, ok, detail))
+        print(f"check {name}: {'OK' if ok else 'FAIL'} {detail}")
+
+    # ---- stage-by-stage telemetry (the recipe's own order/parameters;
+    # curation.curate_corpus composes exactly these) -----------------------
+    q = quality_features("text")
+    s1 = corpus.filter((q["n_tokens"] >= 5) & (q["alpha_ratio"] >= 0.5))
+    n1, ok = stage("1 quality gate", s1, results, args.skew_limit)
+    all_ok &= ok
+
+    cleaned = dedupe_lines(s1.select("doc_id", "text"), max_df=100)
+    s2 = (s1.select("doc_id", "source").join(cleaned, "doc_id")
+          .filter(quality_features("text")["n_tokens"] >= 5))
+    n2, ok = stage("2 line dedup + refilter", s2, results, args.skew_limit)
+    all_ok &= ok
+
+    exact = exact_duplicate_groups(s2, "text", "doc_id")
+    s3 = s2.join(exact.filter(F.col("doc_id") == F.col("canonical_id"))
+                 .select("doc_id"), "doc_id", "left_semi")
+    n3, ok = stage("3 exact dedup", s3, results, args.skew_limit)
+    all_ok &= ok
+
+    comp = minhash_dedup(s3, "text", "doc_id", threshold=0.7)
+    s4 = s3.join(comp.filter(F.col("doc_id") == F.col("canonical_id"))
+                 .select("doc_id"), "doc_id", "left_semi")
+    n4, ok = stage("4 near-dup collapse", s4, results, args.skew_limit)
+    all_ok &= ok
+
+    # hot-cluster containment through the composition: capped banding means
+    # hot docs survive stage 4 as their own canonicals (conservative keep)
+    hot_in = corpus.filter(F.col("doc_id") >= HOT_ID_FLOOR).count()
+    hot_s4 = s4.filter(F.col("doc_id") >= HOT_ID_FLOOR).count()
+    check("hot cluster contained (kept, not pair-expanded)",
+          hot_s4 >= hot_in * 0.99,
+          f"{hot_s4}/{hot_in} hot docs at stage 4")
+
+    # ---- the composed operator end-to-end --------------------------------
+    t0 = time.perf_counter()
+    curated = curate_corpus(corpus, benchmark=benchmark,
+                            max_line_df=100, near_dup_threshold=0.7)
+    n_out = curated.count()
+    wall_e2e = round(time.perf_counter() - t0, 1)
+    prof = partition_profile(curated)
+    print(f"curate_corpus end-to-end: {wall_e2e}s, {n_out} rows, "
+          f"skew ratio {prof['skew_ratio']}")
+    all_ok &= prof["skew_ratio"] <= args.skew_limit
+    results.append({"stage": "curate_corpus (composed, + decontaminate "
+                             "+ split)", "wall_s": wall_e2e, "rows": n_out,
+                    **prof, "ok": prof["skew_ratio"] <= args.skew_limit})
+
+    # invariant: ids are a subset of the input's
+    n_sub = curated.join(corpus.select("doc_id"), "doc_id", "left_semi").count()
+    check("output ids subset of input", n_sub == n_out,
+          f"{n_sub}/{n_out}")
+
+    # invariant: no duplicate content fingerprints survive the composition
+    fp = curated.select(doc_fingerprint("text").alias("fp"))
+    n_fp, n_fp_d = fp.count(), fp.distinct().count()
+    check("no exact duplicates in output", n_fp == n_fp_d,
+          f"{n_fp} rows, {n_fp_d} distinct fingerprints")
+
+    # invariant: decontamination is total — zero hot docs in the output
+    hot_out = curated.filter(F.col("doc_id") >= HOT_ID_FLOOR).count()
+    check("decontamination removed the whole contaminated cluster",
+          hot_out == 0, f"{hot_out} hot docs left of {hot_in}")
+
+    # invariant: attrition telescopes — the composed count equals the
+    # stage-4 count minus the decontaminated hot docs (split drops nothing)
+    check("attrition telescopes through the composition",
+          n_out == n4 - hot_s4,
+          f"composed {n_out} == stage4 {n4} - contaminated {hot_s4}")
+
+    # invariant: leakage-safe split — every source in exactly one split
+    max_splits = (curated.groupBy("source")
+                  .agg(F.countDistinct("split").alias("k"))
+                  .agg(F.max("k")).first()[0])
+    check("split is leakage-safe (1 split per source)", max_splits == 1,
+          f"max splits per source = {max_splits}")
+
+    # ---- STRESS.md section ------------------------------------------------
+    header = "## Curate-corpus end-to-end stress (tools/stress_curate.py)"
+    section = [
+        f"\n{header}\n\n"
+        f"Corpus: **{n_docs} documents** ({n_base} base x {args.scale} "
+        f"replicas + {args.hot}-doc hot boilerplate cluster), "
+        f"{args.benchmark_docs}-doc benchmark sharing the cluster's "
+        f"8-grams, local[{cores}]. Skew bound: max/median partition rows "
+        f"<= {args.skew_limit}. Note the stage-1 attrition is by "
+        "construction: the bulk replicas carry spliced unique tokens that "
+        "fail the alpha-ratio gate, demonstrating the cheap map-pass gate "
+        "runs FIRST; the full hot cluster and all near-dup clusters pass "
+        "it and exercise every later stage.\n\n"
+        "| stage | wall (s) | rows out | partitions | max part rows | "
+        "median part rows | skew ratio | bound |\n"
+        "|---|---|---|---|---|---|---|---|\n"]
+    for r in results:
+        section.append(
+            f"| {r['stage']} | {r['wall_s']} | {r['rows']} | "
+            f"{r['partitions']} | {r['max_rows']} | {r['median_rows']} | "
+            f"{r['skew_ratio']} | {'ok' if r['ok'] else 'VIOLATED'} |\n")
+    section.append("\nInvariants:\n\n")
+    for name, ok, detail in checks:
+        section.append(f"- {name}: **{'PASS' if ok else 'FAIL'}**"
+                       + (f" ({detail})\n" if detail else "\n"))
+    section.append(
+        f"\nResult: **{'PASS' if all_ok else 'FAIL'}**. "
+        "Rerun: `python tools/stress_curate.py`.\n")
+
+    prior = open(args.out).read() if os.path.exists(args.out) else ""
+    idx = prior.find(header)
+    if idx >= 0:
+        nxt = prior.find("\n## ", idx + len(header))
+        prior = prior[:idx].rstrip("\n") + "\n" + (
+            prior[nxt:] if nxt >= 0 else "")
+    with open(args.out, "w") as f:
+        f.write(prior.rstrip("\n") + "\n" + "".join(section))
+    print(f"wrote {args.out}: {'PASS' if all_ok else 'FAIL'}")
+    spark.stop()
+    sys.exit(0 if all_ok else 1)
+
+
+if __name__ == "__main__":
+    main()
