@@ -11,6 +11,11 @@ sys.path.insert(0, str(REPO))
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running soak/integration tests")
+
+
 @pytest.fixture(scope="session")
 def spark():
     from eirepolitic_data_pipeline_spark.session import get_spark
