@@ -78,19 +78,24 @@ class BatchCatalog:
     # -- manifest ------------------------------------------------------------
     def record_table(self, batch_id: str, table: str, row_count: int,
                      status: str = "ok", replace: bool = False,
-                     partition_by: tuple = ()):
+                     partition_by: tuple = (), bucket_by: tuple = (),
+                     num_buckets: int = 0):
         """Per-table batch entry (reference `batch.py:91-130`). ``replace``
         is for accumulating writers (streaming micro-batches) that re-record
         the same table within the open candidate batch. ``partition_by``
         records the hive partition columns so maintenance jobs (compaction,
         re-layout) can preserve the layout without re-inferring it from
-        directory names."""
+        directory names; ``bucket_by``/``num_buckets`` record the storage
+        bucketing (parquet files alone don't carry it) so read_table can
+        re-attach it in any session."""
         m = self._load_manifest(batch_id)
         self._refuse_if_promoted(batch_id, m)
         if table in m["tables"] and not replace:
             raise CatalogError(f"duplicate table {table!r} in batch {batch_id!r}")
         m["tables"][table] = {"row_count": int(row_count), "status": status,
-                              "partition_by": list(partition_by)}
+                              "partition_by": list(partition_by),
+                              "bucket_by": list(bucket_by),
+                              "num_buckets": int(num_buckets)}
         self._save_manifest(batch_id, m)
 
     def _refuse_if_promoted(self, batch_id: str, manifest: Optional[dict] = None):
@@ -150,7 +155,8 @@ class BatchCatalog:
     # -- write/read ----------------------------------------------------------
     def write_table(self, df: DataFrame, table: str, batch_id: Optional[str],
                     status: str = "ok", overwrite: bool = False,
-                    partition_by: tuple = ()):
+                    partition_by: tuple = (), bucket_by: tuple = (),
+                    num_buckets: int = 0):
         """Candidate write — always lands in a batch dir.
 
         A production-bound write without a batch id is refused, mirroring the
@@ -159,10 +165,27 @@ class BatchCatalog:
         accumulating writer (streaming micro-batches) may pass ``overwrite``
         to re-land the table in the OPEN candidate batch — the reference's
         own candidate keys are rewritten per table build the same way.
+
+        ``bucket_by``/``num_buckets`` persist the table BUCKETED on those
+        keys (sorted within buckets): the storage pays the clustering once,
+        and every later merge/join on the keys plans without re-shuffling
+        the table (the scan reports the bucketing as its output
+        partitioning). The bucketing is recorded in the manifest so
+        ``read_table`` can re-attach it in any later session — parquet
+        files alone don't carry it.
         """
         if not batch_id:
             raise CatalogError(
                 f"refusing candidate write of {table!r} without a batch id")
+        if bucket_by and num_buckets <= 0:
+            raise CatalogError(
+                f"bucketed write of {table!r} needs num_buckets > 0 "
+                "(size it with io.bucketing.buckets_for)")
+        if bucket_by and partition_by:
+            raise CatalogError(
+                f"bucketed write of {table!r}: combining hive partitioning "
+                "with bucketing is not supported by the catalog's "
+                "re-attach DDL; pick one layout per table")
         self._refuse_if_promoted(batch_id)
         path = self.batch_path(batch_id, table)
         atomic.heal_interrupted_swap(path)
@@ -177,8 +200,13 @@ class BatchCatalog:
             # would be a manifest/pointer update instead, exactly like
             # promote()'s pointer write.)
             tmp = atomic.incoming_path(path)
-            self._writer(df, "errorifexists", partition_by).parquet(tmp)
+            self._write_files(df, tmp, partition_by, bucket_by, num_buckets)
             atomic.swap_in(path)
+        elif bucket_by:
+            if os.path.isdir(path):  # saveAsTable checks table, not path
+                raise CatalogError(
+                    f"table {table!r} already written in batch {batch_id!r}")
+            self._write_files(df, path, partition_by, bucket_by, num_buckets)
         else:
             mode = "overwrite" if overwrite else "errorifexists"
             self._writer(df, mode, partition_by).parquet(path)
@@ -189,7 +217,29 @@ class BatchCatalog:
         # metadata read.
         row_count = df.sparkSession.read.parquet(path).count()
         self.record_table(batch_id, table, row_count, status,
-                          replace=overwrite, partition_by=partition_by)
+                          replace=overwrite, partition_by=partition_by,
+                          bucket_by=bucket_by, num_buckets=num_buckets)
+
+    def _write_files(self, df: DataFrame, target: str, partition_by: tuple,
+                     bucket_by: tuple, num_buckets: int):
+        """Write the data files for ``target``, bucketed when asked.
+
+        Spark only writes bucketed data through ``saveAsTable``, so the
+        bucketed branch routes through a throwaway session-catalog entry
+        pinned to the target path, dropped immediately after (EXTERNAL
+        table: the files stay; the durable bucketing record lives in the
+        batch manifest, re-attached at read time)."""
+        if not bucket_by:
+            self._writer(df, "errorifexists", partition_by).parquet(target)
+            return
+        spark = df.sparkSession
+        tmp_name = "__catalog_write_" + str(abs(hash(target)) % 10 ** 12)
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+        (df.write.format("parquet").mode("errorifexists")
+         .option("path", target)
+         .bucketBy(num_buckets, *bucket_by).sortBy(*bucket_by)
+         .saveAsTable(tmp_name))
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
 
     @staticmethod
     def _writer(df: DataFrame, mode: str, partition_by: tuple = ()):
@@ -232,18 +282,44 @@ class BatchCatalog:
         previous session value restored immediately — schema is fixed at
         analysis time): hive keys are strings in this layout, and inference
         would round-trip `snapshot_date=2026-8-1` into '2026-08-01',
-        silently rewriting non-canonical values."""
+        silently rewriting non-canonical values.
+
+        A table the manifest records as BUCKETED is re-attached to the
+        session catalog (CREATE TABLE ... CLUSTERED BY ... LOCATION) and
+        read through it, so the scan reports the storage clustering as its
+        output partitioning and merges/joins on the bucket keys plan
+        without re-shuffling this side. A plain ``spark.read.parquet``
+        would silently drop the bucketing — the files carry no metadata."""
         bid = batch_id or self.production_batch_id()
         if bid is None:
             raise CatalogError(f"no production batch promoted; cannot read {table!r}")
         path = self.batch_path(bid, table)
+        entry = self._load_manifest(bid).get("tables", {}).get(table, {})
         conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
         prev = spark.conf.get(conf_key, "true")
         try:
             spark.conf.set(conf_key, "false")
+            if entry.get("bucket_by") and entry.get("num_buckets", 0) > 0:
+                return self._read_bucketed(spark, path, entry)
             return spark.read.parquet(path)
         finally:
             spark.conf.set(conf_key, prev)
+
+    @staticmethod
+    def _read_bucketed(spark: SparkSession, path: str, entry: dict) -> DataFrame:
+        """Re-attach a bucketed parquet dir to the session catalog under a
+        deterministic name and read through it (same mechanics as
+        io.bucketing.register_bucketed; the DDL comes from the parquet
+        footers so schema evolution between batches needs no bookkeeping)."""
+        name = "__catalog_read_" + str(abs(hash(path)) % 10 ** 12)
+        ddl = spark.read.parquet(path)._jdf.schema().toDDL()
+        keys = ", ".join(entry["bucket_by"])
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(
+            f"CREATE TABLE {name} ({ddl}) USING parquet "
+            f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
+            f"INTO {entry['num_buckets']} BUCKETS LOCATION '{path}'")
+        return spark.table(name)
 
     # -- promote / rollback ----------------------------------------------------
     def promote(self, batch_id: str, expected_tables: list[str]):

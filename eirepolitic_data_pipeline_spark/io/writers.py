@@ -25,7 +25,8 @@ class MergeWriter:
 
     def write(self, incoming: DataFrame, table: str, policy: WritePolicy,
               batch_id: str, snapshot_date: Optional[str] = None,
-              accumulate: bool = False) -> DataFrame:
+              accumulate: bool = False, bucket_by: tuple = (),
+              num_buckets: int = 0) -> DataFrame:
         """Merge incoming into retained history per policy, write to the
         candidate batch, and return the merged DataFrame.
 
@@ -43,6 +44,15 @@ class MergeWriter:
         of all prior micro-batch merges on a real cluster) and no window
         where a mid-write failure has destroyed the previous state. The
         returned frame re-reads the committed files, not the pre-swap plan.
+
+        ``bucket_by``/``num_buckets`` persist the merged table BUCKETED
+        (merge-heavy fact tables set this by default via the registry's
+        ``bucket_by`` config). When the bucket keys are exactly the
+        policy's primary key, the merge itself switches to the anti-join
+        form (operators/merge.py:merge_upsert_antijoin) so the
+        storage-clustered history is never re-shuffled — the refresh-cycle
+        cost becomes O(delta), not O(history). The window-over-union form
+        remains the default for everything else.
         """
         existing = None
         if accumulate:
@@ -72,7 +82,14 @@ class MergeWriter:
                     existing = None
                 else:
                     raise
-        merged = merge_for_policy(existing, incoming, policy)
+        fast_path = (existing is not None and policy.mode == "upsert"
+                     and not policy.business_key and bucket_by
+                     and tuple(bucket_by) == tuple(policy.primary_key))
+        if fast_path:
+            from ..operators.merge import merge_upsert_antijoin
+            merged = merge_upsert_antijoin(existing, incoming, policy)
+        else:
+            merged = merge_for_policy(existing, incoming, policy)
         partition_by = ()
         if snapshot_date is not None:
             from pyspark.sql import functions as F
@@ -81,7 +98,9 @@ class MergeWriter:
             partition_by = ("snapshot_date",)
         self.catalog.write_table(merged, table, batch_id,
                                  overwrite=accumulate,
-                                 partition_by=partition_by)
+                                 partition_by=partition_by,
+                                 bucket_by=tuple(bucket_by),
+                                 num_buckets=num_buckets)
         if accumulate:
             # The merged plan read the pre-swap candidate files, which the
             # swap has replaced; hand back the committed on-disk state.

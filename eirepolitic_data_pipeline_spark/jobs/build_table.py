@@ -306,7 +306,24 @@ def build_table(spark: SparkSession, catalog: BatchCatalog,
 
     conformed = tdef.conform(out)
     writer = MergeWriter(catalog=catalog, spark=spark)
-    merged = writer.write(conformed, table, tdef.policy, batch_id=batch_id)
+    bucket_kw = {}
+    if tdef.bucket_keys:
+        # merge-heavy fact tables persist BUCKETED on their declared keys
+        # by default: the storage pays the clustering once, and the next
+        # refresh's merge plans without re-shuffling retained history
+        # (io/writers.py fast path). Bucket count sized from the table's
+        # current production volume (first build: minimum).
+        from ..io.bucketing import buckets_for
+        prev_rows = 0
+        prod = catalog.production_batch_id()
+        if prod:
+            entry = catalog._load_manifest(prod).get("tables", {}).get(table)
+            if entry:
+                prev_rows = int(entry.get("row_count", 0))
+        bucket_kw = dict(bucket_by=tuple(tdef.bucket_keys),
+                         num_buckets=buckets_for(prev_rows))
+    merged = writer.write(conformed, table, tdef.policy, batch_id=batch_id,
+                          **bucket_kw)
     n = merged.count()
     if promote:
         # The production pointer is batch-GLOBAL: promoting moves every

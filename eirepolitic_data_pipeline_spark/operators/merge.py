@@ -94,3 +94,41 @@ def merge_for_policy(existing: Optional[DataFrame], incoming: DataFrame,
     if policy.business_key:
         out = _keep_first_by_priority(out, policy.business_key)
     return out.drop(_PRIORITY)
+
+
+def merge_upsert_antijoin(existing: DataFrame, incoming: DataFrame,
+                          policy: WritePolicy) -> DataFrame:
+    """Upsert merge in the anti-join shape: ``existing ⟕̸ incoming ∪
+    incoming`` — the form that never re-shuffles the fact-sized history.
+
+    Equivalent to ``merge_for_policy``'s window-over-union upsert under
+    three preconditions, which the MergeWriter checks before choosing it:
+
+    - ``existing`` is PK-UNIQUE (it is: every prior merge output is);
+    - the PK columns are NON-NULL (enforced by the DQ gate before every
+      build write; a null PK would group in the window form but never
+      match the anti-join);
+    - the policy has no ``business_key`` (the second dedupe would need a
+      second anti-join on a different key, which the history's bucketing
+      cannot serve shuffle-free anyway).
+
+    Why it exists: the window form shuffles the ENTIRE union — history
+    included — on every refresh. When the history is persisted BUCKETED on
+    the primary key (io/bucketing.py; catalog manifests record it), this
+    form plans the anti-join off the storage clustering: zero Exchange on
+    the history side, one delta-sized Exchange (or a broadcast) for the
+    incoming batch. At 100 TB that is the difference between re-shuffling
+    the table every refresh and touching only the delta."""
+    if policy.business_key:
+        raise ValueError(
+            "merge_upsert_antijoin does not support business_key policies; "
+            "use merge_for_policy")
+    pk = list(policy.primary_key)
+    inc = _keep_first_by_priority(
+        incoming.withColumn(_PRIORITY, F.lit(0)), pk).drop(_PRIORITY)
+    # anti-join against the RAW incoming keys (duplicates are harmless to
+    # an anti-join) so this branch carries no window — the plan's only
+    # Exchanges are delta-sized, and the history side joins straight off
+    # its storage clustering
+    kept = existing.join(incoming.select(*pk), pk, "left_anti")
+    return kept.unionByName(inc, allowMissingColumns=True)

@@ -53,6 +53,10 @@ class TableDef:
     layer: str = ""
     cadence: str = "weekly"
     endpoint: Optional[str] = None
+    #: storage clustering for merge-heavy fact tables: persist bucketed on
+    #: these keys so every refresh's merge plans without re-shuffling the
+    #: table (io/bucketing.py; the catalog records it in the manifest)
+    bucket_keys: Sequence[str] = ()
 
     @property
     def schema(self) -> T.StructType:
@@ -120,6 +124,7 @@ class TableRegistry:
                 layer=spec.get("layer", infer_layer(name)),
                 cadence=spec.get("cadence", "weekly"),
                 endpoint=spec.get("endpoint"),
+                bucket_keys=tuple(spec.get("bucket_by", [])),
             )
         return cls(out)
 

@@ -175,3 +175,66 @@ def test_write_range_sorted_clusters_for_skipping(spark, tmp_path):
     plan = sel._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(k), EqualTo(k,12345)" in plan
     assert back.count() == 100000 and sel.count() == df.filter("(id * 2654435761) % 100000 = 12345").count()
+
+
+# ---------------------------------------------------------------------------
+# default bucketed storage for merge-heavy fact tables (refresh cycle)
+# ---------------------------------------------------------------------------
+
+def test_bucketed_fact_merge_plans_no_history_exchange(spark, tmp_path,
+                                                       no_broadcast):
+    """The refresh-cycle merge contract: a fact table persisted bucketed on
+    its primary key is merged with the anti-join form off the storage
+    clustering — ZERO Exchange on the history side (the only Exchange in
+    the plan is the delta-sized incoming shuffle), with contents identical
+    to the window-over-union merge."""
+    from pyspark.sql import functions as F
+
+    from eirepolitic_data_pipeline_spark.io.catalog import BatchCatalog
+    from eirepolitic_data_pipeline_spark.io.writers import MergeWriter
+    from eirepolitic_data_pipeline_spark.operators.merge import (
+        WritePolicy, merge_for_policy, merge_upsert_antijoin)
+
+    catalog = BatchCatalog(root=str(tmp_path / "wh"))
+    writer = MergeWriter(catalog=catalog, spark=spark)
+    policy = WritePolicy(mode="upsert", primary_key=["pk"])
+    hist = spark.range(20000).select(
+        F.col("id").cast("string").alias("pk"), F.lit("old").alias("v"))
+    writer.write(hist, "fact", policy, batch_id="b1",
+                 bucket_by=("pk",), num_buckets=8)
+    catalog.promote("b1", ["fact"])
+
+    # the manifest carries the bucketing (parquet files alone don't)
+    entry = catalog._load_manifest("b1")["tables"]["fact"]
+    assert entry["bucket_by"] == ["pk"] and entry["num_buckets"] == 8
+
+    # a catalog read re-attaches the clustering: the merge plan's history
+    # side scans Bucketed with no Exchange above it
+    existing = catalog.read_table(spark, "fact")
+    delta = spark.range(100).select(
+        (F.col("id") * 3).cast("string").alias("pk"),
+        F.lit("new").alias("v"))
+    merged = merge_upsert_antijoin(existing, delta, policy)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    # ZERO Exchange between the bucketed history scan and the join: walk
+    # up from the bucketed FileScan line to the join line — every line in
+    # between belongs to the history-side chain (the tree prints a
+    # subtree's lines consecutively) and must not be an Exchange. The
+    # remaining Exchanges in the plan are all delta-sized.
+    lines = plan.splitlines()
+    scan_i = next(i for i, ln in enumerate(lines) if "Bucketed: true" in ln)
+    join_i = next(i for i in range(scan_i, -1, -1)
+                  if "Join" in lines[i] and "LeftAnti" in lines[i])
+    assert not any("Exchange" in ln for ln in lines[join_i:scan_i]), \
+        "history side re-shuffled despite bucketed storage"
+
+    # second refresh cycle through the writer: same contents as the
+    # window-over-union merge of the same inputs
+    got = writer.write(delta, "fact", policy, batch_id="b2",
+                       bucket_by=("pk",), num_buckets=8)
+    want = merge_for_policy(hist, delta, policy)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() == 20000  # all 100 delta keys already existed: pure upsert
+    assert got.filter("v = 'new'").count() == 100

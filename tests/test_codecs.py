@@ -141,7 +141,8 @@ def test_wav_stereo_mixdown():
 # external-library tiers: exercised when installed, skipped otherwise
 # ---------------------------------------------------------------------------
 
-@pytest.mark.skipif(codecs.pil_image() is None, reason="PIL not installed")
+@pytest.mark.skipif(codecs.pil_image() is None,
+                    reason="PIL not installed in this container — pip install pillow to exercise the JPEG/real-image decode tier (see README: Multimodal codec tiers)")
 def test_pil_branch_decodes_jpeg(spark):
     import io
     pil = codecs.pil_image()
@@ -156,7 +157,7 @@ def test_pil_branch_decodes_jpeg(spark):
 
 
 @pytest.mark.skipif(codecs.soundfile_mod() is None,
-                    reason="soundfile not installed")
+                    reason="soundfile not installed in this container — pip install soundfile to exercise the compressed-audio decode tier (see README: Multimodal codec tiers)")
 def test_soundfile_branch(spark):
     sf = codecs.soundfile_mod()
     assert sf is not None

@@ -77,3 +77,40 @@ def test_run_refresh_failure_blocks_promotion(spark, tmp_path, raw_root):  # noq
                       promote=False)
     assert res.built["silver_members"] == 2
     assert "silver_questions" in res.failed and not res.promoted
+
+
+def test_run_refresh_persists_fact_tables_bucketed(spark, tmp_path, raw_root):  # noqa: F811
+    """The merge-heavy silver facts (bucket_by in the registry config) land
+    BUCKETED by default through the refresh cycle: the batch manifest
+    records the clustering, a catalog read re-attaches it, and a second
+    cycle's merge keeps contents correct (per-table values asserted by the
+    e2e test above; here the storage contract)."""
+    registry = TableRegistry.from_dict(DEFAULT_TABLES_CONFIG)
+    catalog = BatchCatalog(root=str(tmp_path / "wh"))
+    res = run_refresh(spark, catalog, registry, "weekly", as_of=AS_OF,
+                      batch_id="w40", raw_root=raw_root, tables=TABLES)
+    assert not res.failed and res.promoted
+
+    m = catalog._load_manifest("w40")["tables"]
+    for fact in ("silver_member_votes", "silver_speeches"):
+        assert m[fact]["bucket_by"] == [registry[fact].policy.primary_key[0]]
+        assert m[fact]["num_buckets"] >= 4
+        # the read goes through the re-attached catalog table (a plain
+        # parquet read would drop the clustering); whether a given plan
+        # USES the bucketing is the planner's call (auto bucketed scan
+        # disables it for scans with no join/agg to serve) — the join-plan
+        # mechanics are pinned in tests/test_bucketing.py
+        plan = catalog.read_table(spark, fact)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "spark_catalog.default.__catalog_read_" in plan, fact
+    # dimension tables stay plain
+    assert m["silver_members"]["bucket_by"] == []
+
+    # second cycle: merge against the bucketed history, still bucketed out
+    res2 = run_refresh(spark, catalog, registry, "weekly", as_of=AS_OF,
+                       batch_id="w41", raw_root=raw_root, tables=TABLES)
+    assert not res2.failed and res2.promoted
+    m2 = catalog._load_manifest("w41")["tables"]
+    assert m2["silver_member_votes"]["bucket_by"] == ["member_vote_id"]
+    votes = catalog.read_table(spark, "silver_member_votes")
+    assert votes.count() == votes.select("member_vote_id").distinct().count()
