@@ -29,9 +29,13 @@ from pyspark.sql import functions as F
 
 
 def _top_rows(metrics: DataFrame, value_col: str, row_limit: int,
-              ascending: bool) -> list:
+              ascending: bool, tiebreak_col: str) -> list:
+    """Distributed top-N: only row_limit rows reach the driver. The
+    tiebreak column makes equal-value packs rerun-stable — a media post
+    regenerated from identical data must not reshuffle its rows."""
     order = F.col(value_col).asc() if ascending else F.col(value_col).desc()
-    return metrics.orderBy(order).limit(row_limit).collect()
+    return metrics.orderBy(order, F.col(tiebreak_col).asc()) \
+        .limit(row_limit).collect()
 
 
 def ranking_table_spec(metrics: DataFrame, value_col: str, *,
@@ -48,7 +52,8 @@ def ranking_table_spec(metrics: DataFrame, value_col: str, *,
     ``ranking_table/generator.py:normalise_rows`` expects (it re-sorts and
     re-ranks under the spec's ``sort``, so pre-sorting here only bounds
     what is collected)."""
-    rows = _top_rows(metrics, value_col, row_limit, sort == "ascending")
+    rows = _top_rows(metrics, value_col, row_limit,
+                     sort == "ascending", name_col)
     pack = [{"rank": i + 1,
              "name": str(r[name_col] or ""),
              "sublabel": str(r[sublabel_col] or "") if sublabel_col else "",
@@ -71,7 +76,8 @@ def bar_chart_spec(metrics: DataFrame, value_col: str, *,
                    subtitle: str = "") -> dict:
     """Spec dict for the reference's horizontal-bar-chart generator: rows
     shaped ``{label, value}`` (`horizontal_bar_chart/generator.py:32-50`)."""
-    rows = _top_rows(metrics, value_col, max_items, sort == "ascending")
+    rows = _top_rows(metrics, value_col, max_items,
+                     sort == "ascending", label_col)
     pack = [{"label": str(r[label_col] or ""),
              "value": float(r[value_col] or 0)} for r in rows]
     return {
