@@ -28,6 +28,31 @@ def _hive_partition_dirs(path: str) -> list[str]:
         return []
 
 
+#: Spark bucket files carry the bucket id after the task uuid:
+#: part-00000-<uuid>_00003.c000.snappy.parquet
+_BUCKET_FILE_RE = re.compile(r"_\d{5}\.c\d+")
+
+
+def _refuse_bucketed_layout(path: str, op: str):
+    """In-place rewrites must not touch a BUCKETED dataset: a plain rewrite
+    silently drops the bucket file layout while any catalog manifest (or
+    session-catalog entry) still CLAIMS the clustering — and a reader that
+    trusts a false bucketing claim produces wrong join results, not just a
+    slow plan. Re-layout bucketed tables through a bucketed write
+    (io/bucketing.py or the catalog's bucket_by path) instead."""
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return
+    for n in names:
+        if _BUCKET_FILE_RE.search(n):
+            raise ValueError(
+                f"{op}: {path} holds BUCKETED data files ({n!r}); an "
+                "in-place plain rewrite would break the clustering its "
+                "manifest records — rewrite through a bucketed write "
+                "instead")
+
+
 def _swap_rewrite(df, path: str, fmt: str):
     tmp = atomic.incoming_path(path)
     writer = df.write.format(fmt).mode("errorifexists")
@@ -69,6 +94,7 @@ def delete_column(spark, path: str, column: str, *, fmt: str = "parquet",
             raise ValueError(f"Column {column!r} not found in {path}")
         return removed
     atomic.heal_interrupted_swap(path)
+    _refuse_bucketed_layout(path, "delete_column")
     reader = spark.read.format(fmt)
     if fmt == "csv":
         reader = reader.option("header", True)
@@ -113,6 +139,7 @@ def compact_dataset(spark, path: str, *, target_file_bytes: int = 128 * 2**20,
         return total
 
     atomic.heal_interrupted_swap(path)
+    _refuse_bucketed_layout(path, "compact_dataset")
 
     def _du(p):
         files = []

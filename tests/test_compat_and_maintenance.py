@@ -165,3 +165,29 @@ def test_profile_table_tolerates_map_columns(spark):
     assert prof["m"]["approx_distinct"] is None
     assert prof["m"]["min_value"] is None
     assert prof["id"]["approx_distinct"] == 1
+
+
+def test_maintenance_refuses_bucketed_layout(spark, tmp_path):
+    """delete_column/compact_dataset must refuse an in-place plain rewrite
+    of BUCKETED data files: the rewrite would silently drop the clustering
+    a catalog manifest still claims, and a reader trusting a false
+    bucketing claim returns wrong join results."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from eirepolitic_data_pipeline_spark.io.bucketing import write_bucketed
+    from eirepolitic_data_pipeline_spark.io.maintenance import (
+        compact_dataset, delete_column)
+
+    path = str(tmp_path / "bkt")
+    df = spark.range(100).select(F.col("id").cast("string").alias("pk"),
+                                 F.lit("x").alias("v"))
+    write_bucketed(df, "maint_bkt_probe", ["pk"], 4, path)
+    spark.sql("DROP TABLE IF EXISTS maint_bkt_probe")  # files remain
+
+    with pytest.raises(ValueError, match="BUCKETED"):
+        delete_column(spark, path, "v")
+    with pytest.raises(ValueError, match="BUCKETED"):
+        compact_dataset(spark, path)
+    # the data is untouched by the refusals
+    assert spark.read.parquet(path).count() == 100
