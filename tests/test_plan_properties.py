@@ -125,3 +125,22 @@ def test_knn_query_side_is_broadcast(spark):
     plan = _plan(_queries()["q26_knn_bruteforce"](spark, SF_SMOKE))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_jit_hostile_codegen_methods(spark):
+    """No query may generate a whole-stage-codegen method over the JVM
+    JIT's 8000-byte DontCompileHugeMethods limit: an over-limit method
+    runs interpreted and silently costs ~8x (the r4 q34 regression — a
+    14.9 KB flat projection). Wide projections must stage themselves so
+    every consume() stays compilable."""
+    import re as _re
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("codegen")
+    offenders = {}
+    for name, fn in _queries().items():
+        ex = fn(spark, SF_SMOKE)._jdf.queryExecution().explainString(mode)
+        big = [int(x) for x in _re.findall(r"maxMethodCodeSize:(\d+)", ex)
+               if int(x) > 8000]
+        if big:
+            offenders[name] = sorted(big, reverse=True)[:3]
+    assert offenders == {}, f"JIT-hostile generated methods: {offenders}"
