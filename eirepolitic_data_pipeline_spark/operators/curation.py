@@ -281,7 +281,7 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
     closure — no new shuffle pattern is introduced by the composition."""
     from ..functions.text import quality_features
     from .dedupe import (dedupe_lines, decontaminate,
-                         exact_duplicate_groups, minhash_dedup)
+                         exact_canonical_ids, minhash_dedup)
 
     q = quality_features(text_col)
     kept = docs.filter((q["n_tokens"] >= min_tokens)
@@ -293,10 +293,11 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
     kept = (kept.select(*others).join(cleaned, id_col)
             .filter(quality_features(text_col)["n_tokens"] >= min_tokens))
 
-    exact = exact_duplicate_groups(kept, text_col, id_col)
-    kept = kept.join(
-        exact.filter(F.col(id_col) == F.col("canonical_id"))
-        .select(id_col), id_col, "left_semi")
+    # skew-proof survivor set: min-per-fingerprint AGGREGATE, never the
+    # per-row window report — a 100M-copy boilerplate page is exactly what
+    # this stage must absorb (see exact_canonical_ids)
+    kept = kept.join(exact_canonical_ids(kept, text_col, id_col),
+                     id_col, "left_semi")
 
     comp = minhash_dedup(kept, text_col, id_col,
                          threshold=near_dup_threshold)

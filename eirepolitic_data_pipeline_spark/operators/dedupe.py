@@ -71,14 +71,38 @@ def dedupe_with_conflicts(df: DataFrame, business_key: Sequence[str],
 
 def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id") -> DataFrame:
-    """Exact dedup: normalized-content fingerprint → canonical id (min id)
-    per group + group size. One shuffle on the fingerprint."""
+    """Exact dedup REPORT: normalized-content fingerprint → canonical id
+    (min id) per group + group size, one output row per INPUT row. One
+    shuffle on the fingerprint.
+
+    Hot-group caveat: the window buffers each duplicate group in one task,
+    so this per-row report grain is for inspection/audit outputs. A
+    curation pipeline that only needs the survivors must use
+    ``exact_canonical_ids`` — a page duplicated 100M times is exactly the
+    group this window would choke on and exactly the case dedup exists
+    for."""
     w = Window.partitionBy("fingerprint")
     return (
         df.select(id_col, tx.doc_fingerprint(text_col).alias("fingerprint"))
         .withColumn("canonical_id", F.min(id_col).over(w))
         .withColumn("dup_group_size", F.count(F.lit(1)).over(w))
     )
+
+
+def exact_canonical_ids(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """The ids that SURVIVE exact dedup (min id per normalized-content
+    fingerprint), as a one-column frame for a semi-join.
+
+    This is the skew-proof shape for the curation hot path: min() is
+    algebraic, so the single shuffle carries one partial (fingerprint,
+    min-so-far) row per map partition — a fingerprint shared by 100M
+    byte-identical documents costs the reduce task ONE row per upstream
+    partition, where the per-row window form (`exact_duplicate_groups`)
+    would buffer all 100M in a single task."""
+    return (df.select(id_col, tx.doc_fingerprint(text_col).alias("fingerprint"))
+            .groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+            .select(id_col))
 
 
 # ---------------------------------------------------------------------------

@@ -805,3 +805,21 @@ def test_dedupe_lines_strips_boilerplate_preserves_order(spark):
         [(i, "ok\nbody %d" % i) for i in range(5)], "doc_id long, text string")
     out2 = {r["doc_id"]: r["text"] for r in dedupe_lines(many_ok).collect()}
     assert all(t.startswith("ok\n") for t in out2.values())
+
+
+def test_exact_canonical_ids_matches_window_report(spark):
+    """exact_canonical_ids (the skew-proof aggregate used by the curation
+    hot path) must select exactly the survivors the per-row window report
+    names as canonical."""
+    from eirepolitic_data_pipeline_spark.operators.dedupe import (
+        exact_canonical_ids, exact_duplicate_groups)
+    rows = [(1, "same text"), (2, "same text"), (3, "other"),
+            (4, "  SAME   text "), (5, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lean = {r["doc_id"] for r in exact_canonical_ids(df).collect()}
+    report = exact_duplicate_groups(df)
+    want = {r["doc_id"] for r in
+            report.filter("doc_id = canonical_id").collect()}
+    assert lean == want
+    # normalization folds case/whitespace: 1,2,4 are one group
+    assert lean == {1, 3, 5}

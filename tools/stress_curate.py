@@ -51,12 +51,13 @@ from eirepolitic_data_pipeline_spark.functions.text import (  # noqa: E402
 from eirepolitic_data_pipeline_spark.operators.curation import (  # noqa: E402
     curate_corpus)
 from eirepolitic_data_pipeline_spark.operators.dedupe import (  # noqa: E402
-    dedupe_lines, exact_duplicate_groups, minhash_dedup)
+    dedupe_lines, exact_canonical_ids, minhash_dedup)
 from eirepolitic_data_pipeline_spark.session import get_spark  # noqa: E402
 from tools.stress_dedup import (  # noqa: E402
     build_corpus, partition_profile)
 
-HOT_ID_FLOOR = 10 ** 9  # build_corpus gives hot-cluster docs ids >= this
+HOT_ID_FLOOR = 10 ** 9    # build_corpus hot-boilerplate ids: [1e9, 2e9)
+IDENT_ID_FLOOR = 2 * 10 ** 9  # byte-identical cluster ids: >= 2e9
 
 
 def stage(name, df, results, skew_limit):
@@ -91,17 +92,29 @@ def main():
     tmp = tempfile.mkdtemp(prefix="stress_curate_")
     corpus, n_base, n_docs = build_corpus(
         spark, args.sf_dir, args.scale, args.hot, os.path.join(tmp, "corpus"))
+    # a byte-identical hot EXACT-duplicate cluster (ids >= 2e9): one page
+    # copied args.hot times — the case the exact-dedup stage exists for,
+    # and the hot fingerprint the min-per-group AGGREGATE must absorb
+    # (a per-row window over the fingerprint would buffer the whole
+    # cluster in one task)
+    identical = spark.range(args.hot).select(
+        (F.lit(2 * 10 ** 9) + F.col("id")).alias("doc_id"),
+        F.lit("this exact landing page body is copied verbatim across "
+              "every mirror of the site word for word").alias("text"))
+    corpus = corpus.unionByName(identical)
+    n_docs += args.hot
     # ~200 sources = the split's leakage boundary; derived from doc_id so
     # every rerun is deterministic
     corpus = corpus.withColumn(
         "source", F.concat(F.lit("site"), F.pmod(F.col("doc_id"), F.lit(199))))
     print(f"corpus: {n_docs} docs ({n_base} base x {args.scale}, "
-          f"{args.hot} hot-cluster), {cores} cores")
+          f"{args.hot} hot-cluster + {args.hot} byte-identical), {cores} cores")
 
     # benchmark = verbatim copies of hot documents: every hot doc shares
     # the >=8-gram boilerplate prefix with them, so decontamination must
     # remove the ENTIRE hot cluster — a totality check, not a sample check
-    benchmark = (corpus.filter(F.col("doc_id") >= HOT_ID_FLOOR)
+    benchmark = (corpus.filter((F.col("doc_id") >= HOT_ID_FLOOR)
+                               & (F.col("doc_id") < IDENT_ID_FLOOR))
                  .limit(args.benchmark_docs).select("doc_id", "text")
                  .localCheckpoint())
 
@@ -127,11 +140,34 @@ def main():
     n2, ok = stage("2 line dedup + refilter", s2, results, args.skew_limit)
     all_ok &= ok
 
-    exact = exact_duplicate_groups(s2, "text", "doc_id")
-    s3 = s2.join(exact.filter(F.col("doc_id") == F.col("canonical_id"))
-                 .select("doc_id"), "doc_id", "left_semi")
+    s3 = s2.join(exact_canonical_ids(s2, "text", "doc_id"),
+                 "doc_id", "left_semi")
     n3, ok = stage("3 exact dedup", s3, results, args.skew_limit)
     all_ok &= ok
+
+    # Two designed behaviors for the byte-identical cluster, asserted
+    # separately:
+    # (a) THROUGH the recipe, a page duplicated beyond max_line_df is
+    #     removed ENTIRELY by line-grain boilerplate removal (its every
+    #     line has df = cluster size > 100) — 0 survivors, by design: at
+    #     that multiplicity the content IS boilerplate;
+    ident_s3 = s3.filter(F.col("doc_id") >= IDENT_ID_FLOOR).count()
+    check("byte-identical cluster past max_line_df removed entirely "
+          "(line-grain boilerplate, by design)",
+          ident_s3 == 0, f"{ident_s3} of {args.hot} copies at stage 3")
+    # (b) the exact-dedup operator ITSELF, hit directly with the hot
+    #     fingerprint group (no line-dedup first), keeps exactly one
+    #     canonical — and absorbs the 100%-skewed group through its
+    #     map-side-combined min aggregate (a per-row window would buffer
+    #     the whole cluster in one task)
+    t0 = time.perf_counter()
+    ident_direct = (exact_canonical_ids(corpus, "text", "doc_id")
+                    .filter(F.col("doc_id") >= IDENT_ID_FLOOR).count())
+    t_exact = round(time.perf_counter() - t0, 1)
+    check("exact dedup absorbs the byte-identical hot group to one "
+          "canonical", ident_direct == 1,
+          f"{ident_direct} canonical of {args.hot} copies, {t_exact}s "
+          "(min-per-fingerprint aggregate, never a window)")
 
     comp = minhash_dedup(s3, "text", "doc_id", threshold=0.7)
     s4 = s3.join(comp.filter(F.col("doc_id") == F.col("canonical_id"))
@@ -141,8 +177,9 @@ def main():
 
     # hot-cluster containment through the composition: capped banding means
     # hot docs survive stage 4 as their own canonicals (conservative keep)
-    hot_in = corpus.filter(F.col("doc_id") >= HOT_ID_FLOOR).count()
-    hot_s4 = s4.filter(F.col("doc_id") >= HOT_ID_FLOOR).count()
+    hot = (F.col("doc_id") >= HOT_ID_FLOOR) & (F.col("doc_id") < IDENT_ID_FLOOR)
+    hot_in = corpus.filter(hot).count()
+    hot_s4 = s4.filter(hot).count()
     check("hot cluster contained (kept, not pair-expanded)",
           hot_s4 >= hot_in * 0.99,
           f"{hot_s4}/{hot_in} hot docs at stage 4")
@@ -173,7 +210,8 @@ def main():
           f"{n_fp} rows, {n_fp_d} distinct fingerprints")
 
     # invariant: decontamination is total — zero hot docs in the output
-    hot_out = curated.filter(F.col("doc_id") >= HOT_ID_FLOOR).count()
+    hot_out = curated.filter((F.col("doc_id") >= HOT_ID_FLOOR)
+                             & (F.col("doc_id") < IDENT_ID_FLOOR)).count()
     check("decontamination removed the whole contaminated cluster",
           hot_out == 0, f"{hot_out} hot docs left of {hot_in}")
 
