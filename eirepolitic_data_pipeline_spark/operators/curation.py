@@ -226,7 +226,14 @@ def mix_sources(df: DataFrame, source_col: str, key_col: str,
     ``target_rows`` defaults to the input row count."""
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    # NULL sources are a real group, not a drop: the plan join below is an
+    # equi-join, and NULL = NULL never matches, so without this coalesce
+    # every NULL-source row would silently vanish from the mix — violating
+    # the module's NULL-key contract (hash_bucket/dataset_split give NULL
+    # keys a deterministic fate)
+    skey = F.coalesce(F.col(source_col).cast("string"), F.lit("__null__"))
+    df = df.withColumn("__src", skey)
+    counts = df.groupBy("__src").agg(F.count(F.lit(1)).alias("__n"))
     norm = counts.agg(F.sum(F.pow("__n", F.lit(alpha))).alias("__z"),
                       F.sum("__n").alias("__total"))
     plan = (counts.crossJoin(F.broadcast(norm))
@@ -240,11 +247,11 @@ def mix_sources(df: DataFrame, source_col: str, key_col: str,
                         F.round(F.col("__quota")
                                 / F.least(F.col("__quota").cast("double"),
                                           F.col("__n").cast("double")), 6))
-            .select(source_col, "__frac", "mix_weight"))
-    out = df.join(F.broadcast(plan), source_col)
+            .select("__src", "__frac", "mix_weight"))
+    out = df.join(F.broadcast(plan), "__src")
     return (out.filter(hash_bucket(F.col(key_col), BUCKETS, salt)
                        < F.col("__frac") * BUCKETS)
-            .drop("__frac"))
+            .drop("__frac", "__src"))
 
 
 def curate_corpus(docs: DataFrame, text_col: str = "text",

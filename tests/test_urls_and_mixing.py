@@ -197,3 +197,23 @@ def test_curate_corpus_end_to_end(spark):
     out2 = {r["doc_id"] for r in
             curate_corpus(docs, max_line_df=3).collect()}
     assert out2 == {1, 7}
+
+
+def test_mix_sources_keeps_null_source_rows(spark):
+    """NULL-source rows are a real group in the mix, not a silent drop:
+    the fraction-plan join must be null-safe (the module's NULL-key
+    contract — hash_bucket/dataset_split give NULL keys a deterministic
+    fate, and mixing must too)."""
+    from eirepolitic_data_pipeline_spark.operators.curation import mix_sources
+    rows = ([(i, "a") for i in range(100)]
+            + [(i + 100, None) for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mix_sources(df, "source", "doc_id", alpha=1.0)
+    # alpha=1, no target: natural proportions — every row keeps (frac=1)
+    got = out.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    assert counts.get(None, 0) == 100, counts
+    assert counts.get("a", 0) == 100, counts
+    # and the original source column survives untouched (incl. its NULLs)
+    assert set(r["source"] for r in out.select("source").distinct().collect()) \
+        == {"a", None}
