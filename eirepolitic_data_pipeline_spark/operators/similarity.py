@@ -87,14 +87,30 @@ def hashed_projection_bucket(vec_col: Column, dim: int, n_planes: int = 8,
 def knn_lsh(vectors: DataFrame, queries: DataFrame, k: int,
             id_col: str = "vec_id", vec_col: str = "embedding",
             query_id_col: str = "vec_id", n_bits: int = 6,
-            multiprobe: bool = False) -> DataFrame:
+            multiprobe: bool = False,
+            max_bucket: Optional[int] = None) -> DataFrame:
     """Approximate top-k: candidates must share the query's LSH bucket
     (optionally ±1-bit multiprobe buckets for recall). The bucket equi-join
     partitions candidates by bucket — at 100 TB each task handles one
-    bucket's candidate set, never the full corpus."""
+    bucket's candidate set, never the full corpus.
+
+    ``max_bucket`` is the optional hot-bucket guard (same groupBy-count
+    semi-join shape as semantic_dedup's max_cell — never a window): a
+    degenerate bucket (all-zero embeddings, too few bits for the corpus)
+    otherwise funnels |bucket| x |queries probing it| comparisons into one
+    join task. Defaults to None because dropping a bucket drops RECALL for
+    queries that live in it — a search operator shouldn't silently return
+    worse neighbors; set it (DEFAULT_MAX_CELL is a reasonable value) when
+    the corpus can contain degenerate buckets, or raise n_bits."""
     v = vectors.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).cast("array<double>").alias("nv"),
                        sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"))
+    if max_bucket is not None:
+        small = (v.groupBy("bucket")
+                 .agg(F.count(F.lit(1)).alias("__bn"))
+                 .filter(F.col("__bn") <= max_bucket)
+                 .select("bucket"))
+        v = v.join(small, "bucket", "left_semi")
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qv"),
                        sign_lsh_bucket(F.col(vec_col), n_bits).alias("qbucket"))
@@ -130,12 +146,19 @@ def knn_bruteforce_pandas(vectors: DataFrame, queries_pdf, k: int,
 
     qids = queries_pdf[id_col].to_numpy()
     qm = np.stack(queries_pdf[vec_col].to_numpy()).astype("float64")
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    # zero-norm guard, same contract as cosine_col: dividing by a zero norm
+    # yields NaN cosines, and NaN sorts ABOVE every real number in the
+    # descending top-k window — an all-zero embedding would rank as the TOP
+    # neighbor of every query. Dividing by 1 leaves the vector all-zero, so
+    # its similarities are exactly 0.0.
+    qnorm = np.linalg.norm(qm, axis=1, keepdims=True)
+    qn = qm / np.where(qnorm == 0, 1.0, qnorm)
 
     def score(it):
         for pdf in it:
             vm = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            vnorm = np.linalg.norm(vm, axis=1, keepdims=True)
+            vm = vm / np.where(vnorm == 0, 1.0, vnorm)
             sims = vm @ qn.T  # |batch| × |queries|
             out = pd.DataFrame({
                 "neighbor_id": np.repeat(pdf[id_col].to_numpy(), len(qids)),
