@@ -157,10 +157,15 @@ def canonical_url(col: Column | str,
     # anchored lazy scan: the '?' must come BEFORE any '#', so a '?' that
     # only appears inside the fragment never fabricates a query string
     query = F.regexp_extract(raw, r"^[^#]*?\?([^#]*)", 1)
-    if tuple(tracking_keys) == DEFAULT_TRACKING_KEYS:
+    # materialize ONCE before branching: the annotation invites one-shot
+    # iterables (generators), and consuming the argument twice — equality
+    # probe then join — would leave the join an EMPTY alternation that
+    # silently strips nothing
+    keys = tuple(tracking_keys)
+    if keys == DEFAULT_TRACKING_KEYS:
         track_re = TRACKING_PARAM_RE
     else:
-        track_re = (rf"(^|&)({'|'.join(tracking_keys)})(=[^&]*)?(?=&|$)")
+        track_re = (rf"(^|&)({'|'.join(keys)})(=[^&]*)?(?=&|$)")
     q1 = F.regexp_replace(query, track_re, "")
     # one pass: strip leading/trailing '&' runs and collapse interior runs
     q2 = F.regexp_replace(q1, r"^&+|&+$|(&)&+", "$1")

@@ -38,6 +38,17 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _path_digest(path: str) -> str:
+    """Stable 12-hex identifier for a path, used in session-catalog table
+    names. hashlib, NOT Python hash(): str hashing is PYTHONHASHSEED-salted
+    per process, so hash-derived names would differ every run — on a
+    persistent (Hive) metastore each new driver would CREATE a fresh entry
+    for the same path while DROP IF EXISTS only ever hits its own name,
+    accumulating entries unboundedly."""
+    import hashlib
+    return hashlib.sha256(path.encode("utf-8")).hexdigest()[:12]
+
+
 class CatalogError(RuntimeError):
     pass
 
@@ -79,7 +90,7 @@ class BatchCatalog:
     def record_table(self, batch_id: str, table: str, row_count: int,
                      status: str = "ok", replace: bool = False,
                      partition_by: tuple = (), bucket_by: tuple = (),
-                     num_buckets: int = 0):
+                     num_buckets: int = 0, merge_pk: tuple = ()):
         """Per-table batch entry (reference `batch.py:91-130`). ``replace``
         is for accumulating writers (streaming micro-batches) that re-record
         the same table within the open candidate batch. ``partition_by``
@@ -87,7 +98,10 @@ class BatchCatalog:
         re-layout) can preserve the layout without re-inferring it from
         directory names; ``bucket_by``/``num_buckets`` record the storage
         bucketing (parquet files alone don't carry it) so read_table can
-        re-attach it in any session."""
+        re-attach it in any session. ``merge_pk`` records the primary key
+        the rows were PK-UNIQUELY merged on (upsert merge output) — the
+        provenance the MergeWriter's anti-join fast path requires of its
+        history side; absent for tables written any other way."""
         m = self._load_manifest(batch_id)
         self._refuse_if_promoted(batch_id, m)
         if table in m["tables"] and not replace:
@@ -95,8 +109,17 @@ class BatchCatalog:
         m["tables"][table] = {"row_count": int(row_count), "status": status,
                               "partition_by": list(partition_by),
                               "bucket_by": list(bucket_by),
-                              "num_buckets": int(num_buckets)}
+                              "num_buckets": int(num_buckets),
+                              "merge_pk": list(merge_pk)}
         self._save_manifest(batch_id, m)
+
+    def table_entry(self, table: str, batch_id: Optional[str] = None) -> dict:
+        """The manifest entry for ``table`` in ``batch_id`` (default: the
+        production batch); {} when the batch or table is absent."""
+        bid = batch_id or self.production_batch_id()
+        if bid is None:
+            return {}
+        return self._load_manifest(bid).get("tables", {}).get(table, {})
 
     def _refuse_if_promoted(self, batch_id: str, manifest: Optional[dict] = None):
         """EVER-promoted batches are immutable — even for NEW table names:
@@ -156,7 +179,7 @@ class BatchCatalog:
     def write_table(self, df: DataFrame, table: str, batch_id: Optional[str],
                     status: str = "ok", overwrite: bool = False,
                     partition_by: tuple = (), bucket_by: tuple = (),
-                    num_buckets: int = 0):
+                    num_buckets: int = 0, merge_pk: tuple = ()):
         """Candidate write — always lands in a batch dir.
 
         A production-bound write without a batch id is refused, mirroring the
@@ -218,7 +241,8 @@ class BatchCatalog:
         row_count = df.sparkSession.read.parquet(path).count()
         self.record_table(batch_id, table, row_count, status,
                           replace=overwrite, partition_by=partition_by,
-                          bucket_by=bucket_by, num_buckets=num_buckets)
+                          bucket_by=bucket_by, num_buckets=num_buckets,
+                          merge_pk=merge_pk)
 
     def _write_files(self, df: DataFrame, target: str, partition_by: tuple,
                      bucket_by: tuple, num_buckets: int):
@@ -233,7 +257,7 @@ class BatchCatalog:
             self._writer(df, "errorifexists", partition_by).parquet(target)
             return
         spark = df.sparkSession
-        tmp_name = "__catalog_write_" + str(abs(hash(target)) % 10 ** 12)
+        tmp_name = "__catalog_write_" + _path_digest(target)
         spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
         (df.write.format("parquet").mode("errorifexists")
          .option("path", target)
@@ -308,25 +332,45 @@ class BatchCatalog:
     @staticmethod
     def _read_bucketed(spark: SparkSession, path: str, entry: dict) -> DataFrame:
         """Re-attach a bucketed parquet dir to the session catalog under a
-        deterministic name and read through it (same mechanics as
-        io.bucketing.register_bucketed; the DDL comes from the parquet
+        deterministic name and read through it (delegating the DDL to
+        io.bucketing.register_bucketed; the schema comes from the parquet
         footers so schema evolution between batches needs no bookkeeping)."""
-        name = "__catalog_read_" + str(abs(hash(path)) % 10 ** 12)
+        from .bucketing import register_bucketed
+        name = "__catalog_read_" + _path_digest(path)
         ddl = spark.read.parquet(path)._jdf.schema().toDDL()
-        keys = ", ".join(entry["bucket_by"])
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        spark.sql(
-            f"CREATE TABLE {name} ({ddl}) USING parquet "
-            f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
-            f"INTO {entry['num_buckets']} BUCKETS LOCATION '{path}'")
+        register_bucketed(spark, name, path, ddl,
+                          entry["bucket_by"], entry["num_buckets"])
         return spark.table(name)
 
     # -- promote / rollback ----------------------------------------------------
-    def promote(self, batch_id: str, expected_tables: list[str]):
+    def promote(self, batch_id: str, expected_tables: list[str],
+                allow_shrink: bool = False):
+        """Point production at ``batch_id`` after validating its manifest.
+
+        The shrink guard lives HERE, not in individual callers: the
+        production pointer is batch-global, so promoting a batch whose
+        manifest covers only a subset of the current production batch's
+        tables silently removes every absent table from production reads.
+        ``expected_tables`` is usually ``batch_tables(batch_id)`` — a
+        self-referential set that cannot catch that — so promote itself
+        compares against the live production manifest and refuses to
+        shrink unless ``allow_shrink=True`` says the retirement is
+        deliberate."""
         problems = self.validate_batch(batch_id, expected_tables)
         if problems:
             raise CatalogError(
                 f"batch {batch_id!r} failed validation: {problems}")
+        prod_id = self.production_batch_id()
+        if prod_id and prod_id != batch_id and not allow_shrink:
+            batch_set = set(self.batch_tables(batch_id))
+            shrink = sorted(set(self.batch_tables(prod_id)) - batch_set)
+            if shrink:
+                raise CatalogError(
+                    f"promote refused: batch {batch_id!r} is missing "
+                    f"{len(shrink)} table(s) the production batch "
+                    f"{prod_id!r} currently serves ({', '.join(shrink)}); "
+                    "build them into this batch first, or pass "
+                    "allow_shrink=True to retire them deliberately")
         # Stamp the manifest: from this moment the batch is immutable even
         # after the pointer moves on (it remains a rollback target).
         m = self._load_manifest(batch_id)

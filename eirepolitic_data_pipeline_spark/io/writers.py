@@ -55,6 +55,7 @@ class MergeWriter:
         remains the default for everything else.
         """
         existing = None
+        existing_batch = None  # which batch's manifest describes `existing`
         if accumulate:
             # Existence check, not a broad try/except: a transient READ
             # failure must propagate (falling back to production and then
@@ -65,6 +66,7 @@ class MergeWriter:
             if self.catalog.candidate_table_exists(batch_id, table):
                 existing = self.catalog.read_table(self.spark, table,
                                                    batch_id=batch_id)
+                existing_batch = batch_id
         if existing is None:
             try:
                 existing = self.catalog.read_table(self.spark, table)
@@ -82,9 +84,26 @@ class MergeWriter:
                     existing = None
                 else:
                     raise
-        fast_path = (existing is not None and policy.mode == "upsert"
-                     and not policy.business_key and bucket_by
-                     and tuple(bucket_by) == tuple(policy.primary_key))
+        # The anti-join form is only EQUIVALENT to the window merge when the
+        # history side is already PK-unique (merge_upsert_antijoin's
+        # preconditions) — a config alone can't prove that: history merged
+        # under an older append policy, or written by a direct caller that
+        # skipped the DQ gate, may hold duplicate PKs the window form would
+        # collapse but the anti-join would retain forever. So the fast path
+        # additionally requires the history's own manifest PROVENANCE: its
+        # entry must record it was produced by an upsert merge on this same
+        # primary key (merge_pk, written below). Absent/mismatched
+        # provenance falls back to the window form, whose output then
+        # records the provenance — self-healing after one full merge.
+        pk = tuple(policy.primary_key)
+        pk_unique_out = policy.mode == "upsert" and not policy.business_key
+        hist_pk = ()
+        if existing is not None:
+            hist_pk = tuple(self.catalog.table_entry(
+                table, batch_id=existing_batch).get("merge_pk") or ())
+        fast_path = (existing is not None and pk_unique_out
+                     and bucket_by and tuple(bucket_by) == pk
+                     and hist_pk == pk)
         if fast_path:
             from ..operators.merge import merge_upsert_antijoin
             merged = merge_upsert_antijoin(existing, incoming, policy)
@@ -100,7 +119,8 @@ class MergeWriter:
                                  overwrite=accumulate,
                                  partition_by=partition_by,
                                  bucket_by=tuple(bucket_by),
-                                 num_buckets=num_buckets)
+                                 num_buckets=num_buckets,
+                                 merge_pk=pk if pk_unique_out else ())
         if accumulate:
             # The merged plan read the pre-swap candidate files, which the
             # swap has replaced; hand back the committed on-disk state.

@@ -331,22 +331,10 @@ def build_table(spark: SparkSession, catalog: BatchCatalog,
         # manifest (all tables this run built), not just this table.
         # Build every table of the run into one batch, then pass
         # --promote on the last invocation.
-        batch_set = catalog.batch_tables(batch_id)
-        prod_id = catalog.production_batch_id()
-        if prod_id and prod_id != batch_id:
-            # batch_tables(batch_id) alone is self-referential — a batch
-            # holding a SUBSET of production's tables would validate
-            # against itself and silently drop every absent table from
-            # production reads on promote.
-            shrink = sorted(set(catalog.batch_tables(prod_id)) - set(batch_set))
-            if shrink and not allow_shrink:
-                raise CatalogError(
-                    f"promote refused: batch {batch_id!r} is missing "
-                    f"{len(shrink)} table(s) the production batch "
-                    f"{prod_id!r} currently serves ({', '.join(shrink)}); "
-                    "build them into this batch first, or pass "
-                    "--allow-shrink to retire them deliberately")
-        catalog.promote(batch_id, batch_set)
+        # the shrink guard (refusing a batch that serves fewer tables than
+        # production) lives in catalog.promote itself, shared with run_refresh
+        catalog.promote(batch_id, catalog.batch_tables(batch_id),
+                        allow_shrink=allow_shrink)
     return BuildResult(table=table, batch_id=batch_id, row_count=n,
                        dq_passed=True, dq=dq, promoted=promote)
 

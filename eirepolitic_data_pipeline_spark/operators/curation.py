@@ -226,13 +226,13 @@ def mix_sources(df: DataFrame, source_col: str, key_col: str,
     ``target_rows`` defaults to the input row count."""
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
-    # NULL sources are a real group, not a drop: the plan join below is an
-    # equi-join, and NULL = NULL never matches, so without this coalesce
-    # every NULL-source row would silently vanish from the mix — violating
-    # the module's NULL-key contract (hash_bucket/dataset_split give NULL
-    # keys a deterministic fate)
-    skey = F.coalesce(F.col(source_col).cast("string"), F.lit("__null__"))
-    df = df.withColumn("__src", skey)
+    # NULL sources are a real group, not a drop: groupBy keeps NULL as its
+    # own group, and the plan join below is NULL-SAFE (eqNullSafe), so
+    # NULL-source rows get their own quota instead of silently vanishing
+    # (a plain equi-join never matches NULL = NULL) — and, unlike a
+    # coalesce-to-sentinel, a source literally named "__null__" stays a
+    # separate group instead of being merged with the NULL one.
+    df = df.withColumn("__src", F.col(source_col).cast("string"))
     counts = df.groupBy("__src").agg(F.count(F.lit(1)).alias("__n"))
     norm = counts.agg(F.sum(F.pow("__n", F.lit(alpha))).alias("__z"),
                       F.sum("__n").alias("__total"))
@@ -247,11 +247,12 @@ def mix_sources(df: DataFrame, source_col: str, key_col: str,
                         F.round(F.col("__quota")
                                 / F.least(F.col("__quota").cast("double"),
                                           F.col("__n").cast("double")), 6))
-            .select("__src", "__frac", "mix_weight"))
-    out = df.join(F.broadcast(plan), "__src")
+            .select(F.col("__src").alias("__psrc"), "__frac", "mix_weight"))
+    out = df.join(F.broadcast(plan),
+                  df["__src"].eqNullSafe(plan["__psrc"]))
     return (out.filter(hash_bucket(F.col(key_col), BUCKETS, salt)
                        < F.col("__frac") * BUCKETS)
-            .drop("__frac", "__src"))
+            .drop("__frac", "__src", "__psrc"))
 
 
 def curate_corpus(docs: DataFrame, text_col: str = "text",

@@ -28,12 +28,16 @@ from . import quality  # noqa: F401,E402
 
 import weakref
 
-#: session → {(query name, sf_dir) → built DataFrame}. Weak-keyed so a
-#: stopped/discarded session releases its plans.
-_PLAN_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+#: Single-slot plan cache: [weakref to the session, {(name, sf_dir) → DF}].
+#: One slot, not a WeakKeyDictionary: the cached DataFrames strongly
+#: reference their SparkSession, so a weak-KEYED map whose VALUES retain
+#: the key can never release an entry — it would accumulate every session's
+#: plans for the life of the process. A new session simply evicts the
+#: previous session's plans (the harnesses only ever use one at a time).
+_PLAN_CACHE: list = [None, {}]
 
 
-def _tuned(name, fn):
+def _tuned(name, fn, memoize=True):
     """Wrap a query builder: apply the engine's runtime SQL confs to
     whatever session the harness hands us (registry.tune_session), and
     MEMOIZE the built DataFrame per (session, sf_dir).
@@ -49,14 +53,21 @@ def _tuned(name, fn):
     should exclude it — exactly the reasoning the bench already applies
     to Janino/JIT warm-up. Keyed by sf_dir, so a path whose CONTENTS are
     rewritten between calls in one session would see the old plan's file
-    listing; the workload only ever reads immutable fixture dirs."""
+    listing; the workload only ever reads immutable fixture dirs.
+
+    ``memoize=False`` (Query.memoize) opts a builder OUT: a builder whose
+    construction eagerly materializes data (q50's localCheckpoint of the
+    winnowing kernel's output) must rebuild per call, or the memo silently
+    becomes RESULT caching and a timed pass never re-runs the kernel."""
     @functools.wraps(fn)
     def run(spark, sf_dir):
         spark = tune_session(spark)
-        per = _PLAN_CACHE.get(spark)
-        if per is None:
-            per = {}
-            _PLAN_CACHE[spark] = per
+        if not memoize:
+            return fn(spark, sf_dir)
+        if _PLAN_CACHE[0] is None or _PLAN_CACHE[0]() is not spark:
+            _PLAN_CACHE[0] = weakref.ref(spark)
+            _PLAN_CACHE[1] = {}
+        per = _PLAN_CACHE[1]
         key = (name, sf_dir)
         df = per.get(key)
         if df is None:
@@ -67,7 +78,8 @@ def _tuned(name, fn):
 
 
 def queries():
-    return {name: _tuned(name, q.fn) for name, q in QUERIES.items()}
+    return {name: _tuned(name, q.fn, q.memoize)
+            for name, q in QUERIES.items()}
 
 
 def oracle_sql():

@@ -28,7 +28,7 @@ from ..tables.gold import (
     gold_member_activity_monthly,
     gold_member_activity_yearly,
 )
-from .registry import register, t
+from .registry import register, scan_partitions, t
 
 SNAPSHOT = "2026-08-13"
 
@@ -100,10 +100,9 @@ def _base_log(spark, sf_dir):
         F.lit("").alias("constituency_name_at_vote"),
     )
     p = spark.sparkContext.defaultParallelism
-    # len(inputFiles()) approximates the scan's split count without
-    # instantiating the RDD lineage on the driver (each fixture file is a
-    # single row-group, so files == splits here).
-    if len(li.inputFiles()) < p:
+    # the ACTUAL split count, not len(inputFiles()): many tiny files still
+    # bin-pack into one or two scan partitions (see registry.scan_partitions)
+    if scan_partitions(li) < p:
         base = base.repartition(p)
     return base.cache()
 

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions import scalar as sc
 from ..functions import urls as ur
-from .registry import register, t
+from .registry import register, scan_partitions, t
 
 
 @register(
@@ -178,7 +178,7 @@ def q34_scalar_function_parity(spark, sf_dir):
     scheduling overhead; with multiple real splits the repartition is
     skipped and the plan stays exchange-free."""
     cust = t(spark, sf_dir, "customer")
-    if len(cust.inputFiles()) < 2:
+    if scan_partitions(cust) < 2:
         cust = cust.repartition(
             max(2, min(spark.sparkContext.defaultParallelism, 8)))
     staged = cust.select(

@@ -16,6 +16,10 @@ class Query:
     fn: Callable[[SparkSession, str], DataFrame]
     sql: Optional[str]  # DuckDB oracle; None → rows-only check (non-SQL op)
     survey_ref: str = ""  # SURVEY.md §2 operator ids this query exercises
+    #: False for builders whose CONSTRUCTION materializes data (eager
+    #: localCheckpoint): memoizing those would turn the workload's
+    #: plan-reuse memo into result caching — see workload.__init__._tuned.
+    memoize: bool = True
 
 
 QUERIES: dict[str, Query] = {}
@@ -54,10 +58,12 @@ def tune_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def register(name: str, sql: Optional[str], survey_ref: str = ""):
+def register(name: str, sql: Optional[str], survey_ref: str = "",
+             memoize: bool = True):
     """Decorator: register a (spark, sf_dir) -> DataFrame query builder."""
     def deco(fn):
-        QUERIES[name] = Query(name=name, fn=fn, sql=sql, survey_ref=survey_ref)
+        QUERIES[name] = Query(name=name, fn=fn, sql=sql,
+                              survey_ref=survey_ref, memoize=memoize)
         return fn
     return deco
 
@@ -85,6 +91,18 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def scan_partitions(df: DataFrame) -> int:
+    """The scan's ACTUAL partition count — not ``len(df.inputFiles())``:
+    Spark bin-packs small files into few splits (maxPartitionBytes /
+    openCostInBytes), so a directory of many tiny files can still arrive
+    as one or two partitions and a file-count check would skip the
+    fan-out exactly when it is needed. Converting to the RDD instantiates
+    the plan's RDD lineage on the driver (no job runs); that cost is paid
+    once per fan-out decision on fixture-scale frames only — at
+    production scale the caller's threshold is already met."""
+    return df.rdd.getNumPartitions()
 
 
 def spread(df: DataFrame) -> DataFrame:

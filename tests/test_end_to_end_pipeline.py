@@ -111,7 +111,9 @@ def test_full_pipeline_lifecycle(spark, tmp_path):
     problems = catalog.validate_batch("b2", ["silver_members",
                                             "silver_member_memberships"])
     assert any("silver_members" in p for p in problems)
-    catalog.promote("b2", ["silver_member_memberships"])
+    # b2 deliberately serves fewer tables than b1 — the catalog-level
+    # shrink guard requires the explicit override
+    catalog.promote("b2", ["silver_member_memberships"], allow_shrink=True)
 
     # -- gold marts over production reads ---------------------------------
     prod_members = catalog.read_table(spark, "silver_members",

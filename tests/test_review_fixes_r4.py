@@ -35,7 +35,11 @@ def test_merge_writer_new_table_after_promote(spark, tmp_path):
     catalog.promote("b1", ["members"])
     merged = writer.write(df, "photos", pol, batch_id="b2")  # NEW table
     assert merged.count() == 1
-    catalog.promote("b2", ["photos"])
+    # b2 drops "members" from production — promote's shrink guard must be
+    # explicitly overridden for this deliberate retirement
+    with pytest.raises(CatalogError, match="shrink"):
+        catalog.promote("b2", ["photos"])
+    catalog.promote("b2", ["photos"], allow_shrink=True)
 
 
 def test_rollback_refuses_unpromoted_batch(spark, tmp_path):

@@ -1,0 +1,106 @@
+"""Regression tests for the round-5 self-review findings: catalog-level
+promote shrink guard, merge fast-path provenance, plan-memo honesty,
+one-shot tracking-key iterables, and null-safe source mixing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from eirepolitic_data_pipeline_spark.io.catalog import BatchCatalog, CatalogError
+from eirepolitic_data_pipeline_spark.io.writers import MergeWriter
+from eirepolitic_data_pipeline_spark.operators.merge import WritePolicy
+
+
+def test_catalog_promote_shrink_guard_is_caller_independent(spark, tmp_path):
+    """The shrink guard lives in catalog.promote itself: ANY caller passing
+    the self-referential batch_tables(batch_id) expectation (run_refresh
+    does exactly this) is refused when the batch serves fewer tables than
+    production."""
+    catalog = BatchCatalog(root=str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "x")], "k long, v string")
+    catalog.write_table(df, "t1", "b1")
+    catalog.write_table(df, "t2", "b1")
+    catalog.promote("b1", catalog.batch_tables("b1"))
+
+    catalog.write_table(df, "t1", "b2")  # subset of production
+    with pytest.raises(CatalogError, match="t2"):
+        catalog.promote("b2", catalog.batch_tables("b2"))
+    assert catalog.production_batch_id() == "b1"
+    catalog.promote("b2", catalog.batch_tables("b2"), allow_shrink=True)
+    assert catalog.production_batch_id() == "b2"
+
+
+def test_antijoin_fast_path_requires_history_provenance(spark, tmp_path):
+    """History holding duplicate PKs (merged under an earlier APPEND
+    policy) must go through the window merge — which collapses the dups —
+    not the anti-join form, which would retain them forever. The manifest's
+    merge_pk provenance is what gates the fast path."""
+    catalog = BatchCatalog(root=str(tmp_path / "wh"))
+    writer = MergeWriter(catalog=catalog, spark=spark)
+    append_pol = WritePolicy(mode="append", primary_key=("k",))
+    upsert_pol = WritePolicy(mode="upsert", primary_key=("k",))
+
+    dup = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")],
+                                "k long, v string")
+    writer.write(dup, "fact", append_pol, batch_id="b1")
+    assert catalog.table_entry("fact", "b1").get("merge_pk") == []
+    catalog.promote("b1", ["fact"])
+
+    delta = spark.createDataFrame([(2, "c2"), (3, "d")], "k long, v string")
+    merged = writer.write(delta, "fact", upsert_pol, batch_id="b2",
+                          bucket_by=("k",), num_buckets=4)
+    rows = {tuple(r) for r in merged.collect()}
+    # window form ran: the duplicate k=1 history rows collapsed to one
+    assert sorted(k for k, _ in rows) == [1, 2, 3]
+    assert (2, "c2") in rows and (3, "d") in rows
+    # ...and the OUTPUT now carries the provenance, so the next refresh of
+    # this bucketed table is eligible for the shuffle-free anti-join form
+    assert catalog.table_entry("fact", "b2").get("merge_pk") == ["k"]
+
+
+def test_q50_builder_is_not_memoized(spark):
+    """q50's construction localCheckpoints the winnowing kernel's output;
+    memoizing the built frame would turn repeated harness passes into
+    result-cache reads. Every call must build (and so re-run) afresh,
+    while plain builders still memoize per (session, sf_dir)."""
+    from eirepolitic_data_pipeline_spark import workload
+    qs = workload.queries()
+    sf = "/root/testdata/sf0.001"
+    a = qs["q50_winnow_neardup_pairs"](spark, sf)
+    b = qs["q50_winnow_neardup_pairs"](spark, sf)
+    assert a is not b
+    c = qs["q28_text_stats"](spark, sf)
+    d = qs["q28_text_stats"](spark, sf)
+    assert c is d
+
+
+def test_canonical_url_accepts_one_shot_iterable(spark):
+    """A generator passed as tracking_keys must not be exhausted before the
+    regex join — the silent failure mode is an empty alternation that
+    strips nothing."""
+    from eirepolitic_data_pipeline_spark.functions.urls import canonical_url
+    df = spark.createDataFrame(
+        [("https://example.com/p?sessionid=9&x=1",)], "u string")
+    got = df.select(canonical_url(
+        F.col("u"), tracking_keys=(k for k in ["sessionid"]))
+        .alias("c")).first()["c"]
+    assert got == "https://example.com/p?x=1"
+
+
+def test_mix_sources_null_and_null_sentinel_are_distinct_groups(spark):
+    """A source literally named '__null__' and a NULL source are different
+    groups: each keeps its own count/quota (the join is null-safe, not a
+    coalesce to an in-band sentinel)."""
+    from eirepolitic_data_pipeline_spark.operators.curation import mix_sources
+    rows = ([("__null__", i) for i in range(40)]
+            + [(None, i) for i in range(40, 50)])
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    out = mix_sources(df, "source", "doc_id", alpha=1.0).collect()
+    # alpha=1, no target: natural proportions — everything is kept, and
+    # both groups survive with weight 1
+    assert len(out) == 50
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["mix_weight"])
+    assert len(by_src[None]) == 10
+    assert len(by_src["__null__"]) == 40
+    assert all(w == 1.0 for ws in by_src.values() for w in ws)
