@@ -57,6 +57,27 @@ def test_antijoin_fast_path_requires_history_provenance(spark, tmp_path):
     assert catalog.table_entry("fact", "b2").get("merge_pk") == ["k"]
 
 
+def test_antijoin_fast_path_engages_with_provenance(spark, tmp_path):
+    """Counterpart to the fallback test: history whose manifest records the
+    matching merge_pk provenance DOES take the anti-join form (the plan
+    carries a LeftAnti join; the window form has none) — the gate must not
+    degrade every bucketed merge to the window shape."""
+    catalog = BatchCatalog(root=str(tmp_path / "wh"))
+    writer = MergeWriter(catalog=catalog, spark=spark)
+    pol = WritePolicy(mode="upsert", primary_key=("k",))
+    hist = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    writer.write(hist, "fact", pol, batch_id="b1",
+                 bucket_by=("k",), num_buckets=4)
+    assert catalog.table_entry("fact", "b1").get("merge_pk") == ["k"]
+    catalog.promote("b1", ["fact"])
+
+    delta = spark.createDataFrame([(2, "b2")], "k long, v string")
+    merged = writer.write(delta, "fact", pol, batch_id="b2",
+                          bucket_by=("k",), num_buckets=4)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+
+
 def test_q50_builder_is_not_memoized(spark):
     """q50's construction localCheckpoints the winnowing kernel's output;
     memoizing the built frame would turn repeated harness passes into
