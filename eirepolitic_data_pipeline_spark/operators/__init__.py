@@ -22,9 +22,11 @@ from .temporal import (  # noqa: F401
 from .ranking import argmax_per_group, dense_rank_in, top_n_per_group  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_col,
+    hashed_projection_bucket,
     knn_bruteforce,
     knn_lsh,
     semantic_dedup,
+    sign_lsh_bucket,
 )
 from .sketches import hll_estimate, hll_merge, hll_rollup  # noqa: F401
 from .incremental import incremental_additive, recompute_groups  # noqa: F401

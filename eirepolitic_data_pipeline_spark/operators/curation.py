@@ -135,7 +135,11 @@ def stratified_sample(df: DataFrame, strata_cols: Sequence[str],
         # stringify stratum keys: the join below casts the DATA side to
         # string, so non-string keys (int years, dates) are meant to work —
         # createDataFrame against the all-string schema would reject them
-        rows = [(*[str(p) for p in k], float(v))
+        # scalar keys are the natural spelling for ONE stratum column
+        # ({'news': 0.5}); without the normalization a string key would be
+        # iterated character by character and an int key would raise
+        rows = [(*[str(p) for p in (k if isinstance(k, tuple) else (k,))],
+                 float(v))
                 for k, v in fractions.items()]
         schema = ", ".join(f"{c} string" for c in strata_cols) + \
             ", __frac double"

@@ -367,6 +367,7 @@ def min_label_components(ids: DataFrame, pairs: DataFrame,
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))).persist()
     labels = ids.select("id", F.col("id").alias("label")).localCheckpoint()
+    changed = 0
     for _ in range(max_iters):
         nbr = (edges.join(labels, edges.doc_b == labels.id)
                .groupBy("doc_a").agg(F.min("label").alias("nbr_label")))
@@ -384,6 +385,17 @@ def min_label_components(ids: DataFrame, pairs: DataFrame,
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # exhausting the rounds without a fixed point means some rows hold
+        # INTERMEDIATE labels — one component would surface as several
+        # "canonicals", silently under-deduping every caller. A chain of
+        # diameter > max_iters (serially edited boilerplate) is a real
+        # input; failing loudly is the only safe reaction the operator can
+        # take on the callers' behalf.
+        raise RuntimeError(
+            f"min_label_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — the pair graph has a "
+            "component with diameter > max_iters; raise max_iters")
     return labels.select("id", F.col("label").alias("canonical_id"))
 
 
@@ -467,7 +479,17 @@ def dedupe_lines(df: DataFrame, text_col: str = "text",
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """SimHash: bit i = majority vote of md5-nibble-i's high bit across the
-    doc's distinct tokens. Emitted as a bit-string column ``simhash``."""
+    doc's distinct tokens. Emitted as a bit-string column ``simhash``.
+
+    ``bits`` is capped at 32 — md5 hex has exactly 32 nibbles, so bit
+    positions past 32 would read substring('') and silently vote 0 for
+    EVERY document: those constant bits would make the bands covering them
+    collide corpus-wide (all-pairs expansion under max_df, or the whole
+    band dropped above it) with no error. Refuse instead."""
+    if not 1 <= bits <= 32:
+        raise ValueError(
+            f"simhash bits must be in [1, 32] (md5 has 32 nibbles); "
+            f"got {bits}")
     toks = df.select(F.col(id_col).alias("doc_id"),
                      F.explode(F.array_distinct(tx.tokens(text_col))).alias("tok"))
     hashed = toks.select("doc_id", F.md5("tok").alias("h"))
@@ -583,5 +605,8 @@ def winnowed_fingerprint_frame(df: DataFrame, id_col: str = "doc_id",
                 "fingerprints": [fps(t) for t in pdf[text_col]],
             })
 
+    # same id-type derivation as shingle_postings/minhash_signatures — a
+    # hardcoded 'long' would crash Arrow conversion for string/int32 ids
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
-        run, schema=f"{id_col} long, fingerprints array<long>")
+        run, schema=f"{id_col} {id_type}, fingerprints array<long>")

@@ -55,8 +55,22 @@ class WritePolicy:
 
 
 def _keep_first_by_priority(df: DataFrame, keys: Sequence[str]) -> DataFrame:
-    """One row per key; lower priority value wins (0 = incoming)."""
-    w = Window.partitionBy(*keys).orderBy(F.col(_PRIORITY).asc())
+    """One row per key; lower priority value wins (0 = incoming).
+
+    Ties WITHIN a priority class (duplicate keys inside one incoming
+    batch) are broken by a total order over every remaining column —
+    without it, row_number over a constant ordering picks whichever row
+    the shuffle delivers first, and a retried/speculated task or a re-run
+    could promote a different payload (the module's determinism contract
+    would only hold between batches, not within one)."""
+    keyset = set(keys) | {_PRIORITY}
+    # map-typed columns (incl. nested) are not orderable in Spark — they
+    # stay out of the tiebreak (the order over the remaining columns is
+    # still total for rows differing anywhere orderable)
+    tiebreak = [F.col(f.name).desc_nulls_last() for f in df.schema.fields
+                if f.name not in keyset
+                and "map<" not in f.dataType.simpleString()]
+    w = Window.partitionBy(*keys).orderBy(F.col(_PRIORITY).asc(), *tiebreak)
     return (
         df.withColumn(_RN, F.row_number().over(w))
         .filter(F.col(_RN) == 1)
@@ -74,6 +88,13 @@ def merge_for_policy(existing: Optional[DataFrame], incoming: DataFrame,
     """
     if policy.mode in ("snapshot_replace", "rebuild") or existing is None:
         out = incoming
+        if policy.mode == "append":
+            # existing is None (first write): append NEVER dedupes — later
+            # appends keep every row, so deduping only the first batch
+            # would make table contents depend on which batch a duplicate
+            # arrived in (an append policy's primary_key documents the
+            # grain; it is not a uniqueness enforcement)
+            return out
         if policy.primary_key:
             out = _keep_first_by_priority(
                 out.withColumn(_PRIORITY, F.lit(0)), policy.primary_key)

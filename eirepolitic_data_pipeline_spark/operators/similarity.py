@@ -88,7 +88,8 @@ def knn_lsh(vectors: DataFrame, queries: DataFrame, k: int,
             id_col: str = "vec_id", vec_col: str = "embedding",
             query_id_col: str = "vec_id", n_bits: int = 6,
             multiprobe: bool = False,
-            max_bucket: Optional[int] = None) -> DataFrame:
+            max_bucket: Optional[int] = None,
+            bucketer=None) -> DataFrame:
     """Approximate top-k: candidates must share the query's LSH bucket
     (optionally ±1-bit multiprobe buckets for recall). The bucket equi-join
     partitions candidates by bucket — at 100 TB each task handles one
@@ -101,10 +102,18 @@ def knn_lsh(vectors: DataFrame, queries: DataFrame, k: int,
     join task. Defaults to None because dropping a bucket drops RECALL for
     queries that live in it — a search operator shouldn't silently return
     worse neighbors; set it (DEFAULT_MAX_CELL is a reasonable value) when
-    the corpus can contain degenerate buckets, or raise n_bits."""
+    the corpus can contain degenerate buckets, or raise n_bits.
+
+    ``bucketer`` swaps the bucket function: a callable
+    ``(vec_col, n_bits) -> Column`` producing an ``n_bits``-character
+    '0'/'1' string (multiprobe flips those characters). Default is
+    ``sign_lsh_bucket``; pass e.g.
+    ``lambda c, n: hashed_projection_bucket(c, dim=768, n_planes=n)`` for
+    better-distributed planes when embedding axes are correlated."""
+    bucket_of = bucketer or sign_lsh_bucket
     v = vectors.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).cast("array<double>").alias("nv"),
-                       sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"))
+                       bucket_of(F.col(vec_col), n_bits).alias("bucket"))
     if max_bucket is not None:
         small = (v.groupBy("bucket")
                  .agg(F.count(F.lit(1)).alias("__bn"))
@@ -113,7 +122,7 @@ def knn_lsh(vectors: DataFrame, queries: DataFrame, k: int,
         v = v.join(small, "bucket", "left_semi")
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qv"),
-                       sign_lsh_bucket(F.col(vec_col), n_bits).alias("qbucket"))
+                       bucket_of(F.col(vec_col), n_bits).alias("qbucket"))
     if multiprobe:
         # probe the home bucket plus each 1-bit flip
         def flip(bucket: Column, i: int) -> Column:
@@ -124,11 +133,16 @@ def knn_lsh(vectors: DataFrame, queries: DataFrame, k: int,
                          *[flip(F.col("qbucket"), i) for i in range(n_bits)])
         q = q.withColumn("qbucket", F.explode(probes))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    # No dropDuplicates: (query_id, neighbor_id) pairs are unique by
+    # construction — each neighbor has ONE bucket, and the probe set (home
+    # bucket + n_bits distinct 1-bit flips) is pairwise distinct, so a
+    # neighbor can match at most one probe even under multiprobe. A
+    # defensive dedup here would cost a full extra shuffle of the
+    # candidate set hash-partitioned on both columns.
     return (
         q.join(v, (F.col("bucket") == F.col("qbucket"))
                & (F.col("neighbor_id") != F.col("query_id")))
         .withColumn("cosine", cosine_col(F.col("nv"), F.col("qv")))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
@@ -167,8 +181,12 @@ def knn_bruteforce_pandas(vectors: DataFrame, queries_pdf, k: int,
             })
             yield out
 
+    # derive the id type from the vectors frame (string/int32 ids must not
+    # hit a hardcoded 'long' Arrow schema); query ids share the id domain
+    id_type = vectors.schema[id_col].dataType.simpleString()
     scored = vectors.select(id_col, vec_col).mapInPandas(
-        score, schema="neighbor_id long, query_id long, cosine double")
+        score,
+        schema=f"neighbor_id {id_type}, query_id {id_type}, cosine double")
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (scored.filter(F.col("neighbor_id") != F.col("query_id"))
             .withColumn("rank", F.row_number().over(w).cast("int"))

@@ -107,6 +107,118 @@ def test_canonical_url_accepts_one_shot_iterable(spark):
     assert got == "https://example.com/p?x=1"
 
 
+def test_merge_duplicate_incoming_pk_is_deterministic(spark):
+    """Two same-PK rows in ONE incoming batch (same priority class) must
+    produce the same winner on every run — the window now carries a total
+    tiebreak over the payload columns, so the outcome cannot depend on
+    shuffle delivery order."""
+    from eirepolitic_data_pipeline_spark.operators.merge import (
+        WritePolicy, merge_for_policy)
+    pol = WritePolicy(mode="upsert", primary_key=("k",))
+    inc = spark.createDataFrame(
+        [(1, "a"), (1, "z"), (2, "m")], "k long, v string")
+    winners = set()
+    for n_parts in (1, 4, 7):
+        got = merge_for_policy(None, inc.repartition(n_parts), pol)
+        winners.add(tuple(sorted(map(tuple, got.collect()))))
+    # one outcome across parallelism degrees, and it is the tiebreak max
+    assert winners == {((1, "z"), (2, "m"))}
+
+
+def test_append_first_write_keeps_duplicates(spark):
+    """An append policy with a declared primary key must NOT dedupe the
+    first batch: later appends keep every row, so first-batch dedupe would
+    make contents depend on arrival timing."""
+    from eirepolitic_data_pipeline_spark.operators.merge import (
+        WritePolicy, merge_for_policy)
+    pol = WritePolicy(mode="append", primary_key=("k",))
+    first = spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string")
+    assert merge_for_policy(None, first, pol).count() == 2
+    nxt = spark.createDataFrame([(1, "c")], "k long, v string")
+    assert merge_for_policy(first, nxt, pol).count() == 3
+
+
+def test_string_ids_through_pandas_kernels(spark):
+    """The mapInPandas kernels must derive the id type from the input
+    frame — a hardcoded 'long' crashes Arrow conversion for string ids."""
+    import pandas as pd
+
+    from eirepolitic_data_pipeline_spark.operators.dedupe import (
+        winnowed_fingerprint_frame)
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        knn_bruteforce_pandas)
+    docs = spark.createDataFrame(
+        [("doc-a", "the quick brown fox jumps over the lazy dog")],
+        "doc_id string, text string")
+    fpf = winnowed_fingerprint_frame(docs, "doc_id", "text", k=5, window=4)
+    assert fpf.first()["doc_id"] == "doc-a"
+
+    vecs = spark.createDataFrame(
+        [("v1", [1.0, 0.0]), ("v2", [0.8, 0.2])],
+        "vec_id string, embedding array<double>")
+    queries = pd.DataFrame({"vec_id": ["v1"], "embedding": [[1.0, 0.0]]})
+    rows = knn_bruteforce_pandas(vecs, queries, k=1).collect()
+    assert rows[0]["neighbor_id"] == "v2"
+
+
+def test_stratified_sample_scalar_keys(spark):
+    """Single-stratum-column fraction maps with scalar keys (the natural
+    spelling) must work — not be iterated character by character."""
+    from eirepolitic_data_pipeline_spark.operators.curation import (
+        stratified_sample)
+    df = spark.createDataFrame(
+        [("news", i) for i in range(200)] + [("blog", i) for i in range(200, 400)],
+        "source string, doc_id long")
+    out = stratified_sample(df, ["source"], {"news": 1.0}, "doc_id")
+    got = out.groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in got} == {"news": 200}
+    # int scalar keys stringify against the cast join too
+    df2 = spark.createDataFrame(
+        [(2024, 1), (2025, 2)], "yr int, doc_id long")
+    assert stratified_sample(df2, ["yr"], {2024: 1.0}, "doc_id").count() == 1
+
+
+def test_simhash_refuses_bits_past_md5(spark):
+    """bits > 32 would read past md5's 32 nibbles and emit constant '0'
+    bits — every doc colliding in the bands that cover them. Refuse."""
+    import pytest as _pytest
+
+    from eirepolitic_data_pipeline_spark.operators.dedupe import (
+        simhash_signatures)
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="32"):
+        simhash_signatures(df, bits=64)
+
+
+def test_min_label_components_raises_on_nonconvergence(spark):
+    """A chain whose diameter exceeds max_iters must fail loudly — silent
+    intermediate labels would under-dedup every caller."""
+    from eirepolitic_data_pipeline_spark.operators.dedupe import (
+        min_label_components)
+    n = 8
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        min_label_components(ids, chain, max_iters=2)
+    done = min_label_components(ids, chain, max_iters=n)
+    assert {r["canonical_id"] for r in done.collect()} == {0}
+
+
+def test_knn_lsh_pluggable_bucketer(spark):
+    """hashed_projection_bucket must be usable through knn_lsh's bucketer
+    hook (multiprobe bit flips operate on its output too)."""
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        hashed_projection_bucket, knn_lsh)
+    rows = [(1, [1.0, 0.5]), (2, [0.9, 0.4]), (3, [-1.0, -0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 1")
+    got = knn_lsh(df, q, k=2, n_bits=4, multiprobe=True,
+                  bucketer=lambda c, n: hashed_projection_bucket(
+                      c, dim=2, n_planes=n))
+    assert got.filter("query_id = 1").count() >= 1
+
+
 def test_mix_sources_null_and_null_sentinel_are_distinct_groups(spark):
     """A source literally named '__null__' and a NULL source are different
     groups: each keeps its own count/quota (the join is null-safe, not a
