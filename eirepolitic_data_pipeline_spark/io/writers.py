@@ -26,7 +26,7 @@ class MergeWriter:
     def write(self, incoming: DataFrame, table: str, policy: WritePolicy,
               batch_id: str, snapshot_date: Optional[str] = None,
               accumulate: bool = False, bucket_by: tuple = (),
-              num_buckets: int = 0) -> DataFrame:
+              num_buckets: int = 0, status: str = "ok") -> DataFrame:
         """Merge incoming into retained history per policy, write to the
         candidate batch, and return the merged DataFrame.
 
@@ -115,7 +115,7 @@ class MergeWriter:
             merged = merged.withColumn("snapshot_date", F.lit(snapshot_date))
             # hive-style snapshot_date={d} layout, as documented above
             partition_by = ("snapshot_date",)
-        self.catalog.write_table(merged, table, batch_id,
+        self.catalog.write_table(merged, table, batch_id, status=status,
                                  overwrite=accumulate,
                                  partition_by=partition_by,
                                  bucket_by=tuple(bucket_by),

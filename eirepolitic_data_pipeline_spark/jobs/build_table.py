@@ -119,18 +119,28 @@ GOLD_BUILDERS: dict[str, tuple[Callable[..., DataFrame], list[str],
          "silver_member_offices"],
         {"silver_member_parties", "silver_member_constituencies",
          "silver_member_offices"}),
+    # The three activity marts read the CURRENT ROSTER (gold_current_members
+    # — reference table_gold_member_activity_yearly.py:49 and
+    # table_gold_constituency_activity_yearly.py:49 read
+    # gold_current_members.csv), NOT silver_members: the roster carries the
+    # resolved constituency_name the constituency mart's lookup requires
+    # (silver_members only has latest_constituency_name), and the member
+    # grid must range over current members, not every member ever seen.
+    # Candidate-first input resolution serves the roster built earlier in
+    # the same batch; cadences that rebuild a mart without the roster
+    # (monthly) read the production roster, as the reference does.
     "gold_member_activity_yearly": (
         gold_member_activity_yearly,
-        ["silver_members", "silver_speeches", "silver_member_votes",
+        ["gold_current_members", "silver_speeches", "silver_member_votes",
          "silver_divisions"],
         {"silver_speeches", "silver_divisions"}),
     "gold_member_activity_monthly": (
         gold_member_activity_monthly,
-        ["silver_members", "silver_speeches", "silver_member_votes"],
+        ["gold_current_members", "silver_speeches", "silver_member_votes"],
         {"silver_speeches"}),
     "gold_constituency_activity_yearly": (
         gold_constituency_activity_yearly,
-        ["silver_members", "silver_speeches", "silver_member_votes"],
+        ["gold_current_members", "silver_speeches", "silver_member_votes"],
         {"silver_speeches"}),
     "gold_content_fact_pool": (
         gold_content_fact_pool,
@@ -314,17 +324,26 @@ def build_table(spark: SparkSession, catalog: BatchCatalog,
         # (io/writers.py fast path). Bucket count sized from the table's
         # current production volume (first build: minimum).
         from ..io.bucketing import buckets_for
-        prev_rows = 0
-        prod = catalog.production_batch_id()
-        if prod:
-            entry = catalog._load_manifest(prod).get("tables", {}).get(table)
-            if entry:
-                prev_rows = int(entry.get("row_count", 0))
+        prev_rows = int(catalog.table_entry(table).get("row_count", 0))
         bucket_kw = dict(bucket_by=tuple(tdef.bucket_keys),
                          num_buckets=buckets_for(prev_rows))
+    # test-mode builds are UNPROMOTABLE by construction: the manifest entry
+    # records status='test', which validate_batch refuses — mirroring the
+    # reference CLI's publish guard (`build_table.py:67,84`: --publish-latest
+    # auto disables publishing for mode=test). Without it, the CLI's
+    # default --mode test would land a 25-page sample in the candidate
+    # batch that a later --promote silently serves as production.
     merged = writer.write(conformed, table, tdef.policy, batch_id=batch_id,
+                          status="test" if mode == "test" else "ok",
                           **bucket_kw)
     n = merged.count()
+    if table in GOLD_BUILDERS:
+        # the gold builders .cache() their dimension-bounded metric/lookup
+        # frames (consumed 2-3x within ONE mart materialization); the write
+        # above was that materialization, so release the blocks now — a
+        # refresh run building several marts in one session would otherwise
+        # pin every mart's intermediates for the rest of the run
+        spark.catalog.clearCache()
     if promote:
         # The production pointer is batch-GLOBAL: promoting moves every
         # read to this batch, so promote validates the batch's ENTIRE

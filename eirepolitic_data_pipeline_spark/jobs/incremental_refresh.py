@@ -160,7 +160,17 @@ class IncrementalRollup:
             all_ids = ids if seen is None else \
                 seen.unionByName(ids).dropDuplicates([self.fact_id_col])
             if horizon is not None:
-                all_ids = all_ids.filter(F.col(self.fact_ts_col) >= horizon)
+                # NULL/blank-safe: a fact with no usable event time can
+                # never age past the horizon (there is nothing to
+                # compare), so its id must STAY in the log — `null >=
+                # horizon` is null and `'' >= horizon` is false, so a bare
+                # filter would evict exactly the rows whose re-delivery
+                # the log exists to absorb (double-count on the next
+                # overlapping window)
+                ts = F.col(self.fact_ts_col)
+                all_ids = all_ids.filter(
+                    ts.isNull() | (F.trim(ts.cast("string")) == "")
+                    | (ts >= horizon))
             self.catalog.write_table(all_ids, self.table + PROCESSED_SUFFIX,
                                      batch_id)
             self.catalog.write_table(out, self.table, batch_id)

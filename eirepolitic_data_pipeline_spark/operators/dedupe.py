@@ -36,6 +36,25 @@ def dedupe_keep_first(df: DataFrame, keys: Sequence[str],
             .filter(F.col("__rn") == 1).drop("__rn"))
 
 
+def dedupe_total_order(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """PK dedupe whose winner is DETERMINISTIC without the caller naming an
+    order: ties break by a total order over every remaining (orderable)
+    column. ``dropDuplicates([pk])`` keeps whichever row the shuffle
+    delivers first — fine when duplicates are byte-identical, but same-PK
+    rows with different payloads (overlapping fetch pages either side of
+    an upstream edit) then flip winners between runs, recording spurious
+    row changes on every refresh. Map-typed columns are excluded (not
+    orderable); with no orderable non-key columns this degrades to
+    dropDuplicates, which is then deterministic anyway."""
+    keyset = set(keys)
+    tiebreak = [F.col(f.name).desc_nulls_last() for f in df.schema.fields
+                if f.name not in keyset
+                and "map<" not in f.dataType.simpleString()]
+    if not tiebreak:
+        return df.dropDuplicates(list(keys))
+    return dedupe_keep_first(df, keys, order_by=tiebreak)
+
+
 def dedupe_keep_last(df: DataFrame, keys: Sequence[str],
                      order_by: Sequence[Column]) -> DataFrame:
     """O4 keep-last: same as keep-first with the order reversed by caller —

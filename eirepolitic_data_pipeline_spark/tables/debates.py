@@ -100,6 +100,12 @@ def silver_debate_records(df: DataFrame, json_col: str = "payload",
             xml = _format_slot(formats, "xml")
             pdf_uri = _first(pdf, "uri", "url", "href")
             xml_uri = _first(xml, "uri", "url", "href")
+            # deliberate parity with table_debate_records.py:182-183: a
+            # RELATIVE uri is NOT normalized to an absolute URL here (the
+            # url column stays whatever url/href key exists) — unlike
+            # silver_questions, which mirrors its own reference builder's
+            # normalize_format_url call. The reference differs between the
+            # two builders; each silver table tracks its own counterpart.
             pdf_url = pdf_uri if pdf_uri.startswith("http") else \
                 _first(pdf, "url", "href")
             xml_url = xml_uri if xml_uri.startswith("http") else \

@@ -90,6 +90,15 @@ def gold_current_members(members: DataFrame, memberships: DataFrame,
     cur_cons = select_current_or_latest(
         constituencies, "member_code", "is_current", "represent_start", "represent_end"
     ).select("member_code", F.col("constituency_name").alias("__cons"))
+    # NOTE (deliberate parity): select_current_or_latest keeps ONE office
+    # row per member BEFORE the "; " string-agg, so a member holding two
+    # concurrently-current offices surfaces only the keep-first one — the
+    # reference does exactly the same (table_gold_current_members.py:224
+    # runs _select_current_or_latest's drop_duplicates(keep='first') and
+    # THEN the sorted-join at :236), so its join-over-one-row is equally
+    # vestigial. Aggregating all current offices would diverge from the
+    # reference's output; the agg shape is kept so flipping to multi-office
+    # is a one-line change (drop the select_current_or_latest).
     cur_office = (
         select_current_or_latest(offices, "member_code", "is_current",
                                  "office_start", "office_end")

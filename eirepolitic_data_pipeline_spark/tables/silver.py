@@ -27,6 +27,8 @@ from typing import Any, Iterable, Iterator, Mapping, Optional
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from ..operators.dedupe import dedupe_total_order
+
 # ---------------------------------------------------------------------------
 # Python-side parity helpers (same semantics as functions.scalar)
 # ---------------------------------------------------------------------------
@@ -244,12 +246,33 @@ _MEMBER_CODE_URI = re.compile(r"/member/id/([^/]+)")
 
 
 def _member_code_of(record: Mapping[str, Any]) -> str:
+    """THE member_code recipe — every member-keyed silver table derives the
+    code through this one function, so a code-less record gets the SAME
+    generated code in silver_members and in every child table
+    (memberships/parties/constituencies/offices/votes). The reference's
+    builders disagree with each other here (table_members.py:213 hashes,
+    table_member_memberships.py:186 leaves blank), which orphans the child
+    rows of any code-less member; the registry declares member_code a
+    non-null FK, so this engine unifies the chain instead of copying the
+    mismatch: declared keys → URI-embedded code (readable, survives name
+    edits) → content hash (same fields the reference's members table
+    hashes)."""
     code = _first(record, "memberCode", "code", "id")
     if code:
         return code
     uri = _first(record, "uri", "memberUri")
     m = _MEMBER_CODE_URI.search(uri)
-    return m.group(1) if m else ""
+    if m:
+        return m.group(1)
+    full = _first(record, "fullName", "showAs", "name", "displayName")
+    first = _first(record, "firstName", "forename", "givenName")
+    last = _first(record, "lastName", "surname", "familyName")
+    if not full:
+        full = _normalize_ws_name(
+            " ".join(p for p in (first, last) if p))
+    if not (uri or full or first or last):
+        return ""
+    return stable_hash_py([uri, full, first, last])
 
 
 def _results_of(payload: Any) -> list:
@@ -332,7 +355,10 @@ def silver_members(df: DataFrame, json_col: str = "payload",
                 last = _first(record, "lastName", "surname", "familyName")
                 display = _first(record, "showAs", "displayName", "fullName",
                                  "name") or full
-                code = _first(record, "memberCode", "code", "id")
+                # the ONE shared recipe (_member_code_of) — an inline
+                # fallback here would disagree with the child tables'
+                # generated codes and orphan their FK rows
+                code = _member_code_of(record)
                 uri = _first(record, "uri", "memberUri")
                 gender = _first(record, "gender", "sex")
                 if not full:
@@ -340,8 +366,6 @@ def silver_members(df: DataFrame, json_col: str = "payload",
                         " ".join(p for p in (first, last) if p))
                 if not display:
                     display = full
-                if not code:
-                    code = stable_hash_py([uri, full, first, last])
 
                 memberships = list(iter_memberships(record, item))
                 if memberships:
@@ -380,7 +404,7 @@ def silver_members(df: DataFrame, json_col: str = "payload",
                 }
 
     out = _flatten_stage(df, json_col, MEMBER_COLUMNS, rows_of)
-    return out.dropDuplicates(["member_code"])
+    return dedupe_total_order(out, ["member_code"])
 
 
 # ---------------------------------------------------------------------------
@@ -456,7 +480,7 @@ def silver_member_memberships(df: DataFrame, json_col: str = "payload",
                     }
 
     out = _flatten_stage(df, json_col, MEMBERSHIP_COLUMNS, rows_of)
-    return out.dropDuplicates(["membership_id"])
+    return dedupe_total_order(out, ["membership_id"])
 
 
 # ---------------------------------------------------------------------------
@@ -669,12 +693,18 @@ def _generic_vote_code(source_key: str) -> str:
 
 
 def _division_id_of(record: Mapping[str, Any]) -> str:
+    """THE division_id recipe, shared by silver_divisions,
+    silver_member_votes and silver_division_tallies — all three hash the
+    SAME ``_division_record(item)`` dict, so a URI-less division gets one
+    id across the header, vote and tally tables (the generated fallback is
+    the full-record hash, as the reference's `table_divisions.py:159` and
+    `table_member_votes.py:264` both use; a field-subset hash here would
+    orphan every child row of such a division)."""
     did = _first(record, "uri", "divisionUri", "voteUri", "voteId",
                  "divisionId", "id", "eId")
     if did:
         return did
-    return "generated:division:" + stable_hash_py(
-        [record.get("date"), record.get("voteNumber"), record.get("subject")])
+    return "generated:division:" + record_hash_py(record, 24)
 
 
 def _division_record(item: Mapping[str, Any]) -> Mapping[str, Any]:
@@ -726,10 +756,10 @@ def silver_divisions(df: DataFrame, json_col: str = "payload",
             if not isinstance(item, Mapping):
                 continue
             record = _division_record(item)
-            uri = _first(record, "uri", "divisionUri", "voteUri")
             vote_id = _first(record, "voteId", "divisionId", "id", "eId")
-            division_id = uri or vote_id or \
-                "generated:division:" + record_hash_py(record, 24)
+            # the shared recipe (_division_id_of) — votes/tallies derive
+            # the id from the same record, so the chains must be identical
+            division_id = _division_id_of(record)
             item_ctx = parse_iso_date_py(item.get("contextDate")) \
                 if isinstance(item, Mapping) else None
             division_date = parse_iso_date_py(record.get("date")) \
@@ -793,7 +823,7 @@ def silver_divisions(df: DataFrame, json_col: str = "payload",
             }
 
     out = _flatten_stage(df, json_col, DIVISION_COLUMNS, rows_of)
-    return out.dropDuplicates(["division_id"])
+    return dedupe_total_order(out, ["division_id"])
 
 
 def silver_member_votes(df: DataFrame, json_col: str = "payload",
@@ -859,7 +889,7 @@ def silver_member_votes(df: DataFrame, json_col: str = "payload",
                     }
 
     out = _flatten_stage(df, json_col, MEMBER_VOTE_COLUMNS, rows_of)
-    return out.dropDuplicates(["member_vote_id"])
+    return dedupe_total_order(out, ["member_vote_id"])
 
 
 def silver_division_tallies(df: DataFrame, json_col: str = "payload",
@@ -906,7 +936,7 @@ def silver_division_tallies(df: DataFrame, json_col: str = "payload",
                 }
 
     out = _flatten_stage(df, json_col, TALLY_COLUMNS, rows_of)
-    return out.dropDuplicates(["division_tally_id"])
+    return dedupe_total_order(out, ["division_tally_id"])
 
 
 # ---------------------------------------------------------------------------
@@ -996,7 +1026,7 @@ def silver_questions(df: DataFrame, json_col: str = "payload",
             }
 
     out = _flatten_stage(df, json_col, QUESTION_COLUMNS, rows_of)
-    return out.dropDuplicates(["question_id"])
+    return dedupe_total_order(out, ["question_id"])
 
 
 # ---------------------------------------------------------------------------
@@ -1140,7 +1170,7 @@ def silver_source_files(df: DataFrame, json_col: str = "payload",
                 }
 
     out = _flatten_stage(df, json_col, SOURCE_FILE_COLUMNS, rows_of)
-    return out.dropDuplicates(["source_file_id"])
+    return dedupe_total_order(out, ["source_file_id"])
 
 
 # ---------------------------------------------------------------------------
@@ -1226,7 +1256,7 @@ def silver_houses(df: DataFrame, json_col: str = "payload",
                 }
 
     return _flatten_stage(df, json_col, HOUSE_COLUMNS,
-                          rows_of).dropDuplicates(["house_uri"])
+                          rows_of).transform(lambda d: dedupe_total_order(d, ["house_uri"]))
 
 
 def silver_parties(df: DataFrame, json_col: str = "payload",
@@ -1261,7 +1291,7 @@ def silver_parties(df: DataFrame, json_col: str = "payload",
                 }
 
     return _flatten_stage(df, json_col, PARTY_COLUMNS,
-                          rows_of).dropDuplicates(["party_uri"])
+                          rows_of).transform(lambda d: dedupe_total_order(d, ["party_uri"]))
 
 
 def silver_constituencies(df: DataFrame, json_col: str = "payload",
@@ -1306,7 +1336,7 @@ def silver_constituencies(df: DataFrame, json_col: str = "payload",
                 }
 
     return _flatten_stage(df, json_col, CONSTITUENCY_COLUMNS,
-                          rows_of).dropDuplicates(["constituency_uri"])
+                          rows_of).transform(lambda d: dedupe_total_order(d, ["constituency_uri"]))
 
 
 # ---------------------------------------------------------------------------

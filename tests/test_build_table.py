@@ -117,8 +117,28 @@ def test_build_table_silver_to_gold(spark, tmp_path, raw_root):
                         "gold_member_activity_yearly",
                         batch_id="b1", snapshot_date=SNAP)
     assert res_y.row_count >= 2
+    # the constituency mart and fact pool must ALSO build through the CLI
+    # — their input wiring (gold_current_members as the roster, which
+    # carries constituency_name; silver_members does not) had no coverage
+    res_c = build_table(spark, catalog, registry,
+                        "gold_constituency_activity_yearly",
+                        batch_id="b1", snapshot_date=SNAP)
+    assert res_c.row_count >= 2
+    res_m = build_table(spark, catalog, registry,
+                        "gold_member_activity_monthly",
+                        batch_id="b1", snapshot_date=SNAP)
+    assert res_m.row_count >= 2
+    res_p = build_table(spark, catalog, registry, "gold_content_fact_pool",
+                        batch_id="b1", snapshot_date=SNAP)
+    assert res_p.row_count >= 2
     catalog.promote("b1", [*built, "gold_current_members",
-                           "gold_member_activity_yearly"])
+                           "gold_member_activity_yearly",
+                           "gold_constituency_activity_yearly",
+                           "gold_member_activity_monthly",
+                           "gold_content_fact_pool"])
+    cons = {(r["constituency_name"], r["year"]): r for r in catalog.read_table(
+        spark, "gold_constituency_activity_yearly").collect()}
+    assert cons[("Wicklow-Wexford", "2025")]["member_count"] >= 1
 
     roster = {r["member_code"]: r for r in
               catalog.read_table(spark, "gold_current_members").collect()}

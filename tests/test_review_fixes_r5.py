@@ -219,6 +219,64 @@ def test_knn_lsh_pluggable_bucketer(spark):
     assert got.filter("query_id = 1").count() >= 1
 
 
+def test_test_mode_builds_are_unpromotable(spark, tmp_path):
+    """A --mode test build records manifest status='test', which
+    validate_batch refuses — the CLI's default test mode can never land a
+    truncated sample in production (mirrors the reference's
+    --publish-latest auto guard)."""
+    from eirepolitic_data_pipeline_spark.jobs.build_table import build_table
+    from eirepolitic_data_pipeline_spark.plans.default_tables import (
+        DEFAULT_TABLES_CONFIG)
+    from eirepolitic_data_pipeline_spark.plans.registry import TableRegistry
+    import json as _json
+    import os as _os
+
+    registry = TableRegistry.from_dict(DEFAULT_TABLES_CONFIG)
+    catalog = BatchCatalog(root=str(tmp_path / "wh"))
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    payload = {"results": [{"member": {
+        "memberCode": "TD001", "showAs": "Aoife Byrne",
+        "uri": "/ie/oireachtas/member/id/TD001"}}]}
+    (raw / "members.jsonl").write_text(_json.dumps(payload) + "\n")
+    res = build_table(spark, catalog, registry, "silver_members",
+                      batch_id="bt", raw_root=str(raw), mode="test",
+                      snapshot_date="2026-08-14")
+    assert res.row_count == 1
+    assert catalog.table_entry("silver_members", "bt")["status"] == "test"
+    problems = catalog.validate_batch("bt", ["silver_members"])
+    assert any("status='test'" in p for p in problems)
+    with pytest.raises(CatalogError, match="status"):
+        catalog.promote("bt", ["silver_members"])
+
+
+def test_horizon_keeps_unparseable_event_times(spark, tmp_path):
+    """Processed-id horizon pruning must KEEP ids whose event time is NULL
+    or blank — those can never age out, and evicting them double-counts
+    the fact on the next overlapping re-delivery."""
+    from eirepolitic_data_pipeline_spark.jobs.incremental_refresh import (
+        IncrementalRollup)
+    job = IncrementalRollup(
+        spark=spark, catalog=BatchCatalog(root=str(tmp_path / "wh")),
+        table="rollup", keys=["g"], count_cols=["n"],
+        fact_id_col="fid", fact_ts_col="ts")
+    agg = lambda f: f.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    w1 = spark.createDataFrame(
+        [("a", "x1", "2026-01-01"), ("a", "x2", None), ("a", "x3", "")],
+        "g string, fid string, ts string")
+    job.refresh(w1, agg, batch_id="w1", horizon="2026-02-01")
+    job.catalog.promote("w1", job.tables)
+    kept = {r["fid"] for r in job.catalog.read_table(
+        spark, "rollup__processed_ids").collect()}
+    # x1 aged past the horizon; the NULL and blank ids MUST survive
+    assert kept == {"x2", "x3"}
+    # re-delivery of x2/x3 in the next window must not double-count
+    w2 = spark.createDataFrame(
+        [("a", "x2", None), ("a", "x3", "")], "g string, fid string, ts string")
+    out = job.refresh(w2, agg, batch_id="w2", horizon="2026-02-01")
+    assert out.filter("g = 'a'").first()["n"] == 3
+
+
 def test_mix_sources_null_and_null_sentinel_are_distinct_groups(spark):
     """A source literally named '__null__' and a NULL source are different
     groups: each keeps its own count/quota (the join is null-safe, not a

@@ -72,11 +72,26 @@ def test_silver_members(spark, members_payload):
     assert a["member_key"] == stable_hash_py(
         ["TD001", "/ie/oireachtas/member/id/TD001", "Aoife Byrne"])
     b = rows["Brian Walsh"]
-    # No memberCode -> deterministic generated code.
-    assert b["member_code"] == stable_hash_py(
-        ["/member/id/TD002x", "Brian Walsh", "", ""])
+    # No memberCode -> the SHARED recipe (_member_code_of): the
+    # URI-embedded code, exactly what the child tables
+    # (memberships/parties/...) generate for the same record — the two
+    # recipes MUST agree or every child row is an FK orphan.
+    assert b["member_code"] == "TD002x"
     assert b["is_current_member"] == ""
     assert rows["Cara Nolan"]["member_code"] == "TD003"
+
+
+def test_member_code_recipe_is_shared_with_children(spark, members_payload):
+    """A code-less member gets the SAME member_code in silver_members and
+    in silver_member_memberships — the FK the registry declares."""
+    parents = silver_members(_payload_df(spark, members_payload),
+                             snapshot_date=SNAP, today=TODAY)
+    children = silver_member_memberships(_payload_df(spark, members_payload),
+                                         snapshot_date=SNAP, today=TODAY)
+    parent_codes = {r["member_code"] for r in parents.collect()}
+    child_codes = {r["member_code"] for r in children.collect()}
+    assert child_codes <= parent_codes, \
+        f"orphaned child member_codes: {child_codes - parent_codes}"
 
 
 def test_silver_member_memberships(spark, members_payload):
@@ -163,6 +178,34 @@ def test_silver_division_tallies(spark, divisions_payload):
     assert rows["nil"]["show_as"] == "no"  # no showAs -> vote_label fallback
     assert rows["ta"]["division_tally_id"] == "division_tally:" + \
         stable_hash_py(["/division/D1", "ta"], length=24)
+
+
+def test_uriless_division_id_agrees_across_tables(spark):
+    """A division with no uri/voteId/... keys gets ONE generated id across
+    the header, vote and tally tables (the shared _division_id_of hashes
+    the same division record) — a per-table recipe would orphan every
+    child row of such a division."""
+    payload = {"results": [
+        {"division": {
+            "date": "2025-03-05", "voteNumber": "7", "subject": "Motion X",
+            "tallies": {
+                "taVotes": {"tally": 1, "showAs": "Tá", "members": [
+                    {"member": {"memberCode": "TD001",
+                                "showAs": "Aoife Byrne"}}]},
+            }}},
+    ]}
+    from eirepolitic_data_pipeline_spark.tables.silver import silver_divisions
+    pdf = _payload_df(spark, payload)
+    header_ids = {r["division_id"] for r in
+                  silver_divisions(pdf, snapshot_date=SNAP).collect()}
+    vote_ids = {r["division_id"] for r in
+                silver_member_votes(pdf, snapshot_date=SNAP).collect()}
+    tally_ids = {r["division_id"] for r in
+                 silver_division_tallies(pdf, snapshot_date=SNAP).collect()}
+    assert len(header_ids) == 1
+    assert next(iter(header_ids)).startswith("generated:division:")
+    assert vote_ids == header_ids
+    assert tally_ids == header_ids
 
 
 def test_tally_dq_checks_green(spark, divisions_payload):
