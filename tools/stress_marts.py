@@ -157,10 +157,16 @@ def main():
     # replace this script's own section on rerun (keep everything before
     # it, e.g. the dedup stress section) instead of appending duplicates
     prior = ""
+    # splice out ONLY this script's section (up to the next "## " header),
+    # keeping every section after it — truncating at our header would wipe
+    # the incremental/curate sections other tools maintain in the same file
+    tail = ""
     if os.path.exists(args.out):
         prior = open(args.out).read()
         idx = prior.find("## Gold-mart scale stress")
         if idx >= 0:
+            nxt = prior.find("\n## ", idx + 1)
+            tail = prior[nxt + 1:] if nxt >= 0 else ""
             prior = prior[:idx].rstrip() + "\n\n"
     with open(args.out, "w") as f:
         f.write(prior)
@@ -197,6 +203,8 @@ def main():
             "a wash by construction; it is wired as an opt-in per table, "
             "defensive re-trim remaining the default for inputs of "
             "unknown provenance.\n")
+        if tail:
+            f.write("\n" + tail)
     print(f"wrote mart section to {args.out}")
     spark.stop()
     sys.exit(0 if (same and dim_bounded and merge_same) else 1)
