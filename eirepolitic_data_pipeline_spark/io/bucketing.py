@@ -132,7 +132,13 @@ def write_range_sorted(df: DataFrame, path: str, cols: Sequence[str],
     the partition key. ``num_files`` pins the range-partition count (and so
     the output file count); default lets AQE size it from the data, which
     on small inputs collapses to one file."""
+    if num_files is not None and num_files <= 0:
+        # a bytes//target computation that rounds to 0 must not silently
+        # drop the explicit file-count pin and fall back to AQE sizing
+        raise ValueError(
+            f"write_range_sorted: num_files must be positive, got "
+            f"{num_files} (pass None for AQE-sized output)")
     parts = [F.col(c) for c in cols]
-    rp = (df.repartitionByRange(num_files, *parts) if num_files
+    rp = (df.repartitionByRange(num_files, *parts) if num_files is not None
           else df.repartitionByRange(*parts))
     rp.sortWithinPartitions(*cols).write.mode(mode).parquet(path)

@@ -19,13 +19,29 @@ _HIVE_DIR_RE = re.compile(r"^[^=/]+=[^/]*$")
 
 
 def _hive_partition_dirs(path: str) -> list[str]:
-    """Top-level hive partition entries (``col=value`` dirs) under path."""
+    """Top-level hive partition entries (``col=value`` dirs) under path.
+
+    Atomic-swap siblings are NOT partitions: ``col=value.__replaced`` /
+    ``.__incoming`` match the ``k=v`` shape, but treating them as leaves
+    would (a) compact a stranded backup under a bogus partition value and
+    (b) never heal the crashed leaf it belongs to — so each genuine leaf is
+    healed here, BEFORE the listing decides what exists (a leaf whose only
+    copy sits at ``.__replaced`` would otherwise be invisible)."""
+    swap_suffixes = (atomic.INCOMING_SUFFIX, atomic.REPLACED_SUFFIX)
     try:
-        return sorted(n for n in os.listdir(path)
-                      if _HIVE_DIR_RE.match(n)
-                      and os.path.isdir(os.path.join(path, n)))
+        names = os.listdir(path)
     except FileNotFoundError:
         return []
+    for n in names:
+        # a dir named 'col=value.__replaced' with no live 'col=value'
+        # sibling is a crashed leaf swap — restore it (writer-side heal)
+        if n.endswith(atomic.REPLACED_SUFFIX):
+            atomic.heal_interrupted_swap(
+                os.path.join(path, n[: -len(atomic.REPLACED_SUFFIX)]))
+    return sorted(n for n in os.listdir(path)
+                  if _HIVE_DIR_RE.match(n)
+                  and not n.endswith(swap_suffixes)
+                  and os.path.isdir(os.path.join(path, n)))
 
 
 #: Spark bucket files carry the bucket id after the task uuid:
@@ -150,7 +166,13 @@ def compact_dataset(spark, path: str, *, target_file_bytes: int = 128 * 2**20,
 
     files_before, n_bytes = _du(path)
     n_files = max(1, -(-n_bytes // target_file_bytes))  # ceil
-    df = spark.read.format(fmt).load(path)
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        # MUST match _swap_rewrite's header=True: a headerless read of a
+        # headered CSV turns every file's header line into a data row and
+        # rewrites the columns as _c0/_c1/... — corrupting the dataset
+        reader = reader.option("header", True)
+    df = reader.load(path)
     _swap_rewrite(df.repartition(n_files), path, fmt)
     files_after, _ = _du(path)
     return {"files_before": len(files_before),

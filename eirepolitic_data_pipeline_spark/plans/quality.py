@@ -221,15 +221,32 @@ def comparison_gates(legacy: DataFrame, candidate: DataFrame,
                      min_coverage_pct: float = 99.0) -> list[CheckResult]:
     """Q5 legacy-vs-new comparison gates (reference
     `compat_comparison.py:100-139` + thresholds `downstream_contracts.yml`):
-    only-key counts via anti-joins, row-delta pct, join coverage pct."""
-    lk = legacy.select(*key_cols).distinct()
-    ck = candidate.select(*key_cols).distinct()
-    legacy_only = lk.join(ck, list(key_cols), "left_anti").count()
-    cand_only = ck.join(lk, list(key_cols), "left_anti").count()
+    only-key counts, row-delta pct, join coverage pct.
+
+    ONE full-outer join of the two distinct key sets yields matched /
+    legacy-only / candidate-only in a single aggregate job — each table is
+    scanned and distinct-shuffled once (the reports.py:_pair_row pattern;
+    separate semi+anti+anti joins re-evaluate both key-set subtrees three
+    times each, 3x the scan cost on every gate run)."""
+    lk = (legacy.select(*key_cols).distinct()
+          .withColumn("__l", F.lit(1)))
+    ck = (candidate.select(*key_cols).distinct()
+          .withColumn("__c", F.lit(1)))
+    stats = lk.join(ck, list(key_cols), "full_outer").agg(
+        F.sum(F.when(F.col("__l").isNotNull()
+                     & F.col("__c").isNotNull(), 1).otherwise(0))
+        .alias("matched"),
+        F.sum(F.when(F.col("__c").isNull(), 1).otherwise(0))
+        .alias("legacy_only"),
+        F.sum(F.when(F.col("__l").isNull(), 1).otherwise(0))
+        .alias("cand_only")).first()
+    matched = int(stats["matched"] or 0)
+    legacy_only = int(stats["legacy_only"] or 0)
+    cand_only = int(stats["cand_only"] or 0)
     n_l, n_c = legacy.count(), candidate.count()
     delta_pct = abs(n_c - n_l) / n_l * 100 if n_l else 0.0
-    matched = lk.join(ck, list(key_cols), "left_semi").count()
-    coverage = matched / lk.count() * 100 if n_l else 100.0
+    n_lk = matched + legacy_only
+    coverage = matched / n_lk * 100 if n_lk else 100.0
     return [
         CheckResult("legacy_only_keys", legacy_only <= max_only_keys, legacy_only),
         CheckResult("candidate_only_keys", cand_only <= max_only_keys, cand_only),
@@ -286,8 +303,9 @@ def profile_table(df: DataFrame,
     exact NDV would need one shuffle per column."""
     aggs = [F.count(F.lit(1)).alias("__rows")]
     null_long = F.lit(None).cast("long")
+    dtypes = dict(df.dtypes)  # hoisted: rebuilding per column is O(cols^2)
     for c in df.columns:
-        col, dt = F.col(c), dict(df.dtypes)[c]
+        col, dt = F.col(c), dtypes[c]
         # columns containing a map ANYWHERE in the type (top-level map<>,
         # array<map<>>, struct with a map field) are unorderable and
         # unhashable for these aggregates — one such column must not fail
@@ -306,7 +324,7 @@ def profile_table(df: DataFrame,
         ]
     row = df.agg(*aggs).collect()[0]
     spark = df.sparkSession
-    out = [(c, dict(df.dtypes)[c], row["__rows"], row[f"__null__{c}"],
+    out = [(c, dtypes[c], row["__rows"], row[f"__null__{c}"],
             row[f"__blank__{c}"], row[f"__ndv__{c}"],
             row[f"__min__{c}"], row[f"__max__{c}"]) for c in df.columns]
     return spark.createDataFrame(

@@ -26,6 +26,7 @@ _TYPE_MAP: dict[str, T.DataType] = {
     "bigint": T.LongType(),
     "long": T.LongType(),
     "double": T.DoubleType(),
+    "float": T.FloatType(),
     "boolean": T.BooleanType(),
     "date": T.DateType(),
     "timestamp": T.TimestampType(),
@@ -105,6 +106,15 @@ class TableRegistry:
                     columns.append((c, "string"))
                 else:  # {name: type}
                     ((cname, ctype),) = c.items()
+                    # validate at LOAD, not at use: an unknown type name
+                    # (a 'biginteger' typo) silently becoming string would
+                    # make downstream numeric comparisons lexicographic
+                    # with nothing flagging the misdeclaration
+                    if ctype not in _TYPE_MAP:
+                        raise ValueError(
+                            f"table {name!r} column {cname!r}: unknown "
+                            f"type {ctype!r}; expected one of "
+                            f"{sorted(_TYPE_MAP)}")
                     columns.append((cname, ctype))
             pol = spec.get("write_policy", {})
             policy = WritePolicy(
@@ -119,9 +129,14 @@ class TableRegistry:
                      bool(fk.get("nullable", False)))
                     for fk in pol.get("foreign_keys", [])),
             )
+            layer = spec.get("layer", infer_layer(name))
+            if layer not in LAYERS:
+                raise ValueError(
+                    f"table {name!r}: unknown layer {layer!r}; expected "
+                    f"one of {LAYERS} (in_build_order ranks by layer)")
             out[name] = TableDef(
                 name=name, columns=tuple(columns), policy=policy,
-                layer=spec.get("layer", infer_layer(name)),
+                layer=layer,
                 cadence=spec.get("cadence", "weekly"),
                 endpoint=spec.get("endpoint"),
                 bucket_keys=tuple(spec.get("bucket_by", [])),

@@ -234,13 +234,23 @@ def fetch_with_fallback(source: "PaginatedRestSource", endpoints: Sequence[str],
                         limit: Optional[int] = None) -> tuple[list, dict]:
     """S5 — endpoint fallback (`table_divisions.py:147-152`): try each
     endpoint in order, return the first success; re-raise the last failure
-    if every endpoint fails. Telemetry records which endpoint answered."""
+    if every endpoint fails. Telemetry records which endpoint answered.
+
+    Only TRANSPORT failures fall through to the next endpoint.
+    OffsetCeilingError and PageProgressError are pagination-protocol
+    SIGNALS from an endpoint that is answering fine — the caller must
+    bisect the window (fetch_date_partitioned), not switch endpoints:
+    swallowing the ceiling here would return a different endpoint's
+    (partial) data with healthy-looking telemetry and silently truncate
+    the dataset to whatever fits under one endpoint's offset ceiling."""
     last_exc: Optional[Exception] = None
     for ep in endpoints:
         try:
             rows, tele = source.fetch_all(ep, params, limit=limit)
             return rows, {**tele, "endpoint": ep}
-        except Exception as exc:  # noqa: BLE001 — any transport failure falls through
+        except (OffsetCeilingError, PageProgressError):
+            raise
+        except Exception as exc:  # noqa: BLE001 — transport failures fall through
             last_exc = exc
     raise last_exc if last_exc else ValueError("no endpoints supplied")
 

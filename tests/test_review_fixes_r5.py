@@ -277,6 +277,97 @@ def test_horizon_keeps_unparseable_event_times(spark, tmp_path):
     assert out.filter("g = 'a'").first()["n"] == 3
 
 
+def test_compact_csv_preserves_header(spark, tmp_path):
+    """compact_dataset must read CSV with header=True like its own
+    rewrite does — a headerless read turns header lines into data rows
+    and renames every column to _c0/_c1 (confirmed corruption)."""
+    from eirepolitic_data_pipeline_spark.io.maintenance import compact_dataset
+    p = str(tmp_path / "ds")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, keep string")
+    df.repartition(2).write.option("header", True).csv(p)
+    compact_dataset(spark, p, fmt="csv")
+    back = spark.read.option("header", True).csv(p)
+    assert back.columns == ["id", "keep"]
+    assert back.count() == 2
+
+
+def test_hive_maintenance_heals_crashed_leaf_swap(spark, tmp_path):
+    """A leaf stranded mid-swap at 'col=value.__replaced' (live dir gone)
+    must be healed by the next maintenance run, not compacted under the
+    bogus partition name — and swap siblings must never be listed as
+    partitions."""
+    import os
+
+    from eirepolitic_data_pipeline_spark.io.maintenance import compact_dataset
+    root = str(tmp_path / "ds")
+    df = spark.createDataFrame(
+        [(1, "a", "2024"), (2, "b", "2025")], "id int, v string, y string")
+    df.write.partitionBy("y").parquet(root)
+    # simulate a crash between swap_in's two renames on the y=2024 leaf
+    os.rename(os.path.join(root, "y=2024"),
+              os.path.join(root, "y=2024.__replaced"))
+    stats = compact_dataset(spark, root)
+    assert stats["partitions"] == 2          # both leaves compacted
+    assert os.path.isdir(os.path.join(root, "y=2024"))   # healed back
+    assert not os.path.isdir(os.path.join(root, "y=2024.__replaced"))
+    back = spark.read.parquet(root)
+    # str(): the plain read type-infers the partition values as ints
+    assert {str(r["y"]) for r in back.select("y").distinct().collect()} == \
+        {"2024", "2025"}
+
+
+def test_fetch_with_fallback_propagates_pagination_signals():
+    """OffsetCeilingError is a bisection SIGNAL from a healthy endpoint —
+    fetch_with_fallback must re-raise it, not silently switch endpoints
+    and truncate the dataset to the fallback's contents."""
+    from eirepolitic_data_pipeline_spark.sources.rest import (
+        OffsetCeilingError, fetch_with_fallback)
+
+    class _Src:
+        def fetch_all(self, endpoint, params=None, limit=None):
+            if endpoint == "/primary":
+                raise OffsetCeilingError("offset ceiling at 10000")
+            return [{"row": 1}], {"pages": 1}
+
+    with pytest.raises(OffsetCeilingError):
+        fetch_with_fallback(_Src(), ["/primary", "/fallback"])
+
+    class _Dead:
+        def fetch_all(self, endpoint, params=None, limit=None):
+            if endpoint == "/primary":
+                raise ConnectionError("boom")   # transport: falls through
+            return [{"row": 1}], {"pages": 1}
+
+    rows, tele = fetch_with_fallback(_Dead(), ["/primary", "/fallback"])
+    assert rows and tele["endpoint"] == "/fallback"
+
+
+def test_registry_rejects_unknown_type_and_layer():
+    """Config typos must fail at registry load, not silently become string
+    columns or crash in_build_order with a bare KeyError."""
+    from eirepolitic_data_pipeline_spark.plans.registry import TableRegistry
+    base = {"tables": {"silver_x": {
+        "columns": [{"n": "biginteger"}], "primary_key": ["n"]}}}
+    with pytest.raises(ValueError, match="biginteger"):
+        TableRegistry.from_dict(base)
+    bad_layer = {"tables": {"x": {
+        "columns": ["n"], "primary_key": ["n"], "layer": "bronze"}}}
+    with pytest.raises(ValueError, match="bronze"):
+        TableRegistry.from_dict(bad_layer)
+    # 'float' is a declared type, not a typo
+    ok = {"tables": {"silver_y": {"columns": [{"score": "float"}],
+                                  "primary_key": ["score"]}}}
+    reg = TableRegistry.from_dict(ok)
+    assert reg["silver_y"].schema["score"].dataType.simpleString() == "float"
+
+
+def test_write_range_sorted_rejects_nonpositive_num_files(spark, tmp_path):
+    from eirepolitic_data_pipeline_spark.io.bucketing import write_range_sorted
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ValueError, match="positive"):
+        write_range_sorted(df, str(tmp_path / "o"), ["id"], num_files=0)
+
+
 def test_mix_sources_null_and_null_sentinel_are_distinct_groups(spark):
     """A source literally named '__null__' and a NULL source are different
     groups: each keeps its own count/quota (the join is null-safe, not a
