@@ -60,6 +60,7 @@ def parse_scores(text: str, expected_ids: Sequence[str],
         raise ValueError("JSON payload is not a list.")
     scores: Dict[str, int] = {}
     expected_set = set(expected_ids)
+    duplicates: List[str] = []
     for item in items:
         if not isinstance(item, dict):
             continue
@@ -70,12 +71,19 @@ def parse_scores(text: str, expected_ids: Sequence[str],
             score = int(item.get("score"))
         except (TypeError, ValueError):
             continue
+        if cid in scores:
+            # EXACTLY once means once: a duplicate id with a (possibly
+            # conflicting) second score must fail validation and trigger
+            # the repair re-prompt, not silently keep whichever came last
+            duplicates.append(cid)
+            continue
         scores[cid] = max(lo, min(hi, score))
     missing = [c for c in expected_ids if c not in scores]
     extras = [c for c in scores if c not in expected_set]
-    if missing or extras:
+    if missing or extras or duplicates:
         raise ValueError(
-            f"Invalid score payload. Missing={missing[:5]} Extras={extras[:5]}")
+            f"Invalid score payload. Missing={missing[:5]} "
+            f"Extras={extras[:5]} Duplicates={duplicates[:5]}")
     return scores
 
 

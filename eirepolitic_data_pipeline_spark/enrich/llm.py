@@ -26,6 +26,8 @@ from typing import Callable, Iterator, Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.dedupe import dedupe_total_order
+
 
 @dataclass(frozen=True)
 class LLMColumnConfig:
@@ -127,7 +129,13 @@ class LLMColumnRunner:
         schema = ", ".join(
             [f"{c} {dict(df.dtypes)[c]}" for c in in_cols]
             + [f"{cfg.output_col} string"])
-        enriched = todo.select(*in_cols).mapInPandas(
+        # one REQUEST (and so one answer) per id, even when df itself holds
+        # duplicate ids: without this, k same-id rows each get enriched and
+        # the join back fans out to k*k rows with answers cross-assigned
+        # between payloads. Deterministic pick (total order over the input
+        # columns), same one-answer-per-id contract as the `done` reuse.
+        req = dedupe_total_order(todo.select(*in_cols), [cfg.id_col])
+        enriched = req.mapInPandas(
             self._enrich_partitions(in_cols), schema=schema)
         out = df.join(enriched.select(cfg.id_col, cfg.output_col), cfg.id_col, "left")
         if done is not None:

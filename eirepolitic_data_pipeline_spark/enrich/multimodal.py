@@ -101,7 +101,10 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000,
             rows = []
             for mid, blob, dur in zip(pdf["media_id"], pdf["content"],
                                       pdf["duration_ms"]):
-                n = int((dur or 0) // every_ms)
+                # a NULL duration arrives from Arrow as float NaN, which is
+                # TRUTHY — `(dur or 0)` keeps the NaN and int(NaN) raises,
+                # killing the task; no duration means zero sampled frames
+                n = 0 if dur is None or dur != dur else int(dur) // every_ms
                 digest = hashlib.sha256(bytes(blob or b"")).hexdigest()[:12]
                 for i in range(n):
                     rows.append({"media_id": mid, "frame_ms": i * every_ms,
@@ -140,6 +143,12 @@ def decode_raw_image(blob: bytes):
     import numpy as np
     if blob[:4] != b"RAWI":
         raise ValueError("not a RAWI blob")
+    if len(blob) < 9:
+        # length-check BEFORE unpack: struct.error is not ValueError, and
+        # the decode stages' fallback dispatch catches ValueError only —
+        # a truncated header must honor the "(raises on bad magic/size)"
+        # contract, not kill the task
+        raise ValueError("truncated RAWI header")
     w, h, c = struct.unpack("<HHB", blob[4:9])
     px = np.frombuffer(blob[9:], dtype=np.uint8)
     if px.size != w * h * c:
@@ -163,6 +172,8 @@ def decode_raw_video(blob: bytes):
     import numpy as np
     if blob[:4] != b"RAWV":
         raise ValueError("not a RAWV blob")
+    if len(blob) < 11:
+        raise ValueError("truncated RAWV header")
     w, h, c, n = struct.unpack("<HHBH", blob[4:11])
     px = np.frombuffer(blob[11:], dtype=np.uint8)
     if px.size != n * w * h * c:
@@ -184,6 +195,8 @@ def decode_raw_audio(blob: bytes):
     import numpy as np
     if blob[:4] != b"RAWA":
         raise ValueError("not a RAWA blob")
+    if len(blob) < 8:
+        raise ValueError("truncated RAWA header")
     (rate,) = struct.unpack("<I", blob[4:8])
     return rate, np.frombuffer(blob[8:], dtype=np.int16)
 
@@ -314,7 +327,14 @@ def extract_video_frames(df: DataFrame, every_n: int = 1,
                         rows.append({"media_id": mid, "frame_no": i,
                                      "frame": encode_raw_image(px)})
                     continue
-                vid = decode_raw_video(b)
+                try:
+                    vid = decode_raw_video(b)
+                except ValueError:
+                    # corrupt-but-well-magic'd blob (payload truncated in
+                    # transit): same codec-gated fallback as decode_images —
+                    # one bad row must not abort the whole stage
+                    _require_codec("extract_video_frames", fake)
+                    continue
                 for i in range(0, vid.shape[0], every_n):
                     rows.append({"media_id": mid, "frame_no": i,
                                  "frame": encode_raw_image(vid[i])})
@@ -344,7 +364,10 @@ def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 # shared codec-gated fallback row shape
                 rate, samples = None, None
                 if b[:4] == b"RAWA":
-                    rate, samples = decode_raw_audio(b)
+                    try:
+                        rate, samples = decode_raw_audio(b)
+                    except ValueError:
+                        pass      # truncated header -> codec-gated fallback
                 elif codecs.is_wav(b) or codecs.soundfile_mod() is not None:
                     try:
                         rate, samples = codecs.wav_decode(b)

@@ -42,9 +42,15 @@ def truthy(col: Column | str) -> Column:
 
 
 def snake_case(col: Column | str) -> Column:
-    """X2 — `normalize.py:28-36`: ascii-fold, non-alnum→'_', collapse, trim."""
+    """X2 — `normalize.py:28-36`: ascii-fold, non-alnum→'_', collapse, trim.
+
+    The ascii-fold is the same Latin-1 translate as normalize_name (the
+    reference NFKD-folds, so 'Dáil Éireann' must become 'dail_eireann',
+    not 'd_il_ireann' — the corpus is Irish names and titles, where the
+    accented set below covers the fold)."""
     c = F.col(col) if isinstance(col, str) else col
     s = F.lower(F.trim(c.cast("string")))
+    s = F.translate(s, "áàâäãéèêëíìîïóòôöõúùûüýçñ", "aaaaaeeeeiiiiooooouuuuycn")
     s = F.regexp_replace(s, r"[^a-z0-9]+", "_")
     return F.regexp_replace(s, r"^_+|_+$", "")
 
@@ -104,16 +110,23 @@ def stable_hash(*cols: Column | str, length: int = 16) -> Column:
     return F.substring(F.sha2(joined, 256), 1, length)
 
 
-def stable_record_hash(*cols: Column | str) -> Column:
+def stable_record_hash(*cols: str) -> Column:
     """X7 — `normalize.py:79-81`: sha256 of a canonical (sorted-key) JSON
     rendering of the record. Canonicalization = build the struct with field
-    names pre-sorted so to_json emits deterministic key order."""
-    named = []
-    for c in cols:
-        col = F.col(c) if isinstance(c, str) else c
-        named.append((c if isinstance(c, str) else col._jc.toString(), col))
-    named.sort(key=lambda kv: kv[0])
-    return F.sha2(F.to_json(F.struct(*[v.alias(k) for k, v in named])), 256)
+    names pre-sorted so to_json emits deterministic key order.
+
+    Column NAMES only: the field names land inside the hashed JSON, so
+    they must be caller-chosen strings — deriving a name from a Column
+    expression's string rendering would make the "stable" hash depend on
+    how the expression was spelled (and on internals absent under Spark
+    Connect). Alias computed expressions in a select first."""
+    if not all(isinstance(c, str) for c in cols):
+        raise TypeError(
+            "stable_record_hash takes column NAMES (the names are hashed "
+            "as JSON keys); alias computed expressions in a prior select")
+    named = sorted(cols)
+    return F.sha2(
+        F.to_json(F.struct(*[F.col(c).alias(c) for c in named])), 256)
 
 
 def coalesce_nonblank(*cols: Column | str) -> Column:
@@ -201,7 +214,15 @@ def int_or_2dp(col: Column | str) -> Column:
     """X13 — `table_gold_content_fact_pool.py:219-223` (int_float): coerce
     to numeric (unparsable → 0), then render whole numbers with no decimal
     point and everything else rounded to 2dp with trailing zeros stripped
-    ("12", "12.5", "12.34") — headline-friendly metric strings."""
+    ("12", "12.5", "12.34") — headline-friendly metric strings.
+
+    Rounding mode: Spark's HALF_UP on the double's decimal rendering. The
+    reference's `str(round(v, 2))` rounds the BINARY double (2.675 is
+    stored as 2.67499..., so Python yields '2.67' where this yields
+    '2.68') — exact parity on such representation boundaries is not
+    expressible as a Catalyst expression; both sides agree everywhere the
+    decimal rendering is exact (which includes every 2dp-source metric
+    the reference formats)."""
     c = F.col(col) if isinstance(col, str) else col
     n = F.coalesce(c.cast("string").try_cast("double"), F.lit(0.0))
     r = F.round(n, 2)

@@ -83,10 +83,14 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]-]", ""))
     n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in _STOPWORDS])))
     distinct_ratio = F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok).otherwise(F.lit(0.0))
+    # sum(len(word))/n_words — the Gopher/C4 definition the thresholds are
+    # calibrated on; length(text)/n_tok would count the separating
+    # whitespace, overstating by ~1 char per word and drifting with doc size
+    n_wchars = F.length(F.regexp_replace(t, r"\s", ""))
     return {
         "n_chars": n_chars.cast("long"),
         "n_tokens": n_tok.cast("long"),
-        "mean_word_len": F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0)),
+        "mean_word_len": F.when(n_tok > 0, n_wchars / n_tok).otherwise(F.lit(0.0)),
         "alpha_ratio": F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0)),
         "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
         "stopword_distinct": n_stop.cast("long"),
@@ -247,6 +251,11 @@ def redact_pii(col: Column | str, token: str = "[PII]") -> Column:
     pattern."""
     out = F.coalesce((F.col(col) if isinstance(col, str) else col)
                      .cast("string"), F.lit(""))
-    for kind in ("email", "ipv4", "phone"):
-        out = F.regexp_replace(out, PII_PATTERNS[kind], token)
+    # iterate the declaration, not a hardcoded list: a pattern added to
+    # PII_PATTERNS must be scrubbed by the same release that counts it —
+    # otherwise documents REPORTED as containing the new kind ship
+    # unredacted. Dict order is declaration order, and 'email' is declared
+    # first (its domain dots must not be half-eaten by the ipv4 pattern).
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
     return out

@@ -511,6 +511,11 @@ def q29_language_id(spark, sf_dir):
       SELECT doc_id, text,
              string_split_regex(trim(lower(text)), '\s+') AS toks,
              CAST(length(text) AS DOUBLE) AS n_chars,
+             -- word chars only: mean word length is sum(len(word))/n_words
+             -- (the Gopher/C4 definition) — dividing the WHOLE string
+             -- length by token count overstates by ~1 char per word
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+               AS n_wchars,
              -- coalesce mirrors the Spark side's NULL-text handling
              -- (pii_counts coalesces to ''); bare || would propagate NULL
              coalesce(text, '') || ' contact u' || CAST(doc_id AS VARCHAR)
@@ -520,7 +525,7 @@ def q29_language_id(spark, sf_dir):
     )
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
-           round(CASE WHEN len(toks) > 0 THEN n_chars / len(toks) ELSE 0 END, 4)
+           round(CASE WHEN len(toks) > 0 THEN n_wchars / len(toks) ELSE 0 END, 4)
              AS mean_word_len,
            round(CASE WHEN n_chars > 0
                  THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / n_chars

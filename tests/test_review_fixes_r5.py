@@ -368,6 +368,126 @@ def test_write_range_sorted_rejects_nonpositive_num_files(spark, tmp_path):
         write_range_sorted(df, str(tmp_path / "o"), ["id"], num_files=0)
 
 
+def test_sample_video_frames_null_duration(spark):
+    """A NULL duration_ms (NaN via Arrow) must yield zero frames for the
+    row, not kill the task (int(NaN) raises; NaN is truthy so `or 0`
+    didn't help)."""
+    from eirepolitic_data_pipeline_spark.enrich.multimodal import (
+        sample_video_frames)
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(b"abc"), None),
+         (2, "video", bytearray(b"xyz"), 2500)],
+        "media_id long, kind string, content binary, duration_ms long")
+    rows = sample_video_frames(df, every_ms=1000, fake=True).collect()
+    assert {r["media_id"] for r in rows} == {2}
+    assert len(rows) == 2
+
+
+def test_truncated_raw_headers_raise_value_error():
+    """Truncated RAWI/RAWV/RAWA headers must raise ValueError (the decode
+    stages' fallback dispatch catches ValueError only — struct.error would
+    escape and kill the task)."""
+    from eirepolitic_data_pipeline_spark.enrich.multimodal import (
+        decode_raw_audio, decode_raw_image, decode_raw_video)
+    for fn, blob in ((decode_raw_image, b"RAWI\x05"),
+                     (decode_raw_video, b"RAWV\x05"),
+                     (decode_raw_audio, b"RAWA\x01")):
+        with pytest.raises(ValueError, match="truncated"):
+            fn(blob)
+
+
+def test_extract_video_frames_tolerates_corrupt_rawv(spark):
+    """A well-magic'd RAWV blob with a truncated payload must hit the
+    codec-gated fallback (fake=True), not abort the stage."""
+    from eirepolitic_data_pipeline_spark.enrich.multimodal import (
+        encode_raw_video, extract_video_frames)
+    import numpy as np
+    good = encode_raw_video([np.zeros((2, 2, 3), dtype=np.uint8)])
+    corrupt = good[:-3]                      # payload size mismatch
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(good)), (2, "video", bytearray(corrupt))],
+        "media_id long, kind string, content binary")
+    rows = extract_video_frames(df, fake=True).collect()
+    assert {r["media_id"] for r in rows} == {1}   # corrupt row skipped
+
+
+def test_llm_runner_duplicate_ids_do_not_fan_out(spark):
+    """k same-id rows must come back as k rows with ONE answer per id —
+    not k*k rows with answers cross-assigned between payloads."""
+    from eirepolitic_data_pipeline_spark.enrich.llm import (
+        LLMColumnConfig, LLMColumnRunner)
+
+    def factory():
+        return lambda prompt: "x"
+
+    cfg = LLMColumnConfig(
+        output_col="answer", template="classify: {text}",
+        input_cols=["text"], allowed_values=("x", "y"), id_col="id")
+    runner = LLMColumnRunner(config=cfg, client_factory=factory)
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "id long, text string")
+    out = runner.run(df).collect()
+    assert len(out) == 3
+    assert all(r["answer"] == "x" for r in out)
+
+
+def test_snake_case_ascii_folds(spark):
+    """The reference NFKD-folds before the underscore pass: accented
+    letters become folded letters, not underscores."""
+    from eirepolitic_data_pipeline_spark.functions.scalar import snake_case
+    df = spark.createDataFrame([("Dáil Éireann",)], "v string")
+    assert df.select(snake_case("v").alias("s")).first()["s"] == \
+        "dail_eireann"
+
+
+def test_stable_record_hash_requires_names(spark):
+    from pyspark.sql import functions as SF
+
+    from eirepolitic_data_pipeline_spark.functions.scalar import (
+        stable_record_hash)
+    with pytest.raises(TypeError, match="NAMES"):
+        stable_record_hash(SF.trim("a"))
+
+
+def test_parse_scores_rejects_duplicate_ids():
+    """'every id exactly once' means a duplicate id fails validation and
+    triggers the repair re-prompt, not silent last-entry-wins."""
+    import json
+
+    from eirepolitic_data_pipeline_spark.enrich.batch_scoring import (
+        parse_scores)
+    payload = json.dumps([
+        {"candidate_id": "a", "score": 90},
+        {"candidate_id": "a", "score": 5},
+        {"candidate_id": "b", "score": 50}])
+    with pytest.raises(ValueError, match="Duplicates"):
+        parse_scores(payload, ["a", "b"])
+
+
+def test_mean_word_len_excludes_whitespace(spark):
+    """mean_word_len is sum(len(word))/n_words (Gopher/C4 definition):
+    'aa bb' is 2.0, not 2.5."""
+    from eirepolitic_data_pipeline_spark.functions.text import (
+        quality_features)
+    df = spark.createDataFrame([("aa bb",)], "text string")
+    q = quality_features("text")
+    assert df.select(q["mean_word_len"].alias("m")).first()["m"] == 2.0
+
+
+def test_redact_pii_covers_every_declared_pattern(spark):
+    """redact_pii iterates PII_PATTERNS, so every kind pii_counts reports
+    is also scrubbed — the two halves cannot silently diverge."""
+    from eirepolitic_data_pipeline_spark.functions import text as tx
+    df = spark.createDataFrame(
+        [("mail a@b.ie ip 10.0.0.7 tel +353 1 234 5678",)], "t string")
+    got = df.select(tx.redact_pii("t").alias("r")).first()["r"]
+    for kind in tx.PII_PATTERNS:
+        counts = df.select(
+            tx.pii_counts("t")[f"n_{kind}"].alias("n")).first()["n"]
+        assert counts >= 1, kind
+    assert got.count("[PII]") == 3
+
+
 def test_mix_sources_null_and_null_sentinel_are_distinct_groups(spark):
     """A source literally named '__null__' and a NULL source are different
     groups: each keeps its own count/quota (the join is null-safe, not a
