@@ -60,6 +60,7 @@ def parse_scores(text: str, expected_ids: Sequence[str],
         raise ValueError("JSON payload is not a list.")
     scores: Dict[str, int] = {}
     expected_set = set(expected_ids)
+    seen: set = set()
     duplicates: List[str] = []
     for item in items:
         if not isinstance(item, dict):
@@ -67,15 +68,17 @@ def parse_scores(text: str, expected_ids: Sequence[str],
         cid = str(item.get(id_key, "")).strip()
         if not cid:
             continue
+        # duplicate check BEFORE score parsing: EXACTLY once means once —
+        # an id repeated with an unparseable second score is just as
+        # ambiguous as one repeated with a conflicting number, and both
+        # must fail validation and trigger the repair re-prompt
+        if cid in seen:
+            duplicates.append(cid)
+            continue
+        seen.add(cid)
         try:
             score = int(item.get("score"))
         except (TypeError, ValueError):
-            continue
-        if cid in scores:
-            # EXACTLY once means once: a duplicate id with a (possibly
-            # conflicting) second score must fail validation and trigger
-            # the repair re-prompt, not silently keep whichever came last
-            duplicates.append(cid)
             continue
         scores[cid] = max(lo, min(hi, score))
     missing = [c for c in expected_ids if c not in scores]
@@ -134,6 +137,15 @@ class BatchScoreRunner:
     def score_batch(self, client: Callable[[str], str],
                     records: List[Dict[str, str]]) -> Dict[str, int]:
         cfg = self.config
+        # one prompt entry per id: duplicate input ids would make a model
+        # that answers every listed candidate fail parse_scores'
+        # exactly-once validation on EVERY retry (the re-prompt still
+        # lists the id twice) — dedupe keeping the first occurrence; the
+        # caller's score lookup assigns the one score to every same-id row
+        uniq: Dict[str, Dict[str, str]] = {}
+        for r in records:
+            uniq.setdefault(r[cfg.id_col], r)
+        records = list(uniq.values())
         expected = [r[cfg.id_col] for r in records]
         prompt = build_scoring_prompt(records, cfg.instructions,
                                       cfg.id_col, cfg.text_col)

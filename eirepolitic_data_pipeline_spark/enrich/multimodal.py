@@ -310,30 +310,36 @@ def extract_video_frames(df: DataFrame, every_n: int = 1,
     import pandas as pd
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def fake_frames(mid, b, rows):
+            # the fake=True contract (matches decode_images/audio):
+            # deterministic hash-derived frames, NEVER zero rows — an
+            # undecodable blob must not silently lose its media_id from
+            # downstream per-media joins
+            _require_codec("extract_video_frames", fake)
+            h = hashlib.sha256(b).digest()
+            n_fake = h[0] % 3 + 1
+            for i in range(0, n_fake, every_n):
+                px = np.frombuffer(
+                    (h * 2)[:12], dtype=np.uint8).reshape(2, 2, 3)
+                rows.append({"media_id": mid, "frame_no": i,
+                             "frame": encode_raw_image(px)})
+
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(blob or b"")
                 if b[:4] != b"RAWV":
-                    _require_codec("extract_video_frames", fake)
-                    # fake=True contract (matches decode_images/audio):
-                    # deterministic hash-derived frames, never zero rows
-                    h = hashlib.sha256(b).digest()
-                    n_fake = h[0] % 3 + 1
-                    import numpy as np
-                    for i in range(0, n_fake, every_n):
-                        px = np.frombuffer(
-                            (h * 2)[:12], dtype=np.uint8).reshape(2, 2, 3)
-                        rows.append({"media_id": mid, "frame_no": i,
-                                     "frame": encode_raw_image(px)})
+                    fake_frames(mid, b, rows)
                     continue
                 try:
                     vid = decode_raw_video(b)
                 except ValueError:
                     # corrupt-but-well-magic'd blob (payload truncated in
-                    # transit): same codec-gated fallback as decode_images —
-                    # one bad row must not abort the whole stage
-                    _require_codec("extract_video_frames", fake)
+                    # transit): SAME fallback as the non-RAWV shape above —
+                    # fake frames under fake=True, codec gate otherwise
+                    fake_frames(mid, b, rows)
                     continue
                 for i in range(0, vid.shape[0], every_n):
                     rows.append({"media_id": mid, "frame_no": i,

@@ -41,30 +41,34 @@ def truthy(col: Column | str) -> Column:
     return F.lower(F.trim(c.cast("string"))).isin("true", "1", "yes", "y")
 
 
+def _ascii_fold(s: Column) -> Column:
+    """Shared accent fold approximating the reference's NFKD step: one
+    translate for the precomposed (NFC) Latin-1 set the Irish corpus uses,
+    then strip combining marks so DECOMPOSED (NFD) input — common from
+    macOS-originated files — folds to the same letters instead of leaving
+    a mark for the non-alnum pass to turn into a separator. One shared
+    helper: snake_case and normalize_name folding differently would split
+    what should be one join key/slug."""
+    s = F.translate(s, "áàâäãéèêëíìîïóòôöõúùûüýçñ", "aaaaaeeeeiiiiooooouuuuycn")
+    return F.regexp_replace(s, "[\u0300-\u036f]", "")
+
+
 def snake_case(col: Column | str) -> Column:
     """X2 — `normalize.py:28-36`: ascii-fold, non-alnum→'_', collapse, trim.
-
-    The ascii-fold is the same Latin-1 translate as normalize_name (the
-    reference NFKD-folds, so 'Dáil Éireann' must become 'dail_eireann',
-    not 'd_il_ireann' — the corpus is Irish names and titles, where the
-    accented set below covers the fold)."""
+    The fold (shared _ascii_fold) makes 'Dáil Éireann' → 'dail_eireann',
+    not 'd_il_ireann', matching the reference's NFKD step."""
     c = F.col(col) if isinstance(col, str) else col
-    s = F.lower(F.trim(c.cast("string")))
-    s = F.translate(s, "áàâäãéèêëíìîïóòôöõúùûüýçñ", "aaaaaeeeeiiiiooooouuuuycn")
+    s = _ascii_fold(F.lower(F.trim(c.cast("string"))))
     s = F.regexp_replace(s, r"[^a-z0-9]+", "_")
     return F.regexp_replace(s, r"^_+|_+$", "")
 
 
 def normalize_name(col: Column | str) -> Column:
     """X3 — `normalize.py:39-44`: lowercase, strip non-letters, single spaces.
-
-    Used to build fuzzy-match join keys (J3). ASCII-folding of accented
-    characters is approximated with translate over the common Latin-1 set
-    (the reference uses NFKD; the corpus is Irish names so this covers it).
-    """
+    Used to build fuzzy-match join keys (J3); folds via the shared
+    _ascii_fold (the reference uses NFKD)."""
     c = F.col(col) if isinstance(col, str) else col
-    s = F.lower(F.trim(c.cast("string")))
-    s = F.translate(s, "áàâäãéèêëíìîïóòôöõúùûüýçñ", "aaaaaeeeeiiiiooooouuuuycn")
+    s = _ascii_fold(F.lower(F.trim(c.cast("string"))))
     s = F.regexp_replace(s, r"[^a-z0-9]+", " ")
     return F.trim(F.regexp_replace(s, r"\s+", " "))
 

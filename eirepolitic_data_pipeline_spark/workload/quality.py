@@ -96,14 +96,22 @@ def q32_integrity_checks(spark, sf_dir):
 
 @register(
     "q34_scalar_function_parity",
-    """
+    r"""
     SELECT c_custkey,
            substr(sha256(lower(concat_ws('|', c_name, CAST(c_custkey AS VARCHAR)))), 1, 16)
              AS cust_hash,
            regexp_replace(regexp_replace(lower(trim(c_name)), '[^a-z0-9]+', '-', 'g'),
                           '^-+|-+$', '', 'g')  AS cust_slug,
-           regexp_replace(regexp_replace(lower(trim(c_name)), '[^a-z0-9]+', '_', 'g'),
-                          '^_+|_+$', '', 'g')  AS cust_snake,
+           -- snake_case ascii-folds BEFORE the underscore pass (reference
+           -- NFKD): translate covers the precomposed Latin-1 set, the
+           -- combining-mark strip covers NFD input — identity on this
+           -- ASCII fixture, but the oracle must pin the fold semantics
+           regexp_replace(regexp_replace(
+             regexp_replace(translate(lower(trim(c_name)),
+               'áàâäãéèêëíìîïóòôöõúùûüýçñ', 'aaaaaeeeeiiiiooooouuuuycn'),
+               '[\x{0300}-\x{036f}]', '', 'g'),
+             '[^a-z0-9]+', '_', 'g'),
+             '^_+|_+$', '', 'g')  AS cust_snake,
            CASE WHEN trim(coalesce(c_mktsegment, '')) <> '' THEN trim(c_mktsegment)
                 ELSE trim(c_name) END          AS segment_or_name,
            CASE WHEN round(c_acctbal, 2) = floor(round(c_acctbal, 2))

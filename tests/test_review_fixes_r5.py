@@ -397,8 +397,9 @@ def test_truncated_raw_headers_raise_value_error():
 
 
 def test_extract_video_frames_tolerates_corrupt_rawv(spark):
-    """A well-magic'd RAWV blob with a truncated payload must hit the
-    codec-gated fallback (fake=True), not abort the stage."""
+    """A well-magic'd RAWV blob with a truncated payload must hit the same
+    fake-frame fallback as any other undecodable blob (fake=True) — never
+    abort the stage, never emit zero rows for the media_id."""
     from eirepolitic_data_pipeline_spark.enrich.multimodal import (
         encode_raw_video, extract_video_frames)
     import numpy as np
@@ -408,7 +409,8 @@ def test_extract_video_frames_tolerates_corrupt_rawv(spark):
         [(1, "video", bytearray(good)), (2, "video", bytearray(corrupt))],
         "media_id long, kind string, content binary")
     rows = extract_video_frames(df, fake=True).collect()
-    assert {r["media_id"] for r in rows} == {1}   # corrupt row skipped
+    # both media ids survive: id 1 with real frames, id 2 with fake ones
+    assert {r["media_id"] for r in rows} == {1, 2}
 
 
 def test_llm_runner_duplicate_ids_do_not_fan_out(spark):
@@ -462,6 +464,59 @@ def test_parse_scores_rejects_duplicate_ids():
         {"candidate_id": "b", "score": 50}])
     with pytest.raises(ValueError, match="Duplicates"):
         parse_scores(payload, ["a", "b"])
+
+
+def test_parse_scores_duplicate_with_unparseable_second():
+    """A repeated id whose second score is unparseable is still a
+    duplicate — the check must run before score parsing."""
+    import json
+
+    from eirepolitic_data_pipeline_spark.enrich.batch_scoring import (
+        parse_scores)
+    payload = json.dumps([
+        {"candidate_id": "a", "score": 90},
+        {"candidate_id": "a", "score": "high"},
+        {"candidate_id": "b", "score": 50}])
+    with pytest.raises(ValueError, match="Duplicates"):
+        parse_scores(payload, ["a", "b"])
+
+
+def test_score_batch_dedupes_input_ids():
+    """Duplicate input ids must be deduped before prompting: a model that
+    answers every listed candidate would otherwise fail exactly-once
+    validation on every retry."""
+    import json
+
+    from eirepolitic_data_pipeline_spark.enrich.batch_scoring import (
+        BatchScoreConfig, BatchScoreRunner)
+
+    def client(prompt: str) -> str:
+        # the candidates payload is the LAST JSON array in the prompt
+        # (the rules section above it also contains brackets)
+        ids = [item["candidate_id"]
+               for item in json.loads(prompt[prompt.rindex("\n["):])]
+        return json.dumps([{"candidate_id": i, "score": 42} for i in ids])
+
+    cfg = BatchScoreConfig(instructions="score these")
+    runner = BatchScoreRunner(config=cfg, client_factory=lambda: client)
+    records = [{"candidate_id": "a", "sentence": "x"},
+               {"candidate_id": "a", "sentence": "x-dup"},
+               {"candidate_id": "b", "sentence": "y"}]
+    scores = runner.score_batch(client, records)
+    assert scores == {"a": 42, "b": 42}
+
+
+def test_snake_case_folds_nfd_input(spark):
+    """Decomposed (NFD) accents fold to the same letters as precomposed
+    (NFC) — a combining mark must not become an underscore."""
+    import unicodedata
+
+    from eirepolitic_data_pipeline_spark.functions.scalar import snake_case
+    nfd = unicodedata.normalize("NFD", "Dáil Éireann")
+    assert nfd != "Dáil Éireann"            # actually decomposed
+    df = spark.createDataFrame([(nfd,)], "v string")
+    assert df.select(snake_case("v").alias("s")).first()["s"] == \
+        "dail_eireann"
 
 
 def test_mean_word_len_excludes_whitespace(spark):
