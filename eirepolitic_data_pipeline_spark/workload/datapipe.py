@@ -17,8 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions import scalar as sc
 from ..functions import text as tx
-from ..operators.dedupe import (minhash_signatures, pairs_from_postings,
-                                shingle_postings)
+from ..operators.dedupe import pairs_from_postings, shingle_postings
 from .registry import register, spread, t
 
 # ---------------------------------------------------------------------------
@@ -29,8 +28,11 @@ from .registry import register, spread, t
     "q22_exact_dedup_fingerprint",
     """
     WITH fp AS (
+      -- coalesce: the Spark side's doc_fingerprint hashes NULL text as ''
+      -- (one canonical NULL-content group), so the oracle must too
       SELECT doc_id,
-             substr(sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 16)
+             substr(sha256(trim(regexp_replace(lower(coalesce(text, '')),
+                                               '[^a-z0-9]+', ' ', 'g'))), 1, 16)
                AS fingerprint
       FROM documents
     )
@@ -45,13 +47,13 @@ def q22_exact_dedup_fingerprint(spark, sf_dir):
     """Exact dedup via content fingerprint: hash-groupBy on a normalized
     sha256 key; canonical row = min(doc_id) per group. One shuffle on the
     fingerprint — the canonical 100-TB exact-dedup plan."""
+    from ..operators.dedupe import exact_duplicate_groups
     docs = spread(t(spark, sf_dir, "documents"))
-    w = Window.partitionBy("fingerprint")
-    return (
-        docs.select("doc_id", tx.doc_fingerprint("text", 16).alias("fingerprint"))
-        .withColumn("canonical_doc_id", F.min("doc_id").over(w))
-        .withColumn("dup_group_size", F.count(F.lit(1)).over(w))
-    )
+    # THE operator, not an inline twin: the query exists to hash-pin
+    # exact_duplicate_groups' semantics (and the operator carries the
+    # hot-group caveat that routes curation to exact_canonical_ids)
+    return exact_duplicate_groups(docs).withColumnRenamed(
+        "canonical_id", "canonical_doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -62,9 +64,16 @@ _SHINGLES_SQL = """
       SELECT doc_id,
              list_distinct(list_transform(
                range(greatest(len(toks) - 2, 1)),
-               i -> array_to_string(toks[i + 1 : i + 3], ' ')
+               -- coalesce: the shingle contract (<n tokens -> ONE
+               -- whole-text shingle, '' for a blank doc — dedupe._shingle_set
+               -- and functions.text.word_shingles) — DuckDB's
+               -- array_to_string([], ' ') is NULL, which would silently
+               -- drop blank docs from the index instead of grouping them
+               i -> coalesce(array_to_string(toks[i + 1 : i + 3], ' '), '')
              )) AS shingles
-      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      -- empty/NULL text -> [] tokens (Spark's tokens() contract); bare
+      -- string_split_regex yields [''] and would fabricate a ' ' joint
+      FROM (SELECT doc_id, CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
             FROM documents)
 """
 
@@ -182,20 +191,13 @@ def q24_minhash_lsh_candidates(spark, sf_dir):
     → bucket-join on band key. Only same-band docs ever meet, so the join
     cost tracks true near-dup density, not n². This is the scale path that
     replaces q23's full inverted index when shingle DF is huge."""
+    from ..operators.dedupe import minhash_lsh_candidates
     docs = spread(t(spark, sf_dir, "documents"))
-    sigs = minhash_signatures(docs, "text", "doc_id", n=3, num_hashes=_N_HASHES)
-    band_exprs = []
-    for band in range(_N_HASHES // _BAND_ROWS):
-        parts = [F.col(f"mh{band * _BAND_ROWS + r}") for r in range(_BAND_ROWS)]
-        band_exprs.append(F.concat_ws("|", F.lit(str(band) + ":"), *parts))
-    bands = (sigs
-             .select("doc_id", F.explode(F.array(*band_exprs)).alias("band_str"))
-             .select("doc_id", F.xxhash64("band_str").alias("band_key")))
-    return (
-        pairs_from_postings(bands, key="band_key")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.countDistinct("band_key").alias("band_collisions"))
-    )
+    # the operator itself (an inline twin had already drifted cosmetically
+    # and would silently miss any fix to the operator's banding)
+    return minhash_lsh_candidates(docs, "text", "doc_id", n=3,
+                                  num_hashes=_N_HASHES,
+                                  band_rows=_BAND_ROWS)
 
 
 # ---------------------------------------------------------------------------
@@ -213,7 +215,9 @@ _SIMHASH_BIT_SQL = ", ".join(
     "q25_simhash_signatures",
     f"""
     WITH toks AS (
-      SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+      -- empty/NULL text -> zero token rows, matching Spark's explode of
+      -- tokens() = [] (bare split yields [''] and keeps the doc)
+      SELECT doc_id, unnest(list_distinct(CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\\s+') END)) AS tok
       FROM documents
     ),
     hashed AS (SELECT doc_id, md5(tok) AS h FROM toks)
@@ -228,19 +232,12 @@ def q25_simhash_signatures(spark, sf_dir):
     high bit of md5 nibble i across the doc's tokens (each nibble's high bit
     is an independent 1-bit hash). Hamming-close signatures ⇒ near-dups;
     banded search lives in operators.dedupe.simhash_near_pairs."""
+    from ..operators.dedupe import simhash_signatures as simhash_op
     docs = spread(t(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(tx.tokens("text"))).alias("tok"))
-    hashed = toks.select("doc_id", F.md5("tok").alias("h"))
-    bit_votes = [
-        F.sum(F.when(F.substring("h", i + 1, 1) >= "8", 1).otherwise(0)).alias(f"v{i}")
-        for i in range(32)
-    ]
-    agg = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"), *bit_votes)
-    bits = [F.when(F.col(f"v{i}") * 2 >= F.col("n_tok"), F.lit("1")).otherwise(F.lit("0"))
-            for i in range(32)]
-    return agg.select("doc_id", F.concat(*bits).alias("simhash"))
+    # the operator itself — the inline bit-for-bit copy bypassed the
+    # operator's bits<=32 guard and could drift from the banded search
+    # (simhash_near_pairs) that consumes these signatures
+    return simhash_op(docs, "text", "doc_id", bits=32)
 
 
 # ---------------------------------------------------------------------------
@@ -420,8 +417,11 @@ def q37_cosine_neardup_pairs(spark, sf_dir):
     "q28_text_stats",
     r"""
     WITH cited AS (
+      -- coalesce(text, ''): Spark's concat-with-NULL would null the whole
+      -- synthetic answer, but strip_citations coalesces its input, so the
+      -- oracle must synthesize from '' too
       SELECT doc_id, text, n_chars AS nc,
-             'Claim [' || CAST(n_chars % 50 AS VARCHAR) || '] ' || text
+             'Claim [' || CAST(n_chars % 50 AS VARCHAR) || '] ' || coalesce(text, '')
                || ' [7] tail' AS t
       FROM documents
     ), stripped AS (
@@ -431,11 +431,15 @@ def q37_cosine_neardup_pairs(spark, sf_dir):
       FROM cited
     )
     SELECT doc_id,
-           CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INTEGER) AS n_tokens,
-           CAST(length(text) AS INTEGER)                                      AS n_chars,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER)
+           -- tokens() yields [] for empty/NULL text; bare split yields ['']
+           CAST(len(CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\s+') END) AS INTEGER) AS n_tokens,
+           -- VARCHAR: n_chars is nullable (NULL text) and the DuckDB->
+           -- pandas bridge widens a nullable int to float64 ('146.0' vs
+           -- Spark's '146' in the hash compare); '∅' nulls match directly
+           CAST(length(text) AS VARCHAR)                                      AS n_chars,
+           CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER)
              AS n_bpe_ish,
-           CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS INTEGER)
+           CAST(len(list_distinct(CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\s+') END)) AS INTEGER)
              AS n_distinct_tokens,
            array_to_string(list_slice(regexp_split_to_array(s, '\s+'), 1, 12), ' ')
              AS brief,
@@ -451,14 +455,18 @@ def q28_text_stats(spark, sf_dir):
     12-word brief, the post-processing step of every web-enriched LLM
     column. One projection pass over one documents scan, zero shuffles."""
     docs = spread(t(spark, sf_dir, "documents"))
+    # coalesce: Spark's concat propagates NULL, so a NULL-text doc would
+    # null the whole synthetic answer (and brief would come out '' only
+    # via strip_citations' own coalesce, while the oracle's synthesized
+    # string survives) — synthesize from '' on both sides instead
     cited = F.concat(
         F.lit("Claim ["), (F.col("n_chars") % 50).cast("string"), F.lit("] "),
-        F.col("text"), F.lit(" [7] tail"))
+        F.coalesce(F.col("text"), F.lit("")), F.lit(" [7] tail"))
     clean = sc.strip_citations(cited)
     return docs.select(
         "doc_id",
         tx.token_count("text").cast("int").alias("n_tokens"),
-        F.length("text").cast("int").alias("n_chars"),
+        F.length("text").cast("string").alias("n_chars"),
         tx.bpe_ish_token_count("text").cast("int").alias("n_bpe_ish"),
         F.size(F.array_distinct(tx.tokens("text"))).cast("int").alias("n_distinct_tokens"),
         sc.clamp_words(clean, 12).alias("brief"),
@@ -467,14 +475,17 @@ def q28_text_stats(spark, sf_dir):
 
 
 def _lang_hits_sql(lang: str, markers: tuple[str, ...]) -> str:
+    # coalesce(text, ''): Spark's marker_hits tokenizes through tokens()
+    # (NULL -> 0 hits -> 'und'); bare NULL here would make greatest() NULL
+    # and the guess CASE fall through to NULL instead of 'und'
+    t = "trim(lower(coalesce(text, '')))"
     if all(len(m) == 1 for m in markers):
         # unsegmented script (zh): count marker CHARS, mirroring
         # functions/text.py:marker_hits
         joined = "".join(markers)
-        return (f"(length(trim(lower(text))) - "
-                f"length(translate(trim(lower(text)), '{joined}', '')))")
+        return f"(length({t}) - length(translate({t}, '{joined}', '')))"
     arr = ", ".join(f"'{m}'" for m in markers)
-    return (f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+    return (f"len(list_filter(string_split_regex({t}, '\\s+'), "
             f"tok -> list_contains([{arr}], tok)))")
 
 
@@ -509,7 +520,7 @@ def q29_language_id(spark, sf_dir):
     r"""
     WITH base AS (
       SELECT doc_id, text,
-             string_split_regex(trim(lower(text)), '\s+') AS toks,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks,
              CAST(length(text) AS DOUBLE) AS n_chars,
              -- word chars only: mean word length is sum(len(word))/n_words
              -- (the Gopher/C4 definition) — dividing the WHOLE string
@@ -785,7 +796,10 @@ def q51_dataset_split(spark, sf_dir):
     WITH toks AS (
       SELECT doc_id,
              CAST(doc_id % 8 AS INTEGER) AS shard,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+             -- coalesce: NULL text must count like a blank doc (1 empty
+             -- token on both engines), not poison the sum into a NULL the
+             -- pandas bridge widens to float64
+             CAST(len(string_split_regex(trim(coalesce(text, '')), '\\s+')) AS BIGINT) AS n_tok
       FROM documents
     ), packed AS (
       SELECT shard, doc_id, n_tok,
@@ -814,7 +828,8 @@ def q52_sequence_packing(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tok"))
+        F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))),
+                       r"\s+")).cast("long").alias("n_tok"))
     packed = pack_sequences(toks, "doc_id", "n_tok", budget=2048, shards=8)
     return (packed.groupBy("shard", "batch_id")
             .agg(F.count(F.lit(1)).alias("n_docs"),

@@ -110,14 +110,17 @@ def spread(df: DataFrame) -> DataFrame:
 
     A small parquet fixture arrives as ONE input split, so CPU-heavy
     per-row stages (shingling, hashing, tokenizing) would run on one core
-    while 31 idle. A bare repartition does NOT fix this: Catalyst pushes the
-    downstream projection below the round-robin exchange, putting the heavy
-    compute back into the single scan task. localCheckpoint materializes the
-    spread rows and is an optimizer barrier, so later stages really run on
-    all cores. At production scale the scan has plenty of splits and this is
-    a no-op; when it does fire it materializes only the tiny input.
+    while 31 idle. A bare repartition is sufficient: on Spark 4.x the
+    heavy downstream operators (Project with scalar chains, Generate,
+    MapInPandas — all three probed on 4.1.2) plan ABOVE the
+    REPARTITION_BY_NUM exchange, which AQE never coalesces, so the compute
+    genuinely fans out. No localCheckpoint: an eager materialization at
+    plan-construction time would pin non-recoverable blocks for the
+    session and break the workload memo's plan-reuse-not-result-caching
+    contract (workload.__init__._tuned). At production scale the scan has
+    plenty of splits and this is a no-op.
     """
     p = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < p:
-        return df.repartition(p).localCheckpoint()
+        return df.repartition(p)
     return df

@@ -317,10 +317,21 @@ def q48_salted_topn_events(spark, sf_dir):
 @register(
     "q39_asof_join_last_click",
     """
+    WITH c AS (
+      -- ONE click per (user_id, ts), max event_id winning the exact tie:
+      -- DuckDB's ASOF join has no tiebreak of its own (scan-order
+      -- dependent on duplicate timestamps), so the oracle must pin the
+      -- same max-id rule the Spark window implements
+      SELECT user_id, ts,
+             max_by(event_id, event_id) AS event_id,
+             max_by(value, event_id) AS value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    )
     SELECT e.event_id AS error_event_id, e.user_id,
            CAST(c.event_id AS VARCHAR) AS click_event_id, round(c.value, 2) AS click_value
     FROM (SELECT * FROM events WHERE event_type = 'error') e
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN c
       ON e.user_id = c.user_id AND e.ts >= c.ts
     """,
     survey_ref="beyond-ref: as-of join (custom operator)",

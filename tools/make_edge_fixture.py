@@ -1,0 +1,82 @@
+"""Build an EDGE-CASE copy of a testdata dir for oracle parity checks:
+the standard fixtures contain no NULL/blank documents and no duplicate
+click timestamps, so Spark-vs-DuckDB divergences on those inputs are
+invisible to the per-round correctness gate until a testdata regeneration
+surfaces them as hash mismatches. This tool materializes exactly those
+rows so the parity can be exercised on demand:
+
+    python tools/make_edge_fixture.py [src_dir] [dst_dir]
+    python tools/check_oracle.py <dst_dir>            # all 50 queries
+
+Added rows:
+- documents: doc_id 900001 (NULL text), 900002 ('' text), 900003
+  (whitespace-only text) — exercises every tokenize/fingerprint/quality
+  oracle's NULL/empty handling;
+- events: three clicks sharing one (user_id, ts) with distinct event_ids
+  plus one error after them — exercises q39's as-of tie rule (max
+  event_id wins, which the oracle must pin explicitly: DuckDB's ASOF join
+  has no deterministic tiebreak of its own).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import sys
+
+
+def build(src: str, dst: str, spark=None) -> str:
+    from pyspark.sql import SparkSession
+
+    spark = spark or (SparkSession.builder.master("local[4]")
+                      .config("spark.ui.enabled", "false").getOrCreate())
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from eirepolitic_data_pipeline_spark.workload.registry import t
+
+    os.makedirs(dst, exist_ok=True)
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f not in ("documents.parquet",
+                                                "events.parquet"):
+            shutil.copy(os.path.join(src, f), os.path.join(dst, f))
+
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    extra = spark.createDataFrame(
+        [(900001, None, "en", "siteX", 0),
+         (900002, "", "en", "siteX", 0),
+         (900003, "   ", "en", "siteX", 3)],
+        schema=docs.schema)
+    _write_single(docs.unionByName(extra), os.path.join(dst, "documents.parquet"))
+
+    ev = t(spark, src, "events")
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    ts0 = ev.limit(1).collect()[0]["ts"]
+    rows = [(9900001, 77777, ts0, "click", 1.11),
+            (9900002, 77777, ts0, "click", 2.22),
+            (9900099, 77777, ts0, "click", 9.99),
+            (9900100, 77777, ts0, "error", 0.0)]
+    extra_ev = spark.createDataFrame(rows, ev.select(*cols).schema)
+    full = ev.select(*cols).unionByName(extra_ev)
+    for c in [c for c in ev.columns if c not in cols]:
+        full = full.join(ev.select(*cols, c), cols, "left")
+    _write_single(full, os.path.join(dst, "events.parquet"))
+    return dst
+
+
+def _write_single(df, path: str) -> None:
+    """One parquet FILE at ``path`` (the testdata layout DuckDB's oracle
+    views glob), via a temp dir."""
+    tmp = path + ".dir"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    if os.path.exists(path):
+        os.remove(path)
+    shutil.move(part, path)
+    shutil.rmtree(tmp)
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_edge"
+    print("wrote", build(src, dst))
