@@ -33,6 +33,7 @@ from conftest import SF_SMOKE  # noqa: E402
 # plus the two event-table queries whose edge rows exercise tie rules.
 EDGE_QUERIES = (
     "q22_exact_dedup_fingerprint",
+    "q23_jaccard_topk_pairs",
     "q24_minhash_lsh_candidates",
     "q25_simhash_signatures",
     "q28_text_stats",
