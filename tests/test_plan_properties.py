@@ -63,6 +63,27 @@ def test_pure_projection_queries_have_zero_shuffles(spark):
         assert _roundrobins(plan) <= 1, f"{name}: extra round-robin"
 
 
+def test_heavy_compute_plans_above_the_spread_exchange(spark):
+    """spread()'s bare repartition only fans out CPU-heavy per-row work if
+    Catalyst keeps the heavy operator ABOVE the round-robin Exchange
+    (parents print first, so a smaller line index = runs after the
+    exchange). If a future Spark version collapses the projection back
+    below the exchange, the shuffle counts would still pass while the
+    compute quietly runs on the single scan task — assert placement."""
+    qs = _queries()
+    for name in ("q28_text_stats", "q29_language_id",
+                 "q49_winnowed_fingerprints"):
+        lines = _plan(qs[name](spark, SF_SMOKE)).splitlines()
+        heavy = next((i for i, ln in enumerate(lines)
+                      if "Project" in ln or "MapInPandas" in ln), None)
+        exch = next((i for i, ln in enumerate(lines)
+                     if "RoundRobinPartitioning" in ln), None)
+        if exch is None:  # multi-split scan: spread was a no-op
+            continue
+        assert heavy is not None and heavy < exch, (
+            f"{name}: heavy op at line {heavy} not above exchange {exch}")
+
+
 def test_exact_dedup_is_single_shuffle(spark):
     """q22: one hash shuffle on the fingerprint, nothing else (the spread
     fan-out round-robin aside)."""
