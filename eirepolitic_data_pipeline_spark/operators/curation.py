@@ -287,10 +287,42 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
     ``curation_stage`` column left OUT by design — stage attrition is the
     caller's telemetry concern (count the frames between stages); baking
     counts in here would force an action per stage inside the operator.
+    ``curate_corpus_stages`` exposes exactly those frames for callers that
+    want the telemetry (the curate CLI's ``--report``).
 
     Every stage is the already-stress-tested scale shape: map-side
     filters, the skew-capped posting-list expansion, bounded component
     closure — no new shuffle pattern is introduced by the composition."""
+    out = None
+    for _name, frame in curate_corpus_stages(
+            docs, text_col=text_col, id_col=id_col, source_col=source_col,
+            benchmark=benchmark, min_tokens=min_tokens,
+            min_alpha_ratio=min_alpha_ratio, max_line_df=max_line_df,
+            near_dup_threshold=near_dup_threshold,
+            split_weights=split_weights):
+        out = frame
+    return out
+
+
+def curate_corpus_stages(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", source_col: str = "source",
+                         benchmark: DataFrame | None = None,
+                         min_tokens: int = 5, min_alpha_ratio: float = 0.5,
+                         max_line_df: int = 100,
+                         near_dup_threshold: float = 0.7,
+                         split_weights: Mapping[str, float] | None = None):
+    """``curate_corpus`` with the stage boundaries exposed: yields
+    ``(stage_name, frame)`` after each pipeline stage, ending with the
+    final ``("split", curated)`` frame — the SINGLE implementation both
+    entry points share, so the telemetry view can never drift from the
+    composed recipe.
+
+    The generator only *declares* plans; it runs nothing. A caller that
+    wants per-stage attrition counts should ``persist()`` each yielded
+    frame before counting it — the next stage is built from the same
+    DataFrame object, so the persisted result is reused instead of
+    recomputing the whole prefix chain per stage (the curate CLI's
+    ``--report`` path does exactly this)."""
     from ..functions.text import quality_features
     from .dedupe import (dedupe_lines, decontaminate,
                          exact_canonical_ids, minhash_dedup)
@@ -298,29 +330,34 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
     q = quality_features(text_col)
     kept = docs.filter((q["n_tokens"] >= min_tokens)
                        & (q["alpha_ratio"] >= min_alpha_ratio))
+    yield "quality_gate", kept
 
     cleaned = dedupe_lines(kept.select(id_col, text_col), text_col, id_col,
                            max_df=max_line_df)
     others = [c for c in kept.columns if c != text_col]
     kept = (kept.select(*others).join(cleaned, id_col)
             .filter(quality_features(text_col)["n_tokens"] >= min_tokens))
+    yield "line_dedup", kept
 
     # skew-proof survivor set: min-per-fingerprint AGGREGATE, never the
     # per-row window report — a 100M-copy boilerplate page is exactly what
     # this stage must absorb (see exact_canonical_ids)
     kept = kept.join(exact_canonical_ids(kept, text_col, id_col),
                      id_col, "left_semi")
+    yield "exact_dedup", kept
 
     comp = minhash_dedup(kept, text_col, id_col,
                          threshold=near_dup_threshold)
     kept = kept.join(
         comp.filter(F.col(id_col) == F.col("canonical_id"))
         .select(id_col), id_col, "left_semi")
+    yield "near_dup", kept
 
     if benchmark is not None:
         kept, _ = decontaminate(kept, benchmark, text_col, id_col)
+        yield "decontaminate", kept
 
-    return dataset_split(kept, source_col, split_weights)
+    yield "split", dataset_split(kept, source_col, split_weights)
 
 
 def resample_periodic(df: DataFrame, key_cols: Sequence[str], ts_col: str,

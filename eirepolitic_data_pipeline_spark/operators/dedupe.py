@@ -433,10 +433,17 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     thousands of docs) so the hit-join broadcasts — corpus-side work is one
     map pass + one broadcast semi-join, no shuffle of the corpus. Long n
     (default 8) keeps collisions to verbatim overlap, the standard
-    decontamination grain."""
+    decontamination grain.
+
+    The benchmark frame only needs ``text_col`` — its ids never survive
+    past the distinct key set, so a synthetic id feeds the kernel rather
+    than imposing the corpus's ``id_col`` on eval-set schemas."""
     ck = shingle_postings(corpus, text_col, id_col, n)
+    bench = benchmark.select(
+        F.monotonically_increasing_id().alias("__bench_id"),
+        F.col(text_col))
     bk = F.broadcast(
-        shingle_postings(benchmark, text_col, id_col, n)
+        shingle_postings(bench, text_col, "__bench_id", n)
         .select("key").distinct())
     hits = (ck.join(bk, "key")
             .groupBy("doc_id")
