@@ -886,3 +886,48 @@ def q54_repetition_stats(spark, sf_dir):
                  F.max("c").alias("top_bigram_n"),
                  F.round(F.max("c") / F.sum("c").cast("double"), 4)
                  .alias("top_bigram_fraction")))
+
+
+@register(
+    "q55_source_mixing",
+    """
+    WITH c AS (
+      SELECT lang AS src, CAST(count(*) AS DOUBLE) AS n
+      FROM documents GROUP BY 1
+    ),
+    norm AS (
+      SELECT sum(pow(n, 0.5)) AS z, sum(n) AS total FROM c
+    ),
+    plan AS (
+      SELECT src, n,
+             (total * pow(n, 0.5) / z)                        AS quota,
+             least(1.0, (total * pow(n, 0.5) / z) / n)        AS frac,
+             round((total * pow(n, 0.5) / z)
+                   / least(total * pow(n, 0.5) / z, n), 6)    AS mix_weight
+      FROM c CROSS JOIN norm
+    )
+    SELECT d.doc_id, d.lang, p.mix_weight
+    FROM documents d
+    JOIN plan p ON d.lang IS NOT DISTINCT FROM p.src
+    -- the identical md5 bucket membership test as q51's split (the
+    -- operators share hash_bucket), salted 'mix'
+    WHERE CAST(CAST('0x' || substr(md5('mix' || coalesce(CAST(d.doc_id AS VARCHAR),
+                                                         '__null__')), 1, 8)
+               AS BIGINT) % 10000 AS INTEGER) < p.frac * 10000
+    """,
+    survey_ref="beyond-ref: temperature-weighted source mixing (operators/curation.py)",
+)
+def q55_source_mixing(spark, sf_dir):
+    """Temperature-weighted source rebalancing (count^alpha, alpha=0.5)
+    keyed on the naturally skewed ``lang`` column: the dominant language is
+    deterministically downsampled toward its alpha-tempered share while
+    small languages keep every row and surface their upweight factor as
+    ``mix_weight`` — the standard multilingual pretraining mix, computed
+    fully distributed (dimension-sized count agg + 1-row normalizer + two
+    broadcasts; the corpus itself is touched by exactly one map-side
+    filter, never shuffled)."""
+    from ..operators.curation import mix_sources
+    docs = t(spark, sf_dir, "documents")
+    out = mix_sources(docs.select("doc_id", "lang"), "lang", "doc_id",
+                      alpha=0.5, salt="mix")
+    return out.select("doc_id", "lang", "mix_weight")

@@ -414,3 +414,59 @@ def q53_range_join_busy_windows(spark, sf_dir):
                            .alias("window_start"))
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.countDistinct("user_id").alias("n_users")))
+
+
+@register(
+    "q56_resample_daily_ffill",
+    """
+    WITH obs AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS tick,
+             ts, value
+      FROM events
+    ),
+    spans AS (
+      SELECT user_id, min(tick) AS lo, max(tick) AS hi FROM obs GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, unnest(range(lo, hi + 86400, 86400)) AS tick FROM spans
+    ),
+    latest AS (
+      SELECT user_id, tick, value FROM (
+        SELECT user_id, tick, value,
+               row_number() OVER (PARTITION BY user_id, tick
+                                  ORDER BY ts DESC, value DESC NULLS LAST) AS rn
+        FROM obs) r
+      WHERE rn = 1
+    ),
+    j AS (
+      SELECT g.user_id, g.tick,
+             last_value(l.value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.tick
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+      FROM grid g LEFT JOIN latest l
+        ON g.user_id = l.user_id AND g.tick = l.tick
+    )
+    SELECT CAST(user_id AS VARCHAR) AS user_id,
+           -- epoch_ms gives a NAIVE timestamp: tz-free on both engines
+           strftime(epoch_ms(tick * 1000), '%Y-%m-%d') AS day,
+           value
+    FROM j
+    """,
+    survey_ref="beyond-ref: periodic resampling w/ forward fill (operators/curation.py:resample_periodic)",
+)
+def q56_resample_daily_ffill(spark, sf_dir):
+    """Per-user daily resampling with forward fill: one row per calendar
+    day between each user's first and last event, carrying the latest
+    observed ``value`` across gap days. The grid is generated per key
+    (span/step rows, never table-sized), the newest-in-bucket pick is a
+    deterministic keep-last window, and the fill is one
+    last(ignorenulls) window per key — two AQE-coalescible shuffles on
+    user_id regardless of event volume."""
+    from ..operators.curation import resample_periodic
+    ev = t(spark, sf_dir, "events")
+    res = resample_periodic(ev.select("user_id", "ts", "value"),
+                            ["user_id"], "ts", "1 day", ["value"])
+    return res.select(F.col("user_id").cast("string").alias("user_id"),
+                      F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                      "value")

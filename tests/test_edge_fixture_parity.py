@@ -43,8 +43,10 @@ EDGE_QUERIES = (
     "q51_dataset_split",
     "q52_sequence_packing",
     "q54_repetition_stats",
+    "q55_source_mixing",
     "q39_asof_join_last_click",
     "q16_latest_event_per_user",
+    "q56_resample_daily_ffill",
 )
 
 

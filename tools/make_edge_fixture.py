@@ -11,7 +11,8 @@ rows so the parity can be exercised on demand:
 Added rows:
 - documents: doc_id 900001 (NULL text), 900002 ('' text), 900003
   (whitespace-only text) — exercises every tokenize/fingerprint/quality
-  oracle's NULL/empty handling;
+  oracle's NULL/empty handling; 900004 (NULL lang) — exercises q55's
+  NULL-source group contract (null-safe join, not a drop);
 - events: three clicks sharing one (user_id, ts) with distinct event_ids
   plus one error after them — exercises q39's as-of tie rule (max
   event_id wins, which the oracle must pin explicitly: DuckDB's ASOF join
@@ -45,7 +46,12 @@ def build(src: str, dst: str, spark=None) -> str:
     extra = spark.createDataFrame(
         [(900001, None, "en", "siteX", 0),
          (900002, "", "en", "siteX", 0),
-         (900003, "   ", "en", "siteX", 3)],
+         (900003, "   ", "en", "siteX", 3),
+         # NULL lang: mix_sources must treat NULL as its own real group
+         # (null-safe plan join), not drop the rows or merge them with a
+         # source literally named '__null__'
+         (900004, "plain english words for the null lang group", None,
+          "siteX", 44)],
         schema=docs.schema)
     _write_single(docs.unionByName(extra), os.path.join(dst, "documents.parquet"))
 
