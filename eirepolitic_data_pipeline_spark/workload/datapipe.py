@@ -931,3 +931,54 @@ def q55_source_mixing(spark, sf_dir):
     out = mix_sources(docs.select("doc_id", "lang"), "lang", "doc_id",
                       alpha=0.5, salt="mix")
     return out.select("doc_id", "lang", "mix_weight")
+
+
+@register(
+    "q57_domain_profile",
+    """
+    -- ground truth from doc_id arithmetic, NOT a transliteration of the
+    -- engine's URL regexes (q34's independence technique): the synthetic
+    -- URL's subdomain (www./cdn.), explicit port and path must all be
+    -- stripped/collapsed by url_host+registered_domain for the counts to
+    -- match this direct derivation.
+    WITH base AS (
+      SELECT doc_id,
+             'site' || CAST(doc_id % 10 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+                       ELSE '.com' END AS domain
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM base WHERE domain NOT IN ('site3.com', 'site7.co.uk')
+    ),
+    c AS (SELECT domain, count(*) AS doc_count FROM kept GROUP BY 1),
+    tot AS (SELECT sum(doc_count) AS total FROM c)
+    SELECT domain, doc_count,
+           round(doc_count / CAST(total AS DOUBLE), 6) AS share
+    FROM c CROSS JOIN tot
+    """,
+    survey_ref="beyond-ref: domain blocklist gate + profiling (operators/curation.py)",
+)
+def q57_domain_profile(spark, sf_dir):
+    """Registered-domain (eTLD+1) corpus profiling behind a blocklist
+    gate: synthesize a messy absolute URL per document (scheme/subdomain/
+    port/path noise keyed on doc_id), drop two blocked registered domains
+    (broadcast anti join — cdn./www. subdomains collapse into their
+    registrant, which is the whole point of blocking at eTLD+1), then
+    per-domain counts and corpus share. The corpus is touched by one map
+    pass + one anti join + one map-side-combined agg; the blocklist and
+    the 1-row total broadcast."""
+    from ..operators.curation import domain_stats, filter_domains
+    docs = t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, "https").otherwise("http"), F.lit("://"),
+        F.when(d % 4 == 0, "www.").when(d % 4 == 1, "cdn.").otherwise(""),
+        F.lit("site"), (d % 10).cast("string"),
+        F.when(d % 3 == 0, ".co.uk").otherwise(".com"),
+        F.when(d % 5 == 0, ":8443").otherwise(""),
+        F.lit("/p/"), d.cast("string"))
+    tagged = docs.select("doc_id", url.alias("url"))
+    kept = filter_domains(tagged, "url", ["site3.com", "site7.co.uk"],
+                          mode="block")
+    return domain_stats(kept, "url").select("domain", "doc_count", "share")
