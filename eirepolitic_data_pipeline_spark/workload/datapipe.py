@@ -982,3 +982,38 @@ def q57_domain_profile(spark, sf_dir):
     kept = filter_domains(tagged, "url", ["site3.com", "site7.co.uk"],
                           mode="block")
     return domain_stats(kept, "url").select("domain", "doc_count", "share")
+
+
+@register(
+    "q58_stratified_sample",
+    """
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(CAST('0x' || substr(md5('strat' || coalesce(CAST(doc_id AS VARCHAR),
+                                                              '__null__')), 1, 8)
+                  AS BIGINT) % 10000 AS INTEGER) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang FROM b
+    -- absent strata (es, fr, NULL) keep fraction 0.0 and vanish — the
+    -- explicit-opt-in contract the operator documents
+    WHERE (lang = 'en' AND bucket < 2500)
+       OR (lang = 'de' AND bucket < 10000)
+       OR (lang = 'zh' AND bucket < 5000)
+    """,
+    survey_ref="beyond-ref: deterministic stratified sampling (operators/curation.py)",
+)
+def q58_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling over the language column:
+    en keeps 25%, de 100%, zh 50%, and every stratum NOT in the fraction
+    map (es, fr, NULL lang) keeps nothing — curation allow-lists opt in
+    explicitly. Membership is the same engine-portable md5 bucket as the
+    splits, so re-runs and incremental refreshes keep identical rows; the
+    fraction map is dimension-sized and joins broadcast (one map-side
+    filter over the corpus, no shuffle)."""
+    from ..operators.curation import stratified_sample
+    docs = t(spark, sf_dir, "documents")
+    out = stratified_sample(docs.select("doc_id", "lang"), ["lang"],
+                            {"en": 0.25, "de": 1.0, "zh": 0.5},
+                            "doc_id", salt="strat")
+    return out.select("doc_id", "lang")

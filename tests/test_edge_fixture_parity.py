@@ -45,6 +45,7 @@ EDGE_QUERIES = (
     "q54_repetition_stats",
     "q55_source_mixing",
     "q57_domain_profile",
+    "q58_stratified_sample",
     "q39_asof_join_last_click",
     "q16_latest_event_per_user",
     "q56_resample_daily_ffill",
