@@ -1017,3 +1017,45 @@ def q58_stratified_sample(spark, sf_dir):
                             {"en": 0.25, "de": 1.0, "zh": 0.5},
                             "doc_id", salt="strat")
     return out.select("doc_id", "lang")
+
+
+@register(
+    "q59_hll_sketch_rollup",
+    """
+    -- exact side is ground truth; the sketch path must land within the
+    -- documented 5% bound for the literal to match (q43's bounded-check
+    -- pattern for approximate operators)
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           'ok' AS hll_within_5pct
+    FROM events
+    GROUP BY 1
+    """,
+    survey_ref="beyond-ref: mergeable HLL sketch rollups (operators/sketches.py)",
+)
+def q59_hll_sketch_rollup(spark, sf_dir):
+    """The incremental distinct-count path end-to-end: the event log is
+    split into three disjoint 'refresh batches' (event_id mod 3), each
+    batch aggregates its own per-event_type HLL sketch (map-side combined,
+    dimension-sized output), the sketches union+merge WITHOUT rescanning
+    any batch, and the estimate read off the merged sketch must land
+    within the lg_k=12 error budget of the exact distinct computed from
+    the full log. This is the refresh-cycle contract: history is never
+    rescanned, only sketch bytes merge."""
+    from ..operators.sketches import hll_estimate, hll_merge, hll_rollup
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type",
+                                           "user_id")
+    parts = [hll_rollup(ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i),
+                        ["event_type"], "user_id")
+             for i in range(3)]
+    stacked = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    est = hll_estimate(hll_merge(stacked, ["event_type"]))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"))
+    return (est.join(exact, "event_type")
+            .select("event_type", "exact_users",
+                    F.when(F.abs(F.col("approx_distinct")
+                                 - F.col("exact_users"))
+                           / F.col("exact_users") <= 0.05, "ok")
+                    .otherwise("hll outside 5% bound")
+                    .alias("hll_within_5pct")))

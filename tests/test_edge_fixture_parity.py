@@ -49,6 +49,7 @@ EDGE_QUERIES = (
     "q39_asof_join_last_click",
     "q16_latest_event_per_user",
     "q56_resample_daily_ffill",
+    "q59_hll_sketch_rollup",
 )
 
 
