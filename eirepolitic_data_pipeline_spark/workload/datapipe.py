@@ -1059,3 +1059,73 @@ def q59_hll_sketch_rollup(spark, sf_dir):
                            / F.col("exact_users") <= 0.05, "ok")
                     .otherwise("hll outside 5% bound")
                     .alias("hll_within_5pct")))
+
+
+@register(
+    "q60_incremental_rollup_equivalence",
+    """
+    -- the oracle recomputes from the full log; the Spark side must reach
+    -- the same numbers through BOTH maintenance paths (additive merge and
+    -- partial group recompute) for the 'ok' literals to match
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           'ok' AS additive_matches_full,
+           'ok' AS recompute_matches_full
+    FROM events
+    GROUP BY 1
+    """,
+    survey_ref="beyond-ref: incremental additive rollups + partial recompute (operators/incremental.py)",
+)
+def q60_incremental_rollup_equivalence(spark, sf_dir):
+    """Incremental aggregate maintenance end-to-end under the oracle gate:
+    the event log splits into a persisted 'base' (3/4 of rows) and an
+    append 'delta' (1/4); the base rollup is updated (a) additively —
+    dimension-sized full-outer merge of the two rollups, history untouched
+    — and (b) by partial group recompute over the delta's affected keys.
+    Both maintained rollups must equal the full recompute exactly on
+    counts and within float tolerance on sums (addition reassociates
+    across the base/delta boundary) for the 'ok' gates to hold; the
+    emitted metrics themselves come from the full rollup so the oracle
+    derives them independently."""
+    from ..operators.incremental import incremental_additive, recompute_groups
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def roll(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"))
+
+    base = ev.filter(F.pmod(F.col("event_id"), F.lit(4)) != 3)
+    delta = ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == 3)
+    maintained = incremental_additive(roll(base), roll(delta),
+                                      ["event_type"],
+                                      ["n_events", "sum_value"])
+    recomputed = recompute_groups(roll(base), ev,
+                                  delta.select("event_type").distinct(),
+                                  ["event_type"], roll)
+    full = roll(ev)
+
+    def close(a, b):
+        return F.abs(a - b) <= F.lit(1e-6) * F.abs(b) + F.lit(1e-9)
+
+    m = maintained.select(F.col("event_type").alias("m_et"),
+                          F.col("n_events").alias("m_n"),
+                          F.col("sum_value").alias("m_s"))
+    r = recomputed.select(F.col("event_type").alias("r_et"),
+                         F.col("n_events").alias("r_n"),
+                         F.col("sum_value").alias("r_s"))
+    return (full
+            .join(m, full["event_type"].eqNullSafe(m["m_et"]))
+            .join(r, full["event_type"].eqNullSafe(r["r_et"]))
+            .select(
+                "event_type", "n_events",
+                F.round("sum_value", 2).alias("sum_value"),
+                F.when((F.col("m_n") == F.col("n_events"))
+                       & close(F.col("m_s"), F.col("sum_value")), "ok")
+                .otherwise("additive drifted from full")
+                .alias("additive_matches_full"),
+                F.when((F.col("r_n") == F.col("n_events"))
+                       & close(F.col("r_s"), F.col("sum_value")), "ok")
+                .otherwise("recompute drifted from full")
+                .alias("recompute_matches_full")))

@@ -50,6 +50,7 @@ EDGE_QUERIES = (
     "q16_latest_event_per_user",
     "q56_resample_daily_ffill",
     "q59_hll_sketch_rollup",
+    "q60_incremental_rollup_equivalence",
 )
 
 
