@@ -1129,3 +1129,63 @@ def q60_incremental_rollup_equivalence(spark, sf_dir):
                        & close(F.col("r_s"), F.col("sum_value")), "ok")
                 .otherwise("recompute drifted from full")
                 .alias("recompute_matches_full")))
+
+
+@register(
+    "q61_line_dedup_boilerplate",
+    """
+    WITH docs AS (
+      -- concat_ws skips NULL text on both engines, so a NULL doc becomes
+      -- the 3 synthetic lines rather than poisoning the whole string
+      SELECT doc_id,
+             concat_ws(chr(10), text,
+                       'this shared boilerplate banner line appears everywhere',
+                       'ok',
+                       'tail marker ' || CAST(doc_id AS VARCHAR)) AS t2
+      FROM documents
+    ),
+    split AS (SELECT doc_id, string_split(t2, chr(10)) AS l FROM docs),
+    exploded AS (
+      SELECT doc_id, l, unnest(range(len(l))) AS pos FROM split
+    ),
+    lines AS (
+      SELECT doc_id, pos, l[pos + 1] AS line,
+             lower(trim(l[pos + 1])) AS norm
+      FROM exploded
+    ),
+    counts AS (
+      SELECT norm, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1
+    ),
+    kept AS (
+      SELECT li.doc_id, li.pos, li.line
+      FROM lines li JOIN counts c USING (norm)
+      WHERE len(li.norm) < 10 OR c.df <= 50
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(r.text, '') AS text
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    survey_ref="beyond-ref: corpus-level boilerplate line removal (operators/dedupe.py:dedupe_lines)",
+)
+def q61_line_dedup_boilerplate(spark, sf_dir):
+    """Corpus-level line dedup under the oracle gate: every document gains
+    a shared banner line (document frequency = corpus size, dropped), a
+    short 'ok' line (equally common but under the min_chars exemption —
+    kept), and a unique tail line (df=1, kept); the operator must drop
+    exactly the banner and reassemble the survivors in original order.
+    The per-line df is a two-level map-side-combined aggregate joined
+    back — the corpus-wide banner is a partial-aggregated scalar, never a
+    per-row doc set — so the hottest possible line (present in EVERY doc)
+    costs one skew-splittable equi-join at any corpus size."""
+    from ..operators.dedupe import dedupe_lines
+    docs = spread(t(spark, sf_dir, "documents"))
+    t2 = F.concat_ws(
+        "\n", F.col("text"),
+        F.lit("this shared boilerplate banner line appears everywhere"),
+        F.lit("ok"),
+        F.concat(F.lit("tail marker "), F.col("doc_id").cast("string")))
+    return dedupe_lines(docs.select("doc_id", t2.alias("text")),
+                        "text", "doc_id", max_df=50)

@@ -51,6 +51,7 @@ EDGE_QUERIES = (
     "q56_resample_daily_ffill",
     "q59_hll_sketch_rollup",
     "q60_incremental_rollup_equivalence",
+    "q61_line_dedup_boilerplate",
 )
 
 
