@@ -1189,3 +1189,72 @@ def q61_line_dedup_boilerplate(spark, sf_dir):
         F.concat(F.lit("tail marker "), F.col("doc_id").cast("string")))
     return dedupe_lines(docs.select("doc_id", t2.alias("text")),
                         "text", "doc_id", max_df=50)
+
+
+@register(
+    "q62_minhash_dedup_components",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    sigs AS (
+      SELECT doc_id,
+             {_minhash_sql_cols()}
+      FROM sh
+    ),
+    bands0 AS (
+      SELECT doc_id, unnest([{", ".join(_band_sql_exprs())}]) AS band_key
+      FROM sigs
+    ),
+    keepb AS (
+      SELECT band_key FROM bands0 GROUP BY band_key HAVING count(*) <= 1000
+    ),
+    bands AS (
+      SELECT b.* FROM bands0 b JOIN keepb USING (band_key)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+      WHERE len(list_intersect(sa.shingles, sb.shingles))
+            / CAST(len(sa.shingles) + len(sb.shingles)
+                   - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            >= 0.7
+    ),
+    edges AS (
+      SELECT doc_a, doc_b FROM verified
+      UNION ALL
+      SELECT doc_b AS doc_a, doc_a AS doc_b FROM verified
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.doc_a AS id, reach.r
+      FROM edges e JOIN reach ON reach.id = e.doc_b
+    )
+    SELECT id AS doc_id, min(r) AS canonical_id
+    FROM reach GROUP BY id
+    """,
+    survey_ref="beyond-ref: MinHash full dedup + connected components (operators/dedupe.py:minhash_dedup)",
+    # min_label_components localCheckpoints per round — construction runs
+    # actions, so the plan memo must not turn repeat passes into result reads
+    memoize=False,
+)
+def q62_minhash_dedup_components(spark, sf_dir):
+    """The complete near-dup collapse under the oracle gate: banded
+    MinHash candidates (the q24 recipe) → exact-Jaccard verification at
+    0.7 over distinct 3-shingles → iterative min-label propagation to the
+    component fixed point, so duplicate CHAINS (A~B~C with A≁C) share one
+    canonical id. The oracle reproduces the whole chain in SQL, computing
+    the transitive closure with a recursive CTE and taking each node's
+    component minimum — an independent algorithm (BFS closure vs label
+    propagation) that must land on the identical assignment."""
+    from ..operators.dedupe import minhash_dedup
+    docs = spread(t(spark, sf_dir, "documents"))
+    return minhash_dedup(docs, "text", "doc_id", n=3,
+                         num_hashes=_N_HASHES, band_rows=_BAND_ROWS,
+                         threshold=0.7)

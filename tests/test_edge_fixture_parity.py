@@ -52,6 +52,7 @@ EDGE_QUERIES = (
     "q59_hll_sketch_rollup",
     "q60_incremental_rollup_equivalence",
     "q61_line_dedup_boilerplate",
+    "q62_minhash_dedup_components",
 )
 
 
