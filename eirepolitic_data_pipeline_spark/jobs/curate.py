@@ -96,6 +96,7 @@ def run_curate(spark: SparkSession, input_path: str, output_path: str, *,
                benchmark_path: Optional[str] = None,
                min_tokens: int = 5, min_alpha_ratio: float = 0.5,
                max_line_df: int = 100, near_dup_threshold: float = 0.7,
+               near_dup_hashes: int = 32, near_dup_band_rows: int = 4,
                split_weights: Optional[Mapping[str, float]] = None,
                partition_by_split: bool = False,
                report: bool = False,
@@ -133,6 +134,8 @@ def run_curate(spark: SparkSession, input_path: str, output_path: str, *,
                 min_tokens=min_tokens, min_alpha_ratio=min_alpha_ratio,
                 max_line_df=max_line_df,
                 near_dup_threshold=near_dup_threshold,
+                near_dup_hashes=near_dup_hashes,
+                near_dup_band_rows=near_dup_band_rows,
                 split_weights=split_weights):
             curated = frame
             if report and name != "split":
@@ -189,6 +192,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     ap.add_argument("--min-alpha-ratio", type=float, default=0.5)
     ap.add_argument("--max-line-df", type=int, default=100)
     ap.add_argument("--near-dup-threshold", type=float, default=0.7)
+    ap.add_argument("--near-dup-hashes", type=int, default=32,
+                    help="MinHash signature size (bands = hashes/band-rows)")
+    ap.add_argument("--near-dup-band-rows", type=int, default=4)
     ap.add_argument("--splits", default="",
                     help="label=fraction[,label=fraction...]; default "
                          "train=0.98,val=0.01,test=0.01")
@@ -213,6 +219,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         min_tokens=args.min_tokens, min_alpha_ratio=args.min_alpha_ratio,
         max_line_df=args.max_line_df,
         near_dup_threshold=args.near_dup_threshold,
+        near_dup_hashes=args.near_dup_hashes,
+        near_dup_band_rows=args.near_dup_band_rows,
         split_weights=weights,
         partition_by_split=args.partition_by_split,
         report=bool(args.report),

@@ -265,6 +265,7 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
                   min_tokens: int = 5, min_alpha_ratio: float = 0.5,
                   max_line_df: int = 100,
                   near_dup_threshold: float = 0.7,
+                  near_dup_hashes: int = 32, near_dup_band_rows: int = 4,
                   split_weights: Mapping[str, float] | None = None) -> DataFrame:
     """The flagship end-to-end training-data curation recipe, composed
     from this module's and ``operators.dedupe``'s primitives in the order
@@ -299,6 +300,8 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
             benchmark=benchmark, min_tokens=min_tokens,
             min_alpha_ratio=min_alpha_ratio, max_line_df=max_line_df,
             near_dup_threshold=near_dup_threshold,
+            near_dup_hashes=near_dup_hashes,
+            near_dup_band_rows=near_dup_band_rows,
             split_weights=split_weights):
         out = frame
     return out
@@ -310,6 +313,8 @@ def curate_corpus_stages(docs: DataFrame, text_col: str = "text",
                          min_tokens: int = 5, min_alpha_ratio: float = 0.5,
                          max_line_df: int = 100,
                          near_dup_threshold: float = 0.7,
+                         near_dup_hashes: int = 32,
+                         near_dup_band_rows: int = 4,
                          split_weights: Mapping[str, float] | None = None):
     """``curate_corpus`` with the stage boundaries exposed: yields
     ``(stage_name, frame)`` after each pipeline stage, ending with the
@@ -347,6 +352,8 @@ def curate_corpus_stages(docs: DataFrame, text_col: str = "text",
     yield "exact_dedup", kept
 
     comp = minhash_dedup(kept, text_col, id_col,
+                         num_hashes=near_dup_hashes,
+                         band_rows=near_dup_band_rows,
                          threshold=near_dup_threshold)
     kept = kept.join(
         comp.filter(F.col(id_col) == F.col("canonical_id"))

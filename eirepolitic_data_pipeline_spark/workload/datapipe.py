@@ -1258,3 +1258,143 @@ def q62_minhash_dedup_components(spark, sf_dir):
     return minhash_dedup(docs, "text", "doc_id", n=3,
                          num_hashes=_N_HASHES, band_rows=_BAND_ROWS,
                          threshold=0.7)
+
+
+@register(
+    "q63_curate_corpus_certified",
+    f"""
+    WITH RECURSIVE
+    -- stage 1: quality gate on raw text (token floor + alpha ratio)
+    q0 AS (
+      SELECT doc_id, text, lang, source,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks,
+             CAST(length(text) AS DOUBLE) AS nch
+      FROM documents
+    ),
+    g1 AS (
+      SELECT doc_id, text, lang, source FROM q0
+      WHERE len(toks) >= 5
+        AND (CASE WHEN nch > 0
+             THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / nch
+             ELSE 0 END) >= 0.5
+    ),
+    -- stage 2: corpus-level line dedup (max_df=100, min_chars=10 exemption)
+    -- over the gate survivors, then the token floor re-check
+    l0 AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM g1),
+    le AS (SELECT doc_id, l, unnest(range(len(l))) AS pos FROM l0),
+    ln AS (SELECT doc_id, pos, l[pos + 1] AS line,
+                  lower(trim(l[pos + 1])) AS norm FROM le),
+    lc AS (SELECT norm, count(DISTINCT doc_id) AS df FROM ln GROUP BY 1),
+    lk AS (SELECT ln.doc_id, ln.pos, ln.line
+           FROM ln JOIN lc USING (norm)
+           WHERE len(ln.norm) < 10 OR lc.df <= 100),
+    lr AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+           FROM lk GROUP BY doc_id),
+    g2 AS (
+      SELECT g1.doc_id, coalesce(lr.text, '') AS text, g1.lang, g1.source
+      FROM g1 LEFT JOIN lr USING (doc_id)
+    ),
+    g2f AS (
+      SELECT * FROM g2
+      WHERE len(CASE WHEN trim(coalesce(text, '')) = ''
+                THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(lower(text)), '\\s+') END) >= 5
+    ),
+    -- stage 3: exact dedup, min id per normalized-content fingerprint
+    fp AS (
+      SELECT doc_id,
+             substr(sha256(trim(regexp_replace(lower(coalesce(text, '')),
+                                               '[^a-z0-9]+', ' ', 'g'))),
+                    1, 16) AS f
+      FROM g2f
+    ),
+    canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+    g3 AS (SELECT g2f.* FROM g2f JOIN canon USING (doc_id)),
+    -- stage 4: MinHash near-dup components at 0.7, keep component minima
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(greatest(len(tk) - 2, 1)),
+               i -> coalesce(array_to_string(tk[i + 1 : i + 3], ' '), '')
+             )) AS shingles
+      FROM (SELECT doc_id,
+                   CASE WHEN trim(coalesce(text, '')) = ''
+                   THEN CAST([] AS VARCHAR[])
+                   ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+            FROM g3)
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {_minhash_sql_cols()}
+      FROM sh
+    ),
+    bands0 AS (
+      SELECT doc_id, unnest([{", ".join(_band_sql_exprs())}]) AS band_key
+      FROM sigs
+    ),
+    keepb AS (
+      SELECT band_key FROM bands0 GROUP BY band_key HAVING count(*) <= 1000
+    ),
+    bands AS (SELECT b.* FROM bands0 b JOIN keepb USING (band_key)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+      WHERE len(list_intersect(sa.shingles, sb.shingles))
+            / CAST(len(sa.shingles) + len(sb.shingles)
+                   - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            >= 0.7
+    ),
+    edges AS (
+      SELECT doc_a, doc_b FROM verified
+      UNION ALL
+      SELECT doc_b AS doc_a, doc_a AS doc_b FROM verified
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM g3
+      UNION
+      SELECT e.doc_a AS id, reach.r
+      FROM edges e JOIN reach ON reach.id = e.doc_b
+    ),
+    comp AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id),
+    g4 AS (
+      SELECT g3.* FROM g3
+      JOIN comp ON g3.doc_id = comp.id AND comp.canonical = g3.doc_id
+    )
+    -- stage 6: leakage-safe split keyed on source (default weights)
+    SELECT doc_id, lang, source,
+           CASE WHEN b < 9800 THEN 'train'
+                WHEN b < 9900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT g4.*,
+                 CAST(CAST('0x' || substr(md5('split' || coalesce(source,
+                                                                  '__null__')),
+                                          1, 8) AS BIGINT) % 10000 AS INTEGER)
+                   AS b
+          FROM g4)
+    """,
+    survey_ref="beyond-ref: curate_corpus end-to-end (operators/curation.py) — quality gate, line dedup, exact dedup, near-dup components, split",
+    # minhash_dedup inside the recipe localCheckpoints per round
+    memoize=False,
+)
+def q63_curate_corpus_certified(spark, sf_dir):
+    """The FLAGSHIP composed curation recipe under the driver's value-hash
+    gate: quality gate → corpus-level line dedup → exact dedup → MinHash
+    near-dup collapse (8 hashes × 2-row bands, 0.7 verify) → deterministic
+    leakage-safe split, exactly the chain jobs/curate.py ships. The oracle
+    re-derives every stage in SQL — including the component closure by an
+    independent recursive-CTE algorithm — so the final kept-set AND the
+    split assignment must both match row-for-row."""
+    from ..operators.curation import curate_corpus
+    docs = spread(t(spark, sf_dir, "documents"))
+    out = curate_corpus(docs.select("doc_id", "text", "lang", "source"),
+                        near_dup_hashes=_N_HASHES,
+                        near_dup_band_rows=_BAND_ROWS)
+    return out.select("doc_id", "lang", "source", "split")

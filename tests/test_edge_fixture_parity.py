@@ -53,6 +53,7 @@ EDGE_QUERIES = (
     "q60_incremental_rollup_equivalence",
     "q61_line_dedup_boilerplate",
     "q62_minhash_dedup_components",
+    "q63_curate_corpus_certified",
 )
 
 
