@@ -352,16 +352,26 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     truncate lineage. The per-round convergence check is a scalar count,
     not a data collect."""
     cand = minhash_lsh_candidates(df, text_col, id_col, n, num_hashes, band_rows)
-    sh = df.select(F.col(id_col).alias("doc_id"),
-                   F.array_distinct(tx.word_shingles(text_col, n)).alias("sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # Exact-Jaccard verify over the inverted index (Arrow shingle kernel +
+    # two hash joins + one count), NOT array_intersect over collected
+    # shingle arrays: the array form is an interpreted higher-order
+    # expression re-shingling the corpus per candidate side, and it ships
+    # both docs' full arrays into one row — this shape keeps the verify
+    # map-side-combined and bounded by (candidate pairs × shingles/doc).
+    ck = shingle_postings(df, text_col, id_col, n)
+    ka = ck.select(F.col("doc_id").alias("doc_a"),
+                   F.col("n_sh").alias("n_a"), "key")
+    kb = ck.select(F.col("doc_id").alias("doc_b"),
+                   F.col("n_sh").alias("n_b"), "key")
     verified = (
-        cand.join(a, "doc_a").join(b, "doc_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("jaccard", F.col("inter") /
-                    (F.size("sh_a") + F.size("sh_b") - F.col("inter")))
-        .filter(F.col("jaccard") >= threshold)
+        cand.join(ka, "doc_a").join(kb, ["doc_b", "key"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"),
+             F.any_value("n_a").alias("n_a"),
+             F.any_value("n_b").alias("n_b"))
+        .filter((F.col("inter")
+                 / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+                >= threshold)
         .select("doc_a", "doc_b")
     )
     return min_label_components(df.select(F.col(id_col).alias("id")),
