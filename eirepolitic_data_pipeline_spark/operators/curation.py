@@ -293,7 +293,14 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
 
     Every stage is the already-stress-tested scale shape: map-side
     filters, the skew-capped posting-list expansion, bounded component
-    closure — no new shuffle pattern is introduced by the composition."""
+    closure — no new shuffle pattern is introduced by the composition.
+
+    The returned plan references two ``persist()``-ed stage boundaries
+    (see ``curate_corpus_stages``); a long-lived session that curates
+    many distinct corpora should release them once the result is
+    materialized (``spark.catalog.clearCache()`` or the CLI's
+    track-and-unpersist pattern, jobs/curate.py) — identical re-runs are
+    deduplicated by Spark's cache manager and cost nothing extra."""
     out = None
     for _name, frame in curate_corpus_stages(
             docs, text_col=text_col, id_col=id_col, source_col=source_col,
