@@ -143,8 +143,14 @@ def run_curate(spark: SparkSession, input_path: str, output_path: str, *,
                 # materialization; the final frame is counted via the
                 # split rollup below instead of a second action
                 frame.persist()
-                persisted.append(frame)
                 stages.append({"stage": name, "rows": frame.count()})
+            if frame.is_cached:
+                # covers both this loop's persists and the two stage
+                # boundaries the generator persists itself — once the
+                # output parquet is committed the cache has served its
+                # purpose, so the finally below releases every entry
+                # (not just report-mode ones)
+                persisted.append(frame)
 
         _atomic_parquet_write(
             curated, output_path,
