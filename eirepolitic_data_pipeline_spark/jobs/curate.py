@@ -82,6 +82,14 @@ def _atomic_parquet_write(df: DataFrame, output: str,
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
+    if partition_by and not any(
+            name.endswith(".parquet")
+            for _root, _dirs, files in os.walk(tmp) for name in files):
+        # a 0-row partitionBy write emits only _SUCCESS (no data files, so
+        # no schema to infer) — committing it would replace the previous
+        # dataset with an UNREADABLE path and crash the read-back below.
+        # Rewrite as one empty unpartitioned file that carries the schema.
+        df.limit(0).write.mode("overwrite").parquet(tmp)
     if os.path.isdir(output):
         swap_in(output)
     else:

@@ -50,6 +50,14 @@ def split_column(key: Column | str, weights: Mapping[str, float],
     absorbs rounding). Same key + salt ⇒ same label, forever — append-only
     refreshes cannot migrate a document across the fence.
     """
+    if not weights:
+        raise ValueError("split weights must name at least one label")
+    bad = {k: v for k, v in weights.items() if not 0.0 <= v <= 1.0}
+    if bad:
+        # the sum gate alone admits compensating specs (train=1.5,
+        # test=-0.5 sums to 1) whose out-of-range thresholds silently
+        # empty one split and overfill another
+        raise ValueError(f"split fractions must be in [0, 1]: {bad}")
     total = sum(weights.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split weights sum to {total}, expected 1")
@@ -266,7 +274,8 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
                   max_line_df: int = 100,
                   near_dup_threshold: float = 0.7,
                   near_dup_hashes: int = 32, near_dup_band_rows: int = 4,
-                  split_weights: Mapping[str, float] | None = None) -> DataFrame:
+                  split_weights: Mapping[str, float] | None = None,
+                  persist_stages: bool = True) -> DataFrame:
     """The flagship end-to-end training-data curation recipe, composed
     from this module's and ``operators.dedupe``'s primitives in the order
     web-scale pipelines (C4 / Gopher / RefinedWeb) run them:
@@ -295,12 +304,15 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
     filters, the skew-capped posting-list expansion, bounded component
     closure — no new shuffle pattern is introduced by the composition.
 
-    The returned plan references two ``persist()``-ed stage boundaries
-    (see ``curate_corpus_stages``); a long-lived session that curates
-    many distinct corpora should release them once the result is
-    materialized (``spark.catalog.clearCache()`` or the CLI's
+    With ``persist_stages`` (the default) the returned plan references
+    two ``persist()``-ed stage boundaries (see ``curate_corpus_stages``);
+    a long-lived session that curates many distinct corpora should
+    release them once the result is materialized (the CLI's
     track-and-unpersist pattern, jobs/curate.py) — identical re-runs are
-    deduplicated by Spark's cache manager and cost nothing extra."""
+    deduplicated by Spark's cache manager and cost nothing extra. Pass
+    ``persist_stages=False`` to keep the composition cache-free (each
+    downstream consumer then recomputes the stage prefix — measured ~5×
+    the end-to-end cost)."""
     out = None
     for _name, frame in curate_corpus_stages(
             docs, text_col=text_col, id_col=id_col, source_col=source_col,
@@ -309,7 +321,8 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
             near_dup_threshold=near_dup_threshold,
             near_dup_hashes=near_dup_hashes,
             near_dup_band_rows=near_dup_band_rows,
-            split_weights=split_weights):
+            split_weights=split_weights,
+            persist_stages=persist_stages):
         out = frame
     return out
 
@@ -322,28 +335,49 @@ def curate_corpus_stages(docs: DataFrame, text_col: str = "text",
                          near_dup_threshold: float = 0.7,
                          near_dup_hashes: int = 32,
                          near_dup_band_rows: int = 4,
-                         split_weights: Mapping[str, float] | None = None):
+                         split_weights: Mapping[str, float] | None = None,
+                         persist_stages: bool = True):
     """``curate_corpus`` with the stage boundaries exposed: yields
     ``(stage_name, frame)`` after each pipeline stage, ending with the
     final ``("split", curated)`` frame — the SINGLE implementation both
     entry points share, so the telemetry view can never drift from the
     composed recipe.
 
-    The generator only *declares* plans; it runs nothing itself — but the
-    two stage outputs that downstream stages consume MORE THAN ONCE
-    (line-dedup feeds the fingerprint aggregate AND the survivor join;
-    exact-dedup feeds the MinHash signature pass, both Jaccard-verify
-    sides AND the final survivor join) are lazily ``persist()``-ed, the
-    in-query analog of the persisted silver table each would be in the
-    production layout. Without that, every action downstream of the
-    near-dup stage recomputes the whole quality→line-dedup→exact prefix
-    per consumer — measured 5× the end-to-end cost at bench scale, and
-    the same multiple of 100 TB scans in production. Callers that count
-    stages (the curate CLI's ``--report``) persist the remaining
-    boundaries the same way."""
+    Laziness caveats, so callers aren't surprised:
+
+    - with ``persist_stages`` (the default), the two stage outputs that
+      downstream stages consume MORE THAN ONCE (line-dedup feeds the
+      fingerprint aggregate AND the survivor join; exact-dedup feeds the
+      MinHash signature pass, both Jaccard-verify sides AND the final
+      survivor join) are lazily ``persist()``-ed — the in-query analog
+      of the persisted silver table each would be in the production
+      layout. Without that, every action downstream of the near-dup
+      stage recomputes the whole quality→line-dedup→exact prefix per
+      consumer — measured 5× the end-to-end cost at bench scale, and the
+      same multiple of 100 TB scans in production. Callers that count
+      stages (the curate CLI's ``--report``) persist the remaining
+      boundaries the same way, and should unpersist every cached frame
+      when done (run_curate does);
+    - the first four yields are pure plan declarations, but ADVANCING
+      PAST ``exact_dedup`` runs Spark jobs: ``minhash_dedup``'s label
+      propagation localCheckpoints per round at construction time, so
+      the quality→exact prefix materializes then — don't iterate to the
+      ``near_dup`` stage just to inspect schemas."""
     from ..functions.text import quality_features
     from .dedupe import (dedupe_lines, decontaminate,
                          exact_canonical_ids, minhash_dedup)
+
+    # fail fast, before ANY stage computes: the near-dup stage would
+    # otherwise surface a bad (hashes, band_rows) pair only after the
+    # quality/line/exact stages have already run (minhash_lsh_candidates
+    # owns the authoritative check; mirror it here for early arrivals)
+    if (near_dup_band_rows < 1 or near_dup_hashes < 1
+            or near_dup_hashes % near_dup_band_rows != 0):
+        raise ValueError(
+            f"near_dup_band_rows ({near_dup_band_rows}) must be >= 1 and "
+            f"divide near_dup_hashes ({near_dup_hashes}) exactly")
+    if split_weights is not None:
+        split_column(id_col, dict(split_weights))  # raises on bad weights
 
     q = quality_features(text_col)
     kept = docs.filter((q["n_tokens"] >= min_tokens)
@@ -354,15 +388,18 @@ def curate_corpus_stages(docs: DataFrame, text_col: str = "text",
                            max_df=max_line_df)
     others = [c for c in kept.columns if c != text_col]
     kept = (kept.select(*others).join(cleaned, id_col)
-            .filter(quality_features(text_col)["n_tokens"] >= min_tokens)
-            .persist())
+            .filter(quality_features(text_col)["n_tokens"] >= min_tokens))
+    if persist_stages:
+        kept = kept.persist()
     yield "line_dedup", kept
 
     # skew-proof survivor set: min-per-fingerprint AGGREGATE, never the
     # per-row window report — a 100M-copy boilerplate page is exactly what
     # this stage must absorb (see exact_canonical_ids)
     kept = kept.join(exact_canonical_ids(kept, text_col, id_col),
-                     id_col, "left_semi").persist()
+                     id_col, "left_semi")
+    if persist_stages:
+        kept = kept.persist()
     yield "exact_dedup", kept
 
     comp = minhash_dedup(kept, text_col, id_col,

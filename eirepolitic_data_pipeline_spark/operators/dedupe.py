@@ -321,6 +321,18 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     signature. bands = num_hashes/band_rows; collision prob for Jaccard j is
     1-(1-j^band_rows)^bands — tune (num_hashes, band_rows) to the target
     threshold. The band join partitions by band_key: no n² anywhere."""
+    if band_rows < 1 or num_hashes < 1:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) and band_rows ({band_rows}) must be "
+            ">= 1")
+    if num_hashes % band_rows != 0:
+        # a silent floor-division here would discard the trailing hashes
+        # (32 hashes / 5-row bands -> 2 hashes never banded), and
+        # band_rows > num_hashes would yield ZERO bands — every document
+        # its own canonical, near-dup dedup silently disabled
+        raise ValueError(
+            f"band_rows ({band_rows}) must divide num_hashes ({num_hashes}) "
+            "exactly; bands = num_hashes / band_rows")
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
     band_exprs = []
     for band in range(num_hashes // band_rows):

@@ -561,3 +561,78 @@ def test_mix_sources_null_and_null_sentinel_are_distinct_groups(spark):
     assert len(by_src[None]) == 10
     assert len(by_src["__null__"]) == 40
     assert all(w == 1.0 for ws in by_src.values() for w in ws)
+
+
+def test_minhash_band_geometry_validated(spark):
+    """band_rows that does not divide num_hashes (or exceeds it) must be
+    refused loudly: flooring the band count silently discards trailing
+    hashes, and 0 bands would disable near-dup dedup entirely while the
+    report shows every doc as its own canonical."""
+    from eirepolitic_data_pipeline_spark.operators.dedupe import (
+        minhash_lsh_candidates)
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divide"):
+        minhash_lsh_candidates(docs, num_hashes=8, band_rows=16)
+    with pytest.raises(ValueError, match="divide"):
+        minhash_lsh_candidates(docs, num_hashes=32, band_rows=5)
+    with pytest.raises(ValueError, match=">= 1"):
+        minhash_lsh_candidates(docs, num_hashes=8, band_rows=0)
+
+
+def test_curate_stages_validate_before_any_stage(spark):
+    """Bad near-dup geometry or split weights surface at the FIRST
+    generator advance — before the quality/line/exact stages compute."""
+    from eirepolitic_data_pipeline_spark.operators.curation import (
+        curate_corpus_stages)
+    docs = spark.createDataFrame([(1, "a b c d e f", "s")],
+                                 "doc_id long, text string, source string")
+    with pytest.raises(ValueError, match="band_rows"):
+        next(iter(curate_corpus_stages(docs, near_dup_hashes=8,
+                                       near_dup_band_rows=3)))
+    with pytest.raises(ValueError, match="fractions"):
+        next(iter(curate_corpus_stages(
+            docs, split_weights={"train": 1.5, "test": -0.5})))
+
+
+def test_split_column_rejects_out_of_range_fractions(spark):
+    """Compensating specs that sum to 1 but hold out-of-range fractions
+    (train=1.5,test=-0.5) must be refused — the thresholds they produce
+    silently empty one split and overfill another."""
+    from eirepolitic_data_pipeline_spark.operators.curation import split_column
+    with pytest.raises(ValueError, match="fractions"):
+        split_column("k", {"train": 1.5, "test": -0.5})
+    with pytest.raises(ValueError, match="at least one"):
+        split_column("k", {})
+
+
+def test_curate_empty_partitioned_output_stays_readable(spark, tmp_path):
+    """A curation run whose gates drop EVERY row must still commit a
+    readable (schema-bearing) dataset under --partition-by-split: a 0-row
+    partitionBy write emits only _SUCCESS, which would otherwise replace
+    the previous good output with an uninferrable path and crash the
+    read-back."""
+    from eirepolitic_data_pipeline_spark.jobs.curate import run_curate
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    spark.createDataFrame([(1, "x", "s")],  # 1 token < min_tokens -> dropped
+                          "doc_id long, text string, source string"
+                          ).write.parquet(src)
+    summary = run_curate(spark, src, out, partition_by_split=True)
+    assert summary["output_rows"] == 0
+    back = spark.read.parquet(out)
+    assert "split" in back.columns and back.count() == 0
+
+
+def test_curate_corpus_persist_stages_opt_out(spark):
+    """persist_stages=False keeps the composition cache-free for callers
+    managing their own materialization (same rows out)."""
+    from eirepolitic_data_pipeline_spark.operators.curation import curate_corpus
+    rows = [(i, f"alpha beta gamma delta epsilon doc{i}", "s")
+            for i in range(6)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    cached_before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    out = {r["doc_id"] for r in
+           curate_corpus(docs, persist_stages=False).collect()}
+    assert out == {i for i in range(6)}
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == cached_before
