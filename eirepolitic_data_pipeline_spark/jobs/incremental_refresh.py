@@ -25,6 +25,7 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalar import nonblank
 from ..io.catalog import BatchCatalog, CatalogError
 from ..operators.incremental import incremental_additive
 from ..operators.sketches import hll_estimate, hll_merge, hll_rollup
@@ -120,6 +121,21 @@ class IncrementalRollup:
         # outputs consume this frame — without it the delta scan and
         # anti-join would re-execute per output, and a non-deterministic
         # source could make rollup, sketch and id log disagree.
+        #
+        # A NULL id cannot participate in that contract in either
+        # direction: dropDuplicates would collapse DISTINCT null-id facts
+        # within the window (undercount) while the plain-equality
+        # anti-join never matches NULL (the same fact re-counted on every
+        # overlapping re-delivery). Refuse loudly instead of silently
+        # corrupting the rollup both ways.
+        if delta_facts.filter(
+                F.col(self.fact_id_col).isNull()).limit(1).count():
+            raise ValueError(
+                f"delta contains NULL {self.fact_id_col!r} value(s): the "
+                "fact id is the exactly-once key, so NULL ids can neither "
+                "be deduplicated within a window nor tracked across "
+                "windows. Derive a surrogate id (e.g. stable_record_hash) "
+                "before refresh()")
         new_facts = delta_facts.dropDuplicates([self.fact_id_col])
         if seen is not None:
             new_facts = new_facts.join(seen.select(self.fact_id_col),
@@ -135,6 +151,18 @@ class IncrementalRollup:
             if self.distinct_col is not None:
                 sk = hll_rollup(new_facts, self.keys, self.distinct_col)
                 prev_sk = self._read_or_none(self.table + SKETCH_SUFFIX)
+                if prev is not None and prev_sk is None:
+                    # distinct_col turned ON mid-life: the rollup has
+                    # history but no sketch covers it, so the merged
+                    # estimate would count only post-enable facts while
+                    # being published as if it covered everything.
+                    raise CatalogError(
+                        f"{self.table!r} has persisted history but no "
+                        f"{self.table + SKETCH_SUFFIX!r} sketch — "
+                        "distinct_col was enabled after windows were "
+                        "already absorbed. Backfill the sketch from the "
+                        "full fact history (operators.sketches.hll_rollup "
+                        "writes it) or rebuild the rollup from scratch")
                 merged_sk = (hll_merge(prev_sk.unionByName(sk), self.keys)
                              if prev_sk is not None else sk)
                 self.catalog.write_table(
@@ -157,8 +185,15 @@ class IncrementalRollup:
             id_cols = [self.fact_id_col] + (
                 [self.fact_ts_col] if self.fact_ts_col else [])
             ids = new_facts.select(*id_cols)
+            # allowMissingColumns: adopting (or dropping) fact_ts_col on a
+            # deployment whose id log predates the change must not brick
+            # every subsequent refresh with NUM_COLUMNS_MISMATCH — legacy
+            # rows get a NULL ts, which the horizon filter below KEEPS
+            # (they simply never age out), and a dropped ts column stays
+            # in the log as NULL for new rows
             all_ids = ids if seen is None else \
-                seen.unionByName(ids).dropDuplicates([self.fact_id_col])
+                seen.unionByName(ids, allowMissingColumns=True) \
+                    .dropDuplicates([self.fact_id_col])
             if horizon is not None:
                 # NULL/blank-safe: a fact with no usable event time can
                 # never age past the horizon (there is nothing to
@@ -168,9 +203,7 @@ class IncrementalRollup:
                 # the log exists to absorb (double-count on the next
                 # overlapping window)
                 ts = F.col(self.fact_ts_col)
-                all_ids = all_ids.filter(
-                    ts.isNull() | (F.trim(ts.cast("string")) == "")
-                    | (ts >= horizon))
+                all_ids = all_ids.filter(~nonblank(ts) | (ts >= horizon))
             self.catalog.write_table(all_ids, self.table + PROCESSED_SUFFIX,
                                      batch_id)
             self.catalog.write_table(out, self.table, batch_id)

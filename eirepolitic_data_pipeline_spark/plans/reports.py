@@ -28,7 +28,7 @@ from typing import Callable, Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalar import stable_hash
+from ..functions.scalar import nonblank, stable_hash
 
 CUTOVER_COLUMNS = (
     "comparison_name status legacy_exists unified_exists legacy_rows "
@@ -51,18 +51,21 @@ class ComparisonPair:
 
 
 def _keys(df: DataFrame, col: str) -> DataFrame:
-    """Distinct trimmed non-blank key values (`cutover_comparison.py:95-96`)."""
-    return (df.select(F.trim(F.coalesce(F.col(col).cast("string"), F.lit("")))
-                      .alias("__k"))
-            .filter(F.col("__k") != "").distinct())
+    """Distinct trimmed non-blank key values (`cutover_comparison.py:95-96`);
+    blank==missing is the canonical ``functions.scalar.nonblank`` predicate."""
+    return (df.filter(nonblank(col))
+            .select(F.trim(F.col(col).cast("string")).alias("__k"))
+            .distinct())
 
 
 def _coverage_pct(df: DataFrame, col: str) -> F.Column:
     """Populated-key percentage as the reference's 2dp string (blank when
-    the column is absent — handled by the caller)."""
-    populated = F.sum(
-        F.when(F.trim(F.coalesce(F.col(col).cast("string"), F.lit(""))) != "", 1)
-        .otherwise(0))
+    the column is absent — handled by the caller). The sum is coalesced:
+    over an EXISTING table with zero rows, sum() is NULL and the cell
+    would otherwise surface as a literal null in the all-string report
+    instead of '0.00'."""
+    populated = F.coalesce(
+        F.sum(F.when(nonblank(col), 1).otherwise(0)), F.lit(0))
     return F.format_number(
         populated * 100.0 / F.greatest(F.count(F.lit(1)), F.lit(1)), 2)
 
@@ -174,16 +177,26 @@ def member_profile_trial_report(spark: SparkSession, legacy: DataFrame,
     trial_value, message) rows."""
     lm, tm = _keys(legacy, "member_code"), _keys(trial, "member_code")
     common = sorted(set(legacy.columns) & set(trial.columns))
+    # ONE full-outer join of the two distinct key sets yields every
+    # key-based metric (per-side distinct counts, overlap, both
+    # exclusives) in a single aggregate — the separate semi+anti+anti
+    # joins plus per-side counts this replaces re-evaluated each
+    # scan+distinct subtree ~4x per report (the same shape _pair_row
+    # documents and uses). Coalesce: both-empty inputs make every sum
+    # NULL, which must surface as 0 in the check rows.
+    zsum = lambda c: F.coalesce(F.sum(c), F.lit(0))  # noqa: E731
+    key_stats = (
+        lm.withColumn("__l", F.lit(1))
+        .join(tm.withColumn("__t", F.lit(1)), "__k", "full_outer")
+        .agg(zsum(F.when(F.col("__l").isNotNull(), 1)).alias("lmc"),
+             zsum(F.when(F.col("__t").isNotNull(), 1)).alias("tmc"),
+             zsum(F.when(F.col("__l").isNotNull()
+                         & F.col("__t").isNotNull(), 1)).alias("match"),
+             zsum(F.when(F.col("__l").isNull(), 1)).alias("trial_only"),
+             zsum(F.when(F.col("__t").isNull(), 1)).alias("legacy_only")))
     m = (legacy.agg(F.count(F.lit(1)).alias("ln"))
          .crossJoin(trial.agg(F.count(F.lit(1)).alias("tn")))
-         .crossJoin(lm.agg(F.count(F.lit(1)).alias("lmc")))
-         .crossJoin(tm.agg(F.count(F.lit(1)).alias("tmc")))
-         .crossJoin(lm.join(tm, "__k", "left_semi").agg(
-             F.count(F.lit(1)).alias("match")))
-         .crossJoin(tm.join(lm, "__k", "left_anti").agg(
-             F.count(F.lit(1)).alias("trial_only")))
-         .crossJoin(lm.join(tm, "__k", "left_anti").agg(
-             F.count(F.lit(1)).alias("legacy_only"))))
+         .crossJoin(key_stats))
 
     s = lambda c: F.col(c).cast("string")  # noqa: E731
     blank = F.lit("")
@@ -235,6 +248,11 @@ def render_markdown_report(title: str, df: DataFrame, preamble: str = "",
         cells = []
         for c in cols:
             v = "" if r[c] is None else str(r[c])
-            cells.append(v.replace("|", "\\|").replace("\n", " ")[:max_cell])
+            # normalize CR/LF FIRST, truncate on the raw value, escape
+            # LAST — truncating after escaping could cut an escape in
+            # half (dangling backslash), and a bare \r from CRLF data
+            # would survive a \n-only replace into the table row
+            v = v.replace("\r", " ").replace("\n", " ")[:max_cell]
+            cells.append(v.replace("|", "\\|"))
         lines.append("| " + " | ".join(cells) + " |")
     return "\n".join(lines + [""])

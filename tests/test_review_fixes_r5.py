@@ -636,3 +636,138 @@ def test_curate_corpus_persist_stages_opt_out(spark):
            curate_corpus(docs, persist_stages=False).collect()}
     assert out == {i for i in range(6)}
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == cached_before
+
+
+def test_incremental_refresh_refuses_null_fact_ids(spark, tmp_path):
+    """A NULL fact id can neither be deduplicated within a window
+    (dropDuplicates collapses distinct null-id facts) nor tracked across
+    windows (plain-equality anti-join never matches NULL -> re-counted on
+    every re-delivery); refresh must refuse it loudly."""
+    from eirepolitic_data_pipeline_spark.io.catalog import BatchCatalog
+    from eirepolitic_data_pipeline_spark.jobs.incremental_refresh import (
+        IncrementalRollup)
+    roll = IncrementalRollup(
+        catalog=BatchCatalog(root=str(tmp_path / "wh")), spark=spark,
+        table="r", keys=["k"], fact_id_col="fid", count_cols=["n"])
+    delta = spark.createDataFrame([(None, "a"), ("x", "a")],
+                                  "fid string, k string")
+    agg = lambda df: df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    with pytest.raises(ValueError, match="NULL 'fid'"):
+        roll.refresh(delta, agg, "b1")
+
+
+def test_incremental_refresh_survives_adopting_fact_ts_col(spark, tmp_path):
+    """Enabling fact_ts_col on a deployment whose processed-id log
+    predates the column must not brick refresh with NUM_COLUMNS_MISMATCH:
+    legacy rows union in with a NULL ts (which the horizon filter keeps)."""
+    from eirepolitic_data_pipeline_spark.io.catalog import BatchCatalog
+    from eirepolitic_data_pipeline_spark.jobs.incremental_refresh import (
+        IncrementalRollup)
+    catalog = BatchCatalog(root=str(tmp_path / "wh"))
+    agg = lambda df: df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    base = dict(catalog=catalog, spark=spark, table="r", keys=["k"],
+                fact_id_col="fid", count_cols=["n"])
+
+    r1 = IncrementalRollup(**base)  # no ts column yet
+    d1 = spark.createDataFrame([("a", "k1", "2024-01-01")],
+                               "fid string, k string, ts string")
+    r1.refresh(d1.drop("ts"), agg, "b1")
+    catalog.promote("b1", catalog.batch_tables("b1"))
+
+    r2 = IncrementalRollup(**base, fact_ts_col="ts")  # adopted mid-life
+    d2 = spark.createDataFrame([("a", "k1", "2024-01-02"),   # re-delivered
+                                ("b", "k1", "2024-01-02")],  # new
+                               "fid string, k string, ts string")
+    out = {r["k"]: r["n"] for r in
+           r2.refresh(d2, agg, "b2", horizon="2023-12-01").collect()}
+    assert out == {"k1": 2}  # 'a' counted once, 'b' added
+    log = catalog.read_table(spark, "r__processed_ids", batch_id="b2")
+    rows = {r["fid"]: r["ts"] for r in log.collect()}
+    assert rows == {"a": None, "b": "2024-01-02"}  # legacy id kept, ts NULL
+
+
+def test_incremental_refresh_refuses_late_distinct_enable(spark, tmp_path):
+    """Turning distinct_col ON after windows were absorbed must refuse:
+    the merged sketch would cover only post-enable facts while being
+    published as the full approx_distinct."""
+    from eirepolitic_data_pipeline_spark.io.catalog import (
+        BatchCatalog, CatalogError)
+    from eirepolitic_data_pipeline_spark.jobs.incremental_refresh import (
+        IncrementalRollup)
+    catalog = BatchCatalog(root=str(tmp_path / "wh"))
+    agg = lambda df: df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    base = dict(catalog=catalog, spark=spark, table="r", keys=["k"],
+                fact_id_col="fid", count_cols=["n"])
+    d1 = spark.createDataFrame([("a", "k1", "m1")],
+                               "fid string, k string, m string")
+    IncrementalRollup(**base).refresh(d1, agg, "b1")
+    catalog.promote("b1", catalog.batch_tables("b1"))
+    d2 = spark.createDataFrame([("b", "k1", "m2")],
+                               "fid string, k string, m string")
+    with pytest.raises(CatalogError, match="sketch"):
+        IncrementalRollup(**base, distinct_col="m").refresh(d2, agg, "b2")
+
+
+def test_coverage_pct_zero_row_table_is_formatted(spark):
+    """An EXISTING pair table with zero rows must report '0.00', not a
+    NULL cell in the all-string report (empty-aggregate sum is NULL)."""
+    from eirepolitic_data_pipeline_spark.plans.reports import (
+        ComparisonPair, cutover_comparison_report)
+    empty = spark.createDataFrame([], "member_code string, v string")
+    full = spark.createDataFrame([("m1", "x")], "member_code string, v string")
+    pair = ComparisonPair("p", "l", "u", "member_code", "member_code")
+    row = cutover_comparison_report(
+        spark, [pair],
+        {"l": empty, "u": full}.get).collect()[0]
+    assert row["legacy_join_coverage_pct"] == "0.00"
+    assert row["unified_join_coverage_pct"] == "100.00"
+
+
+def test_trial_report_single_join_key_stats(spark):
+    """The trial report's key metrics all come from one full-outer join of
+    the distinct key sets — same numbers as the semi/anti form it
+    replaced, including the both-empty NULL-sum edge."""
+    from eirepolitic_data_pipeline_spark.plans.reports import (
+        member_profile_trial_report)
+    legacy = spark.createDataFrame(
+        [("m1", 1), ("m2", 1), ("", 1), (None, 1)], "member_code string, v int")
+    trial = spark.createDataFrame(
+        [("m2", 1), ("m3", 1), ("m3", 2)], "member_code string, v int")
+    got = {r["check_name"]: (r["legacy_value"], r["trial_value"])
+           for r in member_profile_trial_report(spark, legacy, trial).collect()}
+    assert got["legacy_member_count"] == ("2", "")
+    assert got["trial_member_count"] == ("", "2")
+    assert got["matched_member_count"] == ("2", "1")
+    assert got["trial_only_member_count"] == ("", "1")
+    assert got["legacy_only_member_count"] == ("1", "")
+    # both-empty: every key stat must be 0, not NULL
+    e = spark.createDataFrame([], "member_code string, v int")
+    got0 = {r["check_name"]: (r["legacy_value"], r["trial_value"])
+            for r in member_profile_trial_report(spark, e, e).collect()}
+    assert got0["matched_member_count"] == ("0", "0")
+    assert got0["trial_only_member_count"] == ("", "0")
+
+
+def test_render_markdown_cell_sanitization():
+    """CRs are scrubbed and truncation happens before escaping, so a cell
+    cut at the limit can never end in a dangling escape backslash."""
+    from eirepolitic_data_pipeline_spark.plans.reports import (
+        render_markdown_report)
+
+    class FakeRow(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    class FakeDF:
+        columns = ["a"]
+        def collect(self):
+            return [FakeRow(a="x" * 299 + "|tail\r\nmore")]
+
+    out = render_markdown_report("t", FakeDF(), max_cell=300)
+    row = out.splitlines()[4]
+    assert "\r" not in out
+    # the pipe at position 299 survives truncation and is escaped WHOLE —
+    # the escape-then-truncate order this replaced would have cut the
+    # escape to a dangling backslash ("...x\\" with the pipe gone)
+    assert row.endswith("\\| |")
+    assert row.count("\\|") == 1
