@@ -77,10 +77,28 @@ class MergeWriter:
                 # a NEW table after some batch was promoted) is genuine
                 # absence; any other read failure propagates — treating a
                 # corrupt existing table as "no history" would silently
-                # reset retained history to this write's input.
+                # reset retained history to this write's input. PATH_NOT_
+                # FOUND alone is NOT proof of absence: if the production
+                # manifest records the table, its data dir vanished out
+                # from under the catalog (external delete, partial
+                # restore) and proceeding would reset history just the
+                # same — so the manifest is consulted to tell the two
+                # apart.
                 get_cond = getattr(e, "getCondition", None) or \
                     getattr(e, "getErrorClass", None)
                 if get_cond is not None and get_cond() == "PATH_NOT_FOUND":
+                    try:
+                        prod = self.catalog.production_batch_id()
+                    except CatalogError:
+                        prod = None
+                    if prod is not None and self.catalog.batch_has_table(
+                            prod, table):
+                        raise CatalogError(
+                            f"production manifest for batch {prod!r} "
+                            f"records table {table!r} but its data "
+                            "directory is missing — refusing to treat "
+                            "corruption as first-write (history would be "
+                            "silently reset to this batch)") from e
                     existing = None
                 else:
                     raise
@@ -105,6 +123,27 @@ class MergeWriter:
                      and bucket_by and tuple(bucket_by) == pk
                      and hist_pk == pk)
         if fast_path:
+            # merge_upsert_antijoin's remaining precondition is NON-NULL
+            # PKs: a null PK component groups in the window form but never
+            # matches the plain-equality anti-join, so the old row would
+            # be kept AND the new one appended — and the merge_pk stamp
+            # would keep routing the now-duplicate history down the fast
+            # path forever. The DQ gate enforces non_blank on the LEADING
+            # key only, so probe the delta (delta-sized scan, not
+            # history) and fall back to the window form when any PK
+            # column holds a null.
+            from pyspark.sql import functions as F
+            null_pk = None
+            for k in pk:
+                c = F.col(k).isNull()
+                null_pk = c if null_pk is None else (null_pk | c)
+            if incoming.filter(null_pk).limit(1).count():
+                fast_path = False
+        # observability (and the tests' hook): which merge form ran — the
+        # returned frame is the committed re-read, whose plan no longer
+        # shows the join shape
+        self.last_merge_form = "antijoin" if fast_path else "window"
+        if fast_path:
             from ..operators.merge import merge_upsert_antijoin
             merged = merge_upsert_antijoin(existing, incoming, policy)
         else:
@@ -121,8 +160,10 @@ class MergeWriter:
                                  bucket_by=tuple(bucket_by),
                                  num_buckets=num_buckets,
                                  merge_pk=pk if pk_unique_out else ())
-        if accumulate:
-            # The merged plan read the pre-swap candidate files, which the
-            # swap has replaced; hand back the committed on-disk state.
-            return self.catalog.read_table(self.spark, table, batch_id=batch_id)
-        return merged
+        # Hand back the COMMITTED files in both modes, never the pre-write
+        # merge plan: in accumulate mode the swap has replaced the files
+        # that plan read; in batch mode the plan still works, but the
+        # caller's first action on it (build_table counts the result)
+        # would re-execute the entire history merge a second time — at
+        # fact scale that doubles the dominant refresh cost for nothing.
+        return self.catalog.read_table(self.spark, table, batch_id=batch_id)

@@ -32,7 +32,22 @@ _SALT = "__salt"
 
 
 def _salt_col(salt_on: Sequence[Column], buckets: int) -> Column:
+    if buckets < 1:
+        # pmod(x, 0) is NULL (or a runtime divide-by-zero under ANSI), so
+        # every row of a key would land in ONE null salt bucket — silently
+        # recreating the single-task pile-up the salt exists to prevent
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
     return F.pmod(F.hash(*salt_on), F.lit(buckets)).cast("int")
+
+
+def _default_salt(df: DataFrame) -> list[Column]:
+    """Every HASHABLE input column plus the physical partition id —
+    ``F.hash`` rejects map-typed columns outright (the same exclusion
+    merge.py applies to orderings), so a frame carrying a map attribute
+    column must not break the default salt."""
+    return [F.col(f.name) for f in df.schema.fields
+            if "map<" not in f.dataType.simpleString()] + \
+        [F.spark_partition_id()]
 
 
 def salted_top_n(df: DataFrame, partition: Sequence[str],
@@ -64,8 +79,7 @@ def salted_top_n(df: DataFrame, partition: Sequence[str],
     if n <= 0:
         raise ValueError("n must be positive")
     salt_src = (list(salt_on) if salt_on is not None
-                else [F.col(c) for c in df.columns]
-                + [F.spark_partition_id()])
+                else _default_salt(df))
     salted = df.withColumn(_SALT, _salt_col(salt_src, buckets))
     w1 = Window.partitionBy(*partition, _SALT).orderBy(*order_by)
     survivors = (salted.withColumn("__rn1", F.row_number().over(w1))
@@ -116,8 +130,7 @@ def salted_agg(df: DataFrame, keys: Sequence[str],
             raise ValueError(
                 f"{out}: '{name}' is not re-combinable; use one of "
                 f"{sorted(_RECOMBINE)} or decompose the aggregate first")
-    salt_src = list(salt_on) if salt_on is not None else [
-        F.col(c) for c in df.columns] + [F.spark_partition_id()]
+    salt_src = list(salt_on) if salt_on is not None else _default_salt(df)
     salted = df.withColumn(_SALT, _salt_col(salt_src, buckets))
     phase1 = salted.groupBy(*keys, _SALT).agg(*[
         _RECOMBINE[name][0](col).alias(out)

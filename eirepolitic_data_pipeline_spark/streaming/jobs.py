@@ -56,7 +56,16 @@ def dedup_events_stream(events: DataFrame, id_col: str = "event_id",
         # overlap-window reconciliation exactly.
         src = src.withWatermark("ts", watermark)
         return src.dropDuplicatesWithinWatermark([id_col])
-    return src.dropDuplicates([id_col])
+    # batch mode: deterministic keep-last (newest ts, total-order
+    # tiebreak) — dropDuplicates keeps whichever row the shuffle delivers
+    # first, so a backfill carrying two versions of one id would commit
+    # different payloads on different runs
+    from ..operators.dedupe import dedupe_keep_first
+    order = [F.col("ts").desc_nulls_last()] + [
+        F.col(f.name).desc_nulls_last() for f in src.schema.fields
+        if f.name not in (id_col, "ts")
+        and "map<" not in f.dataType.simpleString()]
+    return dedupe_keep_first(src, [id_col], order)
 
 
 def sessionized_stream(events: DataFrame, gap: str = "30 minutes",
@@ -95,7 +104,11 @@ def stateful_user_totals(events: DataFrame,
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    out_schema = ("user_id long, n_events long, total_value double, "
+    # the key column keeps ITS OWN type: hardcoding `long` would fail the
+    # Arrow conversion on the first micro-batch of any string/UUID-keyed
+    # events source
+    key_type = events.schema["user_id"].dataType.simpleString()
+    out_schema = (f"user_id {key_type}, n_events long, total_value double, "
                   "n_high long")
     state_schema = "n long, total double, nh long"
 
@@ -129,12 +142,19 @@ def streaming_merge_sink(events: DataFrame, writer, table: str, policy,
     upsert-keep-last reconciliation the reference runs per cron window
     (`merge.py:14-30` + `io_s3.py:118-127`), now incremental.
 
-    ``policy`` must be key-idempotent (``upsert`` / ``snapshot_replace`` /
-    ``rebuild``): foreachBatch re-delivers a failed epoch from the
-    checkpoint, and only a keyed merge absorbs the replay. A plain
-    ``append`` policy would silently duplicate every replayed row, so it is
-    refused here — append-shaped streams should carry a deterministic id
-    and use upsert on it.
+    ``policy`` must be replay-idempotent (``upsert`` /
+    ``snapshot_replace`` / ``rebuild``): foreachBatch re-delivers a failed
+    epoch from the checkpoint, and only a keyed merge or a wholesale
+    replace absorbs the replay. A plain ``append`` policy would silently
+    duplicate every replayed row, so it is refused here — append-shaped
+    streams should carry a deterministic id and use upsert on it.
+
+    The cross-batch id dedup applies to UPSERT only. Snapshot policies
+    (``snapshot_replace``/``rebuild``) replace the table wholesale per
+    epoch, so each epoch must carry the COMPLETE state: stripping
+    already-seen ids from a later snapshot would make the replace merge
+    silently drop those rows from the table. Replace is naturally
+    idempotent under epoch replay without any dedup.
 
     ``processing_interval`` selects the trigger: None (default) runs
     availableNow — drain what exists and stop, the batch-orchestrated
@@ -157,12 +177,28 @@ def streaming_merge_sink(events: DataFrame, writer, table: str, policy,
             return
         writer.write(batch_df, table, policy, batch_id, accumulate=True)
 
+    dedup = policy.mode == "upsert"  # see the docstring: snapshots must
+    #                                  arrive complete, never id-stripped
     if not events.isStreaming:
-        apply_batch(events.dropDuplicates([id_col]), 0)
+        batch = events
+        if dedup:
+            # deterministic keep-last per id, not dropDuplicates: a
+            # backfill carrying two versions of one event would otherwise
+            # commit whichever row the shuffle delivered first, flipping
+            # payloads between runs of the same input
+            from ..operators.dedupe import dedupe_keep_first
+            order = [F.col(ts_col).desc_nulls_last()] + [
+                F.col(f.name).desc_nulls_last() for f in batch.schema.fields
+                if f.name not in (id_col, ts_col)
+                and "map<" not in f.dataType.simpleString()]
+            batch = dedupe_keep_first(batch, [id_col], order)
+        apply_batch(batch, 0)
         return None
-    # Within-watermark dedup: bounded state (see dedup_events_stream).
-    src = (events.withWatermark(ts_col, watermark)
-           .dropDuplicatesWithinWatermark([id_col]))
+    src = events
+    if dedup:
+        # Within-watermark dedup: bounded state (see dedup_events_stream).
+        src = (src.withWatermark(ts_col, watermark)
+               .dropDuplicatesWithinWatermark([id_col]))
     w = src.writeStream.foreachBatch(apply_batch)
     if processing_interval is None:
         w = w.trigger(availableNow=True)

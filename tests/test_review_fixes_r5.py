@@ -59,23 +59,27 @@ def test_antijoin_fast_path_requires_history_provenance(spark, tmp_path):
 
 def test_antijoin_fast_path_engages_with_provenance(spark, tmp_path):
     """Counterpart to the fallback test: history whose manifest records the
-    matching merge_pk provenance DOES take the anti-join form (the plan
-    carries a LeftAnti join; the window form has none) — the gate must not
-    degrade every bucketed merge to the window shape."""
+    matching merge_pk provenance DOES take the anti-join form — the gate
+    must not degrade every bucketed merge to the window shape. (The
+    returned frame is the committed re-read, so the join shape is read off
+    the writer's last_merge_form hook, not the result's plan; the
+    zero-Exchange plan property is asserted directly on
+    merge_upsert_antijoin in test_bucketing.)"""
     catalog = BatchCatalog(root=str(tmp_path / "wh"))
     writer = MergeWriter(catalog=catalog, spark=spark)
     pol = WritePolicy(mode="upsert", primary_key=("k",))
     hist = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
     writer.write(hist, "fact", pol, batch_id="b1",
                  bucket_by=("k",), num_buckets=4)
+    assert writer.last_merge_form == "window"  # first write: no history
     assert catalog.table_entry("fact", "b1").get("merge_pk") == ["k"]
     catalog.promote("b1", ["fact"])
 
     delta = spark.createDataFrame([(2, "b2")], "k long, v string")
     merged = writer.write(delta, "fact", pol, batch_id="b2",
                           bucket_by=("k",), num_buckets=4)
-    plan = merged._jdf.queryExecution().executedPlan().toString()
-    assert "LeftAnti" in plan
+    assert writer.last_merge_form == "antijoin"
+    assert {tuple(r) for r in merged.collect()} == {(1, "a"), (2, "b2")}
 
 
 def test_q50_builder_is_not_memoized(spark):
@@ -625,17 +629,24 @@ def test_curate_empty_partitioned_output_stays_readable(spark, tmp_path):
 
 def test_curate_corpus_persist_stages_opt_out(spark):
     """persist_stages=False keeps the composition cache-free for callers
-    managing their own materialization (same rows out)."""
+    managing their own materialization (same rows out). Asserted on the
+    result's own plan — an InMemoryRelation can only appear there if a
+    stage boundary was cached (global persisted-RDD counts are perturbed
+    by min_label_components' internal persist/localCheckpoint and the
+    context cleaner, so they are not a stable signal)."""
     from eirepolitic_data_pipeline_spark.operators.curation import curate_corpus
     rows = [(i, f"alpha beta gamma delta epsilon doc{i}", "s")
             for i in range(6)]
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, source string")
-    cached_before = len(spark.sparkContext._jsc.getPersistentRDDs())
-    out = {r["doc_id"] for r in
-           curate_corpus(docs, persist_stages=False).collect()}
-    assert out == {i for i in range(6)}
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == cached_before
+    res = curate_corpus(docs, persist_stages=False)
+    plan = res._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" not in plan
+    assert {r["doc_id"] for r in res.collect()} == set(range(6))
+    cached = curate_corpus(docs, persist_stages=True)
+    plan_cached = cached._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan_cached
+    assert {r["doc_id"] for r in cached.collect()} == set(range(6))
 
 
 def test_incremental_refresh_refuses_null_fact_ids(spark, tmp_path):
@@ -771,3 +782,164 @@ def test_render_markdown_cell_sanitization():
     # escape to a dangling backslash ("...x\\" with the pipe gone)
     assert row.endswith("\\| |")
     assert row.count("\\|") == 1
+
+
+def test_streaming_merge_sink_snapshot_epochs_arrive_complete(spark, tmp_path):
+    """snapshot_replace epochs must NOT be id-stripped by cross-batch
+    dedup: a later full snapshot re-delivers every row, and removing the
+    already-seen ids would make the wholesale replace silently drop them
+    from the table."""
+    from eirepolitic_data_pipeline_spark.io.catalog import BatchCatalog
+    from eirepolitic_data_pipeline_spark.io.writers import MergeWriter
+    from eirepolitic_data_pipeline_spark.operators.merge import WritePolicy
+    from eirepolitic_data_pipeline_spark.streaming.jobs import (
+        streaming_merge_sink)
+
+    catalog = BatchCatalog(root=str(tmp_path / "wh"))
+    writer = MergeWriter(catalog=catalog, spark=spark)
+    pol = WritePolicy(mode="snapshot_replace", primary_key=("event_id",))
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp, value double"
+
+    def snap(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(src_dir)
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    snap([(1, t0, 1.0), (2, t0, 2.0)], "s1")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(src_dir)
+    q = streaming_merge_sink(stream, writer, "snap", pol, batch_id="b1",
+                             checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+
+    # second run: the FULL snapshot again plus a new row
+    snap([(1, t0, 1.0), (2, t0, 2.0), (3, t0, 3.0)], "s2")
+    stream2 = spark.readStream.schema(schema).parquet(src_dir)
+    q2 = streaming_merge_sink(stream2, writer, "snap", pol, batch_id="b1",
+                              checkpoint_dir=ckpt)
+    q2.awaitTermination(120)
+    got = {r["event_id"] for r in
+           catalog.read_table(spark, "snap", batch_id="b1").collect()}
+    assert got == {1, 2, 3}  # rows 1,2 must survive the replace
+
+
+def test_fast_path_falls_back_on_null_composite_pk(spark, tmp_path):
+    """A null component in a composite PK never matches the fast path's
+    plain-equality anti-join (old row kept AND new row appended, then the
+    merge_pk stamp keeps compounding it); the writer must detect the null
+    in the delta and take the window form."""
+    from eirepolitic_data_pipeline_spark.io.catalog import BatchCatalog
+    from eirepolitic_data_pipeline_spark.io.writers import MergeWriter
+    from eirepolitic_data_pipeline_spark.operators.merge import WritePolicy
+
+    catalog = BatchCatalog(root=str(tmp_path / "wh"))
+    writer = MergeWriter(catalog=catalog, spark=spark)
+    pol = WritePolicy(mode="upsert", primary_key=("a", "b"))
+    hist = spark.createDataFrame([(1, None, "old"), (2, "x", "old")],
+                                 "a long, b string, v string")
+    writer.write(hist, "t", pol, batch_id="b1",
+                 bucket_by=("a", "b"), num_buckets=4)
+    catalog.promote("b1", ["t"])
+    delta = spark.createDataFrame([(1, None, "new")],
+                                  "a long, b string, v string")
+    got = writer.write(delta, "t", pol, batch_id="b2",
+                       bucket_by=("a", "b"), num_buckets=4)
+    rows = {(r["a"], r["b"]): r["v"] for r in got.collect()}
+    assert rows == {(1, None): "new", (2, "x"): "old"}
+
+
+def test_vanished_table_dir_refuses_history_reset(spark, tmp_path):
+    """PATH_NOT_FOUND while the production manifest RECORDS the table is
+    corruption, not first-write: the merge must refuse instead of
+    silently resetting retained history to the incoming batch."""
+    import shutil
+
+    from eirepolitic_data_pipeline_spark.io.catalog import (
+        BatchCatalog, CatalogError)
+    from eirepolitic_data_pipeline_spark.io.writers import MergeWriter
+    from eirepolitic_data_pipeline_spark.operators.merge import WritePolicy
+
+    catalog = BatchCatalog(root=str(tmp_path / "wh"))
+    writer = MergeWriter(catalog=catalog, spark=spark)
+    pol = WritePolicy(mode="upsert", primary_key=("k",))
+    df = spark.createDataFrame([("k1", "v1")], "k string, v string")
+    writer.write(df, "t", pol, batch_id="b1")
+    catalog.promote("b1", ["t"])
+
+    # find and delete the table's data dir out from under the catalog
+    data_dirs = [p for p in (tmp_path / "wh").rglob("t")
+                 if p.is_dir() and any(p.glob("*.parquet"))]
+    assert data_dirs, "fixture: expected a data dir for table t"
+    for p in data_dirs:
+        shutil.rmtree(p)
+    with pytest.raises(CatalogError, match="missing"):
+        writer.write(df, "t", pol, batch_id="b2")
+
+
+def test_dedup_events_stream_batch_keeps_newest_deterministically(spark):
+    """The batch branch keeps the newest-ts version of a re-delivered id
+    (total-order tiebreak), never an arbitrary shuffle winner."""
+    import datetime as dt
+
+    from eirepolitic_data_pipeline_spark.streaming.jobs import (
+        dedup_events_stream)
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    df = spark.createDataFrame(
+        [(1, t1, "v-old"), (1, t2, "v-new"), (2, t1, "w")],
+        "event_id long, ts timestamp, payload string")
+    got = {r["event_id"]: r["payload"]
+           for r in dedup_events_stream(df).collect()}
+    assert got == {1: "v-new", 2: "w"}
+
+
+def test_salted_default_salt_skips_map_columns(spark):
+    """F.hash rejects map-typed columns, so the default salt must exclude
+    them instead of failing on any frame carrying a map attribute."""
+    from eirepolitic_data_pipeline_spark.operators.ranking import (
+        top_n_per_group)
+    from eirepolitic_data_pipeline_spark.operators.skew import salted_top_n
+    df = spark.createDataFrame(
+        [("k", i, {"m": str(i)}) for i in range(10)],
+        "k string, v long, attrs map<string,string>")
+    got = salted_top_n(df, ["k"], [F.col("v").desc()], 3)
+    assert sorted(r["v"] for r in got.collect()) == [7, 8, 9]
+    want = top_n_per_group(df, ["k"], [F.col("v").desc()], 3)
+    assert sorted(r["v"] for r in want.collect()) == [7, 8, 9]
+
+
+def test_salted_operators_reject_nonpositive_buckets(spark):
+    """buckets=0 would pmod every row into one NULL salt bucket — the
+    exact single-task pile-up the operator exists to prevent."""
+    from eirepolitic_data_pipeline_spark.operators.skew import (
+        salted_agg, salted_top_n)
+    df = spark.createDataFrame([("k", 1)], "k string, v long")
+    with pytest.raises(ValueError, match="buckets"):
+        salted_top_n(df, ["k"], [F.col("v")], 1, buckets=0)
+    with pytest.raises(ValueError, match="buckets"):
+        salted_agg(df, ["k"], {"s": ("sum", "v")}, buckets=-1)
+
+
+def test_stateful_user_totals_string_key(spark, tmp_path):
+    """The output schema derives the key column's type from the input —
+    a string-keyed events source must stream, not fail Arrow conversion."""
+    import datetime as dt
+
+    from eirepolitic_data_pipeline_spark.streaming.jobs import (
+        stateful_user_totals)
+    t0 = dt.datetime(2024, 1, 1)
+    batch = spark.createDataFrame(
+        [("u-a", t0, 10.0), ("u-a", t0, 60.0), ("u-b", t0, 5.0)],
+        "user_id string, ts timestamp, value double")
+    path = str(tmp_path / "ev")
+    batch.write.parquet(path)
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    q = (stateful_user_totals(stream).writeStream.format("memory")
+         .queryName("stateful_str").outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["user_id"]: (r["n_events"], r["n_high"])
+           for r in spark.sql("SELECT * FROM stateful_str").collect()}
+    assert got == {"u-a": (2, 1), "u-b": (1, 0)}
