@@ -32,7 +32,7 @@ import os
 import time
 
 from . import atomic
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,10 +53,19 @@ class CatalogError(RuntimeError):
     pass
 
 
+def is_path_not_found(e: Exception) -> bool:
+    """True when an AnalysisException carries the PATH_NOT_FOUND condition
+    — the one version-compat probe (getCondition on Spark 4, getErrorClass
+    before it) shared by every caller that must distinguish a genuinely
+    absent table from any other read failure."""
+    get_cond = getattr(e, "getCondition", None) or \
+        getattr(e, "getErrorClass", None)
+    return get_cond is not None and get_cond() == "PATH_NOT_FOUND"
+
+
 @dataclass
 class BatchCatalog:
     root: str
-    _manifests: dict = field(default_factory=dict)
 
     # -- paths ---------------------------------------------------------------
     def batch_path(self, batch_id: str, table: str) -> str:
@@ -65,6 +74,11 @@ class BatchCatalog:
     @property
     def pointer_path(self) -> str:
         return os.path.join(self.root, "pointer.json")
+
+    def manifest_path(self, batch_id: str) -> str:
+        """Public accessor for the batch manifest location (recorded in the
+        control tables' manifest_s3_key column)."""
+        return self._manifest_path(batch_id)
 
     def _manifest_path(self, batch_id: str) -> str:
         return os.path.join(self.root, "batches", batch_id, "manifest.json")
@@ -171,9 +185,42 @@ class BatchCatalog:
                 problems.append(f"missing table {tname!r}")
             elif entry["status"] != "ok":
                 problems.append(f"table {tname!r} status={entry['status']!r}")
-            elif not os.path.isdir(self.batch_path(batch_id, tname)):
+            elif not os.path.isdir(self.batch_path(
+                    entry.get("from_batch") or batch_id, tname)):
                 problems.append(f"table {tname!r} has no data directory")
         return problems
+
+    def carry_forward(self, batch_id: str,
+                      from_batch_id: Optional[str] = None) -> list[str]:
+        """Record manifest REFERENCES in ``batch_id`` for every table the
+        source batch (default: production) serves that ``batch_id`` does
+        not itself build. Returns the carried table names.
+
+        This is what lets a partial-cadence run promote: the production
+        pointer is batch-global, so a monthly batch that builds only the
+        monthly tables would otherwise either trip the shrink guard or
+        (with allow_shrink) silently retire every weekly table. Data
+        never moves — promoted batches are immutable, so the carried
+        entry just points at the ORIGINAL producing batch's directory
+        (``from_batch``, chased so chains never form: a carry of a carry
+        still references the batch that physically wrote the files)."""
+        src = from_batch_id or self.production_batch_id()
+        if src is None or src == batch_id:
+            return []
+        m = self._load_manifest(batch_id)
+        self._refuse_if_promoted(batch_id, m)
+        carried = []
+        for tname, entry in sorted(
+                self._load_manifest(src).get("tables", {}).items()):
+            if tname in m["tables"]:
+                continue
+            e = dict(entry)
+            e["from_batch"] = entry.get("from_batch") or src
+            m["tables"][tname] = e
+            carried.append(tname)
+        if carried:
+            self._save_manifest(batch_id, m)
+        return carried
 
     # -- write/read ----------------------------------------------------------
     def write_table(self, df: DataFrame, table: str, batch_id: Optional[str],
@@ -317,8 +364,10 @@ class BatchCatalog:
         bid = batch_id or self.production_batch_id()
         if bid is None:
             raise CatalogError(f"no production batch promoted; cannot read {table!r}")
-        path = self.batch_path(bid, table)
         entry = self._load_manifest(bid).get("tables", {}).get(table, {})
+        # a carried-forward entry references the batch that physically
+        # wrote the files (see carry_forward) — read from there
+        path = self.batch_path(entry.get("from_batch") or bid, table)
         conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
         prev = spark.conf.get(conf_key, "true")
         try:
@@ -356,6 +405,15 @@ class BatchCatalog:
         compares against the live production manifest and refuses to
         shrink unless ``allow_shrink=True`` says the retirement is
         deliberate."""
+        if self._load_manifest(batch_id).get("promoted_at_unix"):
+            # promote() stamps and therefore MUTATES the manifest — on an
+            # ever-promoted (immutable) batch that would restamp
+            # promoted_at_unix and corrupt the audit record. Re-pointing
+            # production at a past batch is exactly what rollback() is for.
+            raise CatalogError(
+                f"batch {batch_id!r} was already promoted; promoted "
+                "batches are immutable — use rollback() to re-point "
+                "production at it")
         problems = self.validate_batch(batch_id, expected_tables)
         if problems:
             raise CatalogError(

@@ -15,7 +15,7 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.merge import WritePolicy, merge_for_policy
-from .catalog import BatchCatalog, CatalogError
+from .catalog import BatchCatalog, CatalogError, is_path_not_found
 
 
 @dataclass
@@ -84,9 +84,7 @@ class MergeWriter:
                 # restore) and proceeding would reset history just the
                 # same — so the manifest is consulted to tell the two
                 # apart.
-                get_cond = getattr(e, "getCondition", None) or \
-                    getattr(e, "getErrorClass", None)
-                if get_cond is not None and get_cond() == "PATH_NOT_FOUND":
+                if is_path_not_found(e):
                     try:
                         prod = self.catalog.production_batch_id()
                     except CatalogError:

@@ -43,7 +43,7 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io.catalog import BatchCatalog, CatalogError
+from ..io.catalog import BatchCatalog, CatalogError, is_path_not_found
 from ..io.writers import MergeWriter
 from ..plans.default_tables import DEFAULT_TABLES_CONFIG
 from ..plans.quality import DQSuite
@@ -179,6 +179,17 @@ class BuildResult:
     promoted: bool = False
 
 
+class DQGateError(CatalogError):
+    """DQ gate failure that CARRIES the check results, so orchestration
+    (run_refresh's control_data_quality_results) can record the per-check
+    pass/fail rows of a failed build — a bare message would leave the DQ
+    telemetry table with only ever-passing rows."""
+
+    def __init__(self, message: str, dq: list):
+        super().__init__(message)
+        self.dq = dq
+
+
 def _read_raw(spark: SparkSession, raw_root: str, stem: str,
               mode: str, limit: int, fmt: str = "text") -> DataFrame:
     """Payload frame from the raw archive: every line of
@@ -216,9 +227,19 @@ def _read_input_or_none(spark: SparkSession, catalog: BatchCatalog,
     except CatalogError:
         return None        # no production pointer yet
     except AnalysisException as e:
-        get_cond = getattr(e, "getCondition", None) or \
-            getattr(e, "getErrorClass", None)
-        if get_cond is not None and get_cond() == "PATH_NOT_FOUND":
+        if is_path_not_found(e):
+            # PATH_NOT_FOUND alone is NOT proof of absence (same contract
+            # as MergeWriter): if the resolved batch's MANIFEST records
+            # the table, its data dir vanished out from under the catalog
+            # and substituting an empty stub would silently blank the
+            # mart's columns while DQ passes.
+            resolved = bid or catalog.production_batch_id()
+            if resolved is not None and catalog.batch_has_table(
+                    resolved, name):
+                raise CatalogError(
+                    f"manifest for batch {resolved!r} records input "
+                    f"{name!r} but its data directory is missing — "
+                    "refusing to treat corruption as absence") from e
             return None    # pointer exists, table absent from that batch
         raise
 
@@ -310,9 +331,9 @@ def build_table(spark: SparkSession, catalog: BatchCatalog,
         suite = suite.unique(pk).non_blank(pk[0])
     dq = suite.run(out)
     if not DQSuite.passed(dq):
-        raise CatalogError(
+        raise DQGateError(
             f"{table}: DQ gate failed before write: "
-            + "; ".join(str(c) for c in dq if not c.passed))
+            + "; ".join(str(c) for c in dq if not c.passed), dq)
 
     conformed = tdef.conform(out)
     writer = MergeWriter(catalog=catalog, spark=spark)
@@ -333,17 +354,26 @@ def build_table(spark: SparkSession, catalog: BatchCatalog,
     # auto disables publishing for mode=test). Without it, the CLI's
     # default --mode test would land a 25-page sample in the candidate
     # batch that a later --promote silently serves as production.
-    merged = writer.write(conformed, table, tdef.policy, batch_id=batch_id,
-                          status="test" if mode == "test" else "ok",
-                          **bucket_kw)
-    n = merged.count()
+    cached_before = (set(spark.sparkContext._jsc.getPersistentRDDs()
+                         .keySet().toArray())
+                     if table in GOLD_BUILDERS else set())
+    writer.write(conformed, table, tdef.policy, batch_id=batch_id,
+                 status="test" if mode == "test" else "ok",
+                 **bucket_kw)
+    # the committed row count was already computed from the parquet
+    # footers by write_table and recorded in the manifest — counting the
+    # returned frame again would launch a redundant full-table job
+    n = int(catalog.table_entry(table, batch_id=batch_id)["row_count"])
     if table in GOLD_BUILDERS:
         # the gold builders .cache() their dimension-bounded metric/lookup
         # frames (consumed 2-3x within ONE mart materialization); the write
-        # above was that materialization, so release the blocks now — a
-        # refresh run building several marts in one session would otherwise
-        # pin every mart's intermediates for the rest of the run
-        spark.catalog.clearCache()
+        # above was that materialization, so release exactly the blocks
+        # THIS build pinned — never session-global clearCache, which would
+        # evict an embedding caller's own cached frames as collateral
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in jmap.keySet().toArray():
+            if rid not in cached_before:
+                jmap.get(rid).unpersist()
     if promote:
         # The production pointer is batch-GLOBAL: promoting moves every
         # read to this batch, so promote validates the batch's ENTIRE

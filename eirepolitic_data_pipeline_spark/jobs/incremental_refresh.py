@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scalar import nonblank
-from ..io.catalog import BatchCatalog, CatalogError
+from ..io.catalog import BatchCatalog, CatalogError, is_path_not_found
 from ..operators.incremental import incremental_additive
 from ..operators.sketches import hll_estimate, hll_merge, hll_rollup
 
@@ -72,9 +72,7 @@ class IncrementalRollup:
         except CatalogError:
             return None
         except AnalysisException as e:
-            get_cond = getattr(e, "getCondition", None) or \
-                getattr(e, "getErrorClass", None)
-            if get_cond is not None and get_cond() == "PATH_NOT_FOUND":
+            if is_path_not_found(e):
                 return None
             raise
 

@@ -34,7 +34,7 @@ from ..io.writers import MergeWriter
 from ..plans.default_tables import DEFAULT_TABLES_CONFIG
 from ..plans.registry import TableRegistry
 from ..tables.silver import stable_hash_py
-from .build_table import UNSUPPORTED, BuildResult, build_table
+from .build_table import UNSUPPORTED, BuildResult, DQGateError, build_table
 from .refresh import normalize_refresh_inputs
 
 CONTROL_TABLES = ("control_pipeline_runs", "control_table_manifests",
@@ -113,6 +113,21 @@ def run_refresh(spark: SparkSession, catalog: BatchCatalog,
         except Exception as e:  # noqa: BLE001 — per-table isolation
             result.failed[table] = f"{type(e).__name__}: {e}"
             status, error, out_rows = "failed", str(e)[:500], 0
+            if isinstance(e, DQGateError):
+                # the gate failed BEFORE the build returned, but the check
+                # results ride on the exception — record them, or the DQ
+                # telemetry table only ever holds passing rows
+                for c in e.dq:
+                    dq_rows.append({
+                        "dq_result_id": "dq:" + stable_hash_py(
+                            [run_id, table, c.name], 24),
+                        "run_id": run_id, "table_name": table,
+                        "check_name": c.name,
+                        "status": "pass" if c.passed else "fail",
+                        "metric_value": str(c.observed),
+                        "threshold": "", "message": c.detail or "",
+                        "created_at_utc": started,
+                    })
         run_rows.append({
             "run_id": run_id, "workflow_run_id": workflow_run_id,
             "table_name": table, "mode": inputs.mode,
@@ -126,7 +141,7 @@ def run_refresh(spark: SparkSession, catalog: BatchCatalog,
                 "page_size": inputs.page_size}, sort_keys=True),
             "raw_rows": "", "output_rows": str(out_rows),
             "error_message": error,
-            "manifest_s3_key": catalog._manifest_path(batch_id),
+            "manifest_s3_key": catalog.manifest_path(batch_id),
         })
 
     writer = MergeWriter(catalog=catalog, spark=spark)
@@ -144,6 +159,12 @@ def run_refresh(spark: SparkSession, catalog: BatchCatalog,
         writer.write(tdef.conform(df), name, tdef.policy, batch_id=batch_id)
         result.built[name] = len(rows)
 
+    if promote and build_mode == "test":
+        # the reference CLI auto-disables publishing for mode=test
+        # (build_table.py docstring): every manifest entry carries
+        # status='test', so promote would only ever crash at
+        # validate_batch after all the build work. Skip it instead.
+        promote = False
     if promote:
         if result.failed:
             raise CatalogError(
@@ -152,6 +173,13 @@ def run_refresh(spark: SparkSession, catalog: BatchCatalog,
                 "unpromoted — production must not point at a partial "
                 "snapshot. Fix and rerun, or promote explicitly after "
                 "review.")
+        # A cadence builds only ITS OWN table subset; the production batch
+        # may serve the other cadences' tables too. Carry those forward as
+        # manifest references (O(1), data never moves) so the batch-global
+        # pointer flip keeps serving them — without this, alternating
+        # weekly/monthly cadences deadlock at the shrink guard (and
+        # allow_shrink would silently retire the other cadence's tables).
+        catalog.carry_forward(batch_id)
         catalog.promote(batch_id, catalog.batch_tables(batch_id))
         result.promoted = True
     return result

@@ -943,3 +943,109 @@ def test_stateful_user_totals_string_key(spark, tmp_path):
     got = {r["user_id"]: (r["n_events"], r["n_high"])
            for r in spark.sql("SELECT * FROM stateful_str").collect()}
     assert got == {"u-a": (2, 1), "u-b": (1, 0)}
+
+
+def test_mixed_cadence_promotes_via_carry_forward(spark, tmp_path):
+    """A cadence building only ITS subset must still promote: carry_forward
+    records manifest references to the other cadence's tables (data never
+    moves), so the batch-global pointer flip keeps serving them — the
+    alternative was a shrink-guard deadlock or a silent retirement."""
+    catalog = BatchCatalog(root=str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "x")], "k long, v string")
+    catalog.write_table(df, "weekly_t", "w1")
+    catalog.write_table(df, "monthly_t", "w1")
+    catalog.promote("w1", catalog.batch_tables("w1"))
+
+    df2 = spark.createDataFrame([(2, "y")], "k long, v string")
+    catalog.write_table(df2, "monthly_t", "m1")  # monthly builds only its own
+    carried = catalog.carry_forward("m1")
+    assert carried == ["weekly_t"]
+    catalog.promote("m1", catalog.batch_tables("m1"))
+    assert catalog.production_batch_id() == "m1"
+    # the carried table reads the ORIGINAL batch's files through production
+    assert catalog.read_table(spark, "weekly_t").collect()[0]["v"] == "x"
+    assert catalog.read_table(spark, "monthly_t").collect()[0]["v"] == "y"
+
+    # a carry of a carry still references the batch that wrote the files
+    catalog.write_table(df2, "monthly_t", "m2")
+    catalog.carry_forward("m2")
+    entry = catalog.table_entry("weekly_t", batch_id="m2")
+    assert entry["from_batch"] == "w1"
+    catalog.promote("m2", catalog.batch_tables("m2"))
+    assert catalog.read_table(spark, "weekly_t").count() == 1
+
+
+def test_promote_refuses_ever_promoted_batch(spark, tmp_path):
+    """Re-promoting a promoted batch would restamp its immutable manifest;
+    rollback is the sanctioned way to re-point production."""
+    catalog = BatchCatalog(root=str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "x")], "k long, v string")
+    catalog.write_table(df, "t", "b1")
+    catalog.promote("b1", ["t"])
+    catalog.write_table(df, "t", "b2")
+    catalog.promote("b2", ["t"])
+    with pytest.raises(CatalogError, match="rollback"):
+        catalog.promote("b1", ["t"])
+    catalog.rollback("b1")
+    assert catalog.production_batch_id() == "b1"
+
+
+def test_run_refresh_test_mode_skips_promotion(spark, tmp_path):
+    """build_mode='test' stamps every manifest entry status='test', so the
+    default promote must auto-skip (the reference CLI behavior) instead of
+    crashing at validate_batch after all the build work."""
+    from eirepolitic_data_pipeline_spark.jobs.run_refresh import run_refresh
+    from eirepolitic_data_pipeline_spark.plans.default_tables import (
+        DEFAULT_TABLES_CONFIG)
+    from eirepolitic_data_pipeline_spark.plans.registry import TableRegistry
+    from datetime import date
+    registry = TableRegistry.from_dict(DEFAULT_TABLES_CONFIG)
+    catalog = BatchCatalog(root=str(tmp_path / "wh"))
+    res = run_refresh(
+        spark, catalog, registry, "weekly", as_of=date(2026, 8, 13),
+        batch_id="t1", build_mode="test",
+        tables=["silver_members"], promote=True)
+    assert res.promoted is False
+    assert catalog.production_batch_id() is None
+
+
+def test_dq_gate_failure_records_fail_rows(spark, tmp_path):
+    """A DQ-gate failure must land its per-check rows (including the
+    failing one) in control_data_quality_results — not just a truncated
+    message in control_pipeline_runs."""
+    from eirepolitic_data_pipeline_spark.jobs.build_table import DQGateError
+    from eirepolitic_data_pipeline_spark.plans.quality import DQSuite
+    df = spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string")
+    dq = DQSuite().min_rows(1).unique(["k"]).run(df)
+    assert not DQSuite.passed(dq)
+    err = DQGateError("gate failed", dq)
+    assert err.dq is dq and any(not c.passed for c in err.dq)
+    # and run_refresh records them: drive one table through a registry
+    # whose builder violates its own PK uniqueness
+    from eirepolitic_data_pipeline_spark.jobs import run_refresh as rr
+    recorded = []
+    orig = rr.build_table
+
+    def fake_build(*a, **k):
+        raise DQGateError("boom", dq)
+
+    rr_mod_build = rr.build_table
+    try:
+        rr.build_table = fake_build
+        from eirepolitic_data_pipeline_spark.plans.default_tables import (
+            DEFAULT_TABLES_CONFIG)
+        from eirepolitic_data_pipeline_spark.plans.registry import (
+            TableRegistry)
+        from datetime import date
+        registry = TableRegistry.from_dict(DEFAULT_TABLES_CONFIG)
+        catalog = BatchCatalog(root=str(tmp_path / "wh"))
+        res = rr.run_refresh(
+            spark, catalog, registry, "weekly", as_of=date(2026, 8, 13),
+            batch_id="d1", tables=["silver_members"], promote=False)
+        assert "silver_members" in res.failed
+        got = catalog.read_table(spark, "control_data_quality_results",
+                                 batch_id="d1")
+        statuses = {r["check_name"]: r["status"] for r in got.collect()}
+        assert "fail" in statuses.values()
+    finally:
+        rr.build_table = rr_mod_build
