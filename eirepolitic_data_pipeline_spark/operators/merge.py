@@ -145,6 +145,14 @@ def merge_upsert_antijoin(existing: DataFrame, incoming: DataFrame,
             "merge_upsert_antijoin does not support business_key policies; "
             "use merge_for_policy")
     pk = list(policy.primary_key)
+    if not pk:
+        # an empty PK would make the keep-first window GLOBAL (incoming
+        # collapses to one arbitrary row) and the anti-join condition
+        # empty (every existing row dropped) — the whole table silently
+        # becomes one row
+        raise ValueError(
+            "merge_upsert_antijoin requires a non-empty primary_key; "
+            "use merge_for_policy for keyless policies")
     inc = _keep_first_by_priority(
         incoming.withColumn(_PRIORITY, F.lit(0)), pk).drop(_PRIORITY)
     # anti-join against the RAW incoming keys (duplicates are harmless to

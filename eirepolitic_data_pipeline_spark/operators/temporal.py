@@ -41,15 +41,20 @@ def current_else_latest(df: DataFrame, entity: Sequence[str],
 
     Ordering (reference `table_gold_current_members.py:209-218`):
     is_current desc, end desc (null end = open = sentinel max), start desc.
-    A final orderBy on start/end alone is ambiguous for identical intervals,
-    so callers should ensure (entity, start) uniqueness upstream; ties fall
-    back to the full ordering deterministically via monotonically stable
-    column ordering in row_number.
+    Rows tied on all three (identical intervals with different payloads)
+    break by a TOTAL order over the remaining orderable columns — the same
+    determinism contract as merge._keep_first_by_priority; row_number over
+    a tied ordering would otherwise promote whichever row the shuffle
+    delivered first, flipping payloads between runs.
     """
     order = []
     if is_current:
         order.append(F.col(is_current).cast("boolean").desc_nulls_last())
     order += [_end_or_sentinel(end).desc(), F.col(start).desc_nulls_last()]
+    named = set(entity) | {start, end} | ({is_current} if is_current else set())
+    order += [F.col(f.name).desc_nulls_last() for f in df.schema.fields
+              if f.name not in named
+              and "map<" not in f.dataType.simpleString()]
     w = Window.partitionBy(*entity).orderBy(*order)
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn"))
@@ -99,8 +104,16 @@ def scope_replace_union(existing: DataFrame, incoming: DataFrame,
     """O9 — delete-matching-scope then insert (reference weekly-scope
     replace, `ridiculous_sentences_weekly.py:435-458`): drop existing rows in
     the incoming scope, union the incoming rows. With partitioned storage
-    this is dynamic partition overwrite; as algebra it is filter + union."""
-    return existing.filter(~scope_predicate).unionByName(
+    this is dynamic partition overwrite; as algebra it is filter + union.
+
+    Rows where the predicate evaluates NULL (e.g. a NULL scope column
+    under `col == literal`) are OUTSIDE the scope and must be KEPT: a bare
+    `filter(~pred)` drops them (~NULL is NULL), silently deleting
+    out-of-scope rows on every refresh — the coalesce pins NULL to
+    False before negating, matching DPO semantics (only partitions
+    present in incoming are replaced)."""
+    return existing.filter(
+        ~F.coalesce(scope_predicate, F.lit(False))).unionByName(
         incoming, allowMissingColumns=True)
 
 
@@ -140,6 +153,15 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame,
             f"point_in_interval_join: columns {sorted(clash)} exist on "
             "BOTH sides but are not equi_keys; rename one side (the "
             "output carries both sides' columns)")
+    reserved = {"__bucket", "__buckets"} & (
+        set(points.columns) | set(intervals.columns))
+    if reserved:
+        # withColumn would silently OVERWRITE a caller column of the
+        # internal working name, and the final drop would then remove it
+        # from the output entirely
+        raise ValueError(
+            f"point_in_interval_join: columns {sorted(reserved)} are "
+            "reserved internal names; rename them before joining")
     # Bucket bounds via integer epoch arithmetic — engine-portable (the
     # oracle mirrors it with the same floor-division) and cheap. The unit
     # is validated driver-side: a silent fallback to seconds would turn
@@ -180,6 +202,13 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame,
         return joined
     if how != "left":
         raise ValueError("how must be 'inner' or 'left'")
+    # The left path consumes `joined` TWICE (matched-keys derivation and
+    # the final union); persist so the explode + shuffle join + containment
+    # filter — the operator's dominant cost — executes once, not per
+    # consumer. Same cache-release contract as the curation stage
+    # boundaries: batch callers' sessions end, long-lived callers release
+    # after materializing.
+    joined = joined.persist()
     # Null-SAFE anti-join: with the default equality condition a matched
     # point row containing any NULL column would never equal itself and be
     # re-emitted as "unmatched" (duplicate output).

@@ -1049,3 +1049,68 @@ def test_dq_gate_failure_records_fail_rows(spark, tmp_path):
         assert "fail" in statuses.values()
     finally:
         rr.build_table = rr_mod_build
+
+
+def test_scope_replace_keeps_null_scope_rows(spark):
+    """Rows whose scope predicate evaluates NULL are OUTSIDE the incoming
+    scope and must survive the replace — filter(~pred) would delete them
+    on every refresh (~NULL is NULL)."""
+    from eirepolitic_data_pipeline_spark.operators.temporal import (
+        scope_replace_union)
+    existing = spark.createDataFrame(
+        [("2026-W01", "old"), (None, "keeper"), ("2026-W02", "other")],
+        "week_id string, v string")
+    incoming = spark.createDataFrame([("2026-W01", "new")],
+                                     "week_id string, v string")
+    got = {(r["week_id"], r["v"]) for r in scope_replace_union(
+        existing, incoming, F.col("week_id") == "2026-W01").collect()}
+    assert got == {("2026-W01", "new"), (None, "keeper"),
+                   ("2026-W02", "other")}
+
+
+def test_current_else_latest_ties_are_deterministic(spark):
+    """Identical intervals with different payloads must resolve to the
+    SAME winner across parallelism degrees (total-order tiebreak), never
+    the shuffle's arbitrary first row."""
+    from eirepolitic_data_pipeline_spark.operators.temporal import (
+        current_else_latest)
+    rows = [("m1", "2020-01-01", None, "true", "payload-a"),
+            ("m1", "2020-01-01", None, "true", "payload-z")]
+    winners = set()
+    for n_parts in (1, 3, 5):
+        df = spark.createDataFrame(
+            rows, "member string, start string, end string, "
+                  "is_current string, payload string").repartition(n_parts)
+        got = current_else_latest(df, ["member"], "start", "end",
+                                  "is_current").collect()
+        assert len(got) == 1
+        winners.add(got[0]["payload"])
+    assert winners == {"payload-z"}  # desc_nulls_last total order
+
+
+def test_antijoin_merge_requires_primary_key(spark):
+    """An empty primary_key would collapse incoming to one global row and
+    anti-join away the whole history — refuse loudly."""
+    from eirepolitic_data_pipeline_spark.operators.merge import (
+        WritePolicy, merge_upsert_antijoin)
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    # WritePolicy itself refuses upsert-without-PK, so the exposed route
+    # is a keyless append/snapshot policy handed to the function directly
+    with pytest.raises(ValueError, match="primary_key"):
+        merge_upsert_antijoin(df, df, WritePolicy(mode="append",
+                                                  primary_key=()))
+
+
+def test_range_join_rejects_reserved_column_names(spark):
+    """A caller column named __bucket/__buckets would be silently
+    overwritten then dropped; the clash validation covers them."""
+    import datetime as dt
+
+    from eirepolitic_data_pipeline_spark.operators.temporal import (
+        point_in_interval_join)
+    t0 = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame([(t0, 1)], "ts timestamp, __bucket long")
+    iv = spark.createDataFrame([(t0, t0)],
+                               "win_start timestamp, win_end timestamp")
+    with pytest.raises(ValueError, match="reserved"):
+        point_in_interval_join(pts, iv, "ts", "win_start", "win_end")
