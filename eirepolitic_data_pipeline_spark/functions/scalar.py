@@ -16,29 +16,45 @@ OPEN_END_SENTINEL = "9999-12-31"
 
 
 def safe_text(col: Column | str, default: str = "") -> Column:
-    """X1 — reference `normalize.py:20-25`: None→default, str()+strip."""
+    """X1 — reference `normalize.py:20-25`: None→default, str()+strip.
+
+    Trim convention (shared by nonblank/blank_as_null and every oracle
+    mirror): ASCII SPACES only — F.trim and DuckDB trim() agree on that,
+    which is what keeps the certified SQL oracles byte-identical. Text
+    edged with \\t/\\r/\\n keeps those characters; this deliberately
+    deviates from Python str.strip()."""
     c = F.col(col) if isinstance(col, str) else col
     return F.coalesce(F.trim(c.cast("string")), F.lit(default))
 
 
 def nonblank(col: Column | str) -> Column:
-    """P4 — blank==missing predicate (`table_gold_current_members.py:259-262`)."""
+    """P4 — blank==missing predicate
+    (`table_gold_current_members.py:259-262`). ASCII-space trim only —
+    see safe_text's trim-convention note; '\\t' counts as present."""
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(F.coalesce(c.cast("string"), F.lit(""))) != ""
 
 
 def blank_as_null(col: Column | str) -> Column:
-    """Blank/whitespace-only strings normalized to NULL (read convention of
-    `pd.read_csv(keep_default_na=False)` inverted for Spark-native nulls)."""
+    """Space-only/empty strings normalized to NULL (read convention of
+    `pd.read_csv(keep_default_na=False)` inverted for Spark-native
+    nulls). ASCII-space trim only — see safe_text's trim-convention
+    note."""
     c = F.col(col) if isinstance(col, str) else col
     t = F.trim(c.cast("string"))
     return F.when(t == "", F.lit(None).cast("string")).otherwise(t)
 
 
 def truthy(col: Column | str) -> Column:
-    """P5 — case-insensitive {"true","1","yes","y"} (`table_gold_current_members.py:253-256`)."""
+    """P5 — case-insensitive {"true","1","yes","y"}
+    (`table_gold_current_members.py:253-256`). Strips ALL edge
+    whitespace, unlike the blank==missing family: a CRLF-lined CSV
+    delivers 'true\\r', and silently reading that as false drops rows
+    from current-member logic; no oracle mirrors this predicate, so the
+    full strip is safe."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.lower(F.trim(c.cast("string"))).isin("true", "1", "yes", "y")
+    t = F.regexp_replace(c.cast("string"), r"^\s+|\s+$", "")
+    return F.lower(t).isin("true", "1", "yes", "y")
 
 
 def _ascii_fold(s: Column) -> Column:
@@ -105,10 +121,16 @@ def is_current_range(start: Column | str, end: Column | str,
 
 def stable_hash(*cols: Column | str, length: int = 16) -> Column:
     """X6 — `normalize.py:73-76`: sha256("|".join(lower(str(part)))) hex
-    prefix. Surrogate-ID recipe used across every reference table; expressed
-    as a pure column expression so it runs JVM-side and matches any SQL
-    oracle that computes substr(sha256(lower(concat_ws('|', ...))), 1, n).
-    """
+    prefix. Surrogate-ID recipe used across every reference table;
+    expressed as a pure column expression so it runs JVM-side.
+
+    NULL parts render as '' WITH their separator kept ('|b' for
+    (NULL,'b')) — note this matches neither Python str(None) ('none|b')
+    nor bare SQL concat_ws (which SKIPS nulls: 'b'); the SQL oracle
+    mirror is therefore substr(sha256(lower(concat_ws('|',
+    coalesce(a, ''), coalesce(b, '')))), 1, n), coalescing each part.
+    The convention is locked by the certified oracle queries — do not
+    change it without re-deriving every stored surrogate id."""
     parts = [F.col(c) if isinstance(c, str) else c for c in cols]
     joined = F.lower(F.concat_ws("|", *[F.coalesce(p.cast("string"), F.lit("")) for p in parts]))
     return F.substring(F.sha2(joined, 256), 1, length)
@@ -129,8 +151,14 @@ def stable_record_hash(*cols: str) -> Column:
             "stable_record_hash takes column NAMES (the names are hashed "
             "as JSON keys); alias computed expressions in a prior select")
     named = sorted(cols)
+    # ignoreNullFields=false: Spark's default SILENTLY OMITS null fields
+    # from the JSON, so {'a':'x','b':NULL} hashed identically to a record
+    # missing b entirely — defeating change detection across schema
+    # revisions and diverging from the reference's sorted-key json.dumps
+    # (which renders nulls)
     return F.sha2(
-        F.to_json(F.struct(*[F.col(c).alias(c) for c in named])), 256)
+        F.to_json(F.struct(*[F.col(c).alias(c) for c in named]),
+                  {"ignoreNullFields": "false"}), 256)
 
 
 def coalesce_nonblank(*cols: Column | str) -> Column:
@@ -144,10 +172,13 @@ def coalesce_nonblank(*cols: Column | str) -> Column:
 
 
 def word_count(col: Column | str) -> Column:
-    """X9 — `table_speeches.py:255-256`: len(text.split())."""
+    """X9 — `table_speeches.py:255-256`: len(text.split()). array_remove
+    of '' matches Python str.split() exactly: F.trim strips only ASCII
+    spaces, so trim-then-split counted a phantom token for text edged
+    with \\n/\\t/\\r ('foo\\n' -> 2) and for whitespace-only input."""
     c = F.col(col) if isinstance(col, str) else col
-    t = F.trim(F.coalesce(c.cast("string"), F.lit("")))
-    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    t = F.coalesce(c.cast("string"), F.lit(""))
+    return F.size(F.array_remove(F.split(t, r"\s+"), ""))
 
 
 def slugify(col: Column | str) -> Column:
@@ -174,19 +205,27 @@ def strip_citations_py(s: str | None) -> str:
     ``.strip(" ")``, not ``.strip()``: Spark's F.trim removes ASCII spaces
     only, and the twins must agree byte-for-byte."""
     import re
-    s = re.sub(r"\s*\[\d+\]\s*", " ", s or "")
-    return re.sub(r"\s{2,}", " ", s).strip(" ")
+    # re.ASCII: Java's \s and \d are ASCII-only, Python's default is
+    # Unicode — without the flag the twin eats U+00A0 etc. where Spark
+    # does not, and identical inputs produce different stored strings
+    s = re.sub(r"\s*\[\d+\]\s*", " ", s or "", flags=re.ASCII)
+    return re.sub(r"\s{2,}", " ", s, flags=re.ASCII).strip(" ")
 
 
 def clamp_words(col: Column | str, max_words: int) -> Column:
     """X15 — `llm_table_runner.py:124-130`: keep the first ``max_words``
     whitespace tokens rejoined by single spaces; ``max_words<=0`` means no
-    clamp (trim only)."""
+    clamp (trim only). Tokens come from the same no-empty split as
+    word_count — trim-then-split left a trailing '' token for
+    \\n/\\t/\\r-edged text, rendering 'foo\\n' as 'foo ' (trailing space)
+    where the reference ' '.join(s.split()[:n]) gives 'foo'."""
     c = F.col(col) if isinstance(col, str) else col
-    t = F.trim(F.coalesce(c.cast("string"), F.lit("")))
+    t = F.coalesce(c.cast("string"), F.lit(""))
     if max_words <= 0:
-        return t
-    return F.array_join(F.slice(F.split(t, r"\s+"), 1, max_words), " ")
+        # no clamp: trim only — interior whitespace is preserved verbatim
+        return F.trim(t)
+    toks = F.array_remove(F.split(t, r"\s+"), "")
+    return F.array_join(F.slice(toks, 1, max_words), " ")
 
 
 def week_id(col: Column | str) -> Column:
@@ -268,8 +307,11 @@ def percent_string(col: Column | str) -> Column:
     whole = F.concat(n.cast("decimal(38,0)").cast("string"), F.lit("%"))
     frac = F.concat(F.round(n, 1).cast("decimal(38,1)").cast("string"),
                     F.lit("%"))
+    # coalesce to passthrough: a castable-but-unrenderable value
+    # ('Infinity' casts to double but overflows the decimal render to
+    # NULL) must fall back to the original text, never emit a NULL cell
     return F.when(missing, F.lit("N/A")) \
         .when(t.endswith("%"), t) \
         .when(n.isNull(), t) \
-        .when(n == F.floor(n), whole) \
-        .otherwise(frac)
+        .when(n == F.floor(n), F.coalesce(whole, t)) \
+        .otherwise(F.coalesce(frac, t))

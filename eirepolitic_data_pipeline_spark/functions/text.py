@@ -29,10 +29,18 @@ _STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization → array<string> (lowercased, trimmed)."""
+    """Whitespace tokenization → array<string> (lowercased), matching
+    Python ``str.split()``: no empty tokens, ever. ``F.trim`` strips only
+    ASCII spaces, so the previous trim-then-split emitted a phantom ''
+    token for text edged with \\n/\\t/\\r — documents routinely end with a
+    newline, which skewed token counts, quality thresholds and shingles
+    corpus-wide. split on \\s+ can only produce empty strings at the
+    edges (interior runs are one delimiter), so array_remove('') is
+    exactly the whitespace-edge trim — and handles blank/NULL input for
+    free ([''] → [])."""
     c = F.col(col) if isinstance(col, str) else col
-    t = F.lower(F.trim(F.coalesce(c.cast("string"), F.lit(""))))
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+    t = F.lower(F.coalesce(c.cast("string"), F.lit("")))
+    return F.array_remove(F.split(t, r"\s+"), "")
 
 
 def token_count(col: Column | str) -> Column:
@@ -130,13 +138,21 @@ def language_guess(col: Column | str) -> Column:
     return F.when(best > 0, out).otherwise(F.lit("und"))
 
 
-def doc_fingerprint(col: Column | str, length: int = 16) -> Column:
-    """Deterministic document fingerprint: sha256 of whitespace/punct
-    normalized lowercase text, hex prefix. The exact-dup key."""
+def content_norm(col: Column | str) -> Column:
+    """Canonical content normalization shared by the exact-dup key and the
+    winnowing kernel (lowercase, non-alphanumeric runs → single space,
+    trimmed) — ONE definition so the two can never drift apart and the
+    oracle CTEs that mirror it stay in sync."""
     c = F.col(col) if isinstance(col, str) else col
     norm = F.lower(F.coalesce(c.cast("string"), F.lit("")))
-    norm = F.trim(F.regexp_replace(norm, r"[^a-z0-9]+", " "))
-    return F.substring(F.sha2(norm, 256), 1, length)
+    return F.trim(F.regexp_replace(norm, r"[^a-z0-9]+", " "))
+
+
+def doc_fingerprint(col: Column | str, length: int = 16) -> Column:
+    """Deterministic document fingerprint: sha256 of whitespace/punct
+    normalized lowercase text (``content_norm``), hex prefix. The
+    exact-dup key."""
+    return F.substring(F.sha2(content_norm(col), 256), 1, length)
 
 
 _SENTENCE_BOUNDARY = r'(?<=[.!?])\s+(?=(?:["“‘(\[])?[A-Z0-9])'
@@ -193,12 +209,9 @@ def winnowed_fingerprints(col: Column | str, k: int = 5, window: int = 4,
     Pure Catalyst higher-order functions (transform/aggregate/slice) — no
     UDF, JVM-side, and expressible identically in any SQL engine with list
     lambdas, so results are oracle-checkable bit-for-bit. Normalization
-    matches `doc_fingerprint` (lowercase, non-alphanumeric runs → single
-    space).
+    IS `doc_fingerprint`'s (the shared ``content_norm``).
     """
-    c = F.col(col) if isinstance(col, str) else col
-    norm = F.lower(F.coalesce(c.cast("string"), F.lit("")))
-    norm = F.trim(F.regexp_replace(norm, r"[^a-z0-9]+", " "))
+    norm = content_norm(col)
     codes = F.transform(F.split(norm, ""), F.ascii)
     n = F.when(F.length(norm) > 0, F.size(codes)).otherwise(F.lit(0))
 
@@ -228,8 +241,11 @@ def winnowed_fingerprints(col: Column | str, k: int = 5, window: int = 4,
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
-    # international-ish phone: +optional country code, 9-15 digits with
-    # common separators, anchored on word boundaries to avoid bare numbers
+    # international-ish phone: leading '+', 9-15 digits with common
+    # separators. Deliberately UNANCHORED (\b cannot anchor after '+',
+    # and lookaround is banned above for RE2 parity), so it can match a
+    # prefix inside a longer digit run — a conservative overcount, which
+    # is the right failure direction for PII scrubbing.
     "phone": r"\+\d[\d\- ]{7,13}\d",
 }
 
@@ -251,6 +267,10 @@ def redact_pii(col: Column | str, token: str = "[PII]") -> Column:
     pattern."""
     out = F.coalesce((F.col(col) if isinstance(col, str) else col)
                      .cast("string"), F.lit(""))
+    # Java treats '$' in the replacement as a group reference and '\' as
+    # an escape — a caller token like '<$PII>' would throw
+    # INVALID_REGEXP_REPLACE at runtime mid-stage; escape them
+    token = token.replace("\\", "\\\\").replace("$", "\\$")
     # iterate the declaration, not a hardcoded list: a pattern added to
     # PII_PATTERNS must be scrubbed by the same release that counts it —
     # otherwise documents REPORTED as containing the new kind ship

@@ -73,7 +73,7 @@ _SHINGLES_SQL = """
              )) AS shingles
       -- empty/NULL text -> [] tokens (Spark's tokens() contract); bare
       -- string_split_regex yields [''] and would fabricate a ' ' joint
-      FROM (SELECT doc_id, CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+      FROM (SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), t -> t <> '') AS toks
             FROM documents)
 """
 
@@ -217,7 +217,7 @@ _SIMHASH_BIT_SQL = ", ".join(
     WITH toks AS (
       -- empty/NULL text -> zero token rows, matching Spark's explode of
       -- tokens() = [] (bare split yields [''] and keeps the doc)
-      SELECT doc_id, unnest(list_distinct(CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\\s+') END)) AS tok
+      SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), t -> t <> ''))) AS tok
       FROM documents
     ),
     hashed AS (SELECT doc_id, md5(tok) AS h FROM toks)
@@ -432,14 +432,14 @@ def q37_cosine_neardup_pairs(spark, sf_dir):
     )
     SELECT doc_id,
            -- tokens() yields [] for empty/NULL text; bare split yields ['']
-           CAST(len(CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\s+') END) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'), t -> t <> '')) AS INTEGER) AS n_tokens,
            -- VARCHAR: n_chars is nullable (NULL text) and the DuckDB->
            -- pandas bridge widens a nullable int to float64 ('146.0' vs
            -- Spark's '146' in the hash compare); '∅' nulls match directly
            CAST(length(text) AS VARCHAR)                                      AS n_chars,
            CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER)
              AS n_bpe_ish,
-           CAST(len(list_distinct(CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\s+') END)) AS INTEGER)
+           CAST(len(list_distinct(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'), t -> t <> ''))) AS INTEGER)
              AS n_distinct_tokens,
            array_to_string(list_slice(regexp_split_to_array(s, '\s+'), 1, 12), ' ')
              AS brief,
@@ -520,7 +520,7 @@ def q29_language_id(spark, sf_dir):
     r"""
     WITH base AS (
       SELECT doc_id, text,
-             CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks,
+             list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'), t -> t <> '') AS toks,
              CAST(length(text) AS DOUBLE) AS n_chars,
              -- word chars only: mean word length is sum(len(word))/n_words
              -- (the Gopher/C4 definition) — dividing the WHOLE string
@@ -844,7 +844,9 @@ def q52_sequence_packing(spark, sf_dir):
     "q54_repetition_stats",
     """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+      SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                    '\\s+'),
+                                 t -> t <> '') AS tk
       FROM documents
     ), bi AS (
       SELECT doc_id,
@@ -1267,8 +1269,9 @@ def q62_minhash_dedup_components(spark, sf_dir):
     -- stage 1: quality gate on raw text (token floor + alpha ratio)
     q0 AS (
       SELECT doc_id, text, lang, source,
-             CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
-                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks,
+             list_filter(string_split_regex(lower(coalesce(text, '')),
+                                            '\\s+'),
+                         t -> t <> '') AS toks,
              CAST(length(text) AS DOUBLE) AS nch
       FROM documents
     ),
@@ -1297,9 +1300,9 @@ def q62_minhash_dedup_components(spark, sf_dir):
     ),
     g2f AS (
       SELECT * FROM g2
-      WHERE len(CASE WHEN trim(coalesce(text, '')) = ''
-                THEN CAST([] AS VARCHAR[])
-                ELSE string_split_regex(trim(lower(text)), '\\s+') END) >= 5
+      WHERE len(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                               '\\s+'),
+                            t -> t <> '')) >= 5
     ),
     -- stage 3: exact dedup, min id per normalized-content fingerprint
     fp AS (
@@ -1319,9 +1322,9 @@ def q62_minhash_dedup_components(spark, sf_dir):
                i -> coalesce(array_to_string(tk[i + 1 : i + 3], ' '), '')
              )) AS shingles
       FROM (SELECT doc_id,
-                   CASE WHEN trim(coalesce(text, '')) = ''
-                   THEN CAST([] AS VARCHAR[])
-                   ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+                   list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '\\s+'),
+                               t -> t <> '') AS tk
             FROM g3)
     ),
     sigs AS (

@@ -1114,3 +1114,86 @@ def test_range_join_rejects_reserved_column_names(spark):
                                "win_start timestamp, win_end timestamp")
     with pytest.raises(ValueError, match="reserved"):
         point_in_interval_join(pts, iv, "ts", "win_start", "win_end")
+
+
+def test_tokens_no_phantom_empty_on_whitespace_edges(spark):
+    """F.trim strips only ASCII spaces, so the old trim-then-split emitted
+    a phantom '' token for \\n/\\t-edged text — documents routinely end
+    with a newline, skewing counts/shingles corpus-wide. tokens() now
+    matches Python str.split(): no empty tokens, ever."""
+    from eirepolitic_data_pipeline_spark.functions.text import (
+        quality_features, tokens, word_shingles)
+    df = spark.createDataFrame(
+        [("foo\n",), ("one two three four\n",), ("\t",), ("",), (None,)],
+        "t string")
+    got = df.select(tokens("t").alias("tk"),
+                    quality_features("t")["n_tokens"].alias("n"),
+                    word_shingles("t", 2).alias("sh")).collect()
+    assert got[0]["tk"] == ["foo"] and got[0]["n"] == 1
+    assert got[1]["n"] == 4
+    assert all(not s.endswith(" ") for s in got[1]["sh"])
+    assert got[2]["tk"] == [] and got[3]["tk"] == [] and got[4]["tk"] == []
+
+
+def test_word_count_and_clamp_match_python_split(spark):
+    """X9 parity: len(text.split()) — whitespace-edged text must not
+    inflate counts or render trailing spaces."""
+    from eirepolitic_data_pipeline_spark.functions.scalar import (
+        clamp_words, word_count)
+    df = spark.createDataFrame([("foo\n",), ("\t",), ("a  b c",)], "t string")
+    got = df.select(word_count("t").alias("n"),
+                    clamp_words("t", 5).alias("c")).collect()
+    assert [(r["n"], r["c"]) for r in got] == [
+        (1, "foo"), (0, ""), (3, "a b c")]
+
+
+def test_truthy_survives_crlf(spark):
+    """A CRLF-lined CSV delivers 'true\\r'; reading it as false silently
+    drops rows from current-member logic."""
+    from eirepolitic_data_pipeline_spark.functions.scalar import truthy
+    df = spark.createDataFrame([("true\r",), ("1\t",), ("false",)], "t string")
+    assert [r[0] for r in df.select(truthy("t")).collect()] == [
+        True, True, False]
+
+
+def test_stable_record_hash_renders_nulls(spark):
+    """A record with a NULL field must hash differently from the same
+    record without that field — Spark's to_json default silently omits
+    null fields, defeating change detection."""
+    from eirepolitic_data_pipeline_spark.functions.scalar import (
+        stable_record_hash)
+    df = spark.createDataFrame([("x", None)], "a string, b string")
+    with_b = df.select(stable_record_hash("a", "b").alias("h")).first()["h"]
+    without_b = df.select(stable_record_hash("a").alias("h")).first()["h"]
+    assert with_b != without_b
+
+
+def test_strip_citations_py_is_ascii_twin(spark):
+    """The Python twin must match the Spark column byte-for-byte on
+    Unicode whitespace: Java \\s is ASCII-only, Python's default is not."""
+    from eirepolitic_data_pipeline_spark.functions.scalar import (
+        strip_citations, strip_citations_py)
+    s = "word [3]  next"
+    spark_out = (spark.createDataFrame([(s,)], "t string")
+                 .select(strip_citations("t").alias("o")).first()["o"])
+    assert strip_citations_py(s) == spark_out
+
+
+def test_redact_pii_token_with_dollar(spark):
+    """A redaction token containing $ or \\ must not crash regexp_replace
+    (Java group-reference syntax) nor corrupt the output."""
+    from eirepolitic_data_pipeline_spark.functions.text import redact_pii
+    df = spark.createDataFrame([("mail me at a@b.co now",)], "t string")
+    got = df.select(redact_pii("t", token="<$PII>").alias("o")).first()["o"]
+    assert got == "mail me at <$PII> now"
+
+
+def test_percent_string_infinity_passthrough(spark):
+    """Castable-but-unrenderable numerics (Infinity overflows the decimal
+    render) must fall back to passthrough, never a NULL cell."""
+    from eirepolitic_data_pipeline_spark.functions.scalar import (
+        percent_string)
+    df = spark.createDataFrame([("Infinity",), ("42",), ("oops",)],
+                               "t string")
+    got = [r[0] for r in df.select(percent_string("t")).collect()]
+    assert got == ["Infinity", "42%", "oops"]
