@@ -145,11 +145,18 @@ _WS_RE = re.compile(r"\s+", re.ASCII)
 
 def _shingle_set(text, n: int) -> set[str]:
     """Distinct word n-gram shingles; mirrors ``functions.text.word_shingles``
-    (lower(trim(text)), ASCII \\s+ split, <n tokens → one whole-text shingle)
-    so Python and Catalyst paths agree byte-for-byte."""
+    (lowercase, ASCII \\s+ split with empty tokens dropped — Python
+    ``str.split()`` semantics, <n tokens → one whole-text shingle) so the
+    Arrow kernels and the Catalyst/oracle paths agree byte-for-byte.
+
+    The empty-token drop is load-bearing: a ``strip(' ')``-then-split kept
+    a phantom '' token for \\n/\\t/\\r-edged text (documents routinely end
+    with a newline), which fabricated trailing-space shingles and inflated
+    ``n_sh`` — every Jaccard/MinHash result silently drifted from the
+    certified ``tokens()``/oracle semantics on real corpora."""
     t = ("" if text is None or (isinstance(text, float) and text != text)
-         else str(text)).strip(" ").lower()
-    toks = _WS_RE.split(t) if t else []
+         else str(text)).lower()
+    toks = [w for w in _WS_RE.split(t) if w]
     if len(toks) < n:
         return {" ".join(toks)}
     return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}

@@ -796,10 +796,12 @@ def q51_dataset_split(spark, sf_dir):
     WITH toks AS (
       SELECT doc_id,
              CAST(doc_id % 8 AS INTEGER) AS shard,
-             -- coalesce: NULL text must count like a blank doc (1 empty
-             -- token on both engines), not poison the sum into a NULL the
-             -- pandas bridge widens to float64
-             CAST(len(string_split_regex(trim(coalesce(text, '')), '\\s+')) AS BIGINT) AS n_tok
+             -- the canonical tokens() contract (str.split semantics:
+             -- empty tokens dropped, NULL/blank text -> 0 tokens), same
+             -- list_filter form as every other token-counting oracle
+             CAST(len(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                     '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tok
       FROM documents
     ), packed AS (
       SELECT shard, doc_id, n_tok,
@@ -827,9 +829,7 @@ def q52_sequence_packing(spark, sf_dir):
     from ..operators.curation import pack_sequences
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id",
-        F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))),
-                       r"\s+")).cast("long").alias("n_tok"))
+        "doc_id", tx.token_count("text").cast("long").alias("n_tok"))
     packed = pack_sequences(toks, "doc_id", "n_tok", budget=2048, shards=8)
     return (packed.groupBy("shard", "batch_id")
             .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -873,8 +873,11 @@ def q54_repetition_stats(spark, sf_dir):
     plain partial-aggregated shuffle at any corpus size. High-fraction docs
     are the boilerplate/spam cut in training-data curation."""
     docs = spread(t(spark, sf_dir, "documents"))
-    toks = F.split(F.trim(F.lower("text")), r"\s+")
-    bi = (docs.select("doc_id", toks.alias("tk"))
+    # tx.tokens, NOT a raw trim-then-split: F.trim strips only ASCII
+    # spaces, so \n-trailed text would grow a phantom '' token and one
+    # fabricated bigram per edge — drifting from the oracle's list_filter
+    # tokenizer (caught by the edge-fixture parity suite)
+    bi = (docs.select("doc_id", tx.tokens("text").alias("tk"))
           .filter(F.size("tk") >= 2)
           .select("doc_id", F.explode(F.transform(
               F.sequence(F.lit(1), F.size("tk") - 1),

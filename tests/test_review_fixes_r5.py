@@ -1197,3 +1197,23 @@ def test_percent_string_infinity_passthrough(spark):
                                "t string")
     got = [r[0] for r in df.select(percent_string("t")).collect()]
     assert got == ["Infinity", "42%", "oops"]
+
+
+def test_shingle_kernel_matches_word_shingles_on_edge_whitespace(spark):
+    """The Arrow shingle kernel (`_shingle_set`) must tokenize exactly like
+    tokens()/word_shingles: \\n/\\t-edged text previously kept a phantom ''
+    token (strip(' ') only removes spaces), fabricating trailing-space
+    shingles and inflating n_sh — silently drifting every Jaccard/MinHash
+    result from the certified oracle semantics on real corpora."""
+    from eirepolitic_data_pipeline_spark.functions.text import word_shingles
+    from eirepolitic_data_pipeline_spark.operators.dedupe import _shingle_set
+
+    texts = ["shared parity sentence one two three\n",
+             "\tlead tab text here",
+             "foo bar baz\r\n", "  plain spaced  ", "one\ttwo", "", None,
+             "   ", "a\nb\nc\nd"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    catalyst = [set(r[0]) for r in
+                df.select(word_shingles("t", 3)).collect()]
+    kernel = [_shingle_set(t, 3) for t in texts]
+    assert kernel == catalyst

@@ -12,7 +12,12 @@ Added rows:
 - documents: doc_id 900001 (NULL text), 900002 ('' text), 900003
   (whitespace-only text) — exercises every tokenize/fingerprint/quality
   oracle's NULL/empty handling; 900004 (NULL lang) — exercises q55's
-  NULL-source group contract (null-safe join, not a drop);
+  NULL-source group contract (null-safe join, not a drop); 900005/900006
+  (newline-trailed / tab-led near-dup pair) — exercises the phantom-token
+  contract (split on \\s+ must drop edge empties) through the Arrow
+  shingle kernels: with a strip(' ')-then-split tokenizer these two docs
+  grow trailing-space / leading-space shingles and their Jaccard drops
+  from 7/8 to 7/10, diverging from the oracle;
 - events: three clicks sharing one (user_id, ts) with distinct event_ids
   plus one error after them — exercises q39's as-of tie rule (max
   event_id wins, which the oracle must pin explicitly: DuckDB's ASOF join
@@ -51,7 +56,16 @@ def build(src: str, dst: str, spark=None) -> str:
          # (null-safe plan join), not drop the rows or merge them with a
          # source literally named '__null__'
          (900004, "plain english words for the null lang group", None,
-          "siteX", 44)],
+          "siteX", 44),
+         # \n-trailed / \t-led near-dup pair: the shingle kernels must
+         # tokenize these identically to tokens()/the oracle (no phantom
+         # '' tokens at whitespace edges) — the pair's Jaccard is 7/8
+         # only when edge empties are dropped
+         (900005, "shared parity sentence one two three four five six\n",
+          "en", "siteX", 51),
+         (900006,
+          "\tshared parity sentence one two three four five six seven",
+          "en", "siteX", 58)],
         schema=docs.schema)
     _write_single(docs.unionByName(extra), os.path.join(dst, "documents.parquet"))
 
