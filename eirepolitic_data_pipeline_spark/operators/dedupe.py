@@ -410,11 +410,21 @@ def min_label_components(ids: DataFrame, pairs: DataFrame,
     diameters (pairwise-similar clusters), so 2-3 rounds typical. The edge
     list is persisted once; labels are localCheckpoint-ed per round to
     truncate lineage. The per-round convergence check is a scalar count,
-    not a data collect."""
+    not a data collect.
+
+    Propagation runs ONLY over nodes that touch an edge: an id with no
+    edge is its own canonical by definition, so carrying the full corpus
+    through the per-round joins/checkpoints would cost O(|ids|) per round
+    for rows whose label can never change — at corpus scale the edge-node
+    set is orders of magnitude smaller than the id set (true near-dups
+    are the exception, not the rule). Non-edge ids attach as
+    self-canonical in one final left join."""
     edges = pairs.select("doc_a", "doc_b").unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))).persist()
-    labels = ids.select("id", F.col("id").alias("label")).localCheckpoint()
+    # both orientations are present, so doc_a alone covers every endpoint
+    labels = (edges.select(F.col("doc_a").alias("id")).distinct()
+              .select("id", F.col("id").alias("label")).localCheckpoint())
     changed = 0
     for _ in range(max_iters):
         nbr = (edges.join(labels, edges.doc_b == labels.id)
@@ -444,7 +454,9 @@ def min_label_components(ids: DataFrame, pairs: DataFrame,
             f"min_label_components did not converge in {max_iters} rounds "
             f"({changed} labels still changing) — the pair graph has a "
             "component with diameter > max_iters; raise max_iters")
-    return labels.select("id", F.col("label").alias("canonical_id"))
+    return (ids.join(labels, "id", "left")
+            .select("id", F.coalesce("label", F.col("id"))
+                    .alias("canonical_id")))
 
 
 def decontaminate(corpus: DataFrame, benchmark: DataFrame,
