@@ -1404,3 +1404,126 @@ def q63_curate_corpus_certified(spark, sf_dir):
                         near_dup_hashes=_N_HASHES,
                         near_dup_band_rows=_BAND_ROWS)
     return out.select("doc_id", "lang", "source", "split")
+
+
+@register(
+    "q64_decontaminate_benchmark",
+    r"""
+    WITH bench AS (
+      SELECT text FROM documents WHERE doc_id % 97 = 0
+    ),
+    corp AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+    ),
+    -- the shared shingle contract at n=8 (tokens(): empty tokens dropped;
+    -- <n tokens -> ONE whole-text shingle, '' for a blank doc)
+    csh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(greatest(len(tk) - 7, 1)),
+               i -> coalesce(array_to_string(tk[i + 1 : i + 8], ' '), '')
+             )) AS shingles
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '\s+'),
+                               t -> t <> '') AS tk
+            FROM corp)
+    ),
+    bsh AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(greatest(len(tk) - 7, 1)),
+               i -> coalesce(array_to_string(tk[i + 1 : i + 8], ' '), ''))))
+             AS s
+      FROM (SELECT list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '\s+'),
+                               t -> t <> '') AS tk
+            FROM bench)
+    ),
+    hits AS (
+      SELECT c.doc_id, count(*) AS n_hits
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM csh) c
+      JOIN bsh USING (s)
+      GROUP BY 1
+    )
+    SELECT corp.doc_id,
+           CASE WHEN h.doc_id IS NULL THEN 'kept' ELSE 'dropped' END AS status,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+    FROM corp LEFT JOIN hits h USING (doc_id)
+    """,
+    survey_ref="beyond-ref: benchmark decontamination (operators/dedupe.py:decontaminate)",
+)
+def q64_decontaminate_benchmark(spark, sf_dir):
+    """Benchmark decontamination under the oracle gate: every 97th document
+    plays the eval set, the rest the training corpus; corpus documents
+    sharing ANY distinct word 8-gram with the eval set are dropped, with
+    the distinct-overlap count reported. Drives the REAL operator (both
+    outputs — the anti-joined keep set and the contaminated report — feed
+    the result), whose plan is one map-side shingle pass per side + a
+    broadcast join on the benchmark's distinct 8-byte keys: the corpus is
+    never shuffled. The oracle recomputes the overlap from raw text."""
+    from ..operators.dedupe import decontaminate
+    docs = spread(t(spark, sf_dir, "documents"))
+    corp = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    kept, contaminated = decontaminate(corp, bench, "text", "doc_id", n=8)
+    return (kept.select("doc_id", F.lit("kept").alias("status"),
+                        F.lit(0).cast("long").alias("n_hits"))
+            .unionByName(contaminated.select(
+                "doc_id", F.lit("dropped").alias("status"),
+                F.col("n_hits").cast("long"))))
+
+
+@register(
+    "q65_knn_lsh_multiprobe",
+    """
+    WITH lsh AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             array_to_string(list_transform(range(6), i ->
+               CASE WHEN embedding[CAST(i AS INTEGER) + 1] >= 0
+                    THEN '1' ELSE '0' END), '') AS bucket
+      FROM embeddings
+    ),
+    probes AS (
+      -- home bucket + each 1-bit flip, pairwise distinct by construction
+      SELECT vec_id AS query_id, v AS qv,
+             unnest(list_prepend(bucket, list_transform(range(6), i ->
+               substr(bucket, 1, CAST(i AS INTEGER))
+               || (CASE WHEN substr(bucket, CAST(i AS INTEGER) + 1, 1) = '1'
+                        THEN '0' ELSE '1' END)
+               || substr(bucket, CAST(i AS INTEGER) + 2,
+                         6 - CAST(i AS INTEGER) - 1)))) AS probe
+      FROM lsh WHERE vec_id < 5
+    ),
+    cand AS (
+      SELECT p.query_id, n.vec_id AS neighbor_id, n.v, p.qv
+      FROM probes p JOIN lsh n
+        ON n.bucket = p.probe AND n.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id,
+           round(list_cosine_similarity(v, qv), 6) AS cosine,
+           CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY list_cosine_similarity(v, qv) DESC, neighbor_id)
+             AS INTEGER) AS rank
+    FROM cand
+    QUALIFY rank <= 3
+    """,
+    survey_ref="beyond-ref: multiprobe LSH kNN (operators/similarity.py:knn_lsh)",
+)
+def q65_knn_lsh_multiprobe(spark, sf_dir):
+    """The RECALL path of the ANN operator under the oracle gate: top-3
+    neighbors per query via ``knn_lsh`` with 1-bit multiprobe — each query
+    probes its home sign-LSH bucket plus the 6 one-bit-flip buckets, so
+    near neighbors that land just across a hyperplane are still found
+    (q27's single-bucket form misses them by design). The probe set is
+    pairwise distinct, so no dedup shuffle is needed (operator contract);
+    candidates still arrive via bucket equi-join — never n². The oracle
+    re-derives the probe expansion and ranks by the identical
+    sequential-fold cosine (ranked on the RAW double on both engines —
+    rounding is display-only)."""
+    from ..operators.similarity import knn_lsh
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = knn_lsh(emb, queries, k=3, n_bits=6, multiprobe=True)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")

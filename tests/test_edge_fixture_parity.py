@@ -54,6 +54,7 @@ EDGE_QUERIES = (
     "q61_line_dedup_boilerplate",
     "q62_minhash_dedup_components",
     "q63_curate_corpus_certified",
+    "q64_decontaminate_benchmark",
 )
 
 
