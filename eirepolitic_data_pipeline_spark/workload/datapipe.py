@@ -1527,3 +1527,86 @@ def q65_knn_lsh_multiprobe(spark, sf_dir):
     out = knn_lsh(emb, queries, k=3, n_bits=6, multiprobe=True)
     return out.select("query_id", "neighbor_id",
                       F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def _simhash_sql_sig() -> str:
+    """One 32-bit simhash bit-string per doc in SQL: per-bit majority vote
+    of md5-nibble high bits over the doc's DISTINCT tokens — the exact
+    functions/text.py recipe (hex chars '8'..'f' carry the high bit; hex
+    digits sort identically as chars in both engines)."""
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN substr(h, {i + 1}, 1) >= '8' THEN 1 ELSE 0 END) AS v{i}"
+        for i in range(32))
+    bits = " || ".join(
+        f"(CASE WHEN v{i} * 2 >= n THEN '1' ELSE '0' END)" for i in range(32))
+    return f"""
+    toks AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_filter(string_split_regex(lower(coalesce(text, '')),
+                                              '\\s+'),
+                           t -> t <> ''))) AS tok
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    agg AS (
+      SELECT doc_id, count(*) AS n,
+             {votes}
+      FROM hashed GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {bits} AS simhash FROM agg)
+    """
+
+
+@register(
+    "q66_simhash_banded_pairs",
+    f"""
+    WITH {_simhash_sql_sig()},
+    bands0 AS (
+      SELECT doc_id, simhash, i,
+             substr(simhash, CAST(i AS INTEGER) * 8 + 1, 8) AS b
+      FROM sig, unnest(range(4)) AS t(i)
+    ),
+    -- the engine's DEFAULT_MAX_DF stop-key cap, mirrored (q24's pattern):
+    -- a band value shared by >1000 docs is dropped WHOLE on both sides —
+    -- at sf0.1 the synthetic corpus concentrates enough near-identical
+    -- docs that the cap genuinely binds, so an uncapped oracle diverges
+    keepb AS (
+      SELECT i, b FROM bands0 GROUP BY i, b HAVING count(*) <= 1000
+    ),
+    bands AS (SELECT b0.* FROM bands0 b0 JOIN keepb USING (i, b)),
+    -- under the cap, banding is exact, not a recall heuristic: hamming
+    -- <= 3 over 4 bands pigeonholes at least one band into exact
+    -- equality (Manku et al. 2007), so band-join + exact verify
+    -- reproduces the full answer over the surviving bands
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bands a JOIN bands b ON a.i = b.i AND a.b = b.b
+                               AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_filter(range(32), i ->
+             substr(sa, CAST(i AS INTEGER) + 1, 1)
+             <> substr(sb, CAST(i AS INTEGER) + 1, 1))) AS INTEGER) AS hamming
+    FROM cand
+    WHERE len(list_filter(range(32), i ->
+            substr(sa, CAST(i AS INTEGER) + 1, 1)
+            <> substr(sb, CAST(i AS INTEGER) + 1, 1))) <= 3
+    """,
+    survey_ref="beyond-ref: SimHash banded Hamming search (operators/dedupe.py:simhash_near_pairs)",
+)
+def q66_simhash_banded_pairs(spark, sf_dir):
+    """The SimHash SEARCH path under the oracle gate (q25 certifies only
+    the signatures): all document pairs within Hamming distance 3, found
+    by the banded equi-join (4 x 8-bit bands, DEFAULT_MAX_DF stop-band
+    cap on — the oracle mirrors the cap, q24's pattern) + exact verify.
+    Over the surviving bands banding is EXACT, not approximate — d <= 3
+    with 4 bands forces at least one band to agree exactly (pigeonhole),
+    so the engine's band-partitioned plan and the oracle's band join must
+    produce the identical pair set; the engine's xxhash64 band keys can
+    only ADD candidates (collisions), which the exact Hamming verify
+    removes."""
+    from ..operators.dedupe import simhash_near_pairs
+    docs = spread(t(spark, sf_dir, "documents"))
+    return simhash_near_pairs(docs, "text", "doc_id",
+                              bits=32, band_bits=8, max_hamming=3)

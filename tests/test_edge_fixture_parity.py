@@ -55,6 +55,7 @@ EDGE_QUERIES = (
     "q62_minhash_dedup_components",
     "q63_curate_corpus_certified",
     "q64_decontaminate_benchmark",
+    "q66_simhash_banded_pairs",
 )
 
 
