@@ -1610,3 +1610,55 @@ def q66_simhash_banded_pairs(spark, sf_dir):
     docs = spread(t(spark, sf_dir, "documents"))
     return simhash_near_pairs(docs, "text", "doc_id",
                               bits=32, band_bits=8, max_hamming=3)
+
+
+@register(
+    "q67_conflict_evidence_dedupe",
+    """
+    WITH src AS (
+      SELECT o_custkey, o_orderstatus, o_orderpriority FROM orders
+    ),
+    collapsed AS (
+      SELECT DISTINCT o_custkey, o_orderstatus, o_orderpriority FROM src
+    ),
+    per_key AS (
+      SELECT o_custkey, count(*) AS distinct_rows FROM collapsed GROUP BY 1
+    ),
+    conflicts AS (
+      SELECT o_custkey,
+             count(DISTINCT (o_orderstatus, o_orderpriority))
+               AS distinct_variants
+      FROM src GROUP BY 1
+      HAVING count(DISTINCT (o_orderstatus, o_orderpriority)) > 1
+    )
+    SELECT p.o_custkey, p.distinct_rows,
+           CASE WHEN c.o_custkey IS NULL THEN 'clean' ELSE 'conflict' END
+             AS status,
+           CAST(coalesce(c.distinct_variants, 1) AS INTEGER)
+             AS distinct_variants
+    FROM per_key p LEFT JOIN conflicts c USING (o_custkey)
+    """,
+    survey_ref="O6 (operators/dedupe.py:dedupe_with_conflicts — reference history_dedupe.py:16-63)",
+)
+def q67_conflict_evidence_dedupe(spark, sf_dir):
+    """O6 conflict-evidence dedupe under the oracle gate (previously
+    pytest-only): exact duplicate business rows collapse, while business
+    keys whose compared fields DISAGREE are reported as conflicts instead
+    of silently resolved — the reference's history-dedupe contract. Both
+    operator outputs feed the result: the collapsed frame supplies the
+    per-key distinct-row counts, the conflict report supplies the variant
+    counts. Plan: one dropDuplicates shuffle + one map-side-combined
+    distinct-count agg, both on the business key."""
+    from ..operators.dedupe import dedupe_with_conflicts
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_orderpriority")
+    deduped, conflicts = dedupe_with_conflicts(
+        orders, ["o_custkey"], ["o_orderstatus", "o_orderpriority"])
+    per_key = deduped.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("distinct_rows"))
+    return (per_key.join(conflicts, "o_custkey", "left")
+            .select("o_custkey", "distinct_rows",
+                    F.when(F.col("distinct_variants").isNull(), "clean")
+                    .otherwise("conflict").alias("status"),
+                    F.coalesce("distinct_variants", F.lit(1)).cast("int")
+                    .alias("distinct_variants")))
