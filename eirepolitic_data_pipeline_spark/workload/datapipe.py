@@ -1662,3 +1662,103 @@ def q67_conflict_evidence_dedupe(spark, sf_dir):
                     .otherwise("conflict").alias("status"),
                     F.coalesce("distinct_variants", F.lit(1)).cast("int")
                     .alias("distinct_variants")))
+
+
+@register(
+    "q68_tally_integrity_report",
+    """
+    WITH detail AS (
+      SELECT CAST(l_orderkey AS VARCHAR) AS division_id,
+             CASE WHEN l_returnflag = 'A' THEN 'ta'
+                  WHEN l_returnflag = 'R' THEN 'nil'
+                  ELSE 'staon' END AS vote_code
+      FROM lineitem
+    ),
+    obs AS (
+      SELECT division_id, vote_code, count(*) AS observed
+      FROM detail GROUP BY 1, 2
+    ),
+    -- tally header with planted defects: +1 on 'ta' for divisions %37
+    -- (reconciliation mismatch), non-numeric declared on %41 (the
+    -- reference's comparable-mask skip semantics)
+    header AS (
+      SELECT division_id, vote_code,
+             CASE WHEN CAST(division_id AS BIGINT) % 41 = 0 THEN 'n/a'
+                  WHEN CAST(division_id AS BIGINT) % 37 = 0
+                       AND vote_code = 'ta'
+                    THEN CAST(observed + 1 AS VARCHAR)
+                  ELSE CAST(observed AS VARCHAR) END AS member_count,
+             observed
+      FROM obs
+    ),
+    a10 AS (
+      SELECT division_id, 'missing_categories' AS issue,
+             array_to_string(list_sort(list_filter(
+               ['ta', 'nil', 'staon'],
+               r -> NOT list_contains(codes, r))), ',') AS detail,
+             -- VARCHAR: nullable ints widen to float64 through the
+             -- DuckDB->pandas bridge ('2.0' vs '2' hash mismatch)
+             CAST(NULL AS VARCHAR) AS declared_count,
+             CAST(NULL AS VARCHAR) AS observed_count
+      FROM (SELECT division_id, list(DISTINCT vote_code) AS codes
+            FROM header GROUP BY 1)
+      WHERE len(list_filter(['ta', 'nil', 'staon'],
+                            r -> NOT list_contains(codes, r))) > 0
+    ),
+    a11 AS (
+      SELECT division_id, 'tally_mismatch' AS issue, vote_code AS detail,
+             CAST(TRY_CAST(member_count AS INTEGER) AS VARCHAR)
+               AS declared_count,
+             CAST(observed AS VARCHAR) AS observed_count
+      FROM header
+      WHERE TRY_CAST(member_count AS INTEGER) IS NOT NULL
+        AND TRY_CAST(member_count AS INTEGER) <> observed
+    )
+    SELECT * FROM a10 UNION ALL SELECT * FROM a11
+    """,
+    survey_ref="A10,A11 (plans/quality.py:tally_completeness, tally_reconciliation — reference table_division_tallies.py:239-283)",
+    # both checks return (CheckResult, evidence) and the CheckResult's
+    # count() is an action at construction time — the memo must not turn
+    # repeat passes into result reads
+    memoize=False,
+)
+def q68_tally_integrity_report(spark, sf_dir):
+    """A10+A11 under the oracle gate (previously pytest-only): lineitem
+    plays the exploded member-vote rows (division = orderkey, vote kind
+    from returnflag), a tally header is derived per (division, kind) with
+    two planted defect families — +1 over-declared 'ta' counts on %37
+    divisions, non-numeric declared counts on %41 (which the comparable
+    mask must SKIP, not flag) — and the REAL check plans produce the
+    evidence: divisions missing a required category (completeness) and
+    declared-vs-observed mismatches (reconciliation), unioned into one
+    review report. Each check is one map-side-combined shuffle on the
+    division key."""
+    from ..plans.quality import tally_completeness, tally_reconciliation
+    li = t(spark, sf_dir, "lineitem")
+    detail = li.select(
+        F.col("l_orderkey").cast("string").alias("division_id"),
+        F.when(F.col("l_returnflag") == "A", "ta")
+        .when(F.col("l_returnflag") == "R", "nil")
+        .otherwise("staon").alias("vote_code"))
+    obs = (detail.groupBy("division_id", "vote_code")
+           .agg(F.count(F.lit(1)).alias("observed")))
+    header = obs.select(
+        "division_id", "vote_code",
+        F.when(F.col("division_id").cast("long") % 41 == 0, F.lit("n/a"))
+        .when((F.col("division_id").cast("long") % 37 == 0)
+              & (F.col("vote_code") == "ta"),
+              (F.col("observed") + 1).cast("string"))
+        .otherwise(F.col("observed").cast("string")).alias("member_count"))
+    _, missing = tally_completeness(header)
+    _, mismatches = tally_reconciliation(header, detail)
+    a10 = missing.select(
+        "division_id", F.lit("missing_categories").alias("issue"),
+        F.array_join("missing_codes", ",").alias("detail"),
+        F.lit(None).cast("string").alias("declared_count"),
+        F.lit(None).cast("string").alias("observed_count"))
+    a11 = mismatches.select(
+        "division_id", F.lit("tally_mismatch").alias("issue"),
+        F.col("vote_code").alias("detail"),
+        F.col("declared_count").cast("string").alias("declared_count"),
+        F.col("observed_count").cast("string").alias("observed_count"))
+    return a10.unionByName(a11)
