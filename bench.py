@@ -31,6 +31,49 @@ def _sf_of(path: str):
     return float(m.group(1)) if m else base
 
 
+def _q63_stage_walls(spark, sf_dir: str) -> dict[str, float]:
+    """Per-stage wall seconds for q63's composed curation recipe: one
+    extra pass, forced stage-by-stage with the noop sink and the exact
+    q63 parameters, so a regression in a single stage surfaces in the
+    bench JSON instead of hiding inside the 6-stage composite median.
+    Sequential forcing measures each stage's own increment — upstream
+    boundaries consumed more than once are persisted by the operator
+    (persist_stages), matching how the composed query itself runs."""
+    from eirepolitic_data_pipeline_spark.operators.curation import (
+        curate_corpus_stages)
+    from eirepolitic_data_pipeline_spark.workload.datapipe import (
+        _BAND_ROWS, _N_HASHES)
+    from eirepolitic_data_pipeline_spark.workload.registry import spread, t
+
+    docs = spread(t(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "lang", "source")
+    walls: dict[str, float] = {}
+    cached = []
+    # time the generator ADVANCE inside each stage's window too: building
+    # the near_dup stage runs Spark jobs at construction (the component
+    # closure localCheckpoints per round), which a plain for-loop would
+    # attribute to no stage at all
+    stages = curate_corpus_stages(docs, near_dup_hashes=_N_HASHES,
+                                  near_dup_band_rows=_BAND_ROWS)
+    try:
+        while True:
+            t0 = time.perf_counter()
+            try:
+                name, frame = next(stages)
+            except StopIteration:
+                break
+            frame.write.format("noop").mode("overwrite").save()
+            walls[name] = round(time.perf_counter() - t0, 3)
+            if frame.storageLevel.useMemory or frame.storageLevel.useDisk:
+                cached.append(frame)
+    except Exception as e:  # pragma: no cover - telemetry is best-effort
+        print(f"bench q63 stage telemetry error: {e}", file=sys.stderr)
+    finally:
+        for frame in cached:
+            frame.unpersist()
+    return walls
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_of(sf_dir)
@@ -89,11 +132,23 @@ def main():
                          if samples[name] and name not in failed else -1.0)
     all_runs_wall = round(time.perf_counter() - loop_t0, 3)
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+    # The driver keeps only the LAST 2000 characters of stdout (BENCH_r05's
+    # "tail" truncated mid-line and its "parsed" came back null), so the one
+    # JSON line must fit whole: keys shrink to the unique qNN prefix
+    # (~14 bytes/entry vs ~32 for full names — 64 queries fit with half the
+    # budget spare) and sort by name so round-over-round diffs align. The
+    # qNN → full-name mapping is workload.QUERIES, unambiguous by
+    # construction (asserted here so a future rename can't silently merge
+    # two queries into one key).
+    short = {name.split("_")[0]: v for name, v in timings.items()}
+    assert len(short) == len(timings), "qNN prefixes must stay unique"
+    q63_stages = _q63_stage_walls(spark, sf_dir)
     print(json.dumps({
         "metric": "workload_total_wall_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": dict(sorted(short.items())),
+        "q63_stages": q63_stages,
         "sf": sf,
         "runs_per_query": n_runs,
         "wall_seconds_all_runs": all_runs_wall,

@@ -405,6 +405,17 @@ def min_label_components(ids: DataFrame, pairs: DataFrame,
     has one ``id`` column; ``pairs`` has (doc_a, doc_b) undirected edges
     (either orientation).
 
+    CONTRACT: every pair endpoint must be an element of ``ids``. Labels
+    are seeded from edge ENDPOINTS (the edge-node optimization below), so
+    an endpoint outside ``ids`` would propagate as a component minimum and
+    surface as a canonical_id that names a row the caller never provided —
+    out-of-universe canonicals, with no error. All in-repo callers derive
+    ``pairs`` from the same frame as ``ids``, which satisfies this by
+    construction; external callers with independently-sourced edges must
+    pre-filter both endpoints to the id universe (note that dropping an
+    edge whose bridge node is genuinely absent from ``ids`` is the correct
+    semantics — that node is not part of the universe being deduped).
+
     Scale: each iteration is one join + one groupBy on the edge list —
     O(diameter) rounds, and near-dup components in real corpora have tiny
     diameters (pairwise-similar clusters), so 2-3 rounds typical. The edge
@@ -543,29 +554,73 @@ def dedupe_lines(df: DataFrame, text_col: str = "text",
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", bits: int = 32) -> DataFrame:
-    """SimHash: bit i = majority vote of md5-nibble-i's high bit across the
-    doc's distinct tokens. Emitted as a bit-string column ``simhash``.
+#: Hex chars whose LOW bit is set — the bit-source for simhash bits 32-63.
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
 
-    ``bits`` is capped at 32 — md5 hex has exactly 32 nibbles, so bit
-    positions past 32 would read substring('') and silently vote 0 for
-    EVERY document: those constant bits would make the bands covering them
-    collide corpus-wide (all-pairs expansion under max_df, or the whole
-    band dropped above it) with no error. Refuse instead."""
-    if not 1 <= bits <= 32:
+
+def _simhash_votes(df: DataFrame, text_col: str, id_col: str,
+                   bits: int) -> DataFrame:
+    """Per-doc majority-vote counters shared by both simhash encodings:
+    one row per doc with ``n`` (distinct-token count) and ``v0..v{bits-1}``.
+    Bit i < 32 votes on md5-nibble-i's HIGH bit (hex char >= '8'); bit
+    i >= 32 votes on md5-nibble-(i-32)'s LOW bit (odd hex char) — two
+    independent bits per nibble, so 64 signature bits from one md5 with
+    both recipes expressible in plain SQL for the oracle.
+
+    ``bits`` is capped at 64 — md5 hex has exactly 32 nibbles and this
+    recipe draws two bits from each; positions past 64 would read
+    substring('') and silently vote 0 for EVERY document: those constant
+    bits would make the bands covering them collide corpus-wide
+    (all-pairs expansion under max_df, or the whole band dropped above
+    it) with no error. Refuse instead."""
+    if not 1 <= bits <= 64:
         raise ValueError(
-            f"simhash bits must be in [1, 32] (md5 has 32 nibbles); "
-            f"got {bits}")
+            f"simhash bits must be in [1, 64] (md5 has 32 nibbles x 2 "
+            f"usable bits); got {bits}")
     toks = df.select(F.col(id_col).alias("doc_id"),
                      F.explode(F.array_distinct(tx.tokens(text_col))).alias("tok"))
     hashed = toks.select("doc_id", F.md5("tok").alias("h"))
-    votes = [F.sum(F.when(F.substring("h", i + 1, 1) >= "8", 1).otherwise(0)).alias(f"v{i}")
-             for i in range(bits)]
-    agg = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *votes)
+    votes = []
+    for i in range(bits):
+        if i < 32:
+            bit = F.substring("h", i + 1, 1) >= "8"
+        else:
+            bit = F.substring("h", i - 32 + 1, 1).isin(*_ODD_HEX)
+        votes.append(F.sum(F.when(bit, 1).otherwise(0)).alias(f"v{i}"))
+    return hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *votes)
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash: bit i = majority vote of md5-nibble-i's high bit across the
+    doc's distinct tokens. Emitted as a bit-string column ``simhash`` —
+    the human-readable / oracle-certified encoding (q25)."""
+    agg = _simhash_votes(df, text_col, id_col, bits)
     bit_cols = [F.when(F.col(f"v{i}") * 2 >= F.col("n"), F.lit("1")).otherwise(F.lit("0"))
                 for i in range(bits)]
     return agg.select("doc_id", F.concat(*bit_cols).alias("simhash"))
+
+
+def simhash_longs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """Same signature as :func:`simhash_signatures`, packed into one LONG
+    column ``sim64`` (bit-string position i == long bit ``bits-1-i``, so the
+    bit-string is the long's binary rendering). The packed encoding is the
+    compute/search representation: 8 bytes through every shuffle instead of
+    a 32-char string, and Hamming distance collapses to the single JVM
+    intrinsic ``bit_count(a ^ b)``."""
+    agg = _simhash_votes(df, text_col, id_col, bits)
+    packed = None
+    for i in range(bits):
+        # two's complement: bit 63 of a signed long is -2^63, not +2^63
+        # (which overflows); each bit is added exactly once so the sum is
+        # the packed value for any bits <= 64
+        b = bits - 1 - i
+        weight = -(1 << 63) if b == 63 else (1 << b)
+        term = F.when(F.col(f"v{i}") * 2 >= F.col("n"),
+                      F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return agg.select("doc_id", packed.alias("sim64"))
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
@@ -577,29 +632,52 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     Crawling"): split the signature into bits/band_bits bands; any pair
     within Hamming d < #bands must agree exactly on ≥1 band → equi-join per
     band, then exact Hamming verify. Partitioned by band value — no n².
-    """
-    sigs = simhash_signatures(df, text_col, id_col, bits)
+
+    SIZING FOR SCALE: each band index has only 2^band_bits possible
+    values, so once the corpus approaches ``2^band_bits * max_df``
+    documents the band buckets SATURATE — every posting list nears the
+    stop-band cap and recall collapses (the cap drops saturated bands
+    whole). The defaults (bits=32, band_bits=8: 256 buckets/band) are
+    sized for ~10^5 docs per run; at corpus scale use ``bits=64,
+    band_bits=16`` (4 bands still pigeonhole Hamming <= 3, 65536
+    buckets/band carries ~10^7-10^8 docs; demonstrated side by side in
+    tools/stress_dedup.py). Past that, partition the corpus (by shard
+    key) and search within shards, or raise max_hamming-appropriate
+    band counts on a wider hash.
+
+    Plan notes (r6 rewrite, was 6.6s → integer path): signatures travel as
+    one LONG (``simhash_longs``); band keys are exact small integers
+    ``(band_index << band_bits) | band_byte`` extracted with shift/mask —
+    no per-band strings, and the DEFAULT_MAX_DF stop-band cap therefore
+    keys on the TRUE band value (no hash-collision caveat: a cap decision
+    can never merge two distinct band groups). The signature rides the
+    posting payload as 8 bytes (re-joining it after the pair dedupe would
+    re-evaluate the expensive vote aggregate — Catalyst does not share
+    common subtrees); the pair-dedupe shuffle therefore carries two ids +
+    16 bytes, and the exact verify is ``bit_count(a ^ b)`` — one JVM
+    intrinsic per surviving pair."""
+    if bits % band_bits != 0:
+        raise ValueError(f"band_bits {band_bits} must divide bits {bits}")
+    sigs = simhash_longs(df, text_col, id_col, bits)
     n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
     bands = sigs.select(
-        "doc_id", "simhash",
+        "doc_id", "sim64",
+        # unsigned shift: at bits=64 the sign bit is signature bit 0, and
+        # an arithmetic shift would smear it across every band
         F.explode(F.array(*[
-            F.concat_ws(":", F.lit(str(i)),
-                        F.substring("simhash", i * band_bits + 1, band_bits))
+            (F.shiftrightunsigned("sim64", bits - (i + 1) * band_bits)
+             .bitwiseAND(F.lit(mask)) + F.lit(i << band_bits)).alias("b")
             for i in range(n_bands)
-        ])).alias("band_str"),
-    ).select("doc_id", "simhash", F.xxhash64("band_str").alias("band"))
+        ])).alias("band"),
+    )
     pairs = (
-        pairs_from_postings(bands, key="band", payload_cols=["simhash"])
-        .select("doc_a", "doc_b", F.col("a_simhash").alias("sig_a"),
-                F.col("b_simhash").alias("sig_b"))
+        pairs_from_postings(bands, key="band", payload_cols=["sim64"])
+        .select("doc_a", "doc_b", F.col("a_sim64").alias("sig_a"),
+                F.col("b_sim64").alias("sig_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # Hamming distance between equal-length bit strings, JVM-side: count
-    # positions where the chars differ via per-position comparison.
-    ham = F.size(F.filter(
-        F.zip_with(F.split("sig_a", ""), F.split("sig_b", ""),
-                   lambda x, y: x != y),
-        lambda d: d))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (pairs.withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))

@@ -125,6 +125,28 @@ def fk_orphan_counts(child: DataFrame, parents: dict[str, DataFrame],
     return out
 
 
+def tally_completeness_evidence(tallies: DataFrame,
+                                division_col: str = "division_id",
+                                code_col: str = "vote_code",
+                                required: Sequence[str] = ("ta", "nil", "staon"),
+                                ) -> DataFrame:
+    """A10 evidence PLAN (lazy — no action): divisions missing required
+    vote categories, with exactly which categories are absent.
+
+    One groupBy(division) + collect_set, then array_except against the
+    required set — a single shuffle on the division key regardless of table
+    size."""
+    req = F.array(*[F.lit(v) for v in required])
+    return (
+        tallies
+        .groupBy(division_col)
+        .agg(F.collect_set(F.col(code_col).cast("string")).alias("__codes"))
+        .withColumn("missing_codes",
+                    F.array_sort(F.array_except(req, F.col("__codes"))))
+        .filter(F.size("missing_codes") > 0)
+        .select(division_col, "missing_codes"))
+
+
 def tally_completeness(tallies: DataFrame,
                        division_col: str = "division_id",
                        code_col: str = "vote_code",
@@ -134,22 +156,67 @@ def tally_completeness(tallies: DataFrame,
     (reference `table_division_tallies.py:283`: categories_ok requires
     {ta,nil,staon} ⊆ vote_codes per division).
 
-    One groupBy(division) + collect_set, then array_except against the
-    required set — a single shuffle on the division key regardless of table
-    size; the violating divisions come back as evidence rows with exactly
-    which categories are absent.
-    """
-    req = F.array(*[F.lit(v) for v in required])
-    missing = (
-        tallies
-        .groupBy(division_col)
-        .agg(F.collect_set(F.col(code_col).cast("string")).alias("__codes"))
-        .withColumn("missing_codes",
-                    F.array_sort(F.array_except(req, F.col("__codes"))))
-        .filter(F.size("missing_codes") > 0)
-        .select(division_col, "missing_codes"))
+    Runs the evidence plan and counts it (one action). Callers composing
+    the evidence into a larger report should use
+    :func:`tally_completeness_evidence` directly — it stays lazy, so the
+    pipeline executes once at the report's own action instead of once per
+    check."""
+    missing = tally_completeness_evidence(tallies, division_col, code_col,
+                                          required)
     n = missing.count()
     return CheckResult("tally_categories_complete", n == 0, n), missing
+
+
+def tally_reconciliation_evidence(tallies: DataFrame,
+                                  member_votes: Optional[DataFrame] = None,
+                                  division_col: str = "division_id",
+                                  code_col: str = "vote_code",
+                                  declared_col: str = "member_count",
+                                  observed_col: Optional[str] = None,
+                                  ) -> DataFrame:
+    """A11 evidence PLAN (lazy — no action): declared-vs-observed tally
+    mismatches per (division, vote_code).
+
+    Two input shapes:
+    - ``member_votes`` given: the detail side aggregates once per
+      (division, vote_code) — map-side combined, one shuffle — then joins
+      back to the tally header on the same composite key. A category with
+      a declared count but NO detail rows reconciles against 0 (an empty
+      `staon` list with tally=0 passes; a declared 3 with no rows is a
+      mismatch).
+    - ``observed_col`` given: the tallies frame ALREADY carries the
+      observed count (the caller derived the header from the same
+      aggregate — q68's shape) — the check is a pure projection + filter,
+      zero extra shuffles and no join, and the shared aggregate is not
+      re-computed.
+
+    Non-numeric declared counts are skipped either way, matching the
+    reference's comparable mask.
+    """
+    if (member_votes is None) == (observed_col is None):
+        raise ValueError(
+            "pass exactly one of member_votes (raw detail rows) or "
+            "observed_col (pre-aggregated counts on the tallies frame)")
+    declared = (F.col(declared_col).cast("string").try_cast("int")
+                .alias("declared_count"))
+    if observed_col is not None:
+        joined = tallies.select(
+            division_col, code_col, declared,
+            F.col(observed_col).cast("long").alias("observed_count"))
+    else:
+        detail = (member_votes
+                  .groupBy(division_col, code_col)
+                  .agg(F.count(F.lit(1)).alias("observed_count")))
+        joined = (tallies.select(division_col, code_col, declared)
+                  .join(detail, [division_col, code_col], "left")
+                  .withColumn("observed_count",
+                              F.coalesce(F.col("observed_count"),
+                                         F.lit(0)).cast("long")))
+    return (joined
+            .filter(F.col("declared_count").isNotNull()
+                    & (F.col("declared_count") != F.col("observed_count")))
+            .select(division_col, code_col, "declared_count",
+                    "observed_count"))
 
 
 def tally_reconciliation(tallies: DataFrame, member_votes: DataFrame,
@@ -162,26 +229,11 @@ def tally_reconciliation(tallies: DataFrame, member_votes: DataFrame,
     `_tally_member_mismatches` compares `_api_tally` to `_members_length`,
     skipping rows where either side is unknown).
 
-    The detail side aggregates once per (division, vote_code) — map-side
-    combined, one shuffle — then joins back to the tally header on the same
-    composite key. A category with a declared count but NO detail rows
-    reconciles against 0 (an empty `staon` list with tally=0 passes; a
-    declared 3 with no rows is a mismatch). Non-numeric declared counts are
-    skipped, matching the reference's comparable mask.
-    """
-    detail = (member_votes
-              .groupBy(division_col, code_col)
-              .agg(F.count(F.lit(1)).alias("observed_count")))
-    header = tallies.select(
-        division_col, code_col,
-        F.col(declared_col).cast("string").try_cast("int").alias("declared_count"))
-    mismatches = (
-        header.join(detail, [division_col, code_col], "left")
-        .withColumn("observed_count",
-                    F.coalesce(F.col("observed_count"), F.lit(0)).cast("long"))
-        .filter(F.col("declared_count").isNotNull()
-                & (F.col("declared_count") != F.col("observed_count")))
-        .select(division_col, code_col, "declared_count", "observed_count"))
+    Runs the evidence plan (see :func:`tally_reconciliation_evidence`) and
+    counts it; report-composing callers should use the evidence function
+    directly to keep the pipeline lazy."""
+    mismatches = tally_reconciliation_evidence(
+        tallies, member_votes, division_col, code_col, declared_col)
     n = mismatches.count()
     return CheckResult("tally_member_count_reconciles", n == 0, n), mismatches
 

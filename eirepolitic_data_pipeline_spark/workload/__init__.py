@@ -16,14 +16,78 @@ import functools
 from .registry import QUERIES, Query, register, tune_session  # noqa: F401
 
 # Registration order == the order the driver's correctness gate runs (and may
-# budget-truncate) the workload. The flagship gold marts register right after
-# the core relational block so they are never the entries at risk; the cheap
-# scalar-parity/DQ block runs last.
+# budget-truncate) the workload. Import order below only determines the raw
+# registration order; _CERT_PRIORITY / _CERT_TAIL re-rank it afterwards so
+# the queries most in need of a fresh driver certification always sit inside
+# the gate's budget window.
 from . import core  # noqa: F401,E402
 from . import windows  # noqa: F401,E402
 from . import marts  # noqa: F401,E402
 from . import datapipe  # noqa: F401,E402
 from . import quality  # noqa: F401,E402
+
+
+# Certification rotation (round 6). The driver's correctness gate certifies
+# the first ~50 registered queries per round; with 64 registered, 14 fall
+# outside every round. Rank the workload so the window always covers the
+# queries that NEED a fresh driver-green row:
+#   front — queries never driver-certified (q61–q68, added round 5) plus the
+#           scalar/DQ block whose implementation changed after its last
+#           green ledger (q31/q32/q34/q35/q36/q41, changed round 5; q66/q68
+#           re-planned round 6);
+#   tail  — queries unchanged since their last green CORRECTNESS row with
+#           multiple green ledgers already banked (q01–q12: five ledgers,
+#           untouched since round 1; q42/q43: green r04+r05, untouched).
+# Rotate this list each round as certifications land and code changes.
+_CERT_PRIORITY = [
+    "q61_line_dedup_boilerplate",
+    "q62_minhash_dedup_components",
+    "q63_curate_corpus_certified",
+    "q64_decontaminate_benchmark",
+    "q65_knn_lsh_multiprobe",
+    "q66_simhash_banded_pairs",
+    "q67_conflict_evidence_dedupe",
+    "q68_tally_integrity_report",
+    "q31_dq_summary_lineitem",
+    "q32_integrity_checks",
+    "q34_scalar_function_parity",
+    "q35_json_props_extract",
+    "q36_parse_iso_date_parity",
+    "q41_compat_projection",
+]
+_CERT_TAIL = [
+    "q01_pricing_summary",
+    "q02_min_cost_supplier",
+    "q03_shipping_priority",
+    "q04_order_priority_semi",
+    "q05_revenue_by_nation",
+    "q06_revenue_forecast",
+    "q07_anti_join_segments",
+    "q08_pivot_status_by_year",
+    "q09_distinct_counts_by_year",
+    "q10_string_agg_regions",
+    "q11_rollup_returns",
+    "q12_cross_grid_zero_filled",
+    "q42_cube_status_year",
+    "q43_approx_aggregates",
+]
+
+
+def _rerank_for_certification() -> None:
+    """Reorder QUERIES in place: priority first, tail last, everything else
+    keeps its registration order in between. Unknown names in either list
+    fail loudly — a renamed query must update the rotation."""
+    missing = [n for n in _CERT_PRIORITY + _CERT_TAIL if n not in QUERIES]
+    if missing:
+        raise KeyError(f"certification rotation names unknown: {missing}")
+    middle = [n for n in QUERIES
+              if n not in _CERT_PRIORITY and n not in _CERT_TAIL]
+    ranked = {n: QUERIES[n] for n in _CERT_PRIORITY + middle + _CERT_TAIL}
+    QUERIES.clear()
+    QUERIES.update(ranked)
+
+
+_rerank_for_certification()
 
 
 import weakref

@@ -247,21 +247,40 @@ def q25_simhash_signatures(spark, sf_dir):
 def _cosine(a, b):
     """Sequential-order dot/norm cosine as a pure column expression —
     identical fold order to DuckDB's list_cosine_similarity, so doubles
-    agree bit-for-bit before rounding."""
+    agree bit-for-bit before rounding.
+
+    Zero-norm vectors score 0.0, the repo-wide contract (see
+    operators.similarity.cosine_col): raw 0/0 is NaN, and Spark desc-sorts
+    NaN FIRST, so an all-zero embedding would otherwise surface as the TOP
+    neighbor of every query in q26/q27's rank windows (r6 fix — previously
+    unguarded here). The oracles mirror the guard explicitly because
+    DuckDB's list_cosine_similarity returns -1.0 on a zero vector — three
+    different answers for one degenerate input without the pin."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     na = F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     nb = F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    return dot / (F.sqrt(na) * F.sqrt(nb))
+    return F.when((na > 0) & (nb > 0),
+                  dot / (F.sqrt(na) * F.sqrt(nb))).otherwise(F.lit(0.0))
 
 
 @register(
     "q26_knn_bruteforce",
     """
-    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[])) AS nn
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv, nn AS qn FROM e WHERE vec_id = 0)
+    -- zero-norm guard mirrors the engine contract (cosine 0.0, not
+    -- DuckDB's -1.0 / Spark's raw NaN)
     SELECT e.vec_id, e.label,
-           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
-    FROM embeddings e CROSS JOIN q
+           round(CASE WHEN e.nn > 0 AND q.qn > 0
+                 THEN list_cosine_similarity(e.v, q.qv)
+                 ELSE 0.0 END, 6) AS cosine
+    FROM e CROSS JOIN q
     WHERE e.vec_id <> 0
     ORDER BY cosine DESC, e.vec_id
     LIMIT 10
@@ -287,22 +306,31 @@ def q26_knn_bruteforce(spark, sf_dir):
 @register(
     "q27_ann_bucketed",
     """
-    WITH lsh AS (
+    WITH base AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-             array_to_string(list_transform(range(6), i ->
-               CASE WHEN embedding[CAST(i AS INTEGER) + 1] >= 0 THEN '1' ELSE '0' END), '')
-               AS bucket
+             list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[])) AS nn
       FROM embeddings
+    ),
+    lsh AS (
+      SELECT vec_id, v, nn,
+             array_to_string(list_transform(range(6), i ->
+               CASE WHEN v[CAST(i AS INTEGER) + 1] >= 0 THEN '1' ELSE '0' END), '')
+               AS bucket
+      FROM base
     ),
     cells AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-             CAST(floor(CAST(embedding[1] AS DOUBLE) * 4) AS INTEGER) AS cx,
-             CAST(floor(CAST(embedding[2] AS DOUBLE) * 4) AS INTEGER) AS cy
-      FROM embeddings
+      SELECT vec_id, v, nn,
+             CAST(floor(v[1] * 4) AS INTEGER) AS cx,
+             CAST(floor(v[2] * 4) AS INTEGER) AS cy
+      FROM base
     ),
+    -- zero-norm guard mirrors the engine contract (cosine 0.0)
     sign_hits AS (
       SELECT 'sign_lsh' AS method, q.vec_id AS query_id, n.vec_id AS neighbor_id,
-             round(list_cosine_similarity(n.v, q.v), 6) AS cosine
+             round(CASE WHEN n.nn > 0 AND q.nn > 0
+                   THEN list_cosine_similarity(n.v, q.v)
+                   ELSE 0.0 END, 6) AS cosine
       FROM lsh q JOIN lsh n ON n.bucket = q.bucket AND n.vec_id <> q.vec_id
       WHERE q.vec_id < 5
       QUALIFY row_number() OVER (PARTITION BY q.vec_id
@@ -310,7 +338,9 @@ def q26_knn_bruteforce(spark, sf_dir):
     ),
     ivf_hits AS (
       SELECT 'ivf_grid' AS method, q.vec_id AS query_id, n.vec_id AS neighbor_id,
-             round(list_cosine_similarity(n.v, q.v), 6) AS cosine
+             round(CASE WHEN n.nn > 0 AND q.nn > 0
+                   THEN list_cosine_similarity(n.v, q.v)
+                   ELSE 0.0 END, 6) AS cosine
       FROM cells q JOIN cells n
         ON n.cx = q.cx AND n.cy = q.cy AND n.vec_id <> q.vec_id
       WHERE q.vec_id < 5
@@ -374,15 +404,23 @@ def q27_ann_bucketed(spark, sf_dir):
     """
     WITH b AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[])) AS nn,
              array_to_string(list_transform(range(6), i ->
                CASE WHEN embedding[CAST(i AS INTEGER) + 1] >= 0 THEN '1' ELSE '0' END), '')
                AS bucket
       FROM embeddings
     )
+    -- zero-norm guard mirrors the engine contract (cosine 0.0, filtered
+    -- out by the 0.3 threshold on both sides)
     SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-           round(list_cosine_similarity(a.v, c.v), 6) AS cosine
+           round(CASE WHEN a.nn > 0 AND c.nn > 0
+                 THEN list_cosine_similarity(a.v, c.v)
+                 ELSE 0.0 END, 6) AS cosine
     FROM b a JOIN b c ON c.bucket = a.bucket AND a.vec_id < c.vec_id
-    WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.3
+    WHERE round(CASE WHEN a.nn > 0 AND c.nn > 0
+                THEN list_cosine_similarity(a.v, c.v)
+                ELSE 0.0 END, 6) >= 0.3
     """,
     survey_ref="beyond-ref: embedding-cosine near-dup",
 )
@@ -1460,7 +1498,15 @@ def q64_decontaminate_benchmark(spark, sf_dir):
     outputs — the anti-joined keep set and the contaminated report — feed
     the result), whose plan is one map-side shingle pass per side + a
     broadcast join on the benchmark's distinct 8-byte keys: the corpus is
-    never shuffled. The oracle recomputes the overlap from raw text."""
+    never shuffled. The oracle recomputes the overlap from raw text.
+
+    Caveat on the certification argument: the engine joins on 8-byte md5
+    shingle prefixes while the oracle joins full shingle strings, so a
+    64-bit prefix collision between a corpus shingle and a DIFFERENT
+    benchmark shingle would add a spurious hit the oracle lacks (there is
+    no exact re-verify here, unlike q66). With ~10^5 distinct shingles a
+    side the birthday bound puts that at ~10^-9 per round — accepted, but
+    the parity claim is probabilistic, not airtight."""
     from ..operators.dedupe import decontaminate
     docs = spread(t(spark, sf_dir, "documents"))
     corp = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text")
@@ -1478,6 +1524,8 @@ def q64_decontaminate_benchmark(spark, sf_dir):
     """
     WITH lsh AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[])) AS nn,
              array_to_string(list_transform(range(6), i ->
                CASE WHEN embedding[CAST(i AS INTEGER) + 1] >= 0
                     THEN '1' ELSE '0' END), '') AS bucket
@@ -1485,7 +1533,7 @@ def q64_decontaminate_benchmark(spark, sf_dir):
     ),
     probes AS (
       -- home bucket + each 1-bit flip, pairwise distinct by construction
-      SELECT vec_id AS query_id, v AS qv,
+      SELECT vec_id AS query_id, v AS qv, nn AS qn,
              unnest(list_prepend(bucket, list_transform(range(6), i ->
                substr(bucket, 1, CAST(i AS INTEGER))
                || (CASE WHEN substr(bucket, CAST(i AS INTEGER) + 1, 1) = '1'
@@ -1494,16 +1542,21 @@ def q64_decontaminate_benchmark(spark, sf_dir):
                          6 - CAST(i AS INTEGER) - 1)))) AS probe
       FROM lsh WHERE vec_id < 5
     ),
+    -- zero-norm guard mirrors the engine contract (cosine 0.0); the rank
+    -- orders on the RAW guarded double, rounding is display-only
     cand AS (
-      SELECT p.query_id, n.vec_id AS neighbor_id, n.v, p.qv
+      SELECT p.query_id, n.vec_id AS neighbor_id,
+             CASE WHEN n.nn > 0 AND p.qn > 0
+                  THEN list_cosine_similarity(n.v, p.qv)
+                  ELSE 0.0 END AS cos_raw
       FROM probes p JOIN lsh n
         ON n.bucket = p.probe AND n.vec_id <> p.query_id
     )
     SELECT query_id, neighbor_id,
-           round(list_cosine_similarity(v, qv), 6) AS cosine,
+           round(cos_raw, 6) AS cosine,
            CAST(row_number() OVER (
              PARTITION BY query_id
-             ORDER BY list_cosine_similarity(v, qv) DESC, neighbor_id)
+             ORDER BY cos_raw DESC, neighbor_id)
              AS INTEGER) AS rank
     FROM cand
     QUALIFY rank <= 3
@@ -1603,9 +1656,12 @@ def q66_simhash_banded_pairs(spark, sf_dir):
     Over the surviving bands banding is EXACT, not approximate — d <= 3
     with 4 bands forces at least one band to agree exactly (pigeonhole),
     so the engine's band-partitioned plan and the oracle's band join must
-    produce the identical pair set; the engine's xxhash64 band keys can
-    only ADD candidates (collisions), which the exact Hamming verify
-    removes."""
+    produce the identical pair set. The engine's band keys are the TRUE
+    band values (integer ``(band_index << 8) | band_byte`` extracted from
+    the packed LONG signature, r6 — previously xxhash64 of a band string),
+    so the stop-band cap decisions mirror the oracle's per-(i, band) HAVING
+    exactly, with no hash-collision caveat on either the candidate set or
+    the cap."""
     from ..operators.dedupe import simhash_near_pairs
     docs = spread(t(spark, sf_dir, "documents"))
     return simhash_near_pairs(docs, "text", "doc_id",
@@ -1644,7 +1700,14 @@ def q67_conflict_evidence_dedupe(spark, sf_dir):
     """O6 conflict-evidence dedupe under the oracle gate (previously
     pytest-only): exact duplicate business rows collapse, while business
     keys whose compared fields DISAGREE are reported as conflicts instead
-    of silently resolved — the reference's history-dedupe contract. Both
+    of silently resolved. This ADAPTS the reference's history-dedupe
+    contract rather than reproducing it: the reference
+    (history_dedupe.py:16-63) keeps exactly ONE row per business key
+    (first wins) and reports the conflicts it discarded, while this
+    operator is evidence-preserving — every distinct (key, compared)
+    variant survives, so a reviewer sees the conflicting rows themselves,
+    not just that a conflict happened. The oracle certifies the adapted
+    semantics. Both
     operator outputs feed the result: the collapsed frame supplies the
     per-key distinct-row counts, the conflict report supplies the variant
     counts. Plan: one dropDuplicates shuffle + one map-side-combined
@@ -1716,11 +1779,7 @@ def q67_conflict_evidence_dedupe(spark, sf_dir):
     )
     SELECT * FROM a10 UNION ALL SELECT * FROM a11
     """,
-    survey_ref="A10,A11 (plans/quality.py:tally_completeness, tally_reconciliation — reference table_division_tallies.py:239-283)",
-    # both checks return (CheckResult, evidence) and the CheckResult's
-    # count() is an action at construction time — the memo must not turn
-    # repeat passes into result reads
-    memoize=False,
+    survey_ref="A10,A11 (plans/quality.py:tally_completeness_evidence, tally_reconciliation_evidence — reference table_division_tallies.py:239-283)",
 )
 def q68_tally_integrity_report(spark, sf_dir):
     """A10+A11 under the oracle gate (previously pytest-only): lineitem
@@ -1731,9 +1790,19 @@ def q68_tally_integrity_report(spark, sf_dir):
     mask must SKIP, not flag) — and the REAL check plans produce the
     evidence: divisions missing a required category (completeness) and
     declared-vs-observed mismatches (reconciliation), unioned into one
-    review report. Each check is one map-side-combined shuffle on the
-    division key."""
-    from ..plans.quality import tally_completeness, tally_reconciliation
+    review report.
+
+    Plan shape (r6 — was 5.35s with the counting check wrappers): the
+    single `obs` aggregate (one map-side-combined shuffle on the division
+    key) feeds BOTH checks — the header carries `observed`, so
+    reconciliation is a pure projection+filter (observed_col fast path, no
+    re-aggregation and no join) and completeness is one further groupBy
+    over the already-aggregated ~3-rows-per-division frame. The lazy
+    evidence plans replace the (CheckResult, evidence) wrappers, whose
+    construction-time count() actions executed the pipeline twice before
+    the report's own action ran it again."""
+    from ..plans.quality import (tally_completeness_evidence,
+                                 tally_reconciliation_evidence)
     li = t(spark, sf_dir, "lineitem")
     detail = li.select(
         F.col("l_orderkey").cast("string").alias("division_id"),
@@ -1743,14 +1812,14 @@ def q68_tally_integrity_report(spark, sf_dir):
     obs = (detail.groupBy("division_id", "vote_code")
            .agg(F.count(F.lit(1)).alias("observed")))
     header = obs.select(
-        "division_id", "vote_code",
+        "division_id", "vote_code", "observed",
         F.when(F.col("division_id").cast("long") % 41 == 0, F.lit("n/a"))
         .when((F.col("division_id").cast("long") % 37 == 0)
               & (F.col("vote_code") == "ta"),
               (F.col("observed") + 1).cast("string"))
         .otherwise(F.col("observed").cast("string")).alias("member_count"))
-    _, missing = tally_completeness(header)
-    _, mismatches = tally_reconciliation(header, detail)
+    missing = tally_completeness_evidence(header)
+    mismatches = tally_reconciliation_evidence(header, observed_col="observed")
     a10 = missing.select(
         "division_id", F.lit("missing_categories").alias("issue"),
         F.array_join("missing_codes", ",").alias("detail"),

@@ -56,6 +56,16 @@ EDGE_QUERIES = (
     "q63_curate_corpus_certified",
     "q64_decontaminate_benchmark",
     "q66_simhash_banded_pairs",
+    # embedding queries: zero-norm cosine contract + cosine-tie rank rule
+    # (edge embeddings rows, r6)
+    "q26_knn_bruteforce",
+    "q27_ann_bucketed",
+    "q37_cosine_neardup_pairs",
+    "q65_knn_lsh_multiprobe",
+    # orders/lineitem edge rows (r6): NULL-variant conflict counting and
+    # the NULL-division / NULL-returnflag tally contracts
+    "q67_conflict_evidence_dedupe",
+    "q68_tally_integrity_report",
 )
 
 

@@ -118,6 +118,37 @@ def test_simhash_near_pairs(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_simhash_long_packs_bitstring(spark):
+    """The packed LONG encoding (the r6 search path) must be exactly the
+    bit-string's binary value — including bit 63's two's-complement weight
+    at bits=64, where the first '1' makes the long negative."""
+    from eirepolitic_data_pipeline_spark.operators.dedupe import (
+        simhash_longs, simhash_signatures)
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(30))) for i in range(12)],
+        "doc_id long, text string")
+    for bits in (32, 64):
+        strs = {r["doc_id"]: r["simhash"]
+                for r in simhash_signatures(docs, bits=bits).collect()}
+        longs = {r["doc_id"]: r["sim64"]
+                 for r in simhash_longs(docs, bits=bits).collect()}
+        assert strs.keys() == longs.keys()
+        for doc, s in strs.items():
+            expect = int(s, 2)
+            if bits == 64 and s[0] == "1":
+                expect -= 1 << 64  # signed two's complement
+            assert longs[doc] == expect, (bits, doc, s)
+    # the 64-bit path must flow through the banded search end-to-end
+    base = " ".join(f"tok{i}" for i in range(40))
+    near_docs = spark.createDataFrame(
+        [(1, base), (2, base.replace("tok7", "tok7x"))],
+        "doc_id long, text string")
+    got = simhash_near_pairs(near_docs, bits=64, band_bits=16,
+                             max_hamming=8).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1, 2)]
+
+
 # ---------------------------------------------------------------------------
 # temporal
 # ---------------------------------------------------------------------------

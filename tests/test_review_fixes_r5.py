@@ -183,15 +183,20 @@ def test_stratified_sample_scalar_keys(spark):
 
 
 def test_simhash_refuses_bits_past_md5(spark):
-    """bits > 32 would read past md5's 32 nibbles and emit constant '0'
-    bits — every doc colliding in the bands that cover them. Refuse."""
+    """bits > 64 would read past md5's 32 nibbles x 2 usable bits and emit
+    constant '0' bits — every doc colliding in the bands that cover them.
+    Refuse. (r6 widened the recipe from 32 to 64 bits: high + low nibble
+    bits; 64 itself is the corpus-scale configuration and must work.)"""
     import pytest as _pytest
 
     from eirepolitic_data_pipeline_spark.operators.dedupe import (
         simhash_signatures)
     df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
-    with _pytest.raises(ValueError, match="32"):
-        simhash_signatures(df, bits=64)
+    with _pytest.raises(ValueError, match="64"):
+        simhash_signatures(df, bits=65)
+    with _pytest.raises(ValueError, match="64"):
+        simhash_signatures(df, bits=128)
+    assert len(simhash_signatures(df, bits=64).collect()[0]["simhash"]) == 64
 
 
 def test_min_label_components_raises_on_nonconvergence(spark):

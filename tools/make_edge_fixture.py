@@ -21,7 +21,22 @@ Added rows:
 - events: three clicks sharing one (user_id, ts) with distinct event_ids
   plus one error after them — exercises q39's as-of tie rule (max
   event_id wins, which the oracle must pin explicitly: DuckDB's ASOF join
-  has no deterministic tiebreak of its own).
+  has no deterministic tiebreak of its own);
+- embeddings: vec_id 990001 (all-zero vector) — exercises the zero-norm
+  cosine contract (engine scores 0.0; raw Spark would give NaN which
+  desc-sorts FIRST, DuckDB's list_cosine_similarity gives -1.0 — three
+  answers without the pin, r6); 990002/990003 (two exact copies of vec 10)
+  — exercises the cosine-tie rank rule (neighbor_id tiebreak) in
+  q26/q27/q65's top-k windows;
+- orders: custkey 9990001 with NULL-bearing variant tuples (incl. an
+  exact NULL-for-NULL duplicate) and custkey 9990002 with a clean exact
+  duplicate — exercises q67's NULL-variant counting (Spark
+  countDistinct(struct) vs DuckDB count(DISTINCT (a,b)) and
+  dropDuplicates-vs-DISTINCT NULL equality);
+- lineitem: one row with NULL l_returnflag (must fall to 'staon' via the
+  ELSE branch on BOTH engines — NULL = 'A' is not true) and one with NULL
+  l_orderkey (the NULL division group must survive q68's groupBys and
+  modulo fall-throughs identically).
 """
 
 from __future__ import annotations
@@ -41,10 +56,11 @@ def build(src: str, dst: str, spark=None) -> str:
         os.path.abspath(__file__))))
     from eirepolitic_data_pipeline_spark.workload.registry import t
 
+    edited = ("documents.parquet", "events.parquet", "embeddings.parquet",
+              "orders.parquet", "lineitem.parquet")
     os.makedirs(dst, exist_ok=True)
     for f in os.listdir(src):
-        if f.endswith(".parquet") and f not in ("documents.parquet",
-                                                "events.parquet"):
+        if f.endswith(".parquet") and f not in edited:
             shutil.copy(os.path.join(src, f), os.path.join(dst, f))
 
     docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
@@ -81,6 +97,45 @@ def build(src: str, dst: str, spark=None) -> str:
     for c in [c for c in ev.columns if c not in cols]:
         full = full.join(ev.select(*cols, c), cols, "left")
     _write_single(full, os.path.join(dst, "events.parquet"))
+
+    emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+    v10 = emb.filter("vec_id = 10").collect()[0]["embedding"]
+    dim = len(v10)
+    extra_emb = spark.createDataFrame(
+        [(990001, [0.0] * dim, 7),   # zero-norm: cosine contract
+         (990002, list(v10), 7),     # cosine-tie twins: rank tiebreak
+         (990003, list(v10), 7)],
+        schema=emb.schema)
+    _write_single(emb.unionByName(extra_emb),
+                  os.path.join(dst, "embeddings.parquet"))
+
+    orders = spark.read.parquet(os.path.join(src, "orders.parquet"))
+    odate = orders.limit(1).collect()[0]["o_orderdate"]
+    extra_o = spark.createDataFrame(
+        # custkey 9990001: NULL-bearing variants — (NULL,'1-URGENT') twice
+        # (exact dup must collapse under NULL-equality), (NULL, NULL), and
+        # ('F', NULL): 3 distinct variants, all NULL-bearing
+        [(99900001, 9990001, None, 1.0, odate, "1-URGENT"),
+         (99900002, 9990001, None, 1.0, odate, "1-URGENT"),
+         (99900003, 9990001, None, 1.0, odate, None),
+         (99900004, 9990001, "F", 1.0, odate, None),
+         # custkey 9990002: clean exact duplicate pair
+         (99900005, 9990002, "O", 1.0, odate, "5-LOW"),
+         (99900006, 9990002, "O", 1.0, odate, "5-LOW")],
+        schema=orders.schema)
+    _write_single(orders.unionByName(extra_o),
+                  os.path.join(dst, "orders.parquet"))
+
+    li = spark.read.parquet(os.path.join(src, "lineitem.parquet"))
+    ldate = li.limit(1).collect()[0]["l_shipdate"]
+    extra_li = spark.createDataFrame(
+        # NULL returnflag (ELSE-branch parity) and NULL orderkey (NULL
+        # division group through q68's groupBys / modulo fall-throughs)
+        [(9990001, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, None, "O", ldate),
+         (None, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "A", "F", ldate)],
+        schema=li.schema)
+    _write_single(li.unionByName(extra_li),
+                  os.path.join(dst, "lineitem.parquet"))
     return dst
 
 

@@ -41,6 +41,8 @@ from eirepolitic_data_pipeline_spark.operators.dedupe import (  # noqa: E402
     minhash_signatures,
     pairs_from_postings,
     shingle_postings,
+    simhash_longs,
+    simhash_near_pairs,
     winnowed_fingerprint_frame,
 )
 from eirepolitic_data_pipeline_spark.session import get_spark  # noqa: E402
@@ -180,6 +182,47 @@ def main():
     print(f"line-dedup: banner rows left {leftover}, rows conserved "
           f"{conserved} {'OK' if line_ok else 'FAIL'}")
 
+    # 5. SimHash band saturation (the q66 family's scale bound): a band
+    # index has only 2^band_bits possible values, so once the corpus
+    # approaches 2^band_bits * max_df docs the posting lists all near the
+    # cap — saturated bands are dropped whole and recall collapses. At
+    # this corpus size the default (bits=32, band_bits=8: 256 buckets per
+    # band) MUST saturate, and the corpus-scale configuration (bits=64,
+    # band_bits=16: 65536 buckets per band) must not. Measured as the
+    # share of (doc, band) postings sitting in over-cap lists — a cheap
+    # groupBy, no pair expansion of the saturated config.
+    def band_drop_share(bits, band_bits):
+        sig = simhash_longs(corpus, "text", "doc_id", bits=bits)
+        mask = (1 << band_bits) - 1
+        bands = sig.select(F.explode(F.array(*[
+            (F.shiftrightunsigned("sim64", bits - (i + 1) * band_bits)
+             .bitwiseAND(F.lit(mask)) + F.lit(i << band_bits)).alias("b")
+            for i in range(bits // band_bits)])).alias("band"))
+        sizes = bands.groupBy("band").count()
+        row = sizes.select(
+            F.sum(F.when(F.col("count") > DEFAULT_MAX_DF,
+                         F.col("count")).otherwise(0)).alias("dropped"),
+            F.sum("count").alias("total")).collect()[0]
+        return row["dropped"] / row["total"]
+
+    t0 = time.perf_counter()
+    share32 = band_drop_share(32, 8)
+    share64 = band_drop_share(64, 16)
+    sat_wall = round(time.perf_counter() - t0, 1)
+    sat_ok = share32 > 0.5 and share64 < 0.05
+    all_ok &= sat_ok
+    print(f"simhash saturation: 32/8 drops {share32:.1%} of postings, "
+          f"64/16 drops {share64:.1%} ({sat_wall}s) "
+          f"{'OK' if sat_ok else 'FAIL'}")
+
+    # ...and the 64/16 configuration's full banded search stays bounded
+    # end-to-end on the same corpus (the hot cluster's shared simhash
+    # band values are exactly the over-cap lists the stop-band cap drops).
+    sim64 = simhash_near_pairs(corpus, "text", "doc_id", bits=64,
+                               band_bits=16, max_hamming=3)
+    all_ok &= run_method("simhash-banded-64/16", sim64, results,
+                         args.skew_limit)
+
     # Hot-cluster containment: the boilerplate shingles have df = n_hot >>
     # cap, so hot x hot pairs must come only from the unique tails (none) —
     # a capped run can never emit the ~n_hot^2/2 boilerplate pairs.
@@ -257,6 +300,17 @@ def main():
                 f"{contrast[2]} pairs in {contrast[3]}s — the quadratic "
                 "blowup the stop-key cap removes, at 1/8 the stressed "
                 "cluster size (cost scales with the square).\n")
+        f.write(
+            f"\nSimHash band saturation at {n_docs} docs: the default "
+            f"32-bit/8-bit-band config (256 buckets/band) drops "
+            f"{share32:.1%} of band postings at the cap — saturated, as "
+            f"the sizing rule (2^band_bits x max_df ~ "
+            f"{256 * DEFAULT_MAX_DF} docs) predicts — while the "
+            f"corpus-scale 64-bit/16-bit config (65536 buckets/band) "
+            f"drops {share64:.1%} and its full banded search runs "
+            f"end-to-end above ({'PASS' if sat_ok else 'FAIL'}). "
+            "Operators pick band width per corpus size "
+            "(operators/dedupe.py:simhash_near_pairs docstring).\n")
         f.write(f"\nResult: **{'PASS' if all_ok else 'FAIL'}**. "
                 "Rerun: `python tools/stress_dedup.py`.\n")
         f.write(tail)
