@@ -625,7 +625,8 @@ def simhash_longs(df: DataFrame, text_col: str = "text",
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 32,
-                       band_bits: int = 8, max_hamming: int = 3) -> DataFrame:
+                       band_bits: int = 8, max_hamming: int = 3,
+                       max_df: Optional[int] = DEFAULT_MAX_DF) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
     Banded search (Manku et al. 2007, "Detecting Near-Duplicates for Web
@@ -644,6 +645,12 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     tools/stress_dedup.py). Past that, partition the corpus (by shard
     key) and search within shards, or raise max_hamming-appropriate
     band counts on a wider hash.
+
+    ORDER IN A PIPELINE: run EXACT dedup first (curate_corpus does). A
+    dup cluster larger than ``max_df`` shares one signature, hence one
+    posting list per band, and the stop-band cap rightly drops it — the
+    cap bounds work, exact dedup is the operator that collapses such
+    clusters.
 
     Plan notes (r6 rewrite, was 6.6s → integer path): signatures travel as
     one LONG (``simhash_longs``); band keys are exact small integers
@@ -672,7 +679,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
         ])).alias("band"),
     )
     pairs = (
-        pairs_from_postings(bands, key="band", payload_cols=["sim64"])
+        pairs_from_postings(bands, key="band", payload_cols=["sim64"],
+                            max_df=max_df)
         .select("doc_a", "doc_b", F.col("a_sim64").alias("sig_a"),
                 F.col("b_sim64").alias("sig_b"))
         .dropDuplicates(["doc_a", "doc_b"])

@@ -94,9 +94,11 @@ def partition_profile(df):
             .groupBy("__pid").count().collect())
     counts = sorted((r["count"] for r in rows), reverse=True)
     med = statistics.median(counts) if counts else 0
-    return {"partitions": len(counts), "max_rows": counts[0] if counts else 0,
-            "median_rows": med,
-            "skew_ratio": round(counts[0] / med, 2) if med else float("inf")}
+    mx = counts[0] if counts else 0
+    # an empty (or all-empty-partition) output has no skew by definition
+    ratio = round(mx / med, 2) if med else (1.0 if mx == 0 else float("inf"))
+    return {"partitions": len(counts), "max_rows": mx,
+            "median_rows": med, "skew_ratio": ratio}
 
 
 def run_method(name, pairs_df, results, skew_limit):
@@ -184,15 +186,36 @@ def main():
 
     # 5. SimHash band saturation (the q66 family's scale bound): a band
     # index has only 2^band_bits possible values, so once the corpus
-    # approaches 2^band_bits * max_df docs the posting lists all near the
-    # cap — saturated bands are dropped whole and recall collapses. At
-    # this corpus size the default (bits=32, band_bits=8: 256 buckets per
-    # band) MUST saturate, and the corpus-scale configuration (bits=64,
-    # band_bits=16: 65536 buckets per band) must not. Measured as the
-    # share of (doc, band) postings sitting in over-cap lists — a cheap
-    # groupBy, no pair expansion of the saturated config.
+    # approaches 2^band_bits * max_df DISTINCT docs the posting lists all
+    # near the cap — saturated bands are dropped whole and recall
+    # collapses. Measured on a DISTINCT-doc corpus of the same size (30
+    # unique md5 tokens per doc): the replica corpus above would conflate
+    # this band-capacity bound with its intentional 50-copy mega dup
+    # clusters, which share ONE signature and are exact-dedup's job to
+    # collapse BEFORE any near-dup banding runs (curate_corpus's stage
+    # order; see simhash_near_pairs docstring). Expectation: the default
+    # (bits=32, band_bits=8: 256 buckets/band, mean df ~n/256 ≈ 1024 >
+    # cap) saturates; the corpus-scale config (bits=64, band_bits=16:
+    # 65536 buckets/band, mean df ~4) does not. Share of postings in
+    # over-cap lists — a cheap groupBy, no pair expansion.
+    base_distinct = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(f":{j}")))
+            for j in range(30)]).alias("text"))
+    # plant 1000 signature-identical twins so the end-to-end search below
+    # has a known answer (random 64-bit sims land within Hamming 3 of each
+    # other with probability ~2e-15 — zero cross pairs expected)
+    n_twins = 1000
+    twins = base_distinct.filter(F.col("doc_id") < n_twins).select(
+        (F.col("doc_id") + n_docs).alias("doc_id"), "text")
+    distinct_docs = base_distinct.unionByName(twins)
+    distinct_docs.write.mode("overwrite").parquet(
+        os.path.join(tmp, "distinct"))
+    distinct_docs = spark.read.parquet(os.path.join(tmp, "distinct"))
+
     def band_drop_share(bits, band_bits):
-        sig = simhash_longs(corpus, "text", "doc_id", bits=bits)
+        sig = simhash_longs(distinct_docs, "text", "doc_id", bits=bits)
         mask = (1 << band_bits) - 1
         bands = sig.select(F.explode(F.array(*[
             (F.shiftrightunsigned("sim64", bits - (i + 1) * band_bits)
@@ -211,17 +234,21 @@ def main():
     sat_wall = round(time.perf_counter() - t0, 1)
     sat_ok = share32 > 0.5 and share64 < 0.05
     all_ok &= sat_ok
-    print(f"simhash saturation: 32/8 drops {share32:.1%} of postings, "
-          f"64/16 drops {share64:.1%} ({sat_wall}s) "
-          f"{'OK' if sat_ok else 'FAIL'}")
+    print(f"simhash saturation ({n_docs} distinct docs): 32/8 drops "
+          f"{share32:.1%} of postings, 64/16 drops {share64:.1%} "
+          f"({sat_wall}s) {'OK' if sat_ok else 'FAIL'}")
 
     # ...and the 64/16 configuration's full banded search stays bounded
-    # end-to-end on the same corpus (the hot cluster's shared simhash
-    # band values are exactly the over-cap lists the stop-band cap drops).
-    sim64 = simhash_near_pairs(corpus, "text", "doc_id", bits=64,
+    # end-to-end on the distinct corpus, finding exactly the planted twins.
+    sim64 = simhash_near_pairs(distinct_docs, "text", "doc_id", bits=64,
                                band_bits=16, max_hamming=3)
     all_ok &= run_method("simhash-banded-64/16", sim64, results,
                          args.skew_limit)
+    sim64_pairs = results[-1]["pairs"]
+    twin_ok = sim64_pairs == n_twins
+    all_ok &= twin_ok
+    print(f"simhash 64/16 recall: {sim64_pairs} pairs vs {n_twins} planted "
+          f"twins {'OK' if twin_ok else 'FAIL'}")
 
     # Hot-cluster containment: the boilerplate shingles have df = n_hot >>
     # cap, so hot x hot pairs must come only from the unique tails (none) —
@@ -301,15 +328,20 @@ def main():
                 "blowup the stop-key cap removes, at 1/8 the stressed "
                 "cluster size (cost scales with the square).\n")
         f.write(
-            f"\nSimHash band saturation at {n_docs} docs: the default "
-            f"32-bit/8-bit-band config (256 buckets/band) drops "
+            f"\nSimHash band saturation at {n_docs} DISTINCT docs: the "
+            f"default 32-bit/8-bit-band config (256 buckets/band) drops "
             f"{share32:.1%} of band postings at the cap — saturated, as "
             f"the sizing rule (2^band_bits x max_df ~ "
             f"{256 * DEFAULT_MAX_DF} docs) predicts — while the "
             f"corpus-scale 64-bit/16-bit config (65536 buckets/band) "
             f"drops {share64:.1%} and its full banded search runs "
-            f"end-to-end above ({'PASS' if sat_ok else 'FAIL'}). "
-            "Operators pick band width per corpus size "
+            f"end-to-end above, returning exactly the {n_twins} planted "
+            f"signature-identical twin pairs "
+            f"({'PASS' if sat_ok and twin_ok else 'FAIL'}). "
+            "Measured on distinct docs by design: the replica corpus's "
+            "50-copy dup clusters share one signature and belong to "
+            "exact dedup, which curate_corpus runs BEFORE near-dup "
+            "banding. Operators pick band width per corpus size "
             "(operators/dedupe.py:simhash_near_pairs docstring).\n")
         f.write(f"\nResult: **{'PASS' if all_ok else 'FAIL'}**. "
                 "Rerun: `python tools/stress_dedup.py`.\n")
