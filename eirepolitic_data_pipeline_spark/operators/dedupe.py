@@ -440,17 +440,19 @@ def min_label_components(ids: DataFrame, pairs: DataFrame,
     for _ in range(max_iters):
         nbr = (edges.join(labels, edges.doc_b == labels.id)
                .groupBy("doc_a").agg(F.min("label").alias("nbr_label")))
+        # the convergence flag rides the checkpointed frame: counting it is
+        # a filter over already-materialized blocks — no shuffle and no
+        # second join-the-old-frame job per round (r6; the extra per-round
+        # shuffle join was ~40% of the closure's wall at bench scale)
+        new_label = F.least("label", F.coalesce("nbr_label", "label"))
         new_labels = (
             labels.join(nbr, labels.id == nbr.doc_a, "left")
-            .select(F.col("id"),
-                    F.least("label", F.coalesce("nbr_label", "label"))
-                    .alias("label"))
+            .select(F.col("id"), new_label.alias("label"),
+                    (new_label != F.col("label")).alias("__changed"))
             .localCheckpoint()
         )
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
+        changed = new_labels.filter(F.col("__changed")).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     edges.unpersist()
