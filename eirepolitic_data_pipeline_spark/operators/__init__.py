@@ -28,6 +28,7 @@ from .similarity import (  # noqa: F401
     semantic_dedup,
     sign_lsh_bucket,
 )
+from .relevance import bigram_lm_bits, bm25_scores  # noqa: F401
 from .sketches import hll_estimate, hll_merge, hll_rollup  # noqa: F401
 from .incremental import incremental_additive, recompute_groups  # noqa: F401
 from .skew import salted_agg, salted_string_agg, salted_top_n  # noqa: F401

@@ -28,7 +28,7 @@ from . import quality  # noqa: F401,E402
 
 
 # Certification rotation (round 6). The driver's correctness gate certifies
-# the first ~50 registered queries per round; with 64 registered, 14 fall
+# the first ~50 registered queries per round; with 66 registered, 16 fall
 # outside every round. Rank the workload so the window always covers the
 # queries that NEED a fresh driver-green row:
 #   front — queries never driver-certified (q61–q68, added round 5) plus the
@@ -40,6 +40,8 @@ from . import quality  # noqa: F401,E402
 #           untouched since round 1; q42/q43: green r04+r05, untouched).
 # Rotate this list each round as certifications land and code changes.
 _CERT_PRIORITY = [
+    "q69_bm25_relevance",
+    "q70_bigram_lm_quality",
     "q61_line_dedup_boilerplate",
     "q62_minhash_dedup_components",
     "q63_curate_corpus_certified",
@@ -70,6 +72,9 @@ _CERT_TAIL = [
     "q12_cross_grid_zero_filled",
     "q42_cube_status_year",
     "q43_approx_aggregates",
+    # demoted when q69/q70 were added (round 6): green r01-r05, unchanged
+    "q13_dense_rank_suppliers",
+    "q14_topn_customers_per_nation",
 ]
 
 

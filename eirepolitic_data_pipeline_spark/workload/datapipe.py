@@ -1831,3 +1831,111 @@ def q68_tally_integrity_report(spark, sf_dir):
         F.col("declared_count").cast("string").alias("declared_count"),
         F.col("observed_count").cast("string").alias("observed_count"))
     return a10.unionByName(a11)
+
+
+# ---------------------------------------------------------------------------
+# Lexical relevance / statistical quality scoring (operators/relevance.py)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "filter", "stream")
+
+
+@register(
+    "q69_bm25_relevance",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(coalesce(text, '')),
+                                            '\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(t) AS dl FROM tk),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM tk)
+      WHERE tok IN ('join', 'filter', 'stream')
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf * (1.2 + 1)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS s
+      FROM tf
+      JOIN dfreq USING (tok)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY 1
+    )
+    SELECT d.doc_id, round(coalesce(s, 0.0), 6) AS bm25
+    FROM dl d LEFT JOIN scored USING (doc_id)
+    """,
+    survey_ref="beyond-ref: BM25 relevance mining (operators/relevance.py:bm25_scores)",
+)
+def q69_bm25_relevance(spark, sf_dir):
+    """Okapi BM25 of every document against a fixed query-term set, the
+    sparse ranker used to mine domain-relevant docs from a web corpus.
+    One row per input document (0.0 when no term matches), non-negative
+    Lucene IDF, k1=1.2 / b=0.75. Plan: tokenize projection for lengths,
+    one term-filtered explode, tf groupBy on doc_id, term-df and the
+    1-row (N, avgdl) statistics broadcast back — the corpus shuffles once,
+    on the doc key. Oracle re-derives every component in SQL; the 6-dp
+    round absorbs float summation-order drift across <= 3 terms."""
+    from ..operators.relevance import bm25_scores
+    docs = spread(t(spark, sf_dir, "documents"))
+    return bm25_scores(docs, _BM25_TERMS, "text", "doc_id")
+
+
+@register(
+    "q70_bigram_lm_quality",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(coalesce(text, '')),
+                                            '\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id,
+             t[CAST(i AS INTEGER) + 1] AS w1,
+             t[CAST(i AS INTEGER) + 2] AS w2
+      FROM tk, unnest(range(len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    joint AS (SELECT w1, w2, count(*) AS c12 FROM occ GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(c12) AS c1 FROM joint GROUP BY 1),
+    vocab AS (
+      SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(t) AS tok FROM tk)
+    ),
+    prob AS (
+      SELECT w1, w2, (c12 + 0.5) / (c1 + 0.5 * v) AS p
+      FROM joint JOIN ctx USING (w1) CROSS JOIN vocab
+    )
+    SELECT occ.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(-log2(p)), 6) AS bits
+    FROM occ JOIN prob USING (w1, w2)
+    GROUP BY 1
+    """,
+    survey_ref="beyond-ref: self-trained bigram-LM quality filter (operators/relevance.py:bigram_lm_bits; CCNet-style perplexity gate)",
+)
+def q70_bigram_lm_quality(spark, sf_dir):
+    """The CCNet-style statistical quality gate without the external LM:
+    a bigram model with add-0.5 smoothing is trained ON THE CORPUS ITSELF
+    (joint + context counts, distinct-unigram vocabulary), then every
+    document is scored mean -log2 P(w2|w1) in bits per bigram — gibberish
+    and mojibake score high. Documents under two tokens have no bigram
+    event and are absent by contract. Plan: two explode passes (count
+    pass, score pass), aggregations keyed by bigram (map-side combined),
+    the 1-row vocabulary broadcast; the only wide state is the
+    distinct-bigram count table — never |corpus|^2. The oracle re-trains
+    the same LM in SQL; the per-doc mean is rounded to 6 dp to absorb
+    summation-order drift."""
+    from ..operators.relevance import bigram_lm_bits
+    docs = spread(t(spark, sf_dir, "documents"))
+    return bigram_lm_bits(docs, "text", "doc_id")

@@ -56,6 +56,10 @@ EDGE_QUERIES = (
     "q63_curate_corpus_certified",
     "q64_decontaminate_benchmark",
     "q66_simhash_banded_pairs",
+    # r6 relevance scorers: NULL/blank docs must be 0.0-scored (bm25,
+    # dl=0 through the dl/avgdl norm) or absent-by-contract (bigram LM)
+    "q69_bm25_relevance",
+    "q70_bigram_lm_quality",
     # embedding queries: zero-norm cosine contract + cosine-tie rank rule
     # (edge embeddings rows, r6)
     "q26_knn_bruteforce",

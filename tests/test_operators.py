@@ -895,3 +895,56 @@ def test_knn_lsh_hot_bucket_cap(spark):
     # the 50-vector bucket is skipped; the small bucket still answers
     assert capped.filter("query_id = 0").count() == 0
     assert capped.filter("query_id = 100").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# relevance scoring (operators/relevance.py)
+# ---------------------------------------------------------------------------
+
+def test_bm25_scores_hand_computed(spark):
+    """BM25 against a 3-doc corpus, checked against the formula evaluated
+    by hand: non-negative Lucene IDF, k1=1.2, b=0.75, 0.0 rows for
+    documents matching no query term."""
+    import math
+
+    from eirepolitic_data_pipeline_spark.operators.relevance import (
+        bm25_scores)
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog fish"), (3, "bird bird bird")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["bm25"]
+           for r in bm25_scores(docs, ["cat", "dog"]).collect()}
+    n, avgdl, k1, b = 3, (3 + 2 + 3) / 3, 1.2, 0.75
+
+    def score(tf, df_, dl):
+        idf = math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp1 = round(score(2, 1, 3) + score(1, 2, 3), 6)  # cat x2, dog x1
+    exp2 = round(score(1, 2, 2), 6)                   # dog x1
+    assert got == {1: exp1, 2: exp2, 3: 0.0}
+
+
+def test_bigram_lm_bits_hand_computed(spark):
+    """Self-trained bigram LM on a 3-doc corpus, checked by hand:
+    P = (c12+0.5)/(c1+0.5*V), bits = mean -log2 P over the doc's bigram
+    occurrences; the 1-token doc is absent (no bigram event)."""
+    import math
+
+    from eirepolitic_data_pipeline_spark.operators.relevance import (
+        bigram_lm_bits)
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in bigram_lm_bits(docs).collect()}
+    # corpus bigrams: d1: ab, ba, ab; d2: ab, bc  -> c(ab)=3, c(ba)=1,
+    # c(bc)=1; contexts c(a.)=3, c(b.)=2; V = {a,b,c,x} = 4
+    v, k = 4, 0.5
+    p_ab = (3 + k) / (3 + k * v)
+    p_ba = (1 + k) / (2 + k * v)
+    p_bc = (1 + k) / (2 + k * v)
+    bits1 = round(-(math.log2(p_ab) + math.log2(p_ba) + math.log2(p_ab)) / 3, 6)
+    bits2 = round(-(math.log2(p_ab) + math.log2(p_bc)) / 2, 6)
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_bigrams"] == 3 and rows[1]["bits"] == bits1
+    assert rows[2]["n_bigrams"] == 2 and rows[2]["bits"] == bits2
