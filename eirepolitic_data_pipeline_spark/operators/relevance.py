@@ -33,7 +33,8 @@ from ..functions import text as tx
 
 def bm25_scores(df: DataFrame, terms: Sequence[str],
                 text_col: str = "text", id_col: str = "doc_id",
-                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+                k1: float = 1.2, b: float = 0.75,
+                persist_stats: bool = True) -> DataFrame:
     """Okapi BM25 of every document against ``terms``: one row per INPUT
     document — ``(doc_id, bm25)``, 0.0 for documents matching no term, so
     the output joins back to the corpus without row loss.
@@ -46,21 +47,37 @@ def bm25_scores(df: DataFrame, terms: Sequence[str],
     Plan: one tokenize projection for per-doc length (no explode), one
     explode filtered to the query terms (the filter lands inside the
     Generate, so non-query tokens never leave the map side), a groupBy
-    (doc, term) for tf, and term df + the 1-row (N, avgdl) aggregate
-    crossJoin-broadcast back. Corpus-sized data shuffles once, on doc_id.
+    (doc, term) for tf — which CARRIES the doc length via any_value, so
+    no length re-join — and term df + the 1-row (N, avgdl) aggregate
+    crossJoin-broadcast back.
+
+    ``persist_stats`` (default) lazily ``persist()``s the two frames
+    consumed more than once — ``dl`` (2 longs per doc: the stats pass and
+    the keep-all-docs join) and ``tf`` (bounded by matching docs × terms:
+    the df pass and the scoring pass) — so the corpus is tokenized exactly
+    TWICE regardless of plan fan-out; these are the same artifacts a
+    production run would write as its own tables (curate_corpus's
+    persist_stages pattern; a long-lived session curating many corpora
+    should release them once the result is materialized). Pass False for
+    a cache-free plan (each consumer re-scans the corpus).
     """
     if not terms:
         raise ValueError("bm25_scores needs at least one query term")
     toks = tx.tokens(text_col)
     dl = df.select(F.col(id_col).alias("doc_id"),
                    F.size(toks).alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
-                   F.avg("dl").alias("avgdl"))
     tf = (df.select(F.col(id_col).alias("doc_id"),
+                    F.size(toks).alias("dl"),
                     F.explode(toks).alias("tok"))
           .filter(F.col("tok").isin(*[t.lower() for t in terms]))
           .groupBy("doc_id", "tok")
-          .agg(F.count(F.lit(1)).alias("tf")))
+          .agg(F.count(F.lit(1)).alias("tf"),
+               F.any_value("dl").alias("dl")))
+    if persist_stats:
+        dl = dl.persist()
+        tf = tf.persist()
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
     dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     idf = F.log(F.lit(1.0)
                 + (F.col("n_docs") - F.col("df") + F.lit(0.5))
@@ -69,7 +86,6 @@ def bm25_scores(df: DataFrame, terms: Sequence[str],
             / (F.col("tf")
                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))))
     scored = (tf.join(F.broadcast(dfreq), "tok")
-              .join(dl, "doc_id")
               .crossJoin(F.broadcast(stats))
               .groupBy("doc_id")
               .agg(F.sum(idf * norm).alias("__s")))
@@ -94,7 +110,8 @@ def _bigram_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def bigram_lm_bits(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id", add_k: float = 0.5) -> DataFrame:
+                   id_col: str = "doc_id", add_k: float = 0.5,
+                   persist_stats: bool = True) -> DataFrame:
     """Self-trained bigram LM score per document: ``(doc_id, n_bigrams,
     bits)`` where bits = mean over the doc's bigram occurrences of
     ``-log2 P(w2 | w1)`` with add-k smoothing
@@ -105,13 +122,20 @@ def bigram_lm_bits(df: DataFrame, text_col: str = "text",
     CCNet-style quality gate thresholds on this column.
 
     Only documents with >= 2 tokens appear (no bigram event to score
-    otherwise). The corpus is read twice (count pass + score pass — the
-    plans share no subtree, mirroring how a production run would persist
-    the count table as its own artifact); all joins key on the bigram,
-    bounded by distinct-bigram count, never |corpus|^2.
+    otherwise). The corpus is read three times — count pass, vocabulary
+    pass, score pass (at 100 TB the bigram-occurrence stream is LARGER
+    than the corpus, so re-deriving it beats caching it) — while the
+    model itself, ``joint`` (bounded by DISTINCT bigrams), is
+    ``persist()``-ed under ``persist_stats`` so the context-count and
+    probability consumers don't re-run the count pass: the same artifact
+    a production run would write as its own table (curate_corpus's
+    persist_stages pattern — release after materializing downstream).
+    All joins key on the bigram — never |corpus|^2.
     """
     occ = _bigram_pairs(df, text_col, id_col)
     joint = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    if persist_stats:
+        joint = joint.persist()
     ctx = joint.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (df.select(F.explode(tx.tokens(text_col)).alias("tok"))
              .agg(F.countDistinct("tok").alias("v")))
