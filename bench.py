@@ -135,11 +135,11 @@ def main():
     # The driver keeps only the LAST 2000 characters of stdout (BENCH_r05's
     # "tail" truncated mid-line and its "parsed" came back null), so the one
     # JSON line must fit whole: keys shrink to the unique qNN prefix
-    # (~14 bytes/entry vs ~32 for full names — 64 queries fit with half the
-    # budget spare) and sort by name so round-over-round diffs align. The
-    # qNN → full-name mapping is workload.QUERIES, unambiguous by
-    # construction (asserted here so a future rename can't silently merge
-    # two queries into one key).
+    # (~14 bytes/entry vs ~32 for full names — 66 queries ≈ 930 bytes, plus
+    # ~220 of metadata and ~130 for q63_stages, ~1.3k total) and sort by
+    # name so round-over-round diffs align. The qNN → full-name mapping is
+    # workload.QUERIES, unambiguous by construction (asserted here so a
+    # future rename can't silently merge two queries into one key).
     short = {name.split("_")[0]: v for name, v in timings.items()}
     assert len(short) == len(timings), "qNN prefixes must stay unique"
     q63_stages = _q63_stage_walls(spark, sf_dir)

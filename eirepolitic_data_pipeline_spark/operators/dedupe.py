@@ -625,6 +625,23 @@ def simhash_longs(df: DataFrame, text_col: str = "text",
     return agg.select("doc_id", packed.alias("sim64"))
 
 
+def simhash_band_keys(sim_col: Column | str, bits: int,
+                      band_bits: int) -> Column:
+    """The banded search's key recipe as one expression: an array of
+    ``bits // band_bits`` integer band keys ``(band_index << band_bits) |
+    band_byte`` extracted from the packed LONG signature with UNSIGNED
+    shifts (at bits=64 the sign bit is signature bit 0; an arithmetic
+    shift would smear it across every band). Shared by simhash_near_pairs
+    and the saturation measurement in tools/stress_dedup.py so the stress
+    verdict can never drift from the shipped banding."""
+    c = F.col(sim_col) if isinstance(sim_col, str) else sim_col
+    mask = (1 << band_bits) - 1
+    return F.array(*[
+        (F.shiftrightunsigned(c, bits - (i + 1) * band_bits)
+         .bitwiseAND(F.lit(mask)) + F.lit(i << band_bits))
+        for i in range(bits // band_bits)])
+
+
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 32,
                        band_bits: int = 8, max_hamming: int = 3,
@@ -668,17 +685,9 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     if bits % band_bits != 0:
         raise ValueError(f"band_bits {band_bits} must divide bits {bits}")
     sigs = simhash_longs(df, text_col, id_col, bits)
-    n_bands = bits // band_bits
-    mask = (1 << band_bits) - 1
     bands = sigs.select(
         "doc_id", "sim64",
-        # unsigned shift: at bits=64 the sign bit is signature bit 0, and
-        # an arithmetic shift would smear it across every band
-        F.explode(F.array(*[
-            (F.shiftrightunsigned("sim64", bits - (i + 1) * band_bits)
-             .bitwiseAND(F.lit(mask)) + F.lit(i << band_bits)).alias("b")
-            for i in range(n_bands)
-        ])).alias("band"),
+        F.explode(simhash_band_keys("sim64", bits, band_bits)).alias("band"),
     )
     pairs = (
         pairs_from_postings(bands, key="band", payload_cols=["sim64"],

@@ -41,6 +41,7 @@ from eirepolitic_data_pipeline_spark.operators.dedupe import (  # noqa: E402
     minhash_signatures,
     pairs_from_postings,
     shingle_postings,
+    simhash_band_keys,
     simhash_longs,
     simhash_near_pairs,
     winnowed_fingerprint_frame,
@@ -216,11 +217,9 @@ def main():
 
     def band_drop_share(bits, band_bits):
         sig = simhash_longs(distinct_docs, "text", "doc_id", bits=bits)
-        mask = (1 << band_bits) - 1
-        bands = sig.select(F.explode(F.array(*[
-            (F.shiftrightunsigned("sim64", bits - (i + 1) * band_bits)
-             .bitwiseAND(F.lit(mask)) + F.lit(i << band_bits)).alias("b")
-            for i in range(bits // band_bits)])).alias("band"))
+        bands = sig.select(
+            F.explode(simhash_band_keys("sim64", bits, band_bits))
+            .alias("band"))
         sizes = bands.groupBy("band").count()
         row = sizes.select(
             F.sum(F.when(F.col("count") > DEFAULT_MAX_DF,
@@ -234,7 +233,9 @@ def main():
     sat_wall = round(time.perf_counter() - t0, 1)
     sat_ok = share32 > 0.5 and share64 < 0.05
     all_ok &= sat_ok
-    print(f"simhash saturation ({n_docs} distinct docs): 32/8 drops "
+    sat_n = n_docs + n_twins
+    print(f"simhash saturation ({sat_n} docs = {n_docs} distinct + "
+          f"{n_twins} twins): 32/8 drops "
           f"{share32:.1%} of postings, 64/16 drops {share64:.1%} "
           f"({sat_wall}s) {'OK' if sat_ok else 'FAIL'}")
 
@@ -328,7 +329,8 @@ def main():
                 "blowup the stop-key cap removes, at 1/8 the stressed "
                 "cluster size (cost scales with the square).\n")
         f.write(
-            f"\nSimHash band saturation at {n_docs} DISTINCT docs: the "
+            f"\nSimHash band saturation at {sat_n} docs ({n_docs} distinct "
+            f"+ {n_twins} planted twins): the "
             f"default 32-bit/8-bit-band config (256 buckets/band) drops "
             f"{share32:.1%} of band postings at the cap — saturated, as "
             f"the sizing rule (2^band_bits x max_df ~ "
