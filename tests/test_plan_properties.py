@@ -176,3 +176,17 @@ def test_no_jit_hostile_codegen_methods(spark):
         if big:
             offenders[name] = sorted(big, reverse=True)[:3]
     assert offenders == {}, f"JIT-hostile generated methods: {offenders}"
+
+
+def test_relevance_workload_plans_are_cache_free(spark):
+    """q69/q70 register their operators with persist_stats=False: the
+    workload memoizes built plans across bench passes, so a persisted
+    stats frame would turn passes 2+ into block-cache reads — the memo
+    silently becoming RESULT caching. Asserted on the post-action plan:
+    a persisted frame would surface as InMemoryTableScan after the first
+    materialization."""
+    qs = _queries()
+    for name in ("q69_bm25_relevance", "q70_bigram_lm_quality"):
+        df = qs[name](spark, SF_SMOKE)
+        df.write.format("noop").mode("overwrite").save()
+        assert "InMemoryTableScan" not in _plan(df), name
