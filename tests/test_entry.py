@@ -27,3 +27,20 @@ def test_all_queries_run_at_smoke_sf(spark):
         df = fn(spark, SF_SMOKE)
         assert df.columns, name
         df.limit(5).collect()
+
+
+def test_certification_window_holds_every_non_tail_query():
+    """The driver's correctness gate certifies roughly the first 50
+    registered queries. The rotation in workload/__init__.py only works if
+    EVERYTHING outside _CERT_TAIL fits that window — so adding a new query
+    without demoting a banked one to the tail must fail here, not silently
+    push some query out of certification for every future round."""
+    from eirepolitic_data_pipeline_spark import workload
+
+    names = list(workload.QUERIES)
+    assert len(names) - len(workload._CERT_TAIL) <= 50, (
+        "too many non-tail queries for the driver's ~50-query gate: "
+        "demote a long-stable, multiply-certified query to _CERT_TAIL")
+    # priority queries must sit at the very front (tightest budgets first)
+    assert names[:len(workload._CERT_PRIORITY)] == workload._CERT_PRIORITY
+    assert names[-len(workload._CERT_TAIL):] == workload._CERT_TAIL
