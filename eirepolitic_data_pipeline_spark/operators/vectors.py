@@ -1,0 +1,152 @@
+"""Embedding-column maintenance operators (beyond-ref): the vector-side
+plumbing a 100 TB embedding/ANN pipeline needs around its indexes.
+
+- ``quantize_int8`` — per-vector symmetric int8 quantization with
+  reconstruction-error telemetry: the standard 4× memory/IO cut applied
+  before an ANN index is built or served.
+- ``kmeans_assign`` — deterministic Lloyd k-means with a fixed iteration
+  count: the coarse quantizer an IVF index trains, and the clustering
+  step of cluster-based curation (SemDeDup-style semantic dedup operates
+  within clusters, and diversity sampling draws per-cluster quotas).
+
+Both are expressed over Catalyst array higher-order functions (zip_with /
+transform / aggregate) — JVM-side, no UDFs. Quantization is a pure
+projection (zero shuffle). The k-means fit is a sequence of bounded
+aggregations: per iteration one (cluster, dimension) mean aggregate —
+map-side combined, k·dim output rows — and the only driver-side state is
+the centroid model itself (k·dim doubles), the same bounded artifact any
+trainer ships to executors as a broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_Q = 127  # int8 symmetric range
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Sequential left-fold sum of array<double> — the repo's cross-engine
+    float contract (operators.similarity.cosine_col): DuckDB's list_reduce
+    folds in the same order, so doubles agree bit-for-bit pre-rounding."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Symmetric per-vector int8 quantization.
+
+    Output: ``(vec_id, scale, qvec, mse)`` — ``scale = max(|x|)/127``,
+    ``qvec[i] = clamp(floor(x_i/scale + 0.5), -127, 127)`` (explicit
+    floor(+0.5) half-up, the one rounding rule every engine agrees on),
+    and ``mse`` the mean squared reconstruction error of ``qvec·scale``
+    against the original. An all-zero vector quantizes to scale 0.0 and
+    an all-zero qvec (nothing to scale), never NaN.
+
+    Pure projection: no shuffle, no UDF — the plan quantizes inside the
+    scan's WholeStageCodegen, which is what lets a 100 TB embedding table
+    be rewritten in one map-only pass.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(float(_Q))
+    qexpr = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.greatest(
+            F.lit(-_Q), F.least(F.lit(_Q), F.floor(x / scale + 0.5)))
+            .cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    out = df.select(F.col(id_col).alias("vec_id"),
+                    v.alias("__v"),
+                    scale.alias("__scale"),
+                    qexpr.alias("qvec"))
+    # reconstruct with the RAW scale (the one qvec was computed from);
+    # rounding is presentation only, applied at emission below
+    # (d)*(d), not pow(d, 2): libm pow is not guaranteed bit-identical to
+    # plain multiplication, and the oracle must reproduce these doubles
+    err = F.zip_with(F.col("__v"), F.col("qvec"),
+                     lambda x, q: (x - q * F.col("__scale"))
+                     * (x - q * F.col("__scale")))
+    mse = F.when(F.size("__v") > 0,
+                 _fold_sum(err) / F.size("__v")).otherwise(F.lit(0.0))
+    return out.select("vec_id",
+                      F.round("__scale", 9).alias("scale"),
+                      "qvec",
+                      F.round(mse, 12).alias("mse"))
+
+
+def _dist2(v: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance of an array<double> column to a Python-side
+    centroid, as a sequential fold over the zipped difference — the same
+    order DuckDB's list_reduce uses, so both engines see identical
+    doubles given identical (rounded) centroids."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return _fold_sum(F.zip_with(v, c, lambda x, y: (x - y) * (x - y)))
+
+
+def _assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(vec_id, __v, cluster, d2): nearest centroid per vector, ties to
+    the lowest cluster id (array_min over (distance, id) structs orders
+    lexicographically)."""
+    pairs = F.array(*[
+        F.struct(_dist2(F.col("__v"), c).alias("d2"),
+                 F.lit(i).alias("cluster"))
+        for i, c in enumerate(centroids)])
+    best = F.array_min(pairs)
+    return vecs.select("vec_id", "__v",
+                       best["cluster"].alias("cluster"),
+                       best["d2"].alias("d2"))
+
+
+def kmeans_assign(df: DataFrame, k: int = 4, iters: int = 2,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  round_dp: int = 6) -> DataFrame:
+    """Deterministic Lloyd k-means: fixed iteration count, init = the k
+    lowest-id vectors, centroids ROUNDED to ``round_dp`` decimals after
+    every mean update. Output: ``(vec_id, cluster, dist)`` — final
+    assignment with Euclidean distance rounded to 6 dp.
+
+    The rounding is the reproducibility contract, not a shortcut: a mean
+    over a shuffled partitioning sums in nondeterministic order, so raw
+    centroids differ in their last ulps run-to-run (and engine-to-engine);
+    pinning them to a decimal grid makes the fitted model — and therefore
+    every downstream assignment — bit-identical across runs and across
+    the DuckDB oracle. Ties in the argmin go to the lowest cluster id.
+    A cluster that loses all members keeps its previous centroid.
+
+    Scale shape: per iteration one broadcast-literal projection (k·dim
+    lits, no join) computes assignments, then one map-side-combined
+    (cluster, dimension) average — k·dim result rows — is collected as
+    the next model. Driver state is the model only (k·dim doubles, the
+    same thing MLlib's trainer holds); the vectors themselves never
+    leave the executors. CONSTRUCTION runs the fit's Spark jobs
+    (iters aggregations), so workload entries must opt out of plan
+    memoization (Query.memoize=False) — caching the built plan would
+    skip the training cost on every pass after the first.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    vecs = df.select(F.col(id_col).alias("vec_id"),
+                     F.col(vec_col).cast("array<double>").alias("__v"))
+    seed = (vecs.orderBy("vec_id").limit(k).collect())
+    if len(seed) < k:
+        raise ValueError(f"k={k} exceeds the {len(seed)} available vectors")
+    centroids = [list(r["__v"]) for r in seed]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = _assign(vecs, centroids)
+        means = (assigned
+                 .select("cluster", F.posexplode("__v").alias("pos", "val"))
+                 .groupBy("cluster", "pos")
+                 .agg(F.round(F.avg("val"), round_dp).alias("mv"))
+                 .collect())
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["mv"]
+        centroids = [
+            [by_cluster[i][p] for p in range(dim)] if i in by_cluster
+            else centroids[i]  # empty cluster keeps its previous centroid
+            for i in range(k)]
+    return (_assign(vecs, centroids)
+            .select("vec_id", "cluster",
+                    F.round(F.sqrt("d2"), 6).alias("dist")))

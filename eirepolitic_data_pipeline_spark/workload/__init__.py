@@ -42,6 +42,10 @@ from . import quality  # noqa: F401,E402
 _CERT_PRIORITY = [
     "q69_bm25_relevance",
     "q70_bigram_lm_quality",
+    "q71_ngram_heavy_hitters",
+    "q72_quantize_int8",
+    "q73_kmeans_clusters",
+    "q74_source_overlap",
     "q61_line_dedup_boilerplate",
     "q62_minhash_dedup_components",
     "q63_curate_corpus_certified",
@@ -75,6 +79,12 @@ _CERT_TAIL = [
     # demoted when q69/q70 were added (round 6): green r01-r05, unchanged
     "q13_dense_rank_suppliers",
     "q14_topn_customers_per_nation",
+    # demoted when q71-q74 were added (round 6): green r01-r05, and
+    # windows.py untouched since their r05 certification
+    "q15_argmax_event_type",
+    "q16_latest_event_per_user",
+    "q17_rapid_repeat_events",
+    "q18_running_customer_spend",
 ]
 
 

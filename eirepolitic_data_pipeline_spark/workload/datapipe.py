@@ -1943,3 +1943,266 @@ def q70_bigram_lm_quality(spark, sf_dir):
     # persist_stats=False: same reasoning as q69 — memoized plans across
     # bench passes must not read a persisted count table for free.
     return bigram_lm_bits(docs, "text", "doc_id", persist_stats=False)
+
+
+# ---------------------------------------------------------------------------
+# Corpus profiling: n-gram heavy hitters + source overlap (r6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q71_ngram_heavy_hitters",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(coalesce(text, '')),
+                                            '\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    -- word_shingles contract (functions.text): <n tokens -> ONE whole-text
+    -- shingle; '' for a blank doc (dropped below — a blank doc says nothing
+    -- about corpus content). coalesce: array_to_string([]) is NULL.
+    sh AS (
+      SELECT doc_id, source,
+             coalesce(array_to_string(
+               toks[CAST(i AS INTEGER) + 1 : CAST(i AS INTEGER) + 2], ' '),
+               '') AS ngram
+      FROM tk, unnest(range(greatest(len(toks) - 1, 1))) AS u(i)
+    ),
+    hh AS (
+      SELECT source, ngram, count(*) AS occurrences,
+             count(DISTINCT doc_id) AS doc_freq
+      FROM sh WHERE ngram <> '' GROUP BY 1, 2
+    )
+    SELECT source, ngram, occurrences, doc_freq, rank FROM (
+      SELECT source, ngram, occurrences, doc_freq,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY occurrences DESC, ngram) AS INTEGER) AS rank
+      FROM hh
+    ) WHERE rank <= 10
+    """,
+    survey_ref="beyond-ref: corpus profiling top-k n-grams (operators/profiling.py:ngram_heavy_hitters); skew-safe via operators.skew.salted_top_n",
+)
+def q71_ngram_heavy_hitters(spark, sf_dir):
+    """Top-10 word bigrams per source by occurrence count, with document
+    frequency — the "what is this corpus made of" profiling report and the
+    empirical stop-shingle candidates the dedupe caps drop. Plan: one
+    explode, one map-side-combined (source, ngram) aggregation, then the
+    two-phase SALTED top-k (a source holding most of the corpus ranks
+    inside bounded buckets; only <= buckets*k survivors meet one reducer).
+    Rank ties break on ngram asc — a total order, so the oracle's
+    row_number reproduces it exactly."""
+    from ..operators.profiling import ngram_heavy_hitters
+    docs = spread(t(spark, sf_dir, "documents"))
+    return ngram_heavy_hitters(docs, n=2, k=10, group_cols=("source",))
+
+
+@register(
+    "q74_source_overlap",
+    r"""
+    WITH tk AS (
+      SELECT source,
+             list_filter(string_split_regex(lower(coalesce(text, '')),
+                                            '\s+'),
+                         t -> t <> '') AS toks
+      FROM documents WHERE source IS NOT NULL
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             coalesce(array_to_string(
+               toks[CAST(i AS INTEGER) + 1 : CAST(i AS INTEGER) + 3], ' '),
+               '') AS ngram
+      FROM tk, unnest(range(greatest(len(toks) - 2, 1))) AS u(i)
+    ),
+    sh2 AS (SELECT * FROM sh WHERE ngram <> ''),
+    tot AS (SELECT source, count(*) AS n FROM sh2 GROUP BY 1),
+    p AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             count(*) AS shared_ngrams
+      FROM sh2 a JOIN sh2 b ON a.ngram = b.ngram AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.src_a, p.src_b, p.shared_ngrams,
+           ta.n AS n_a, tb.n AS n_b,
+           round(CAST(p.shared_ngrams AS DOUBLE)
+                 / (ta.n + tb.n - p.shared_ngrams), 6) AS jaccard,
+           round(CAST(p.shared_ngrams AS DOUBLE)
+                 / least(ta.n, tb.n), 6) AS containment
+    FROM p JOIN tot ta ON ta.source = p.src_a
+           JOIN tot tb ON tb.source = p.src_b
+    """,
+    survey_ref="beyond-ref: cross-source shingle-overlap matrix (operators/profiling.py:source_overlap); feeds mix_sources weighting",
+)
+def q74_source_overlap(spark, sf_dir):
+    """Pairwise distinct 3-shingle overlap between sources: shared count,
+    Jaccard, and containment (1.0 = the smaller source is a subset — a
+    syndication feed). The report that decides source weights before
+    temperature mixing. Plan: distinct (source, shingle) projection, a
+    postings array per shingle BOUNDED BY #SOURCES (not documents — no df
+    cap needed, unlike document-pair expansion), exploded to source pairs
+    and count-aggregated; per-source totals broadcast back. Two map-side
+    combined shuffles total (shingle key, pair key)."""
+    from ..operators.profiling import source_overlap
+    docs = spread(t(spark, sf_dir, "documents"))
+    return source_overlap(docs, n=3)
+
+
+# ---------------------------------------------------------------------------
+# Embedding maintenance: int8 quantization + deterministic k-means (r6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q72_quantize_int8",
+    r"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, v, scale,
+             CASE WHEN scale > 0 THEN
+               list_transform(v, x -> CAST(greatest(-127, least(127,
+                 floor(x / scale + 0.5))) AS INTEGER))
+             ELSE list_transform(v, x -> 0) END AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           round(scale, 9) AS scale,
+           list_min(qv) AS q_min,
+           list_max(qv) AS q_max,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(qv, x -> CAST(abs(x) AS BIGINT))),
+             (a, x) -> a + x) AS q_l1,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(len(qv)),
+               i -> CAST(qv[CAST(i AS INTEGER) + 1] AS BIGINT) * (i + 1))),
+             (a, x) -> a + x) AS q_posdot,
+           round(CASE WHEN len(v) > 0 THEN
+             list_reduce(list_prepend(0.0,
+               list_transform(list_zip(v, qv),
+                 z -> (z[1] - z[2] * scale)
+                      * (z[1] - z[2] * scale))),
+               (a, x) -> a + x) / len(v)
+           ELSE 0.0 END, 12) AS mse
+    FROM q
+    """,
+    survey_ref="beyond-ref: symmetric int8 embedding quantization (operators/vectors.py:quantize_int8); ANN memory/IO 4x cut",
+)
+def q72_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization with reconstruction-error
+    telemetry: scale = max|x|/127, q_i = clamp(floor(x_i/scale + .5)) —
+    explicit floor(+0.5) half-up, the one rounding rule every engine
+    agrees on — plus digest columns over the quantized vector (min/max,
+    L1 mass, position-weighted dot — catches any permutation) and the
+    reconstruction MSE. An all-zero vector quantizes to scale 0 and zero
+    codes, never NaN. Pure projection: zero shuffle, the whole transform
+    runs inside the scan's WholeStageCodegen — the plan that rewrites a
+    100 TB embedding table in one map-only pass. Folds are sequential on
+    both sides (F.aggregate ~ list_reduce) so doubles agree bit-for-bit
+    before the 9/12-dp rounds."""
+    from ..operators.vectors import quantize_int8
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    q = quantize_int8(emb)
+    qv = F.col("qvec")
+    return q.select(
+        "vec_id", "scale",
+        F.array_min(qv).alias("q_min"),
+        F.array_max(qv).alias("q_max"),
+        F.aggregate(F.transform(qv, lambda x: F.abs(x).cast("long")),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("q_l1"),
+        F.aggregate(
+            F.zip_with(qv, F.sequence(F.lit(1), F.size(qv)),
+                       lambda x, i: x.cast("long") * i),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x).alias("q_posdot"),
+        "mse",
+    )
+
+
+def _kmeans_assign_sql(cent_cte: str, out: str) -> str:
+    """One k-means assignment round in DuckDB SQL: squared L2 to every
+    centroid in ``cent_cte`` via the same sequential fold the Spark side
+    uses, argmin with ties to the lowest cluster id."""
+    return f"""
+    {out}d AS (
+      SELECT e.vec_id, c.cluster,
+             list_reduce(list_prepend(0.0,
+               list_transform(list_zip(e.v, c.v),
+                 z -> (z[1] - z[2]) * (z[1] - z[2]))),
+               (a, x) -> a + x) AS d2
+      FROM e CROSS JOIN {cent_cte} c
+    ),
+    {out} AS (
+      SELECT vec_id, cluster, d2 FROM (
+        SELECT vec_id, cluster, d2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster) AS rn
+        FROM {out}d
+      ) WHERE rn = 1
+    )"""
+
+
+def _kmeans_means_sql(assign_cte: str, prev_cte: str, out: str) -> str:
+    """Centroid update round: per-(cluster, dimension) mean rounded to
+    6 dp (the cross-engine reproducibility pin), empty clusters keep
+    their previous centroid."""
+    return f"""
+    {out}m AS (
+      SELECT a.cluster, CAST(u.i AS INTEGER) AS pos,
+             round(avg(e.v[CAST(u.i AS INTEGER) + 1]), 6) AS mv
+      FROM {assign_cte} a JOIN e USING (vec_id),
+           unnest(range(len(e.v))) AS u(i)
+      GROUP BY 1, 2
+    ),
+    {out} AS (
+      SELECT p.cluster, coalesce(m.v, p.v) AS v
+      FROM {prev_cte} p LEFT JOIN (
+        SELECT cluster, list(mv ORDER BY pos) AS v FROM {out}m GROUP BY 1
+      ) m USING (cluster)
+    )"""
+
+
+@register(
+    "q73_kmeans_clusters",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cluster, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+    ),
+    {_kmeans_assign_sql('c0', 'a0')},
+    {_kmeans_means_sql('a0', 'c0', 'c1')},
+    {_kmeans_assign_sql('c1', 'a1')},
+    {_kmeans_means_sql('a1', 'c1', 'c2')},
+    {_kmeans_assign_sql('c2', 'a2')}
+    SELECT vec_id, cluster, round(sqrt(d2), 6) AS dist FROM a2
+    """,
+    survey_ref="beyond-ref: deterministic Lloyd k-means (operators/vectors.py:kmeans_assign); IVF coarse quantizer / SemDeDup clustering",
+    memoize=False,  # construction COLLECTS the fitted centroids (k*dim
+    # doubles): memoizing the built plan would skip the training jobs on
+    # every bench pass after the first — result caching, not plan reuse
+)
+def q73_kmeans_clusters(spark, sf_dir):
+    """Deterministic Lloyd k-means (k=4, 2 iterations): init = the 4
+    lowest-id vectors, per-iteration centroids ROUNDED to 6 dp — the
+    reproducibility pin that makes the fitted model (and so every
+    assignment) bit-identical across runs and engines despite
+    nondeterministic float summation order in the means. Ties in the
+    argmin go to the lowest cluster id; an emptied cluster keeps its
+    previous centroid. The coarse quantizer an IVF index trains, and the
+    clustering stage of SemDeDup-style cluster-based curation. Scale
+    shape: per iteration one broadcast-literal assignment projection (no
+    join) and one map-side-combined (cluster, dim) mean — k*dim rows —
+    collected as the next model; driver state is the model only. The
+    oracle unrolls both iterations as CTE rounds sharing the identical
+    sequential-fold distance."""
+    from ..operators.vectors import kmeans_assign
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    return kmeans_assign(emb, k=4, iters=2)

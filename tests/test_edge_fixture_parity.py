@@ -60,6 +60,15 @@ EDGE_QUERIES = (
     # dl=0 through the dl/avgdl norm) or absent-by-contract (bigram LM)
     "q69_bm25_relevance",
     "q70_bigram_lm_quality",
+    # r6 profiling: blank docs drop from the heavy-hitter report, NULL
+    # sources drop from the overlap matrix, whole-text shingles for short
+    # docs mirror on both sides
+    "q71_ngram_heavy_hitters",
+    "q74_source_overlap",
+    # r6 embedding maintenance: the zero vector must quantize to scale 0 /
+    # zero codes and k-means must keep its distance fold exact on it
+    "q72_quantize_int8",
+    "q73_kmeans_clusters",
     # embedding queries: zero-norm cosine contract + cosine-tie rank rule
     # (edge embeddings rows, r6)
     "q26_knn_bruteforce",

@@ -948,3 +948,115 @@ def test_bigram_lm_bits_hand_computed(spark):
     assert set(rows) == {1, 2}
     assert rows[1]["n_bigrams"] == 3 and rows[1]["bits"] == bits1
     assert rows[2]["n_bigrams"] == 2 and rows[2]["bits"] == bits2
+
+
+# ---------------------------------------------------------------------------
+# profiling (r6)
+# ---------------------------------------------------------------------------
+
+def test_ngram_heavy_hitters_counts_and_ranks(spark):
+    """Bigram occurrences vs doc_freq, rank tie broken on ngram asc, blank
+    docs dropped, and the <n-token whole-text shingle contract."""
+    from eirepolitic_data_pipeline_spark.operators.profiling import (
+        ngram_heavy_hitters)
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "s"),       # bigrams: "a b" x2, "b a" x1
+         (2, "a b", "s"),           # "a b" x1
+         (3, "", "s"),              # blank -> dropped
+         (4, "solo", "s"),          # 1 token -> whole-text shingle "solo"
+         (5, "z z", "t")],          # other group
+        "doc_id long, text string, source string")
+    out = [(r["ngram"], r["occurrences"], r["doc_freq"], r["rank"])
+           for r in ngram_heavy_hitters(docs, n=2, k=3)
+           .filter(F.col("source") == "s")
+           .orderBy("rank").collect()]
+    # "a b" 3 occurrences across 2 docs; tie between "b a" and "solo"
+    # (1 occurrence each) breaks on ngram asc
+    assert out == [("a b", 3, 2, 1), ("b a", 1, 1, 2), ("solo", 1, 1, 3)]
+
+
+def test_source_overlap_containment_and_null_sources(spark):
+    """A source whose shingle set is a subset of another's scores
+    containment 1.0; NULL sources are excluded from the matrix."""
+    from eirepolitic_data_pipeline_spark.operators.profiling import (
+        source_overlap)
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4", "big"),    # shingles: w1w2w3, w2w3w4
+         (2, "w1 w2 w3", "sub"),       # shingles: w1w2w3 (subset of big)
+         (3, "q r s t", "other"),      # disjoint
+         (4, "w1 w2 w3", None)],       # NULL source -> excluded
+        "doc_id long, text string, source string")
+    rows = {(r["src_a"], r["src_b"]): r
+            for r in source_overlap(docs, n=3).collect()}
+    assert set(rows) == {("big", "sub")}  # disjoint/NULL pairs absent
+    r = rows[("big", "sub")]
+    assert (r["shared_ngrams"], r["n_a"], r["n_b"]) == (1, 2, 1)
+    assert r["containment"] == 1.0
+    assert r["jaccard"] == 0.5  # 1 / (2 + 1 - 1)
+
+
+# ---------------------------------------------------------------------------
+# vectors (r6)
+# ---------------------------------------------------------------------------
+
+def test_quantize_int8_roundtrip_and_zero_vector(spark):
+    """Extremes map to ±127, per-element reconstruction error stays under
+    scale/2, and the all-zero vector quantizes to zeros (never NaN)."""
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        quantize_int8)
+    emb = spark.createDataFrame(
+        [(1, [2.54, -2.54, 1.27, 0.0]),
+         (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    rows = {r["vec_id"]: r for r in quantize_int8(emb).collect()}
+    r1 = rows[1]
+    assert abs(r1["scale"] - 2.54 / 127) < 1e-12
+    assert r1["qvec"] == [127, -127, 64, 0]  # 1.27/scale = 63.5 -> half-up
+    recon_err = max(abs(v - q * r1["scale"])
+                    for v, q in zip([2.54, -2.54, 1.27, 0.0], r1["qvec"]))
+    assert recon_err <= r1["scale"] / 2 + 1e-12
+    assert r1["mse"] > 0
+    r2 = rows[2]
+    assert r2["scale"] == 0.0 and r2["qvec"] == [0, 0, 0, 0]
+    assert r2["mse"] == 0.0
+
+
+def test_kmeans_two_blobs_deterministic(spark):
+    """Two well-separated 2-D blobs split cleanly with k=2; a second run
+    reproduces the identical assignment (the 6-dp centroid pin)."""
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        kmeans_assign)
+    pts = ([(i, [0.0 + i * 0.01, 0.0]) for i in range(5)]
+           + [(10 + i, [10.0 + i * 0.01, 10.0]) for i in range(5)])
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["cluster"]
+           for r in kmeans_assign(emb, k=2, iters=2).collect()}
+    # seeds are vec_id 0 and 1 (both in blob A); after the first mean
+    # update one centroid must own blob B entirely
+    blob_a = {got[i] for i in range(5)}
+    blob_b = {got[10 + i] for i in range(5)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    again = {r["vec_id"]: r["cluster"]
+             for r in kmeans_assign(emb, k=2, iters=2).collect()}
+    assert again == got
+
+
+def test_kmeans_empty_cluster_keeps_centroid_and_k_guard(spark):
+    """A seed that loses every member keeps its previous centroid (no
+    crash, k clusters remain addressable); k > |vectors| fails loudly."""
+    import pytest
+
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        kmeans_assign)
+    # vec 0 and 1 are identical: both seed centroids start equal, ties go
+    # to cluster 0, so cluster 1 empties on the first assignment — then its
+    # CARRIED centroid (still exactly [1,1]) re-captures the identical pair
+    # once cluster 0's centroid drifts to the 3-point mean
+    emb = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [1.1, 1.0])],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["cluster"], r["dist"])
+           for r in kmeans_assign(emb, k=2, iters=2).collect()}
+    assert out == {0: (1, 0.0), 1: (1, 0.0), 2: (0, 0.0)}
+    with pytest.raises(ValueError, match="exceeds"):
+        kmeans_assign(emb, k=5, iters=1)
