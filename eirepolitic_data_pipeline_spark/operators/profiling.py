@@ -10,23 +10,88 @@ training-data pipeline publishes before choosing its curation recipe.
   that decides source weights before temperature mixing
   (operators.curation.mix_sources).
 
-Both are pure DataFrame plans (no UDFs, nothing collected to the driver):
-explode → map-side-combined aggregations keyed by the n-gram, a bounded
-postings array per shingle (≤ #sources), and two-phase salted top-k so one
-giant group never pins a single reducer. The widest shuffle key is the
-n-gram itself; at 100 TB the only wide state is the distinct-ngram count
-table, exactly like the bigram tables in operators.relevance.
+Shingle GENERATION runs in the repo's Arrow kernel tier (mapInPandas,
+module note in operators.dedupe): the Catalyst higher-order form
+(transform × slice × array_join per position) is interpreted per element
+and measured ~6x slower than the whole downstream aggregation at 250k
+docs. The kernels mirror ``functions.text.word_shingles`` byte-for-byte
+(``dedupe._shingle_set``'s tokenization contract), so the Catalyst column
+form remains the tested semantic twin and the DuckDB oracles reproduce
+results exactly.
+
+Everything after generation is declarative: map-side-combined aggregations
+keyed by the n-gram, postings arrays bounded by #sources, and two-phase
+salted top-k so one giant group never pins a single reducer. Nothing
+collects to the driver; the widest shuffle key is the n-gram itself.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from collections import Counter
+from typing import Iterator, Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import text as tx
+from .dedupe import _md5_int64, _shingle_set, _WS_RE, shingle_postings
 from .skew import salted_top_n
+
+
+def _shingle_counts(text, n: int) -> Counter:
+    """Per-document n-gram occurrence counts; same tokenization and
+    whole-text-shingle contract as ``dedupe._shingle_set`` /
+    ``functions.text.word_shingles`` (lowercase, \\s+ split with empty
+    tokens dropped, <n tokens → ONE whole-text shingle)."""
+    t = ("" if text is None or (isinstance(text, float) and text != text)
+         else str(text)).lower()
+    toks = [w for w in _WS_RE.split(t) if w]
+    if len(toks) < n:
+        return Counter({" ".join(toks): 1})
+    return Counter(" ".join(toks[i:i + n])
+                   for i in range(len(toks) - n + 1))
+
+
+def ngram_counts(df: DataFrame, n: int = 2,
+                 group_cols: Sequence[str] = ("source",),
+                 text_col: str = "text") -> DataFrame:
+    """Per-group n-gram statistics: ``(*group_cols, ngram, occurrences,
+    doc_freq)``. Shingles follow the repo-wide contract
+    (functions.text.word_shingles): a document with fewer than ``n``
+    tokens contributes its whole text as ONE shingle; blank/NULL
+    documents produce the empty shingle, which is dropped here — a blank
+    doc says nothing about corpus content.
+
+    Plan: the Arrow kernel emits PER-DOCUMENT pre-aggregated (group,
+    ngram, occ) rows — map-side, no shuffle, and doc_freq becomes a plain
+    row count — then ONE map-side-combined (group, ngram) aggregation.
+    """
+    groups = list(group_cols)
+    fields = [df.schema[c] for c in groups]
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in fields) + ", ngram string, occ long"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in groups}
+            out["ngram"], out["occ"] = [], []
+            # plain lists, not Series: a scalar .iloc per emitted shingle
+            # row costs more than the shingle counting itself
+            cols = [pdf[c].tolist() for c in groups]
+            for i, text in enumerate(pdf[text_col].tolist()):
+                for ng, c in _shingle_counts(text, n).items():
+                    if not ng:
+                        continue  # blank doc → empty shingle → dropped
+                    for g, col in zip(groups, cols):
+                        out[g].append(col[i])
+                    out["ngram"].append(ng)
+                    out["occ"].append(c)
+            yield pd.DataFrame(out)
+
+    per_doc = df.select(*groups, text_col).mapInPandas(kernel, schema=schema)
+    return (per_doc.groupBy(*groups, "ngram")
+            .agg(F.sum("occ").alias("occurrences"),
+                 F.count(F.lit(1)).alias("doc_freq")))
 
 
 def ngram_heavy_hitters(df: DataFrame, n: int = 2, k: int = 10,
@@ -38,25 +103,14 @@ def ngram_heavy_hitters(df: DataFrame, n: int = 2, k: int = 10,
     Output: ``(*group_cols, ngram, occurrences, doc_freq, rank)`` — rank
     1..k per group ordered by (occurrences desc, ngram asc); ``doc_freq``
     is the number of distinct documents containing the n-gram (the column
-    a stop-shingle threshold reads). Shingles follow the repo-wide
-    contract (functions.text.word_shingles): a document with fewer than
-    ``n`` tokens contributes its whole text as ONE shingle; blank/NULL
-    documents produce the empty shingle, which is dropped here — a blank
-    doc says nothing about corpus content.
-
-    Plan: one explode, one (group, ngram) aggregation — count is map-side
-    combined and doc_freq is a distinct-aggregate on the same key — then
-    skew-safe two-phase top-k (operators.skew.salted_top_n), so a group
-    holding most of the corpus ranks inside bounded buckets before the
-    ≤ buckets·k survivors meet one reducer. No driver materialization.
+    a stop-shingle threshold reads). Statistics come from
+    ``ngram_counts`` (Arrow kernel + one map-side-combined aggregation);
+    the ranking is the skew-safe two-phase top-k
+    (operators.skew.salted_top_n), so a group holding most of the corpus
+    ranks inside bounded buckets before the ≤ buckets·k survivors meet
+    one reducer. No driver materialization.
     """
-    groups = [F.col(c) for c in group_cols]
-    sh = (df.select(*groups, F.col(id_col).alias("__doc"),
-                    F.explode(tx.word_shingles(text_col, n)).alias("ngram"))
-          .filter(F.col("ngram") != ""))
-    agg = (sh.groupBy(*group_cols, "ngram")
-           .agg(F.count(F.lit(1)).alias("occurrences"),
-                F.countDistinct("__doc").alias("doc_freq")))
+    agg = ngram_counts(df, n=n, group_cols=group_cols, text_col=text_col)
     return salted_top_n(
         agg, list(group_cols),
         [F.col("occurrences").desc(), F.col("ngram").asc()], k)
@@ -75,21 +129,30 @@ def source_overlap(df: DataFrame, n: int = 3,
     subset of the larger's — a syndication feed). NULL sources are
     excluded: an unattributed document cannot attribute overlap.
 
-    Plan: distinct (source, shingle) projection, then a postings array
-    per shingle — bounded by the number of SOURCES, not documents, so
-    unlike document-pair expansion this needs no df cap — exploded into
-    source pairs and count-aggregated; per-source totals are a tiny
-    frame broadcast back. Two shuffles total (shingle key, pair key),
-    both map-side combined. The same report at 100 TB shuffles each
-    distinct shingle exactly once.
+    Shingles are keyed by their 8-byte md5 prefix (dedupe.shingle_postings
+    — the repo's standard compact shuffle key): a prefix collision would
+    merge two distinct shingles and nudge the counts, the same
+    astronomically-unlikely caveat documented on the q23/q64 candidate
+    paths; the oracle joins raw strings, so any collision would surface
+    as a certification mismatch rather than pass silently.
+
+    Plan: the Arrow posting kernel (map-side, no shuffle) emits distinct
+    (source, key) rows per document; one distinct shuffle on the 8-byte
+    key, then a postings array per shingle — bounded by the number of
+    SOURCES, not documents, so unlike document-pair expansion this needs
+    no df cap — exploded into source pairs and count-aggregated;
+    per-source totals are a tiny frame broadcast back. The same report at
+    100 TB shuffles each distinct shingle exactly once.
     """
-    sh = (df.select(F.col(source_col).alias("__src"),
-                    F.explode(tx.word_shingles(text_col, n)).alias("ngram"))
-          .filter(F.col("ngram") != "")
-          .filter(F.col("__src").isNotNull())
+    src_docs = (df.filter(F.col(source_col).isNotNull())
+                .select(F.col(source_col).alias("__src"), text_col))
+    posts = shingle_postings(src_docs, text_col, "__src", n)
+    blank_key = _md5_int64(next(iter(_shingle_set(None, n))))
+    sh = (posts.select(F.col("doc_id").alias("__src"), "key")
+          .filter(F.col("key") != F.lit(blank_key))
           .distinct())
     totals = sh.groupBy("__src").agg(F.count(F.lit(1)).alias("n_ngrams"))
-    postings = (sh.groupBy("ngram")
+    postings = (sh.groupBy("key")
                 .agg(F.array_sort(F.collect_set("__src")).alias("srcs"))
                 .filter(F.size("srcs") >= 2))
     combos = F.flatten(F.transform(

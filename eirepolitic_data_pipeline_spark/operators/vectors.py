@@ -150,3 +150,37 @@ def kmeans_assign(df: DataFrame, k: int = 4, iters: int = 2,
     return (_assign(vecs, centroids)
             .select("vec_id", "cluster",
                     F.round(F.sqrt("d2"), 6).alias("dist")))
+
+
+def diversity_sample(df: DataFrame, quota: int, k: int = 4, iters: int = 2,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Cluster-quota diversity sampling: k-means the embedding space
+    (``kmeans_assign`` — deterministic, fixed iterations), then keep
+    ``quota`` vectors per cluster chosen by md5-hash order of the id.
+    Output: ``(vec_id, cluster, pick_rank)``, pick_rank 1..quota.
+
+    This is the diversification step of cluster-based curation: a uniform
+    sample over-represents the corpus's dense modes, while a per-cluster
+    quota flattens the distribution across semantic regions (the
+    SSL-prototype / cluster-balancing recipe). The hash pick is
+    DETERMINISTIC — md5 of the decimal id, ties (impossible for distinct
+    ids) broken by id — so the sample is reproducible and engine-portable,
+    the same contract as curation.split_dataset's md5 bucketing.
+
+    Scale: the fit is kmeans_assign's (bounded model state); the pick is
+    one row_number window per cluster. Window partitions are cluster-sized
+    — for heavily skewed cluster histograms swap in
+    operators.skew.salted_top_n, same total order.
+    """
+    if quota < 1:
+        raise ValueError("quota must be >= 1")
+    from pyspark.sql import Window
+    assigned = kmeans_assign(df, k=k, iters=iters,
+                             vec_col=vec_col, id_col=id_col)
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id")
+    return (assigned
+            .withColumn("pick_rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("pick_rank") <= quota)
+            .select("vec_id", "cluster", "pick_rank"))

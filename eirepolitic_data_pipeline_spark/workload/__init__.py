@@ -28,16 +28,16 @@ from . import quality  # noqa: F401,E402
 
 
 # Certification rotation (round 6). The driver's correctness gate certifies
-# the first ~50 registered queries per round; with 66 registered, 16 fall
+# the first ~50 registered queries per round; with 71 registered, 21 fall
 # outside every round. Rank the workload so the window always covers the
 # queries that NEED a fresh driver-green row:
-#   front — queries never driver-certified (q61–q68, added round 5) plus the
-#           scalar/DQ block whose implementation changed after its last
-#           green ledger (q31/q32/q34/q35/q36/q41, changed round 5; q66/q68
-#           re-planned round 6);
+#   front — queries never driver-certified (q61–q68 added round 5, q69–q75
+#           added round 6) plus the scalar/DQ block whose implementation
+#           changed after its last green ledger (q31/q32/q34/q35/q36/q41,
+#           changed round 5; q66/q68 re-planned round 6);
 #   tail  — queries unchanged since their last green CORRECTNESS row with
-#           multiple green ledgers already banked (q01–q12: five ledgers,
-#           untouched since round 1; q42/q43: green r04+r05, untouched).
+#           multiple green ledgers already banked (q01–q18/q20/q42/q43:
+#           untouched since their last green row, up to five ledgers each).
 # Rotate this list each round as certifications land and code changes.
 _CERT_PRIORITY = [
     "q69_bm25_relevance",
@@ -46,6 +46,7 @@ _CERT_PRIORITY = [
     "q72_quantize_int8",
     "q73_kmeans_clusters",
     "q74_source_overlap",
+    "q75_diversity_sample",
     "q61_line_dedup_boilerplate",
     "q62_minhash_dedup_components",
     "q63_curate_corpus_certified",
@@ -85,6 +86,9 @@ _CERT_TAIL = [
     "q16_latest_event_per_user",
     "q17_rapid_repeat_events",
     "q18_running_customer_spend",
+    # demoted when q75 was added (round 6): green r01-r05; the streaming
+    # batch-twin code is untouched since its r05 certification
+    "q20_sessionization",
 ]
 
 

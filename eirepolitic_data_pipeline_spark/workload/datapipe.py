@@ -1987,8 +1987,11 @@ def q70_bigram_lm_quality(spark, sf_dir):
 def q71_ngram_heavy_hitters(spark, sf_dir):
     """Top-10 word bigrams per source by occurrence count, with document
     frequency — the "what is this corpus made of" profiling report and the
-    empirical stop-shingle candidates the dedupe caps drop. Plan: one
-    explode, one map-side-combined (source, ngram) aggregation, then the
+    empirical stop-shingle candidates the dedupe caps drop. Plan: the
+    Arrow shingle kernel emits per-DOCUMENT pre-aggregated (source, ngram,
+    occ) rows map-side (the Catalyst transform×slice×array_join form is
+    interpreted per element — measured 155 s of a 175 s pass at 250k
+    docs), one map-side-combined (source, ngram) aggregation, then the
     two-phase SALTED top-k (a source holding most of the corpus ranks
     inside bounded buckets; only <= buckets*k survivors meet one reducer).
     Rank ties break on ngram asc — a total order, so the oracle's
@@ -2038,11 +2041,15 @@ def q74_source_overlap(spark, sf_dir):
     """Pairwise distinct 3-shingle overlap between sources: shared count,
     Jaccard, and containment (1.0 = the smaller source is a subset — a
     syndication feed). The report that decides source weights before
-    temperature mixing. Plan: distinct (source, shingle) projection, a
-    postings array per shingle BOUNDED BY #SOURCES (not documents — no df
-    cap needed, unlike document-pair expansion), exploded to source pairs
-    and count-aggregated; per-source totals broadcast back. Two map-side
-    combined shuffles total (shingle key, pair key)."""
+    temperature mixing. Plan: the Arrow posting kernel emits per-doc
+    distinct shingles keyed by their 8-byte md5 prefix (the repo's
+    standard compact shuffle key — same astronomically-unlikely
+    prefix-collision caveat documented on q23/q64; the oracle joins RAW
+    strings, so a collision would fail certification rather than pass
+    silently), then a distinct on (source, key), a postings array per
+    shingle BOUNDED BY #SOURCES (not documents — no df cap needed, unlike
+    document-pair expansion), exploded to source pairs and
+    count-aggregated; per-source totals broadcast back."""
     from ..operators.profiling import source_overlap
     docs = spread(t(spark, sf_dir, "documents"))
     return source_overlap(docs, n=3)
@@ -2206,3 +2213,45 @@ def q73_kmeans_clusters(spark, sf_dir):
     from ..operators.vectors import kmeans_assign
     emb = spread(t(spark, sf_dir, "embeddings"))
     return kmeans_assign(emb, k=4, iters=2)
+
+
+@register(
+    "q75_diversity_sample",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cluster, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+    ),
+    {_kmeans_assign_sql('c0', 'a0')},
+    {_kmeans_means_sql('a0', 'c0', 'c1')},
+    {_kmeans_assign_sql('c1', 'a1')},
+    {_kmeans_means_sql('a1', 'c1', 'c2')},
+    {_kmeans_assign_sql('c2', 'a2')}
+    SELECT vec_id, cluster, pick_rank FROM (
+      SELECT vec_id, cluster,
+             CAST(row_number() OVER (
+               PARTITION BY cluster
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER)
+               AS pick_rank
+      FROM a2
+    ) WHERE pick_rank <= 25
+    """,
+    survey_ref="beyond-ref: cluster-quota diversity sampling (operators/vectors.py:diversity_sample); SSL-prototype cluster balancing",
+    memoize=False,  # same reason as q73: construction collects the model
+)
+def q75_diversity_sample(spark, sf_dir):
+    """Cluster-balanced diversity sample: k-means the embedding space
+    (q73's deterministic fit, k=4 x 2 iterations), then keep 25 vectors
+    per cluster by md5-hash order of the id — a reproducible,
+    engine-portable pick (same contract as the md5 split/stratified
+    samplers, q51/q58). A uniform sample over-represents dense corpus
+    modes; the per-cluster quota flattens coverage across semantic
+    regions — the SSL-prototype / cluster-balancing curation recipe.
+    Plan: the kmeans fit's bounded aggregations + ONE row_number window
+    per cluster over the assignment projection."""
+    from ..operators.vectors import diversity_sample
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    return diversity_sample(emb, quota=25, k=4, iters=2)

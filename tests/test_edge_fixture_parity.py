@@ -69,6 +69,7 @@ EDGE_QUERIES = (
     # zero codes and k-means must keep its distance fold exact on it
     "q72_quantize_int8",
     "q73_kmeans_clusters",
+    "q75_diversity_sample",
     # embedding queries: zero-norm cosine contract + cosine-tie rank rule
     # (edge embeddings rows, r6)
     "q26_knn_bruteforce",

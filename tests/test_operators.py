@@ -1060,3 +1060,27 @@ def test_kmeans_empty_cluster_keeps_centroid_and_k_guard(spark):
     assert out == {0: (1, 0.0), 1: (1, 0.0), 2: (0, 0.0)}
     with pytest.raises(ValueError, match="exceeds"):
         kmeans_assign(emb, k=5, iters=1)
+
+
+def test_diversity_sample_quota_and_determinism(spark):
+    """Every cluster contributes at most `quota` picks, pick_rank is
+    contiguous from 1, the pick is reproducible, and quota >= cluster size
+    keeps the whole cluster."""
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        diversity_sample)
+    pts = ([(i, [0.0 + i * 0.01, 0.0]) for i in range(6)]
+           + [(10 + i, [10.0 + i * 0.01, 10.0]) for i in range(4)])
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    out = diversity_sample(emb, quota=3, k=2, iters=2).collect()
+    by_cluster: dict[int, list[int]] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r["pick_rank"])
+    assert set(len(v) for v in by_cluster.values()) <= {3}
+    for ranks in by_cluster.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    again = diversity_sample(emb, quota=3, k=2, iters=2).collect()
+    assert sorted((r["vec_id"], r["cluster"], r["pick_rank"]) for r in out) \
+        == sorted((r["vec_id"], r["cluster"], r["pick_rank"]) for r in again)
+    # quota larger than any cluster: every vector survives
+    all_rows = diversity_sample(emb, quota=100, k=2, iters=2).collect()
+    assert len(all_rows) == 10

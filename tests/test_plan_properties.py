@@ -53,11 +53,12 @@ def test_no_rowwise_python_udf_anywhere(spark):
 
 
 def test_pure_projection_queries_have_zero_shuffles(spark):
-    """q51 (dataset split) and q30 (quality scores) claim one-pass
-    projection plans: no Exchange of any kind."""
+    """q51 (dataset split), q30 (quality scores) and q72 (int8
+    quantization) claim one-pass projection plans: no Exchange of any
+    kind."""
     qs = _queries()
     for name in ("q51_dataset_split", "q30_quality_scores",
-                 "q29_language_id"):
+                 "q29_language_id", "q72_quantize_int8"):
         plan = _plan(qs[name](spark, SF_SMOKE))
         assert _shuffles(plan) == 0, f"{name} gained a shuffle"
         assert _roundrobins(plan) <= 1, f"{name}: extra round-robin"
@@ -190,3 +191,21 @@ def test_relevance_workload_plans_are_cache_free(spark):
         df = qs[name](spark, SF_SMOKE)
         df.write.format("noop").mode("overwrite").save()
         assert "InMemoryTableScan" not in _plan(df), name
+
+
+def test_kmeans_assignment_is_joinless(spark):
+    """q73's FINAL assignment embeds the fitted centroids as literals: a
+    map-only projection, no join of any kind — the shape that lets a
+    100 TB corpus be labeled in one pass once the (tiny) model is fitted."""
+    plan = _plan(_queries()["q73_kmeans_clusters"](spark, SF_SMOKE))
+    assert "Join" not in plan, "kmeans assignment gained a join"
+    assert _shuffles(plan) == 0, "kmeans assignment gained a shuffle"
+
+
+def test_source_overlap_totals_are_broadcast(spark):
+    """q74's per-source totals (≤ #sources rows) must broadcast back onto
+    the pair aggregate — a shuffled totals join would re-partition the
+    pair frame twice for a dimension-sized lookup."""
+    plan = _plan(_queries()["q74_source_overlap"](spark, SF_SMOKE))
+    assert plan.count("BroadcastExchange") >= 2, (
+        "source_overlap totals joins are no longer broadcast")
