@@ -54,44 +54,49 @@ def _shingle_counts(text, n: int) -> Counter:
 
 def ngram_counts(df: DataFrame, n: int = 2,
                  group_cols: Sequence[str] = ("source",),
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
     """Per-group n-gram statistics: ``(*group_cols, ngram, occurrences,
-    doc_freq)``. Shingles follow the repo-wide contract
-    (functions.text.word_shingles): a document with fewer than ``n``
-    tokens contributes its whole text as ONE shingle; blank/NULL
-    documents produce the empty shingle, which is dropped here — a blank
-    doc says nothing about corpus content.
+    doc_freq)``. ``doc_freq`` counts DISTINCT ``id_col`` values — a feed
+    re-ingesting the same document id twice still counts it once (its
+    occurrences, like the oracle's position count, do sum). Shingles
+    follow the repo-wide contract (functions.text.word_shingles): a
+    document with fewer than ``n`` tokens contributes its whole text as
+    ONE shingle; blank/NULL documents produce the empty shingle, which is
+    dropped here — a blank doc says nothing about corpus content.
 
-    Plan: the Arrow kernel emits PER-DOCUMENT pre-aggregated (group,
-    ngram, occ) rows — map-side, no shuffle, and doc_freq becomes a plain
-    row count — then ONE map-side-combined (group, ngram) aggregation.
+    Plan: the Arrow kernel emits PER-DOCUMENT pre-aggregated (group, id,
+    ngram, occ) rows — map-side, no shuffle — then ONE (group, ngram)
+    aggregation (sum map-side combined; the distinct-id count is the same
+    single shuffle, Spark's partial-distinct expansion).
     """
     groups = list(group_cols)
-    fields = [df.schema[c] for c in groups]
+    fields = [df.schema[c] for c in groups + [id_col]]
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in fields) + ", ngram string, occ long"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {c: [] for c in groups}
+            out: dict[str, list] = {c: [] for c in groups + [id_col]}
             out["ngram"], out["occ"] = [], []
             # plain lists, not Series: a scalar .iloc per emitted shingle
             # row costs more than the shingle counting itself
-            cols = [pdf[c].tolist() for c in groups]
+            cols = [pdf[c].tolist() for c in groups + [id_col]]
             for i, text in enumerate(pdf[text_col].tolist()):
                 for ng, c in _shingle_counts(text, n).items():
                     if not ng:
                         continue  # blank doc → empty shingle → dropped
-                    for g, col in zip(groups, cols):
+                    for g, col in zip(groups + [id_col], cols):
                         out[g].append(col[i])
                     out["ngram"].append(ng)
                     out["occ"].append(c)
             yield pd.DataFrame(out)
 
-    per_doc = df.select(*groups, text_col).mapInPandas(kernel, schema=schema)
+    per_doc = df.select(*groups, id_col, text_col).mapInPandas(
+        kernel, schema=schema)
     return (per_doc.groupBy(*groups, "ngram")
             .agg(F.sum("occ").alias("occurrences"),
-                 F.count(F.lit(1)).alias("doc_freq")))
+                 F.countDistinct(id_col).alias("doc_freq")))
 
 
 def ngram_heavy_hitters(df: DataFrame, n: int = 2, k: int = 10,
@@ -102,15 +107,15 @@ def ngram_heavy_hitters(df: DataFrame, n: int = 2, k: int = 10,
 
     Output: ``(*group_cols, ngram, occurrences, doc_freq, rank)`` — rank
     1..k per group ordered by (occurrences desc, ngram asc); ``doc_freq``
-    is the number of distinct documents containing the n-gram (the column
-    a stop-shingle threshold reads). Statistics come from
-    ``ngram_counts`` (Arrow kernel + one map-side-combined aggregation);
-    the ranking is the skew-safe two-phase top-k
-    (operators.skew.salted_top_n), so a group holding most of the corpus
-    ranks inside bounded buckets before the ≤ buckets·k survivors meet
-    one reducer. No driver materialization.
+    is the number of DISTINCT ``id_col`` documents containing the n-gram
+    (the column a stop-shingle threshold reads). Statistics come from
+    ``ngram_counts`` (Arrow kernel + one aggregation); the ranking is the
+    skew-safe two-phase top-k (operators.skew.salted_top_n), so a group
+    holding most of the corpus ranks inside bounded buckets before the
+    ≤ buckets·k survivors meet one reducer. No driver materialization.
     """
-    agg = ngram_counts(df, n=n, group_cols=group_cols, text_col=text_col)
+    agg = ngram_counts(df, n=n, group_cols=group_cols, text_col=text_col,
+                       id_col=id_col)
     return salted_top_n(
         agg, list(group_cols),
         [F.col("occurrences").desc(), F.col("ngram").asc()], k)
@@ -140,9 +145,11 @@ def source_overlap(df: DataFrame, n: int = 3,
     (source, key) rows per document; one distinct shuffle on the 8-byte
     key, then a postings array per shingle — bounded by the number of
     SOURCES, not documents, so unlike document-pair expansion this needs
-    no df cap — exploded into source pairs and count-aggregated;
-    per-source totals are a tiny frame broadcast back. The same report at
-    100 TB shuffles each distinct shingle exactly once.
+    no df cap — exploded into source pairs and count-aggregated. The
+    per-source totals (a tiny frame) are broadcast-joined into the
+    postings structs BEFORE pair expansion, so the pair rows already
+    carry n_a/n_b: the corpus is shingled at most twice (totals branch +
+    postings branch), never once per join alias.
     """
     src_docs = (df.filter(F.col(source_col).isNotNull())
                 .select(F.col(source_col).alias("__src"), text_col))
@@ -152,28 +159,36 @@ def source_overlap(df: DataFrame, n: int = 3,
           .filter(F.col("key") != F.lit(blank_key))
           .distinct())
     totals = sh.groupBy("__src").agg(F.count(F.lit(1)).alias("n_ngrams"))
-    postings = (sh.groupBy("key")
-                .agg(F.array_sort(F.collect_set("__src")).alias("srcs"))
+    # carry each source's total INTO the postings structs (one broadcast
+    # join on the distinct frame), so the pair rows already hold n_a/n_b —
+    # review r6: joining two re-aliased `totals` frames onto the pairs
+    # rebuilt the whole kernel+distinct lineage once PER ALIAS (three
+    # corpus shingle passes; Spark's exchange-reuse rule did not unify
+    # them). This shape shingles the corpus at most twice: once under
+    # `totals`, once under the postings branch.
+    sht = sh.join(F.broadcast(totals), "__src")
+    postings = (sht.groupBy("key")
+                .agg(F.array_sort(F.collect_set(
+                    F.struct("__src", "n_ngrams"))).alias("srcs"))
                 .filter(F.size("srcs") >= 2))
     combos = F.flatten(F.transform(
         F.col("srcs"),
         lambda x, i: F.transform(
             F.slice(F.col("srcs"), i + 2,
                     F.greatest(F.size("srcs") - i - 1, F.lit(0))),
-            lambda y: F.struct(x.alias("src_a"), y.alias("src_b")))))
+            lambda y: F.struct(x["__src"].alias("src_a"),
+                               y["__src"].alias("src_b"),
+                               x["n_ngrams"].alias("n_a"),
+                               y["n_ngrams"].alias("n_b")))))
     pairs = (postings.select(F.explode(combos).alias("p"))
-             .select("p.src_a", "p.src_b")
+             .select("p.src_a", "p.src_b", "p.n_a", "p.n_b")
              .groupBy("src_a", "src_b")
-             .agg(F.count(F.lit(1)).alias("shared_ngrams")))
-    ta = F.broadcast(totals.select(F.col("__src").alias("src_a"),
-                                   F.col("n_ngrams").alias("n_a")))
-    tb = F.broadcast(totals.select(F.col("__src").alias("src_b"),
-                                   F.col("n_ngrams").alias("n_b")))
+             .agg(F.count(F.lit(1)).alias("shared_ngrams"),
+                  F.any_value("n_a").alias("n_a"),
+                  F.any_value("n_b").alias("n_b")))
     shared = F.col("shared_ngrams").cast("double")
-    return (pairs.join(ta, "src_a").join(tb, "src_b")
-            .select("src_a", "src_b", "shared_ngrams", "n_a", "n_b",
-                    F.round(shared / (F.col("n_a") + F.col("n_b")
-                                      - F.col("shared_ngrams")), 6)
-                    .alias("jaccard"),
-                    F.round(shared / F.least("n_a", "n_b"), 6)
-                    .alias("containment")))
+    return pairs.select(
+        "src_a", "src_b", "shared_ngrams", "n_a", "n_b",
+        F.round(shared / (F.col("n_a") + F.col("n_b")
+                          - F.col("shared_ngrams")), 6).alias("jaccard"),
+        F.round(shared / F.least("n_a", "n_b"), 6).alias("containment"))

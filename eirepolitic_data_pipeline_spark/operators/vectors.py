@@ -126,8 +126,15 @@ def kmeans_assign(df: DataFrame, k: int = 4, iters: int = 2,
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    vecs = df.select(F.col(id_col).alias("vec_id"),
-                     F.col(vec_col).cast("array<double>").alias("__v"))
+    # NULL embeddings are excluded up front — a row with no vector is not
+    # clusterable, and letting it through would either crash the seed
+    # collection (list(None)) or propagate NULL distances into the argmin.
+    # The workload oracles mirror the exclusion (WHERE embedding IS NOT
+    # NULL). Ragged dimensions are a CONTRACT violation (fixed-dim column)
+    # and fail loudly below rather than mis-assigning silently.
+    vecs = (df.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).cast("array<double>").alias("__v")))
     seed = (vecs.orderBy("vec_id").limit(k).collect())
     if len(seed) < k:
         raise ValueError(f"k={k} exceeds the {len(seed)} available vectors")
@@ -143,6 +150,13 @@ def kmeans_assign(df: DataFrame, k: int = 4, iters: int = 2,
         by_cluster: dict[int, dict[int, float]] = {}
         for r in means:
             by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["mv"]
+        for i, pos_map in by_cluster.items():
+            if sorted(pos_map) != list(range(dim)):
+                raise RuntimeError(
+                    f"kmeans_assign: cluster {i} aggregated "
+                    f"{len(pos_map)} dimensions but the seed vectors have "
+                    f"{dim} — the {vec_col} column is ragged; k-means "
+                    "requires a fixed-dimension embedding column")
         centroids = [
             [by_cluster[i][p] for p in range(dim)] if i in by_cluster
             else centroids[i]  # empty cluster keeps its previous centroid

@@ -2079,8 +2079,10 @@ def q74_source_overlap(spark, sf_dir):
     )
     SELECT vec_id,
            round(scale, 9) AS scale,
-           list_min(qv) AS q_min,
-           list_max(qv) AS q_max,
+           -- -128 sentinel for NULL/empty vectors: keeps the column
+           -- non-nullable so pandas does not upcast it to float64
+           coalesce(list_min(qv), -128) AS q_min,
+           coalesce(list_max(qv), -128) AS q_max,
            list_reduce(list_prepend(CAST(0 AS BIGINT),
              list_transform(qv, x -> CAST(abs(x) AS BIGINT))),
              (a, x) -> a + x) AS q_l1,
@@ -2115,18 +2117,34 @@ def q72_quantize_int8(spark, sf_dir):
     emb = spread(t(spark, sf_dir, "embeddings"))
     q = quantize_int8(emb)
     qv = F.col("qvec")
-    return q.select(
-        "vec_id", "scale",
-        F.array_min(qv).alias("q_min"),
-        F.array_max(qv).alias("q_max"),
-        F.aggregate(F.transform(qv, lambda x: F.abs(x).cast("long")),
-                    F.lit(0).cast("long"),
-                    lambda a, x: a + x).alias("q_l1"),
+    # NULL/empty-vector digest contract, pinned to what the DuckDB side
+    # computes (review r6): the oracle's list_prepend(0, ...) folds yield 0
+    # for BOTH a NULL and an empty qvec, while raw Spark would yield NULL
+    # (aggregate over NULL) and — for the empty posdot — sequence(1, 0)
+    # is the DESCENDING [1, 0], not []. coalesce + an explicit empty guard
+    # keep the two engines identical on rows the operator itself treats
+    # as in-contract (quantize_int8's mse has the same size-0 branch).
+    posdot = F.when(
+        F.size(qv) > 0,
         F.aggregate(
             F.zip_with(qv, F.sequence(F.lit(1), F.size(qv)),
                        lambda x, i: x.cast("long") * i),
             F.lit(0).cast("long"),
-            lambda a, x: a + x).alias("q_posdot"),
+            lambda a, x: a + x)).otherwise(F.lit(0).cast("long"))
+    # q_min/q_max coalesce to -128 (outside the int8 code range) for
+    # NULL/empty vectors: a NULLable int column round-trips through the
+    # harness's pandas frame as float64 ('0' vs '0.0' canon mismatch) —
+    # the q49 min_fp/max_fp sentinel precedent
+    return q.select(
+        "vec_id", "scale",
+        F.coalesce(F.array_min(qv), F.lit(-128)).alias("q_min"),
+        F.coalesce(F.array_max(qv), F.lit(-128)).alias("q_max"),
+        F.coalesce(
+            F.aggregate(F.transform(qv, lambda x: F.abs(x).cast("long")),
+                        F.lit(0).cast("long"),
+                        lambda a, x: a + x),
+            F.lit(0).cast("long")).alias("q_l1"),
+        F.coalesce(posdot, F.lit(0).cast("long")).alias("q_posdot"),
         "mse",
     )
 
@@ -2178,7 +2196,10 @@ def _kmeans_means_sql(assign_cte: str, prev_cte: str, out: str) -> str:
     "q73_kmeans_clusters",
     f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
+               FROM embeddings
+               -- mirrors kmeans_assign's exclusion: a NULL embedding is
+               -- not clusterable
+               WHERE embedding IS NOT NULL),
     c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                AS cluster, v
@@ -2219,7 +2240,10 @@ def q73_kmeans_clusters(spark, sf_dir):
     "q75_diversity_sample",
     f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
+               FROM embeddings
+               -- mirrors kmeans_assign's exclusion: a NULL embedding is
+               -- not clusterable
+               WHERE embedding IS NOT NULL),
     c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                AS cluster, v

@@ -202,10 +202,16 @@ def test_kmeans_assignment_is_joinless(spark):
     assert _shuffles(plan) == 0, "kmeans assignment gained a shuffle"
 
 
-def test_source_overlap_totals_are_broadcast(spark):
-    """q74's per-source totals (≤ #sources rows) must broadcast back onto
-    the pair aggregate — a shuffled totals join would re-partition the
-    pair frame twice for a dimension-sized lookup."""
+def test_source_overlap_shingles_at_most_twice(spark):
+    """q74's per-source totals must enter via ONE broadcast join into the
+    postings structs before pair expansion — review r6 found the previous
+    two re-aliased totals joins rebuilt the kernel+distinct lineage once
+    per alias (three corpus shingle passes, no exchange reuse). The plan
+    must broadcast (never shuffle) the totals and run the shingle kernel
+    at most twice."""
     plan = _plan(_queries()["q74_source_overlap"](spark, SF_SMOKE))
-    assert plan.count("BroadcastExchange") >= 2, (
-        "source_overlap totals joins are no longer broadcast")
+    assert "BroadcastExchange" in plan, (
+        "source_overlap totals join is no longer broadcast")
+    kernels = plan.count("MapInPandas")
+    assert kernels <= 2, (
+        f"source_overlap shingles the corpus {kernels}x (claim: <= 2)")
