@@ -307,6 +307,11 @@ def q26_knn_bruteforce(spark, sf_dir):
              list_dot_product(CAST(embedding AS DOUBLE[]),
                               CAST(embedding AS DOUBLE[])) AS nn
       FROM embeddings
+      -- NULL embedding excluded (r6): not a vector. Mirrors the engine,
+      -- where a NULL vector's NULL bucket joins nothing; unguarded,
+      -- DuckDB's array_to_string SKIPS null elements (bucket '' instead
+      -- of NULL) and its vector kernels raise on NULL-bearing lists
+      WHERE embedding IS NOT NULL
     ),
     lsh AS (
       SELECT vec_id, v, nn,
@@ -406,6 +411,11 @@ def q27_ann_bucketed(spark, sf_dir):
                CASE WHEN embedding[CAST(i AS INTEGER) + 1] >= 0 THEN '1' ELSE '0' END), '')
                AS bucket
       FROM embeddings
+      -- NULL embedding excluded (r6): not a vector. Mirrors the engine,
+      -- where a NULL vector's NULL bucket joins nothing; unguarded,
+      -- DuckDB's array_to_string SKIPS null elements (bucket '' instead
+      -- of NULL) and its vector kernels raise on NULL-bearing lists
+      WHERE embedding IS NOT NULL
     )
     -- zero-norm guard mirrors the engine contract (cosine 0.0, filtered
     -- out by the 0.3 threshold on both sides)
@@ -1526,6 +1536,11 @@ def q64_decontaminate_benchmark(spark, sf_dir):
                CASE WHEN embedding[CAST(i AS INTEGER) + 1] >= 0
                     THEN '1' ELSE '0' END), '') AS bucket
       FROM embeddings
+      -- NULL embedding excluded (r6): not a vector. Mirrors the engine,
+      -- where a NULL vector's NULL bucket joins nothing; unguarded,
+      -- DuckDB's array_to_string SKIPS null elements (bucket '' instead
+      -- of NULL) and its vector kernels raise on NULL-bearing lists
+      WHERE embedding IS NOT NULL
     ),
     probes AS (
       -- home bucket + each 1-bit flip, pairwise distinct by construction

@@ -27,7 +27,10 @@ Added rows:
   desc-sorts FIRST, DuckDB's list_cosine_similarity gives -1.0 — three
   answers without the pin, r6); 990002/990003 (two exact copies of vec 10)
   — exercises the cosine-tie rank rule (neighbor_id tiebreak) in
-  q26/q27/q65's top-k windows;
+  q26/q27/q65's top-k windows; 990004 (NULL embedding) — exercises NULL
+  propagation across every embedding query (cosine-guard 0.0, NULL LSH
+  buckets dropped by equi-joins, q72's 0/-128 digest sentinels, the
+  kmeans/diversity NOT-NULL exclusion);
 - orders: custkey 9990001 with NULL-bearing variant tuples (incl. an
   exact NULL-for-NULL duplicate) and custkey 9990002 with a clean exact
   duplicate — exercises q67's NULL-variant counting (Spark
@@ -104,7 +107,12 @@ def build(src: str, dst: str, spark=None) -> str:
     extra_emb = spark.createDataFrame(
         [(990001, [0.0] * dim, 7),   # zero-norm: cosine contract
          (990002, list(v10), 7),     # cosine-tie twins: rank tiebreak
-         (990003, list(v10), 7)],
+         (990003, list(v10), 7),
+         # NULL vector (r6): every embedding query must agree with its
+         # oracle on NULL propagation — cosine 0.0 via the NULL-false
+         # guard, LSH/IVF buckets NULL (dropped by the equi-join), q72
+         # digests 0/-128 sentinels, kmeans/diversity exclusion
+         (990004, None, 7)],
         schema=emb.schema)
     _write_single(emb.unionByName(extra_emb),
                   os.path.join(dst, "embeddings.parquet"))
