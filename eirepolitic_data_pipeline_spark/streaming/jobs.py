@@ -25,14 +25,19 @@ from pyspark.sql import functions as F
 
 
 def tumbling_event_counts(events: DataFrame, window: str = "1 hour",
-                          watermark: str = "35 days") -> DataFrame:
+                          watermark: str = "35 days",
+                          slide: str | None = None) -> DataFrame:
     """Tumbling-window counts/sums per event_type with late-data watermark
-    (reference weekly overlap → watermark)."""
+    (reference weekly overlap → watermark). Pass ``slide`` (< window) for
+    SLIDING windows — each event then lands in window/slide overlapping
+    windows (the alerting/rate-monitoring shape); None keeps the tumbling
+    behavior (slide == window). Same epoch-aligned grid either way."""
     src = events
     if src.isStreaming:
         src = src.withWatermark("ts", watermark)
     return (
-        src.groupBy(F.window("ts", window).alias("win"), "event_type")
+        src.groupBy(F.window("ts", window, slide or window).alias("win"),
+                    "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.sum("value").alias("total_value"))
         .select(F.col("win.start").alias("window_start"),

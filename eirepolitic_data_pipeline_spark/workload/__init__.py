@@ -28,7 +28,7 @@ from . import quality  # noqa: F401,E402
 
 
 # Certification rotation (round 6). The driver's correctness gate certifies
-# the first ~50 registered queries per round; with 71 registered, 21 fall
+# the first ~50 registered queries per round; with 72 registered, 22 fall
 # outside every round. Rank the workload so the window always covers the
 # queries that NEED a fresh driver-green row:
 #   front — queries never driver-certified (q61–q68 added round 5, q69–q75
@@ -47,6 +47,7 @@ _CERT_PRIORITY = [
     "q73_kmeans_clusters",
     "q74_source_overlap",
     "q75_diversity_sample",
+    "q76_sliding_window_counts",
     "q61_line_dedup_boilerplate",
     "q62_minhash_dedup_components",
     "q63_curate_corpus_certified",
@@ -86,9 +87,11 @@ _CERT_TAIL = [
     "q16_latest_event_per_user",
     "q17_rapid_repeat_events",
     "q18_running_customer_spend",
-    # demoted when q75 was added (round 6): green r01-r05; the streaming
-    # batch-twin code is untouched since its r05 certification
+    # demoted when q75/q76 were added (round 6): green r01-r05; the
+    # streaming batch-twin code they ride is exercised by q76's sliding
+    # variant in the window
     "q20_sessionization",
+    "q21_tumbling_hourly",
 ]
 
 

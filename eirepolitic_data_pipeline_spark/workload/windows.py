@@ -470,3 +470,42 @@ def q56_resample_daily_ffill(spark, sf_dir):
     return res.select(F.col("user_id").cast("string").alias("user_id"),
                       F.date_format("ts", "yyyy-MM-dd").alias("day"),
                       "value")
+
+
+@register(
+    "q76_sliding_window_counts",
+    """
+    -- every event belongs to exactly window/slide = 4 overlapping
+    -- windows: starts time_bucket(ts) - k*15min for k in 0..3 (the k=3
+    -- start is > ts - 1h by construction, so no filter is needed).
+    -- time_bucket's sub-day origin (2000-01-01) sits on the same 900s
+    -- grid as Spark's epoch-aligned F.window, so the buckets coincide.
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+                    - CAST(i AS INTEGER) * INTERVAL '15 minutes',
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events, unnest(range(4)) AS u(i)
+    WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    survey_ref="§2.10 streaming-equivalent SLIDING window (streaming/jobs.py:tumbling_event_counts with slide)",
+)
+def q76_sliding_window_counts(spark, sf_dir):
+    """Sliding 1-hour windows with a 15-minute slide per event_type — the
+    rate-monitoring/alerting window shape (each event lands in 4
+    overlapping windows). Runs the REAL F.window(ts, '1 hour', '15
+    minutes') operator through the streaming module's batch twin (the
+    same plan Structured Streaming executes with a watermark), emitting
+    window_start as a formatted string like q21. The oracle derives each
+    event's 4 covering window starts by explicit bucket arithmetic; NULL
+    timestamps are excluded on both sides (Spark's window drops them,
+    DuckDB's unnest(range(4)) would fabricate 4 NULL rows)."""
+    from ..streaming.jobs import tumbling_event_counts
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return (tumbling_event_counts(ev, "1 hour", slide="15 minutes")
+            .select(F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    "event_type", "n_events",
+                    F.round("total_value", 2).alias("total_value")))

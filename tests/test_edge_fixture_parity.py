@@ -48,6 +48,9 @@ EDGE_QUERIES = (
     "q58_stratified_sample",
     "q39_asof_join_last_click",
     "q16_latest_event_per_user",
+    # r6 sliding windows: the event-ts tie rows must land in the same 4
+    # overlapping buckets on both sides
+    "q76_sliding_window_counts",
     "q56_resample_daily_ffill",
     "q59_hll_sketch_rollup",
     "q60_incremental_rollup_equivalence",

@@ -387,3 +387,22 @@ def test_streaming_merge_sink_idempotent_upsert(spark, tmp_path):
     from eirepolitic_data_pipeline_spark.io.catalog import CatalogError
     with pytest.raises(CatalogError):
         catalog.write_table(events, "events_t", "b2", overwrite=True)
+
+
+def test_sliding_counts_stream_matches_batch(spark, events_stream):
+    """The slide parameter runs REAL sliding windows through the same
+    streaming job: each event lands in window/slide overlapping windows,
+    and the streamed result must match the batch twin exactly."""
+    stream, batch = events_stream
+    got = run_to_memory(
+        spark, tumbling_event_counts(stream, "1 hour", slide="15 minutes"),
+        "sliding", "complete")
+    expect = tumbling_event_counts(batch, "1 hour", slide="15 minutes")
+    g = {(r["window_start"], r["event_type"]): r["n_events"] for r in got.collect()}
+    e = {(r["window_start"], r["event_type"]): r["n_events"] for r in expect.collect()}
+    assert g == e and len(g) > 0
+    # sliding windows must MULTIPLY coverage: 4 windows per event vs the
+    # tumbling twin's 1 (window/slide = 60/15)
+    t = tumbling_event_counts(batch, "1 hour")
+    assert sum(r["n_events"] for r in expect.collect()) == \
+        4 * sum(r["n_events"] for r in t.collect())
