@@ -312,3 +312,63 @@ def test_dedupe_lines_invariants_fuzz(spark, docs, max_df):
         spark.createDataFrame(out, "doc_id long, text string"),
         max_df=max_df).collect()}
     assert again == by_id
+
+
+@SPARK_SETTINGS
+@given(docs=st.lists(st.text(alphabet="ab \t\nXY.9", min_size=0,
+                             max_size=60),
+                     min_size=1, max_size=6),
+       n=st.integers(1, 4))
+def test_shingle_counts_kernel_matches_catalyst_fuzz(spark, docs, n):
+    """The Arrow occurrence kernel (profiling._shingle_counts, the
+    heavy-hitter hot path) must agree byte-for-byte with the Catalyst
+    word_shingles column form on arbitrary whitespace-edged unicode —
+    tokenization, <n-token whole-text shingles, and occurrence
+    multiplicity included (the same twin contract the dedupe kernels
+    carry)."""
+    from collections import Counter
+
+    from eirepolitic_data_pipeline_spark.functions.text import word_shingles
+    from eirepolitic_data_pipeline_spark.operators.profiling import (
+        _shingle_counts)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id int, text string")
+    catalyst = Counter(
+        (r["doc_id"], r["ngram"])
+        for r in df.select("doc_id",
+                           F.explode(word_shingles("text", n)).alias("ngram"))
+        .collect())
+    kernel = Counter()
+    for i, t in enumerate(docs):
+        for ng, c in _shingle_counts(t, n).items():
+            kernel[(i, ng)] += c
+    assert kernel == catalyst
+
+
+@SPARK_SETTINGS
+@given(vecs=st.lists(
+    st.lists(st.floats(min_value=-100, max_value=100,
+                       allow_nan=False, allow_infinity=False,
+                       width=32),
+             min_size=0, max_size=8),
+    min_size=1, max_size=5))
+def test_quantize_int8_bounds_fuzz(spark, vecs):
+    """For arbitrary finite vectors: codes stay in [-127, 127], the
+    reconstruction error of every element stays within scale/2 (+1 ulp),
+    and a zero/empty vector yields scale 0 with zero codes."""
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        quantize_int8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<double>")
+    rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    for i, v in enumerate(vecs):
+        r = rows[i]
+        if not v or max(abs(x) for x in v) == 0.0:
+            assert (r["scale"] is None if not v else r["scale"] == 0.0)
+            assert r["qvec"] == [0] * len(v)
+            continue
+        scale = max(abs(x) for x in v) / 127.0
+        assert all(-127 <= q <= 127 for q in r["qvec"])
+        worst = max(abs(x - q * scale) for x, q in zip(v, r["qvec"]))
+        assert worst <= scale / 2 + 1e-9 * scale
