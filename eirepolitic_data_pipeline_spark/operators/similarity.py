@@ -57,10 +57,18 @@ def knn_bruteforce(vectors: DataFrame, queries: DataFrame, k: int,
 def sign_lsh_bucket(vec_col: Column, n_bits: int = 8) -> Column:
     """Axis-aligned hyperplane LSH: bucket = sign bits of the first n dims.
     Cheap, deterministic, engine-independent. For better-distributed planes
-    use hashed_projection_bucket below."""
+    use hashed_projection_bucket below.
+
+    A NULL vector gets a NULL bucket — so every bucket equi-join drops it
+    (a missing embedding is not a candidate for anything). Without the
+    guard, each bit's NULL comparison falls to the otherwise('0') branch
+    and NULL vectors silently collect in the all-zeros bucket as live
+    candidates (review r6 — the oracles exclude NULL embeddings, so the
+    all-zeros bucket would certify only while the fixture's top-k happens
+    not to reach a NULL row)."""
     bits = [F.when(vec_col.getItem(i) >= 0, F.lit("1")).otherwise(F.lit("0"))
             for i in range(n_bits)]
-    return F.concat(*bits)
+    return F.when(vec_col.isNotNull(), F.concat(*bits))
 
 
 def hashed_projection_bucket(vec_col: Column, dim: int, n_planes: int = 8,
@@ -81,7 +89,9 @@ def hashed_projection_bucket(vec_col: Column, dim: int, n_planes: int = 8,
         for t in terms[1:]:
             proj = proj + t
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    # NULL vector -> NULL bucket (joins drop it), same contract as
+    # sign_lsh_bucket above
+    return F.when(vec_col.isNotNull(), F.concat(*bits))
 
 
 def knn_lsh(vectors: DataFrame, queries: DataFrame, k: int,

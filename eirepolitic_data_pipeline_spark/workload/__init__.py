@@ -87,9 +87,10 @@ _CERT_TAIL = [
     "q16_latest_event_per_user",
     "q17_rapid_repeat_events",
     "q18_running_customer_spend",
-    # demoted when q75/q76 were added (round 6): green r01-r05; the
-    # streaming batch-twin code they ride is exercised by q76's sliding
-    # variant in the window
+    # demoted when q75/q76 were added (round 6): green r01-r05 and their
+    # standalone builders in windows.py are unchanged since (note q76
+    # certifies streaming/jobs.py's F.window path, NOT these builders —
+    # rotate them back in whenever windows.py changes)
     "q20_sessionization",
     "q21_tumbling_hourly",
 ]

@@ -315,17 +315,19 @@ def test_dedupe_lines_invariants_fuzz(spark, docs, max_df):
 
 
 @SPARK_SETTINGS
-@given(docs=st.lists(st.text(alphabet="ab \t\nXY.9", min_size=0,
-                             max_size=60),
+@given(docs=st.lists(st.text(alphabet="ab \t\nXY.9\xa0\u2028İß",
+                             min_size=0, max_size=60),
                      min_size=1, max_size=6),
        n=st.integers(1, 4))
 def test_shingle_counts_kernel_matches_catalyst_fuzz(spark, docs, n):
     """The Arrow occurrence kernel (profiling._shingle_counts, the
     heavy-hitter hot path) must agree byte-for-byte with the Catalyst
     word_shingles column form on arbitrary whitespace-edged unicode —
-    tokenization, <n-token whole-text shingles, and occurrence
-    multiplicity included (the same twin contract the dedupe kernels
-    carry)."""
+    tokenization (\xa0 and \u2028 must NOT split: both \s regexes are
+    ASCII-only by design), lowercasing (İ/ß expand identically through
+    Python str.lower and Catalyst lower — probed), <n-token whole-text
+    shingles, and occurrence multiplicity (the same twin contract the
+    dedupe kernels carry)."""
     from collections import Counter
 
     from eirepolitic_data_pipeline_spark.functions.text import word_shingles

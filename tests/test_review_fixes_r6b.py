@@ -99,3 +99,30 @@ def test_kmeans_ragged_dimensions_fail_loudly(spark):
         "vec_id long, embedding array<double>")
     with pytest.raises(RuntimeError, match="ragged"):
         kmeans_assign(emb, k=1, iters=1)
+
+
+def test_null_embedding_never_a_bucket_candidate(spark):
+    """A NULL embedding previously collected in the all-zeros sign-LSH
+    bucket (each bit's NULL comparison fell to otherwise('0')) and
+    surfaced as a live candidate at cosine 0.0 whenever a query's probe
+    neighborhood was thin — while the oracles exclude NULL embeddings
+    outright. The bucket functions now map NULL vectors to NULL buckets,
+    which every equi-join drops."""
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        hashed_projection_bucket, knn_lsh, sign_lsh_bucket)
+    # query 0 is all-negative -> bucket '000...'; the only other row in
+    # that bucket used to be the NULL vector
+    emb = spark.createDataFrame(
+        [(0, [-1.0, -1.0, -1.0, -1.0, -1.0, -1.0]),
+         (1, None),
+         (2, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    got = knn_lsh(emb, emb.filter("vec_id = 0"), k=3).collect()
+    assert [r["neighbor_id"] for r in got] == []  # 990004-class row gone
+    buckets = {r["vec_id"]: (r["b1"], r["b2"]) for r in emb.select(
+        "vec_id",
+        sign_lsh_bucket(F.col("embedding"), 6).alias("b1"),
+        hashed_projection_bucket(F.col("embedding"), 6, 6).alias("b2"),
+    ).collect()}
+    assert buckets[1] == (None, None)
+    assert None not in buckets[0] and None not in buckets[2]

@@ -404,5 +404,4 @@ def test_sliding_counts_stream_matches_batch(spark, events_stream):
     # sliding windows must MULTIPLY coverage: 4 windows per event vs the
     # tumbling twin's 1 (window/slide = 60/15)
     t = tumbling_event_counts(batch, "1 hour")
-    assert sum(r["n_events"] for r in expect.collect()) == \
-        4 * sum(r["n_events"] for r in t.collect())
+    assert sum(e.values()) == 4 * sum(r["n_events"] for r in t.collect())
