@@ -28,7 +28,7 @@ from . import quality  # noqa: F401,E402
 
 
 # Certification rotation (round 6). The driver's correctness gate certifies
-# the first ~50 registered queries per round; with 72 registered, 22 fall
+# the first ~50 registered queries per round; with 73 registered, 23 fall
 # outside every round. Rank the workload so the window always covers the
 # queries that NEED a fresh driver-green row:
 #   front — queries never driver-certified (q61–q68 added round 5, q69–q75
@@ -48,6 +48,7 @@ _CERT_PRIORITY = [
     "q74_source_overlap",
     "q75_diversity_sample",
     "q76_sliding_window_counts",
+    "q77_dataset_card",
     "q61_line_dedup_boilerplate",
     "q62_minhash_dedup_components",
     "q63_curate_corpus_certified",
@@ -93,6 +94,9 @@ _CERT_TAIL = [
     # rotate them back in whenever windows.py changes)
     "q20_sessionization",
     "q21_tumbling_hourly",
+    # demoted when q77 was added (round 6): green r04+r05, marts.py
+    # untouched since its r05 certification
+    "q47_member_activity_monthly_mart",
 ]
 
 

@@ -2294,3 +2294,63 @@ def q75_diversity_sample(spark, sf_dir):
     from ..operators.vectors import diversity_sample
     emb = spread(t(spark, sf_dir, "embeddings"))
     return diversity_sample(emb, quota=25, k=4, iters=2)
+
+
+@register(
+    "q77_dataset_card",
+    f"""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len(list_filter(string_split_regex(
+               lower(coalesce(text, '')), '\\s+'), t -> t <> ''))
+               AS BIGINT) AS n_tok,
+             {_lang_guess_sql()} AS lang_guess,
+             substr(sha256(trim(regexp_replace(lower(coalesce(text, '')),
+                                               '[^a-z0-9]+', ' ', 'g'))),
+                    1, 16) AS fp
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           -- CAST: DuckDB's sum(BIGINT) is HUGEINT, which the pandas
+           -- bridge renders as float64 ('1136.0' vs Spark's '1136')
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(avg(n_tok), 2) AS mean_doc_tokens,
+           round(100.0 * avg(CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END),
+                 2) AS pct_english,
+           count(DISTINCT fp) AS distinct_fingerprints,
+           round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 4)
+             AS dup_rate
+    FROM per_doc
+    GROUP BY source
+    """,
+    survey_ref="beyond-ref: per-source dataset card (composes X9 token counts, language-ID, X6 fingerprints); the summary artifact a curation run publishes",
+)
+def q77_dataset_card(spark, sf_dir):
+    """The per-source DATASET CARD: document and token counts, English
+    share by the marker-heuristic language ID, and the exact-duplication
+    rate from content fingerprints — the one-page summary artifact a
+    curation run publishes next to its output (and the report that says
+    which source needs dedup before mixing). NULL sources form their own
+    row (unattributed docs are still corpus mass — q55's contract). Plan:
+    ONE projection pass computes token count, language guess, and
+    fingerprint per document (all JVM-side column expressions), then a
+    single map-side-combined groupBy(source); the distinct-fingerprint
+    count shuffles on the same key. Integer avgs divide once at the end,
+    so the 2-dp rounds see identical doubles on both engines."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    n_tok = tx.token_count("text").cast("long")
+    lang = tx.language_guess("text")
+    fp = tx.doc_fingerprint("text")
+    per_doc = docs.select("source", n_tok.alias("n_tok"),
+                          lang.alias("lang_guess"), fp.alias("fp"))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens"),
+                 F.round(F.avg("n_tok"), 2).alias("mean_doc_tokens"),
+                 F.round(100.0 * F.avg((F.col("lang_guess") == "en")
+                                       .cast("int")), 2)
+                 .alias("pct_english"),
+                 F.countDistinct("fp").alias("distinct_fingerprints"),
+                 F.round(F.lit(1.0) - F.countDistinct("fp").cast("double")
+                         / F.count(F.lit(1)), 4).alias("dup_rate")))

@@ -68,6 +68,9 @@ EDGE_QUERIES = (
     # docs mirror on both sides
     "q71_ngram_heavy_hitters",
     "q74_source_overlap",
+    # r6 dataset card: NULL text tokenizes to 0, NULL source is its own
+    # row, the NULL-content fingerprint group must count once
+    "q77_dataset_card",
     # r6 embedding maintenance: the zero vector must quantize to scale 0 /
     # zero codes and k-means must keep its distance fold exact on it
     "q72_quantize_int8",
