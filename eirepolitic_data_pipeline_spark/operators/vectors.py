@@ -84,18 +84,54 @@ def _dist2(v: Column, centroid: list[float]) -> Column:
     return _fold_sum(F.zip_with(v, c, lambda x, y: (x - y) * (x - y)))
 
 
+#: Literal-assignment budget: above ~this many embedded literals the
+#: generated plan/codegen cost grows past what one projection should carry
+#: (and Janino method limits loom), so assignment switches to a broadcast
+#: centroid-table join. 16 clusters x 64 dims = 1024 stays literal.
+_MAX_LITERALS = 4096
+
+
 def _assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """(vec_id, __v, cluster, d2): nearest centroid per vector, ties to
-    the lowest cluster id (array_min over (distance, id) structs orders
-    lexicographically)."""
-    pairs = F.array(*[
-        F.struct(_dist2(F.col("__v"), c).alias("d2"),
-                 F.lit(i).alias("cluster"))
-        for i, c in enumerate(centroids)])
-    best = F.array_min(pairs)
-    return vecs.select("vec_id", "__v",
-                       best["cluster"].alias("cluster"),
-                       best["d2"].alias("d2"))
+    the lowest cluster id.
+
+    Two plans, same semantics: small models are embedded as LITERALS
+    (array_min over (distance, id) structs — a pure projection, no join,
+    no shuffle); models past ``_MAX_LITERALS`` floats (IVF-scale k in
+    the thousands, where a quarter-million-literal projection outgrows
+    plan construction and Janino limits) become a BROADCAST centroid
+    table joined to the vectors, with the per-vector minimum combined
+    MAP-SIDE so the groupBy(vec_id) shuffles one row per vector — one
+    corpus-sized shuffle per assignment (the MLlib shape), never n×k.
+    Struct ordering keeps the tie rule (lowest cluster id), and both
+    plans fold distances with the same sequential zip_with, so the
+    chosen plan cannot change results.
+    """
+    k, dim = len(centroids), len(centroids[0]) if centroids else 0
+    if k * dim <= _MAX_LITERALS:
+        pairs = F.array(*[
+            F.struct(_dist2(F.col("__v"), c).alias("d2"),
+                     F.lit(i).alias("cluster"))
+            for i, c in enumerate(centroids)])
+        best = F.array_min(pairs)
+        return vecs.select("vec_id", "__v",
+                           best["cluster"].alias("cluster"),
+                           best["d2"].alias("d2"))
+    spark = vecs.sparkSession
+    cents = F.broadcast(spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "__c int, __cv array<double>"))
+    d2 = _fold_sum(F.zip_with(F.col("__v"), F.col("__cv"),
+                              lambda x, y: (x - y) * (x - y)))
+    best = F.min(F.struct(F.col("__d2").alias("d2"),
+                          F.col("__c").alias("cluster"))).alias("__best")
+    return (vecs.crossJoin(cents)
+            .withColumn("__d2", d2)
+            .groupBy("vec_id")
+            .agg(F.any_value("__v").alias("__v"), best)
+            .select("vec_id", "__v",
+                    F.col("__best.cluster").alias("cluster"),
+                    F.col("__best.d2").alias("d2")))
 
 
 def kmeans_assign(df: DataFrame, k: int = 4, iters: int = 2,

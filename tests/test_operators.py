@@ -1084,3 +1084,26 @@ def test_diversity_sample_quota_and_determinism(spark):
     # quota larger than any cluster: every vector survives
     all_rows = diversity_sample(emb, quota=100, k=2, iters=2).collect()
     assert len(all_rows) == 10
+
+
+def test_kmeans_join_path_matches_literal_path(spark):
+    """Past the literal budget the assignment switches to the broadcast
+    centroid-table join — same distances (identical sequential fold),
+    same tie rule, so the two plans must be row-identical on the same
+    model."""
+    from eirepolitic_data_pipeline_spark.operators import vectors as vx
+    pts = [(i, [float((i * 7 + d) % 5) for d in range(8)])
+           for i in range(40)]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    lit_rows = sorted(
+        (r["vec_id"], r["cluster"], r["dist"])
+        for r in vx.kmeans_assign(emb, k=3, iters=2).collect())
+    orig = vx._MAX_LITERALS
+    vx._MAX_LITERALS = 1  # force the broadcast-join path
+    try:
+        join_rows = sorted(
+            (r["vec_id"], r["cluster"], r["dist"])
+            for r in vx.kmeans_assign(emb, k=3, iters=2).collect())
+    finally:
+        vx._MAX_LITERALS = orig
+    assert join_rows == lit_rows

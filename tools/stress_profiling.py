@@ -221,6 +221,27 @@ def main():
                      f"labeled | deterministic rerun histogram: "
                      f"{'PASS' if km_ok else 'FAIL'} |")
 
+        # 5. IVF-scale k: k*dim > _MAX_LITERALS exercises the broadcast
+        # centroid-table join path (a literal plan at this k would outgrow
+        # plan construction / Janino limits)
+        n_big = args.kmeans_vectors // 5
+        bigk = build_vectors(spark, n_big, 64, os.path.join(tmp, "bigk"))
+        t0 = time.perf_counter()
+        labeled = (kmeans_assign(bigk, k=256, iters=1)
+                   .groupBy().agg(F.count(F.lit(1)).alias("n"),
+                                  F.countDistinct("cluster").alias("k"))
+                   .collect()[0])
+        t_big = round(time.perf_counter() - t0, 1)
+        big_ok = labeled["n"] == n_big and labeled["k"] > 128
+        if not big_ok:
+            failures.append(f"kmeans k=256: {labeled['n']}/{n_big} labeled "
+                            f"across {labeled['k']} clusters")
+        lines.append(f"| k-means IVF-scale ({n_big} x 64, k=256, join "
+                     f"path) | {t_big} | {labeled['n']} labeled, "
+                     f"{labeled['k']} clusters used | exhaustive via "
+                     f"broadcast-join assignment: "
+                     f"{'PASS' if big_ok else 'FAIL'} |")
+
     section = (
         f"{SECTION}\n\n"
         f"Corpus: **{n_docs} documents** (sf0.1 x {args.scale} replicas, "
