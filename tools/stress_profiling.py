@@ -257,7 +257,9 @@ def main():
         "zero-shuffle projection (plan-asserted in "
         "tests/test_plan_properties.py) whose error bound is checked by "
         "aggregate, not sampling; the k-means fit moves only (cluster, "
-        "dim) partial means over the wire and its model is pinned to a "
+        "dim) partial means over the wire (plus, on the IVF-scale join "
+        "path, one map-side-combined row per vector at assignment — "
+        "never n*k) and its model is pinned to a "
         "6-dp grid, so reruns — and engines — agree exactly.\n\n"
         f"Result: **{'PASS' if not failures else 'FAIL: ' + '; '.join(failures)}**. "
         "Rerun: `python tools/stress_profiling.py`.\n"
