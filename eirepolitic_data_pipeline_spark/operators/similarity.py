@@ -59,16 +59,23 @@ def sign_lsh_bucket(vec_col: Column, n_bits: int = 8) -> Column:
     Cheap, deterministic, engine-independent. For better-distributed planes
     use hashed_projection_bucket below.
 
-    A NULL vector gets a NULL bucket — so every bucket equi-join drops it
-    (a missing embedding is not a candidate for anything). Without the
-    guard, each bit's NULL comparison falls to the otherwise('0') branch
-    and NULL vectors silently collect in the all-zeros bucket as live
-    candidates (review r6 — the oracles exclude NULL embeddings, so the
-    all-zeros bucket would certify only while the fixture's top-k happens
-    not to reach a NULL row)."""
+    A NULL — or shorter-than-``n_bits`` (including EMPTY) — vector gets a
+    NULL bucket, so every bucket equi-join drops it (a missing or
+    malformed embedding is not a candidate for anything). Without the
+    NULL guard, each bit's NULL comparison falls to the otherwise('0')
+    branch and NULL vectors silently collect in the all-zeros bucket as
+    live candidates (review r6 — the oracles exclude NULL embeddings, so
+    the all-zeros bucket would certify only while the fixture's top-k
+    happens not to reach a NULL row). The size guard (r7, ADVICE
+    follow-through) covers the empty/short leg: under ANSI mode
+    ``getItem`` on an out-of-range index THROWS (one zero-length row
+    would kill a 100 TB job), and pre-ANSI it NULLed into the same
+    all-zeros pooling. CaseWhen branches evaluate lazily per row, so the
+    guarded concat never touches an out-of-range index."""
     bits = [F.when(vec_col.getItem(i) >= 0, F.lit("1")).otherwise(F.lit("0"))
             for i in range(n_bits)]
-    return F.when(vec_col.isNotNull(), F.concat(*bits))
+    return F.when(vec_col.isNotNull() & (F.size(vec_col) >= n_bits),
+                  F.concat(*bits))
 
 
 def hashed_projection_bucket(vec_col: Column, dim: int, n_planes: int = 8,
@@ -89,9 +96,12 @@ def hashed_projection_bucket(vec_col: Column, dim: int, n_planes: int = 8,
         for t in terms[1:]:
             proj = proj + t
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    # NULL vector -> NULL bucket (joins drop it), same contract as
-    # sign_lsh_bucket above
-    return F.when(vec_col.isNotNull(), F.concat(*bits))
+    # NULL or shorter-than-dim vector -> NULL bucket (joins drop it), same
+    # contract as sign_lsh_bucket above: a short vector's missing items
+    # would THROW under ANSI getItem (and pre-ANSI, NULL projections pool
+    # in the all-zeros bucket)
+    return F.when(vec_col.isNotNull() & (F.size(vec_col) >= dim),
+                  F.concat(*bits))
 
 
 def knn_lsh(vectors: DataFrame, queries: DataFrame, k: int,
@@ -206,10 +216,16 @@ def knn_bruteforce_pandas(vectors: DataFrame, queries_pdf, k: int,
 def ivf_grid_cells(vec_col: Column, grid: int = 4, dims: int = 2) -> Column:
     """Deterministic coarse quantizer: grid cell over the first ``dims``
     dimensions as a compact string key (fixed codebook, no training pass —
-    swap for kmeans centroids without touching callers)."""
+    swap for kmeans centroids without touching callers).
+
+    NULL or shorter-than-``dims`` vectors get a NULL cell (equi-joins drop
+    them) — same contract as sign_lsh_bucket: under ANSI mode element_at
+    past the end THROWS, so the guard is also what keeps one malformed row
+    from killing a 100 TB job (r7)."""
     parts = [F.floor(F.element_at(vec_col, i + 1).cast("double") * grid)
              .cast("long").cast("string") for i in range(dims)]
-    return F.concat_ws(":", *parts)
+    return F.when(vec_col.isNotNull() & (F.size(vec_col) >= dims),
+                  F.concat_ws(":", *parts))
 
 
 #: Hot-cell guard for semantic_dedup: cells holding more vectors than this

@@ -162,13 +162,18 @@ def kmeans_assign(df: DataFrame, k: int = 4, iters: int = 2,
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    # NULL embeddings are excluded up front — a row with no vector is not
-    # clusterable, and letting it through would either crash the seed
-    # collection (list(None)) or propagate NULL distances into the argmin.
-    # The workload oracles mirror the exclusion (WHERE embedding IS NOT
-    # NULL). Ragged dimensions are a CONTRACT violation (fixed-dim column)
-    # and fail loudly below rather than mis-assigning silently.
-    vecs = (df.filter(F.col(vec_col).isNotNull())
+    # NULL and EMPTY embeddings are excluded up front — a row with no
+    # vector is not clusterable, and letting it through would either crash
+    # the seed collection (list(None)) or propagate NULL distances into the
+    # argmin. The empty-vector leg closed in r7 (ADVICE): a zero-length
+    # array passed isNotNull, its zip_with distances folded to NULL against
+    # every centroid, and posexplode emitted NO rows — so the ragged-dim
+    # check below never saw its dim-0 and the row was silently assigned by
+    # NULL-ordering instead of failing the fixed-dimension contract. The
+    # workload oracles mirror both exclusions (WHERE embedding IS NOT NULL
+    # AND len(embedding) > 0). NON-empty ragged dimensions remain a loud
+    # CONTRACT failure below rather than a silent mis-assignment.
+    vecs = (df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
             .select(F.col(id_col).alias("vec_id"),
                     F.col(vec_col).cast("array<double>").alias("__v")))
     seed = (vecs.orderBy("vec_id").limit(k).collect())

@@ -310,8 +310,10 @@ def q26_knn_bruteforce(spark, sf_dir):
       -- NULL embedding excluded (r6): not a vector. Mirrors the engine,
       -- where a NULL vector's NULL bucket joins nothing; unguarded,
       -- DuckDB's array_to_string SKIPS null elements (bucket '' instead
-      -- of NULL) and its vector kernels raise on NULL-bearing lists
-      WHERE embedding IS NOT NULL
+      -- of NULL) and its vector kernels raise on NULL-bearing lists.
+      -- len >= 6 (r7): an empty/short vector has no 6-bit sign bucket —
+      -- mirrors the engine's guarded sign_lsh_bucket + up-front filter
+      WHERE embedding IS NOT NULL AND len(embedding) >= 6
     ),
     lsh AS (
       SELECT vec_id, v, nn,
@@ -364,8 +366,14 @@ def q27_ann_bucketed(spark, sf_dir):
       pass) builds an inverted file; probing scans only the query's cell.
       Same partition-by-cell scaling argument as real IVF with kmeans
       centroids; the quantizer is swappable without touching the join."""
-    emb = spread(t(spark, sf_dir, "embeddings")).withColumn(
-        "v", F.col("embedding").cast("array<double>"))
+    # NULL/empty/short vectors are out of contract for a 6-bit bucketed
+    # index (r7): the size filter mirrors the oracle's len(embedding) >= 6
+    # and keeps the IVF cell projection off out-of-range getItems (which
+    # THROW under ANSI). F.size(NULL) is NULL under ANSI, so NULL rows
+    # fall out of the same predicate.
+    emb = (spread(t(spark, sf_dir, "embeddings"))
+           .filter(F.size("embedding") >= 6)
+           .withColumn("v", F.col("embedding").cast("array<double>")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id"))
 
@@ -387,9 +395,13 @@ def q27_ann_bucketed(spark, sf_dir):
             .drop("rn")
         )
 
-    bits = [F.when(F.col("embedding").getItem(i) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(6)]
-    lsh = topk(emb.select("vec_id", "v", F.concat(*bits).alias("bucket")),
+    # THE guarded operator, not an inline twin (review r7 — the r6 NULL-LSH
+    # fix only landed in similarity.py; this inline copy still pooled NULL
+    # embeddings in bucket '000000' as live cosine-0.0 candidates while the
+    # oracle excludes them): NULL vector -> NULL bucket -> equi-join drops it
+    from ..operators.similarity import sign_lsh_bucket
+    lsh = topk(emb.select("vec_id", "v",
+                          sign_lsh_bucket(F.col("embedding"), 6).alias("bucket")),
                ["bucket"])
     cells = emb.select(
         "vec_id", "v",
@@ -411,11 +423,13 @@ def q27_ann_bucketed(spark, sf_dir):
                CASE WHEN embedding[CAST(i AS INTEGER) + 1] >= 0 THEN '1' ELSE '0' END), '')
                AS bucket
       FROM embeddings
-      -- NULL embedding excluded (r6): not a vector. Mirrors the engine,
-      -- where a NULL vector's NULL bucket joins nothing; unguarded,
-      -- DuckDB's array_to_string SKIPS null elements (bucket '' instead
-      -- of NULL) and its vector kernels raise on NULL-bearing lists
-      WHERE embedding IS NOT NULL
+      -- NULL embedding excluded (r6): not a vector. Mirrors the engine's
+      -- guarded sign_lsh_bucket, where a NULL vector's NULL bucket joins
+      -- nothing; unguarded, DuckDB's array_to_string SKIPS null elements
+      -- (bucket '' instead of NULL) and its vector kernels raise on
+      -- NULL-bearing lists. len >= 6 (r7): empty/short vectors have no
+      -- 6-bit sign bucket on the engine side either
+      WHERE embedding IS NOT NULL AND len(embedding) >= 6
     )
     -- zero-norm guard mirrors the engine contract (cosine 0.0, filtered
     -- out by the 0.3 threshold on both sides)
@@ -438,9 +452,14 @@ def q37_cosine_neardup_pairs(spark, sf_dir):
     deterministic across engines."""
     emb = spread(t(spark, sf_dir, "embeddings")).withColumn(
         "v", F.col("embedding").cast("array<double>"))
-    bits = [F.when(F.col("embedding").getItem(i) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(6)]
-    b = emb.select("vec_id", "v", F.concat(*bits).alias("bucket"))
+    # guarded bucket (review r7, same inline-twin fix as q27): NULL vector ->
+    # NULL bucket, dropped structurally by the equi-join — parity with the
+    # oracle's WHERE embedding IS NOT NULL no longer rides on the 0.3
+    # threshold happening to drop cosine-0.0 NULL pairs, and NULL rows no
+    # longer inflate the hot all-zeros bucket join
+    from ..operators.similarity import sign_lsh_bucket
+    b = emb.select("vec_id", "v",
+                   sign_lsh_bucket(F.col("embedding"), 6).alias("bucket"))
     a = b.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
                  F.col("bucket").alias("ba"))
     c = b.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
@@ -1536,11 +1555,13 @@ def q64_decontaminate_benchmark(spark, sf_dir):
                CASE WHEN embedding[CAST(i AS INTEGER) + 1] >= 0
                     THEN '1' ELSE '0' END), '') AS bucket
       FROM embeddings
-      -- NULL embedding excluded (r6): not a vector. Mirrors the engine,
-      -- where a NULL vector's NULL bucket joins nothing; unguarded,
-      -- DuckDB's array_to_string SKIPS null elements (bucket '' instead
-      -- of NULL) and its vector kernels raise on NULL-bearing lists
-      WHERE embedding IS NOT NULL
+      -- NULL embedding excluded (r6): not a vector. Mirrors the engine's
+      -- guarded sign_lsh_bucket, where a NULL vector's NULL bucket joins
+      -- nothing; unguarded, DuckDB's array_to_string SKIPS null elements
+      -- (bucket '' instead of NULL) and its vector kernels raise on
+      -- NULL-bearing lists. len >= 6 (r7): empty/short vectors have no
+      -- 6-bit sign bucket on the engine side either
+      WHERE embedding IS NOT NULL AND len(embedding) >= 6
     ),
     probes AS (
       -- home bucket + each 1-bit flip, pairwise distinct by construction
@@ -2212,9 +2233,9 @@ def _kmeans_means_sql(assign_cte: str, prev_cte: str, out: str) -> str:
     f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings
-               -- mirrors kmeans_assign's exclusion: a NULL embedding is
-               -- not clusterable
-               WHERE embedding IS NOT NULL),
+               -- mirrors kmeans_assign's exclusion: a NULL or EMPTY
+               -- embedding is not clusterable (empty-vector leg r7)
+               WHERE embedding IS NOT NULL AND len(embedding) > 0),
     c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                AS cluster, v
@@ -2256,9 +2277,9 @@ def q73_kmeans_clusters(spark, sf_dir):
     f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings
-               -- mirrors kmeans_assign's exclusion: a NULL embedding is
-               -- not clusterable
-               WHERE embedding IS NOT NULL),
+               -- mirrors kmeans_assign's exclusion: a NULL or EMPTY
+               -- embedding is not clusterable (empty-vector leg r7)
+               WHERE embedding IS NOT NULL AND len(embedding) > 0),
     c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                AS cluster, v

@@ -112,7 +112,13 @@ def build(src: str, dst: str, spark=None) -> str:
          # oracle on NULL propagation — cosine 0.0 via the NULL-false
          # guard, LSH/IVF buckets NULL (dropped by the equi-join), q72
          # digests 0/-128 sentinels, kmeans/diversity exclusion
-         (990004, None, 7)],
+         (990004, None, 7),
+         # EMPTY vector (r7, ADVICE): non-NULL zero-length array — must be
+         # excluded by kmeans/diversity's size>0 guard (not silently
+         # assigned via NULL-ordering), cosine 0.0 (zero-norm contract),
+         # empty LSH bucket candidates only pair with other empties, q72
+         # scale NULL / qvec [] / mse 0.0
+         (990005, [], 7)],
         schema=emb.schema)
     _write_single(emb.unionByName(extra_emb),
                   os.path.join(dst, "embeddings.parquet"))
