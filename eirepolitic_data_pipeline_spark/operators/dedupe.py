@@ -323,11 +323,18 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", n: int = 3,
-                           num_hashes: int = 32, band_rows: int = 4) -> DataFrame:
+                           num_hashes: int = 32, band_rows: int = 4,
+                           collisions: bool = True) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash: docs sharing any band
     signature. bands = num_hashes/band_rows; collision prob for Jaccard j is
     1-(1-j^band_rows)^bands — tune (num_hashes, band_rows) to the target
-    threshold. The band join partitions by band_key: no n² anywhere."""
+    threshold. The band join partitions by band_key: no n² anywhere.
+
+    ``collisions=False`` drops the ``band_collisions`` column and returns
+    DISTINCT (doc_a, doc_b) pairs in one shuffle: the countDistinct
+    aggregate plans as a two-phase distinct (an extra shuffle over the
+    candidate set) that callers who only gate on "shared any band"
+    (minhash_dedup's verify) never read."""
     if band_rows < 1 or num_hashes < 1:
         raise ValueError(
             f"num_hashes ({num_hashes}) and band_rows ({band_rows}) must be "
@@ -348,8 +355,11 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     bands = (sigs
              .select("doc_id", F.explode(F.array(*band_exprs)).alias("band_str"))
              .select("doc_id", F.xxhash64("band_str").alias("band_key")))
+    pairs = pairs_from_postings(bands, key="band_key")
+    if not collisions:
+        return pairs.select("doc_a", "doc_b").distinct()
     return (
-        pairs_from_postings(bands, key="band_key")
+        pairs
         .groupBy("doc_a", "doc_b")
         .agg(F.countDistinct("band_key").alias("band_collisions"))
     )
@@ -370,14 +380,23 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     edge list is persisted once; labels are localCheckpoint-ed per round to
     truncate lineage. The per-round convergence check is a scalar count,
     not a data collect."""
-    cand = minhash_lsh_candidates(df, text_col, id_col, n, num_hashes, band_rows)
+    cand = minhash_lsh_candidates(df, text_col, id_col, n, num_hashes,
+                                  band_rows, collisions=False)
     # Exact-Jaccard verify over the inverted index (Arrow shingle kernel +
     # two hash joins + one count), NOT array_intersect over collected
     # shingle arrays: the array form is an interpreted higher-order
     # expression re-shingling the corpus per candidate side, and it ships
     # both docs' full arrays into one row — this shape keeps the verify
     # map-side-combined and bounded by (candidate pairs × shingles/doc).
-    ck = shingle_postings(df, text_col, id_col, n)
+    # The postings frame feeds BOTH verify sides: the a-side join (on
+    # doc_a) and the b-side join (on doc_b, key) partition differently, so
+    # neither exchange is reusable and an unpersisted ck runs the Arrow
+    # shingle kernel over the corpus twice. persist() here is safe to
+    # unpersist as soon as the closure returns: min_label_components
+    # materializes the (persisted) edge list eagerly at construction, so
+    # nothing downstream re-reads ck's lineage (r7 — one corpus kernel
+    # pass saved per dedup).
+    ck = shingle_postings(df, text_col, id_col, n).persist()
     ka = ck.select(F.col("doc_id").alias("doc_a"),
                    F.col("n_sh").alias("n_a"), "key")
     kb = ck.select(F.col("doc_id").alias("doc_b"),
@@ -393,9 +412,11 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 >= threshold)
         .select("doc_a", "doc_b")
     )
-    return min_label_components(df.select(F.col(id_col).alias("id")),
-                                verified, max_iters) \
+    out = min_label_components(df.select(F.col(id_col).alias("id")),
+                               verified, max_iters) \
         .select(F.col("id").alias(id_col), "canonical_id")
+    ck.unpersist()
+    return out
 
 
 def min_label_components(ids: DataFrame, pairs: DataFrame,
@@ -441,25 +462,42 @@ def min_label_components(ids: DataFrame, pairs: DataFrame,
     # at bench scale (each round is ~1s of checkpoint/job overhead) and at
     # cluster scale (one fewer shuffle over the edge list). doc_a alone
     # covers every endpoint because both orientations are present.
+    # ALL checkpoints in the closure are LAZY (eager=False, r7): an eager
+    # localCheckpoint is its own Spark job, so every round used to pay two
+    # scheduler round-trips (materialize, then count). Lazily, the round's
+    # convergence count is the action that materializes the round's blocks
+    # — one job per round, same truncated lineage, and the seed's blocks
+    # materialize inside its emptiness probe below. (Measured neutral at
+    # bench scale — the closure jobs are not the near-dup bottleneck — but
+    # it halves the closure's scheduler round-trips at any scale.)
     labels = (edges.groupBy("doc_a")
               .agg(F.min("doc_b").alias("__nb"))
               .select(F.col("doc_a").alias("id"),
                       F.least("doc_a", "__nb").alias("label"))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
+    # Empty-graph fast path (r7): no edges means every id is its own
+    # canonical — skip the loop AND the final left join entirely. Common
+    # in production (a near-dup pass after exact dedup often verifies no
+    # pairs), and the count doubles as the seed's materializing action,
+    # so the non-empty path pays nothing it wasn't already paying.
+    if labels.count() == 0:
+        edges.unpersist()
+        return ids.select("id", F.col("id").alias("canonical_id"))
     changed = 0
     for _ in range(max_iters):
         nbr = (edges.join(labels, edges.doc_b == labels.id)
                .groupBy("doc_a").agg(F.min("label").alias("nbr_label")))
         # the convergence flag rides the checkpointed frame: counting it is
-        # a filter over already-materialized blocks — no shuffle and no
-        # second join-the-old-frame job per round (r6; the extra per-round
-        # shuffle join was ~40% of the closure's wall at bench scale)
+        # a filter over the blocks the count itself materializes — no
+        # shuffle and no second join-the-old-frame job per round (r6; the
+        # extra per-round shuffle join was ~40% of the closure's wall at
+        # bench scale)
         new_label = F.least("label", F.coalesce("nbr_label", "label"))
         new_labels = (
             labels.join(nbr, labels.id == nbr.doc_a, "left")
             .select(F.col("id"), new_label.alias("label"),
                     (new_label != F.col("label")).alias("__changed"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("__changed")).count()
         labels = new_labels.select("id", "label")
@@ -528,7 +566,8 @@ def dedupe_lines(df: DataFrame, text_col: str = "text",
     ``min_chars`` (after trim) are exempt: short strings ("Yes.", list
     bullets) collide legitimately and carry no boilerplate signal.
 
-    Returns (id, text) with the cleaned text; documents whose every line
+    Returns the input columns (any non-text columns pass through) with
+    ``text_col`` replaced by the cleaned text; documents whose every line
     was boilerplate come back with empty text (the caller's quality filter
     drops them — this operator never removes documents, so row counts are
     stable for downstream joins).
@@ -556,8 +595,14 @@ def dedupe_lines(df: DataFrame, text_col: str = "text",
                .agg(F.concat_ws("\n", F.array_sort(F.collect_list(
                    F.struct("pos", "line"))).getField("line"))
                     .alias(text_col)))
-    # left join back so fully-boilerplate docs survive with empty text
-    return (df.select(id_col)
+    # left join back so fully-boilerplate docs survive with empty text.
+    # NON-text columns ride this join unchanged (r7): the operator already
+    # pays a join back to the input frame, so callers that need lang/
+    # source/etc alongside the cleaned text get them for free instead of
+    # paying a second (id -> other-columns) join plus a re-scan of their
+    # upstream lineage — at corpus scale that second join was a full extra
+    # shuffle of the survivor set (curate_corpus's line_dedup boundary).
+    return (df.drop(text_col)
             .join(rebuilt, id_col, "left")
             .withColumn(text_col, F.coalesce(F.col(text_col), F.lit(""))))
 
