@@ -21,6 +21,7 @@ from .temporal import (  # noqa: F401
 )
 from .ranking import argmax_per_group, dense_rank_in, top_n_per_group  # noqa: F401
 from .similarity import (  # noqa: F401
+    ann_recall,
     cosine_col,
     hashed_projection_bucket,
     knn_bruteforce,
@@ -29,6 +30,7 @@ from .similarity import (  # noqa: F401
     sign_lsh_bucket,
 )
 from .relevance import bigram_lm_bits, bm25_scores  # noqa: F401
+from .vectors import diversity_sample, kmeans_assign, quantize_int8, semdedup  # noqa: F401
 from .sketches import hll_estimate, hll_merge, hll_rollup  # noqa: F401
 from .incremental import incremental_additive, recompute_groups  # noqa: F401
 from .skew import salted_agg, salted_string_agg, salted_top_n  # noqa: F401

@@ -520,9 +520,32 @@ def min_label_components(ids: DataFrame, pairs: DataFrame,
                     .alias("canonical_id")))
 
 
+def _shingle_strings(df: DataFrame, text_col: str, id_col: str,
+                     n: int) -> DataFrame:
+    """Raw-string sibling of shingle_postings: one (doc_id, s) row per
+    distinct shingle per document, ``s`` the shingle TEXT itself. Only for
+    bounded inputs (decontaminate's verify pass re-shingles candidate hits
+    only) — at corpus scale the 8-byte key form is the shuffle-friendly
+    one."""
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ss = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                for s in _shingle_set(text, n):
+                    ids.append(doc_id)
+                    ss.append(s)
+            yield pd.DataFrame({id_col: ids, "s": ss})
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, s string") \
+        .withColumnRenamed(id_col, "doc_id")
+
+
 def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
-                  n: int = 8) -> tuple[DataFrame, DataFrame]:
+                  n: int = 8, verify: bool = False) -> tuple[DataFrame, DataFrame]:
     """Benchmark decontamination (beyond-ref; the n-gram-overlap test-set
     filter every training-data pipeline needs, cf. GPT-3 appendix C /
     Brown et al. 2020): drop corpus documents sharing ANY word n-gram with
@@ -539,7 +562,20 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
 
     The benchmark frame only needs ``text_col`` — its ids never survive
     past the distinct key set, so a synthetic id feeds the kernel rather
-    than imposing the corpus's ``id_col`` on eval-set schemas."""
+    than imposing the corpus's ``id_col`` on eval-set schemas.
+
+    The hit join matches on the first 8 BYTES of md5(shingle) — a
+    probabilistic contract: two different shingles can share a prefix
+    (~2^-64 per pair), which over-counts ``n_hits`` and, at worst, drops
+    an uncontaminated document. ``verify=True`` closes that gap: docs
+    flagged by the fast hash path (typically a tiny fraction of the
+    corpus) are re-shingled as RAW STRINGS and re-checked against the
+    benchmark's raw distinct shingle set — one extra broadcast join over
+    the candidate set only, so the exactness costs nothing corpus-shaped.
+    A doc whose every hit was a prefix collision then drops out of
+    ``contaminated`` and stays in ``kept``. Default stays the fast path
+    (the collision rate is negligible for any real corpus; the flag
+    exists to make the parity claim airtight when it matters)."""
     ck = shingle_postings(corpus, text_col, id_col, n)
     bench = benchmark.select(
         F.monotonically_increasing_id().alias("__bench_id"),
@@ -550,6 +586,21 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     hits = (ck.join(bk, "key")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_hits")))
+    if verify:
+        # exact re-verify of the candidate hits: semi-join the corpus down
+        # to flagged docs, then match raw shingle strings against the raw
+        # benchmark set. n_hits is recomputed exactly (the hash path's
+        # count could include collision hits even for truly-contaminated
+        # docs).
+        cand = corpus.join(
+            hits.select(F.col("doc_id").alias(id_col)), id_col, "left_semi")
+        raw_b = F.broadcast(
+            _shingle_strings(bench, text_col, "__bench_id", n)
+            .select("s").distinct())
+        hits = (_shingle_strings(cand, text_col, id_col, n)
+                .join(raw_b, "s")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_hits")))
     contaminated = hits.select(F.col("doc_id").alias(id_col), "n_hits")
     kept = corpus.join(contaminated.select(id_col), id_col, "left_anti")
     return kept, contaminated

@@ -289,3 +289,50 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
              .select("doc_a", "doc_b"))
     return min_label_components(cells.select("id"), pairs, max_iters) \
         .select(F.col("id").alias(id_col), "canonical_id")
+
+
+def ann_recall(vectors: DataFrame, queries: DataFrame, k: int,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               query_id_col: str = "vec_id", n_bits: int = 6,
+               multiprobe: bool = True,
+               max_bucket: Optional[int] = None,
+               bucketer=None) -> DataFrame:
+    """Recall@k telemetry for the bucketed ANN path: how many of each
+    query's TRUE top-k neighbors (``knn_bruteforce`` ground truth) the
+    LSH index (``knn_lsh`` with the same parameters a caller would serve
+    with) actually returned. Output one row per query:
+    ``(query_id, n_true, n_hit, recall)`` with recall = n_hit / n_true
+    rounded to 6 dp. Mean recall is one ``avg`` over the result — kept
+    out of the row contract so the per-query distribution (the thing that
+    exposes a degenerate bucket) is never pre-averaged away.
+
+    This is the missing feedback loop for every ANN tuning decision:
+    n_bits/multiprobe/bucketer changes trade recall for candidate-set
+    size, and without this operator a user only ever sees the cost side.
+    Run it on a SAMPLE of queries (ground truth is a brute-force pass —
+    |queries| x |vectors| cosine folds); the result quantifies what the
+    index bought for the corpus actually being served, not a benchmark's.
+
+    Plan shape: ground truth = one broadcast-queries scan of the corpus
+    (knn_bruteforce — linear, no CartesianProduct); approx = the bucket
+    equi-join path under test; the comparison is a LEFT join from truth
+    to approx on (query_id, neighbor_id) — truth is |queries| x k rows,
+    so the join is trivially small — then one groupBy(query_id). A query
+    with NO brute-force neighbors (corpus of 1) emits no row rather than
+    a 0/0."""
+    truth = knn_bruteforce(vectors, queries, k, id_col, vec_col,
+                           query_id_col)
+    approx = (knn_lsh(vectors, queries, k, id_col, vec_col, query_id_col,
+                      n_bits=n_bits, multiprobe=multiprobe,
+                      max_bucket=max_bucket, bucketer=bucketer)
+              .select("query_id", "neighbor_id",
+                      F.lit(1).alias("__hit")))
+    return (
+        truth.select("query_id", "neighbor_id")
+        .join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_true"),
+             F.count("__hit").alias("n_hit"))
+        .select("query_id", "n_true", "n_hit",
+                F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"))
+    )

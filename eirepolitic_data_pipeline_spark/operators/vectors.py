@@ -239,3 +239,83 @@ def diversity_sample(df: DataFrame, quota: int, k: int = 4, iters: int = 2,
             .withColumn("pick_rank", F.row_number().over(w).cast("int"))
             .filter(F.col("pick_rank") <= quota)
             .select("vec_id", "cluster", "pick_rank"))
+
+
+#: Per-cluster population cap for semdedup's pair expansion — same
+#: conservative semantics as operators.similarity.DEFAULT_MAX_CELL (rows in
+#: an over-cap cluster stay their own canonicals rather than risking a
+#: quadratic pair join inside one task). SemDeDup sizes k so clusters hold
+#: ~corpus/k vectors; the cap is the guard for the skewed histogram where
+#: one centroid captures a constant fraction of the corpus.
+DEFAULT_MAX_CLUSTER = 10_000
+
+
+def semdedup(df: DataFrame, k: int = 4, iters: int = 2,
+             threshold: float = 0.95,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             max_iters: int = 10,
+             max_cluster: int | None = DEFAULT_MAX_CLUSTER) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) as ONE composed operator: k-means the
+    embedding space (``kmeans_assign`` — deterministic fit), then collapse
+    cosine near-duplicates WITHIN each cluster to their min-id canonical
+    via connected components. Returns ``(vec_id, cluster, canonical_id)``;
+    keep one row per canonical_id to dedup.
+
+    This is the trained-quantizer sibling of
+    ``operators.similarity.semantic_dedup`` (which buckets by a fixed
+    grid): identical collapse semantics, but the partition function is the
+    fitted k-means model, so bucket populations track the corpus's actual
+    density modes instead of axis-aligned cells. Same accepted trade:
+    near-dups straddling a cluster boundary are missed, for linear cost.
+
+    Scale shape: the fit is kmeans_assign's (bounded k·dim driver model);
+    the pair stage is an equi-join ON CLUSTER ID — each task compares one
+    cluster's vectors, never the corpus — and the closure reuses
+    min_label_components (edge nodes only, O(diameter) rounds).
+    ``max_cluster`` is the skew guard, the exact groupBy-count semi-join
+    shape as semantic_dedup's max_cell (never a window): a cluster whose
+    population exceeds it skips pairwise comparison entirely — its rows
+    stay their own canonicals, the conservative keep-everything direction
+    — because one degenerate centroid capturing a constant fraction of
+    the corpus would otherwise expand quadratically inside one task.
+    Size k so typical clusters land well under the cap (SemDeDup's paper
+    setting is k in the thousands for 100M+ corpora)."""
+    from .similarity import cosine_col
+    from .dedupe import min_label_components
+
+    assigned = kmeans_assign(df, k=k, iters=iters,
+                             vec_col=vec_col, id_col=id_col)
+    vecs = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)) \
+        .select(F.col(id_col).alias("vec_id"),
+                F.col(vec_col).cast("array<double>").alias("__v"))
+    cells = (assigned.select("vec_id", "cluster")
+             .join(vecs, "vec_id"))
+    paired = cells
+    if max_cluster is not None:
+        small = (cells.groupBy("cluster")
+                 .agg(F.count(F.lit(1)).alias("__cn"))
+                 .filter(F.col("__cn") <= max_cluster)
+                 .select("cluster"))
+        paired = cells.join(small, "cluster", "left_semi")
+    a = paired.select(F.col("vec_id").alias("doc_a"),
+                      F.col("__v").alias("va"),
+                      F.col("cluster").alias("ca"))
+    b = paired.select(F.col("vec_id").alias("doc_b"),
+                      F.col("__v").alias("vb"),
+                      F.col("cluster").alias("cb"))
+    # threshold on the cosine ROUNDED to 6 dp — the same cross-engine
+    # determinism pin as q37/kmeans_assign: engines disagree in the last
+    # ulps of a float fold, and a pair sitting exactly on the threshold
+    # must link (or not) identically everywhere
+    pairs = (a.join(b, (F.col("ca") == F.col("cb"))
+                    & (F.col("doc_a") < F.col("doc_b")))
+             .withColumn("cos", F.round(cosine_col(F.col("va"),
+                                                   F.col("vb")), 6))
+             .filter(F.col("cos") >= threshold)
+             .select("doc_a", "doc_b"))
+    comp = min_label_components(cells.select(F.col("vec_id").alias("id")),
+                                pairs, max_iters)
+    return (assigned.select("vec_id", "cluster")
+            .join(comp.select(F.col("id").alias("vec_id"), "canonical_id"),
+                  "vec_id")
+            .select("vec_id", "cluster", "canonical_id"))

@@ -27,36 +27,66 @@ from . import datapipe  # noqa: F401,E402
 from . import quality  # noqa: F401,E402
 
 
-# Certification rotation (round 6). The driver's correctness gate certifies
-# the first ~50 registered queries per round; with 73 registered, 23 fall
+# Certification rotation (round 7). The driver's correctness gate certifies
+# the first ~50 registered queries per round; with 75 registered, ~25 fall
 # outside every round. Rank the workload so the window always covers the
 # queries that NEED a fresh driver-green row:
-#   front — queries never driver-certified (q61–q68 added round 5, q69–q75
-#           added round 6) plus the scalar/DQ block whose implementation
-#           changed after its last green ledger (q31/q32/q34/q35/q36/q41,
-#           changed round 5; q66/q68 re-planned round 6);
+#   front — queries never driver-certified (q78/q79, new round 7), every
+#           query whose implementation FILE changed this round (round 7
+#           touched operators/dedupe.py, similarity.py, vectors.py,
+#           curation.py — so the whole dedup/ANN/vector/curation family
+#           rotates back in even where a specific function is untouched),
+#           the singly-certified round-6 block (q68–q77: one green ledger
+#           each), and the 2-ledger scalar/DQ block;
 #   tail  — queries unchanged since their last green CORRECTNESS row with
-#           multiple green ledgers already banked (q01–q18/q20/q42/q43:
-#           untouched since their last green row, up to five ledgers each).
+#           multiple green ledgers already banked (q01–q18/q20/q21/q42/
+#           q43/q47: untouched, up to six ledgers each; q54/q59/q60
+#           demoted THIS round — certified r5+r6, and functions/text.py,
+#           operators/sketches.py, operators/incremental.py are untouched
+#           in round 7 — rotate them back in whenever those files change).
 # Rotate this list each round as certifications land and code changes.
 _CERT_PRIORITY = [
+    # new round 7 — never driver-certified
+    "q78_ann_recall",
+    "q79_semdedup_clusters",
+    # implementation file changed round 7 (dedupe/similarity/vectors/
+    # curation): every query dispatching into those modules
+    "q63_curate_corpus_certified",
+    "q62_minhash_dedup_components",
+    "q61_line_dedup_boilerplate",
+    "q64_decontaminate_benchmark",
+    "q27_ann_bucketed",
+    "q37_cosine_neardup_pairs",
+    "q65_knn_lsh_multiprobe",
+    "q26_knn_bruteforce",
+    "q73_kmeans_clusters",
+    "q75_diversity_sample",
+    "q72_quantize_int8",
+    "q22_exact_dedup_fingerprint",
+    "q23_jaccard_topk_pairs",
+    "q24_minhash_lsh_candidates",
+    "q25_simhash_signatures",
+    "q49_winnowed_fingerprints",
+    "q50_winnow_neardup_pairs",
+    "q66_simhash_banded_pairs",
+    "q67_conflict_evidence_dedupe",
+    "q19_dedupe_keep_last",
+    "q51_dataset_split",
+    "q52_sequence_packing",
+    "q55_source_mixing",
+    "q57_domain_profile",
+    "q58_stratified_sample",
+    # singly-certified round-6 block: unchanged, but one ledger is thin —
+    # hold inside the window until 2+ (VERDICT r6 ask #4)
     "q69_bm25_relevance",
     "q70_bigram_lm_quality",
     "q71_ngram_heavy_hitters",
-    "q72_quantize_int8",
-    "q73_kmeans_clusters",
     "q74_source_overlap",
-    "q75_diversity_sample",
     "q76_sliding_window_counts",
     "q77_dataset_card",
-    "q61_line_dedup_boilerplate",
-    "q62_minhash_dedup_components",
-    "q63_curate_corpus_certified",
-    "q64_decontaminate_benchmark",
-    "q65_knn_lsh_multiprobe",
-    "q66_simhash_banded_pairs",
-    "q67_conflict_evidence_dedupe",
     "q68_tally_integrity_report",
+    # 2-ledger scalar/DQ block (r5+r6), unchanged: keep banking ledgers
+    # while window budget allows
     "q31_dq_summary_lineitem",
     "q32_integrity_checks",
     "q34_scalar_function_parity",
@@ -97,6 +127,12 @@ _CERT_TAIL = [
     # demoted when q77 was added (round 6): green r04+r05, marts.py
     # untouched since its r05 certification
     "q47_member_activity_monthly_mart",
+    # demoted when q78/q79 were added (round 7): green r05+r06;
+    # functions/text.py (q54), operators/sketches.py (q59) and
+    # operators/incremental.py (q60) untouched in round 7
+    "q54_repetition_stats",
+    "q59_hll_sketch_rollup",
+    "q60_incremental_rollup_equivalence",
 ]
 
 

@@ -2375,3 +2375,166 @@ def q77_dataset_card(spark, sf_dir):
                  F.countDistinct("fp").alias("distinct_fingerprints"),
                  F.round(F.lit(1.0) - F.countDistinct("fp").cast("double")
                          / F.count(F.lit(1)), 4).alias("dup_rate")))
+
+
+# ---------------------------------------------------------------------------
+# ANN telemetry + SemDeDup composition (round 7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q78_ann_recall",
+    """
+    WITH lsh AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[])) AS nn,
+             array_to_string(list_transform(range(6), i ->
+               CASE WHEN embedding[CAST(i AS INTEGER) + 1] >= 0
+                    THEN '1' ELSE '0' END), '') AS bucket
+      FROM embeddings
+      -- the q27/q65 vector contract: NULL/empty/short vectors have no
+      -- 6-bit sign bucket (engine filters F.size >= 6 up front)
+      WHERE embedding IS NOT NULL AND len(embedding) >= 6
+    ),
+    -- ground truth: exact top-5 per query over the FULL corpus, ranked on
+    -- the raw guarded cosine with the neighbor-id tiebreak (q26's recipe)
+    truth AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+      FROM lsh q JOIN lsh n ON n.vec_id <> q.vec_id
+      WHERE q.vec_id < 20
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY CASE WHEN n.nn > 0 AND q.nn > 0
+                      THEN list_cosine_similarity(n.v, q.v)
+                      ELSE 0.0 END DESC, n.vec_id) <= 5
+    ),
+    -- the index under test: q65's multiprobe expansion (home bucket +
+    -- each 1-bit flip), top-5 per query within the probed buckets
+    probes AS (
+      SELECT vec_id AS query_id, v AS qv, nn AS qn,
+             unnest(list_prepend(bucket, list_transform(range(6), i ->
+               substr(bucket, 1, CAST(i AS INTEGER))
+               || (CASE WHEN substr(bucket, CAST(i AS INTEGER) + 1, 1) = '1'
+                        THEN '0' ELSE '1' END)
+               || substr(bucket, CAST(i AS INTEGER) + 2,
+                         6 - CAST(i AS INTEGER) - 1)))) AS probe
+      FROM lsh WHERE vec_id < 20
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, n.vec_id AS neighbor_id,
+               CASE WHEN n.nn > 0 AND p.qn > 0
+                    THEN list_cosine_similarity(n.v, p.qv)
+                    ELSE 0.0 END AS cos_raw
+        FROM probes p JOIN lsh n
+          ON n.bucket = p.probe AND n.vec_id <> p.query_id
+      ) QUALIFY row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY cos_raw DESC, neighbor_id) <= 5
+    )
+    SELECT t.query_id,
+           count(*) AS n_true,
+           count(a.neighbor_id) AS n_hit,
+           round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6)
+             AS recall
+    FROM truth t
+    LEFT JOIN approx a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    """,
+    survey_ref="beyond-ref: ANN recall@k telemetry (operators/similarity.py:ann_recall) — brute-force ground truth vs the multiprobe LSH index",
+)
+def q78_ann_recall(spark, sf_dir):
+    """Recall@5 of the multiprobe sign-LSH index against brute-force
+    ground truth, per query — the telemetry every ANN tuning decision
+    (n_bits, probe count, bucketer) needs and that r6 left unmeasured:
+    the certified q27/q65 paths state their own contracts but nothing
+    said what recall the bucketing actually bought. One row per query
+    ``(query_id, n_true, n_hit, recall)``; mean recall is one avg over
+    the result, deliberately not pre-averaged away (a degenerate bucket
+    shows up as one query's 0.0, invisible in a mean). Plan: ground
+    truth is the broadcast-queries linear scan (q26's shape), the
+    approx side is the bucket equi-join under test (q65's shape), and
+    the comparison join is |queries| x k rows — noise. At 100 TB this
+    runs on a query SAMPLE; the brute-force side is the deliberate
+    cost of measuring truth."""
+    from ..operators.similarity import ann_recall
+    # the q27 vector contract: NULL/empty/short vectors are out of
+    # contract for a 6-bit bucketed index and for brute-force ground
+    # truth alike (a NULL query would score 0.0 against everything)
+    emb = (spread(t(spark, sf_dir, "embeddings"))
+           .filter(F.size("embedding") >= 6))
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ann_recall(emb, queries, k=5, n_bits=6, multiprobe=True)
+
+
+@register(
+    "q79_semdedup_clusters",
+    f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+      -- mirrors kmeans_assign's exclusion: a NULL or EMPTY embedding is
+      -- not clusterable
+      WHERE embedding IS NOT NULL AND len(embedding) > 0),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cluster, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+    ),
+    {_kmeans_assign_sql('c0', 'a0')},
+    {_kmeans_means_sql('a0', 'c0', 'c1')},
+    {_kmeans_assign_sql('c1', 'a1')},
+    {_kmeans_means_sql('a1', 'c1', 'c2')},
+    {_kmeans_assign_sql('c2', 'a2')},
+    -- within-cluster near-dup pairs: cosine ROUNDED to 6 dp before the
+    -- threshold (the q37 cross-engine pin; zero-norm scores 0.0)
+    pairs AS (
+      SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+      FROM a2 x JOIN a2 y ON y.cluster = x.cluster AND x.vec_id < y.vec_id
+      JOIN (SELECT vec_id, v,
+                   list_dot_product(v, v) AS nn FROM e) ex
+        ON ex.vec_id = x.vec_id
+      JOIN (SELECT vec_id, v,
+                   list_dot_product(v, v) AS nn FROM e) ey
+        ON ey.vec_id = y.vec_id
+      WHERE round(CASE WHEN ex.nn > 0 AND ey.nn > 0
+                  THEN list_cosine_similarity(ex.v, ey.v)
+                  ELSE 0.0 END, 6) >= 0.4
+    ),
+    edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+    ),
+    reach AS (
+      SELECT vec_id AS id, vec_id AS r FROM e
+      UNION
+      SELECT ed.doc_a AS id, reach.r
+      FROM edges ed JOIN reach ON reach.id = ed.doc_b
+    )
+    SELECT a2.vec_id, a2.cluster, m.canonical_id
+    FROM a2 JOIN (SELECT id, min(r) AS canonical_id
+                  FROM reach GROUP BY id) m
+      ON m.id = a2.vec_id
+    """,
+    survey_ref="beyond-ref: SemDeDup composed (operators/vectors.py:semdedup = kmeans_assign + within-cluster cosine collapse + min_label_components)",
+    memoize=False,  # the kmeans fit inside semdedup collects centroids and
+    # the closure localCheckpoints — construction runs actions (q73's rule)
+)
+def q79_semdedup_clusters(spark, sf_dir):
+    """SemDeDup as ONE certified operator (r6 review: both pieces were
+    certified separately — q73's kmeans fit, q37's cosine collapse — but
+    the composition cluster -> within-cluster collapse never ran under
+    the gate). k=4 x 2 deterministic Lloyd iterations partition the
+    embedding space, then cosine >= 0.4 pairs WITHIN each cluster link
+    into connected components collapsed to min-id canonicals. The 0.4
+    threshold is fixture-calibrated (the synthetic embeddings' cosine
+    ceiling is ~0.51 — the production default stays 0.95, where true
+    semantic twins live); the oracle re-derives the full chain: unrolled
+    k-means CTE rounds, the rounded-cosine pair join, and an independent
+    recursive-CTE transitive closure (q62's BFS-vs-label-propagation
+    cross-check, now over embedding space)."""
+    from ..operators.vectors import semdedup
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    return semdedup(emb, k=4, iters=2, threshold=0.4)

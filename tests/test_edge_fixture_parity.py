@@ -82,6 +82,11 @@ EDGE_QUERIES = (
     "q27_ann_bucketed",
     "q37_cosine_neardup_pairs",
     "q65_knn_lsh_multiprobe",
+    # r7 ANN telemetry + SemDeDup composition: the NULL/empty/zero-norm
+    # edge rows must stay out of buckets, ground truth, and clusters
+    # identically on both sides
+    "q78_ann_recall",
+    "q79_semdedup_clusters",
     # orders/lineitem edge rows (r6): NULL-variant conflict counting and
     # the NULL-division / NULL-returnflag tally contracts
     "q67_conflict_evidence_dedupe",
