@@ -85,10 +85,15 @@ def _dist2(v: Column, centroid: list[float]) -> Column:
 
 
 #: Literal-assignment budget: above ~this many embedded literals the
-#: generated plan/codegen cost grows past what one projection should carry
-#: (and Janino method limits loom), so assignment switches to a broadcast
-#: centroid-table join. 16 clusters x 64 dims = 1024 stays literal.
-_MAX_LITERALS = 4096
+#: plan-construction + codegen cost of the literal expression tree (one
+#: Py4J round trip per literal, then Catalyst analysis of a k·dim-wide
+#: tree PER ITERATION) outgrows the join path's one extra map-side-combined
+#: shuffle — measured on the bench host at k=16 x 64 dims (1024 literals):
+#: literal fit 4.2s warm vs broadcast-join fit 2.1s. 512 keeps the k<=8
+#: x 64-dim models literal (q73's k=4 fit: 256 literals, pure projection)
+#: and routes everything IVF-shaped through the join (Janino method
+#: limits loom there anyway).
+_MAX_LITERALS = 512
 
 
 def _assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
@@ -271,7 +276,13 @@ def semdedup(df: DataFrame, k: int = 4, iters: int = 2,
     Scale shape: the fit is kmeans_assign's (bounded k·dim driver model);
     the pair stage is an equi-join ON CLUSTER ID — each task compares one
     cluster's vectors, never the corpus — and the closure reuses
-    min_label_components (edge nodes only, O(diameter) rounds).
+    min_label_components (edge nodes only, O(diameter) rounds). Note the
+    join key also BOUNDS PARALLELISM: there are only k distinct cluster
+    ids, so at most k tasks carry the pair stage — k is both the pair
+    bound (corpus/k per cluster) and the fan-out. Size k with the corpus
+    (SemDeDup's paper setting is thousands for 100M+ docs); a tiny k on
+    a big corpus serializes the quadratic stage onto a handful of cores
+    long before max_cluster trips.
     ``max_cluster`` is the skew guard, the exact groupBy-count semi-join
     shape as semantic_dedup's max_cell (never a window): a cluster whose
     population exceeds it skips pairwise comparison entirely — its rows
@@ -280,7 +291,6 @@ def semdedup(df: DataFrame, k: int = 4, iters: int = 2,
     the corpus would otherwise expand quadratically inside one task.
     Size k so typical clusters land well under the cap (SemDeDup's paper
     setting is k in the thousands for 100M+ corpora)."""
-    from .similarity import cosine_col
     from .dedupe import min_label_components
 
     assigned = kmeans_assign(df, k=k, iters=iters,
@@ -288,8 +298,29 @@ def semdedup(df: DataFrame, k: int = 4, iters: int = 2,
     vecs = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)) \
         .select(F.col(id_col).alias("vec_id"),
                 F.col(vec_col).cast("array<double>").alias("__v"))
+    # UNIT vectors are computed ONCE per row, map-side, BEFORE the pair
+    # join: the pair stage then folds a single dot product instead of
+    # cosine_col's dot + both norms (3x the ops), and — since the pair
+    # join's parallelism is bounded by k distinct cluster keys — per-pair
+    # work is exactly what the busiest task multiplies. norm = sqrt(seq
+    # fold of squares), u_i = x_i/norm (zero-norm -> all-zero unit vector,
+    # dot 0.0 — the cosine_col contract); the oracle mirrors the identical
+    # operation sequence so doubles agree bit-for-bit pre-round.
+    nrm = F.sqrt(_fold_sum(F.transform(F.col("__v"), lambda x: x * x)))
+    unit = F.when(F.col("__n") > 0,
+                  F.transform("__v", lambda x: x / F.col("__n"))) \
+        .otherwise(F.transform("__v", lambda x: F.lit(0.0)))
+    # cells is consumed by BOTH pair sides (and the cap's count agg):
+    # persisted so the assignment projection + join + unit folds run once,
+    # and unpersisted as soon as min_label_components has materialized the
+    # edge list (the closure runs eagerly at construction; the returned
+    # frame is rebuilt from `assigned`/`vecs`, so nothing downstream
+    # re-reads cells' lineage — the minhash_dedup ck pattern).
     cells = (assigned.select("vec_id", "cluster")
-             .join(vecs, "vec_id"))
+             .join(vecs, "vec_id")
+             .withColumn("__n", nrm)
+             .withColumn("__u", unit)
+             .persist())
     paired = cells
     if max_cluster is not None:
         small = (cells.groupBy("cluster")
@@ -297,25 +328,44 @@ def semdedup(df: DataFrame, k: int = 4, iters: int = 2,
                  .filter(F.col("__cn") <= max_cluster)
                  .select("cluster"))
         paired = cells.join(small, "cluster", "left_semi")
+    # Explicit hash repartition on the join key (the pairs_from_postings
+    # pattern): the pair rows are small in BYTES but heavy in CPU (a
+    # 64-dim fold each), and AQE's size-based coalescing would run the
+    # whole quadratic stage on 1-2 tasks. A user-specified partition
+    # count is exempt from coalescing; the join reuses the partitioning
+    # (no extra exchange), and up to min(k, n_parts) tasks carry the
+    # fold.
+    spark = df.sparkSession
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = min(conf_parts, 4 * spark.sparkContext.defaultParallelism)
     a = paired.select(F.col("vec_id").alias("doc_a"),
-                      F.col("__v").alias("va"),
-                      F.col("cluster").alias("ca"))
+                      F.col("__u").alias("ua"),
+                      F.col("cluster").alias("ca")) \
+        .repartition(n_parts, F.col("ca"))
     b = paired.select(F.col("vec_id").alias("doc_b"),
-                      F.col("__v").alias("vb"),
-                      F.col("cluster").alias("cb"))
+                      F.col("__u").alias("ub"),
+                      F.col("cluster").alias("cb")) \
+        .repartition(n_parts, F.col("cb"))
     # threshold on the cosine ROUNDED to 6 dp — the same cross-engine
     # determinism pin as q37/kmeans_assign: engines disagree in the last
     # ulps of a float fold, and a pair sitting exactly on the threshold
     # must link (or not) identically everywhere
+    dot = _fold_sum(F.zip_with(F.col("ua"), F.col("ub"),
+                               lambda x, y: x * y))
     pairs = (a.join(b, (F.col("ca") == F.col("cb"))
                     & (F.col("doc_a") < F.col("doc_b")))
-             .withColumn("cos", F.round(cosine_col(F.col("va"),
-                                                   F.col("vb")), 6))
+             .withColumn("cos", F.round(dot, 6))
              .filter(F.col("cos") >= threshold)
              .select("doc_a", "doc_b"))
-    comp = min_label_components(cells.select(F.col("vec_id").alias("id")),
+    # id universe from `vecs`, NOT cells: identical rows (cells is the
+    # inner join of the assignment with vecs, and the assignment covers
+    # exactly vecs' rows), but keeping cells out of the returned lineage
+    # is what makes the unpersist below safe.
+    comp = min_label_components(vecs.select(F.col("vec_id").alias("id")),
                                 pairs, max_iters)
-    return (assigned.select("vec_id", "cluster")
-            .join(comp.select(F.col("id").alias("vec_id"), "canonical_id"),
-                  "vec_id")
-            .select("vec_id", "cluster", "canonical_id"))
+    out = (assigned.select("vec_id", "cluster")
+           .join(comp.select(F.col("id").alias("vec_id"), "canonical_id"),
+                 "vec_id")
+           .select("vec_id", "cluster", "canonical_id"))
+    cells.unpersist()
+    return out

@@ -2480,27 +2480,34 @@ def q78_ann_recall(spark, sf_dir):
     c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                AS cluster, v
-      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
     ),
     {_kmeans_assign_sql('c0', 'a0')},
     {_kmeans_means_sql('a0', 'c0', 'c1')},
-    {_kmeans_assign_sql('c1', 'a1')},
-    {_kmeans_means_sql('a1', 'c1', 'c2')},
-    {_kmeans_assign_sql('c2', 'a2')},
-    -- within-cluster near-dup pairs: cosine ROUNDED to 6 dp before the
-    -- threshold (the q37 cross-engine pin; zero-norm scores 0.0)
+    {_kmeans_assign_sql('c1', 'a2')},
+    -- UNIT vectors once per row (the engine's exact operation sequence:
+    -- norm = sqrt(sequential fold of squares), u_i = x_i / norm,
+    -- zero-norm -> all-zero unit vector) so the pair stage is a single
+    -- dot fold; cosine ROUNDED to 6 dp before the threshold (the q37
+    -- cross-engine pin)
+    u AS (
+      SELECT vec_id,
+             CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+                  ELSE list_transform(v, x -> 0.0) END AS u
+      FROM (SELECT vec_id, v,
+                   sqrt(list_reduce(list_prepend(0.0,
+                     list_transform(v, x -> x * x)),
+                     (a, x) -> a + x)) AS nrm
+            FROM e)
+    ),
     pairs AS (
       SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
       FROM a2 x JOIN a2 y ON y.cluster = x.cluster AND x.vec_id < y.vec_id
-      JOIN (SELECT vec_id, v,
-                   list_dot_product(v, v) AS nn FROM e) ex
-        ON ex.vec_id = x.vec_id
-      JOIN (SELECT vec_id, v,
-                   list_dot_product(v, v) AS nn FROM e) ey
-        ON ey.vec_id = y.vec_id
-      WHERE round(CASE WHEN ex.nn > 0 AND ey.nn > 0
-                  THEN list_cosine_similarity(ex.v, ey.v)
-                  ELSE 0.0 END, 6) >= 0.4
+      JOIN u ux ON ux.vec_id = x.vec_id
+      JOIN u uy ON uy.vec_id = y.vec_id
+      WHERE round(list_reduce(list_prepend(0.0,
+              list_transform(list_zip(ux.u, uy.u), z -> z[1] * z[2])),
+              (a, x) -> a + x), 6) >= 0.4
     ),
     edges AS (
       SELECT doc_a, doc_b FROM pairs
@@ -2526,15 +2533,24 @@ def q79_semdedup_clusters(spark, sf_dir):
     """SemDeDup as ONE certified operator (r6 review: both pieces were
     certified separately — q73's kmeans fit, q37's cosine collapse — but
     the composition cluster -> within-cluster collapse never ran under
-    the gate). k=4 x 2 deterministic Lloyd iterations partition the
-    embedding space, then cosine >= 0.4 pairs WITHIN each cluster link
-    into connected components collapsed to min-id canonicals. The 0.4
-    threshold is fixture-calibrated (the synthetic embeddings' cosine
-    ceiling is ~0.51 — the production default stays 0.95, where true
-    semantic twins live); the oracle re-derives the full chain: unrolled
-    k-means CTE rounds, the rounded-cosine pair join, and an independent
-    recursive-CTE transitive closure (q62's BFS-vs-label-propagation
-    cross-check, now over embedding space)."""
+    the gate). One deterministic Lloyd round at k=16 partitions the
+    embedding space (the fit is a PARTITION FUNCTION here, not a
+    convergence exercise — q73 certifies the 2-iteration fit; one round
+    halves the per-pass training jobs of this honestly-refitting
+    memoize=False query), then cosine >= 0.4 pairs WITHIN each cluster
+    link into connected components collapsed to min-id canonicals. The
+    0.4 threshold is fixture-calibrated (the synthetic embeddings'
+    cosine ceiling is ~0.51 — the production default stays 0.95, where
+    true semantic twins live), and k=16 is the SemDeDup-faithful
+    setting: cluster count scales with corpus so per-cluster pair work
+    stays flat, and — since the pair join's parallelism is bounded by k
+    distinct cluster keys — k IS the pair stage's max task fan-out (k=4
+    ran the sf0.1 pair join on 4 tasks; the operator docstring carries
+    the sizing rule). The oracle re-derives the full chain: the
+    unrolled k-means CTE round, the unit-vector dot pair join
+    (identical operation sequence both engines), and an independent
+    recursive-CTE transitive closure (q62's
+    BFS-vs-label-propagation cross-check, now over embedding space)."""
     from ..operators.vectors import semdedup
     emb = spread(t(spark, sf_dir, "embeddings"))
-    return semdedup(emb, k=4, iters=2, threshold=0.4)
+    return semdedup(emb, k=16, iters=1, threshold=0.4)

@@ -160,6 +160,29 @@ def test_knn_query_side_is_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_semdedup_cluster_cap_is_not_a_window(spark):
+    """semdedup's max_cluster guard (r7) has the same contract as
+    semantic_dedup's max_cell: a groupBy-count semi-join, never a window
+    that would buffer the degenerate cluster's vectors in one task before
+    filtering it out."""
+    from eirepolitic_data_pipeline_spark.operators.vectors import semdedup
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>")
+    out = semdedup(df, k=2, iters=1, threshold=0.99, max_cluster=3)
+    assert "windowspecdefinition(" not in _plan(out)
+
+
+def test_ann_recall_truth_side_is_broadcast(spark):
+    """q78: both the ground-truth scan and the LSH side must broadcast
+    their tiny query frames — recall telemetry must never shuffle the
+    corpus by anything query-shaped, and no CartesianProduct may appear
+    (the brute-force side is a broadcast nested loop by construction)."""
+    plan = _plan(_queries()["q78_ann_recall"](spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_no_jit_hostile_codegen_methods(spark):
     """No query may generate a whole-stage-codegen method over the JVM
     JIT's 8000-byte DontCompileHugeMethods limit: an over-limit method
