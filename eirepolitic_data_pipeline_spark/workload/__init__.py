@@ -49,6 +49,7 @@ _CERT_PRIORITY = [
     # new round 7 — never driver-certified
     "q78_ann_recall",
     "q79_semdedup_clusters",
+    "q80_ann_recall_ivf",
     # implementation file changed round 7 (dedupe/similarity/vectors/
     # curation): every query dispatching into those modules
     "q63_curate_corpus_certified",

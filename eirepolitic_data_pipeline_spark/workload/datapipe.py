@@ -2554,3 +2554,71 @@ def q79_semdedup_clusters(spark, sf_dir):
     from ..operators.vectors import semdedup
     emb = spread(t(spark, sf_dir, "embeddings"))
     return semdedup(emb, k=16, iters=1, threshold=0.4)
+
+
+@register(
+    "q80_ann_recall_ivf",
+    """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[])) AS nn,
+             CAST(floor(embedding[1] * 4) AS BIGINT) AS cx,
+             CAST(floor(embedding[2] * 4) AS BIGINT) AS cy
+      FROM embeddings
+      -- the IVF cell contract: NULL/empty/1-dim vectors have no 2-dim
+      -- grid cell (engine filters F.size >= 2 up front)
+      WHERE embedding IS NOT NULL AND len(embedding) >= 2
+    ),
+    truth AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+      FROM base q JOIN base n ON n.vec_id <> q.vec_id
+      WHERE q.vec_id < 20
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY CASE WHEN n.nn > 0 AND q.nn > 0
+                      THEN list_cosine_similarity(n.v, q.v)
+                      ELSE 0.0 END DESC, n.vec_id) <= 5
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               CASE WHEN n.nn > 0 AND q.nn > 0
+                    THEN list_cosine_similarity(n.v, q.v)
+                    ELSE 0.0 END AS cos_raw
+        FROM base q JOIN base n
+          ON n.cx = q.cx AND n.cy = q.cy AND n.vec_id <> q.vec_id
+        WHERE q.vec_id < 20
+      ) QUALIFY row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY cos_raw DESC, neighbor_id) <= 5
+    )
+    SELECT t.query_id,
+           count(*) AS n_true,
+           count(a.neighbor_id) AS n_hit,
+           round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6)
+             AS recall
+    FROM truth t
+    LEFT JOIN approx a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    """,
+    survey_ref="beyond-ref: ANN recall@k for the IVF-grid path (operators/similarity.py:ann_recall with the ivf_grid_cells bucketer swapped in)",
+)
+def q80_ann_recall_ivf(spark, sf_dir):
+    """q78's recall telemetry pointed at the OTHER index family: the
+    IVF-grid coarse quantizer (q27's ivf_grid path) instead of sign-LSH —
+    certifying that ann_recall's ``bucketer`` seam really is a swap-in
+    (the operator contract q78 alone can't show). Single-probe by
+    construction (an IVF probe set is cell-adjacency, not bit flips —
+    multiprobe=False), so this measures the one-cell recall floor an
+    nprobe parameter would buy back. Same plan shape as q78: linear
+    broadcast ground truth, cell equi-join under test, |queries| x k
+    comparison join."""
+    from ..operators.similarity import ann_recall, ivf_grid_cells
+    emb = (spread(t(spark, sf_dir, "embeddings"))
+           .filter(F.size("embedding") >= 2))
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ann_recall(emb, queries, k=5, multiprobe=False,
+                      bucketer=lambda c, n: ivf_grid_cells(c, grid=4,
+                                                           dims=2))

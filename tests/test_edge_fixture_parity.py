@@ -87,6 +87,7 @@ EDGE_QUERIES = (
     # identically on both sides
     "q78_ann_recall",
     "q79_semdedup_clusters",
+    "q80_ann_recall_ivf",
     # orders/lineitem edge rows (r6): NULL-variant conflict counting and
     # the NULL-division / NULL-returnflag tally contracts
     "q67_conflict_evidence_dedupe",
