@@ -289,9 +289,21 @@ def _spread_boundary(frame: DataFrame) -> DataFrame:
     materialized block-by-block anyway for the persist, where a skewed or
     coalesced layout would hurt every downstream stage repeatedly. Only
     applied on the persist_stages path; the lazy composition is left
-    untouched."""
-    p = frame.sparkSession.sparkContext.defaultParallelism
-    return frame.repartition(p)
+    untouched.
+
+    Why no registry.spread-style getNumPartitions() guard: that guard
+    works on SCANS, where the pre-execution partition count reflects file
+    splits. On a lazy JOIN output, df.rdd.getNumPartitions() reports the
+    static shuffle.partitions width — AQE's coalescing happens at
+    runtime, after the guard would have decided — so the guard would
+    no-op exactly in the pathological case this helper exists for. The
+    count targets max(parallelism, shuffle width) so the repartition
+    never REDUCES a cluster-sized boundary's partition count when
+    shuffle.partitions exceeds the core count."""
+    sc = frame.sparkSession.sparkContext
+    conf_parts = int(frame.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
+    return frame.repartition(max(sc.defaultParallelism, conf_parts))
 
 
 def curate_corpus(docs: DataFrame, text_col: str = "text",

@@ -412,10 +412,16 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 >= threshold)
         .select("doc_a", "doc_b")
     )
-    out = min_label_components(df.select(F.col(id_col).alias("id")),
-                               verified, max_iters) \
-        .select(F.col("id").alias(id_col), "canonical_id")
-    ck.unpersist()
+    # finally: the closure raises BY DESIGN on non-convergence, and a
+    # long-lived session (curate CLI, notebook) retrying with a raised
+    # max_iters must not accumulate corpus-sized leaked cache entries
+    # (review r7)
+    try:
+        out = min_label_components(df.select(F.col(id_col).alias("id")),
+                                   verified, max_iters) \
+            .select(F.col("id").alias(id_col), "canonical_id")
+    finally:
+        ck.unpersist()
     return out
 
 

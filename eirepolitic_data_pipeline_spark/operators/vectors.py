@@ -360,12 +360,15 @@ def semdedup(df: DataFrame, k: int = 4, iters: int = 2,
     # id universe from `vecs`, NOT cells: identical rows (cells is the
     # inner join of the assignment with vecs, and the assignment covers
     # exactly vecs' rows), but keeping cells out of the returned lineage
-    # is what makes the unpersist below safe.
-    comp = min_label_components(vecs.select(F.col("vec_id").alias("id")),
-                                pairs, max_iters)
-    out = (assigned.select("vec_id", "cluster")
-           .join(comp.select(F.col("id").alias("vec_id"), "canonical_id"),
-                 "vec_id")
-           .select("vec_id", "cluster", "canonical_id"))
-    cells.unpersist()
-    return out
+    # is what makes the unpersist below safe. finally: the closure raises
+    # BY DESIGN on non-convergence — a retry loop must not accumulate
+    # corpus-sized leaked cache entries (review r7).
+    try:
+        comp = min_label_components(vecs.select(F.col("vec_id").alias("id")),
+                                    pairs, max_iters)
+    finally:
+        cells.unpersist()
+    return (assigned.select("vec_id", "cluster")
+            .join(comp.select(F.col("id").alias("vec_id"), "canonical_id"),
+                  "vec_id")
+            .select("vec_id", "cluster", "canonical_id"))

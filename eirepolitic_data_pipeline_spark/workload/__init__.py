@@ -28,10 +28,10 @@ from . import quality  # noqa: F401,E402
 
 
 # Certification rotation (round 7). The driver's correctness gate certifies
-# the first ~50 registered queries per round; with 75 registered, ~25 fall
+# the first ~50 registered queries per round; with 76 registered, ~26 fall
 # outside every round. Rank the workload so the window always covers the
 # queries that NEED a fresh driver-green row:
-#   front — queries never driver-certified (q78/q79, new round 7), every
+#   front — queries never driver-certified (q78/q79/q80, new round 7), every
 #           query whose implementation FILE changed this round (round 7
 #           touched operators/dedupe.py, similarity.py, vectors.py,
 #           curation.py — so the whole dedup/ANN/vector/curation family

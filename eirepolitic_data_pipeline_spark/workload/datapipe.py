@@ -2550,10 +2550,17 @@ def q79_semdedup_clusters(spark, sf_dir):
     unrolled k-means CTE round, the unit-vector dot pair join
     (identical operation sequence both engines), and an independent
     recursive-CTE transitive closure (q62's
-    BFS-vs-label-propagation cross-check, now over embedding space)."""
+    BFS-vs-label-propagation cross-check, now over embedding space).
+    max_cluster=None EXPLICITLY: the oracle models no cap, so the query
+    certifies the uncapped semantics — the default-cap path (an over-cap
+    cluster degrading to self-canonicals) is covered by
+    tools/stress_semdedup.py and the unit tests instead; inheriting the
+    default here would certify green only until a fixture regeneration
+    pushed one cluster past 10k rows, then hash-mismatch with the root
+    cause visible in neither query text (review r7)."""
     from ..operators.vectors import semdedup
     emb = spread(t(spark, sf_dir, "embeddings"))
-    return semdedup(emb, k=16, iters=1, threshold=0.4)
+    return semdedup(emb, k=16, iters=1, threshold=0.4, max_cluster=None)
 
 
 @register(

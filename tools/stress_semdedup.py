@@ -33,7 +33,6 @@ Usage::
 from __future__ import annotations
 
 import argparse
-import math
 import os
 import sys
 import tempfile
@@ -168,22 +167,28 @@ def main():
                      "PASS (derived from the assignment histogram the fit "
                      "pins) |")
 
-        # 4. uncapped contrast on a hot-only slice
+        # 4. uncapped contrast on a hot-dominated slice. The slice still
+        # carries the 7 orthogonal basis rows build_vectors always emits
+        # (they stay self-canonical — cosine ~0 to the hot direction), so
+        # the exact counts come from the slice itself, not a formula that
+        # forgets them (review r7: the first cut reported contrast+1 rows
+        # and C(contrast+1, 2) pairs, understating both).
         hot_slice = build_vectors(spark, args.contrast, 0,
                                   os.path.join(tmp, "hot.parquet"))
+        n_slice = hot_slice.count()
+        exp_pairs = n_slice * (n_slice - 1) // 2  # k=1: ONE cluster
         t0 = time.perf_counter()
         out2 = semdedup(hot_slice, k=1, iters=1, threshold=0.95,
                         max_cluster=None)
         n_collapsed = out2.filter(
             F.col("vec_id") != F.col("canonical_id")).count()
         t_uncapped = round(time.perf_counter() - t0, 1)
-        exp_pairs = args.contrast * (args.contrast + 1) // 2
         ok4 = n_collapsed == args.contrast  # all but the min id collapse
         if not ok4:
             failures.append(f"uncapped contrast collapsed {n_collapsed} "
                             f"of {args.contrast}")
-        lines.append(f"| uncapped contrast ({args.contrast + 1} hot-only "
-                     f"rows, ~{exp_pairs} pairs materialized) | "
+        lines.append(f"| uncapped contrast ({n_slice} rows in one k=1 "
+                     f"cluster, {exp_pairs} pairs materialized) | "
                      f"{t_uncapped} | {n_collapsed} collapsed into 1 "
                      f"canonical | {'PASS' if ok4 else 'FAIL'} |")
         out.unpersist()
