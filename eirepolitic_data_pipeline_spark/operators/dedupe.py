@@ -335,6 +335,19 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     aggregate plans as a two-phase distinct (an extra shuffle over the
     candidate set) that callers who only gate on "shared any band"
     (minhash_dedup's verify) never read."""
+    _check_band_config(num_hashes, band_rows)
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    pairs = _banded_pairs(sigs, num_hashes, band_rows)
+    if not collisions:
+        return pairs.select("doc_a", "doc_b").distinct()
+    return (
+        pairs
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("band_key").alias("band_collisions"))
+    )
+
+
+def _check_band_config(num_hashes: int, band_rows: int) -> None:
     if band_rows < 1 or num_hashes < 1:
         raise ValueError(
             f"num_hashes ({num_hashes}) and band_rows ({band_rows}) must be "
@@ -347,7 +360,13 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         raise ValueError(
             f"band_rows ({band_rows}) must divide num_hashes ({num_hashes}) "
             "exactly; bands = num_hashes / band_rows")
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+
+
+def _banded_pairs(sigs: DataFrame, num_hashes: int,
+                  band_rows: int) -> DataFrame:
+    """Band a (doc_id, mh0..mhN) signature frame into candidate pairs —
+    the banding step shared by minhash_lsh_candidates and minhash_dedup
+    (whose signatures arrive from the fused kernel)."""
     band_exprs = []
     for band in range(num_hashes // band_rows):
         parts = [F.col(f"mh{band * band_rows + r}") for r in range(band_rows)]
@@ -355,14 +374,50 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     bands = (sigs
              .select("doc_id", F.explode(F.array(*band_exprs)).alias("band_str"))
              .select("doc_id", F.xxhash64("band_str").alias("band_key")))
-    pairs = pairs_from_postings(bands, key="band_key")
-    if not collisions:
-        return pairs.select("doc_a", "doc_b").distinct()
-    return (
-        pairs
-        .groupBy("doc_a", "doc_b")
-        .agg(F.countDistinct("band_key").alias("band_collisions"))
-    )
+    return pairs_from_postings(bands, key="band_key")
+
+
+def _minhash_postings_signatures(df: DataFrame, text_col: str, id_col: str,
+                                 n: int, num_hashes: int) -> DataFrame:
+    """Fused kernel for minhash_dedup: ONE pass over the corpus text
+    computes, per document, BOTH the MinHash signature (mh0..mhN, the
+    minhash_signatures recipe verbatim) and the shingle posting keys
+    (``keys`` = int64 8-byte md5 prefixes, the shingle_postings recipe
+    verbatim) plus ``n_sh``. One row per doc; callers derive the
+    signature frame by column selection and the posting rows by
+    ``explode(keys)``.
+
+    Why fused: minhash_dedup needs both artifacts, and running the two
+    standalone kernels costs two full corpus scans with the shingle set
+    tokenized and materialized twice per document — at 100 TB, one
+    whole extra pass over the corpus for byte-identical intermediate
+    state. The standalone kernels remain the public operators (q24/q25
+    certify them); this is their composition-shaped twin, kept private
+    so the recipes can never drift apart silently — each output column
+    is pinned to its public twin by tests."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    salts = [f"{h}:".encode() for h in range(num_hashes)]
+    sig_cols = [f"mh{h}" for h in range(num_hashes)]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                ss = _shingle_set(text, n)
+                enc = [s.encode() for s in ss]
+                sig = [min(md5(salt + e).hexdigest() for e in enc)
+                       for salt in salts]
+                rows.append([doc_id, len(ss),
+                             [_md5_int64(s) for s in ss]] + sig)
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_sh", "keys"] + sig_cols)
+
+    schema = ", ".join(
+        [f"{id_col} {id_type}", "n_sh int", "keys array<long>"]
+        + [f"{c} string" for c in sig_cols])
+    return df.select(id_col, text_col).mapInPandas(kernel, schema=schema) \
+        .withColumnRenamed(id_col, "doc_id")
 
 
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -379,24 +434,29 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     tiny diameters (pairwise-similar clusters), so 2-3 rounds typical. The
     edge list is persisted once; labels are localCheckpoint-ed per round to
     truncate lineage. The per-round convergence check is a scalar count,
-    not a data collect."""
-    cand = minhash_lsh_candidates(df, text_col, id_col, n, num_hashes,
-                                  band_rows, collisions=False)
-    # Exact-Jaccard verify over the inverted index (Arrow shingle kernel +
-    # two hash joins + one count), NOT array_intersect over collected
-    # shingle arrays: the array form is an interpreted higher-order
-    # expression re-shingling the corpus per candidate side, and it ships
-    # both docs' full arrays into one row — this shape keeps the verify
+    not a data collect.
+
+    Corpus scans: exactly ONE. Signatures and postings both come off the
+    fused kernel frame (_minhash_postings_signatures) — running the two
+    public kernels separately costs a second full pass over the corpus
+    text with every document's shingle set tokenized and hashed twice
+    (r7; at 100 TB that second pass IS the bill). The fused frame is
+    persisted across all three consumers (banding + both verify sides)
+    and unpersisted as soon as the closure has materialized the edge
+    list."""
+    _check_band_config(num_hashes, band_rows)
+    fused = _minhash_postings_signatures(df, text_col, id_col,
+                                         n, num_hashes).persist()
+    cand = _banded_pairs(
+        fused.select("doc_id", *[f"mh{h}" for h in range(num_hashes)]),
+        num_hashes, band_rows).select("doc_a", "doc_b").distinct()
+    # Exact-Jaccard verify over the inverted index (posting explode + two
+    # hash joins + one count), NOT array_intersect over collected shingle
+    # arrays: the array form is an interpreted higher-order expression
+    # re-shingling the corpus per candidate side, and it ships both docs'
+    # full arrays into one row — this shape keeps the verify
     # map-side-combined and bounded by (candidate pairs × shingles/doc).
-    # The postings frame feeds BOTH verify sides: the a-side join (on
-    # doc_a) and the b-side join (on doc_b, key) partition differently, so
-    # neither exchange is reusable and an unpersisted ck runs the Arrow
-    # shingle kernel over the corpus twice. persist() here is safe to
-    # unpersist as soon as the closure returns: min_label_components
-    # materializes the (persisted) edge list eagerly at construction, so
-    # nothing downstream re-reads ck's lineage (r7 — one corpus kernel
-    # pass saved per dedup).
-    ck = shingle_postings(df, text_col, id_col, n).persist()
+    ck = fused.select("doc_id", "n_sh", F.explode("keys").alias("key"))
     ka = ck.select(F.col("doc_id").alias("doc_a"),
                    F.col("n_sh").alias("n_a"), "key")
     kb = ck.select(F.col("doc_id").alias("doc_b"),
@@ -421,7 +481,7 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                                    verified, max_iters) \
             .select(F.col("id").alias(id_col), "canonical_id")
     finally:
-        ck.unpersist()
+        fused.unpersist()
     return out
 
 

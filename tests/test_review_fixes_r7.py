@@ -265,3 +265,41 @@ def test_minhash_candidates_distinct_form_matches(spark):
     assert sorted((r["doc_a"], r["doc_b"]) for r in full.collect()) == \
         sorted((r["doc_a"], r["doc_b"]) for r in dist.collect())
     assert dist.count() == dist.distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# 9: fused minhash kernel pinned to its public twins
+# ---------------------------------------------------------------------------
+
+def test_fused_minhash_kernel_matches_public_kernels(spark):
+    """_minhash_postings_signatures is minhash_signatures + shingle_postings
+    in one corpus pass; each output column is pinned to its public twin so
+    the recipes cannot drift apart silently."""
+    from eirepolitic_data_pipeline_spark.operators.dedupe import (
+        _minhash_postings_signatures,
+        minhash_signatures,
+        shingle_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, None),
+         (4, "")],
+        "doc_id int, text string")
+    fused = _minhash_postings_signatures(docs, "text", "doc_id", 3, 8)
+    sig_cols = [f"mh{h}" for h in range(8)]
+
+    sigs_pub = sorted(tuple(r) for r in
+                      minhash_signatures(docs, num_hashes=8).collect())
+    sigs_fused = sorted(tuple(r) for r in
+                        fused.select("doc_id", *sig_cols).collect())
+    assert sigs_pub == sigs_fused
+
+    post_pub = sorted(tuple(r) for r in
+                      shingle_postings(docs, "text", "doc_id", 3).collect())
+    post_fused = sorted(
+        tuple(r) for r in
+        fused.select("doc_id", "n_sh",
+                     F.explode("keys").alias("key")).collect())
+    assert post_pub == post_fused
