@@ -109,7 +109,7 @@ def knn_lsh(vectors: DataFrame, queries: DataFrame, k: int,
             query_id_col: str = "vec_id", n_bits: int = 6,
             multiprobe: bool = False,
             max_bucket: Optional[int] = None,
-            bucketer=None) -> DataFrame:
+            bucketer=None, prober=None) -> DataFrame:
     """Approximate top-k: candidates must share the query's LSH bucket
     (optionally ±1-bit multiprobe buckets for recall). The bucket equi-join
     partitions candidates by bucket — at 100 TB each task handles one
@@ -129,7 +129,18 @@ def knn_lsh(vectors: DataFrame, queries: DataFrame, k: int,
     '0'/'1' string (multiprobe flips those characters). Default is
     ``sign_lsh_bucket``; pass e.g.
     ``lambda c, n: hashed_projection_bucket(c, dim=768, n_planes=n)`` for
-    better-distributed planes when embedding axes are correlated."""
+    better-distributed planes when embedding axes are correlated.
+
+    ``prober`` generalizes multiprobe to non-bit bucket keys: a callable
+    ``(qbucket_col) -> Column`` producing an ARRAY of probe keys (which
+    must include the home bucket and be pairwise distinct — the
+    no-dedup argument below relies on it). Mutually exclusive with
+    ``multiprobe`` (which is bit-flip-specific). Use with an IVF-style
+    bucketer: ``prober=ivf_probe_cells`` probes the 3^dims adjacent grid
+    cells — the nprobe dial of a real IVF index."""
+    if multiprobe and prober is not None:
+        raise ValueError("multiprobe (bit-flip) and prober (generic) are "
+                         "mutually exclusive probe expansions")
     bucket_of = bucketer or sign_lsh_bucket
     v = vectors.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).cast("array<double>").alias("nv"),
@@ -152,6 +163,14 @@ def knn_lsh(vectors: DataFrame, queries: DataFrame, k: int,
         probes = F.array(F.col("qbucket"),
                          *[flip(F.col("qbucket"), i) for i in range(n_bits)])
         q = q.withColumn("qbucket", F.explode(probes))
+    elif prober is not None:
+        # a NULL home bucket (NULL/short vector) must stay out of the
+        # probe set: explode of a NULL array emits no rows, so guard the
+        # prober output rather than trusting it to propagate NULLs
+        q = q.withColumn(
+            "qbucket",
+            F.explode(F.when(F.col("qbucket").isNotNull(),
+                             prober(F.col("qbucket")))))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     # No dropDuplicates: (query_id, neighbor_id) pairs are unique by
     # construction — each neighbor has ONE bucket, and the probe set (home
@@ -228,6 +247,28 @@ def ivf_grid_cells(vec_col: Column, grid: int = 4, dims: int = 2) -> Column:
                   F.concat_ws(":", *parts))
 
 
+def ivf_probe_cells(cell_col: Column, dims: int = 2) -> Column:
+    """nprobe expansion for the ``ivf_grid_cells`` quantizer: the probe
+    set is the home cell plus every adjacent cell — 3^dims keys, pairwise
+    distinct by construction (distinct offset tuples produce distinct
+    cell strings), home cell included at offset zero. This is the nprobe
+    dial of a real IVF index: q80 measures the one-cell recall floor;
+    probing the adjacency ring buys back the near-neighbors that landed
+    just across a cell boundary, at 3^dims times the candidate cost.
+    Swap for a trained-centroid top-nprobe ranking without touching the
+    join (the knn_lsh ``prober`` contract only requires a distinct key
+    array)."""
+    from itertools import product
+
+    parts = F.split(cell_col, ":")
+    coords = [parts.getItem(i).cast("long") for i in range(dims)]
+    combos = []
+    for offsets in product((-1, 0, 1), repeat=dims):
+        combos.append(F.concat_ws(":", *[
+            (c + o).cast("string") for c, o in zip(coords, offsets)]))
+    return F.array(*combos)
+
+
 #: Hot-cell guard for semantic_dedup: cells holding more vectors than this
 #: are skipped by the pair join (their rows stay their own canonicals).
 #: Mirrors DEFAULT_MAX_DF in operators.dedupe — a degenerate cell (e.g. the
@@ -296,7 +337,7 @@ def ann_recall(vectors: DataFrame, queries: DataFrame, k: int,
                query_id_col: str = "vec_id", n_bits: int = 6,
                multiprobe: bool = True,
                max_bucket: Optional[int] = None,
-               bucketer=None) -> DataFrame:
+               bucketer=None, prober=None) -> DataFrame:
     """Recall@k telemetry for the bucketed ANN path: how many of each
     query's TRUE top-k neighbors (``knn_bruteforce`` ground truth) the
     LSH index (``knn_lsh`` with the same parameters a caller would serve
@@ -324,7 +365,8 @@ def ann_recall(vectors: DataFrame, queries: DataFrame, k: int,
                            query_id_col)
     approx = (knn_lsh(vectors, queries, k, id_col, vec_col, query_id_col,
                       n_bits=n_bits, multiprobe=multiprobe,
-                      max_bucket=max_bucket, bucketer=bucketer)
+                      max_bucket=max_bucket, bucketer=bucketer,
+                      prober=prober)
               .select("query_id", "neighbor_id",
                       F.lit(1).alias("__hit")))
     return (

@@ -28,10 +28,10 @@ from . import quality  # noqa: F401,E402
 
 
 # Certification rotation (round 7). The driver's correctness gate certifies
-# the first ~50 registered queries per round; with 76 registered, ~26 fall
+# the first ~50 registered queries per round; with 77 registered, ~27 fall
 # outside every round. Rank the workload so the window always covers the
 # queries that NEED a fresh driver-green row:
-#   front — queries never driver-certified (q78/q79/q80, new round 7), every
+#   front — queries never driver-certified (q78-q81, new round 7), every
 #           query whose implementation FILE changed this round (round 7
 #           touched operators/dedupe.py, similarity.py, vectors.py,
 #           curation.py — so the whole dedup/ANN/vector/curation family
@@ -50,6 +50,7 @@ _CERT_PRIORITY = [
     "q78_ann_recall",
     "q79_semdedup_clusters",
     "q80_ann_recall_ivf",
+    "q81_ann_recall_ivf_nprobe",
     # implementation file changed round 7 (dedupe/similarity/vectors/
     # curation): every query dispatching into those modules
     "q63_curate_corpus_certified",
@@ -134,6 +135,11 @@ _CERT_TAIL = [
     "q54_repetition_stats",
     "q59_hll_sketch_rollup",
     "q60_incremental_rollup_equivalence",
+    # demoted when q81 was added (round 7): green r04-r06 (3 ledgers) and
+    # its quality_features path in functions/text.py is untouched this
+    # round — explicit here rather than silently falling past the window
+    # edge as the 51st registrant
+    "q30_quality_scores",
 ]
 
 

@@ -2629,3 +2629,76 @@ def q80_ann_recall_ivf(spark, sf_dir):
     return ann_recall(emb, queries, k=5, multiprobe=False,
                       bucketer=lambda c, n: ivf_grid_cells(c, grid=4,
                                                            dims=2))
+
+
+@register(
+    "q81_ann_recall_ivf_nprobe",
+    """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[])) AS nn,
+             CAST(floor(embedding[1] * 4) AS BIGINT) AS cx,
+             CAST(floor(embedding[2] * 4) AS BIGINT) AS cy
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) >= 2
+    ),
+    truth AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+      FROM base q JOIN base n ON n.vec_id <> q.vec_id
+      WHERE q.vec_id < 20
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY CASE WHEN n.nn > 0 AND q.nn > 0
+                      THEN list_cosine_similarity(n.v, q.v)
+                      ELSE 0.0 END DESC, n.vec_id) <= 5
+    ),
+    -- the 3x3 adjacency ring: home cell plus every (dx, dy) neighbor
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               CASE WHEN n.nn > 0 AND q.nn > 0
+                    THEN list_cosine_similarity(n.v, q.v)
+                    ELSE 0.0 END AS cos_raw
+        FROM base q
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) ox
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) oy
+        JOIN base n
+          ON n.cx = q.cx + ox.dx AND n.cy = q.cy + oy.dy
+         AND n.vec_id <> q.vec_id
+        WHERE q.vec_id < 20
+      ) QUALIFY row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY cos_raw DESC, neighbor_id) <= 5
+    )
+    SELECT t.query_id,
+           count(*) AS n_true,
+           count(a.neighbor_id) AS n_hit,
+           round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6)
+             AS recall
+    FROM truth t
+    LEFT JOIN approx a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    """,
+    survey_ref="beyond-ref: IVF nprobe recall (operators/similarity.py:ivf_probe_cells through knn_lsh's generic prober hook)",
+)
+def q81_ann_recall_ivf_nprobe(spark, sf_dir):
+    """q80's IVF recall with the nprobe dial turned: each query probes
+    its home cell PLUS the 3x3 adjacency ring (ivf_probe_cells through
+    knn_lsh's generic ``prober`` hook — the nprobe mechanism a real IVF
+    index serves with). Certifies the recall-vs-cost trade the telemetry
+    pair exists to inform: q80 is the 1-cell floor, this is the 9-cell
+    rung, and the per-query rows make the bought-back neighbors visible
+    (recall here must dominate q80's per query — asserted in tests). The
+    probe set stays pairwise distinct (distinct offsets -> distinct cell
+    strings), so the no-dedup join contract holds."""
+    from ..operators.similarity import (ann_recall, ivf_grid_cells,
+                                        ivf_probe_cells)
+    emb = (spread(t(spark, sf_dir, "embeddings"))
+           .filter(F.size("embedding") >= 2))
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ann_recall(emb, queries, k=5, multiprobe=False,
+                      bucketer=lambda c, n: ivf_grid_cells(c, grid=4,
+                                                           dims=2),
+                      prober=lambda b: ivf_probe_cells(b, dims=2))

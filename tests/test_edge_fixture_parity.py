@@ -88,6 +88,7 @@ EDGE_QUERIES = (
     "q78_ann_recall",
     "q79_semdedup_clusters",
     "q80_ann_recall_ivf",
+    "q81_ann_recall_ivf_nprobe",
     # orders/lineitem edge rows (r6): NULL-variant conflict counting and
     # the NULL-division / NULL-returnflag tally contracts
     "q67_conflict_evidence_dedupe",

@@ -303,3 +303,58 @@ def test_fused_minhash_kernel_matches_public_kernels(spark):
         fused.select("doc_id", "n_sh",
                      F.explode("keys").alias("key")).collect())
     assert post_pub == post_fused
+
+
+# ---------------------------------------------------------------------------
+# 10: IVF nprobe prober
+# ---------------------------------------------------------------------------
+
+def test_ivf_probe_cells_adjacency_ring(spark):
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        ivf_probe_cells)
+
+    df = spark.createDataFrame([("2:-1",), (None,)], "cell string")
+    rows = df.select(ivf_probe_cells(F.col("cell")).alias("p")).collect()
+    ring = rows[0]["p"]
+    assert len(ring) == 9 and len(set(ring)) == 9  # pairwise distinct
+    assert "2:-1" in ring                          # home cell included
+    assert set(ring) == {f"{x}:{y}" for x in (1, 2, 3)
+                         for y in (-2, -1, 0)}
+
+
+def test_ivf_nprobe_recall_dominates_single_cell(spark):
+    """The 9-cell adjacency probe must recover at least every neighbor
+    the 1-cell probe found, per query — recall(q81 shape) >= recall(q80
+    shape) pointwise on the fixture."""
+    from conftest import SF_SMOKE
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        ann_recall, ivf_grid_cells, ivf_probe_cells)
+    from eirepolitic_data_pipeline_spark.workload.registry import spread, t
+
+    emb = (spread(t(spark, SF_SMOKE, "embeddings"))
+           .filter(F.size("embedding") >= 2))
+    queries = emb.filter(F.col("vec_id") < 10)
+    buck = lambda c, n: ivf_grid_cells(c, grid=4, dims=2)  # noqa: E731
+    one = {r["query_id"]: r["recall"] for r in
+           ann_recall(emb, queries, k=5, multiprobe=False,
+                      bucketer=buck).collect()}
+    nine = {r["query_id"]: r["recall"] for r in
+            ann_recall(emb, queries, k=5, multiprobe=False, bucketer=buck,
+                       prober=lambda b: ivf_probe_cells(b, dims=2)
+                       ).collect()}
+    assert set(one) == set(nine)
+    assert all(nine[q] >= one[q] for q in one)
+    # the ring must actually buy something on this fixture, else the
+    # dominance check is vacuous
+    assert sum(nine.values()) > sum(one.values())
+
+
+def test_knn_lsh_rejects_multiprobe_plus_prober(spark):
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        ivf_probe_cells, knn_lsh)
+
+    df = spark.createDataFrame([(1, [0.5, 0.5])],
+                               "vec_id int, embedding array<double>")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        knn_lsh(df, df, k=1, multiprobe=True,
+                prober=lambda b: ivf_probe_cells(b))
