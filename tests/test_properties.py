@@ -374,3 +374,64 @@ def test_quantize_int8_bounds_fuzz(spark, vecs):
         assert all(-127 <= q <= 127 for q in r["qvec"])
         worst = max(abs(x - q * scale) for x, q in zip(v, r["qvec"]))
         assert worst <= scale / 2 + 1e-9 * scale
+
+
+@SPARK_SETTINGS
+@given(vecs=st.lists(
+    st.tuples(st.floats(-1.0, 1.0, allow_nan=False, width=32),
+              st.floats(-1.0, 1.0, allow_nan=False, width=32),
+              st.floats(-1.0, 1.0, allow_nan=False, width=32)),
+    min_size=2, max_size=14),
+    threshold=st.sampled_from([0.8, 0.95, 0.99]),
+    k=st.integers(1, 3))
+def test_semdedup_matches_reference_closure_fuzz(spark, vecs, threshold, k):
+    """semdedup's canonical assignment equals an independent pure-Python
+    reference: run the SAME deterministic k-means assignment (via
+    kmeans_assign — its cross-engine determinism is certified elsewhere),
+    build the within-cluster >= threshold graph on 6-dp-rounded cosines,
+    and take each node's component minimum by union-find. Any fuzzed
+    vector set, any k, any threshold."""
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        kmeans_assign, semdedup)
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    k = min(k, len(rows))  # kmeans_assign raises (by contract) on k > n
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["cluster"], r["canonical_id"])
+           for r in semdedup(df, k=k, iters=1, threshold=threshold,
+                             max_cluster=None).collect()}
+    clusters = {r["vec_id"]: r["cluster"]
+                for r in kmeans_assign(df, k=k, iters=1).collect()}
+
+    def cos6(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a)
+        nb = sum(x * x for x in b)
+        if na <= 0 or nb <= 0:
+            return 0.0
+        import math
+        # mirror the operator's unit-vector recipe: normalize, then dot
+        ua = [x / math.sqrt(na) for x in a]
+        ub = [x / math.sqrt(nb) for x in b]
+        return round(sum(x * y for x, y in zip(ua, ub)), 6)
+
+    parent = {i: i for i, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    by_vec = dict(rows)
+    ids = sorted(by_vec)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            if clusters[a] == clusters[b] \
+                    and cos6(by_vec[a], by_vec[b]) >= threshold:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: (clusters[i], find(i)) for i, _ in rows}
+    assert out == expected
