@@ -153,7 +153,7 @@ def run_curate(spark: SparkSession, input_path: str, output_path: str, *,
                 frame.persist()
                 stages.append({"stage": name, "rows": frame.count()})
             if frame.is_cached:
-                # covers both this loop's persists and the two stage
+                # covers both this loop's persists and the three stage
                 # boundaries the generator persists itself — once the
                 # output parquet is committed the cache has served its
                 # purpose, so the finally below releases every entry

@@ -344,7 +344,7 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
     closure — no new shuffle pattern is introduced by the composition.
 
     With ``persist_stages`` (the default) the returned plan references
-    two ``persist()``-ed stage boundaries (see ``curate_corpus_stages``);
+    three ``persist()``-ed stage boundaries (see ``curate_corpus_stages``);
     a long-lived session that curates many distinct corpora should
     release them once the result is materialized (the CLI's
     track-and-unpersist pattern, jobs/curate.py) — identical re-runs are
@@ -384,11 +384,12 @@ def curate_corpus_stages(docs: DataFrame, text_col: str = "text",
 
     Laziness caveats, so callers aren't surprised:
 
-    - with ``persist_stages`` (the default), the two stage outputs that
-      downstream stages consume MORE THAN ONCE (line-dedup feeds the
-      fingerprint aggregate AND the survivor join; exact-dedup feeds the
-      MinHash signature pass, both Jaccard-verify sides AND the final
-      survivor join) are lazily ``persist()``-ed — the in-query analog
+    - with ``persist_stages`` (the default), the three stage outputs
+      that downstream stages consume MORE THAN ONCE (quality feeds the
+      line explode twice plus dedupe_lines' join-back; line-dedup feeds
+      the fingerprint aggregate AND the survivor join; exact-dedup feeds
+      the fused MinHash signature/posting pass AND the final survivor
+      join) are lazily ``persist()``-ed — the in-query analog
       of the persisted silver table each would be in the production
       layout. Without that, every action downstream of the near-dup
       stage recomputes the whole quality→line-dedup→exact prefix per
@@ -421,6 +422,15 @@ def curate_corpus_stages(docs: DataFrame, text_col: str = "text",
     q = quality_features(text_col)
     kept = docs.filter((q["n_tokens"] >= min_tokens)
                        & (q["alpha_ratio"] >= min_alpha_ratio))
+    # The quality boundary is consumed THREE times by the line-dedup
+    # stage (the line explode feeds both the count side and the rebuild
+    # join, and the non-text columns ride dedupe_lines' final join back
+    # to this frame) — unpersisted, that is three derivations of the
+    # scan + quality projection per run (r7). Same persist/unpersist
+    # contract as the other stage boundaries: callers that walk the
+    # stages unpersist every cached frame when done.
+    if persist_stages:
+        kept = kept.persist()
     yield "quality_gate", kept
 
     # dedupe_lines carries the non-text columns through its own join-back
