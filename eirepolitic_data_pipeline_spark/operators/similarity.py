@@ -240,11 +240,25 @@ def ivf_grid_cells(vec_col: Column, grid: int = 4, dims: int = 2) -> Column:
     NULL or shorter-than-``dims`` vectors get a NULL cell (equi-joins drop
     them) — same contract as sign_lsh_bucket: under ANSI mode element_at
     past the end THROWS, so the guard is also what keeps one malformed row
-    from killing a 100 TB job (r7)."""
+    from killing a 100 TB job (r7). A vector with a NULL ELEMENT in its
+    first ``dims`` coordinates also gets a NULL cell: plain F.concat is
+    NULL-propagating, where concat_ws silently SKIPPED the NULL coordinate
+    and minted malformed cells like "2" or "" (review r7b) — which the
+    single-probe join mis-bucketed and the nprobe ring expanded into
+    DUPLICATE probe keys, breaking knn_lsh's pairwise-distinct contract
+    (a neighbor matched several probes, crowding top-k and fanning out
+    ann_recall's counting join). The oracles' separate cx/cy columns drop
+    NULL coords via NULL join keys — this makes the engine structurally
+    identical."""
     parts = [F.floor(F.element_at(vec_col, i + 1).cast("double") * grid)
              .cast("long").cast("string") for i in range(dims)]
+    joined = []
+    for i, p in enumerate(parts):
+        if i:
+            joined.append(F.lit(":"))
+        joined.append(p)
     return F.when(vec_col.isNotNull() & (F.size(vec_col) >= dims),
-                  F.concat_ws(":", *parts))
+                  F.concat(*joined))
 
 
 def ivf_probe_cells(cell_col: Column, dims: int = 2) -> Column:
@@ -257,7 +271,16 @@ def ivf_probe_cells(cell_col: Column, dims: int = 2) -> Column:
     just across a cell boundary, at 3^dims times the candidate cost.
     Swap for a trained-centroid top-nprobe ranking without touching the
     join (the knn_lsh ``prober`` contract only requires a distinct key
-    array)."""
+    array).
+
+    ``dims`` MUST match the bucketer's: a cell whose parsed coordinate
+    count differs gets a NULL probe array (explode drops the query) —
+    without the arity guard, a 3-dim cell parsed as 2 coords would build
+    probes that can never equal any neighbor cell, returning empty
+    results with no structural trace (review r7b). The mismatch still
+    surfaces as recall 0.0 in ann_recall — the telemetry this operator
+    feeds — rather than as an exception, because per-row arity is data,
+    not configuration."""
     from itertools import product
 
     parts = F.split(cell_col, ":")
@@ -266,7 +289,7 @@ def ivf_probe_cells(cell_col: Column, dims: int = 2) -> Column:
     for offsets in product((-1, 0, 1), repeat=dims):
         combos.append(F.concat_ws(":", *[
             (c + o).cast("string") for c, o in zip(coords, offsets)]))
-    return F.array(*combos)
+    return F.when(F.size(parts) == dims, F.array(*combos))
 
 
 #: Hot-cell guard for semantic_dedup: cells holding more vectors than this
@@ -335,7 +358,7 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
 def ann_recall(vectors: DataFrame, queries: DataFrame, k: int,
                id_col: str = "vec_id", vec_col: str = "embedding",
                query_id_col: str = "vec_id", n_bits: int = 6,
-               multiprobe: bool = True,
+               multiprobe: Optional[bool] = None,
                max_bucket: Optional[int] = None,
                bucketer=None, prober=None) -> DataFrame:
     """Recall@k telemetry for the bucketed ANN path: how many of each
@@ -361,6 +384,14 @@ def ann_recall(vectors: DataFrame, queries: DataFrame, k: int,
     so the join is trivially small — then one groupBy(query_id). A query
     with NO brute-force neighbors (corpus of 1) emits no row rather than
     a 0/0."""
+    # multiprobe default: bit-flip probing ON for the sign-LSH family,
+    # but OFF automatically when a generic prober is supplied — otherwise
+    # the documented prober usage would trip knn_lsh's mutual-exclusion
+    # error unless the caller also knew to disable an unrelated default
+    # (review r7b). An EXPLICIT multiprobe=True alongside prober still
+    # raises, as it should.
+    if multiprobe is None:
+        multiprobe = prober is None
     truth = knn_bruteforce(vectors, queries, k, id_col, vec_col,
                            query_id_col)
     approx = (knn_lsh(vectors, queries, k, id_col, vec_col, query_id_col,

@@ -358,3 +358,56 @@ def test_knn_lsh_rejects_multiprobe_plus_prober(spark):
     with pytest.raises(ValueError, match="mutually exclusive"):
         knn_lsh(df, df, k=1, multiprobe=True,
                 prober=lambda b: ivf_probe_cells(b))
+
+
+# ---------------------------------------------------------------------------
+# 11: r7b review fixes — NULL-element cells, prober ergonomics/arity
+# ---------------------------------------------------------------------------
+
+def test_ivf_grid_cells_null_on_null_element(spark):
+    """A NULL ELEMENT inside the first dims coords must NULL the whole
+    cell (concat_ws silently skipped it, minting malformed cells like
+    '2' that the nprobe ring expanded into duplicate probes)."""
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        ivf_grid_cells)
+
+    df = spark.createDataFrame(
+        [(1, [0.5, None]), (2, [None, None]), (3, [0.5, -0.2, None])],
+        "vec_id int, embedding array<double>")
+    out = {r["vec_id"]: r["c"] for r in df.select(
+        "vec_id", ivf_grid_cells(F.col("embedding"), 4, 2).alias("c")
+    ).collect()}
+    assert out[1] is None and out[2] is None
+    assert out[3] == "2:-1"  # NULL beyond dims does not poison the cell
+
+
+def test_ivf_probe_cells_null_on_arity_mismatch(spark):
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        ivf_probe_cells)
+
+    df = spark.createDataFrame([("1:2:3",), ("7",)], "cell string")
+    rows = df.select(ivf_probe_cells(F.col("cell"), dims=2).alias("p")) \
+        .collect()
+    assert rows[0]["p"] is None and rows[1]["p"] is None
+
+
+def test_ann_recall_prober_alone_implies_single_probe(spark):
+    """Passing prober without touching multiprobe must work (the default
+    resolves to single-probe); an explicit multiprobe=True still
+    raises."""
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        ann_recall, ivf_grid_cells, ivf_probe_cells)
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.1]), (1, [0.9, 0.09]), (2, [1.0, -0.1]),
+         (3, [-1.0, -1.0])],
+        "vec_id int, embedding array<double>")
+    queries = df.filter(F.col("vec_id") == 0)
+    out = ann_recall(df, queries, k=2,
+                     bucketer=lambda c, n: ivf_grid_cells(c, 4, 2),
+                     prober=lambda b: ivf_probe_cells(b, dims=2)).collect()
+    assert len(out) == 1 and out[0]["n_true"] == 2
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ann_recall(df, queries, k=2, multiprobe=True,
+                   bucketer=lambda c, n: ivf_grid_cells(c, 4, 2),
+                   prober=lambda b: ivf_probe_cells(b, dims=2)).collect()
