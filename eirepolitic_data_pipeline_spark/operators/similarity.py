@@ -71,7 +71,14 @@ def sign_lsh_bucket(vec_col: Column, n_bits: int = 8) -> Column:
     ``getItem`` on an out-of-range index THROWS (one zero-length row
     would kill a 100 TB job), and pre-ANSI it NULLed into the same
     all-zeros pooling. CaseWhen branches evaluate lazily per row, so the
-    guarded concat never touches an out-of-range index."""
+    guarded concat never touches an out-of-range index.
+
+    A NULL ELEMENT among the first n_bits coordinates votes '0'
+    deterministically (NULL >= 0 falls to the otherwise branch) — the
+    same arbitrary-but-mirrored choice the oracles' CASE makes, so both
+    engines bucket such a vector identically. Unlike the IVF cell path
+    (where a skipped NULL coordinate malformed the key), the bit string
+    stays well-formed, so no probe-duplication hazard arises."""
     bits = [F.when(vec_col.getItem(i) >= 0, F.lit("1")).otherwise(F.lit("0"))
             for i in range(n_bits)]
     return F.when(vec_col.isNotNull() & (F.size(vec_col) >= n_bits),

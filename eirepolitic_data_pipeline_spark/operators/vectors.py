@@ -50,12 +50,22 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding",
     """
     v = F.col(vec_col).cast("array<double>")
     scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(float(_Q))
+    # A NULL ELEMENT propagates to a NULL code (and a NULL mse via the
+    # error fold) — the honest answer for a missing coordinate. Without
+    # the explicit guard, Spark's least/greatest SKIP NULL arguments, so
+    # greatest(-127, least(127, floor(NULL))) silently minted code 127
+    # for the missing dimension (review r7b). scale is computed over the
+    # PRESENT elements (array_max skips NULLs) so the valid coordinates
+    # still quantize correctly. NULL-element vectors sit outside the
+    # certified q72 contract (the oracle's digest folds disagree on
+    # NULL-propagation details); this pins the operator itself to
+    # propagate-not-invent.
     qexpr = F.when(
         scale > 0,
-        F.transform(v, lambda x: F.greatest(
+        F.transform(v, lambda x: F.when(x.isNotNull(), F.greatest(
             F.lit(-_Q), F.least(F.lit(_Q), F.floor(x / scale + 0.5)))
-            .cast("int")),
-    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+            .cast("int"))),
+    ).otherwise(F.transform(v, lambda x: F.when(x.isNotNull(), F.lit(0))))
     out = df.select(F.col(id_col).alias("vec_id"),
                     v.alias("__v"),
                     scale.alias("__scale"),
@@ -167,18 +177,25 @@ def kmeans_assign(df: DataFrame, k: int = 4, iters: int = 2,
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    # NULL and EMPTY embeddings are excluded up front — a row with no
-    # vector is not clusterable, and letting it through would either crash
-    # the seed collection (list(None)) or propagate NULL distances into the
-    # argmin. The empty-vector leg closed in r7 (ADVICE): a zero-length
-    # array passed isNotNull, its zip_with distances folded to NULL against
-    # every centroid, and posexplode emitted NO rows — so the ragged-dim
-    # check below never saw its dim-0 and the row was silently assigned by
+    # NULL, EMPTY, and NULL-ELEMENT embeddings are excluded up front — a
+    # row with no vector (or with missing coordinates) is not clusterable,
+    # and letting it through would either crash the seed collection
+    # (list(None)) or propagate NULL distances into the argmin. The
+    # empty-vector leg closed in r7 (ADVICE): a zero-length array passed
+    # isNotNull, its zip_with distances folded to NULL against every
+    # centroid, and posexplode emitted NO rows — so the ragged-dim check
+    # below never saw its dim-0 and the row was silently assigned by
     # NULL-ordering instead of failing the fixed-dimension contract. The
-    # workload oracles mirror both exclusions (WHERE embedding IS NOT NULL
-    # AND len(embedding) > 0). NON-empty ragged dimensions remain a loud
-    # CONTRACT failure below rather than a silent mis-assignment.
-    vecs = (df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+    # NULL-element leg closed in r7b (review): [0.5, NULL] passed both
+    # earlier guards, its distance folds were NULL against every centroid,
+    # and the row came back cluster-0/dist-NULL via the same NULL
+    # ordering. The workload oracles mirror all three exclusions (WHERE
+    # embedding IS NOT NULL AND len(embedding) > 0 AND no NULL elements).
+    # NON-empty ragged dimensions remain a loud CONTRACT failure below
+    # rather than a silent mis-assignment.
+    vecs = (df.filter(F.col(vec_col).isNotNull()
+                      & (F.size(vec_col) > 0)
+                      & ~F.exists(vec_col, lambda x: x.isNull()))
             .select(F.col(id_col).alias("vec_id"),
                     F.col(vec_col).cast("array<double>").alias("__v")))
     seed = (vecs.orderBy("vec_id").limit(k).collect())
@@ -295,7 +312,11 @@ def semdedup(df: DataFrame, k: int = 4, iters: int = 2,
 
     assigned = kmeans_assign(df, k=k, iters=iters,
                              vec_col=vec_col, id_col=id_col)
-    vecs = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)) \
+    # same exclusion set as kmeans_assign (NULL / empty / NULL-element):
+    # the id universe and the fit must agree on what is clusterable
+    vecs = df.filter(F.col(vec_col).isNotNull()
+                     & (F.size(vec_col) > 0)
+                     & ~F.exists(vec_col, lambda x: x.isNull())) \
         .select(F.col(id_col).alias("vec_id"),
                 F.col(vec_col).cast("array<double>").alias("__v"))
     # UNIT vectors are computed ONCE per row, map-side, BEFORE the pair

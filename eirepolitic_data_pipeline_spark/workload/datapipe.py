@@ -2233,9 +2233,11 @@ def _kmeans_means_sql(assign_cte: str, prev_cte: str, out: str) -> str:
     f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings
-               -- mirrors kmeans_assign's exclusion: a NULL or EMPTY
-               -- embedding is not clusterable (empty-vector leg r7)
-               WHERE embedding IS NOT NULL AND len(embedding) > 0),
+               -- mirrors kmeans_assign's exclusion: a NULL, EMPTY, or
+               -- NULL-ELEMENT embedding is not clusterable (empty leg
+               -- r7, missing-coordinate leg r7b)
+               WHERE embedding IS NOT NULL AND len(embedding) > 0
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0),
     c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                AS cluster, v
@@ -2277,9 +2279,11 @@ def q73_kmeans_clusters(spark, sf_dir):
     f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings
-               -- mirrors kmeans_assign's exclusion: a NULL or EMPTY
-               -- embedding is not clusterable (empty-vector leg r7)
-               WHERE embedding IS NOT NULL AND len(embedding) > 0),
+               -- mirrors kmeans_assign's exclusion: a NULL, EMPTY, or
+               -- NULL-ELEMENT embedding is not clusterable (empty leg
+               -- r7, missing-coordinate leg r7b)
+               WHERE embedding IS NOT NULL AND len(embedding) > 0
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0),
     c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                AS cluster, v
@@ -2474,9 +2478,10 @@ def q78_ann_recall(spark, sf_dir):
     WITH RECURSIVE e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       FROM embeddings
-      -- mirrors kmeans_assign's exclusion: a NULL or EMPTY embedding is
-      -- not clusterable
-      WHERE embedding IS NOT NULL AND len(embedding) > 0),
+      -- mirrors kmeans_assign's exclusion: a NULL, EMPTY, or
+      -- NULL-ELEMENT embedding is not clusterable
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
     c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                AS cluster, v

@@ -411,3 +411,36 @@ def test_ann_recall_prober_alone_implies_single_probe(spark):
         ann_recall(df, queries, k=2, multiprobe=True,
                    bucketer=lambda c, n: ivf_grid_cells(c, 4, 2),
                    prober=lambda b: ivf_probe_cells(b, dims=2)).collect()
+
+
+def test_kmeans_excludes_null_element_vectors(spark):
+    """[0.5, NULL] previously slipped both guards and was silently
+    assigned cluster 0 with NULL dist via NULL-ordering (r7b)."""
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        kmeans_assign, semdedup)
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [0.1, 0.0]),
+         (4, [0.9, 1.1]), (5, [0.5, None])],
+        "vec_id int, embedding array<double>")
+    assert {r["vec_id"] for r in kmeans_assign(df, k=2, iters=1).collect()} \
+        == {1, 2, 3, 4}
+    assert {r["vec_id"] for r in
+            semdedup(df, k=2, iters=1, threshold=0.9).collect()} \
+        == {1, 2, 3, 4}
+
+
+def test_quantize_propagates_null_elements(spark):
+    """A NULL element must yield a NULL code and NULL mse — Spark's
+    least/greatest skip NULL args, so the unguarded clamp minted code
+    127 for the missing dimension (r7b). Present elements still
+    quantize against a scale computed over them."""
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        quantize_int8)
+
+    df = spark.createDataFrame([(1, [0.5, None])],
+                               "vec_id int, embedding array<double>")
+    r = quantize_int8(df).collect()[0]
+    assert list(r["qvec"]) == [127, None]
+    assert r["mse"] is None
+    assert abs(r["scale"] - 0.5 / 127) < 1e-9
