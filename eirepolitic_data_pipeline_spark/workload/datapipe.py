@@ -20,6 +20,20 @@ from ..functions import text as tx
 from ..operators.dedupe import pairs_from_postings, shingle_postings
 from .registry import register, spread, t
 
+
+def _no_null_elements(emb):
+    """Drop vectors with MISSING COORDINATES (NULL elements) from a
+    certified embedding query's input: DuckDB's vector kernels RAISE on
+    NULL-bearing lists (``list_dot_product: ... can not contain NULL
+    values``), so every ANN/vector oracle excludes them with
+    ``AND (embedding IS NULL OR len(list_filter(embedding, x -> x IS
+    NULL)) = 0)`` and the engine mirrors the exclusion here (r7b).
+    A fully-NULL embedding passes THROUGH — each query's own NULL
+    contract (NULL bucket, 0.0 cosine, q72's sentinels) handles those;
+    the coalesce keeps F.exists' NULL result from dropping them."""
+    return emb.filter(F.coalesce(
+        ~F.exists("embedding", lambda x: x.isNull()), F.lit(True)))
+
 # ---------------------------------------------------------------------------
 # Exact dedup + fingerprinting
 # ---------------------------------------------------------------------------
@@ -268,6 +282,11 @@ def _cosine(a, b):
              list_dot_product(CAST(embedding AS DOUBLE[]),
                               CAST(embedding AS DOUBLE[])) AS nn
       FROM embeddings
+      -- NULL embeddings stay (NULL kernels -> cosine 0.0 via the guard);
+      -- NULL-ELEMENT vectors are excluded on BOTH sides: DuckDB's vector
+      -- kernels RAISE on NULL-bearing lists (r7b)
+      WHERE embedding IS NULL
+         OR len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     q AS (SELECT v AS qv, nn AS qn FROM e WHERE vec_id = 0)
     -- zero-norm guard mirrors the engine contract (cosine 0.0, not
@@ -287,7 +306,7 @@ def q26_knn_bruteforce(spark, sf_dir):
     """Brute-force cosine top-k: broadcast the query vector, one scan, one
     JVM-side fold per row (zip_with/aggregate — no Python). The exact
     baseline the LSH path (q27) approximates."""
-    emb = spread(t(spark, sf_dir, "embeddings")).withColumn(
+    emb = _no_null_elements(spread(t(spark, sf_dir, "embeddings"))).withColumn(
         "v", F.col("embedding").cast("array<double>"))
     q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     return (
@@ -314,6 +333,7 @@ def q26_knn_bruteforce(spark, sf_dir):
       -- len >= 6 (r7): an empty/short vector has no 6-bit sign bucket —
       -- mirrors the engine's guarded sign_lsh_bucket + up-front filter
       WHERE embedding IS NOT NULL AND len(embedding) >= 6
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0 -- no missing coords (r7b)
     ),
     lsh AS (
       SELECT vec_id, v, nn,
@@ -371,7 +391,7 @@ def q27_ann_bucketed(spark, sf_dir):
     # and keeps the IVF cell projection off out-of-range getItems (which
     # THROW under ANSI). F.size(NULL) is NULL under ANSI, so NULL rows
     # fall out of the same predicate.
-    emb = (spread(t(spark, sf_dir, "embeddings"))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
            .filter(F.size("embedding") >= 6)
            .withColumn("v", F.col("embedding").cast("array<double>")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
@@ -430,6 +450,7 @@ def q27_ann_bucketed(spark, sf_dir):
       -- NULL-bearing lists. len >= 6 (r7): empty/short vectors have no
       -- 6-bit sign bucket on the engine side either
       WHERE embedding IS NOT NULL AND len(embedding) >= 6
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0 -- no missing coords (r7b)
     )
     -- zero-norm guard mirrors the engine contract (cosine 0.0, filtered
     -- out by the 0.3 threshold on both sides)
@@ -450,7 +471,7 @@ def q37_cosine_neardup_pairs(spark, sf_dir):
     bucket equi-join partitions by bucket, so work tracks near-dup density
     — never all-pairs. Thresholding on the rounded value keeps the cut
     deterministic across engines."""
-    emb = spread(t(spark, sf_dir, "embeddings")).withColumn(
+    emb = _no_null_elements(spread(t(spark, sf_dir, "embeddings"))).withColumn(
         "v", F.col("embedding").cast("array<double>"))
     # guarded bucket (review r7, same inline-twin fix as q27): NULL vector ->
     # NULL bucket, dropped structurally by the equi-join — parity with the
@@ -1562,6 +1583,7 @@ def q64_decontaminate_benchmark(spark, sf_dir):
       -- NULL-bearing lists. len >= 6 (r7): empty/short vectors have no
       -- 6-bit sign bucket on the engine side either
       WHERE embedding IS NOT NULL AND len(embedding) >= 6
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0 -- no missing coords (r7b)
     ),
     probes AS (
       -- home bucket + each 1-bit flip, pairwise distinct by construction
@@ -1607,7 +1629,7 @@ def q65_knn_lsh_multiprobe(spark, sf_dir):
     sequential-fold cosine (ranked on the RAW double on both engines —
     rounding is display-only)."""
     from ..operators.similarity import knn_lsh
-    emb = spread(t(spark, sf_dir, "embeddings"))
+    emb = _no_null_elements(spread(t(spark, sf_dir, "embeddings")))
     queries = emb.filter(F.col("vec_id") < 5)
     out = knn_lsh(emb, queries, k=3, n_bits=6, multiprobe=True)
     return out.select("query_id", "neighbor_id",
@@ -2099,7 +2121,14 @@ def q74_source_overlap(spark, sf_dir):
     "q72_quantize_int8",
     r"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
+               FROM embeddings
+               -- NULL embeddings stay (sentinel digests); NULL-ELEMENT
+               -- vectors are excluded on BOTH sides — the digest folds'
+               -- NULL-propagation details differ between engines, and
+               -- quantize_int8 documents missing coordinates as outside
+               -- the certified contract (r7b)
+               WHERE embedding IS NULL
+                  OR len(list_filter(embedding, x -> x IS NULL)) = 0),
     s AS (
       SELECT vec_id, v,
              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
@@ -2150,7 +2179,7 @@ def q72_quantize_int8(spark, sf_dir):
     both sides (F.aggregate ~ list_reduce) so doubles agree bit-for-bit
     before the 9/12-dp rounds."""
     from ..operators.vectors import quantize_int8
-    emb = spread(t(spark, sf_dir, "embeddings"))
+    emb = _no_null_elements(spread(t(spark, sf_dir, "embeddings")))
     q = quantize_int8(emb)
     qv = F.col("qvec")
     # NULL/empty-vector digest contract, pinned to what the DuckDB side
@@ -2399,6 +2428,7 @@ def q77_dataset_card(spark, sf_dir):
       -- the q27/q65 vector contract: NULL/empty/short vectors have no
       -- 6-bit sign bucket (engine filters F.size >= 6 up front)
       WHERE embedding IS NOT NULL AND len(embedding) >= 6
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0 -- no missing coords (r7b)
     ),
     -- ground truth: exact top-5 per query over the FULL corpus, ranked on
     -- the raw guarded cosine with the neighbor-id tiebreak (q26's recipe)
@@ -2466,7 +2496,7 @@ def q78_ann_recall(spark, sf_dir):
     # the q27 vector contract: NULL/empty/short vectors are out of
     # contract for a 6-bit bucketed index and for brute-force ground
     # truth alike (a NULL query would score 0.0 against everything)
-    emb = (spread(t(spark, sf_dir, "embeddings"))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
            .filter(F.size("embedding") >= 6))
     queries = emb.filter(F.col("vec_id") < 20)
     return ann_recall(emb, queries, k=5, n_bits=6, multiprobe=True)
@@ -2581,6 +2611,7 @@ def q79_semdedup_clusters(spark, sf_dir):
       -- the IVF cell contract: NULL/empty/1-dim vectors have no 2-dim
       -- grid cell (engine filters F.size >= 2 up front)
       WHERE embedding IS NOT NULL AND len(embedding) >= 2
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0 -- no missing coords (r7b)
     ),
     truth AS (
       SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
@@ -2628,7 +2659,7 @@ def q80_ann_recall_ivf(spark, sf_dir):
     broadcast ground truth, cell equi-join under test, |queries| x k
     comparison join."""
     from ..operators.similarity import ann_recall, ivf_grid_cells
-    emb = (spread(t(spark, sf_dir, "embeddings"))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
            .filter(F.size("embedding") >= 2))
     queries = emb.filter(F.col("vec_id") < 20)
     return ann_recall(emb, queries, k=5, multiprobe=False,
@@ -2647,6 +2678,7 @@ def q80_ann_recall_ivf(spark, sf_dir):
              CAST(floor(embedding[2] * 4) AS BIGINT) AS cy
       FROM embeddings
       WHERE embedding IS NOT NULL AND len(embedding) >= 2
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0 -- no missing coords (r7b)
     ),
     truth AS (
       SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
@@ -2700,7 +2732,7 @@ def q81_ann_recall_ivf_nprobe(spark, sf_dir):
     strings), so the no-dedup join contract holds."""
     from ..operators.similarity import (ann_recall, ivf_grid_cells,
                                         ivf_probe_cells)
-    emb = (spread(t(spark, sf_dir, "embeddings"))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
            .filter(F.size("embedding") >= 2))
     queries = emb.filter(F.col("vec_id") < 20)
     return ann_recall(emb, queries, k=5, multiprobe=False,

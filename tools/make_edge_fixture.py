@@ -118,7 +118,14 @@ def build(src: str, dst: str, spark=None) -> str:
          # assigned via NULL-ordering), cosine 0.0 (zero-norm contract),
          # empty LSH bucket candidates only pair with other empties, q72
          # scale NULL / qvec [] / mse 0.0
-         (990005, [], 7)],
+         (990005, [], 7),
+         # NULL-ELEMENT vector (r7b): a missing coordinate — DuckDB's
+         # vector kernels RAISE on NULL-bearing lists, so every certified
+         # embedding query excludes it on BOTH sides (engine:
+         # _no_null_elements / kmeans exclusion; oracle: list_filter
+         # clause). Unexcluded it silently minted int8 code 127, a
+         # NULL-ordered k-means assignment, and duplicate IVF probes.
+         (990006, [0.5] + [None] * (dim - 1), 7)],
         schema=emb.schema)
     _write_single(emb.unionByName(extra_emb),
                   os.path.join(dst, "embeddings.parquet"))
