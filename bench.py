@@ -44,7 +44,13 @@ def _q63_stage_walls(spark, sf_dir: str, runs: int = 3) -> dict[str, float]:
     3.5s-8.2s for the near_dup stage on identical code under host load —
     exactly the number round-over-round grading watches — so the stage
     telemetry now gets the same median treatment as the per-query
-    timings."""
+    timings. NOTE (methodology, r7+): per-stage medians of INDEPENDENT
+    walks neither sum to the q63 query median nor compare to pre-r7
+    single-walk captures; the emitted ``q63_stages_note`` says so in the
+    artifact itself. Returns ``(medians, sample_counts)`` — the counts
+    expose a walk that errored mid-recipe (best-effort except), which
+    would otherwise skew a stage's median with fewer/partial samples and
+    no marker (r8, ADVICE)."""
     from eirepolitic_data_pipeline_spark.operators.curation import (
         curate_corpus_stages)
     from eirepolitic_data_pipeline_spark.workload.datapipe import (
@@ -80,8 +86,10 @@ def _q63_stage_walls(spark, sf_dir: str, runs: int = 3) -> dict[str, float]:
         finally:
             for frame in cached:
                 frame.unpersist()
-    return {name: round(statistics.median(vals), 3)
-            for name, vals in samples.items() if vals}
+    medians = {name: round(statistics.median(vals), 3)
+               for name, vals in samples.items() if vals}
+    counts = {name: len(vals) for name, vals in samples.items() if vals}
+    return medians, counts
 
 
 def main():
@@ -152,13 +160,21 @@ def main():
     # future rename can't silently merge two queries into one key).
     short = {name.split("_")[0]: v for name, v in timings.items()}
     assert len(short) == len(timings), "qNN prefixes must stay unique"
-    q63_stages = _q63_stage_walls(spark, sf_dir)
+    q63_stages, q63_stage_runs = _q63_stage_walls(spark, sf_dir)
     print(json.dumps({
         "metric": "workload_total_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": dict(sorted(short.items())),
         "q63_stages": q63_stages,
+        # sample count per stage: < the walk count flags an errored walk
+        # whose later stages have fewer/partial samples (r8, ADVICE)
+        "q63_stage_runs": q63_stage_runs,
+        # methodology (r7 change): per-stage medians of independent walks
+        # — stages do NOT sum to the q63 query median and are not
+        # comparable to pre-r7 single-walk stage captures
+        "q63_stages_note": "per-stage medians of independent walks; "
+                           "stages don't sum to the q63 median",
         "sf": sf,
         "runs_per_query": n_runs,
         "wall_seconds_all_runs": all_runs_wall,

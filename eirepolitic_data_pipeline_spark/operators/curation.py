@@ -300,9 +300,12 @@ def _spread_boundary(frame: DataFrame) -> DataFrame:
     count targets max(parallelism, shuffle width) so the repartition
     never REDUCES a cluster-sized boundary's partition count when
     shuffle.partitions exceeds the core count."""
+    from ..session import shuffle_partitions
     sc = frame.sparkSession.sparkContext
-    conf_parts = int(frame.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions"))
+    # defensive conf parse (r8, ADVICE): shuffle.partitions can be the
+    # string "auto" under Databricks AQE auto-tuning, and a ValueError
+    # here failed the whole persist_stages curation path
+    conf_parts = shuffle_partitions(frame.sparkSession)
     return frame.repartition(max(sc.defaultParallelism, conf_parts))
 
 

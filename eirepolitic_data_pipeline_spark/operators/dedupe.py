@@ -231,9 +231,10 @@ def pairs_from_postings(postings: DataFrame, key: str = "key",
     # hundreds of tiny tasks on a small machine. (Note: conf.get's second
     # argument is NOT the fallback for registered confs — the built-in
     # default "200" always wins — so the cap does the sizing.)
+    from ..session import shuffle_partitions
     spark = postings.sparkSession
-    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    n_parts = min(conf_parts, 4 * spark.sparkContext.defaultParallelism)
+    n_parts = min(shuffle_partitions(spark),
+                  4 * spark.sparkContext.defaultParallelism)
     postings = postings.repartition(n_parts, F.col(key))
     grouped = postings.groupBy(key).agg(
         F.array_sort(F.collect_list(F.struct(*payload))).alias("__ds"))

@@ -116,7 +116,7 @@ def knn_lsh(vectors: DataFrame, queries: DataFrame, k: int,
             query_id_col: str = "vec_id", n_bits: int = 6,
             multiprobe: bool = False,
             max_bucket: Optional[int] = None,
-            bucketer=None, prober=None) -> DataFrame:
+            bucketer=None, prober=None, vector_prober=None) -> DataFrame:
     """Approximate top-k: candidates must share the query's LSH bucket
     (optionally ±1-bit multiprobe buckets for recall). The bucket equi-join
     partitions candidates by bucket — at 100 TB each task handles one
@@ -144,10 +144,22 @@ def knn_lsh(vectors: DataFrame, queries: DataFrame, k: int,
     no-dedup argument below relies on it). Mutually exclusive with
     ``multiprobe`` (which is bit-flip-specific). Use with an IVF-style
     bucketer: ``prober=ivf_probe_cells`` probes the 3^dims adjacent grid
-    cells — the nprobe dial of a real IVF index."""
-    if multiprobe and prober is not None:
-        raise ValueError("multiprobe (bit-flip) and prober (generic) are "
-                         "mutually exclusive probe expansions")
+    cells — the nprobe dial of a real IVF index.
+
+    ``vector_prober`` (r8) is the trained-quantizer variant of
+    ``prober``: a callable ``(qvec_col) -> Column`` producing the probe
+    ARRAY from the query VECTOR itself — required when probe ranking
+    needs distances (``centroid_probe_ranks``: the nprobe nearest
+    centroids), which the bucket key alone can't express. Same output
+    contract as ``prober`` (home bucket first, pairwise distinct), and
+    the home-bucket NULL guard still applies: a query the bucketer
+    deems unservable probes nothing, whatever the prober says. All
+    three probe expansions are mutually exclusive."""
+    exclusive = [multiprobe, prober is not None, vector_prober is not None]
+    if sum(exclusive) > 1:
+        raise ValueError("multiprobe (bit-flip), prober (bucket-key), and "
+                         "vector_prober (query-vector) are mutually "
+                         "exclusive probe expansions")
     bucket_of = bucketer or sign_lsh_bucket
     v = vectors.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).cast("array<double>").alias("nv"),
@@ -178,6 +190,14 @@ def knn_lsh(vectors: DataFrame, queries: DataFrame, k: int,
             "qbucket",
             F.explode(F.when(F.col("qbucket").isNotNull(),
                              prober(F.col("qbucket")))))
+    elif vector_prober is not None:
+        # same NULL-home-bucket guard: the bucketer is the authority on
+        # servability, so a vector it refuses to key probes nothing even
+        # if the prober could rank centroids for it
+        q = q.withColumn(
+            "qbucket",
+            F.explode(F.when(F.col("qbucket").isNotNull(),
+                             vector_prober(F.col("qv")))))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     # No dropDuplicates: (query_id, neighbor_id) pairs are unique by
     # construction — each neighbor has ONE bucket, and the probe set (home
@@ -268,6 +288,74 @@ def ivf_grid_cells(vec_col: Column, grid: int = 4, dims: int = 2) -> Column:
                   F.concat(*joined))
 
 
+def centroid_cells(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Trained-centroid coarse quantizer — the production IVF shape the
+    fixed grid (``ivf_grid_cells``) stands in for: cell = id of the
+    NEAREST fitted centroid (squared L2, ties to the lowest id) as a
+    compact string key. Drop-in ``bucketer`` for ``knn_lsh``/``ann_recall``
+    (wrap in a lambda that ignores the n_bits slot); pair with
+    ``centroid_probe_ranks`` for the nprobe dial. Fit the model with
+    ``operators.vectors.kmeans_fit`` — its deterministic, 6-dp-rounded
+    centroids are what make the bucketing reproducible across runs and
+    engines.
+
+    The distance fold and the (d2, id) argmin are the exact operation
+    sequence of the k-means assignment (``vectors._dist2`` /
+    ``_assign``'s struct-min), so a vector's cell here equals its
+    ``kmeans_assign`` cluster for the same model — the oracle re-derives
+    the assignment CTE and must agree bit-for-bit.
+
+    NULL, wrong-dimension, and NULL-element vectors get a NULL cell
+    (equi-joins drop them) — the sign_lsh_bucket contract. Dimension is
+    pinned to the model's (a ragged vector's zip_with distance would
+    fold to NULL against every centroid and tie-break into cluster 0 as
+    a live candidate otherwise).
+
+    Scale: k·dim literals embedded in one projection — fine for coarse
+    codebooks (IVF nlist in the hundreds); past ``vectors._MAX_LITERALS``
+    plan-construction cost grows linearly and a broadcast-join assignment
+    (``kmeans_assign``'s join path) should produce the cells instead."""
+    from .vectors import _dist2
+
+    dim = len(centroids[0]) if centroids else 0
+    v = vec_col.cast("array<double>")
+    best = F.array_min(F.array(*[
+        F.struct(_dist2(v, c).alias("d2"), F.lit(i).alias("cluster"))
+        for i, c in enumerate(centroids)]))
+    return F.when(vec_col.isNotNull() & (F.size(vec_col) == dim)
+                  & ~F.exists(vec_col, lambda x: x.isNull()),
+                  best["cluster"].cast("string"))
+
+
+def centroid_probe_ranks(vec_col: Column, centroids: list[list[float]],
+                         nprobe: int = 2) -> Column:
+    """nprobe expansion for the trained-centroid quantizer: the probe set
+    is the ``nprobe`` NEAREST centroids by query distance (ties to the
+    lowest id) — the real IVF serving rule, where the fixed grid's
+    adjacency ring (``ivf_probe_cells``) is only a geometric stand-in.
+    Use through ``knn_lsh``/``ann_recall``'s ``vector_prober`` seam: the
+    probe ranking needs the query VECTOR, not just its home cell.
+
+    Contract (what the no-dedup candidate join relies on): the array is
+    pairwise distinct (distinct centroid ids), and its FIRST element is
+    the home cell — the same (d2, id) ordering ``centroid_cells``
+    argmins, so sorted[0] == array_min. NULL / wrong-dimension /
+    NULL-element vectors get a NULL probe array (explode drops the
+    query — an unservable vector probes nothing). ``nprobe`` past k
+    degrades to probing all k cells."""
+    from .vectors import _dist2
+
+    dim = len(centroids[0]) if centroids else 0
+    v = vec_col.cast("array<double>")
+    ranked = F.slice(F.array_sort(F.array(*[
+        F.struct(_dist2(v, c).alias("d2"), F.lit(i).alias("cluster"))
+        for i, c in enumerate(centroids)])), 1, nprobe)
+    return F.when(vec_col.isNotNull() & (F.size(vec_col) == dim)
+                  & ~F.exists(vec_col, lambda x: x.isNull()),
+                  F.transform(ranked,
+                              lambda s: s["cluster"].cast("string")))
+
+
 def ivf_probe_cells(cell_col: Column, dims: int = 2) -> Column:
     """nprobe expansion for the ``ivf_grid_cells`` quantizer: the probe
     set is the home cell plus every adjacent cell — 3^dims keys, pairwise
@@ -284,19 +372,29 @@ def ivf_probe_cells(cell_col: Column, dims: int = 2) -> Column:
     count differs gets a NULL probe array (explode drops the query) —
     without the arity guard, a 3-dim cell parsed as 2 coords would build
     probes that can never equal any neighbor cell, returning empty
-    results with no structural trace (review r7b). The mismatch still
-    surfaces as recall 0.0 in ann_recall — the telemetry this operator
-    feeds — rather than as an exception, because per-row arity is data,
-    not configuration."""
+    results with no structural trace (review r7b). A cell whose
+    coordinates aren't numeric (the bucketer contract allows any custom
+    key) degrades to the SAME NULL probe array via try_cast (r8, ADVICE)
+    — previously the plain cast THREW under ANSI, so one malformed key
+    failed the job instead of surfacing as the row-level recall 0.0 the
+    arity leg already degrades to. Per-row key shape is data, not
+    configuration."""
     from itertools import product
 
     parts = F.split(cell_col, ":")
-    coords = [parts.getItem(i).cast("long") for i in range(dims)]
+    coords = [parts.getItem(i).try_cast("long") for i in range(dims)]
+    numeric = coords[0].isNotNull()
+    for c in coords[1:]:
+        numeric = numeric & c.isNotNull()
     combos = []
     for offsets in product((-1, 0, 1), repeat=dims):
         combos.append(F.concat_ws(":", *[
             (c + o).cast("string") for c, o in zip(coords, offsets)]))
-    return F.when(F.size(parts) == dims, F.array(*combos))
+    # nested whens: the inner numeric check references getItem(i), which
+    # is only safe to evaluate once the outer arity check has passed
+    # (CaseWhen branches evaluate lazily per row)
+    return F.when(F.size(parts) == dims,
+                  F.when(numeric, F.array(*combos)))
 
 
 #: Hot-cell guard for semantic_dedup: cells holding more vectors than this
@@ -367,7 +465,7 @@ def ann_recall(vectors: DataFrame, queries: DataFrame, k: int,
                query_id_col: str = "vec_id", n_bits: int = 6,
                multiprobe: Optional[bool] = None,
                max_bucket: Optional[int] = None,
-               bucketer=None, prober=None) -> DataFrame:
+               bucketer=None, prober=None, vector_prober=None) -> DataFrame:
     """Recall@k telemetry for the bucketed ANN path: how many of each
     query's TRUE top-k neighbors (``knn_bruteforce`` ground truth) the
     LSH index (``knn_lsh`` with the same parameters a caller would serve
@@ -390,7 +488,17 @@ def ann_recall(vectors: DataFrame, queries: DataFrame, k: int,
     to approx on (query_id, neighbor_id) — truth is |queries| x k rows,
     so the join is trivially small — then one groupBy(query_id). A query
     with NO brute-force neighbors (corpus of 1) emits no row rather than
-    a 0/0."""
+    a 0/0.
+
+    Universe contract (r8, ADVICE): recall is measured over the
+    INDEX-SERVABLE universe — corpus rows whose bucket is NULL
+    (NULL/short/malformed vectors under the given bucketer) are excluded
+    from the brute-force truth as well, since the bucket equi-join
+    structurally drops them; leaving them in silently depressed recall
+    with rows no index setting could ever reach. A query whose own
+    bucket is NULL emits no row at all (it is unservable, not
+    zero-recall). Callers that pre-filter to well-formed vectors (the
+    q78–q82 workload queries) see no change."""
     # multiprobe default: bit-flip probing ON for the sign-LSH family,
     # but OFF automatically when a generic prober is supplied — otherwise
     # the documented prober usage would trip knn_lsh's mutual-exclusion
@@ -398,13 +506,18 @@ def ann_recall(vectors: DataFrame, queries: DataFrame, k: int,
     # (review r7b). An EXPLICIT multiprobe=True alongside prober still
     # raises, as it should.
     if multiprobe is None:
-        multiprobe = prober is None
+        multiprobe = prober is None and vector_prober is None
+    bucket_of = bucketer or sign_lsh_bucket
+    vectors = vectors.filter(
+        bucket_of(F.col(vec_col), n_bits).isNotNull())
+    queries = queries.filter(
+        bucket_of(F.col(vec_col), n_bits).isNotNull())
     truth = knn_bruteforce(vectors, queries, k, id_col, vec_col,
                            query_id_col)
     approx = (knn_lsh(vectors, queries, k, id_col, vec_col, query_id_col,
                       n_bits=n_bits, multiprobe=multiprobe,
                       max_bucket=max_bucket, bucketer=bucketer,
-                      prober=prober)
+                      prober=prober, vector_prober=vector_prober)
               .select("query_id", "neighbor_id",
                       F.lit(1).alias("__hit")))
     return (

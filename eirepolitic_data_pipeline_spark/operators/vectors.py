@@ -149,55 +149,37 @@ def _assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
                     F.col("__best.d2").alias("d2")))
 
 
-def kmeans_assign(df: DataFrame, k: int = 4, iters: int = 2,
-                  vec_col: str = "embedding", id_col: str = "vec_id",
-                  round_dp: int = 6) -> DataFrame:
-    """Deterministic Lloyd k-means: fixed iteration count, init = the k
-    lowest-id vectors, centroids ROUNDED to ``round_dp`` decimals after
-    every mean update. Output: ``(vec_id, cluster, dist)`` — final
-    assignment with Euclidean distance rounded to 6 dp.
+def _well_formed_vectors(df: DataFrame, vec_col: str,
+                         id_col: str) -> DataFrame:
+    """(vec_id, __v): the clusterable subset of ``df``.
 
-    The rounding is the reproducibility contract, not a shortcut: a mean
-    over a shuffled partitioning sums in nondeterministic order, so raw
-    centroids differ in their last ulps run-to-run (and engine-to-engine);
-    pinning them to a decimal grid makes the fitted model — and therefore
-    every downstream assignment — bit-identical across runs and across
-    the DuckDB oracle. Ties in the argmin go to the lowest cluster id.
-    A cluster that loses all members keeps its previous centroid.
-
-    Scale shape: per iteration one broadcast-literal projection (k·dim
-    lits, no join) computes assignments, then one map-side-combined
-    (cluster, dimension) average — k·dim result rows — is collected as
-    the next model. Driver state is the model only (k·dim doubles, the
-    same thing MLlib's trainer holds); the vectors themselves never
-    leave the executors. CONSTRUCTION runs the fit's Spark jobs
-    (iters aggregations), so workload entries must opt out of plan
-    memoization (Query.memoize=False) — caching the built plan would
-    skip the training cost on every pass after the first.
-    """
-    if k < 1:
-        raise ValueError("k must be >= 1")
-    # NULL, EMPTY, and NULL-ELEMENT embeddings are excluded up front — a
-    # row with no vector (or with missing coordinates) is not clusterable,
-    # and letting it through would either crash the seed collection
-    # (list(None)) or propagate NULL distances into the argmin. The
-    # empty-vector leg closed in r7 (ADVICE): a zero-length array passed
-    # isNotNull, its zip_with distances folded to NULL against every
-    # centroid, and posexplode emitted NO rows — so the ragged-dim check
-    # below never saw its dim-0 and the row was silently assigned by
-    # NULL-ordering instead of failing the fixed-dimension contract. The
-    # NULL-element leg closed in r7b (review): [0.5, NULL] passed both
-    # earlier guards, its distance folds were NULL against every centroid,
-    # and the row came back cluster-0/dist-NULL via the same NULL
-    # ordering. The workload oracles mirror all three exclusions (WHERE
-    # embedding IS NOT NULL AND len(embedding) > 0 AND no NULL elements).
-    # NON-empty ragged dimensions remain a loud CONTRACT failure below
-    # rather than a silent mis-assignment.
-    vecs = (df.filter(F.col(vec_col).isNotNull()
+    NULL, EMPTY, and NULL-ELEMENT embeddings are excluded up front — a
+    row with no vector (or with missing coordinates) is not clusterable,
+    and letting it through would either crash the seed collection
+    (list(None)) or propagate NULL distances into the argmin. The
+    empty-vector leg closed in r7 (ADVICE): a zero-length array passed
+    isNotNull, its zip_with distances folded to NULL against every
+    centroid, and posexplode emitted NO rows — so the ragged-dim check
+    in the fit never saw its dim-0 and the row was silently assigned by
+    NULL-ordering instead of failing the fixed-dimension contract. The
+    NULL-element leg closed in r7b (review): [0.5, NULL] passed both
+    earlier guards, its distance folds were NULL against every centroid,
+    and the row came back cluster-0/dist-NULL via the same NULL
+    ordering. The workload oracles mirror all three exclusions (WHERE
+    embedding IS NOT NULL AND len(embedding) > 0 AND no NULL elements).
+    NON-empty ragged dimensions remain a loud CONTRACT failure in the
+    fit rather than a silent mis-assignment."""
+    return (df.filter(F.col(vec_col).isNotNull()
                       & (F.size(vec_col) > 0)
                       & ~F.exists(vec_col, lambda x: x.isNull()))
             .select(F.col(id_col).alias("vec_id"),
                     F.col(vec_col).cast("array<double>").alias("__v")))
+
+
+def _fit(vecs: DataFrame, k: int, iters: int,
+         round_dp: int) -> list[list[float]]:
+    """The Lloyd loop over a pre-filtered (vec_id, __v) frame: returns the
+    fitted centroid model (k lists of dim floats, rounded to round_dp)."""
     seed = (vecs.orderBy("vec_id").limit(k).collect())
     if len(seed) < k:
         raise ValueError(f"k={k} exceeds the {len(seed)} available vectors")
@@ -218,12 +200,64 @@ def kmeans_assign(df: DataFrame, k: int = 4, iters: int = 2,
                 raise RuntimeError(
                     f"kmeans_assign: cluster {i} aggregated "
                     f"{len(pos_map)} dimensions but the seed vectors have "
-                    f"{dim} — the {vec_col} column is ragged; k-means "
+                    f"{dim} — the embedding column is ragged; k-means "
                     "requires a fixed-dimension embedding column")
         centroids = [
             [by_cluster[i][p] for p in range(dim)] if i in by_cluster
             else centroids[i]  # empty cluster keeps its previous centroid
             for i in range(k)]
+    return centroids
+
+
+def kmeans_fit(df: DataFrame, k: int = 4, iters: int = 2,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               round_dp: int = 6) -> list[list[float]]:
+    """The fitted k-means model WITHOUT the final assignment pass: k
+    centroids as plain Python lists (rounded to ``round_dp``), exactly the
+    artifact an IVF index trains and ships to executors. Same
+    deterministic contract as ``kmeans_assign`` (which is this fit plus
+    one assignment); exposed separately (r8) so trained-quantizer callers
+    — the IVF bucketer/prober in ``operators.similarity``, semdedup's
+    fused cell projection — can embed the model in their own projections
+    instead of joining against an assignment frame."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return _fit(_well_formed_vectors(df, vec_col, id_col), k, iters,
+                round_dp)
+
+
+def kmeans_assign(df: DataFrame, k: int = 4, iters: int = 2,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  round_dp: int = 6) -> DataFrame:
+    """Deterministic Lloyd k-means: fixed iteration count, init = the k
+    lowest-id vectors, centroids ROUNDED to ``round_dp`` decimals after
+    every mean update. Output: ``(vec_id, cluster, dist)`` — final
+    assignment with Euclidean distance rounded to 6 dp.
+
+    The rounding is the reproducibility contract, not a shortcut: a mean
+    over a shuffled partitioning sums in nondeterministic order, so raw
+    centroids differ in their last ulps run-to-run (and engine-to-engine);
+    pinning them to a decimal grid makes the fitted model — and therefore
+    every downstream assignment — bit-identical across runs and across
+    the DuckDB oracle. Ties in the argmin go to the lowest cluster id.
+    A cluster that loses all members keeps its previous centroid.
+    NULL/empty/NULL-element vectors are excluded (see
+    ``_well_formed_vectors``); the workload oracles mirror the exclusion.
+
+    Scale shape: per iteration one broadcast-literal projection (k·dim
+    lits, no join) computes assignments, then one map-side-combined
+    (cluster, dimension) average — k·dim result rows — is collected as
+    the next model. Driver state is the model only (k·dim doubles, the
+    same thing MLlib's trainer holds); the vectors themselves never
+    leave the executors. CONSTRUCTION runs the fit's Spark jobs
+    (iters aggregations), so workload entries must opt out of plan
+    memoization (Query.memoize=False) — caching the built plan would
+    skip the training cost on every pass after the first.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    vecs = _well_formed_vectors(df, vec_col, id_col)
+    centroids = _fit(vecs, k, iters, round_dp)
     return (_assign(vecs, centroids)
             .select("vec_id", "cluster",
                     F.round(F.sqrt("d2"), 6).alias("dist")))
@@ -278,7 +312,7 @@ def semdedup(df: DataFrame, k: int = 4, iters: int = 2,
              max_iters: int = 10,
              max_cluster: int | None = DEFAULT_MAX_CLUSTER) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) as ONE composed operator: k-means the
-    embedding space (``kmeans_assign`` — deterministic fit), then collapse
+    embedding space (deterministic fit, ``kmeans_fit``), then collapse
     cosine near-duplicates WITHIN each cluster to their min-id canonical
     via connected components. Returns ``(vec_id, cluster, canonical_id)``;
     keep one row per canonical_id to dedup.
@@ -290,106 +324,125 @@ def semdedup(df: DataFrame, k: int = 4, iters: int = 2,
     density modes instead of axis-aligned cells. Same accepted trade:
     near-dups straddling a cluster boundary are missed, for linear cost.
 
-    Scale shape: the fit is kmeans_assign's (bounded k·dim driver model);
-    the pair stage is an equi-join ON CLUSTER ID — each task compares one
-    cluster's vectors, never the corpus — and the closure reuses
-    min_label_components (edge nodes only, O(diameter) rounds). Note the
-    join key also BOUNDS PARALLELISM: there are only k distinct cluster
-    ids, so at most k tasks carry the pair stage — k is both the pair
-    bound (corpus/k per cluster) and the fan-out. Size k with the corpus
-    (SemDeDup's paper setting is thousands for 100M+ docs); a tiny k on
-    a big corpus serializes the quadratic stage onto a handful of cores
-    long before max_cluster trips.
-    ``max_cluster`` is the skew guard, the exact groupBy-count semi-join
-    shape as semantic_dedup's max_cell (never a window): a cluster whose
-    population exceeds it skips pairwise comparison entirely — its rows
-    stay their own canonicals, the conservative keep-everything direction
-    — because one degenerate centroid capturing a constant fraction of
-    the corpus would otherwise expand quadratically inside one task.
-    Size k so typical clusters land well under the cap (SemDeDup's paper
-    setting is k in the thousands for 100M+ corpora)."""
-    from .dedupe import min_label_components
+    Plan shape (r8): the fit collects the k·dim model (bounded driver
+    state, kmeans_fit's contract), then ONE corpus pass — the assignment
+    projection feeding a ``groupBy(cluster).applyInPandas`` kernel that
+    compares, links, and collapses each cluster LOCALLY. The k-means
+    partition function is what makes this correct: every near-dup pair
+    shares a cluster BY CONSTRUCTION, so connected components can never
+    span tasks and the distributed pair join + iterative min-label
+    closure the operator previously composed (O(diameter) count/
+    checkpoint rounds — measured as ~60% of q79's wall at bench scale,
+    pure scheduler overhead) degenerates to a task-local union-find.
+    One shuffle on the cluster key replaces [pair-join + 2 closure-seed
+    jobs + a count job per propagation round + the final join]; the
+    same single-shuffle shape a 1000-executor run wants, since every
+    eliminated round was a full-cluster barrier.
 
-    assigned = kmeans_assign(df, k=k, iters=iters,
-                             vec_col=vec_col, id_col=id_col)
+    The kernel is Arrow-batched and vectorized, and stays bit-compatible
+    with the DuckDB oracle and the previous Catalyst fold: norms and
+    pairwise dots accumulate SEQUENTIALLY OVER DIMENSIONS (vectorized
+    across pairs — ``acc = acc + u[:, d] * u[j, d]`` in dimension order),
+    the exact left-fold ``list_reduce``/``F.aggregate`` computes, so the
+    doubles agree bit-for-bit pre-rounding; zero-norm vectors become
+    all-zero unit vectors (cosine 0.0, the cosine_col contract). The
+    threshold compares the dot ROUNDED to 6 dp with Spark's
+    ``F.round`` semantics — ``BigDecimal.valueOf`` (shortest decimal
+    representation, == Python ``repr``) then HALF_UP — applied exactly
+    only inside the ±1e-6 band around the threshold where rounding can
+    change the verdict; everything outside the band is decided by the
+    raw comparison (rounding moves a value by at most 5e-7).
+
+    Parallelism note, unchanged from the join shape: there are only k
+    distinct cluster ids, so at most k tasks carry the quadratic stage —
+    size k with the corpus (SemDeDup's paper setting is thousands for
+    100M+ docs). ``max_cluster`` is the skew guard: an over-cap cluster
+    skips pairwise comparison entirely (its rows stay their own
+    canonicals — the conservative keep-everything direction). The
+    kernel's memory is |cluster|·dim doubles plus one ``block × |cluster|``
+    score panel (block=1024 rows), both bounded by the cap — strictly
+    less than the n² pair rows the join shape funneled through the same
+    task. ``max_iters`` is retained for API compatibility and ignored:
+    union-find is exact, there is no propagation loop left to bound."""
     # same exclusion set as kmeans_assign (NULL / empty / NULL-element):
     # the id universe and the fit must agree on what is clusterable
-    vecs = df.filter(F.col(vec_col).isNotNull()
-                     & (F.size(vec_col) > 0)
-                     & ~F.exists(vec_col, lambda x: x.isNull())) \
-        .select(F.col(id_col).alias("vec_id"),
-                F.col(vec_col).cast("array<double>").alias("__v"))
-    # UNIT vectors are computed ONCE per row, map-side, BEFORE the pair
-    # join: the pair stage then folds a single dot product instead of
-    # cosine_col's dot + both norms (3x the ops), and — since the pair
-    # join's parallelism is bounded by k distinct cluster keys — per-pair
-    # work is exactly what the busiest task multiplies. norm = sqrt(seq
-    # fold of squares), u_i = x_i/norm (zero-norm -> all-zero unit vector,
-    # dot 0.0 — the cosine_col contract); the oracle mirrors the identical
-    # operation sequence so doubles agree bit-for-bit pre-round.
-    nrm = F.sqrt(_fold_sum(F.transform(F.col("__v"), lambda x: x * x)))
-    unit = F.when(F.col("__n") > 0,
-                  F.transform("__v", lambda x: x / F.col("__n"))) \
-        .otherwise(F.transform("__v", lambda x: F.lit(0.0)))
-    # cells is consumed by BOTH pair sides (and the cap's count agg):
-    # persisted so the assignment projection + join + unit folds run once,
-    # and unpersisted as soon as min_label_components has materialized the
-    # edge list (the closure runs eagerly at construction; the returned
-    # frame is rebuilt from `assigned`/`vecs`, so nothing downstream
-    # re-reads cells' lineage — the minhash_dedup ck pattern).
-    cells = (assigned.select("vec_id", "cluster")
-             .join(vecs, "vec_id")
-             .withColumn("__n", nrm)
-             .withColumn("__u", unit)
-             .persist())
-    paired = cells
-    if max_cluster is not None:
-        small = (cells.groupBy("cluster")
-                 .agg(F.count(F.lit(1)).alias("__cn"))
-                 .filter(F.col("__cn") <= max_cluster)
-                 .select("cluster"))
-        paired = cells.join(small, "cluster", "left_semi")
-    # Explicit hash repartition on the join key (the pairs_from_postings
-    # pattern): the pair rows are small in BYTES but heavy in CPU (a
-    # 64-dim fold each), and AQE's size-based coalescing would run the
-    # whole quadratic stage on 1-2 tasks. A user-specified partition
-    # count is exempt from coalescing; the join reuses the partitioning
-    # (no extra exchange), and up to min(k, n_parts) tasks carry the
-    # fold.
+    vecs = _well_formed_vectors(df, vec_col, id_col)
+    centroids = _fit(vecs, k, iters, round_dp=6)
+    id_type = vecs.schema["vec_id"].dataType.simpleString()
+    thr = float(threshold)
+    cap = max_cluster
+
+    def collapse(pdf):
+        import numpy as np
+        import pandas as pd
+        from decimal import Decimal, ROUND_HALF_UP
+
+        n = len(pdf)
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        cluster = pdf["cluster"].to_numpy().astype("int32")
+        if (cap is not None and n > cap) or n < 2:
+            return pd.DataFrame({"vec_id": ids, "cluster": cluster,
+                                 "canonical_id": ids})
+        V = np.stack(pdf["__v"].to_numpy()).astype("float64")
+        dim = V.shape[1]
+        # norm = sqrt(sequential fold of squares): fold order pinned by
+        # looping dimensions, vectorized across rows
+        acc = np.zeros(n)
+        for dd in range(dim):
+            x = V[:, dd]
+            acc = acc + x * x
+        nrm = np.sqrt(acc)
+        unit = V / np.where(nrm > 0, nrm, 1.0)[:, None]
+        unit[nrm == 0] = 0.0
+        parent = list(range(n))
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        block = 1024
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            dots = np.zeros((e - s, n))
+            for dd in range(dim):
+                dots = dots + unit[s:e, dd:dd + 1] * unit[:, dd][None, :]
+            linked = dots >= thr + 1e-6
+            band = np.abs(dots - thr) <= 1e-6
+            # strict upper triangle only: sorted ids make index order ==
+            # id order, so the union-by-min below lands on the min ID
+            upper = np.arange(s, e)[:, None] < np.arange(n)[None, :]
+            for bi, j in zip(*np.where(band & upper)):
+                r6 = float(Decimal(repr(float(dots[bi, j]))).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP))
+                linked[bi, j] = r6 >= thr
+            for bi, j in zip(*np.where(linked & upper)):
+                ri, rj = find(s + int(bi)), find(int(j))
+                if ri != rj:
+                    if ri < rj:
+                        parent[rj] = ri
+                    else:
+                        parent[ri] = rj
+        roots = [find(i) for i in range(n)]
+        return pd.DataFrame({"vec_id": ids, "cluster": cluster,
+                             "canonical_id": ids[roots]})
+
+    # Explicit hash repartition on the cluster key before the grouped
+    # kernel: the assignment output is tiny in BYTES, so AQE size-based
+    # coalescing would otherwise run every cluster's quadratic kernel on
+    # 1-2 tasks; a user-specified partition count is exempt, satisfies
+    # the groupBy's clustered distribution (no second exchange), and up
+    # to min(k, n_parts) tasks carry the kernels.
+    from ..session import shuffle_partitions
     spark = df.sparkSession
-    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    n_parts = min(conf_parts, 4 * spark.sparkContext.defaultParallelism)
-    a = paired.select(F.col("vec_id").alias("doc_a"),
-                      F.col("__u").alias("ua"),
-                      F.col("cluster").alias("ca")) \
-        .repartition(n_parts, F.col("ca"))
-    b = paired.select(F.col("vec_id").alias("doc_b"),
-                      F.col("__u").alias("ub"),
-                      F.col("cluster").alias("cb")) \
-        .repartition(n_parts, F.col("cb"))
-    # threshold on the cosine ROUNDED to 6 dp — the same cross-engine
-    # determinism pin as q37/kmeans_assign: engines disagree in the last
-    # ulps of a float fold, and a pair sitting exactly on the threshold
-    # must link (or not) identically everywhere
-    dot = _fold_sum(F.zip_with(F.col("ua"), F.col("ub"),
-                               lambda x, y: x * y))
-    pairs = (a.join(b, (F.col("ca") == F.col("cb"))
-                    & (F.col("doc_a") < F.col("doc_b")))
-             .withColumn("cos", F.round(dot, 6))
-             .filter(F.col("cos") >= threshold)
-             .select("doc_a", "doc_b"))
-    # id universe from `vecs`, NOT cells: identical rows (cells is the
-    # inner join of the assignment with vecs, and the assignment covers
-    # exactly vecs' rows), but keeping cells out of the returned lineage
-    # is what makes the unpersist below safe. finally: the closure raises
-    # BY DESIGN on non-convergence — a retry loop must not accumulate
-    # corpus-sized leaked cache entries (review r7).
-    try:
-        comp = min_label_components(vecs.select(F.col("vec_id").alias("id")),
-                                    pairs, max_iters)
-    finally:
-        cells.unpersist()
-    return (assigned.select("vec_id", "cluster")
-            .join(comp.select(F.col("id").alias("vec_id"), "canonical_id"),
-                  "vec_id")
-            .select("vec_id", "cluster", "canonical_id"))
+    n_parts = min(shuffle_partitions(spark),
+                  4 * spark.sparkContext.defaultParallelism)
+    return (_assign(vecs, centroids)
+            .select("vec_id", "cluster", "__v")
+            .repartition(n_parts, F.col("cluster"))
+            .groupBy("cluster")
+            .applyInPandas(collapse,
+                           schema=f"vec_id {id_type}, cluster int, "
+                                  f"canonical_id {id_type}"))

@@ -23,6 +23,22 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def shuffle_partitions(spark: SparkSession) -> int:
+    """The session's shuffle-partition count, parsed defensively.
+
+    Operators that size explicit repartitions read
+    ``spark.sql.shuffle.partitions`` — but the conf is not guaranteed
+    numeric on every platform (Databricks AQE auto-tuning sets it to
+    "auto"), and a bare ``int()`` would fail the whole job over a value
+    that only ever feeds a partition-count heuristic. Non-numeric values
+    fall back to the cluster's default parallelism, the same quantity AQE
+    re-derives its width from."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def get_spark(app_name: str = "eirepolitic_data_pipeline_spark",
               cores: int | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:

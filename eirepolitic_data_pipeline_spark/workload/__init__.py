@@ -27,32 +27,41 @@ from . import datapipe  # noqa: F401,E402
 from . import quality  # noqa: F401,E402
 
 
-# Certification rotation (round 7). The driver's correctness gate certifies
-# the first ~50 registered queries per round; with 77 registered, ~27 fall
+# Certification rotation (round 8). The driver's correctness gate certifies
+# the first ~50 registered queries per round; with 78 registered, ~28 fall
 # outside every round. Rank the workload so the window always covers the
 # queries that NEED a fresh driver-green row:
-#   front — queries never driver-certified (q78-q81, new round 7), every
-#           query whose implementation FILE changed this round (round 7
-#           touched operators/dedupe.py, similarity.py, vectors.py,
-#           curation.py — so the whole dedup/ANN/vector/curation family
-#           rotates back in even where a specific function is untouched),
-#           the singly-certified round-6 block (q68–q77: one green ledger
-#           each), and the 2-ledger scalar/DQ block;
+#   front — queries never driver-certified (q82, new round 8) or holding a
+#           single green ledger (q78–q81, certified r7 only — hold inside
+#           until 2+, the same rule r6 set for q69–q77), then every query
+#           whose implementation FILE changed this round (round 8 touched
+#           operators/vectors.py — semdedup kernel rewrite, kmeans_fit —
+#           operators/similarity.py — centroid quantizer/prober, ann_recall
+#           universe filter, ivf_probe_cells try_cast — and one-line
+#           defensive conf parses in operators/curation.py and
+#           operators/dedupe.py: the whole dedup/ANN/vector/curation family
+#           rotates back in even where a specific function is untouched;
+#           q56 joins the family this round because resample_periodic
+#           lives in curation.py), then the two-ledger r6 block and the
+#           scalar/DQ block while window budget allows;
 #   tail  — queries unchanged since their last green CORRECTNESS row with
 #           multiple green ledgers already banked (q01–q18/q20/q21/q42/
 #           q43/q47: untouched, up to six ledgers each; q54/q59/q60
-#           demoted THIS round — certified r5+r6, and functions/text.py,
-#           operators/sketches.py, operators/incremental.py are untouched
-#           in round 7 — rotate them back in whenever those files change).
+#           demoted round 7 — certified r5+r6, and functions/text.py,
+#           operators/sketches.py, operators/incremental.py remain
+#           untouched in round 8 — rotate them back in whenever those
+#           files change).
 # Rotate this list each round as certifications land and code changes.
 _CERT_PRIORITY = [
-    # new round 7 — never driver-certified
+    # new round 8 — never driver-certified
+    "q82_ann_recall_ivf_trained",
+    # single green ledger (r7) — hold inside the window until 2+
     "q78_ann_recall",
     "q79_semdedup_clusters",
     "q80_ann_recall_ivf",
     "q81_ann_recall_ivf_nprobe",
-    # implementation file changed round 7 (dedupe/similarity/vectors/
-    # curation): every query dispatching into those modules
+    # implementation file changed round 8 (vectors/similarity/curation/
+    # dedupe): every query dispatching into those modules
     "q63_curate_corpus_certified",
     "q62_minhash_dedup_components",
     "q61_line_dedup_boilerplate",
@@ -78,8 +87,10 @@ _CERT_PRIORITY = [
     "q55_source_mixing",
     "q57_domain_profile",
     "q58_stratified_sample",
-    # singly-certified round-6 block: unchanged, but one ledger is thin —
-    # hold inside the window until 2+ (VERDICT r6 ask #4)
+    "q56_resample_daily_ffill",
+    # two-ledger round-6 block (r6+r7): files (relevance.py, profiling.py,
+    # streaming/jobs.py, plans/quality.py) untouched in round 8 — kept
+    # inside while the window budget allows
     "q69_bm25_relevance",
     "q70_bigram_lm_quality",
     "q71_ngram_heavy_hitters",

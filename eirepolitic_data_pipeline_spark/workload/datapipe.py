@@ -2739,3 +2739,109 @@ def q81_ann_recall_ivf_nprobe(spark, sf_dir):
                       bucketer=lambda c, n: ivf_grid_cells(c, grid=4,
                                                            dims=2),
                       prober=lambda b: ivf_probe_cells(b, dims=2))
+
+
+@register(
+    "q82_ann_recall_ivf_trained",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[])) AS nn
+      FROM embeddings
+      -- the kmeans_fit universe: NULL, EMPTY, and NULL-ELEMENT
+      -- embeddings are not clusterable (and not servable by a trained
+      -- quantizer)
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+    -- the deterministic one-round Lloyd fit, unrolled (q73/q79's CTE
+    -- recipe): init = the 8 lowest-id vectors, one assignment + one
+    -- 6-dp-rounded mean update, final assignment a1 = home cells
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cluster, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+    ),
+    {_kmeans_assign_sql('c0', 'a0')},
+    {_kmeans_means_sql('a0', 'c0', 'c1')},
+    {_kmeans_assign_sql('c1', 'a1')},
+    truth AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+      FROM e q JOIN e n ON n.vec_id <> q.vec_id
+      WHERE q.vec_id < 20
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY CASE WHEN n.nn > 0 AND q.nn > 0
+                      THEN list_cosine_similarity(n.v, q.v)
+                      ELSE 0.0 END DESC, n.vec_id) <= 5
+    ),
+    -- nprobe = the 3 NEAREST fitted centroids by query distance (ties
+    -- to the lowest cluster id) — a1d is the assignment CTE's full
+    -- (vec_id, cluster, d2) distance table, so the probe ranking reuses
+    -- the exact fold the home-cell argmin used
+    probes AS (
+      SELECT vec_id AS query_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster) AS rn
+        FROM a1d WHERE vec_id < 20
+      ) WHERE rn <= 3
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, n.vec_id AS neighbor_id,
+               CASE WHEN ne.nn > 0 AND qe.nn > 0
+                    THEN list_cosine_similarity(ne.v, qe.v)
+                    ELSE 0.0 END AS cos_raw
+        FROM probes p
+        JOIN a1 n ON n.cluster = p.cluster AND n.vec_id <> p.query_id
+        JOIN e ne ON ne.vec_id = n.vec_id
+        JOIN e qe ON qe.vec_id = p.query_id
+      ) QUALIFY row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY cos_raw DESC, neighbor_id) <= 5
+    )
+    SELECT t.query_id,
+           count(*) AS n_true,
+           count(a.neighbor_id) AS n_hit,
+           round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6)
+             AS recall
+    FROM truth t
+    LEFT JOIN approx a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    """,
+    survey_ref="beyond-ref: trained-centroid IVF recall (operators/similarity.py:centroid_cells + centroid_probe_ranks over kmeans_fit's model, through ann_recall's bucketer/vector_prober seams)",
+    memoize=False,  # kmeans_fit COLLECTS the centroid model at
+    # construction (q73's rule) — memoizing the plan would cache the fit
+)
+def q82_ann_recall_ivf_trained(spark, sf_dir):
+    """The production IVF shape, closed (r7 verdict's #1 residual): the
+    coarse quantizer is a TRAINED k-means codebook (``kmeans_fit``, k=8,
+    one deterministic Lloyd round), home cell = nearest centroid
+    (``centroid_cells`` through ann_recall's ``bucketer`` seam), and
+    nprobe = the 3 nearest centroids BY QUERY DISTANCE
+    (``centroid_probe_ranks`` through the new ``vector_prober`` seam —
+    the probe ranking needs the query vector, which the fixed grid's
+    cell-adjacency prober never did). The fixed grid degrades in >2
+    effective dimensions because it quantizes only the leading
+    coordinates; the trained codebook partitions the full 64-dim space,
+    and the fixture shows it: mean recall ~0.73 here vs ~0.37 for q80's
+    one-cell grid floor and this query's recall dominates q80's on 18/20
+    queries (mean dominance asserted in tests). The oracle re-derives
+    the ENTIRE chain — the unrolled fit (q73's CTE recipe), the argmin
+    home cells, the top-nprobe probe ranking off the same distance
+    table, brute-force truth, and the recall join — so the certification
+    covers fit + bucketing + probing + telemetry as one contract."""
+    from ..operators.similarity import (ann_recall, centroid_cells,
+                                        centroid_probe_ranks)
+    from ..operators.vectors import kmeans_fit
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+           .filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") > 0)))
+    cents = kmeans_fit(emb, k=8, iters=1)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ann_recall(emb, queries, k=5, multiprobe=False,
+                      bucketer=lambda c, n: centroid_cells(c, cents),
+                      vector_prober=lambda qv: centroid_probe_ranks(
+                          qv, cents, nprobe=3))

@@ -89,6 +89,10 @@ EDGE_QUERIES = (
     "q79_semdedup_clusters",
     "q80_ann_recall_ivf",
     "q81_ann_recall_ivf_nprobe",
+    # r8 trained-centroid IVF: the fit, the argmin cells, and the
+    # top-nprobe probe ranking must exclude the NULL/empty/NULL-element
+    # edge rows identically on both sides
+    "q82_ann_recall_ivf_trained",
     # orders/lineitem edge rows (r6): NULL-variant conflict counting and
     # the NULL-division / NULL-returnflag tally contracts
     "q67_conflict_evidence_dedupe",
