@@ -9,6 +9,7 @@ from .dedupe import (  # noqa: F401
     jaccard_similar_pairs,
     min_label_components,
     minhash_dedup,
+    minhash_dedup_keep,
     minhash_lsh_candidates,
     simhash_near_pairs,
     simhash_signatures,

@@ -408,7 +408,7 @@ def curate_corpus_stages(docs: DataFrame, text_col: str = "text",
       ``near_dup`` stage just to inspect schemas."""
     from ..functions.text import quality_features
     from .dedupe import (dedupe_lines, decontaminate,
-                         exact_canonical_ids, minhash_dedup)
+                         exact_canonical_ids, minhash_dedup_keep)
 
     # fail fast, before ANY stage computes: the near-dup stage would
     # otherwise surface a bad (hashes, band_rows) pair only after the
@@ -455,13 +455,14 @@ def curate_corpus_stages(docs: DataFrame, text_col: str = "text",
         kept = _spread_boundary(kept).persist()
     yield "exact_dedup", kept
 
-    comp = minhash_dedup(kept, text_col, id_col,
-                         num_hashes=near_dup_hashes,
-                         band_rows=near_dup_band_rows,
-                         threshold=near_dup_threshold)
-    kept = kept.join(
-        comp.filter(F.col(id_col) == F.col("canonical_id"))
-        .select(id_col), id_col, "left_semi")
+    # survivor-set twin (r8): one anti-join against the loser frame
+    # (bounded by edge nodes) instead of attaching the full canonical
+    # mapping and semi-joining the corpus back against its own filter —
+    # one corpus-wide shuffle join, not two
+    kept = minhash_dedup_keep(kept, text_col, id_col,
+                              num_hashes=near_dup_hashes,
+                              band_rows=near_dup_band_rows,
+                              threshold=near_dup_threshold)
     yield "near_dup", kept
 
     if benchmark is not None:

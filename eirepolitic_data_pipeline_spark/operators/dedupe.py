@@ -448,21 +448,41 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     _check_band_config(num_hashes, band_rows)
     fused = _minhash_postings_signatures(df, text_col, id_col,
                                          n, num_hashes).persist()
+    # finally: the closure raises BY DESIGN on non-convergence, and a
+    # long-lived session (curate CLI, notebook) retrying with a raised
+    # max_iters must not accumulate corpus-sized leaked cache entries
+    # (review r7)
+    try:
+        verified = _minhash_verified_pairs(fused, num_hashes, band_rows,
+                                           threshold)
+        out = min_label_components(df.select(F.col(id_col).alias("id")),
+                                   verified, max_iters) \
+            .select(F.col("id").alias(id_col), "canonical_id")
+    finally:
+        fused.unpersist()
+    return out
+
+
+def _minhash_verified_pairs(fused: DataFrame, num_hashes: int,
+                            band_rows: int, threshold: float) -> DataFrame:
+    """Candidate generation + exact verify over the fused kernel frame:
+    banded LSH pairs, then exact-Jaccard verify over the inverted index
+    (posting explode + two hash joins + one count), NOT array_intersect
+    over collected shingle arrays — the array form is an interpreted
+    higher-order expression re-shingling the corpus per candidate side,
+    and it ships both docs' full arrays into one row; this shape keeps the
+    verify map-side-combined and bounded by (candidate pairs ×
+    shingles/doc). Pure plan, no actions; ``fused`` must be persisted by
+    the caller (three consumers: banding + both verify sides)."""
     cand = _banded_pairs(
         fused.select("doc_id", *[f"mh{h}" for h in range(num_hashes)]),
         num_hashes, band_rows).select("doc_a", "doc_b").distinct()
-    # Exact-Jaccard verify over the inverted index (posting explode + two
-    # hash joins + one count), NOT array_intersect over collected shingle
-    # arrays: the array form is an interpreted higher-order expression
-    # re-shingling the corpus per candidate side, and it ships both docs'
-    # full arrays into one row — this shape keeps the verify
-    # map-side-combined and bounded by (candidate pairs × shingles/doc).
     ck = fused.select("doc_id", "n_sh", F.explode("keys").alias("key"))
     ka = ck.select(F.col("doc_id").alias("doc_a"),
                    F.col("n_sh").alias("n_a"), "key")
     kb = ck.select(F.col("doc_id").alias("doc_b"),
                    F.col("n_sh").alias("n_b"), "key")
-    verified = (
+    return (
         cand.join(ka, "doc_a").join(kb, ["doc_b", "key"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"),
@@ -473,25 +493,56 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 >= threshold)
         .select("doc_a", "doc_b")
     )
-    # finally: the closure raises BY DESIGN on non-convergence, and a
-    # long-lived session (curate CLI, notebook) retrying with a raised
-    # max_iters must not accumulate corpus-sized leaked cache entries
-    # (review r7)
+
+
+def minhash_dedup_keep(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       num_hashes: int = 32, band_rows: int = 4,
+                       threshold: float = 0.7,
+                       max_iters: int = 10) -> DataFrame:
+    """Survivor-set twin of ``minhash_dedup``: returns the rows of ``df``
+    whose id IS its component's canonical (the minimum), dropping every
+    other near-duplicate — the exact frame a curation pipeline keeps.
+
+    Same engine, different final shape (r8): a row survives iff it is not
+    a component LOSER (an edge node whose component-min label differs from
+    its own id), so the survivor set is one ANTI-join of the corpus
+    against the loser frame — which is bounded by the edge nodes, orders
+    of magnitude smaller than the corpus. ``minhash_dedup`` + filter +
+    semi-join computes the same thing with TWO corpus-wide joins (attach
+    the full mapping, then re-filter it); at 100 TB that second
+    corpus-sized shuffle join is the difference."""
+    _check_band_config(num_hashes, band_rows)
+    fused = _minhash_postings_signatures(df, text_col, id_col,
+                                         n, num_hashes).persist()
     try:
-        out = min_label_components(df.select(F.col(id_col).alias("id")),
-                                   verified, max_iters) \
-            .select(F.col("id").alias(id_col), "canonical_id")
+        verified = _minhash_verified_pairs(fused, num_hashes, band_rows,
+                                           threshold)
+        labels = _edge_node_labels(verified, max_iters)
     finally:
         fused.unpersist()
-    return out
+    if labels is None:
+        return df
+    losers = (labels.filter(F.col("label") != F.col("id"))
+              .select(F.col("id").alias(id_col)))
+    return df.join(losers, id_col, "left_anti")
+
+
+#: Directed-edge-row ceiling for min_label_components' single-task
+#: union-find fast path. 2M edge rows is ~32 MB of Arrow at two 8-byte ids
+#: per row — one comfortable task on any executor, and a pure-numpy
+#: union-find over 2M edges runs in low single-digit seconds. Graphs past
+#: the ceiling take the distributed O(diameter) loop.
+SMALL_GRAPH_MAX_EDGES = 2_000_000
 
 
 def min_label_components(ids: DataFrame, pairs: DataFrame,
-                         max_iters: int = 10) -> DataFrame:
-    """Connected components by iterative min-label propagation: returns
-    (id, canonical_id) where canonical is the component minimum. ``ids``
-    has one ``id`` column; ``pairs`` has (doc_a, doc_b) undirected edges
-    (either orientation).
+                         max_iters: int = 10,
+                         small_graph_max_edges: int | None = None
+                         ) -> DataFrame:
+    """Connected components: returns (id, canonical_id) where canonical is
+    the component minimum. ``ids`` has one ``id`` column; ``pairs`` has
+    (doc_a, doc_b) undirected edges (either orientation).
 
     CONTRACT: every pair endpoint must be an element of ``ids``. Labels
     are seeded from edge ENDPOINTS (the edge-node optimization below), so
@@ -504,12 +555,25 @@ def min_label_components(ids: DataFrame, pairs: DataFrame,
     edge whose bridge node is genuinely absent from ``ids`` is the correct
     semantics — that node is not part of the universe being deduped).
 
-    Scale: each iteration is one join + one groupBy on the edge list —
-    O(diameter) rounds, and near-dup components in real corpora have tiny
-    diameters (pairwise-similar clusters), so 2-3 rounds typical. The edge
-    list is persisted once; labels are localCheckpoint-ed per round to
-    truncate lineage. The per-round convergence check is a scalar count,
-    not a data collect.
+    Two execution shapes, picked by the edge count the empty-graph probe
+    already pays for (r8):
+
+    - **small graph** (≤ ``small_graph_max_edges`` directed edge rows,
+      default ``SMALL_GRAPH_MAX_EDGES``): one ``applyInPandas`` task runs
+      an exact path-compressed union-find over the whole edge list —
+      zero propagation rounds, one shuffle, one materializing job. This is
+      the common production shape: after exact dedup, verified near-dup
+      edges are orders of magnitude sparser than the corpus (at bench
+      scale the iterative loop's per-round checkpoint+count jobs were
+      ~7s of pure scheduler overhead over 241 edges). Union-find is
+      exact, so ``max_iters`` never binds here.
+    - **large graph**: iterative min-label propagation — each round one
+      join + one groupBy on the edge list, O(diameter) rounds (near-dup
+      components have tiny diameters, 2-3 rounds typical). The edge list
+      is persisted once; labels are lazily localCheckpoint-ed per round
+      (the round's convergence count is the materializing action — one
+      job per round). The convergence check is a scalar count, never a
+      data collect.
 
     Propagation runs ONLY over nodes that touch an edge: an id with no
     edge is its own canonical by definition, so carrying the full corpus
@@ -518,9 +582,79 @@ def min_label_components(ids: DataFrame, pairs: DataFrame,
     set is orders of magnitude smaller than the id set (true near-dups
     are the exception, not the rule). Non-edge ids attach as
     self-canonical in one final left join."""
+    labels = _edge_node_labels(pairs, max_iters, small_graph_max_edges)
+    if labels is None:
+        return ids.select("id", F.col("id").alias("canonical_id"))
+    return (ids.join(labels, "id", "left")
+            .select("id", F.coalesce("label", F.col("id"))
+                    .alias("canonical_id")))
+
+
+def _edge_node_labels(pairs: DataFrame, max_iters: int = 10,
+                      small_graph_max_edges: int | None = None
+                      ) -> Optional[DataFrame]:
+    """Engine of min_label_components: the MATERIALIZED (id, label) frame
+    for edge nodes only — label = component minimum — or ``None`` for an
+    empty edge list (every id is then its own canonical and no join is
+    needed at all). All internal caches are released before returning; the
+    returned frame is localCheckpoint-ed, so callers may consume it any
+    number of times without re-deriving the (expensive) pair list.
+
+    Exposed separately (r8) so survivor-set callers (minhash_dedup_keep)
+    can anti-join the LOSERS (label != id, a frame bounded by the edge
+    nodes) instead of attaching the full corpus-sized canonical mapping
+    and re-filtering it — one corpus-wide join instead of two."""
+    if small_graph_max_edges is None:
+        small_graph_max_edges = SMALL_GRAPH_MAX_EDGES
     edges = pairs.select("doc_a", "doc_b").unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))).persist()
+    # Empty-graph fast path (r7): common in production (a near-dup pass
+    # after exact dedup often verifies no pairs). The count doubles as the
+    # small/large gate (r8) and as the edge cache's materializing action.
+    n_edges = edges.count()
+    if n_edges == 0:
+        edges.unpersist()
+        return None
+    if n_edges <= small_graph_max_edges:
+        id_type = pairs.schema["doc_a"].dataType.simpleString()
+
+        def uf(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+            # dense int codes so the parent array is a numpy vector and
+            # the component-min lands on the ORIGINAL ids via groupby
+            both = pd.concat([pdf["doc_a"], pdf["doc_b"]],
+                             ignore_index=True)
+            codes, uniq = pd.factorize(both)
+            m = len(pdf)
+            a, b = codes[:m], codes[m:]
+            parent = np.arange(len(uniq))
+
+            def find(i: int) -> int:
+                while parent[i] != i:
+                    parent[i] = parent[parent[i]]
+                    i = parent[i]
+                return int(i)
+
+            for i, j in zip(a, b):
+                ri, rj = find(int(i)), find(int(j))
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+            roots = np.array([find(i) for i in range(len(uniq))])
+            u = pd.Series(uniq)
+            lab = u.groupby(roots).transform("min")
+            return pd.DataFrame({"id": u, "label": lab})
+
+        labels = (edges.groupBy(F.lit(0).alias("__g"))
+                  .applyInPandas(uf, schema=f"id {id_type}, "
+                                            f"label {id_type}")
+                  .localCheckpoint(eager=False))
+        # materialize the checkpoint before releasing the edge cache —
+        # the returned plan must not re-derive the (expensive upstream)
+        # edge list when the caller finally acts on it
+        labels.count()
+        edges.unpersist()
+        return labels
     # Seed labels with the FIRST propagation round fused in: from identity
     # labels, round 1 would compute min(id, min over neighbor ids) — but
     # that is derivable at seed time from the edge list alone (one
@@ -533,23 +667,13 @@ def min_label_components(ids: DataFrame, pairs: DataFrame,
     # localCheckpoint is its own Spark job, so every round used to pay two
     # scheduler round-trips (materialize, then count). Lazily, the round's
     # convergence count is the action that materializes the round's blocks
-    # — one job per round, same truncated lineage, and the seed's blocks
-    # materialize inside its emptiness probe below. (Measured neutral at
-    # bench scale — the closure jobs are not the near-dup bottleneck — but
-    # it halves the closure's scheduler round-trips at any scale.)
+    # — one job per round, same truncated lineage (the seed's blocks
+    # materialize inside round 1's count).
     labels = (edges.groupBy("doc_a")
               .agg(F.min("doc_b").alias("__nb"))
               .select(F.col("doc_a").alias("id"),
                       F.least("doc_a", "__nb").alias("label"))
               .localCheckpoint(eager=False))
-    # Empty-graph fast path (r7): no edges means every id is its own
-    # canonical — skip the loop AND the final left join entirely. Common
-    # in production (a near-dup pass after exact dedup often verifies no
-    # pairs), and the count doubles as the seed's materializing action,
-    # so the non-empty path pays nothing it wasn't already paying.
-    if labels.count() == 0:
-        edges.unpersist()
-        return ids.select("id", F.col("id").alias("canonical_id"))
     changed = 0
     for _ in range(max_iters):
         nbr = (edges.join(labels, edges.doc_b == labels.id)
@@ -582,9 +706,7 @@ def min_label_components(ids: DataFrame, pairs: DataFrame,
             f"min_label_components did not converge in {max_iters} rounds "
             f"({changed} labels still changing) — the pair graph has a "
             "component with diameter > max_iters; raise max_iters")
-    return (ids.join(labels, "id", "left")
-            .select("id", F.coalesce("label", F.col("id"))
-                    .alias("canonical_id")))
+    return labels
 
 
 def _shingle_strings(df: DataFrame, text_col: str, id_col: str,

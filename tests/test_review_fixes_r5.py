@@ -201,7 +201,9 @@ def test_simhash_refuses_bits_past_md5(spark):
 
 def test_min_label_components_raises_on_nonconvergence(spark):
     """A chain whose diameter exceeds max_iters must fail loudly — silent
-    intermediate labels would under-dedup every caller."""
+    intermediate labels would under-dedup every caller. Forces the
+    distributed loop (small_graph_max_edges=0): the r8 union-find fast
+    path is exact and never hits the bound."""
     from eirepolitic_data_pipeline_spark.operators.dedupe import (
         min_label_components)
     n = 8
@@ -209,9 +211,14 @@ def test_min_label_components_raises_on_nonconvergence(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="converge"):
-        min_label_components(ids, chain, max_iters=2)
-    done = min_label_components(ids, chain, max_iters=n)
+        min_label_components(ids, chain, max_iters=2,
+                             small_graph_max_edges=0)
+    done = min_label_components(ids, chain, max_iters=n,
+                                small_graph_max_edges=0)
     assert {r["canonical_id"] for r in done.collect()} == {0}
+    # the fast path must agree with the loop on the same graph
+    fast = min_label_components(ids, chain, max_iters=2)
+    assert {r["canonical_id"] for r in fast.collect()} == {0}
 
 
 def test_knn_lsh_pluggable_bucketer(spark):

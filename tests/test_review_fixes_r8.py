@@ -257,3 +257,64 @@ def test_q82_trained_ivf_recall_dominates_grid_floor(spark):
     m80 = (qs["q80_ann_recall_ivf"](spark, SF_SMOKE)
            .agg(F.avg("recall")).first()[0])
     assert m82 >= m80
+
+
+def test_min_label_fast_path_matches_loop_random_graphs(spark):
+    """r8 small-graph union-find fast path: bit-identical to the
+    distributed min-label loop on random graphs, for both numeric and
+    string ids (string canonical = LEXICOGRAPHIC component min, matching
+    F.min and the DuckDB oracles)."""
+    import random
+    from eirepolitic_data_pipeline_spark.operators.dedupe import (
+        min_label_components)
+    rng = random.Random(82)
+    for trial in range(4):
+        n = rng.randint(2, 24)
+        edges = [(rng.randint(0, n - 1), rng.randint(0, n - 1))
+                 for _ in range(rng.randint(0, 2 * n))]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        fast = {r["id"]: r["canonical_id"]
+                for r in min_label_components(ids, pairs).collect()}
+        loop = {r["id"]: r["canonical_id"]
+                for r in min_label_components(
+                    ids, pairs, max_iters=n + 1,
+                    small_graph_max_edges=0).collect()}
+        assert fast == loop, f"trial {trial}: {fast} != {loop}"
+    # string ids: lexicographic min ("a10" < "a9")
+    ids = spark.createDataFrame(
+        [("a9",), ("a10",), ("zz",)], "id string")
+    pairs = spark.createDataFrame(
+        [("a9", "a10")], "doc_a string, doc_b string")
+    out = {r["id"]: r["canonical_id"]
+           for r in min_label_components(ids, pairs).collect()}
+    assert out == {"a9": "a10", "a10": "a10", "zz": "zz"}
+
+
+def test_min_label_fast_path_self_loops_and_duplicate_edges(spark):
+    """Self-loops and duplicate/reversed edge rows must not perturb the
+    union-find (the edge frame always carries both orientations)."""
+    from eirepolitic_data_pipeline_spark.operators.dedupe import (
+        min_label_components)
+    ids = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 1), (2, 3), (3, 2), (2, 3)], "doc_a long, doc_b long")
+    out = {r["id"]: r["canonical_id"]
+           for r in min_label_components(ids, pairs).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 2}
+
+
+def test_minhash_dedup_keep_matches_mapping_filter(spark):
+    """minhash_dedup_keep (one anti-join against the loser frame) must
+    keep exactly the rows minhash_dedup's full mapping marks canonical."""
+    from eirepolitic_data_pipeline_spark.operators.dedupe import (
+        minhash_dedup, minhash_dedup_keep)
+    docs = (spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+            .select("doc_id", "text"))
+    comp = minhash_dedup(docs, num_hashes=8, band_rows=2, threshold=0.7)
+    want = {r["doc_id"] for r in comp.filter(
+        F.col("doc_id") == F.col("canonical_id")).collect()}
+    got = {r["doc_id"] for r in minhash_dedup_keep(
+        docs, num_hashes=8, band_rows=2, threshold=0.7).collect()}
+    assert got == want and len(got) > 0
