@@ -2477,6 +2477,9 @@ def q77_dataset_card(spark, sf_dir):
     GROUP BY t.query_id
     """,
     survey_ref="beyond-ref: ANN recall@k telemetry (operators/similarity.py:ann_recall) — brute-force ground truth vs the multiprobe LSH index",
+    memoize=False,  # ann_recall lazily localCheckpoints the bucketed
+    # corpus (r8): a memoized plan would re-read those blocks on repeat
+    # runs and time cached data instead of the index path
 )
 def q78_ann_recall(spark, sf_dir):
     """Recall@5 of the multiprobe sign-LSH index against brute-force
@@ -2647,6 +2650,9 @@ def q79_semdedup_clusters(spark, sf_dir):
     GROUP BY t.query_id
     """,
     survey_ref="beyond-ref: ANN recall@k for the IVF-grid path (operators/similarity.py:ann_recall with the ivf_grid_cells bucketer swapped in)",
+    memoize=False,  # ann_recall lazily localCheckpoints the bucketed
+    # corpus (r8): a memoized plan would re-read those blocks on repeat
+    # runs and time cached data instead of the index path
 )
 def q80_ann_recall_ivf(spark, sf_dir):
     """q78's recall telemetry pointed at the OTHER index family: the
@@ -2719,6 +2725,9 @@ def q80_ann_recall_ivf(spark, sf_dir):
     GROUP BY t.query_id
     """,
     survey_ref="beyond-ref: IVF nprobe recall (operators/similarity.py:ivf_probe_cells through knn_lsh's generic prober hook)",
+    memoize=False,  # ann_recall lazily localCheckpoints the bucketed
+    # corpus (r8): a memoized plan would re-read those blocks on repeat
+    # runs and time cached data instead of the index path
 )
 def q81_ann_recall_ivf_nprobe(spark, sf_dir):
     """q80's IVF recall with the nprobe dial turned: each query probes
