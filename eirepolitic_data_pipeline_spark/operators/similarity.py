@@ -313,8 +313,8 @@ def centroid_cells(vec_col: Column, centroids: list[list[float]]) -> Column:
 
     Scale: k·dim literals embedded in one projection — fine for coarse
     codebooks (IVF nlist in the hundreds); past ``vectors._MAX_LITERALS``
-    plan-construction cost grows linearly and a broadcast-join assignment
-    (``kmeans_assign``'s join path) should produce the cells instead."""
+    plan-construction cost grows linearly and ``kmeans_assign``'s Arrow
+    kernel path should produce the cells instead."""
     from .vectors import _dist2
 
     dim = len(centroids[0]) if centroids else 0

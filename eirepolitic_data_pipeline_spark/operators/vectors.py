@@ -97,12 +97,14 @@ def _dist2(v: Column, centroid: list[float]) -> Column:
 #: Literal-assignment budget: above ~this many embedded literals the
 #: plan-construction + codegen cost of the literal expression tree (one
 #: Py4J round trip per literal, then Catalyst analysis of a k·dim-wide
-#: tree PER ITERATION) outgrows the join path's one extra map-side-combined
-#: shuffle — measured on the bench host at k=16 x 64 dims (1024 literals):
-#: literal fit 4.2s warm vs broadcast-join fit 2.1s. 512 keeps the k<=8
-#: x 64-dim models literal (q73's k=4 fit: 256 literals, pure projection)
-#: and routes everything IVF-shaped through the join (Janino method
-#: limits loom there anyway).
+#: tree PER ITERATION) outgrows the Arrow kernel's batch-transfer cost —
+#: the r6 measurement at k=16 x 64 dims (1024 literals) had the literal
+#: fit at 4.2s warm vs 2.1s for the then-join path, and the r8 kernel is
+#: strictly cheaper than that join (no corpus shuffle, vectorized folds).
+#: 512 keeps the k<=8 x 64-dim models literal (q73's k=4 fit: 256
+#: literals, pure projection — the recipe the oracles unroll) and routes
+#: everything IVF-shaped through the kernel (Janino method limits loom
+#: past it anyway).
 _MAX_LITERALS = 512
 
 
@@ -112,15 +114,24 @@ def _assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
 
     Two plans, same semantics: small models are embedded as LITERALS
     (array_min over (distance, id) structs — a pure projection, no join,
-    no shuffle); models past ``_MAX_LITERALS`` floats (IVF-scale k in
-    the thousands, where a quarter-million-literal projection outgrows
-    plan construction and Janino limits) become a BROADCAST centroid
-    table joined to the vectors, with the per-vector minimum combined
-    MAP-SIDE so the groupBy(vec_id) shuffles one row per vector — one
-    corpus-sized shuffle per assignment (the MLlib shape), never n×k.
-    Struct ordering keeps the tie rule (lowest cluster id), and both
-    plans fold distances with the same sequential zip_with, so the
-    chosen plan cannot change results.
+    no shuffle, and the recipe the DuckDB oracles unroll); models past
+    ``_MAX_LITERALS`` floats (IVF-scale k, where a quarter-million-literal
+    projection outgrows plan construction and Janino limits) run as an
+    ARROW KERNEL — one ``mapInPandas`` pass with the model closed over as
+    a numpy matrix, the MLlib trainer's shape. The kernel replaced the r6
+    broadcast-join path (crossJoin + map-side-combined groupBy(vec_id)):
+    that shape still shuffled one row per vector PER ITERATION, a
+    corpus-sized exchange the map-only kernel simply doesn't have, and the
+    n×k interpreted zip_with folds it expanded are one vectorized
+    (n, k, dim) accumulation instead (r8).
+
+    Bit-exactness across all paths and engines: the kernel accumulates
+    dimension-by-dimension in float64 — the same float sequence as the
+    sequential zip_with fold (the semdedup kernel's proven recipe) — and
+    ``np.argmin`` takes the FIRST minimum, the struct-min's
+    lowest-cluster-id tie rule. NaN distances are masked to +inf for the
+    argmin (Spark orders NaN above every double, so a NaN distance never
+    wins there either) while the reported d2 keeps the raw value.
     """
     k, dim = len(centroids), len(centroids[0]) if centroids else 0
     if k * dim <= _MAX_LITERALS:
@@ -132,21 +143,47 @@ def _assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
         return vecs.select("vec_id", "__v",
                            best["cluster"].alias("cluster"),
                            best["d2"].alias("d2"))
-    spark = vecs.sparkSession
-    cents = F.broadcast(spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)],
-        "__c int, __cv array<double>"))
-    d2 = _fold_sum(F.zip_with(F.col("__v"), F.col("__cv"),
-                              lambda x, y: (x - y) * (x - y)))
-    best = F.min(F.struct(F.col("__d2").alias("d2"),
-                          F.col("__c").alias("cluster"))).alias("__best")
-    return (vecs.crossJoin(cents)
-            .withColumn("__d2", d2)
-            .groupBy("vec_id")
-            .agg(F.any_value("__v").alias("__v"), best)
-            .select("vec_id", "__v",
-                    F.col("__best.cluster").alias("cluster"),
-                    F.col("__best.d2").alias("d2")))
+    import numpy as np
+
+    C = np.asarray(centroids, dtype="float64")
+    id_type = vecs.schema["vec_id"].dataType.simpleString()
+
+    def kernel(batches):
+        import pandas as pd
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            try:
+                V = np.stack(pdf["__v"].to_numpy()).astype("float64")
+            except ValueError:
+                raise RuntimeError(
+                    "kmeans_assign: the embedding column is ragged; "
+                    "k-means requires a fixed-dimension embedding column")
+            if V.shape[1] != dim:
+                raise RuntimeError(
+                    f"kmeans_assign: vectors have {V.shape[1]} dimensions "
+                    f"but the model has {dim} — the embedding column is "
+                    "ragged; k-means requires a fixed-dimension embedding "
+                    "column")
+            # dimension-ordered accumulation: the same float64 sequence as
+            # the literal path's sequential fold, vectorized across rows
+            # and centroids
+            acc = np.zeros((n, k))
+            for d in range(dim):
+                diff = V[:, d:d + 1] - C[None, :, d]
+                acc = acc + diff * diff
+            masked = np.where(np.isnan(acc), np.inf, acc)
+            best = masked.argmin(axis=1)
+            d2 = acc[np.arange(n), best]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "__v": pdf["__v"],
+                                "cluster": best.astype("int32"),
+                                "d2": d2})
+
+    return vecs.select("vec_id", "__v").mapInPandas(
+        kernel, schema=f"vec_id {id_type}, __v array<double>, "
+                       "cluster int, d2 double")
 
 
 def _well_formed_vectors(df: DataFrame, vec_col: str,
@@ -244,10 +281,11 @@ def kmeans_assign(df: DataFrame, k: int = 4, iters: int = 2,
     NULL/empty/NULL-element vectors are excluded (see
     ``_well_formed_vectors``); the workload oracles mirror the exclusion.
 
-    Scale shape: per iteration one broadcast-literal projection (k·dim
-    lits, no join) computes assignments, then one map-side-combined
-    (cluster, dimension) average — k·dim result rows — is collected as
-    the next model. Driver state is the model only (k·dim doubles, the
+    Scale shape: per iteration one MAP-ONLY assignment pass (a
+    broadcast-literal projection for small models, the Arrow kernel past
+    ``_MAX_LITERALS`` — no join, no shuffle at any k), then one
+    map-side-combined (cluster, dimension) average — k·dim result rows —
+    is collected as the next model. Driver state is the model only (k·dim doubles, the
     same thing MLlib's trainer holds); the vectors themselves never
     leave the executors. CONSTRUCTION runs the fit's Spark jobs
     (iters aggregations), so workload entries must opt out of plan

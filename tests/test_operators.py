@@ -1086,11 +1086,11 @@ def test_diversity_sample_quota_and_determinism(spark):
     assert len(all_rows) == 10
 
 
-def test_kmeans_join_path_matches_literal_path(spark):
-    """Past the literal budget the assignment switches to the broadcast
-    centroid-table join — same distances (identical sequential fold),
-    same tie rule, so the two plans must be row-identical on the same
-    model."""
+def test_kmeans_kernel_path_matches_literal_path(spark):
+    """Past the literal budget the assignment switches to the Arrow
+    kernel (dimension-ordered numpy accumulation) — the same float64
+    sequence as the literal path's sequential fold, same first-minimum
+    tie rule, so the two plans must be row-identical on the same model."""
     from eirepolitic_data_pipeline_spark.operators import vectors as vx
     pts = [(i, [float((i * 7 + d) % 5) for d in range(8)])
            for i in range(40)]
@@ -1099,11 +1099,11 @@ def test_kmeans_join_path_matches_literal_path(spark):
         (r["vec_id"], r["cluster"], r["dist"])
         for r in vx.kmeans_assign(emb, k=3, iters=2).collect())
     orig = vx._MAX_LITERALS
-    vx._MAX_LITERALS = 1  # force the broadcast-join path
+    vx._MAX_LITERALS = 1  # force the Arrow kernel path
     try:
-        join_rows = sorted(
+        kernel_rows = sorted(
             (r["vec_id"], r["cluster"], r["dist"])
             for r in vx.kmeans_assign(emb, k=3, iters=2).collect())
     finally:
         vx._MAX_LITERALS = orig
-    assert join_rows == lit_rows
+    assert kernel_rows == lit_rows

@@ -221,8 +221,8 @@ def main():
                      f"labeled | deterministic rerun histogram: "
                      f"{'PASS' if km_ok else 'FAIL'} |")
 
-        # 5. IVF-scale k: k*dim > _MAX_LITERALS exercises the broadcast
-        # centroid-table join path (a literal plan at this k would outgrow
+        # 5. IVF-scale k: k*dim > _MAX_LITERALS exercises the Arrow
+        # kernel assignment path (a literal plan at this k would outgrow
         # plan construction / Janino limits)
         n_big = args.kmeans_vectors // 5
         bigk = build_vectors(spark, n_big, 64, os.path.join(tmp, "bigk"))
@@ -236,10 +236,10 @@ def main():
         if not big_ok:
             failures.append(f"kmeans k=256: {labeled['n']}/{n_big} labeled "
                             f"across {labeled['k']} clusters")
-        lines.append(f"| k-means IVF-scale ({n_big} x 64, k=256, join "
+        lines.append(f"| k-means IVF-scale ({n_big} x 64, k=256, kernel "
                      f"path) | {t_big} | {labeled['n']} labeled, "
                      f"{labeled['k']} clusters used | exhaustive via "
-                     f"broadcast-join assignment: "
+                     f"Arrow kernel assignment (no corpus shuffle): "
                      f"{'PASS' if big_ok else 'FAIL'} |")
 
     section = (
@@ -257,9 +257,9 @@ def main():
         "zero-shuffle projection (plan-asserted in "
         "tests/test_plan_properties.py) whose error bound is checked by "
         "aggregate, not sampling; the k-means fit moves only (cluster, "
-        "dim) partial means over the wire (plus, on the IVF-scale join "
-        "path, one map-side-combined row per vector at assignment — "
-        "never n*k) and its model is pinned to a "
+        "dim) partial means over the wire (assignment is map-only at any "
+        "k — the IVF-scale model rides the Arrow kernel, which shuffles "
+        "nothing and never expands n*k rows) and its model is pinned to a "
         "6-dp grid, so reruns — and engines — agree exactly.\n\n"
         f"Result: **{'PASS' if not failures else 'FAIL: ' + '; '.join(failures)}**. "
         "Rerun: `python tools/stress_profiling.py`.\n"
