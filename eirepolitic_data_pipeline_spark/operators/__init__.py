@@ -27,6 +27,7 @@ from .similarity import (  # noqa: F401
     hashed_projection_bucket,
     knn_bruteforce,
     knn_lsh,
+    knn_quantized_rerank,
     semantic_dedup,
     sign_lsh_bucket,
 )

@@ -627,17 +627,21 @@ def _edge_node_labels(pairs: DataFrame, max_iters: int = 10,
                              ignore_index=True)
             codes, uniq = pd.factorize(both)
             m = len(pdf)
-            a, b = codes[:m], codes[m:]
-            parent = np.arange(len(uniq))
+            a, b = codes[:m].tolist(), codes[m:].tolist()
+            # plain-list parent array: the find loop is pure Python, and
+            # list indexing is several times cheaper per step than numpy
+            # scalar indexing — it bounds the single task's wall at the
+            # SMALL_GRAPH_MAX_EDGES ceiling
+            parent = list(range(len(uniq)))
 
             def find(i: int) -> int:
                 while parent[i] != i:
                     parent[i] = parent[parent[i]]
                     i = parent[i]
-                return int(i)
+                return i
 
             for i, j in zip(a, b):
-                ri, rj = find(int(i)), find(int(j))
+                ri, rj = find(i), find(j)
                 if ri != rj:
                     parent[max(ri, rj)] = min(ri, rj)
             roots = np.array([find(i) for i in range(len(uniq))])

@@ -54,6 +54,79 @@ def knn_bruteforce(vectors: DataFrame, queries: DataFrame, k: int,
     )
 
 
+def knn_quantized_rerank(quantized: DataFrame, queries: DataFrame, k: int,
+                         m: Optional[int] = None,
+                         vectors: Optional[DataFrame] = None,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         query_id_col: str = "vec_id") -> DataFrame:
+    """Two-stage serving kNN over a COMPRESSED corpus — the IVF-PQ
+    serving pattern (asymmetric distance computation, Jégou et al. 2011),
+    composed from this repo's symmetric int8 codec: stage 1 scores every
+    corpus row against the broadcast queries on the DEQUANTIZED vectors
+    (``quantize_int8``'s ``(vec_id, scale, qvec)`` columns) and keeps the
+    top-``m`` candidates per query; stage 2 re-ranks those
+    |queries|·``m`` candidates EXACTLY against the full-precision
+    ``vectors`` frame and emits the top-``k``. Output
+    ``(query_id, neighbor_id, cosine, rank)`` — ``cosine`` exact when
+    ``vectors`` is given, dequantized-approximate when ``vectors=None``
+    (single-stage compressed search).
+
+    Why this exists at 100 TB: the float64 embedding column is the
+    dominant scan cost of every serving pass, and the int8 twin is ~8x
+    narrower — so the corpus-wide stage reads the compressed table only,
+    while full-precision vectors are touched for just |queries|·m rows
+    via a broadcast-candidate join (never a second corpus scan of the
+    wide column). Candidate quality is the codec's certified
+    reconstruction (q72's mse contract); ``m`` > k buys back the
+    neighbors the quantization grid blurs across the top-k boundary —
+    the exactness knob, with m = |corpus| degenerating to brute force.
+
+    Determinism: dequantization multiplies by the EMITTED 9-dp-rounded
+    scale (the reproducibility pin of the codec), both rank cuts order
+    by (cosine DESC, neighbor_id), and all cosines are the repo's
+    sequential folds — the DuckDB oracle re-derives both stages
+    bit-compatibly. Zero-scale (all-zero) vectors dequantize to zero and
+    score 0.0 via ``cosine_col``'s zero-norm guard, never NaN."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if m is None:
+        m = 4 * k
+    if m < k:
+        raise ValueError(f"m ({m}) must be >= k ({k}) — the exact re-rank "
+                         "can only return candidates stage 1 kept")
+    dq = F.transform(F.col("qvec"),
+                     lambda x: x.cast("double") * F.col("scale"))
+    v = quantized.select(F.col("vec_id").alias("neighbor_id"),
+                         dq.alias("nv"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    w_m = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    cand = (v.crossJoin(F.broadcast(q))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cosine", cosine_col(F.col("nv"), F.col("qv")))
+            .withColumn("rank", F.row_number().over(w_m).cast("int"))
+            .filter(F.col("rank") <= m))
+    if vectors is None:
+        return (cand.filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "cosine", "rank"))
+    xv = vectors.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).cast("array<double>").alias("xv"))
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    # the candidate side is |queries|·m rows — broadcast it so the
+    # full-precision fetch is a map-side join against the wide table,
+    # not a corpus shuffle
+    return (xv.join(F.broadcast(cand.select("query_id", "neighbor_id",
+                                            "qv")),
+                    "neighbor_id")
+            .withColumn("cosine", cosine_col(F.col("xv"), F.col("qv")))
+            .withColumn("rank", F.row_number().over(w_k).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
 def sign_lsh_bucket(vec_col: Column, n_bits: int = 8) -> Column:
     """Axis-aligned hyperplane LSH: bucket = sign bits of the first n dims.
     Cheap, deterministic, engine-independent. For better-distributed planes

@@ -28,10 +28,10 @@ from . import quality  # noqa: F401,E402
 
 
 # Certification rotation (round 8). The driver's correctness gate certifies
-# the first ~50 registered queries per round; with 78 registered, ~28 fall
+# the first ~50 registered queries per round; with 79 registered, ~29 fall
 # outside every round. Rank the workload so the window always covers the
 # queries that NEED a fresh driver-green row:
-#   front — queries never driver-certified (q82, new round 8) or holding a
+#   front — queries never driver-certified (q82/q83, new round 8) or holding a
 #           single green ledger (q78–q81, certified r7 only — hold inside
 #           until 2+, the same rule r6 set for q69–q77), then every query
 #           whose implementation FILE changed this round (round 8 touched
@@ -55,6 +55,7 @@ from . import quality  # noqa: F401,E402
 _CERT_PRIORITY = [
     # new round 8 — never driver-certified
     "q82_ann_recall_ivf_trained",
+    "q83_knn_quantized_rerank",
     # single green ledger (r7) — hold inside the window until 2+
     "q78_ann_recall",
     "q79_semdedup_clusters",
@@ -103,8 +104,6 @@ _CERT_PRIORITY = [
     "q31_dq_summary_lineitem",
     "q32_integrity_checks",
     "q34_scalar_function_parity",
-    "q35_json_props_extract",
-    "q36_parse_iso_date_parity",
     "q41_compat_projection",
 ]
 _CERT_TAIL = [
@@ -146,6 +145,13 @@ _CERT_TAIL = [
     "q54_repetition_stats",
     "q59_hll_sketch_rollup",
     "q60_incremental_rollup_equivalence",
+    # demoted when q82/q83 were added (round 8): each green r05+r06+r07
+    # (3 ledgers); q35's get_json_object builder (workload/quality.py) and
+    # q36's parse_iso_date path (functions/scalar.py, which q34 — still
+    # inside the window — also certifies) are untouched this round —
+    # rotate back in whenever those files change
+    "q35_json_props_extract",
+    "q36_parse_iso_date_parity",
     # demoted when q81 was added (round 7): green r04-r06 (3 ledgers) and
     # its quality_features path in functions/text.py is untouched this
     # round — explicit here rather than silently falling past the window

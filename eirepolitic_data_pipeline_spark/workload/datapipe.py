@@ -2854,3 +2854,93 @@ def q82_ann_recall_ivf_trained(spark, sf_dir):
                       bucketer=lambda c, n: centroid_cells(c, cents),
                       vector_prober=lambda qv: centroid_probe_ranks(
                           qv, cents, nprobe=3))
+
+
+@register(
+    "q83_knn_quantized_rerank",
+    r"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+      -- the codec universe: NULL, empty, and NULL-element embeddings
+      -- are not servable by a quantized index (q72's contract)
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+    -- q72's quantization recipe verbatim: qv from the RAW scale, the
+    -- EMITTED scale rounded to 9 dp (the codec's reproducibility pin)
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS rscale
+      FROM e
+    ),
+    qz AS (
+      SELECT vec_id, round(rscale, 9) AS scale,
+             CASE WHEN rscale > 0 THEN
+               list_transform(v, x -> CAST(greatest(-127, least(127,
+                 floor(x / rscale + 0.5))) AS INTEGER))
+             ELSE list_transform(v, x -> 0) END AS qv
+      FROM s
+    ),
+    -- dequantize with the EMITTED scale, exactly as the serving scan does
+    dq AS (
+      SELECT vec_id, list_transform(qv, c -> c * scale) AS dv
+      FROM qz
+    ),
+    dqn AS (SELECT vec_id, dv, list_dot_product(dv, dv) AS nn FROM dq),
+    qs AS (
+      SELECT vec_id AS query_id, v AS qvf, list_dot_product(v, v) AS qn
+      FROM e WHERE vec_id < 20
+    ),
+    -- stage 1: top-m candidates by DEQUANTIZED cosine (m=10)
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 CASE WHEN n.nn > 0 AND q.qn > 0
+                      THEN list_cosine_similarity(n.dv, q.qvf)
+                      ELSE 0.0 END DESC, n.vec_id) AS rn
+        FROM qs q JOIN dqn n ON n.vec_id <> q.query_id
+      ) WHERE rn <= 10
+    ),
+    -- stage 2: exact re-rank of the |queries| x m candidates
+    ex AS (
+      SELECT c.query_id, c.neighbor_id,
+             CASE WHEN ne.nn2 > 0 AND q.qn > 0
+                  THEN list_cosine_similarity(ne.v, q.qvf)
+                  ELSE 0.0 END AS cos_raw
+      FROM cand c
+      JOIN (SELECT vec_id, v, list_dot_product(v, v) AS nn2 FROM e) ne
+        ON ne.vec_id = c.neighbor_id
+      JOIN qs q ON q.query_id = c.query_id
+    )
+    SELECT query_id, neighbor_id,
+           round(cos_raw, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+    FROM ex
+    QUALIFY rank <= 5
+    """,
+    survey_ref="beyond-ref: quantized-candidate kNN with exact re-rank (operators/similarity.py:knn_quantized_rerank over quantize_int8's codec) — the IVF-PQ serving pattern",
+)
+def q83_knn_quantized_rerank(spark, sf_dir):
+    """Compressed-corpus serving kNN (the IVF-PQ pattern, composed from
+    the repo's certified int8 codec): stage 1 scores the whole corpus on
+    the DEQUANTIZED ``quantize_int8`` columns — at serving scale that
+    scan reads the ~8x narrower (scale, qvec) table, never the float64
+    embedding column — and keeps the top-m=10 candidates per query;
+    stage 2 re-ranks exactly against full precision for just
+    |queries| x m rows (broadcast-candidate join, no second corpus scan)
+    and emits the top-k=5. The oracle re-derives the codec (q72's recipe
+    verbatim, 9-dp emitted scale), the dequantized stage-1 ranking, and
+    the exact stage-2 re-rank — certifying that the compressed index and
+    the full-precision truth agree on every emitted (neighbor, rank)."""
+    from ..operators.similarity import knn_quantized_rerank
+    from ..operators.vectors import quantize_int8
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+           .filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") > 0)))
+    quantized = quantize_int8(emb).select("vec_id", "scale", "qvec")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = knn_quantized_rerank(quantized, queries, k=5, m=10, vectors=emb)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")

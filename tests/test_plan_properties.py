@@ -238,3 +238,15 @@ def test_source_overlap_shingles_at_most_twice(spark):
     kernels = plan.count("MapInPandas")
     assert kernels <= 2, (
         f"source_overlap shingles the corpus {kernels}x (claim: <= 2)")
+
+
+def test_quantized_rerank_broadcasts_candidates(spark):
+    """q83's stage-2 exact re-rank must fetch full-precision vectors via a
+    BROADCAST of the |queries|*m candidate set — a hash-shuffle there
+    would move the corpus-sized wide table for a candidate set that fits
+    in one broadcast, defeating the operator's one-narrow-scan design."""
+    plan = _plan(_queries()["q83_knn_quantized_rerank"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the only key-moving exchanges allowed are the two top-k windows'
+    # (query_id) partitionings — the corpus itself must never hash-shuffle
+    assert _shuffles(plan) <= 2, plan

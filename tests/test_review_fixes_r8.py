@@ -318,3 +318,51 @@ def test_minhash_dedup_keep_matches_mapping_filter(spark):
     got = {r["doc_id"] for r in minhash_dedup_keep(
         docs, num_hashes=8, band_rows=2, threshold=0.7).collect()}
     assert got == want and len(got) > 0
+
+
+def test_knn_quantized_rerank_full_m_equals_bruteforce(spark):
+    """With m = |corpus| the two-stage quantized path degenerates to the
+    exact brute force: stage 1 keeps everything, stage 2 re-ranks all of
+    it at full precision — so (query_id, neighbor_id, rank) must be
+    row-identical to knn_bruteforce."""
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        knn_bruteforce, knn_quantized_rerank)
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        quantize_int8)
+    emb = (spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+           .filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") > 0)
+                   & ~F.exists("embedding", lambda x: x.isNull())))
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 5)
+    quantized = quantize_int8(emb).select("vec_id", "scale", "qvec")
+    got = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                 for r in knn_quantized_rerank(
+                     quantized, queries, k=5, m=n, vectors=emb).collect())
+    want = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                  for r in knn_bruteforce(emb, queries, 5).collect())
+    assert got == want and len(got) > 0
+
+
+def test_knn_quantized_rerank_guards_and_approx_path(spark):
+    """m < k raises; vectors=None returns the single-stage compressed
+    ranking (top-k of the dequantized scores), never more than k rows per
+    query; zero-scale vectors score 0.0, not NaN."""
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        knn_quantized_rerank)
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        quantize_int8)
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+            (3, [0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    quantized = quantize_int8(emb).select("vec_id", "scale", "qvec")
+    queries = emb.filter(F.col("vec_id") == 0)
+    with pytest.raises(ValueError, match="m"):
+        knn_quantized_rerank(quantized, queries, k=5, m=3)
+    out = knn_quantized_rerank(quantized, queries, k=2).collect()
+    assert len(out) == 2
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] \
+        == [1, 2]
+    all3 = knn_quantized_rerank(quantized, queries, k=3, m=3).collect()
+    zero = [r for r in all3 if r["neighbor_id"] == 3][0]
+    assert zero["cosine"] == 0.0
