@@ -87,7 +87,13 @@ def knn_quantized_rerank(quantized: DataFrame, queries: DataFrame, k: int,
     by (cosine DESC, neighbor_id), and all cosines are the repo's
     sequential folds — the DuckDB oracle re-derives both stages
     bit-compatibly. Zero-scale (all-zero) vectors dequantize to zero and
-    score 0.0 via ``cosine_col``'s zero-norm guard, never NaN."""
+    score 0.0 via ``cosine_col``'s zero-norm guard, never NaN.
+
+    CONTRACT: ``vectors`` must cover every id in ``quantized`` (stage 2's
+    fetch is an inner join, so a candidate missing from the
+    full-precision frame silently drops out of the top-k instead of
+    erroring). Both in-repo callers derive the two frames from the same
+    source, which satisfies this by construction."""
     if k < 1:
         raise ValueError("k must be >= 1")
     if m is None:

@@ -168,14 +168,22 @@ def _assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
                     "column")
             # dimension-ordered accumulation: the same float64 sequence as
             # the literal path's sequential fold, vectorized across rows
-            # and centroids
-            acc = np.zeros((n, k))
-            for d in range(dim):
-                diff = V[:, d:d + 1] - C[None, :, d]
-                acc = acc + diff * diff
-            masked = np.where(np.isnan(acc), np.inf, acc)
-            best = masked.argmin(axis=1)
-            d2 = acc[np.arange(n), best]
+            # and centroids. Row-blocked (the semdedup kernel's recipe) so
+            # the (block, k) distance panel — not (batch, k) — bounds peak
+            # memory: a 10k-row Arrow batch at k=4096 would otherwise hold
+            # a ~330 MB float64 panel per task.
+            block = 1024
+            best = np.empty(n, dtype="int64")
+            d2 = np.empty(n)
+            for s in range(0, n, block):
+                e = min(s + block, n)
+                acc = np.zeros((e - s, k))
+                for d in range(dim):
+                    diff = V[s:e, d:d + 1] - C[None, :, d]
+                    acc = acc + diff * diff
+                masked = np.where(np.isnan(acc), np.inf, acc)
+                best[s:e] = masked.argmin(axis=1)
+                d2[s:e] = acc[np.arange(e - s), best[s:e]]
             yield pd.DataFrame({"vec_id": pdf["vec_id"],
                                 "__v": pdf["__v"],
                                 "cluster": best.astype("int32"),
