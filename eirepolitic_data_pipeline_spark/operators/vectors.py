@@ -94,36 +94,38 @@ def _dist2(v: Column, centroid: list[float]) -> Column:
     return _fold_sum(F.zip_with(v, c, lambda x, y: (x - y) * (x - y)))
 
 
-#: Literal-assignment budget: above ~this many embedded literals the
-#: plan-construction + codegen cost of the literal expression tree (one
-#: Py4J round trip per literal, then Catalyst analysis of a k·dim-wide
-#: tree PER ITERATION) outgrows the Arrow kernel's batch-transfer cost —
-#: the r6 measurement at k=16 x 64 dims (1024 literals) had the literal
-#: fit at 4.2s warm vs 2.1s for the then-join path, and the r8 kernel is
-#: strictly cheaper than that join (no corpus shuffle, vectorized folds).
-#: 512 keeps the k<=8 x 64-dim models literal (q73's k=4 fit: 256
-#: literals, pure projection — the recipe the oracles unroll) and routes
-#: everything IVF-shaped through the kernel (Janino method limits loom
-#: past it anyway).
-_MAX_LITERALS = 512
+#: Literal-assignment budget: models with at most this many embedded
+#: literals may run as the pure-Catalyst literal expression tree instead
+#: of the Arrow kernel. Default 0 — the kernel is the production path at
+#: EVERY size (r8, measured at sf0.1 interleaved medians: q73 1.86->1.59s,
+#: q75 1.78->1.64s, q82 3.47->3.03s even at k=4 x 64 dims, because the
+#: literal tree is an interpreted HOF fold per (row, centroid) plus one
+#: Py4J round trip per literal at construction, per iteration). The
+#: literal branch is kept as the cross-engine SEMANTIC TWIN — it is the
+#: recipe the DuckDB oracles unroll, ``centroid_cells`` still embeds it as
+#: a bucketer Column, and the parity test pins kernel == literal
+#: row-identical by raising this constant.
+_MAX_LITERALS = 0
 
 
 def _assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """(vec_id, __v, cluster, d2): nearest centroid per vector, ties to
     the lowest cluster id.
 
-    Two plans, same semantics: small models are embedded as LITERALS
-    (array_min over (distance, id) structs — a pure projection, no join,
-    no shuffle, and the recipe the DuckDB oracles unroll); models past
-    ``_MAX_LITERALS`` floats (IVF-scale k, where a quarter-million-literal
-    projection outgrows plan construction and Janino limits) run as an
-    ARROW KERNEL — one ``mapInPandas`` pass with the model closed over as
-    a numpy matrix, the MLlib trainer's shape. The kernel replaced the r6
-    broadcast-join path (crossJoin + map-side-combined groupBy(vec_id)):
-    that shape still shuffled one row per vector PER ITERATION, a
-    corpus-sized exchange the map-only kernel simply doesn't have, and the
-    n×k interpreted zip_with folds it expanded are one vectorized
-    (n, k, dim) accumulation instead (r8).
+    Two plans, same semantics. The production path (any model size, r8)
+    is an ARROW KERNEL — one ``mapInPandas`` pass with the model closed
+    over as a numpy matrix, the MLlib trainer's shape: map-only, no join,
+    no shuffle at any k. It replaced both earlier plans — the r6
+    broadcast-join (crossJoin + map-side-combined groupBy(vec_id), which
+    shuffled one row per vector PER ITERATION and expanded n×k
+    interpreted zip_with folds) and, as the default for small models, the
+    literal expression tree (an interpreted HOF fold per (row, centroid)
+    plus one Py4J round trip per literal at plan construction — measured
+    slower than the kernel even at k=4 x 64 dims, see ``_MAX_LITERALS``).
+    The literal branch remains for models within ``_MAX_LITERALS``
+    embedded floats as the pure-Catalyst SEMANTIC TWIN: it is the recipe
+    the DuckDB oracles unroll and the parity test pins against the
+    kernel.
 
     Bit-exactness across all paths and engines: the kernel accumulates
     dimension-by-dimension in float64 — the same float sequence as the
@@ -289,9 +291,8 @@ def kmeans_assign(df: DataFrame, k: int = 4, iters: int = 2,
     NULL/empty/NULL-element vectors are excluded (see
     ``_well_formed_vectors``); the workload oracles mirror the exclusion.
 
-    Scale shape: per iteration one MAP-ONLY assignment pass (a
-    broadcast-literal projection for small models, the Arrow kernel past
-    ``_MAX_LITERALS`` — no join, no shuffle at any k), then one
+    Scale shape: per iteration one MAP-ONLY assignment pass (the Arrow
+    kernel — no join, no shuffle at any k; see ``_assign``), then one
     map-side-combined (cluster, dimension) average — k·dim result rows —
     is collected as the next model. Driver state is the model only (k·dim doubles, the
     same thing MLlib's trainer holds); the vectors themselves never

@@ -2293,11 +2293,12 @@ def q73_kmeans_clusters(spark, sf_dir):
     argmin go to the lowest cluster id; an emptied cluster keeps its
     previous centroid. The coarse quantizer an IVF index trains, and the
     clustering stage of SemDeDup-style cluster-based curation. Scale
-    shape: per iteration one broadcast-literal assignment projection (no
-    join) and one map-side-combined (cluster, dim) mean — k*dim rows —
-    collected as the next model; driver state is the model only. The
-    oracle unrolls both iterations as CTE rounds sharing the identical
-    sequential-fold distance."""
+    shape: per iteration one MAP-ONLY assignment pass (the Arrow kernel —
+    no join, no shuffle at any k, parity-pinned to the literal semantic
+    twin the oracle unrolls) and one map-side-combined (cluster, dim)
+    mean — k*dim rows — collected as the next model; driver state is the
+    model only. The oracle unrolls both iterations as CTE rounds sharing
+    the identical sequential-fold distance."""
     from ..operators.vectors import kmeans_assign
     emb = spread(t(spark, sf_dir, "embeddings"))
     return kmeans_assign(emb, k=4, iters=2)

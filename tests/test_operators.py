@@ -1087,21 +1087,23 @@ def test_diversity_sample_quota_and_determinism(spark):
 
 
 def test_kmeans_kernel_path_matches_literal_path(spark):
-    """Past the literal budget the assignment switches to the Arrow
-    kernel (dimension-ordered numpy accumulation) — the same float64
-    sequence as the literal path's sequential fold, same first-minimum
-    tie rule, so the two plans must be row-identical on the same model."""
+    """The Arrow kernel (the default at every model size, r8) and the
+    literal semantic twin — the recipe the DuckDB oracles unroll — must
+    be row-identical on the same model: the kernel's dimension-ordered
+    numpy accumulation is the same float64 sequence as the literal path's
+    sequential fold, and np.argmin's first-minimum is the struct-min's
+    lowest-cluster tie rule."""
     from eirepolitic_data_pipeline_spark.operators import vectors as vx
     pts = [(i, [float((i * 7 + d) % 5) for d in range(8)])
            for i in range(40)]
     emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
-    lit_rows = sorted(
+    kernel_rows = sorted(
         (r["vec_id"], r["cluster"], r["dist"])
         for r in vx.kmeans_assign(emb, k=3, iters=2).collect())
     orig = vx._MAX_LITERALS
-    vx._MAX_LITERALS = 1  # force the Arrow kernel path
+    vx._MAX_LITERALS = 10_000  # force the literal semantic-twin path
     try:
-        kernel_rows = sorted(
+        lit_rows = sorted(
             (r["vec_id"], r["cluster"], r["dist"])
             for r in vx.kmeans_assign(emb, k=3, iters=2).collect())
     finally:
