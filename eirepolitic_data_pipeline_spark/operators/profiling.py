@@ -155,9 +155,17 @@ def source_overlap(df: DataFrame, n: int = 3,
                 .select(F.col(source_col).alias("__src"), text_col))
     posts = shingle_postings(src_docs, text_col, "__src", n)
     blank_key = _md5_int64(next(iter(_shingle_set(None, n))))
+    # lazy localCheckpoint: the distinct (source, key) frame feeds BOTH
+    # the totals branch and the postings branch — unmaterialized, each
+    # branch re-runs the Arrow shingle kernel AND the distinct shuffle
+    # over the whole corpus (r8; the blocks cost one extra copy of what
+    # the distinct's shuffle files already hold, and the first action
+    # materializes them for both branches — one corpus shingle pass
+    # instead of two, at any scale)
     sh = (posts.select(F.col("doc_id").alias("__src"), "key")
           .filter(F.col("key") != F.lit(blank_key))
-          .distinct())
+          .distinct()
+          .localCheckpoint(eager=False))
     totals = sh.groupBy("__src").agg(F.count(F.lit(1)).alias("n_ngrams"))
     # carry each source's total INTO the postings structs (one broadcast
     # join on the distinct frame), so the pair rows already hold n_a/n_b —

@@ -2094,6 +2094,9 @@ def q71_ngram_heavy_hitters(spark, sf_dir):
            JOIN tot tb ON tb.source = p.src_b
     """,
     survey_ref="beyond-ref: cross-source shingle-overlap matrix (operators/profiling.py:source_overlap); feeds mix_sources weighting",
+    memoize=False,  # source_overlap lazily localCheckpoints its distinct
+    # (source, key) frame (r8): a memoized plan would re-read those blocks
+    # on repeat runs and time cached data instead of the shingle pass
 )
 def q74_source_overlap(spark, sf_dir):
     """Pairwise distinct 3-shingle overlap between sources: shared count,
