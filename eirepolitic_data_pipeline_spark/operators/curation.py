@@ -331,7 +331,8 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
     3. exact dedup — one row per normalized-content fingerprint, min id
        canonical (one shuffle);
     4. near-dup collapse — MinHash/LSH + verify + connected components
-       (``minhash_dedup``), keep the component canonical;
+       (``minhash_dedup_keep``: one anti-join against the component
+       losers), keep the component canonical;
     5. optional benchmark decontamination (``decontaminate``);
     6. deterministic leakage-safe split labels keyed on ``source_col``.
 
@@ -402,10 +403,12 @@ def curate_corpus_stages(docs: DataFrame, text_col: str = "text",
       boundaries the same way, and should unpersist every cached frame
       when done (run_curate does);
     - the first four yields are pure plan declarations, but ADVANCING
-      PAST ``exact_dedup`` runs Spark jobs: ``minhash_dedup``'s label
-      propagation localCheckpoints per round at construction time, so
-      the quality→exact prefix materializes then — don't iterate to the
-      ``near_dup`` stage just to inspect schemas."""
+      PAST ``exact_dedup`` runs Spark jobs: ``minhash_dedup_keep``'s
+      closure runs actions at construction (the edge-count gate, then
+      the union-find kernel's checkpoint — or the loop's per-round
+      counts on big graphs), so the quality→exact prefix materializes
+      then — don't iterate to the ``near_dup`` stage just to inspect
+      schemas."""
     from ..functions.text import quality_features
     from .dedupe import (dedupe_lines, decontaminate,
                          exact_canonical_ids, minhash_dedup_keep)

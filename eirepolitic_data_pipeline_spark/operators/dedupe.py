@@ -427,15 +427,10 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Full MinHash dedup: LSH candidates → exact Jaccard verify → connected
     components. Returns (id, canonical_id) where canonical is the min id of
     the doc's *component* — duplicate chains A~B~C (A≁C directly) collapse
-    to one canonical id via iterative min-label propagation run to a fixed
-    point (bounded by ``max_iters``).
-
-    Scale: each iteration is one join + one groupBy on the verified edge
-    list — O(diameter) rounds, and near-dup components in real corpora have
-    tiny diameters (pairwise-similar clusters), so 2-3 rounds typical. The
-    edge list is persisted once; labels are localCheckpoint-ed per round to
-    truncate lineage. The per-round convergence check is a scalar count,
-    not a data collect.
+    to one canonical id via the closure (``min_label_components``: a
+    single-task exact union-find for small verified edge lists, the
+    iterative min-label loop bounded by ``max_iters`` past
+    ``SMALL_GRAPH_MAX_EDGES``).
 
     Corpus scans: exactly ONE. Signatures and postings both come off the
     fused kernel frame (_minhash_postings_signatures) — running the two

@@ -1329,8 +1329,9 @@ def q61_line_dedup_boilerplate(spark, sf_dir):
     FROM reach GROUP BY id
     """,
     survey_ref="beyond-ref: MinHash full dedup + connected components (operators/dedupe.py:minhash_dedup)",
-    # min_label_components localCheckpoints per round — construction runs
-    # actions, so the plan memo must not turn repeat passes into result reads
+    # the closure runs actions at construction (the edge-count gate, then
+    # the union-find kernel's checkpoint or the loop's per-round counts)
+    # — the plan memo must not turn repeat passes into result reads
     memoize=False,
 )
 def q62_minhash_dedup_components(spark, sf_dir):
@@ -1471,7 +1472,8 @@ def q62_minhash_dedup_components(spark, sf_dir):
           FROM g4)
     """,
     survey_ref="beyond-ref: curate_corpus end-to-end (operators/curation.py) — quality gate, line dedup, exact dedup, near-dup components, split",
-    # minhash_dedup inside the recipe localCheckpoints per round
+    # the recipe's closure runs actions at construction (edge-count gate +
+    # union-find checkpoint, or loop rounds on big graphs)
     memoize=False,
 )
 def q63_curate_corpus_certified(spark, sf_dir):
