@@ -51,7 +51,7 @@ from eirepolitic_data_pipeline_spark.functions.text import (  # noqa: E402
 from eirepolitic_data_pipeline_spark.operators.curation import (  # noqa: E402
     curate_corpus)
 from eirepolitic_data_pipeline_spark.operators.dedupe import (  # noqa: E402
-    dedupe_lines, exact_canonical_ids, minhash_dedup)
+    dedupe_lines, exact_canonical_ids, minhash_dedup_keep)
 from eirepolitic_data_pipeline_spark.session import get_spark  # noqa: E402
 from tools.stress_dedup import (  # noqa: E402
     build_corpus, partition_profile)
@@ -169,9 +169,7 @@ def main():
           f"{ident_direct} canonical of {args.hot} copies, {t_exact}s "
           "(min-per-fingerprint aggregate, never a window)")
 
-    comp = minhash_dedup(s3, "text", "doc_id", threshold=0.7)
-    s4 = s3.join(comp.filter(F.col("doc_id") == F.col("canonical_id"))
-                 .select("doc_id"), "doc_id", "left_semi")
+    s4 = minhash_dedup_keep(s3, "text", "doc_id", threshold=0.7)
     n4, ok = stage("4 near-dup collapse", s4, results, args.skew_limit)
     all_ok &= ok
 
