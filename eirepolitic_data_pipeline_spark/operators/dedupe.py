@@ -601,6 +601,13 @@ def _edge_node_labels(pairs: DataFrame, max_iters: int = 10,
     and re-filtering it — one corpus-wide join instead of two."""
     if small_graph_max_edges is None:
         small_graph_max_edges = SMALL_GRAPH_MAX_EDGES
+    # NULL endpoints are outside the contract (an id frame can't contain
+    # NULL), but they must not reach the kernel: pd.factorize codes a
+    # missing value as -1, which would PYTHON-NEGATIVE-INDEX the parent
+    # array and silently corrupt the closure — dropping the edge is the
+    # defined, conservative outcome on both paths
+    pairs = pairs.filter(F.col("doc_a").isNotNull()
+                         & F.col("doc_b").isNotNull())
     edges = pairs.select("doc_a", "doc_b").unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))).persist()

@@ -366,3 +366,19 @@ def test_knn_quantized_rerank_guards_and_approx_path(spark):
     all3 = knn_quantized_rerank(quantized, queries, k=3, m=3).collect()
     zero = [r for r in all3 if r["neighbor_id"] == 3][0]
     assert zero["cosine"] == 0.0
+
+
+def test_min_label_components_drops_null_endpoint_edges(spark):
+    """A NULL edge endpoint (outside the contract) must degrade to a
+    dropped edge on BOTH closure paths — in the union-find kernel,
+    pd.factorize would otherwise code it -1 and python-negative-index the
+    parent array, silently corrupting the closure."""
+    from eirepolitic_data_pipeline_spark.operators.dedupe import (
+        min_label_components)
+    ids = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    pairs = spark.createDataFrame(
+        [(0, None), (None, 2), (1, 2)], "doc_a long, doc_b long")
+    for kw in ({}, {"small_graph_max_edges": 0, "max_iters": 5}):
+        out = {r["id"]: r["canonical_id"]
+               for r in min_label_components(ids, pairs, **kw).collect()}
+        assert out == {0: 0, 1: 1, 2: 1}, out
