@@ -234,11 +234,25 @@ def _fit(vecs: DataFrame, k: int, iters: int,
     dim = len(centroids[0])
     for _ in range(iters):
         assigned = _assign(vecs, centroids)
-        means = (assigned
-                 .select("cluster", F.posexplode("__v").alias("pos", "val"))
-                 .groupBy("cluster", "pos")
-                 .agg(F.round(F.avg("val"), round_dp).alias("mv"))
-                 .collect())
+        try:
+            means = (assigned
+                     .select("cluster",
+                             F.posexplode("__v").alias("pos", "val"))
+                     .groupBy("cluster", "pos")
+                     .agg(F.round(F.avg("val"), round_dp).alias("mv"))
+                     .collect())
+        except Exception as e:
+            # the Arrow kernel raises the ragged-dimension contract error
+            # WORKER-side, which PySpark surfaces as a PythonException —
+            # re-raise it as the documented driver-side RuntimeError so
+            # callers (and the r6b contract test) see one error type
+            # regardless of assignment path
+            if "ragged" in str(e):
+                raise RuntimeError(
+                    "kmeans_assign: the embedding column is ragged; "
+                    "k-means requires a fixed-dimension embedding "
+                    "column") from e
+            raise
         by_cluster: dict[int, dict[int, float]] = {}
         for r in means:
             by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["mv"]
