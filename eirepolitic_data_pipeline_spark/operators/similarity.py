@@ -391,9 +391,12 @@ def centroid_cells(vec_col: Column, centroids: list[list[float]]) -> Column:
     a live candidate otherwise).
 
     Scale: k·dim literals embedded in one projection — fine for coarse
-    codebooks (IVF nlist in the hundreds); past ``vectors._MAX_LITERALS``
-    plan-construction cost grows linearly and ``kmeans_assign``'s Arrow
-    kernel path should produce the cells instead."""
+    codebooks (IVF nlist in the hundreds; this Column IS the literal
+    semantic twin the assignment kernel is parity-pinned against). Plan
+    construction grows linearly in k·dim (one Py4J round trip per
+    literal), so for IVF nlist in the thousands produce the cells with
+    ``kmeans_assign``'s Arrow kernel and join them on, instead of this
+    expression."""
     from .vectors import _dist2
 
     dim = len(centroids[0]) if centroids else 0

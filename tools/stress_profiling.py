@@ -221,9 +221,9 @@ def main():
                      f"labeled | deterministic rerun histogram: "
                      f"{'PASS' if km_ok else 'FAIL'} |")
 
-        # 5. IVF-scale k: k*dim > _MAX_LITERALS exercises the Arrow
-        # kernel assignment path (a literal plan at this k would outgrow
-        # plan construction / Janino limits)
+        # 5. IVF-scale k: k=256 x 64 dims exercises the Arrow kernel
+        # assignment path at codebook scale (a literal plan at this k
+        # would outgrow plan construction / Janino limits)
         n_big = args.kmeans_vectors // 5
         bigk = build_vectors(spark, n_big, 64, os.path.join(tmp, "bigk"))
         t0 = time.perf_counter()
