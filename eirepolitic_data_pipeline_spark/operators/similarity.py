@@ -109,9 +109,14 @@ def knn_quantized_rerank(quantized: DataFrame, queries: DataFrame, k: int,
                        F.col(vec_col).cast("array<double>").alias("qv"))
     w_m = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
+    # project down to (ids, cosine) BEFORE the top-m window: the window's
+    # exchange moves every scored corpus row, and carrying the query
+    # vector through it would ship a dim-sized payload per scored row —
+    # qv re-attaches after the cut from the (broadcast-small) query frame
     cand = (v.crossJoin(F.broadcast(q))
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .withColumn("cosine", cosine_col(F.col("nv"), F.col("qv")))
+            .select("query_id", "neighbor_id", "cosine")
             .withColumn("rank", F.row_number().over(w_m).cast("int"))
             .filter(F.col("rank") <= m))
     if vectors is None:
@@ -124,9 +129,9 @@ def knn_quantized_rerank(quantized: DataFrame, queries: DataFrame, k: int,
     # the candidate side is |queries|·m rows — broadcast it so the
     # full-precision fetch is a map-side join against the wide table,
     # not a corpus shuffle
-    return (xv.join(F.broadcast(cand.select("query_id", "neighbor_id",
-                                            "qv")),
-                    "neighbor_id")
+    cand_q = (cand.select("query_id", "neighbor_id")
+              .join(F.broadcast(q), "query_id"))
+    return (xv.join(F.broadcast(cand_q), "neighbor_id")
             .withColumn("cosine", cosine_col(F.col("xv"), F.col("qv")))
             .withColumn("rank", F.row_number().over(w_k).cast("int"))
             .filter(F.col("rank") <= k)
