@@ -108,9 +108,14 @@ def _dist2(v: Column, centroid: list[float]) -> Column:
 _MAX_LITERALS = 0
 
 
-def _assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """(vec_id, __v, cluster, d2): nearest centroid per vector, ties to
-    the lowest cluster id.
+def _assign(vecs: DataFrame, centroids: list[list[float]],
+            keep_vectors: bool = True) -> DataFrame:
+    """(vec_id[, __v], cluster, d2): nearest centroid per vector, ties to
+    the lowest cluster id. ``keep_vectors=False`` drops ``__v`` from the
+    kernel OUTPUT (Catalyst cannot prune inside a mapInPandas schema, so
+    a caller that only needs labels — the final assignment pass — would
+    otherwise pay one corpus-wide Arrow serialization of the vector
+    column for nothing; the fit's means and semdedup's cells keep it).
 
     Two plans, same semantics. The production path (any model size, r8)
     is an ARROW KERNEL — one ``mapInPandas`` pass with the model closed
@@ -142,7 +147,8 @@ def _assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
                      F.lit(i).alias("cluster"))
             for i, c in enumerate(centroids)])
         best = F.array_min(pairs)
-        return vecs.select("vec_id", "__v",
+        cols = ["vec_id"] + (["__v"] if keep_vectors else [])
+        return vecs.select(*cols,
                            best["cluster"].alias("cluster"),
                            best["d2"].alias("d2"))
     import numpy as np
@@ -186,13 +192,16 @@ def _assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
                 masked = np.where(np.isnan(acc), np.inf, acc)
                 best[s:e] = masked.argmin(axis=1)
                 d2[s:e] = acc[np.arange(e - s), best[s:e]]
-            yield pd.DataFrame({"vec_id": pdf["vec_id"],
-                                "__v": pdf["__v"],
-                                "cluster": best.astype("int32"),
-                                "d2": d2})
+            out = {"vec_id": pdf["vec_id"]}
+            if keep_vectors:
+                out["__v"] = pdf["__v"]
+            out["cluster"] = best.astype("int32")
+            out["d2"] = d2
+            yield pd.DataFrame(out)
 
+    v_field = "__v array<double>, " if keep_vectors else ""
     return vecs.select("vec_id", "__v").mapInPandas(
-        kernel, schema=f"vec_id {id_type}, __v array<double>, "
+        kernel, schema=f"vec_id {id_type}, {v_field}"
                        "cluster int, d2 double")
 
 
@@ -319,7 +328,7 @@ def kmeans_assign(df: DataFrame, k: int = 4, iters: int = 2,
         raise ValueError("k must be >= 1")
     vecs = _well_formed_vectors(df, vec_col, id_col)
     centroids = _fit(vecs, k, iters, round_dp)
-    return (_assign(vecs, centroids)
+    return (_assign(vecs, centroids, keep_vectors=False)
             .select("vec_id", "cluster",
                     F.round(F.sqrt("d2"), 6).alias("dist")))
 
