@@ -108,6 +108,98 @@ def _dist2(v: Column, centroid: list[float]) -> Column:
 _MAX_LITERALS = 0
 
 
+def _nearest_blocks(V, C):
+    """(best, d2) numpy arrays for an (n, dim) row panel against a
+    (k, dim) centroid matrix: dimension-ordered accumulation — the same
+    float64 sequence as the literal path's sequential fold — with
+    ``np.argmin``'s first-minimum matching the struct-min's
+    lowest-cluster-id tie rule, and NaN distances masked to +inf for the
+    argmin (Spark orders NaN above every double) while the reported d2
+    keeps the raw value. Row-blocked (the semdedup kernel's recipe) so
+    the (block, k) distance panel — not (batch, k) — bounds peak memory:
+    a 10k-row Arrow batch at k=4096 would otherwise hold a ~330 MB
+    float64 panel per task."""
+    import numpy as np
+
+    n, dim = V.shape
+    k = C.shape[0]
+    block = 1024
+    best = np.empty(n, dtype="int64")
+    d2 = np.empty(n)
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        acc = np.zeros((e - s, k))
+        for d in range(dim):
+            diff = V[s:e, d:d + 1] - C[None, :, d]
+            acc = acc + diff * diff
+        masked = np.where(np.isnan(acc), np.inf, acc)
+        best[s:e] = masked.argmin(axis=1)
+        d2[s:e] = acc[np.arange(e - s), best[s:e]]
+    return best, d2
+
+
+def _stack_batch(pdf, dim: int):
+    """The kernels' shared ragged guard: (n, dim) float64 panel or a loud
+    contract error (np.stack throws on inhomogeneous lengths; an
+    equal-length-but-wrong-dimension batch is caught against the model)."""
+    import numpy as np
+
+    try:
+        V = np.stack(pdf["__v"].to_numpy()).astype("float64")
+    except ValueError:
+        raise RuntimeError(
+            "kmeans_assign: the embedding column is ragged; "
+            "k-means requires a fixed-dimension embedding column")
+    if V.shape[1] != dim:
+        raise RuntimeError(
+            f"kmeans_assign: vectors have {V.shape[1]} dimensions "
+            f"but the model has {dim} — the embedding column is "
+            "ragged; k-means requires a fixed-dimension embedding "
+            "column")
+    return V
+
+
+def _assign_mean_partials(vecs: DataFrame,
+                          centroids: list[list[float]]) -> DataFrame:
+    """Fused assignment + per-(cluster, pos) partial sums for the fit's
+    mean update: one kernel pass emits ONE tiny (cluster, pos, s, c)
+    frame per partition — k·dim rows — instead of Arrow-serializing the
+    corpus vector column back out and posexploding n·dim rows through
+    the average (r8). Partial-sum order differs from a row-sequential
+    fold, which is already immaterial: the mean is rounded to the
+    decimal grid precisely because distributed summation order is
+    nondeterministic (kmeans_assign's reproducibility contract), and the
+    DuckDB oracles compute the same means by their own fold order."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype="float64")
+    k, dim = C.shape
+
+    def kernel(batches):
+        import pandas as pd
+        S = np.zeros((k, dim))
+        cnt = np.zeros(k, dtype="int64")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _stack_batch(pdf, dim)
+            best, _ = _nearest_blocks(V, C)
+            np.add.at(S, best, V)
+            cnt += np.bincount(best, minlength=k)
+        used = np.nonzero(cnt)[0]
+        if len(used) == 0:
+            return
+        yield pd.DataFrame({
+            "cluster": np.repeat(used, dim).astype("int32"),
+            "pos": np.tile(np.arange(dim, dtype="int32"), len(used)),
+            "s": S[used].reshape(-1),
+            "c": np.repeat(cnt[used], dim),
+        })
+
+    return vecs.select("__v").mapInPandas(
+        kernel, schema="cluster int, pos int, s double, c long")
+
+
 def _assign(vecs: DataFrame, centroids: list[list[float]],
             keep_vectors: bool = True) -> DataFrame:
     """(vec_id[, __v], cluster, d2): nearest centroid per vector, ties to
@@ -159,39 +251,10 @@ def _assign(vecs: DataFrame, centroids: list[list[float]],
     def kernel(batches):
         import pandas as pd
         for pdf in batches:
-            n = len(pdf)
-            if n == 0:
+            if len(pdf) == 0:
                 continue
-            try:
-                V = np.stack(pdf["__v"].to_numpy()).astype("float64")
-            except ValueError:
-                raise RuntimeError(
-                    "kmeans_assign: the embedding column is ragged; "
-                    "k-means requires a fixed-dimension embedding column")
-            if V.shape[1] != dim:
-                raise RuntimeError(
-                    f"kmeans_assign: vectors have {V.shape[1]} dimensions "
-                    f"but the model has {dim} — the embedding column is "
-                    "ragged; k-means requires a fixed-dimension embedding "
-                    "column")
-            # dimension-ordered accumulation: the same float64 sequence as
-            # the literal path's sequential fold, vectorized across rows
-            # and centroids. Row-blocked (the semdedup kernel's recipe) so
-            # the (block, k) distance panel — not (batch, k) — bounds peak
-            # memory: a 10k-row Arrow batch at k=4096 would otherwise hold
-            # a ~330 MB float64 panel per task.
-            block = 1024
-            best = np.empty(n, dtype="int64")
-            d2 = np.empty(n)
-            for s in range(0, n, block):
-                e = min(s + block, n)
-                acc = np.zeros((e - s, k))
-                for d in range(dim):
-                    diff = V[s:e, d:d + 1] - C[None, :, d]
-                    acc = acc + diff * diff
-                masked = np.where(np.isnan(acc), np.inf, acc)
-                best[s:e] = masked.argmin(axis=1)
-                d2[s:e] = acc[np.arange(e - s), best[s:e]]
+            V = _stack_batch(pdf, dim)
+            best, d2 = _nearest_blocks(V, C)
             out = {"vec_id": pdf["vec_id"]}
             if keep_vectors:
                 out["__v"] = pdf["__v"]
@@ -242,14 +305,25 @@ def _fit(vecs: DataFrame, k: int, iters: int,
     centroids = [list(r["__v"]) for r in seed]
     dim = len(centroids[0])
     for _ in range(iters):
-        assigned = _assign(vecs, centroids)
         try:
-            means = (assigned
-                     .select("cluster",
-                             F.posexplode("__v").alias("pos", "val"))
-                     .groupBy("cluster", "pos")
-                     .agg(F.round(F.avg("val"), round_dp).alias("mv"))
-                     .collect())
+            if len(centroids) * dim > _MAX_LITERALS:
+                # kernel path: fused assignment + per-partition partial
+                # sums — no corpus-sized kernel output, no n·dim
+                # posexplode (r8)
+                means = (_assign_mean_partials(vecs, centroids)
+                         .groupBy("cluster", "pos")
+                         .agg(F.round(F.sum("s") / F.sum("c"), round_dp)
+                              .alias("mv"))
+                         .collect())
+            else:
+                # literal semantic twin: posexplode + avg over the
+                # assignment projection, the recipe the oracles unroll
+                means = (_assign(vecs, centroids)
+                         .select("cluster",
+                                 F.posexplode("__v").alias("pos", "val"))
+                         .groupBy("cluster", "pos")
+                         .agg(F.round(F.avg("val"), round_dp).alias("mv"))
+                         .collect())
         except Exception as e:
             # the Arrow kernel raises the ragged-dimension contract error
             # WORKER-side, which PySpark surfaces as a PythonException —
