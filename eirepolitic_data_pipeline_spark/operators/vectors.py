@@ -20,6 +20,8 @@ trainer ships to executors as a broadcast.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -90,8 +92,24 @@ def _dist2(v: Column, centroid: list[float]) -> Column:
     centroid, as a sequential fold over the zipped difference — the same
     order DuckDB's list_reduce uses, so both engines see identical
     doubles given identical (rounded) centroids."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
-    return _fold_sum(F.zip_with(v, c, lambda x, y: (x - y) * (x - y)))
+    return _fold_sum(F.zip_with(v, _lit_array(centroid),
+                                lambda x, y: (x - y) * (x - y)))
+
+
+def _lit_array(values: list[float]) -> Column:
+    """A double-array literal in ONE Py4J round trip: the element-wise
+    ``F.array(*[F.lit(x) ...])`` form costs one driver round trip PER
+    ELEMENT, and a k-centroid expression (centroid_cells /
+    centroid_probe_ranks / the literal assignment twin) multiplies that
+    by k — measured ~1.9 s of pure plan construction per honest-refit
+    pass of q82 (r8). ``repr(float)`` is the shortest round-trip decimal,
+    so the parsed double is bit-identical to the F.lit it replaces;
+    non-finite values (a NaN mean from NaN coordinates) fall back to the
+    element-wise form, which Spark encodes losslessly."""
+    vals = [float(x) for x in values]
+    if all(math.isfinite(x) for x in vals):
+        return F.expr("array(" + ",".join(f"{x!r}D" for x in vals) + ")")
+    return F.array(*[F.lit(x) for x in vals])
 
 
 #: Literal-assignment budget: models with at most this many embedded
