@@ -435,3 +435,23 @@ def test_semdedup_matches_reference_closure_fuzz(spark, vecs, threshold, k):
                     parent[max(ra, rb)] = min(ra, rb)
     expected = {i: (clusters[i], find(i)) for i, _ in rows}
     assert out == expected
+
+
+@SPARK_SETTINGS
+@given(vals=st.lists(
+    st.floats(min_value=-1e12, max_value=1e12,
+              allow_nan=False, allow_infinity=False),
+    min_size=1, max_size=8))
+def test_lit_array_sql_literal_bit_identical_fuzz(spark, vals):
+    """_lit_array's one-round-trip SQL literal must evaluate to exactly
+    the doubles the element-wise F.lit form produces: repr(float) is the
+    shortest round-trip decimal, so parsing it back must be the identity
+    on bits (the claim the kmeans/centroid expressions rely on)."""
+    from pyspark.sql import functions as F
+    from eirepolitic_data_pipeline_spark.operators.vectors import _lit_array
+    df = spark.range(1)
+    got = df.select(_lit_array(vals).alias("a")).first()["a"]
+    want = df.select(F.array(*[F.lit(float(x)) for x in vals])
+                     .alias("a")).first()["a"]
+    import struct as _s
+    assert [_s.pack("d", x) for x in got] == [_s.pack("d", x) for x in want]
