@@ -23,8 +23,12 @@ from .temporal import (  # noqa: F401
 from .ranking import argmax_per_group, dense_rank_in, top_n_per_group  # noqa: F401
 from .similarity import (  # noqa: F401
     ann_recall,
+    centroid_cells,
+    centroid_probe_ranks,
     cosine_col,
     hashed_projection_bucket,
+    ivf_grid_cells,
+    ivf_probe_cells,
     knn_bruteforce,
     knn_lsh,
     knn_quantized_rerank,
@@ -32,7 +36,13 @@ from .similarity import (  # noqa: F401
     sign_lsh_bucket,
 )
 from .relevance import bigram_lm_bits, bm25_scores  # noqa: F401
-from .vectors import diversity_sample, kmeans_assign, quantize_int8, semdedup  # noqa: F401
+from .vectors import (  # noqa: F401
+    diversity_sample,
+    kmeans_assign,
+    kmeans_fit,
+    quantize_int8,
+    semdedup,
+)
 from .sketches import hll_estimate, hll_merge, hll_rollup  # noqa: F401
 from .incremental import incremental_additive, recompute_groups  # noqa: F401
 from .skew import salted_agg, salted_string_agg, salted_top_n  # noqa: F401
