@@ -1,22 +1,35 @@
-from .merge import WritePolicy, merge_for_policy  # noqa: F401
+from .merge import (  # noqa: F401
+    WritePolicy,
+    merge_for_policy,
+    merge_upsert_antijoin,
+)
 from .dedupe import (  # noqa: F401
     decontaminate,
     dedupe_keep_first,
     dedupe_lines,
     dedupe_keep_last,
+    dedupe_total_order,
     dedupe_with_conflicts,
+    exact_canonical_ids,
     exact_duplicate_groups,
     jaccard_similar_pairs,
     min_label_components,
     minhash_dedup,
     minhash_dedup_keep,
     minhash_lsh_candidates,
+    minhash_signatures,
+    pairs_from_postings,
+    shingle_postings,
+    simhash_band_keys,
+    simhash_longs,
     simhash_near_pairs,
     simhash_signatures,
+    winnowed_fingerprint_frame,
 )
 from .temporal import (  # noqa: F401
     current_else_latest,
     interval_overlap_counts,
+    point_in_interval_join,
     scope_replace_union,
     temporal_integrity_report,
 )
@@ -30,6 +43,7 @@ from .similarity import (  # noqa: F401
     ivf_grid_cells,
     ivf_probe_cells,
     knn_bruteforce,
+    knn_bruteforce_pandas,
     knn_lsh,
     knn_quantized_rerank,
     semantic_dedup,
@@ -46,8 +60,14 @@ from .vectors import (  # noqa: F401
 from .sketches import hll_estimate, hll_merge, hll_rollup  # noqa: F401
 from .incremental import incremental_additive, recompute_groups  # noqa: F401
 from .skew import salted_agg, salted_string_agg, salted_top_n  # noqa: F401
+from .profiling import (  # noqa: F401
+    ngram_counts,
+    ngram_heavy_hitters,
+    source_overlap,
+)
 from .curation import (  # noqa: F401
     curate_corpus,
+    curate_corpus_stages,
     dataset_split,
     domain_stats,
     filter_domains,
@@ -56,5 +76,6 @@ from .curation import (  # noqa: F401
     mix_sources,
     pack_sequences,
     resample_periodic,
+    split_column,
     stratified_sample,
 )
