@@ -44,6 +44,7 @@ from .similarity import (  # noqa: F401
     ivf_probe_cells,
     knn_bruteforce,
     knn_bruteforce_pandas,
+    knn_ivf_pq,
     knn_lsh,
     knn_quantized_rerank,
     semantic_dedup,

@@ -122,20 +122,92 @@ def knn_quantized_rerank(quantized: DataFrame, queries: DataFrame, k: int,
     if vectors is None:
         return (cand.filter(F.col("rank") <= k)
                 .select("query_id", "neighbor_id", "cosine", "rank"))
+    return _exact_rerank(cand.select("query_id", "neighbor_id"), q,
+                         vectors, k, id_col, vec_col)
+
+
+def _exact_rerank(cand: DataFrame, q: DataFrame, vectors: DataFrame,
+                  k: int, id_col: str, vec_col: str) -> DataFrame:
+    """Stage 2 of the compressed-serving operators: exact top-``k`` over a
+    small (query_id, neighbor_id) candidate frame. The candidate side is
+    |queries|·m rows — broadcast (with ``qv`` re-attached from the
+    broadcast-small query frame ``q`` = (query_id, qv)) so the
+    full-precision fetch is a map-side join against the wide table, never
+    a corpus shuffle."""
     xv = vectors.select(F.col(id_col).alias("neighbor_id"),
                         F.col(vec_col).cast("array<double>").alias("xv"))
     w_k = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
-    # the candidate side is |queries|·m rows — broadcast it so the
-    # full-precision fetch is a map-side join against the wide table,
-    # not a corpus shuffle
-    cand_q = (cand.select("query_id", "neighbor_id")
-              .join(F.broadcast(q), "query_id"))
+    cand_q = cand.join(F.broadcast(q), "query_id")
     return (xv.join(F.broadcast(cand_q), "neighbor_id")
             .withColumn("cosine", cosine_col(F.col("xv"), F.col("qv")))
             .withColumn("rank", F.row_number().over(w_k).cast("int"))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def knn_ivf_pq(quantized: DataFrame, queries: DataFrame, k: int,
+               centroids: list[list[float]], nprobe: int = 2,
+               m: Optional[int] = None,
+               vectors: Optional[DataFrame] = None,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               query_id_col: str = "vec_id") -> DataFrame:
+    """The full IVF-PQ serving composition (Jégou et al. 2011; the FAISS
+    IVFPQ shape), assembled from this repo's certified pieces: a trained
+    coarse quantizer partitions the COMPRESSED corpus into centroid cells
+    (``centroid_cells`` over a ``kmeans_fit`` model — q82's certified
+    quantizer), each query probes its ``nprobe`` nearest cells
+    (``centroid_probe_ranks``), candidates are scored on the DEQUANTIZED
+    int8 vectors within the probed cells only (q83's certified
+    compressed scoring through ``knn_lsh``'s bucket equi-join), the
+    top-``m`` survive, and an exact re-rank against full precision emits
+    the top-``k``. ``vectors=None`` skips the re-rank (single-stage
+    compressed IVF search).
+
+    Where the siblings sit: ``knn_quantized_rerank`` scores the WHOLE
+    compressed corpus per query (exhaustive-PQ — bounded IO, linear
+    compute); this operator adds the IVF candidate cut on top, so
+    per-query compute tracks the probed cells' population, not the
+    corpus. Probing every cell (nprobe >= k_centroids) degenerates to
+    ``knn_quantized_rerank`` with the same ``m`` (test-pinned). Corpus
+    cells are keyed on the dequantized vectors — self-consistent with
+    the scoring at the codec's precision; a vector the codec cannot key
+    (NULL/ragged) gets a NULL cell and drops from the index, the
+    sign_lsh_bucket contract.
+
+    Plan shape: one narrow scan of the (scale, qvec) table bucketed by
+    cell, a bucket equi-join against the probed cells (work tracks cell
+    population), the same pruned top-m window as q83 (ids + cosine only,
+    map-side WindowGroupLimit), and the broadcast-candidate exact fetch.
+    The model ships as k·dim literals (one parsed SQL array literal per
+    centroid — `_lit_array`); for IVF nlist in the thousands produce
+    cells with ``kmeans_assign``'s Arrow kernel and join instead."""
+    if m is None:
+        m = 4 * k
+    if m < k:
+        raise ValueError(f"m ({m}) must be >= k ({k}) — the exact re-rank "
+                         "can only return candidates stage 1 kept")
+    dq = F.transform(F.col("qvec"),
+                     lambda x: x.cast("double") * F.col("scale"))
+    dq_frame = quantized.select(F.col("vec_id"), dq.alias("__dqv"))
+    # queries keep their RAW vector under the shared column name —
+    # asymmetric distance computation: exact query against compressed
+    # corpus, the ADC scoring rule
+    q_in = queries.select(F.col(query_id_col),
+                          F.col(vec_col).cast("array<double>")
+                          .alias("__dqv"))
+    cand = knn_lsh(dq_frame, q_in, m, id_col="vec_id",
+                   vec_col="__dqv", query_id_col=query_id_col,
+                   multiprobe=False,
+                   bucketer=lambda c, n: centroid_cells(c, centroids),
+                   vector_prober=lambda qv: centroid_probe_ranks(
+                       qv, centroids, nprobe=nprobe))
+    if vectors is None:
+        return cand.filter(F.col("rank") <= k)
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    return _exact_rerank(cand.select("query_id", "neighbor_id"), q,
+                         vectors, k, id_col, vec_col)
 
 
 def sign_lsh_bucket(vec_col: Column, n_bits: int = 8) -> Column:

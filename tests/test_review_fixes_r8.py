@@ -382,3 +382,62 @@ def test_min_label_components_drops_null_endpoint_edges(spark):
         out = {r["id"]: r["canonical_id"]
                for r in min_label_components(ids, pairs, **kw).collect()}
         assert out == {0: 0, 1: 1, 2: 1}, out
+
+
+def test_knn_ivf_pq_all_probes_equals_quantized_rerank(spark):
+    """Probing every centroid cell degenerates the IVF-PQ composition to
+    the exhaustive compressed scan: with nprobe = k_centroids and the
+    same m, (query_id, neighbor_id, rank) must match knn_quantized_rerank
+    row-for-row."""
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        knn_ivf_pq, knn_quantized_rerank)
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        kmeans_fit, quantize_int8)
+    emb = (spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+           .filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") > 0)
+                   & ~F.exists("embedding", lambda x: x.isNull())))
+    cents = kmeans_fit(emb, k=4, iters=1)
+    quantized = quantize_int8(emb).select("vec_id", "scale", "qvec")
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                 for r in knn_ivf_pq(quantized, queries, k=5, m=10,
+                                     centroids=cents, nprobe=4,
+                                     vectors=emb).collect())
+    want = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                  for r in knn_quantized_rerank(
+                      quantized, queries, k=5, m=10,
+                      vectors=emb).collect())
+    assert got == want and len(got) > 0
+
+
+def test_knn_ivf_pq_probe_cut_and_guards(spark):
+    """nprobe=1 restricts candidates to each query's home cell (never
+    more than k rows per query, all from probed cells); m < k raises;
+    vectors=None returns the compressed ranking."""
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        centroid_cells, knn_ivf_pq)
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        kmeans_fit, quantize_int8)
+    emb = (spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+           .filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") > 0)
+                   & ~F.exists("embedding", lambda x: x.isNull())))
+    cents = kmeans_fit(emb, k=4, iters=1)
+    quantized = quantize_int8(emb).select("vec_id", "scale", "qvec")
+    queries = emb.filter(F.col("vec_id") < 5)
+    with pytest.raises(ValueError, match="m"):
+        knn_ivf_pq(quantized, queries, k=5, m=3, centroids=cents)
+    out = knn_ivf_pq(quantized, queries, k=3, centroids=cents,
+                     nprobe=1).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert all(len(v) <= 3 for v in per_q.values()) and len(per_q) > 0
+    # every returned neighbor lives in its query's home cell (nprobe=1)
+    cells = {r["vec_id"]: r["cell"] for r in emb.select(
+        "vec_id", centroid_cells(F.col("embedding"), cents).alias("cell"))
+        .collect()}
+    for qid, nbrs in per_q.items():
+        for n in nbrs:
+            assert cells[n] == cells[qid], (qid, n)
