@@ -175,31 +175,48 @@ def knn_ivf_pq(quantized: DataFrame, queries: DataFrame, k: int,
     (NULL/ragged) gets a NULL cell and drops from the index, the
     sign_lsh_bucket contract.
 
-    Plan shape: one narrow scan of the (scale, qvec) table bucketed by
-    cell, a bucket equi-join against the probed cells (work tracks cell
-    population), the same pruned top-m window as q83 (ids + cosine only,
-    map-side WindowGroupLimit), and the broadcast-candidate exact fetch.
-    The model ships as k·dim literals (one parsed SQL array literal per
-    centroid — `_lit_array`); for IVF nlist in the thousands produce
-    cells with ``kmeans_assign``'s Arrow kernel and join instead."""
+    Plan shape: one narrow scan of the (scale, qvec) table with corpus
+    cells computed by the ARROW ASSIGNMENT KERNEL (map-only, vectorized —
+    the ``centroid_cells`` literal expression is an interpreted
+    per-(row, centroid) fold and measured ~100 s for 200k x 16 on the
+    stress host; the kernel is parity-pinned to it, so the cells are
+    identical), a bucket equi-join against the probed cells (work tracks
+    cell population), the same pruned top-m window as q83 (ids + cosine
+    only, map-side WindowGroupLimit), and the broadcast-candidate exact
+    fetch. Queries — a sample-sized frame — key their home cell and probe
+    ranking through the literal expressions. Rows the codec cannot key
+    (NULL/wrong-dimension/NULL-element qvec) drop from the index, the
+    same rows ``centroid_cells`` gives a NULL cell."""
     if m is None:
         m = 4 * k
     if m < k:
         raise ValueError(f"m ({m}) must be >= k ({k}) — the exact re-rank "
                          "can only return candidates stage 1 kept")
+    from .vectors import _assign
+
+    dim = len(centroids[0]) if centroids else 0
     dq = F.transform(F.col("qvec"),
                      lambda x: x.cast("double") * F.col("scale"))
-    dq_frame = quantized.select(F.col("vec_id"), dq.alias("__dqv"))
+    well = quantized.filter(F.col("qvec").isNotNull()
+                            & (F.size("qvec") == dim)
+                            & ~F.exists("qvec", lambda x: x.isNull()))
+    cells = _assign(well.select("vec_id", dq.alias("__v")), centroids)
+    dq_frame = cells.select("vec_id", F.col("__v").alias("__dqv"),
+                            F.col("cluster").cast("string")
+                            .alias("__cell"))
     # queries keep their RAW vector under the shared column name —
     # asymmetric distance computation: exact query against compressed
-    # corpus, the ADC scoring rule
+    # corpus, the ADC scoring rule — and key their home cell through the
+    # literal expression (sample-sized, never the corpus)
     q_in = queries.select(F.col(query_id_col),
                           F.col(vec_col).cast("array<double>")
-                          .alias("__dqv"))
+                          .alias("__dqv"),
+                          centroid_cells(F.col(vec_col), centroids)
+                          .alias("__cell"))
     cand = knn_lsh(dq_frame, q_in, m, id_col="vec_id",
                    vec_col="__dqv", query_id_col=query_id_col,
                    multiprobe=False,
-                   bucketer=lambda c, n: centroid_cells(c, centroids),
+                   bucketer=lambda c, n: F.col("__cell"),
                    vector_prober=lambda qv: centroid_probe_ranks(
                        qv, centroids, nprobe=nprobe))
     if vectors is None:

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from eirepolitic_data_pipeline_spark.operators.similarity import (  # noqa: E402
     ann_recall, centroid_cells, centroid_probe_ranks,
-    hashed_projection_bucket, ivf_grid_cells, knn_lsh,
+    hashed_projection_bucket, ivf_grid_cells, knn_ivf_pq, knn_lsh,
     knn_quantized_rerank)
 from eirepolitic_data_pipeline_spark.operators.vectors import (  # noqa: E402
     kmeans_fit, quantize_int8)
@@ -233,6 +233,43 @@ def main():
             f"k={K}) | {t_rr} | recall vs exact: m=10 {rec10:.3f}, m=40 "
             f"{rec40:.3f} | monotone in m and >= 0.9 at m=40: "
             f"{'PASS' if rr_ok else 'FAIL'} |")
+
+        # 5. full IVF-PQ composition: the candidate CUT is derived exactly
+        # from the fitted cell histogram (scored rows per query = the
+        # population of its nprobe probed cells), and recall vs exact is
+        # reported for what the cut trades away
+        t0 = time.perf_counter()
+        rcents = kmeans_fit(rl, k=16, iters=1)
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in knn_ivf_pq(quantized, rq, K, centroids=rcents,
+                                   nprobe=2, m=40, vectors=rl).collect()}
+        pq_recall = len(got & exact) / len(exact)
+        # histogram via the Arrow assignment kernel (parity-pinned to the
+        # centroid_cells expression, which is interpreted and ~100 s at
+        # this scale)
+        from eirepolitic_data_pipeline_spark.operators.vectors import (
+            _assign, _well_formed_vectors)
+        cell_hist = {str(r["cluster"]): r["count"] for r in (
+            _assign(_well_formed_vectors(rl, "embedding", "vec_id"),
+                    rcents, keep_vectors=False)
+            .groupBy("cluster").count().collect())}
+        probe_rows = rq.select(
+            centroid_probe_ranks(F.col("embedding"), rcents, nprobe=2)
+            .alias("p")).collect()
+        scanned_pq = sum(sum(cell_hist.get(c, 0) for c in r["p"])
+                         for r in probe_rows) / (10 * args.rerank_slice)
+        t_pq = round(time.perf_counter() - t0, 1)
+        pq_ok = scanned_pq <= 0.5 and pq_recall >= 0.5
+        if not pq_ok:
+            failures.append(
+                f"ivf-pq: scanned fraction {scanned_pq:.3f} or recall "
+                f"{pq_recall:.3f}")
+        lines.append(
+            f"| IVF-PQ composed ({args.rerank_slice} corpus, k=16 cells, "
+            f"nprobe=2) | {t_pq} | recall vs exact {pq_recall:.3f}; "
+            f"scored fraction {scanned_pq:.3f} of corpus (exact, from the "
+            f"cell histogram) | candidate cut <= 0.5 and recall >= 0.5: "
+            f"{'PASS' if pq_ok else 'FAIL'} |")
 
     section = (
         f"{SECTION}\n\n"
