@@ -286,9 +286,12 @@ def main():
         "every downstream cell-bucketed join; the recall ordering "
         "(trained >= grid floor, multiprobe >= single) is the operator "
         "contract the q78-q82 oracles certify at fixture scale, held here "
-        "at 100x; and the quantized serving path's recall-vs-m envelope "
+        "at 100x; the quantized serving path's recall-vs-m envelope "
         "quantifies exactly what the 8x-narrower int8 scan trades away "
-        "(and that m buys it back monotonically).\n\n"
+        "(and that m buys it back monotonically); and the composed IVF-PQ "
+        "check prices the nprobe candidate cut the same way — scored rows "
+        "per query derived exactly from the kernel-assigned cell "
+        "histogram, with recall vs exact reported beside it.\n\n"
         f"Result: **{'PASS' if not failures else 'FAIL: ' + '; '.join(failures)}**. "
         "Rerun: `python tools/stress_ann.py`.\n"
     )
