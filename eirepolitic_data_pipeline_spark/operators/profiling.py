@@ -161,7 +161,12 @@ def source_overlap(df: DataFrame, n: int = 3,
     # over the whole corpus (r8; the blocks cost one extra copy of what
     # the distinct's shuffle files already hold, and the first action
     # materializes them for both branches — one corpus shingle pass
-    # instead of two, at any scale)
+    # instead of two, at any scale). Retention/fault-tolerance trade (r9,
+    # ADVICE): the blocks live until the result frame is driver-GC'd, and
+    # the truncated lineage means an executor loss fails the job instead
+    # of recomputing — accepted because the overlap matrix is a bounded
+    # diagnostic run, not a steady-state stage, and the alternative is a
+    # guaranteed second corpus shingle pass per call.
     sh = (posts.select(F.col("doc_id").alias("__src"), "key")
           .filter(F.col("key") != F.lit(blank_key))
           .distinct()

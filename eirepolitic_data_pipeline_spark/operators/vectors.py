@@ -156,6 +156,16 @@ def _nearest_blocks(V, C):
     return best, d2
 
 
+#: Sentinel embedded in every kernel-raised ragged-dimension error so the
+#: driver-side re-raise in ``_fit`` can recognize its OWN contract errors
+#: exactly: worker exceptions surface through PySpark's formatting layers
+#: as opaque wrapped strings, and matching on the English word "ragged"
+#: alone would re-classify any unrelated failure that happened to mention
+#: it (r8 ADVICE). The token is part of the message users see — harmless,
+#: and it makes the match unambiguous across PySpark formatting changes.
+_RAGGED_SENTINEL = "[kmeans_assign:ragged]"
+
+
 def _stack_batch(pdf, dim: int):
     """The kernels' shared ragged guard: (n, dim) float64 panel or a loud
     contract error (np.stack throws on inhomogeneous lengths; an
@@ -166,14 +176,14 @@ def _stack_batch(pdf, dim: int):
         V = np.stack(pdf["__v"].to_numpy()).astype("float64")
     except ValueError:
         raise RuntimeError(
-            "kmeans_assign: the embedding column is ragged; "
-            "k-means requires a fixed-dimension embedding column")
+            f"kmeans_assign {_RAGGED_SENTINEL}: the embedding column is "
+            "ragged; k-means requires a fixed-dimension embedding column")
     if V.shape[1] != dim:
         raise RuntimeError(
-            f"kmeans_assign: vectors have {V.shape[1]} dimensions "
-            f"but the model has {dim} — the embedding column is "
-            "ragged; k-means requires a fixed-dimension embedding "
-            "column")
+            f"kmeans_assign {_RAGGED_SENTINEL}: vectors have "
+            f"{V.shape[1]} dimensions but the model has {dim} — the "
+            "embedding column is ragged; k-means requires a "
+            "fixed-dimension embedding column")
     return V
 
 
@@ -347,8 +357,11 @@ def _fit(vecs: DataFrame, k: int, iters: int,
             # WORKER-side, which PySpark surfaces as a PythonException —
             # re-raise it as the documented driver-side RuntimeError so
             # callers (and the r6b contract test) see one error type
-            # regardless of assignment path
-            if "ragged" in str(e):
+            # regardless of assignment path. Matched on the unique
+            # sentinel the kernel embeds (never the bare word "ragged":
+            # an unrelated worker failure mentioning it would be
+            # mislabeled as the contract error — r8 ADVICE).
+            if _RAGGED_SENTINEL in str(e):
                 raise RuntimeError(
                     "kmeans_assign: the embedding column is ragged; "
                     "k-means requires a fixed-dimension embedding "

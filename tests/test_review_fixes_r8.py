@@ -434,10 +434,21 @@ def test_knn_ivf_pq_probe_cut_and_guards(spark):
     for r in out:
         per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
     assert all(len(v) <= 3 for v in per_q.values()) and len(per_q) > 0
-    # every returned neighbor lives in its query's home cell (nprobe=1)
-    cells = {r["vec_id"]: r["cell"] for r in emb.select(
+    # every returned neighbor lives in its query's home cell (nprobe=1).
+    # The operator keys CORPUS cells on the DEQUANTIZED (scale, qvec)
+    # vectors and QUERY cells on the raw vector (asymmetric, like the
+    # scoring) — so the expectation must mirror that split: neighbor
+    # cells from the dequantized reconstruction, query cells from raw.
+    # Computing both from raw would fail spuriously the day int8
+    # reconstruction moves a fixture vector across a centroid boundary
+    # (r8 ADVICE).
+    dq = F.transform(F.col("qvec"),
+                     lambda x: x.cast("double") * F.col("scale"))
+    n_cells = {r["vec_id"]: r["cell"] for r in quantized.select(
+        "vec_id", centroid_cells(dq, cents).alias("cell")).collect()}
+    q_cells = {r["vec_id"]: r["cell"] for r in emb.select(
         "vec_id", centroid_cells(F.col("embedding"), cents).alias("cell"))
         .collect()}
     for qid, nbrs in per_q.items():
         for n in nbrs:
-            assert cells[n] == cells[qid], (qid, n)
+            assert n_cells[n] == q_cells[qid], (qid, n)
