@@ -37,6 +37,7 @@ from .ranking import argmax_per_group, dense_rank_in, top_n_per_group  # noqa: F
 from .similarity import (  # noqa: F401
     ann_recall,
     centroid_cells,
+    centroid_cells_frame,
     centroid_probe_ranks,
     cosine_col,
     hashed_projection_bucket,

@@ -89,11 +89,16 @@ def knn_quantized_rerank(quantized: DataFrame, queries: DataFrame, k: int,
     bit-compatibly. Zero-scale (all-zero) vectors dequantize to zero and
     score 0.0 via ``cosine_col``'s zero-norm guard, never NaN.
 
-    CONTRACT: ``vectors`` must cover every id in ``quantized`` (stage 2's
-    fetch is an inner join, so a candidate missing from the
-    full-precision frame silently drops out of the top-k instead of
-    erroring). Both in-repo callers derive the two frames from the same
-    source, which satisfies this by construction."""
+    CONTRACT: ``quantized`` must be ``quantize_int8``'s verbatim output
+    schema — the ``(vec_id, scale, qvec)`` column NAMES are fixed
+    (``id_col``/``vec_col`` rename only the full-precision ``vectors``/
+    ``queries`` frames; a quantized frame with renamed columns raises an
+    AnalysisException rather than silently mis-joining). And ``vectors``
+    must cover every id in ``quantized`` (stage 2's fetch is an inner
+    join, so a candidate missing from the full-precision frame silently
+    drops out of the top-k instead of erroring). Both in-repo callers
+    derive the two frames from the same source, which satisfies this by
+    construction."""
     if k < 1:
         raise ValueError("k must be >= 1")
     if m is None:
@@ -186,24 +191,25 @@ def knn_ivf_pq(quantized: DataFrame, queries: DataFrame, k: int,
     fetch. Queries — a sample-sized frame — key their home cell and probe
     ranking through the literal expressions. Rows the codec cannot key
     (NULL/wrong-dimension/NULL-element qvec) drop from the index, the
-    same rows ``centroid_cells`` gives a NULL cell."""
+    same rows ``centroid_cells`` gives a NULL cell.
+
+    Same ``quantized`` contract as ``knn_quantized_rerank``: the frame
+    must carry ``quantize_int8``'s verbatim ``(vec_id, scale, qvec)``
+    column names (``id_col``/``vec_col`` rename only the full-precision
+    frames)."""
     if m is None:
         m = 4 * k
     if m < k:
         raise ValueError(f"m ({m}) must be >= k ({k}) — the exact re-rank "
                          "can only return candidates stage 1 kept")
-    from .vectors import _assign
-
-    dim = len(centroids[0]) if centroids else 0
     dq = F.transform(F.col("qvec"),
                      lambda x: x.cast("double") * F.col("scale"))
-    well = quantized.filter(F.col("qvec").isNotNull()
-                            & (F.size("qvec") == dim)
-                            & ~F.exists("qvec", lambda x: x.isNull()))
-    cells = _assign(well.select("vec_id", dq.alias("__v")), centroids)
-    dq_frame = cells.select("vec_id", F.col("__v").alias("__dqv"),
-                            F.col("cluster").cast("string")
-                            .alias("__cell"))
+    # corpus cells via the shared frame-level kernel bucketer (r9): rows
+    # the codec cannot key (NULL/wrong-dimension/NULL-element qvec, which
+    # dequantize to the same malformed shapes) drop from the index there
+    dq_frame = centroid_cells_frame(
+        quantized.select("vec_id", dq.alias("__dqv")), centroids,
+        id_col="vec_id", vec_col="__dqv", cell_col="__cell")
     # queries keep their RAW vector under the shared column name —
     # asymmetric distance computation: exact query against compressed
     # corpus, the ADC scoring rule — and key their home cell through the
@@ -503,6 +509,53 @@ def centroid_cells(vec_col: Column, centroids: list[list[float]]) -> Column:
                   best["cluster"].cast("string"))
 
 
+def centroid_cells_frame(df: DataFrame, centroids: list[list[float]],
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         cell_col: str = "__cell") -> DataFrame:
+    """FRAME-level ``centroid_cells``: the same nearest-centroid cell keys,
+    computed by the Arrow assignment kernel (``vectors._assign`` — one
+    map-only ``mapInPandas`` pass with the model closed over as a numpy
+    matrix) instead of the k·dim-literal expression tree. Returns exactly
+    ``(id_col, vec_col, cell_col)`` with ``vec_col`` cast to
+    array<double>; any OTHER input column is dropped (Catalyst cannot
+    prune inside a mapInPandas schema, so carrying extra columns would
+    Arrow-serialize them through the kernel for nothing).
+
+    Why both forms exist: ``centroid_cells`` is the pure-Catalyst
+    semantic twin — one Column, embeddable anywhere, the recipe the
+    DuckDB oracles unroll — but it is an interpreted fold per
+    (row, centroid) whose cost Catalyst re-evaluates at every use site
+    (measured ~100 s for 200k rows x 16 centroids, and the dominant term
+    of q82's fixed overhead at 8 x 64). This frame form is the
+    production path for CORPUS-sized sides: the kernel is parity-pinned
+    row-identical to the literal expression (dimension-ordered float64
+    accumulation, first-minimum tie rule — the ``_assign`` contract), so
+    swapping it in changes no cell. Use the Column form for sample-sized
+    frames (a query side) where plan simplicity beats kernel dispatch.
+
+    Keying contract, matching ``centroid_cells``: rows the quantizer
+    cannot key — NULL, wrong-dimension, or NULL-element vectors — are
+    DROPPED from the output rather than NULL-celled (the kernel's
+    ``np.stack`` cannot hold ragged rows). Equivalent for every caller,
+    since a NULL cell's only meaning is "drops from every bucket
+    equi-join and servability filter"; a caller that needs the
+    unservable rows themselves must anti-join them back."""
+    from .vectors import _assign
+
+    dim = len(centroids[0]) if centroids else 0
+    well = df.filter(F.col(vec_col).isNotNull()
+                     & (F.size(vec_col) == dim)
+                     & ~F.exists(vec_col, lambda x: x.isNull()))
+    cells = _assign(
+        well.select(F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).cast("array<double>").alias("__v")),
+        centroids)
+    return cells.select(F.col("vec_id").alias(id_col),
+                        F.col("__v").alias(vec_col),
+                        F.col("cluster").cast("string").alias(cell_col))
+
+
 def centroid_probe_ranks(vec_col: Column, centroids: list[list[float]],
                          nprobe: int = 2) -> Column:
     """nprobe expansion for the trained-centroid quantizer: the probe set
@@ -641,7 +694,8 @@ def ann_recall(vectors: DataFrame, queries: DataFrame, k: int,
                query_id_col: str = "vec_id", n_bits: int = 6,
                multiprobe: Optional[bool] = None,
                max_bucket: Optional[int] = None,
-               bucketer=None, prober=None, vector_prober=None) -> DataFrame:
+               bucketer=None, prober=None, vector_prober=None,
+               frame_bucketer=None) -> DataFrame:
     """Recall@k telemetry for the bucketed ANN path: how many of each
     query's TRUE top-k neighbors (``knn_bruteforce`` ground truth) the
     LSH index (``knn_lsh`` with the same parameters a caller would serve
@@ -674,7 +728,19 @@ def ann_recall(vectors: DataFrame, queries: DataFrame, k: int,
     with rows no index setting could ever reach. A query whose own
     bucket is NULL emits no row at all (it is unservable, not
     zero-recall). Callers that pre-filter to well-formed vectors (the
-    q78–q82 workload queries) see no change."""
+    q78–q82 workload queries) see no change.
+
+    ``frame_bucketer`` (r9) is the CORPUS-side twin of ``bucketer``: a
+    callable ``(df, id_col, vec_col, out_col) -> DataFrame`` returning
+    ``(id_col, vec_col, out_col)`` rows — unservable rows either dropped
+    or NULL-keyed, both are filtered here. Supply it when the bucket
+    function is expensive as a per-row expression: a trained-centroid
+    bucketer is a k-struct argmin of interpreted folds, and routing the
+    corpus through ``centroid_cells_frame``'s Arrow kernel instead cut
+    q82's fixed overhead by the cost of one corpus-wide k·dim-literal
+    evaluation. CONTRACT: it must key rows IDENTICALLY to ``bucketer``
+    (which still keys the sample-sized query side) — the kernel/literal
+    parity pin is what licenses the pair this operator ships with."""
     # multiprobe default: bit-flip probing ON for the sign-LSH family,
     # but OFF automatically when a generic prober is supplied — otherwise
     # the documented prober usage would trip knn_lsh's mutual-exclusion
@@ -697,10 +763,28 @@ def ann_recall(vectors: DataFrame, queries: DataFrame, k: int,
     # bucketer evaluation total, which is also one fewer source scan at
     # 100 TB. The query side stays un-checkpointed: recall telemetry runs
     # on a query SAMPLE (docstring), so its double evaluation is bounded.
-    vectors = (vectors
-               .select(F.col(id_col), F.col(vec_col),
-                       bucket_of(F.col(vec_col), n_bits)
-                       .alias("__ann_bucket"))
+    #
+    # Retention/fault-tolerance trade (r9, ADVICE): localCheckpoint blocks
+    # live until the DataFrame is driver-GC'd (no caller-visible handle to
+    # unpersist here — the checkpoint is an internal node of the returned
+    # plan), so a caller looping MANY telemetry calls in one session
+    # accumulates corpus-sized MEMORY_AND_DISK block sets until the old
+    # result frames go out of scope; and checkpointing TRUNCATES lineage,
+    # so losing an executor mid-job fails the query instead of recomputing
+    # the lost blocks. Both are accepted for this operator because recall
+    # telemetry is a bounded, occasionally-run diagnostic (not a
+    # steady-state pipeline stage) and the alternative — three bucketer
+    # evaluations and three corpus scans per call — is the certain cost.
+    # Callers needing caller-driven retention control should persist the
+    # bucketed frame themselves and pass it with an identity bucketer
+    # (min_label_components' edge-cache pattern).
+    if frame_bucketer is not None:
+        bucketed = frame_bucketer(vectors, id_col, vec_col, "__ann_bucket")
+    else:
+        bucketed = vectors.select(F.col(id_col), F.col(vec_col),
+                                  bucket_of(F.col(vec_col), n_bits)
+                                  .alias("__ann_bucket"))
+    vectors = (bucketed
                .filter(F.col("__ann_bucket").isNotNull())
                .localCheckpoint(eager=False))
     queries = (queries
