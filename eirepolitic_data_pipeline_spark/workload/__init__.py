@@ -27,42 +27,48 @@ from . import datapipe  # noqa: F401,E402
 from . import quality  # noqa: F401,E402
 
 
-# Certification rotation (round 8). The driver's correctness gate certifies
-# the first ~50 registered queries per round; with 79 registered, ~29 fall
+# Certification rotation (round 9). The driver's correctness gate certifies
+# the first ~50 registered queries per round; with 80 registered, ~30 fall
 # outside every round. Rank the workload so the window always covers the
 # queries that NEED a fresh driver-green row:
-#   front — queries never driver-certified (q82/q83, new round 8) or holding a
-#           single green ledger (q78–q81, certified r7 only — hold inside
-#           until 2+, the same rule r6 set for q69–q77), then every query
-#           whose implementation FILE changed this round (round 8 touched
-#           operators/vectors.py — semdedup kernel rewrite, kmeans_fit —
-#           operators/similarity.py — centroid quantizer/prober, ann_recall
-#           universe filter, ivf_probe_cells try_cast — and one-line
-#           defensive conf parses in operators/curation.py and
-#           operators/dedupe.py: the whole dedup/ANN/vector/curation family
-#           rotates back in even where a specific function is untouched;
-#           q56 joins the family this round because resample_periodic
-#           lives in curation.py), then the two-ledger r6 block and the
-#           scalar/DQ block while window budget allows;
+#   front — queries never driver-certified (q84, new round 9) or holding a
+#           single green ledger (q82/q83, certified r8 only — hold inside
+#           until 2+, the standing rule since r6), then every query whose
+#           implementation FILE changed this round (round 9 touched
+#           operators/similarity.py — centroid_cells_frame, the ann_recall
+#           frame_bucketer seam, the knn_ivf_pq refactor onto the shared
+#           helper — and operators/vectors.py — the ragged-error sentinel:
+#           the whole ANN/vector family stays inside, including q78–q81
+#           which now hold 2 ledgers but dispatch into the changed files;
+#           the dedup/curation block (q61–q64, q22–q25, q49/q50, q66/q67,
+#           q19, q51/q52/q55–q58) keeps its r8 placement — datapipe.py
+#           changed again this round and window budget still covers it),
+#           then the two-ledger r6 block and the scalar/DQ block while
+#           window budget allows;
 #   tail  — queries unchanged since their last green CORRECTNESS row with
 #           multiple green ledgers already banked (q01–q18/q20/q21/q42/
-#           q43/q47: untouched, up to six ledgers each; q54/q59/q60
-#           demoted round 7 — certified r5+r6, and functions/text.py,
-#           operators/sketches.py, operators/incremental.py remain
-#           untouched in round 8 — rotate them back in whenever those
-#           files change).
+#           q43/q47: untouched, up to seven ledgers each; q54/q59/q60
+#           demoted round 7 and q29 demoted round 9 — certified through
+#           r8, and functions/text.py, operators/sketches.py,
+#           operators/incremental.py remain untouched in round 9 — rotate
+#           them back in whenever those files change).
 # Rotate this list each round as certifications land and code changes.
 _CERT_PRIORITY = [
-    # new round 8 — never driver-certified
+    # new round 9 — never driver-certified: the composed IVF-PQ serving
+    # chain (r8 verdict's #1 ask)
+    "q84_knn_ivf_pq",
+    # single green ledger (r8) — hold inside the window until 2+; both
+    # also dispatch into similarity.py/vectors.py, changed this round
     "q82_ann_recall_ivf_trained",
     "q83_knn_quantized_rerank",
-    # single green ledger (r7) — hold inside the window until 2+
+    # two ledgers (r7+r8) but their files (similarity.py, vectors.py)
+    # changed this round — stay inside per the changed-file rule
     "q78_ann_recall",
     "q79_semdedup_clusters",
     "q80_ann_recall_ivf",
     "q81_ann_recall_ivf_nprobe",
-    # implementation file changed round 8 (vectors/similarity/curation/
-    # dedupe): every query dispatching into those modules
+    # implementation family certified alongside the ANN/vector block
+    # since r8; datapipe.py (their builders) changed again this round
     "q63_curate_corpus_certified",
     "q62_minhash_dedup_components",
     "q61_line_dedup_boilerplate",
@@ -157,6 +163,11 @@ _CERT_TAIL = [
     # round — explicit here rather than silently falling past the window
     # edge as the 51st registrant
     "q30_quality_scores",
+    # demoted when q84 was added (round 9): green r07+r08 (and earlier),
+    # and its language-ID path in functions/text.py is untouched this
+    # round — q28_text_stats stays inside as the family's sentinel;
+    # rotate q29 back in whenever functions/text.py changes
+    "q29_language_id",
 ]
 
 

@@ -2849,6 +2849,7 @@ def q82_ann_recall_ivf_trained(spark, sf_dir):
     table, brute-force truth, and the recall join — so the certification
     covers fit + bucketing + probing + telemetry as one contract."""
     from ..operators.similarity import (ann_recall, centroid_cells,
+                                        centroid_cells_frame,
                                         centroid_probe_ranks)
     from ..operators.vectors import kmeans_fit
     emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
@@ -2856,8 +2857,17 @@ def q82_ann_recall_ivf_trained(spark, sf_dir):
                    & (F.size("embedding") > 0)))
     cents = kmeans_fit(emb, k=8, iters=1)
     queries = emb.filter(F.col("vec_id") < 20)
+    # corpus side buckets through the Arrow assignment kernel (r9 —
+    # frame_bucketer seam): same cells as the literal centroid_cells
+    # expression (kernel parity pin), minus one corpus-wide evaluation
+    # of the k x dim-literal interpreted argmin — the dominant term of
+    # this query's fixed overhead at k=8 x 64 dims. The query side (20
+    # rows) keeps the literal expression.
     return ann_recall(emb, queries, k=5, multiprobe=False,
                       bucketer=lambda c, n: centroid_cells(c, cents),
+                      frame_bucketer=lambda df, i, v, out:
+                          centroid_cells_frame(df, cents, id_col=i,
+                                               vec_col=v, cell_col=out),
                       vector_prober=lambda qv: centroid_probe_ranks(
                           qv, cents, nprobe=3))
 
@@ -2948,5 +2958,169 @@ def q83_knn_quantized_rerank(spark, sf_dir):
     quantized = quantize_int8(emb).select("vec_id", "scale", "qvec")
     queries = emb.filter(F.col("vec_id") < 20)
     out = knn_quantized_rerank(quantized, queries, k=5, m=10, vectors=emb)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def _ivf_pq_oracle_sql() -> str:
+    """The q84 oracle: the full IVF-PQ serving chain assembled from the
+    CTE recipes its two certified halves already use verbatim — q82's
+    unrolled deterministic fit (c0 → a0 → c1, one Lloyd round at k=8)
+    and q83's codec (q72's quantization recipe, 9-dp emitted scale,
+    dequantize-with-emitted-scale) — plus the three joints the
+    composition adds: corpus index cells = argmin centroid over the
+    DEQUANTIZED vectors (the operator keys the index at the codec's
+    precision), probe set = top-nprobe centroids by RAW query distance
+    (asymmetric, like the scoring), and the candidate cut restricted to
+    probed cells before q83's top-m / exact-re-rank stages."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+      -- the shared fit + codec universe (q82/q83): NULL, EMPTY, and
+      -- NULL-ELEMENT embeddings are neither clusterable nor servable
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+    -- q82's fit, verbatim: init = the 8 lowest-id vectors, ONE
+    -- assignment + ONE 6-dp-rounded mean update; c1 is the model
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cluster, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+    ),
+    {_kmeans_assign_sql('c0', 'a0')},
+    {_kmeans_means_sql('a0', 'c0', 'c1')},
+    -- q83's codec, verbatim (q72's recipe): 9-dp EMITTED scale,
+    -- dequantize with the emitted scale
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS rscale
+      FROM e
+    ),
+    qz AS (
+      SELECT vec_id, round(rscale, 9) AS scale,
+             CASE WHEN rscale > 0 THEN
+               list_transform(v, x -> CAST(greatest(-127, least(127,
+                 floor(x / rscale + 0.5))) AS INTEGER))
+             ELSE list_transform(v, x -> 0) END AS qv
+      FROM s
+    ),
+    dq AS (
+      SELECT vec_id, list_transform(qv, c -> c * scale) AS dv
+      FROM qz
+    ),
+    -- joint 1: corpus index cells over the DEQUANTIZED vectors — the
+    -- same sequential d2 fold and (d2, cluster) argmin as the fit's
+    -- assignment CTEs, pointed at dv instead of v (the Arrow kernel's
+    -- parity contract)
+    celld AS (
+      SELECT d.vec_id, c.cluster,
+             list_reduce(list_prepend(0.0,
+               list_transform(list_zip(d.dv, c.v),
+                 z -> (z[1] - z[2]) * (z[1] - z[2]))),
+               (a, x) -> a + x) AS d2
+      FROM dq d CROSS JOIN c1 c
+    ),
+    cells AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster) AS rn
+        FROM celld
+      ) WHERE rn = 1
+    ),
+    dqn AS (SELECT vec_id, dv, list_dot_product(dv, dv) AS nn FROM dq),
+    qs AS (
+      SELECT vec_id AS query_id, v AS qvf, list_dot_product(v, v) AS qn
+      FROM e WHERE vec_id < 20
+    ),
+    -- joint 2: probe set = the 3 NEAREST centroids by RAW query
+    -- distance (centroid_probe_ranks' rule — ADC asymmetry: exact
+    -- query, compressed corpus), ties to the lowest cluster id
+    probd AS (
+      SELECT q.query_id, c.cluster,
+             list_reduce(list_prepend(0.0,
+               list_transform(list_zip(q.qvf, c.v),
+                 z -> (z[1] - z[2]) * (z[1] - z[2]))),
+               (a, x) -> a + x) AS d2
+      FROM qs q CROSS JOIN c1 c
+    ),
+    probes AS (
+      SELECT query_id, cluster FROM (
+        SELECT query_id, cluster,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2, cluster) AS rn
+        FROM probd
+      ) WHERE rn <= 3
+    ),
+    -- joint 3: q83's top-m stage-1 cut, restricted to probed cells
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.query_id ORDER BY
+                 CASE WHEN dn.nn > 0 AND q.qn > 0
+                      THEN list_cosine_similarity(dn.dv, q.qvf)
+                      ELSE 0.0 END DESC, n.vec_id) AS rn
+        FROM probes p
+        JOIN cells n ON n.cluster = p.cluster
+        JOIN dqn dn ON dn.vec_id = n.vec_id
+        JOIN qs q ON q.query_id = p.query_id
+        WHERE n.vec_id <> p.query_id
+      ) WHERE rn <= 10
+    ),
+    -- q83's exact re-rank, verbatim
+    ex AS (
+      SELECT c.query_id, c.neighbor_id,
+             CASE WHEN ne.nn2 > 0 AND q.qn > 0
+                  THEN list_cosine_similarity(ne.v, q.qvf)
+                  ELSE 0.0 END AS cos_raw
+      FROM cand c
+      JOIN (SELECT vec_id, v, list_dot_product(v, v) AS nn2 FROM e) ne
+        ON ne.vec_id = c.neighbor_id
+      JOIN qs q ON q.query_id = c.query_id
+    )
+    SELECT query_id, neighbor_id,
+           round(cos_raw, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+    FROM ex
+    QUALIFY rank <= 5
+    """
+
+
+@register(
+    "q84_knn_ivf_pq",
+    _ivf_pq_oracle_sql(),
+    survey_ref="beyond-ref: composed IVF-PQ serving (operators/similarity.py:knn_ivf_pq — trained cells via the Arrow assignment kernel, nprobe probe ranking, compressed-candidate scoring, broadcast exact re-rank)",
+    memoize=False,  # kmeans_fit COLLECTS the centroid model at
+    # construction (q73's rule) — memoizing the plan would cache the fit
+)
+def q84_knn_ivf_pq(spark, sf_dir):
+    """THE serving query a 100 TB ANN user runs (r8 verdict's #1 ask):
+    the composed ``knn_ivf_pq`` — trained coarse quantizer
+    (``kmeans_fit`` k=8, one Lloyd round), corpus index cells computed
+    over the DEQUANTIZED int8 codec by the Arrow assignment kernel
+    (map-only — the literal ``centroid_cells`` fold measured ~100 s at
+    200k x 16), each query probing its nprobe=3 nearest centroids by raw
+    query distance, compressed-candidate scoring inside the probed cells
+    (top-m=10), and an exact full-precision re-rank to top-k=5. q82
+    certified the quantizer/prober halves and q83 the compressed-scoring/
+    re-rank halves; this row certifies their COMPOSITION — the
+    kernel-bucketed cells join and the ADC asymmetry (raw query vs
+    dequantized corpus) — as one end-to-end oracle contract. Plan shape:
+    one narrow (scale, qvec) scan bucketed map-only, a cell equi-join
+    whose work tracks probed-cell population, the pruned ids+cosine top-m
+    window, and a broadcast-candidate exact fetch touching full precision
+    for only |queries| x m rows."""
+    from ..operators.similarity import knn_ivf_pq
+    from ..operators.vectors import kmeans_fit, quantize_int8
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+           .filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") > 0)))
+    cents = kmeans_fit(emb, k=8, iters=1)
+    quantized = quantize_int8(emb).select("vec_id", "scale", "qvec")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = knn_ivf_pq(quantized, queries, k=5, m=10, centroids=cents,
+                     nprobe=3, vectors=emb)
     return out.select("query_id", "neighbor_id",
                       F.round("cosine", 6).alias("cosine"), "rank")
