@@ -45,8 +45,10 @@ from .similarity import (  # noqa: F401
     ivf_probe_cells,
     knn_bruteforce,
     knn_bruteforce_pandas,
+    knn_ivf_adc,
     knn_ivf_pq,
     knn_lsh,
+    knn_pq_adc,
     knn_quantized_rerank,
     semantic_dedup,
     sign_lsh_bucket,
@@ -56,6 +58,10 @@ from .vectors import (  # noqa: F401
     diversity_sample,
     kmeans_assign,
     kmeans_fit,
+    pq_codes,
+    pq_decode,
+    pq_encode,
+    pq_fit,
     quantize_int8,
     semdedup,
 )

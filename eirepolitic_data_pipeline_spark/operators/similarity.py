@@ -106,24 +106,101 @@ def knn_quantized_rerank(quantized: DataFrame, queries: DataFrame, k: int,
     if m < k:
         raise ValueError(f"m ({m}) must be >= k ({k}) — the exact re-rank "
                          "can only return candidates stage 1 kept")
-    dq = F.transform(F.col("qvec"),
-                     lambda x: x.cast("double") * F.col("scale"))
+    # zip against array_repeat(scale): when `quantized` is the
+    # quantize_int8 PLAN (not a materialized table), referencing the
+    # scale column inside an interpreted element lambda inlines its
+    # whole array_max fold per ELEMENT (dim x dim work per row, r9);
+    # array_repeat evaluates it once per row
+    dq = F.zip_with(F.col("qvec"),
+                    F.array_repeat(F.col("scale"), F.size("qvec")),
+                    lambda x, s: x.cast("double") * s)
     v = quantized.select(F.col("vec_id").alias("neighbor_id"),
                          dq.alias("nv"))
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qv"))
+    cand = _compressed_topm(v, q, m)
+    if vectors is None:
+        return (cand.filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "cosine", "rank"))
+    return _exact_rerank(cand.select("query_id", "neighbor_id"), q,
+                         vectors, k, id_col, vec_col)
+
+
+def _compressed_topm(v: DataFrame, q: DataFrame, m: int) -> DataFrame:
+    """Stage 1 shared by the compressed serving operators
+    (``knn_quantized_rerank``, ``knn_pq_adc``): score every row of the
+    approximately-reconstructed corpus ``v`` = (neighbor_id, nv) against
+    the broadcast raw-query frame ``q`` = (query_id, qv) and keep the
+    top-``m`` per query. Projects down to (ids, cosine) BEFORE the top-m
+    window: the window's exchange moves every scored corpus row, and
+    carrying the query vector through it would ship a dim-sized payload
+    per scored row — qv re-attaches after the cut from the
+    (broadcast-small) query frame."""
     w_m = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
-    # project down to (ids, cosine) BEFORE the top-m window: the window's
-    # exchange moves every scored corpus row, and carrying the query
-    # vector through it would ship a dim-sized payload per scored row —
-    # qv re-attaches after the cut from the (broadcast-small) query frame
-    cand = (v.crossJoin(F.broadcast(q))
+    return (v.crossJoin(F.broadcast(q))
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .withColumn("cosine", cosine_col(F.col("nv"), F.col("qv")))
             .select("query_id", "neighbor_id", "cosine")
             .withColumn("rank", F.row_number().over(w_m).cast("int"))
             .filter(F.col("rank") <= m))
+
+
+def knn_pq_adc(codes: DataFrame, codebooks: list[list[list[float]]],
+               queries: DataFrame, k: int,
+               m: Optional[int] = None,
+               vectors: Optional[DataFrame] = None,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               query_id_col: str = "vec_id") -> DataFrame:
+    """Two-stage serving kNN over a PRODUCT-QUANTIZED corpus — the real
+    PQ half of IVF-PQ (Jégou et al. 2011), where ``knn_quantized_rerank``
+    substitutes the scalar int8 codec: stage 1 scores every corpus row's
+    ``pq_decode`` reconstruction (each subspace's codeword, concatenated)
+    against the broadcast RAW queries — asymmetric distance computation,
+    exact query vs compressed corpus — and keeps the top-``m``
+    candidates; stage 2 re-ranks those |queries|·m candidates EXACTLY
+    against full precision and emits the top-``k``. Output
+    ``(query_id, neighbor_id, cosine, rank)``; ``vectors=None`` skips
+    the re-rank (single-stage compressed search, approximate cosines).
+
+    Why PQ at 100 TB: the serving scan reads the ``(vec_id, codes)``
+    table — m small ints per row against dim doubles, a 64x+ cut at the
+    default shapes (m=4, dim=64) vs int8's 8x — plus the shared
+    m·k·(dim/m)-double codebook, embedded in the projection as a
+    2-level literal the decode looks up per subspace (m ``element_at``
+    calls per row, not a per-(row, centroid) fold — decode is NOT the
+    interpreted hot spot; the cosine fold is, same as every sibling).
+    Candidate quality is the trained codebooks' reconstruction; ``m``
+    (the candidate budget, distinct from the subspace count — named
+    ``m`` in both papers' traditions, disambiguated by position) buys
+    back neighbors the quantization blurs, with m = |corpus|
+    degenerating to brute force over the re-rank.
+
+    Determinism/parity: codes from ``pq_codes``/``pq_encode`` (kernel
+    parity-pinned), decode concatenates ``round_dp``-rounded codewords
+    (repr-exact literals), cosines are the repo's sequential folds, and
+    both rank cuts order by (cosine DESC, neighbor_id) — the DuckDB
+    oracle re-derives fit, encode, decode, and both stages.
+
+    CONTRACT: ``codes`` must be ``pq_encode``'s verbatim
+    ``(vec_id, codes)`` schema built with these ``codebooks`` (decode
+    of mismatched codes throws under ANSI, see ``pq_decode``), and
+    ``vectors`` must cover every id in ``codes`` (the re-rank fetch is
+    an inner join — ``knn_quantized_rerank``'s contract)."""
+    from .vectors import pq_decode
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if m is None:
+        m = 4 * k
+    if m < k:
+        raise ValueError(f"m ({m}) must be >= k ({k}) — the exact re-rank "
+                         "can only return candidates stage 1 kept")
+    v = codes.select(F.col("vec_id").alias("neighbor_id"),
+                     pq_decode(F.col("codes"), codebooks).alias("nv"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    cand = _compressed_topm(v, q, m)
     if vectors is None:
         return (cand.filter(F.col("rank") <= k)
                 .select("query_id", "neighbor_id", "cosine", "rank"))
@@ -202,18 +279,38 @@ def knn_ivf_pq(quantized: DataFrame, queries: DataFrame, k: int,
     if m < k:
         raise ValueError(f"m ({m}) must be >= k ({k}) — the exact re-rank "
                          "can only return candidates stage 1 kept")
-    dq = F.transform(F.col("qvec"),
-                     lambda x: x.cast("double") * F.col("scale"))
+    # zip against array_repeat(scale): when `quantized` is the
+    # quantize_int8 PLAN (not a materialized table), referencing the
+    # scale column inside an interpreted element lambda inlines its
+    # whole array_max fold per ELEMENT (dim x dim work per row, r9);
+    # array_repeat evaluates it once per row
+    dq = F.zip_with(F.col("qvec"),
+                    F.array_repeat(F.col("scale"), F.size("qvec")),
+                    lambda x, s: x.cast("double") * s)
     # corpus cells via the shared frame-level kernel bucketer (r9): rows
     # the codec cannot key (NULL/wrong-dimension/NULL-element qvec, which
     # dequantize to the same malformed shapes) drop from the index there
     dq_frame = centroid_cells_frame(
         quantized.select("vec_id", dq.alias("__dqv")), centroids,
         id_col="vec_id", vec_col="__dqv", cell_col="__cell")
-    # queries keep their RAW vector under the shared column name —
-    # asymmetric distance computation: exact query against compressed
-    # corpus, the ADC scoring rule — and key their home cell through the
-    # literal expression (sample-sized, never the corpus)
+    return _ivf_compressed_serve(dq_frame, queries, k, centroids, nprobe,
+                                 m, vectors, id_col, vec_col,
+                                 query_id_col)
+
+
+def _ivf_compressed_serve(dq_frame: DataFrame, queries: DataFrame, k: int,
+                          centroids: list[list[float]], nprobe: int,
+                          m: int, vectors: Optional[DataFrame],
+                          id_col: str, vec_col: str,
+                          query_id_col: str) -> DataFrame:
+    """The IVF serving core shared by ``knn_ivf_pq`` (int8 corpus) and
+    ``knn_ivf_adc`` (PQ-codes corpus): given the kernel-bucketed
+    approximate corpus ``dq_frame`` = (vec_id, __dqv, __cell), run the
+    probe → cell-equi-join → top-m → exact-re-rank chain. Queries keep
+    their RAW vector under the shared column name — asymmetric distance
+    computation: exact query against compressed corpus, the ADC scoring
+    rule — and key their home cell through the literal expression
+    (sample-sized, never the corpus)."""
     q_in = queries.select(F.col(query_id_col),
                           F.col(vec_col).cast("array<double>")
                           .alias("__dqv"),
@@ -231,6 +328,52 @@ def knn_ivf_pq(quantized: DataFrame, queries: DataFrame, k: int,
                        F.col(vec_col).cast("array<double>").alias("qv"))
     return _exact_rerank(cand.select("query_id", "neighbor_id"), q,
                          vectors, k, id_col, vec_col)
+
+
+def knn_ivf_adc(codes: DataFrame, codebooks: list[list[list[float]]],
+                queries: DataFrame, k: int,
+                centroids: list[list[float]], nprobe: int = 2,
+                m: Optional[int] = None,
+                vectors: Optional[DataFrame] = None,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "vec_id") -> DataFrame:
+    """FAISS-shape IVFPQ, fully literal (r9): the trained coarse
+    quantizer (``kmeans_fit`` centroids) partitions a PRODUCT-QUANTIZED
+    corpus — ``knn_ivf_pq``'s composition with the real PQ codec
+    (``pq_encode`` codes + ``pq_decode`` reconstructions) in place of
+    the scalar int8 stand-in. Corpus cells are keyed on the DECODED
+    vectors (self-consistent with the scoring at the codec's precision,
+    computed by the Arrow assignment kernel — map-only), each query
+    probes its ``nprobe`` nearest centroids by raw distance, candidates
+    score inside the probed cells on the reconstructions (asymmetric
+    distance computation), the top-``m`` survive, and the exact
+    full-precision re-rank emits the top-``k``. Probing every cell
+    degenerates to ``knn_pq_adc`` with the same ``m`` (test-pinned, the
+    ``knn_ivf_pq``/``knn_quantized_rerank`` relationship).
+
+    Storage story at 100 TB: the serving scan reads (vec_id, codes) — m
+    small ints per row — plus two bounded broadcast models (coarse
+    centroids k·dim, subspace codebooks m·k·dim/m); per-query compute
+    tracks probed-cell population. CONTRACT: ``codes`` must be
+    ``pq_encode``'s verbatim schema built with these ``codebooks``
+    (``pq_decode``'s contract), and ``vectors`` must cover every id in
+    ``codes``."""
+    from .vectors import pq_decode
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if m is None:
+        m = 4 * k
+    if m < k:
+        raise ValueError(f"m ({m}) must be >= k ({k}) — the exact re-rank "
+                         "can only return candidates stage 1 kept")
+    dq_frame = centroid_cells_frame(
+        codes.select("vec_id",
+                     pq_decode(F.col("codes"), codebooks).alias("__dqv")),
+        centroids, id_col="vec_id", vec_col="__dqv", cell_col="__cell")
+    return _ivf_compressed_serve(dq_frame, queries, k, centroids, nprobe,
+                                 m, vectors, id_col, vec_col,
+                                 query_id_col)
 
 
 def sign_lsh_bucket(vec_col: Column, n_bits: int = 8) -> Column:
@@ -490,23 +633,55 @@ def centroid_cells(vec_col: Column, centroids: list[list[float]]) -> Column:
     fold to NULL against every centroid and tie-break into cluster 0 as
     a live candidate otherwise).
 
-    Scale: k·dim literals embedded in one projection — fine for coarse
-    codebooks (IVF nlist in the hundreds; this Column IS the literal
-    semantic twin the assignment kernel is parity-pinned against). Plan
-    construction grows linearly in k·dim (one Py4J round trip per
-    literal), so for IVF nlist in the thousands produce the cells with
-    ``kmeans_assign``'s Arrow kernel and join them on, instead of this
-    expression."""
-    from .vectors import _dist2
-
+    Scale: k·dim literal doubles embedded in ONE flattened array (a
+    single Py4J round trip), distances via a constant-size
+    higher-order-function tree — transform over 0..k-1 slices the i-th
+    centroid out of the flat literal and folds the same sequential
+    squared-difference sum as before, so plan CONSTRUCTION is O(1) in k
+    (r9: the per-centroid struct tree cost one Py4J round trip per
+    expression node and dominated q82/q84's per-pass wall at k=8 x 64)
+    while the evaluated doubles are bit-identical (the slice reads the
+    same repr-exact literals the per-centroid form embedded). This
+    Column remains the literal semantic twin the assignment kernel is
+    parity-pinned against; for corpus-sized frames use
+    ``centroid_cells_frame``."""
+    best = _centroid_argmin(vec_col, centroids)["cluster"]
     dim = len(centroids[0]) if centroids else 0
-    v = vec_col.cast("array<double>")
-    best = F.array_min(F.array(*[
-        F.struct(_dist2(v, c).alias("d2"), F.lit(i).alias("cluster"))
-        for i, c in enumerate(centroids)]))
     return F.when(vec_col.isNotNull() & (F.size(vec_col) == dim)
                   & ~F.exists(vec_col, lambda x: x.isNull()),
-                  best["cluster"].cast("string"))
+                  best.cast("string"))
+
+
+def _centroid_d2_structs(vec_col: Column,
+                         centroids: list[list[float]]) -> Column:
+    """array<struct<d2, cluster>> of squared L2 distances to every
+    centroid, built as a constant-size expression tree over ONE
+    flattened centroid literal: same sequential fold per centroid as
+    ``vectors._dist2`` (the slice of the flat literal IS the centroid's
+    repr-exact doubles), struct order (d2, cluster) so array_min /
+    array_sort tie-break to the lowest cluster id."""
+    from .vectors import _fold_sum, _lit_array
+
+    k = len(centroids)
+    dim = len(centroids[0]) if centroids else 0
+    v = vec_col.cast("array<double>")
+    flat = _lit_array([x for c in centroids for x in c])
+    idx = F.sequence(F.lit(0), F.lit(k - 1))
+    d2s = F.transform(
+        idx,
+        lambda i: _fold_sum(F.zip_with(
+            v, F.slice(flat, i * dim + 1, dim),
+            lambda x, y: (x - y) * (x - y))))
+    return F.zip_with(d2s, idx,
+                      lambda d, i: F.struct(d.alias("d2"),
+                                            i.alias("cluster")))
+
+
+def _centroid_argmin(vec_col: Column,
+                     centroids: list[list[float]]) -> Column:
+    """struct<d2, cluster> of the nearest centroid (ties to the lowest
+    cluster id) — the shared argmin of ``centroid_cells``."""
+    return F.array_min(_centroid_d2_structs(vec_col, centroids))
 
 
 def centroid_cells_frame(df: DataFrame, centroids: list[list[float]],
@@ -571,14 +746,13 @@ def centroid_probe_ranks(vec_col: Column, centroids: list[list[float]],
     argmins, so sorted[0] == array_min. NULL / wrong-dimension /
     NULL-element vectors get a NULL probe array (explode drops the
     query — an unservable vector probes nothing). ``nprobe`` past k
-    degrades to probing all k cells."""
-    from .vectors import _dist2
-
+    degrades to probing all k cells. Built over the shared flat-literal
+    distance tree (``_centroid_d2_structs``) — O(1) plan construction
+    in k, identical doubles (r9)."""
     dim = len(centroids[0]) if centroids else 0
-    v = vec_col.cast("array<double>")
-    ranked = F.slice(F.array_sort(F.array(*[
-        F.struct(_dist2(v, c).alias("d2"), F.lit(i).alias("cluster"))
-        for i, c in enumerate(centroids)])), 1, nprobe)
+    ranked = F.slice(
+        F.array_sort(_centroid_d2_structs(vec_col, centroids)),
+        1, nprobe)
     return F.when(vec_col.isNotNull() & (F.size(vec_col) == dim)
                   & ~F.exists(vec_col, lambda x: x.isNull()),
                   F.transform(ranked,

@@ -62,10 +62,19 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding",
     # certified q72 contract (the oracle's digest folds disagree on
     # NULL-propagation details); this pins the operator itself to
     # propagate-not-invent.
+    # zip against array_repeat(scale) rather than referencing `scale`
+    # inside the element lambda: higher-order functions are interpreted
+    # (no codegen, no common-subexpression elimination), so an inlined
+    # `scale` — itself a 64-element array_max fold — would re-evaluate
+    # per ELEMENT (dim x dim work per row, measured as the dominant term
+    # of every serving query that re-derives the quantized frame from
+    # raw embeddings, r9); array_repeat evaluates it once per row and
+    # the lambda reads the materialized element
+    sarr = F.array_repeat(scale, F.size(v))
     qexpr = F.when(
         scale > 0,
-        F.transform(v, lambda x: F.when(x.isNotNull(), F.greatest(
-            F.lit(-_Q), F.least(F.lit(_Q), F.floor(x / scale + 0.5)))
+        F.zip_with(v, sarr, lambda x, s: F.when(x.isNotNull(), F.greatest(
+            F.lit(-_Q), F.least(F.lit(_Q), F.floor(x / s + 0.5)))
             .cast("int"))),
     ).otherwise(F.transform(v, lambda x: F.when(x.isNotNull(), F.lit(0))))
     out = df.select(F.col(id_col).alias("vec_id"),
@@ -323,14 +332,29 @@ def _well_formed_vectors(df: DataFrame, vec_col: str,
                     F.col(vec_col).cast("array<double>").alias("__v")))
 
 
+def _seed_vectors(vecs: DataFrame, k: int) -> list[list[float]]:
+    """Deterministic init shared by every fit in this module: the k
+    lowest-id vectors, as plain Python lists."""
+    seed = (vecs.orderBy("vec_id").limit(k).collect())
+    if len(seed) < k:
+        raise ValueError(f"k={k} exceeds the {len(seed)} available vectors")
+    return [list(r["__v"]) for r in seed]
+
+
 def _fit(vecs: DataFrame, k: int, iters: int,
          round_dp: int) -> list[list[float]]:
     """The Lloyd loop over a pre-filtered (vec_id, __v) frame: returns the
     fitted centroid model (k lists of dim floats, rounded to round_dp)."""
-    seed = (vecs.orderBy("vec_id").limit(k).collect())
-    if len(seed) < k:
-        raise ValueError(f"k={k} exceeds the {len(seed)} available vectors")
-    centroids = [list(r["__v"]) for r in seed]
+    return _lloyd(vecs, _seed_vectors(vecs, k), iters, round_dp)
+
+
+def _lloyd(vecs: DataFrame, centroids: list[list[float]], iters: int,
+           round_dp: int) -> list[list[float]]:
+    """``iters`` deterministic Lloyd rounds from the given initial
+    centroids (the seed-selection half of ``_fit``, split out in r9 so
+    ``pq_fit`` can seed all m subspace fits from ONE corpus pass instead
+    of m seed scans)."""
+    k = len(centroids)
     dim = len(centroids[0])
     for _ in range(iters):
         try:
@@ -399,6 +423,248 @@ def kmeans_fit(df: DataFrame, k: int = 4, iters: int = 2,
         raise ValueError("k must be >= 1")
     return _fit(_well_formed_vectors(df, vec_col, id_col), k, iters,
                 round_dp)
+
+
+def pq_fit(df: DataFrame, m: int = 4, k: int = 16, iters: int = 1,
+           vec_col: str = "embedding", id_col: str = "vec_id",
+           round_dp: int = 6) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    ``dim``-dimensional space into ``m`` contiguous subspaces of
+    ``dim/m`` dimensions and fit an INDEPENDENT deterministic k-means
+    codebook (k codewords, ``kmeans_fit``'s exact recipe — lowest-id
+    seeds, fixed Lloyd rounds, ``round_dp``-rounded means) in each.
+    Returns ``m`` codebooks, each ``k x (dim/m)`` plain Python floats —
+    the model ``pq_encode``/``pq_codes`` compress with and
+    ``pq_decode``/``knn_pq_adc`` serve from.
+
+    This is the real PQ the int8 codec (``quantize_int8``) stands in
+    for in ``knn_ivf_pq``'s composition: int8 compresses each COORDINATE
+    to a byte (8x, reconstruction error bounded by the scalar grid),
+    while PQ compresses each SUBSPACE to a single code (dim/m doubles →
+    one small int, 64x+ at the default shapes) and reconstruction
+    quality comes from the TRAINED codebooks tracking the data's actual
+    density. ``dim`` must divide evenly by ``m`` (PQ's standard
+    contract) — raises ValueError otherwise.
+
+    Determinism/parity: every subspace fit is the same rounded-Lloyd
+    contract as ``kmeans_fit`` (the DuckDB oracles re-derive each one by
+    slicing the vectors and unrolling the same CTE rounds — the fused
+    kernel below computes identical assignments and identical rounded
+    means, since the subspace fits are independent and the rounding pin
+    absorbs summation order), and all m fits share ONE seed collection
+    (the k lowest-id FULL vectors, sliced per subspace) — one corpus
+    TakeOrdered instead of m.
+
+    Scale: per Lloyd round, ONE fused Arrow pass computes every
+    subspace's assignment + per-(subspace, cluster, pos) partial sums
+    (map-only; m·k·dim/m result rows) — iters+1 corpus scans total
+    regardless of m (seed + one per round), and the only driver state
+    is the m·k·dim/m-double model itself."""
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    vecs = _well_formed_vectors(df, vec_col, id_col)
+    seeds = _seed_vectors(vecs, k)
+    dim = len(seeds[0])
+    if dim % m:
+        raise ValueError(
+            f"pq_fit: dimension {dim} is not divisible by m={m} subspaces"
+            " — product quantization requires equal-width subspaces")
+    sub = dim // m
+    books = [[s[j * sub:(j + 1) * sub] for s in seeds] for j in range(m)]
+    for _ in range(iters):
+        try:
+            means = (_pq_assign_mean_partials(vecs, books)
+                     .groupBy("subspace", "cluster", "pos")
+                     .agg(F.round(F.sum("s") / F.sum("c"), round_dp)
+                          .alias("mv"))
+                     .collect())
+        except Exception as e:
+            # same worker-to-driver re-raise as _fit: the kernel's
+            # contract error surfaces as a PythonException — match the
+            # embedded sentinel, never the bare word (r8 ADVICE)
+            if _RAGGED_SENTINEL in str(e):
+                raise RuntimeError(
+                    "kmeans_assign: the embedding column is ragged; "
+                    "k-means requires a fixed-dimension embedding "
+                    "column") from e
+            raise
+        by: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            by.setdefault((r["subspace"], r["cluster"]),
+                          {})[r["pos"]] = r["mv"]
+        new_books = []
+        for j in range(m):
+            cb = []
+            for i in range(k):
+                pos_map = by.get((j, i))
+                if pos_map is None:
+                    # empty cluster keeps its previous codeword
+                    cb.append(books[j][i])
+                    continue
+                if sorted(pos_map) != list(range(sub)):
+                    raise RuntimeError(
+                        f"kmeans_assign: subspace {j} cluster {i} "
+                        f"aggregated {len(pos_map)} dimensions but the "
+                        f"subspace width is {sub} — the embedding column "
+                        "is ragged; k-means requires a fixed-dimension "
+                        "embedding column")
+                cb.append([pos_map[p] for p in range(sub)])
+            new_books.append(cb)
+        books = new_books
+    return books
+
+
+def _pq_assign_mean_partials(vecs: DataFrame,
+                             codebooks: list[list[list[float]]]
+                             ) -> DataFrame:
+    """``_assign_mean_partials``' PQ sibling: ONE kernel pass assigns
+    every subspace independently and emits the per-(subspace, cluster,
+    pos) partial sums for all m mean updates — m·k·(dim/m) tiny rows per
+    partition instead of m separate corpus scans. Same float contract as
+    the single-space kernel: dimension-ordered accumulation inside each
+    subspace's ``_nearest_blocks`` argmin, partial-sum order absorbed by
+    the decimal rounding pin."""
+    import numpy as np
+
+    m = len(codebooks)
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0]) if codebooks and codebooks[0] else 0
+    dim = m * sub
+    Cs = [np.asarray(cb, dtype="float64") for cb in codebooks]
+
+    def kernel(batches):
+        import pandas as pd
+        S = np.zeros((m, k, sub))
+        cnt = np.zeros((m, k), dtype="int64")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _stack_batch(pdf, dim)
+            for j in range(m):
+                Vj = V[:, j * sub:(j + 1) * sub]
+                best, _ = _nearest_blocks(Vj, Cs[j])
+                np.add.at(S[j], best, Vj)
+                cnt[j] += np.bincount(best, minlength=k)
+        js, cs = np.nonzero(cnt)
+        if len(js) == 0:
+            return
+        yield pd.DataFrame({
+            "subspace": np.repeat(js, sub).astype("int32"),
+            "cluster": np.repeat(cs, sub).astype("int32"),
+            "pos": np.tile(np.arange(sub, dtype="int32"), len(js)),
+            "s": S[js, cs].reshape(-1),
+            "c": np.repeat(cnt[js, cs], sub),
+        })
+
+    return vecs.select("__v").mapInPandas(
+        kernel,
+        schema="subspace int, cluster int, pos int, s double, c long")
+
+
+def pq_codes(vec_col: Column,
+             codebooks: list[list[list[float]]]) -> Column:
+    """PQ encoding as a pure-Catalyst Column — the literal SEMANTIC TWIN
+    of ``pq_encode``'s Arrow kernel (the ``centroid_cells`` /
+    ``_assign`` relationship): per subspace, the code is the nearest
+    codeword by squared L2 over the slice (sequential fold, ties to the
+    lowest code id). Output ``array<int>`` of length m. NULL,
+    wrong-dimension, and NULL-element vectors get a NULL code array
+    (the sign_lsh_bucket contract — unservable rows drop from every
+    downstream join). This form is the recipe the DuckDB oracles unroll
+    (one extra assignment CTE per subspace against the fitted book);
+    use the kernel for corpus-sized frames."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0]) if codebooks and codebooks[0] else 0
+    dim = m * sub
+    v = vec_col.cast("array<double>")
+    parts = []
+    for j, cb in enumerate(codebooks):
+        sl = F.slice(v, j * sub + 1, sub)
+        best = F.array_min(F.array(*[
+            F.struct(_dist2(sl, c).alias("d2"), F.lit(i).alias("code"))
+            for i, c in enumerate(cb)]))
+        parts.append(best["code"])
+    return F.when(vec_col.isNotNull() & (F.size(vec_col) == dim)
+                  & ~F.exists(vec_col, lambda x: x.isNull()),
+                  F.array(*parts))
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """PQ encoding for a whole frame via the Arrow kernel — the
+    production path (map-only ``mapInPandas``, the model closed over as
+    m numpy matrices; per subspace one ``_nearest_blocks`` argmin over
+    the slice, so parity with ``pq_codes``' literal folds is the
+    ``_assign`` contract: dimension-ordered float64 accumulation,
+    first-minimum ties). Returns exactly ``(vec_id, codes array<int>)``;
+    rows the codec cannot key (NULL / wrong-dimension / NULL-element)
+    are DROPPED, the ``centroid_cells_frame`` contract. At 100 TB this
+    is the one pass that rewrites the wide embedding table into the
+    m-byte code table every PQ serving scan reads instead."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0]) if codebooks and codebooks[0] else 0
+    dim = m * sub
+    Cs = [np.asarray(cb, dtype="float64") for cb in codebooks]
+    vecs = (df.filter(F.col(vec_col).isNotNull()
+                      & (F.size(vec_col) == dim)
+                      & ~F.exists(vec_col, lambda x: x.isNull()))
+            .select(F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).cast("array<double>").alias("__v")))
+    id_type = vecs.schema["vec_id"].dataType.simpleString()
+
+    def kernel(batches):
+        import pandas as pd
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _stack_batch(pdf, dim)
+            codes = np.empty((len(pdf), m), dtype="int32")
+            for j in range(m):
+                best, _ = _nearest_blocks(V[:, j * sub:(j + 1) * sub],
+                                          Cs[j])
+                codes[:, j] = best
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "codes": list(codes)})
+
+    return vecs.mapInPandas(kernel,
+                            schema=f"vec_id {id_type}, codes array<int>")
+
+
+def _lit_array2(rows: list[list[float]]) -> Column:
+    """A 2-level double-array literal (array<array<double>>) in one Py4J
+    round trip — ``_lit_array``'s nested sibling, used to embed a PQ
+    subspace codebook for ``element_at`` lookup."""
+    if all(math.isfinite(float(x)) for r in rows for x in r):
+        inner = ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in r) + ")"
+            for r in rows)
+        return F.expr(f"array({inner})")
+    return F.array(*[_lit_array(r) for r in rows])
+
+
+def pq_decode(codes_col: Column,
+              codebooks: list[list[list[float]]]) -> Column:
+    """Reconstruct the approximate vector from PQ codes: concatenation
+    of each subspace's codeword (``array<double>`` of the full
+    dimension). A NULL code array decodes to NULL (unservable rows stay
+    unservable). CONTRACT: codes must come from ``pq_codes``/
+    ``pq_encode`` with the SAME codebooks — an out-of-range code hits
+    ``element_at`` past the codebook end, which THROWS under ANSI mode
+    (loud, the right failure for a model/codes mismatch).
+
+    Because subspaces partition the coordinates, any dot/norm fold over
+    this reconstruction equals the sum of per-subspace folds — so
+    cosine(query, decode(codes)) IS the asymmetric distance computation
+    (ADC) of Jégou et al. 2011, just computed coordinate-wise instead
+    of via per-query lookup tables; ``knn_pq_adc`` relies on this."""
+    parts = [F.element_at(_lit_array2(cb), codes_col.getItem(j) + 1)
+             for j, cb in enumerate(codebooks)]
+    return F.when(codes_col.isNotNull(), F.concat(*parts))
 
 
 def kmeans_assign(df: DataFrame, k: int = 4, iters: int = 2,
