@@ -55,8 +55,12 @@ from . import quality  # noqa: F401,E402
 # Rotate this list each round as certifications land and code changes.
 _CERT_PRIORITY = [
     # new round 9 — never driver-certified: the composed IVF-PQ serving
-    # chain (r8 verdict's #1 ask)
+    # chain (r8 verdict's #1 ask), the real product-quantization codec +
+    # ADC serving chain, and their union (the fully-literal FAISS-shape
+    # IVFPQ)
     "q84_knn_ivf_pq",
+    "q85_knn_pq_adc",
+    "q86_knn_ivf_adc",
     # single green ledger (r8) — hold inside the window until 2+; both
     # also dispatch into similarity.py/vectors.py, changed this round
     "q82_ann_recall_ivf_trained",
@@ -163,11 +167,17 @@ _CERT_TAIL = [
     # round — explicit here rather than silently falling past the window
     # edge as the 51st registrant
     "q30_quality_scores",
-    # demoted when q84 was added (round 9): green r07+r08 (and earlier),
-    # and its language-ID path in functions/text.py is untouched this
-    # round — q28_text_stats stays inside as the family's sentinel;
-    # rotate q29 back in whenever functions/text.py changes
+    # demoted when q84/q85 were added (round 9): each green r07+r08 (and
+    # earlier), and their text-stats/language-ID paths in
+    # functions/text.py are untouched this round — rotate both back in
+    # whenever functions/text.py changes
+    "q28_text_stats",
     "q29_language_id",
+    # demoted when q86 was added (round 9): green r08 and earlier, and
+    # its as-of window path in operators/temporal.py is untouched this
+    # round — q53 (same file) stays inside as the family's sentinel;
+    # rotate back in whenever temporal.py changes
+    "q39_asof_join_last_click",
 ]
 
 

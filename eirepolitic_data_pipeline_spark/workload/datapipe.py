@@ -2219,18 +2219,21 @@ def q72_quantize_int8(spark, sf_dir):
     )
 
 
-def _kmeans_assign_sql(cent_cte: str, out: str) -> str:
+def _kmeans_assign_sql(cent_cte: str, out: str, vec_cte: str = "e") -> str:
     """One k-means assignment round in DuckDB SQL: squared L2 to every
     centroid in ``cent_cte`` via the same sequential fold the Spark side
-    uses, argmin with ties to the lowest cluster id."""
+    uses, argmin with ties to the lowest cluster id. ``vec_cte`` names
+    the (vec_id, v) frame being assigned (default the shared ``e``
+    universe; the PQ oracles pass per-subspace slice CTEs — with the
+    default, the emitted SQL is byte-identical to the pre-r9 form)."""
     return f"""
     {out}d AS (
-      SELECT e.vec_id, c.cluster,
+      SELECT {vec_cte}.vec_id, c.cluster,
              list_reduce(list_prepend(0.0,
-               list_transform(list_zip(e.v, c.v),
+               list_transform(list_zip({vec_cte}.v, c.v),
                  z -> (z[1] - z[2]) * (z[1] - z[2]))),
                (a, x) -> a + x) AS d2
-      FROM e CROSS JOIN {cent_cte} c
+      FROM {vec_cte} CROSS JOIN {cent_cte} c
     ),
     {out} AS (
       SELECT vec_id, cluster, d2 FROM (
@@ -2242,16 +2245,17 @@ def _kmeans_assign_sql(cent_cte: str, out: str) -> str:
     )"""
 
 
-def _kmeans_means_sql(assign_cte: str, prev_cte: str, out: str) -> str:
+def _kmeans_means_sql(assign_cte: str, prev_cte: str, out: str,
+                      vec_cte: str = "e") -> str:
     """Centroid update round: per-(cluster, dimension) mean rounded to
     6 dp (the cross-engine reproducibility pin), empty clusters keep
-    their previous centroid."""
+    their previous centroid. ``vec_cte`` as in ``_kmeans_assign_sql``."""
     return f"""
     {out}m AS (
       SELECT a.cluster, CAST(u.i AS INTEGER) AS pos,
-             round(avg(e.v[CAST(u.i AS INTEGER) + 1]), 6) AS mv
-      FROM {assign_cte} a JOIN e USING (vec_id),
-           unnest(range(len(e.v))) AS u(i)
+             round(avg({vec_cte}.v[CAST(u.i AS INTEGER) + 1]), 6) AS mv
+      FROM {assign_cte} a JOIN {vec_cte} USING (vec_id),
+           unnest(range(len({vec_cte}.v))) AS u(i)
       GROUP BY 1, 2
     ),
     {out} AS (
@@ -3122,5 +3126,271 @@ def q84_knn_ivf_pq(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 20)
     out = knn_ivf_pq(quantized, queries, k=5, m=10, centroids=cents,
                      nprobe=3, vectors=emb)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def _pq_codec_sql(m_sub: int = 4, kc: int = 8) -> str:
+    """The PQ codec re-derived as CTE text, shared by the q85/q86
+    oracles: ``m_sub`` INDEPENDENT deterministic subspace fits (each is
+    q73/q82's exact CTE recipe pointed at a ``list_slice`` of the
+    vectors via the helpers' r9 ``vec_cte`` parameter), ENCODE as one
+    more assignment round against each fitted book, DECODE (the ``dq``
+    CTE this fragment ends with) as the concatenation of each
+    subspace's assigned codeword. Slice bounds derive from ``len(v)``
+    so the oracle is dimension-agnostic, matching ``pq_fit``'s dynamic
+    subspace width. Emits CTE names e_s*/c0_s*/a0_s*/c1_s*/enc_s*/dq —
+    callers must not collide with them."""
+    frames = ",\n    ".join(
+        f"e_s{j} AS (SELECT vec_id, list_slice(v, len(v)//{m_sub}*{j} + 1, "
+        f"len(v)//{m_sub}*{j + 1}) AS v FROM e)"
+        for j in range(m_sub))
+    fits = ",".join(f"""
+    c0_s{j} AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cluster, v
+      FROM (SELECT vec_id, v FROM e_s{j} ORDER BY vec_id LIMIT {kc})
+    ),
+    {_kmeans_assign_sql(f'c0_s{j}', f'a0_s{j}', f'e_s{j}')},
+    {_kmeans_means_sql(f'a0_s{j}', f'c0_s{j}', f'c1_s{j}', f'e_s{j}')},
+    {_kmeans_assign_sql(f'c1_s{j}', f'enc_s{j}', f'e_s{j}')}"""
+                    for j in range(m_sub))
+    decode_joins = "\n      ".join(
+        f"JOIN enc_s{j} x{j} ON x{j}.vec_id = e.vec_id "
+        f"JOIN c1_s{j} b{j} ON b{j}.cluster = x{j}.cluster"
+        for j in range(m_sub))
+    concat = " || ".join(f"b{j}.v" for j in range(m_sub))
+    return f"""
+    {frames},
+    {fits},
+    -- decode: reconstruct each vector as the concatenation of its
+    -- assigned codeword per subspace (pq_decode's rule)
+    dq AS (
+      SELECT e.vec_id, {concat} AS dv
+      FROM e
+      {decode_joins}
+    )"""
+
+
+def _pq_adc_oracle_sql(m_sub: int = 4, kc: int = 8) -> str:
+    """The q85 oracle: the shared PQ codec fragment (``_pq_codec_sql``)
+    followed by q83's compressed top-m / exact re-rank stages verbatim
+    over the reconstruction."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+      -- the shared fit + codec universe (q82/q83/q84): NULL, EMPTY, and
+      -- NULL-ELEMENT embeddings are neither clusterable nor servable
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+    {_pq_codec_sql(m_sub, kc)},
+    dqn AS (SELECT vec_id, dv, list_dot_product(dv, dv) AS nn FROM dq),
+    qs AS (
+      SELECT vec_id AS query_id, v AS qvf, list_dot_product(v, v) AS qn
+      FROM e WHERE vec_id < 20
+    ),
+    -- q83's stage 1 verbatim: top-m=10 candidates by RECONSTRUCTED
+    -- cosine (asymmetric: raw query vs decoded corpus)
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 CASE WHEN n.nn > 0 AND q.qn > 0
+                      THEN list_cosine_similarity(n.dv, q.qvf)
+                      ELSE 0.0 END DESC, n.vec_id) AS rn
+        FROM qs q JOIN dqn n ON n.vec_id <> q.query_id
+      ) WHERE rn <= 10
+    ),
+    -- q83's exact re-rank, verbatim
+    ex AS (
+      SELECT c.query_id, c.neighbor_id,
+             CASE WHEN ne.nn2 > 0 AND q.qn > 0
+                  THEN list_cosine_similarity(ne.v, q.qvf)
+                  ELSE 0.0 END AS cos_raw
+      FROM cand c
+      JOIN (SELECT vec_id, v, list_dot_product(v, v) AS nn2 FROM e) ne
+        ON ne.vec_id = c.neighbor_id
+      JOIN qs q ON q.query_id = c.query_id
+    )
+    SELECT query_id, neighbor_id,
+           round(cos_raw, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+    FROM ex
+    QUALIFY rank <= 5
+    """
+
+
+@register(
+    "q85_knn_pq_adc",
+    _pq_adc_oracle_sql(),
+    survey_ref="beyond-ref: product-quantization codec + ADC serving (operators/vectors.py:pq_fit/pq_encode/pq_decode; operators/similarity.py:knn_pq_adc) — the real PQ half of IVF-PQ",
+    memoize=False,  # pq_fit COLLECTS the m codebooks at construction
+    # (q73's rule) — memoizing the plan would cache the fit
+)
+def q85_knn_pq_adc(spark, sf_dir):
+    """REAL product quantization, certified (r9): until now the repo's
+    'IVF-PQ' compositions honestly substituted the scalar int8 codec for
+    the PQ half; this query ships and certifies the genuine article —
+    ``pq_fit`` trains m=4 independent deterministic subspace codebooks
+    (k=8 codewords each, one Lloyd round, all seeded from ONE corpus
+    TakeOrdered), ``pq_encode`` compresses the corpus to 4 small ints
+    per vector via the Arrow kernel (map-only; 64 doubles -> 4 codes, a
+    ~64x narrower serving scan vs int8's 8x), and ``knn_pq_adc`` serves
+    top-k=5 by scoring the ``pq_decode`` reconstructions against the
+    raw queries (asymmetric distance computation) with q83's top-m=10 /
+    exact-re-rank stages. The oracle re-derives every step — 4 unrolled
+    subspace fits, encode-as-assignment, decode-as-concatenation, both
+    serving stages — so fit, codec, and serving certify as ONE
+    contract."""
+    from ..operators.similarity import knn_pq_adc
+    from ..operators.vectors import pq_encode, pq_fit
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+           .filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") > 0)))
+    books = pq_fit(emb, m=4, k=8, iters=1)
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = knn_pq_adc(codes, books, queries, k=5, m=10, vectors=emb)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def _ivf_adc_oracle_sql(m_sub: int = 4, kc: int = 8,
+                        k_coarse: int = 8, nprobe: int = 3) -> str:
+    """The q86 oracle: FAISS-shape IVFPQ re-derived end to end — q84's
+    coarse-quantizer joints (trained fit over FULL vectors, index cells
+    argmin'd over the COMPRESSED reconstructions, probe ranking by raw
+    query distance, candidate cut restricted to probed cells) assembled
+    around q85's PQ codec fragment (``_pq_codec_sql``) instead of the
+    int8 recipe, then the shared top-m / exact re-rank stages."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+      -- the shared fit + codec universe: NULL, EMPTY, and NULL-ELEMENT
+      -- embeddings are neither clusterable nor servable
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+    -- coarse quantizer: q82/q84's fit, verbatim (k={k_coarse}, one
+    -- Lloyd round over the FULL vectors)
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cluster, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k_coarse})
+    ),
+    {_kmeans_assign_sql('c0', 'a0')},
+    {_kmeans_means_sql('a0', 'c0', 'c1')},
+    {_pq_codec_sql(m_sub, kc)},
+    -- index cells over the PQ RECONSTRUCTIONS — the same sequential d2
+    -- fold and (d2, cluster) argmin as the fit's assignment CTEs,
+    -- pointed at dv (the Arrow kernel's parity contract)
+    celld AS (
+      SELECT d.vec_id, c.cluster,
+             list_reduce(list_prepend(0.0,
+               list_transform(list_zip(d.dv, c.v),
+                 z -> (z[1] - z[2]) * (z[1] - z[2]))),
+               (a, x) -> a + x) AS d2
+      FROM dq d CROSS JOIN c1 c
+    ),
+    cells AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster) AS rn
+        FROM celld
+      ) WHERE rn = 1
+    ),
+    dqn AS (SELECT vec_id, dv, list_dot_product(dv, dv) AS nn FROM dq),
+    qs AS (
+      SELECT vec_id AS query_id, v AS qvf, list_dot_product(v, v) AS qn
+      FROM e WHERE vec_id < 20
+    ),
+    -- probe set = the {nprobe} NEAREST coarse centroids by RAW query
+    -- distance (centroid_probe_ranks' rule), ties to the lowest id
+    probd AS (
+      SELECT q.query_id, c.cluster,
+             list_reduce(list_prepend(0.0,
+               list_transform(list_zip(q.qvf, c.v),
+                 z -> (z[1] - z[2]) * (z[1] - z[2]))),
+               (a, x) -> a + x) AS d2
+      FROM qs q CROSS JOIN c1 c
+    ),
+    probes AS (
+      SELECT query_id, cluster FROM (
+        SELECT query_id, cluster,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2, cluster) AS rn
+        FROM probd
+      ) WHERE rn <= {nprobe}
+    ),
+    -- stage 1 restricted to probed cells: top-m=10 by RECONSTRUCTED
+    -- cosine (asymmetric: raw query vs decoded corpus)
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.query_id ORDER BY
+                 CASE WHEN dn.nn > 0 AND q.qn > 0
+                      THEN list_cosine_similarity(dn.dv, q.qvf)
+                      ELSE 0.0 END DESC, n.vec_id) AS rn
+        FROM probes p
+        JOIN cells n ON n.cluster = p.cluster
+        JOIN dqn dn ON dn.vec_id = n.vec_id
+        JOIN qs q ON q.query_id = p.query_id
+        WHERE n.vec_id <> p.query_id
+      ) WHERE rn <= 10
+    ),
+    -- the shared exact re-rank, verbatim
+    ex AS (
+      SELECT c.query_id, c.neighbor_id,
+             CASE WHEN ne.nn2 > 0 AND q.qn > 0
+                  THEN list_cosine_similarity(ne.v, q.qvf)
+                  ELSE 0.0 END AS cos_raw
+      FROM cand c
+      JOIN (SELECT vec_id, v, list_dot_product(v, v) AS nn2 FROM e) ne
+        ON ne.vec_id = c.neighbor_id
+      JOIN qs q ON q.query_id = c.query_id
+    )
+    SELECT query_id, neighbor_id,
+           round(cos_raw, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+    FROM ex
+    QUALIFY rank <= 5
+    """
+
+
+@register(
+    "q86_knn_ivf_adc",
+    _ivf_adc_oracle_sql(),
+    survey_ref="beyond-ref: FAISS-shape IVFPQ, fully literal (operators/similarity.py:knn_ivf_adc — trained coarse cells over pq_decode reconstructions, nprobe probing, ADC scoring, exact re-rank)",
+    memoize=False,  # kmeans_fit + pq_fit COLLECT their models at
+    # construction (q73's rule) — memoizing the plan would cache the fits
+)
+def q86_knn_ivf_adc(spark, sf_dir):
+    """The name 'IVF-PQ' made fully literal (r9): trained coarse
+    quantizer (``kmeans_fit`` k=8) + REAL product quantization
+    (``pq_fit`` m=4 subspace codebooks, ``pq_encode`` codes) + ADC
+    scoring + exact re-rank, as ONE oracle-certified chain
+    (``knn_ivf_adc``). q84 certified the composition with the int8
+    stand-in codec; q85 certified the PQ codec + exhaustive ADC; this
+    row certifies their union — index cells argmin'd over the PQ
+    reconstructions by the Arrow kernel, nprobe=3 probing by raw query
+    distance, compressed scoring inside probed cells, top-m=10, exact
+    top-k=5. The serving scan a 1000-executor cluster runs here reads
+    m=4 small ints per corpus row plus two bounded broadcast models —
+    the narrowest serving path in the family."""
+    from ..operators.similarity import knn_ivf_adc
+    from ..operators.vectors import kmeans_fit, pq_encode, pq_fit
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+           .filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") > 0)))
+    cents = kmeans_fit(emb, k=8, iters=1)
+    books = pq_fit(emb, m=4, k=8, iters=1)
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = knn_ivf_adc(codes, books, queries, k=5, m=10, centroids=cents,
+                      nprobe=3, vectors=emb)
     return out.select("query_id", "neighbor_id",
                       F.round("cosine", 6).alias("cosine"), "rank")
