@@ -250,3 +250,43 @@ def test_quantized_rerank_broadcasts_candidates(spark):
     # the only key-moving exchanges allowed are the two top-k windows'
     # (query_id) partitionings — the corpus itself must never hash-shuffle
     assert _shuffles(plan) <= 2, plan
+
+
+def test_pq_encode_and_cells_frame_are_map_only(spark):
+    """The two Arrow index-build kernels claim map-only plans — at 100 TB
+    they are the single pass that rewrites the wide embedding table into
+    the compressed/bucketed serving table, and ANY Exchange there would
+    shuffle the full corpus for nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        centroid_cells_frame)
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        kmeans_fit, pq_encode, pq_fit)
+    emb = (spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+           .filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") > 0)
+                   & ~F.exists("embedding", lambda x: x.isNull())))
+    books = pq_fit(emb, m=4, k=4, iters=1)
+    plan = _plan(pq_encode(emb, books))
+    assert "Exchange" not in plan, "pq_encode gained a shuffle"
+    assert "Join" not in plan, "pq_encode gained a join"
+    cents = kmeans_fit(emb, k=4, iters=1)
+    plan = _plan(centroid_cells_frame(emb, cents))
+    assert "Exchange" not in plan, "centroid_cells_frame gained a shuffle"
+    assert "Join" not in plan, "centroid_cells_frame gained a join"
+
+
+def test_pq_adc_serving_broadcasts_and_bounds_shuffles(spark):
+    """q85/q86's serving plans: the exact re-rank fetches full precision
+    via a BROADCAST of the candidate set (never a corpus hash-shuffle of
+    the wide table), and key-moving exchanges stay bounded by the two
+    query_id window partitionings — the compressed corpus itself flows
+    scan -> (cells) -> score without hash-shuffling."""
+    for name in ("q85_knn_pq_adc", "q86_knn_ivf_adc"):
+        plan = _plan(_queries()[name](spark, SF_SMOKE))
+        assert ("BroadcastHashJoin" in plan
+                or "BroadcastNestedLoopJoin" in plan), name
+        assert _shuffles(plan) <= 2, (name, plan)

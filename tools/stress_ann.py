@@ -24,6 +24,16 @@ What it checks:
    k=10) — recall vs exact brute force is monotone in m (m=40 >= m=10)
    and >= 0.9 at m=40: int8 reconstruction error must not move the true
    top-10 out of a 4x candidate margin.
+5. **IVF-PQ composed candidate cut** (200k corpus, k=16 cells,
+   nprobe=2) — the scored fraction is priced exactly from the cell
+   histogram and recall vs exact is reported beside it.
+6. **Real PQ codec at scale** (r9) — fused ``pq_fit`` at the 8-bit PQ
+   standard (m=8 x k=256, one kernel pass per Lloyd round) over the
+   FULL corpus, then the ADC serving envelope on the rerank slice
+   against the same exact set as the int8 row: recall monotone in m
+   and >= 0.5 at m=40. (An under-provisioned k=16 codebook measured
+   recall ~0 here — log2(k) bits per subspace is the capacity law, and
+   this quasi-uniform corpus is the hard case for it.)
 
 Rewrites only its own section of STRESS.md (``--out``); exits non-zero on
 any violated bound. Standalone; not part of the per-round bench.
@@ -275,6 +285,49 @@ def main():
             f"cell histogram) | candidate cut <= 0.5 and recall >= 0.5: "
             f"{'PASS' if pq_ok else 'FAIL'} |")
 
+        # 6. real product quantization at scale (r9): fused fit (one
+        # kernel pass per Lloyd round for ALL m subspaces) on the full
+        # corpus, then the ADC serving envelope on the rerank slice —
+        # recall vs the SAME exact set as check 4, so int8 vs PQ
+        # candidate quality is directly comparable in this table. The
+        # configuration is the 8-bit PQ STANDARD (k=256 codewords per
+        # subspace, one byte per code): PQ carries log2(k) bits per
+        # subspace, and an under-provisioned codebook on a high-rank
+        # corpus carries ~no ranking signal — k=16 (4 bits per 16-dim
+        # subspace) measured recall 0.0-0.1 on THIS quasi-uniform
+        # corpus while k=256 reconstructs to ~5% residual energy; the
+        # capacity trade is a corpus property, which is exactly why the
+        # codebooks are trained, not fixed.
+        from eirepolitic_data_pipeline_spark.operators.similarity import (
+            knn_pq_adc)
+        from eirepolitic_data_pipeline_spark.operators.vectors import (
+            pq_encode, pq_fit)
+        t0 = time.perf_counter()
+        books = pq_fit(corpus, m=8, k=256, iters=1)
+        codes = pq_encode(rl, books)
+
+        def pq_rr_recall(m: int) -> float:
+            got = {(r["query_id"], r["neighbor_id"])
+                   for r in knn_pq_adc(codes, books, rq, K, m=m,
+                                       vectors=rl).collect()}
+            return len(got & exact) / len(exact)
+
+        pq10 = pq_rr_recall(10)
+        pq40 = pq_rr_recall(40)
+        t_pqc = round(time.perf_counter() - t0, 1)
+        pqc_ok = pq40 >= pq10 and pq40 >= 0.5
+        if not pqc_ok:
+            failures.append(
+                f"pq codec: recall m=40 {pq40:.3f} vs m=10 {pq10:.3f}")
+        lines.append(
+            f"| PQ codec fit ({args.vectors} x 64, m=8 x k=256 — the "
+            f"8-bit standard, fused kernel) + ADC serving "
+            f"({args.rerank_slice} corpus) | "
+            f"{t_pqc} | recall vs exact: m=10 {pq10:.3f}, m=40 "
+            f"{pq40:.3f} (codes table: 8 bytes/row vs 512) | "
+            f"monotone in m and >= 0.5 at m=40: "
+            f"{'PASS' if pqc_ok else 'FAIL'} |")
+
     section = (
         f"{SECTION}\n\n"
         f"Corpus: **{args.vectors} synthetic 64-dim vectors** "
@@ -295,7 +348,15 @@ def main():
         "(and that m buys it back monotonically); and the composed IVF-PQ "
         "check prices the nprobe candidate cut the same way — scored rows "
         "per query derived exactly from the kernel-assigned cell "
-        "histogram, with recall vs exact reported beside it.\n\n"
+        "histogram, with recall vs exact reported beside it; and the "
+        "real-PQ row fits its 8-bit-standard codebooks (m=8 x k=256) "
+        "over the full corpus in ONE fused kernel pass per Lloyd round, "
+        "then holds the ADC serving envelope against the SAME exact set "
+        "as the int8 row, so the codec quality trade (8 bytes/row vs 64 "
+        "vs 512) is a measured number, not a claim — and the capacity "
+        "law behind it (log2(k) bits per subspace; k=16 measured ~0 "
+        "recall on this quasi-uniform corpus) is stated where a user "
+        "sizing a codebook will read it.\n\n"
         f"Result: **{'PASS' if not failures else 'FAIL: ' + '; '.join(failures)}**. "
         "Rerun: `python tools/stress_ann.py`.\n"
     )
