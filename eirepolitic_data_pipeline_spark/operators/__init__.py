@@ -47,11 +47,13 @@ from .similarity import (  # noqa: F401
     knn_bruteforce_pandas,
     knn_ivf_adc,
     knn_ivf_pq,
+    knn_ivf_pq_index,
     knn_lsh,
     knn_pq_adc,
     knn_quantized_rerank,
     semantic_dedup,
     sign_lsh_bucket,
+    write_ivf_pq_index,
 )
 from .relevance import bigram_lm_bits, bm25_scores  # noqa: F401
 from .vectors import (  # noqa: F401

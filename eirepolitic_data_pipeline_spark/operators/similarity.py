@@ -1,10 +1,15 @@
-"""Embedding similarity search: brute-force cosine top-k and LSH-bucketed
-approximate nearest neighbors over an ``array<float>`` column.
+"""Embedding similarity search: brute-force cosine top-k, LSH/IVF-bucketed
+approximate nearest neighbors, and the compressed serving stack
+(int8-dequantized and product-quantized two-stage kNN, up to the
+fully-literal FAISS-shape IVFPQ ``knn_ivf_adc``) over an
+``array<float>`` column.
 
 The dot/norm folds are pure Catalyst higher-order functions (zip_with /
 aggregate) — JVM-side, no Python, no UDF. For very wide vectors or very hot
 paths a Pandas-UDF matmul variant is provided (Arrow-batched numpy dot) —
-prefer it when k·dim work per row dominates over serialization.
+prefer it when k·dim work per row dominates over serialization. Corpus-sized
+index builds (cells, codes) run as map-only Arrow kernels, parity-pinned to
+their pure-Catalyst literal twins.
 """
 
 from __future__ import annotations
@@ -984,3 +989,78 @@ def ann_recall(vectors: DataFrame, queries: DataFrame, k: int,
         .select("query_id", "n_true", "n_hit",
                 F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"))
     )
+
+
+def write_ivf_pq_index(codes: DataFrame,
+                       codebooks: list[list[list[float]]],
+                       centroids: list[list[float]], path: str,
+                       mode: str = "overwrite") -> None:
+    """Persist the IVF-PQ serving index AT REST: the ``(vec_id, codes)``
+    table with each row's trained coarse cell, written as parquet
+    PARTITIONED BY ``cell`` — the layout a 100 TB deployment actually
+    serves from, where ``knn_ivf_pq_index`` turns each query batch's
+    probe set into a partition filter and the scan READS ONLY THE
+    PROBED CELLS' FILES (Spark partition pruning; the in-memory
+    operators instead compute cells per pass, the right shape for
+    ad-hoc corpora but a re-bucketing cost per query batch at rest).
+
+    Build shape: cells come from the Arrow assignment kernel over the
+    ``pq_decode`` reconstructions (map-only), then ONE build-time
+    shuffle joins them back to the codes rows for the partitioned
+    write — a one-time cost amortized over every serve. Rows the codec
+    cannot key drop from the index (the ``centroid_cells_frame``
+    contract). Storage per row is the m small ints plus the partition
+    directory key; the two bounded models (codebooks, centroids) are
+    the caller's to ship — they are NOT embedded in the files."""
+    from .vectors import pq_decode
+
+    cells = centroid_cells_frame(
+        codes.select("vec_id",
+                     pq_decode(F.col("codes"), codebooks).alias("__dqv")),
+        centroids, id_col="vec_id", vec_col="__dqv", cell_col="cell")
+    (codes.join(cells.select("vec_id", "cell"), "vec_id")
+     .write.mode(mode).partitionBy("cell").parquet(path))
+
+
+def knn_ivf_pq_index(index: DataFrame,
+                     codebooks: list[list[list[float]]],
+                     queries: DataFrame, k: int,
+                     centroids: list[list[float]], nprobe: int = 2,
+                     m: Optional[int] = None,
+                     vectors: Optional[DataFrame] = None,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "vec_id") -> DataFrame:
+    """Serve top-k from a PERSISTED ``write_ivf_pq_index`` table with
+    partition pruning: the union of every query's ``nprobe`` probe
+    cells is collected driver-side (queries are a sample-sized frame —
+    the standing serving contract; every sibling already broadcasts
+    them) and pushed into the scan as ``cell IN (...)``, so parquet
+    reads ONLY the probed partitions — at 100 TB the difference between
+    scanning nprobe/k_coarse of the index and scanning all of it.
+    Within the pruned scan, per-query candidate restriction, ADC
+    scoring, top-``m``, and the exact re-rank are ``knn_ivf_adc``'s
+    exact stages (same results as the in-memory composition for the
+    same models — test-pinned). A query whose vector the quantizer
+    cannot key probes nothing and returns no rows."""
+    from .vectors import pq_decode
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if m is None:
+        m = 4 * k
+    if m < k:
+        raise ValueError(f"m ({m}) must be >= k ({k}) — the exact re-rank "
+                         "can only return candidates stage 1 kept")
+    probe_rows = (queries
+                  .select(centroid_probe_ranks(F.col(vec_col), centroids,
+                                               nprobe=nprobe).alias("__p"))
+                  .collect())
+    probe_cells = sorted({c for r in probe_rows for c in (r["__p"] or [])})
+    pruned = index.filter(F.col("cell").isin(probe_cells))
+    dq_frame = pruned.select(
+        "vec_id",
+        pq_decode(F.col("codes"), codebooks).alias("__dqv"),
+        F.col("cell").cast("string").alias("__cell"))
+    return _ivf_compressed_serve(dq_frame, queries, k, centroids, nprobe,
+                                 m, vectors, id_col, vec_col,
+                                 query_id_col)

@@ -4,10 +4,16 @@ plumbing a 100 TB embedding/ANN pipeline needs around its indexes.
 - ``quantize_int8`` — per-vector symmetric int8 quantization with
   reconstruction-error telemetry: the standard 4× memory/IO cut applied
   before an ANN index is built or served.
-- ``kmeans_assign`` — deterministic Lloyd k-means with a fixed iteration
-  count: the coarse quantizer an IVF index trains, and the clustering
-  step of cluster-based curation (SemDeDup-style semantic dedup operates
-  within clusters, and diversity sampling draws per-cluster quotas).
+- ``kmeans_assign`` / ``kmeans_fit`` — deterministic Lloyd k-means with
+  a fixed iteration count: the coarse quantizer an IVF index trains,
+  and the clustering step of cluster-based curation (SemDeDup-style
+  semantic dedup operates within clusters, and diversity sampling draws
+  per-cluster quotas).
+- ``pq_fit`` / ``pq_encode`` / ``pq_codes`` / ``pq_decode`` (r9) — real
+  product quantization: m independent deterministic subspace codebooks
+  (one fused kernel pass per Lloyd round for ALL subspaces), m-byte
+  codes per vector, and reconstruction-by-concatenation, serving
+  through ``operators.similarity.knn_pq_adc`` / ``knn_ivf_adc``.
 
 Both are expressed over Catalyst array higher-order functions (zip_with /
 transform / aggregate) — JVM-side, no UDFs. Quantization is a pure
@@ -575,6 +581,9 @@ def pq_codes(vec_col: Column,
     downstream join). This form is the recipe the DuckDB oracles unroll
     (one extra assignment CTE per subspace against the fitted book);
     use the kernel for corpus-sized frames."""
+    if not codebooks or not codebooks[0]:
+        raise ValueError("codebooks must hold at least one non-empty "
+                         "subspace codebook (pq_fit's output)")
     m = len(codebooks)
     sub = len(codebooks[0][0]) if codebooks and codebooks[0] else 0
     dim = m * sub
@@ -606,6 +615,9 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     m-byte code table every PQ serving scan reads instead."""
     import numpy as np
 
+    if not codebooks or not codebooks[0]:
+        raise ValueError("codebooks must hold at least one non-empty "
+                         "subspace codebook (pq_fit's output)")
     m = len(codebooks)
     sub = len(codebooks[0][0]) if codebooks and codebooks[0] else 0
     dim = m * sub
@@ -662,6 +674,9 @@ def pq_decode(codes_col: Column,
     cosine(query, decode(codes)) IS the asymmetric distance computation
     (ADC) of Jégou et al. 2011, just computed coordinate-wise instead
     of via per-query lookup tables; ``knn_pq_adc`` relies on this."""
+    if not codebooks or not codebooks[0]:
+        raise ValueError("codebooks must hold at least one non-empty "
+                         "subspace codebook (pq_fit's output)")
     parts = [F.element_at(_lit_array2(cb), codes_col.getItem(j) + 1)
              for j, cb in enumerate(codebooks)]
     return F.when(codes_col.isNotNull(), F.concat(*parts))

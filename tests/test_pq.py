@@ -164,3 +164,56 @@ def test_knn_ivf_adc_all_probes_equals_knn_pq_adc(spark):
     for r in out:
         per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
     assert per_q and all(len(v) <= 3 for v in per_q.values())
+
+
+def test_persisted_ivf_pq_index_prunes_and_matches(spark, tmp_path):
+    """write_ivf_pq_index + knn_ivf_pq_index: the persisted, partitioned
+    index serves the SAME results as the in-memory composition for the
+    same models, and the serving scan is partition-PRUNED to the probed
+    cells (the at-rest layout's whole point at 100 TB)."""
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        knn_ivf_adc, knn_ivf_pq_index, write_ivf_pq_index)
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        kmeans_fit, pq_encode, pq_fit)
+    emb = _emb(spark)
+    cents = kmeans_fit(emb, k=4, iters=1)
+    books = pq_fit(emb, m=4, k=8, iters=1)
+    codes = pq_encode(emb, books)
+    path = str(tmp_path / "ivf_pq_index")
+    write_ivf_pq_index(codes, books, cents, path)
+    index = spark.read.parquet(path)
+    # every row landed in a real cell partition; codes round-trip intact
+    assert index.filter(F.col("cell").isNull()).count() == 0
+    assert index.count() == codes.count()
+    queries = emb.filter(F.col("vec_id") < 5)
+    kw = dict(k=5, m=10, centroids=cents, nprobe=2, vectors=emb)
+    served = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                    for r in knn_ivf_pq_index(index, books, queries,
+                                              **kw).collect())
+    inmem = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                   for r in knn_ivf_adc(codes, books, queries,
+                                        **kw).collect())
+    assert served == inmem and len(served) > 0
+    # the scan must carry the probe set as a PARTITION filter
+    plan = knn_ivf_pq_index(index, books, queries, **kw) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any(re.search(r"PartitionFilters: \[.*cell", ln) for ln in pf), pf
+
+
+def test_pq_empty_codebooks_raise(spark):
+    """Direct callers passing an empty model get a loud ValueError, not
+    an opaque IndexError / malformed expression."""
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        pq_codes, pq_decode, pq_encode)
+    df = spark.createDataFrame([(1, [0.1, 0.2])],
+                               "vec_id long, embedding array<double>")
+    for bad in ([], [[]]):
+        with pytest.raises(ValueError, match="codebook"):
+            pq_codes(F.col("embedding"), bad)
+        with pytest.raises(ValueError, match="codebook"):
+            pq_encode(df, bad)
+        with pytest.raises(ValueError, match="codebook"):
+            pq_decode(F.col("embedding"), bad)
