@@ -59,6 +59,23 @@ def knn_bruteforce(vectors: DataFrame, queries: DataFrame, k: int,
     )
 
 
+def _resolve_m(k: int, m) -> int:
+    """Shared k/m validation of the compressed-serving family
+    (knn_quantized_rerank / knn_pq_adc / knn_ivf_pq / knn_ivf_adc /
+    knn_ivf_pq_index): k >= 1, m defaults to 4k, and the exact re-rank
+    can only return candidates stage 1 kept (m >= k). One place (r9
+    review: five hand-copies had already drifted — knn_ivf_pq's lost
+    the k guard, silently returning empty for k=0)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if m is None:
+        m = 4 * k
+    if m < k:
+        raise ValueError(f"m ({m}) must be >= k ({k}) — the exact re-rank "
+                         "can only return candidates stage 1 kept")
+    return m
+
+
 def knn_quantized_rerank(quantized: DataFrame, queries: DataFrame, k: int,
                          m: Optional[int] = None,
                          vectors: Optional[DataFrame] = None,
@@ -104,13 +121,7 @@ def knn_quantized_rerank(quantized: DataFrame, queries: DataFrame, k: int,
     drops out of the top-k instead of erroring). Both in-repo callers
     derive the two frames from the same source, which satisfies this by
     construction."""
-    if k < 1:
-        raise ValueError("k must be >= 1")
-    if m is None:
-        m = 4 * k
-    if m < k:
-        raise ValueError(f"m ({m}) must be >= k ({k}) — the exact re-rank "
-                         "can only return candidates stage 1 kept")
+    m = _resolve_m(k, m)
     # zip against array_repeat(scale): when `quantized` is the
     # quantize_int8 PLAN (not a materialized table), referencing the
     # scale column inside an interpreted element lambda inlines its
@@ -194,13 +205,7 @@ def knn_pq_adc(codes: DataFrame, codebooks: list[list[list[float]]],
     an inner join — ``knn_quantized_rerank``'s contract)."""
     from .vectors import pq_decode
 
-    if k < 1:
-        raise ValueError("k must be >= 1")
-    if m is None:
-        m = 4 * k
-    if m < k:
-        raise ValueError(f"m ({m}) must be >= k ({k}) — the exact re-rank "
-                         "can only return candidates stage 1 kept")
+    m = _resolve_m(k, m)
     v = codes.select(F.col("vec_id").alias("neighbor_id"),
                      pq_decode(F.col("codes"), codebooks).alias("nv"))
     q = queries.select(F.col(query_id_col).alias("query_id"),
@@ -279,11 +284,7 @@ def knn_ivf_pq(quantized: DataFrame, queries: DataFrame, k: int,
     must carry ``quantize_int8``'s verbatim ``(vec_id, scale, qvec)``
     column names (``id_col``/``vec_col`` rename only the full-precision
     frames)."""
-    if m is None:
-        m = 4 * k
-    if m < k:
-        raise ValueError(f"m ({m}) must be >= k ({k}) — the exact re-rank "
-                         "can only return candidates stage 1 kept")
+    m = _resolve_m(k, m)
     # zip against array_repeat(scale): when `quantized` is the
     # quantize_int8 PLAN (not a materialized table), referencing the
     # scale column inside an interpreted element lambda inlines its
@@ -365,13 +366,7 @@ def knn_ivf_adc(codes: DataFrame, codebooks: list[list[list[float]]],
     ``codes``."""
     from .vectors import pq_decode
 
-    if k < 1:
-        raise ValueError("k must be >= 1")
-    if m is None:
-        m = 4 * k
-    if m < k:
-        raise ValueError(f"m ({m}) must be >= k ({k}) — the exact re-rank "
-                         "can only return candidates stage 1 kept")
+    m = _resolve_m(k, m)
     dq_frame = centroid_cells_frame(
         codes.select("vec_id",
                      pq_decode(F.col("codes"), codebooks).alias("__dqv")),
@@ -667,8 +662,15 @@ def _centroid_d2_structs(vec_col: Column,
     array_sort tie-break to the lowest cluster id."""
     from .vectors import _fold_sum, _lit_array
 
+    if not centroids or not centroids[0]:
+        # F.sequence(0, k-1) with k=0 yields [0, -1] — the flat-literal
+        # tree would FABRICATE cells ('-1') for an empty model where the
+        # per-centroid F.array form failed at construction (r9 review);
+        # an empty/misloaded model must be loud, never wrong bucket keys
+        raise ValueError("centroids must be a non-empty list of "
+                         "non-empty vectors (kmeans_fit's output)")
     k = len(centroids)
-    dim = len(centroids[0]) if centroids else 0
+    dim = len(centroids[0])
     v = vec_col.cast("array<double>")
     flat = _lit_array([x for c in centroids for x in c])
     idx = F.sequence(F.lit(0), F.lit(k - 1))
@@ -723,7 +725,10 @@ def centroid_cells_frame(df: DataFrame, centroids: list[list[float]],
     unservable rows themselves must anti-join them back."""
     from .vectors import _assign
 
-    dim = len(centroids[0]) if centroids else 0
+    if not centroids or not centroids[0]:
+        raise ValueError("centroids must be a non-empty list of "
+                         "non-empty vectors (kmeans_fit's output)")
+    dim = len(centroids[0])
     well = df.filter(F.col(vec_col).isNotNull()
                      & (F.size(vec_col) == dim)
                      & ~F.exists(vec_col, lambda x: x.isNull()))
@@ -1044,13 +1049,7 @@ def knn_ivf_pq_index(index: DataFrame,
     cannot key probes nothing and returns no rows."""
     from .vectors import pq_decode
 
-    if k < 1:
-        raise ValueError("k must be >= 1")
-    if m is None:
-        m = 4 * k
-    if m < k:
-        raise ValueError(f"m ({m}) must be >= k ({k}) — the exact re-rank "
-                         "can only return candidates stage 1 kept")
+    m = _resolve_m(k, m)
     probe_rows = (queries
                   .select(centroid_probe_ranks(F.col(vec_col), centroids,
                                                nprobe=nprobe).alias("__p"))

@@ -15,13 +15,15 @@ plumbing a 100 TB embedding/ANN pipeline needs around its indexes.
   codes per vector, and reconstruction-by-concatenation, serving
   through ``operators.similarity.knn_pq_adc`` / ``knn_ivf_adc``.
 
-Both are expressed over Catalyst array higher-order functions (zip_with /
-transform / aggregate) — JVM-side, no UDFs. Quantization is a pure
-projection (zero shuffle). The k-means fit is a sequence of bounded
-aggregations: per iteration one (cluster, dimension) mean aggregate —
-map-side combined, k·dim output rows — and the only driver-side state is
-the centroid model itself (k·dim doubles), the same bounded artifact any
-trainer ships to executors as a broadcast.
+All are expressed over Catalyst array higher-order functions (zip_with /
+transform / aggregate) for their literal semantic twins, with Arrow
+mapInPandas kernels as the corpus-scale production paths — no row-wise
+UDFs anywhere. Quantization is a pure projection (zero shuffle). The
+k-means and PQ fits are sequences of bounded aggregations: per Lloyd
+round one fused assignment + partial-sum kernel pass — map-side
+combined, k·dim (or m·k·dim/m) output rows — and the only driver-side
+state is the model itself, the same bounded artifact any trainer ships
+to executors as a broadcast.
 """
 
 from __future__ import annotations
@@ -489,12 +491,14 @@ def pq_fit(df: DataFrame, m: int = 4, k: int = 16, iters: int = 1,
         except Exception as e:
             # same worker-to-driver re-raise as _fit: the kernel's
             # contract error surfaces as a PythonException — match the
-            # embedded sentinel, never the bare word (r8 ADVICE)
+            # embedded sentinel, never the bare word (r8 ADVICE). Named
+            # pq_fit, not kmeans_assign: the user called pq_fit (r9
+            # review — the shared kernel sentinel stays as-is)
             if _RAGGED_SENTINEL in str(e):
                 raise RuntimeError(
-                    "kmeans_assign: the embedding column is ragged; "
-                    "k-means requires a fixed-dimension embedding "
-                    "column") from e
+                    "pq_fit: the embedding column is ragged; "
+                    "product quantization requires a fixed-dimension "
+                    "embedding column") from e
             raise
         by: dict[tuple[int, int], dict[int, float]] = {}
         for r in means:
@@ -511,11 +515,11 @@ def pq_fit(df: DataFrame, m: int = 4, k: int = 16, iters: int = 1,
                     continue
                 if sorted(pos_map) != list(range(sub)):
                     raise RuntimeError(
-                        f"kmeans_assign: subspace {j} cluster {i} "
+                        f"pq_fit: subspace {j} cluster {i} "
                         f"aggregated {len(pos_map)} dimensions but the "
                         f"subspace width is {sub} — the embedding column "
-                        "is ragged; k-means requires a fixed-dimension "
-                        "embedding column")
+                        "is ragged; product quantization requires a "
+                        "fixed-dimension embedding column")
                 cb.append([pos_map[p] for p in range(sub)])
             new_books.append(cb)
         books = new_books

@@ -28,7 +28,7 @@ from . import quality  # noqa: F401,E402
 
 
 # Certification rotation (round 9). The driver's correctness gate certifies
-# the first ~50 registered queries per round; with 80 registered, ~30 fall
+# the first ~50 registered queries per round; with 82 registered, ~32 fall
 # outside every round. Rank the workload so the window always covers the
 # queries that NEED a fresh driver-green row:
 #   front — queries never driver-certified (q84, new round 9) or holding a

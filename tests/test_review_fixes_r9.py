@@ -137,3 +137,44 @@ def test_knn_quantized_rerank_recall_monotone_in_m(spark):
         assert recall >= last, (m, recall, last)
         last = recall
     assert last == 1.0  # m = |corpus| degenerates to brute force
+
+
+def test_empty_centroid_model_raises_not_fabricates(spark):
+    """r9 review: F.sequence(0, k-1) with k=0 yields [0, -1], so the
+    flat-literal rewrite would have FABRICATED cell '-1' for an empty
+    model where the per-centroid form failed at construction. All three
+    centroid entry points must be loud."""
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        centroid_cells, centroid_cells_frame, centroid_probe_ranks)
+    df = spark.createDataFrame([(1, [0.1, 0.2])],
+                               "vec_id long, embedding array<double>")
+    for bad in ([], [[]]):
+        with pytest.raises(ValueError, match="centroids"):
+            centroid_cells(F.col("embedding"), bad)
+        with pytest.raises(ValueError, match="centroids"):
+            centroid_probe_ranks(F.col("embedding"), bad)
+        with pytest.raises(ValueError, match="centroids"):
+            centroid_cells_frame(df, bad)
+
+
+def test_serving_family_shares_k_guard(spark):
+    """r9 review: knn_ivf_pq's hand-copied guard had lost the k >= 1
+    check (k=0 silently returned empty). The shared _resolve_m now
+    guards every member of the compressed-serving family."""
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        knn_ivf_adc, knn_ivf_pq, knn_ivf_pq_index, knn_pq_adc,
+        knn_quantized_rerank)
+    df = spark.createDataFrame([(1, [0.1, 0.2])],
+                               "vec_id long, embedding array<double>")
+    qz = spark.createDataFrame([(1, 0.1, [1, 2])],
+                               "vec_id long, scale double, qvec array<int>")
+    cents = [[0.0, 0.0]]
+    books = [[[0.0], [1.0]], [[0.0], [1.0]]]
+    for call in (
+            lambda: knn_quantized_rerank(qz, df, k=0),
+            lambda: knn_pq_adc(qz, books, df, k=0),
+            lambda: knn_ivf_pq(qz, df, k=0, centroids=cents),
+            lambda: knn_ivf_adc(qz, books, df, k=0, centroids=cents),
+            lambda: knn_ivf_pq_index(qz, books, df, k=0, centroids=cents)):
+        with pytest.raises(ValueError, match="k must be >= 1"):
+            call()
