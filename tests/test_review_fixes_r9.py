@@ -14,6 +14,10 @@
    truth is non-decreasing in m, and m = |corpus| recovers the exact
    top-k (the stress suite samples this at 200k; this pins it at
    fixture scale).
+5. Empty centroid models raise instead of fabricating cell '-1'
+   through the flat-literal distance tree (r9 review).
+6. The whole compressed-serving family shares one k/m guard — the
+   hand-copies had drifted (knn_ivf_pq lost its k check; r9 review).
 """
 
 from __future__ import annotations
