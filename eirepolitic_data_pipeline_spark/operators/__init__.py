@@ -58,6 +58,7 @@ from .similarity import (  # noqa: F401
 from .relevance import bigram_lm_bits, bm25_scores  # noqa: F401
 from .vectors import (  # noqa: F401
     diversity_sample,
+    ivf_pq_fit,
     kmeans_assign,
     kmeans_fit,
     pq_codes,

@@ -484,7 +484,7 @@ def pq_fit(df: DataFrame, m: int = 4, k: int = 16, iters: int = 1,
     for _ in range(iters):
         try:
             means = (_pq_assign_mean_partials(vecs, books)
-                     .groupBy("subspace", "cluster", "pos")
+                     .groupBy("model", "cluster", "pos")
                      .agg(F.round(F.sum("s") / F.sum("c"), round_dp)
                           .alias("mv"))
                      .collect())
@@ -502,7 +502,7 @@ def pq_fit(df: DataFrame, m: int = 4, k: int = 16, iters: int = 1,
             raise
         by: dict[tuple[int, int], dict[int, float]] = {}
         for r in means:
-            by.setdefault((r["subspace"], r["cluster"]),
+            by.setdefault((r["model"], r["cluster"]),
                           {})[r["pos"]] = r["mv"]
         new_books = []
         for j in range(m):
@@ -526,16 +526,100 @@ def pq_fit(df: DataFrame, m: int = 4, k: int = 16, iters: int = 1,
     return books
 
 
+def ivf_pq_fit(df: DataFrame, k_coarse: int = 8, m: int = 4,
+               k_sub: int = 16, iters: int = 1,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               round_dp: int = 6
+               ) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the IVFPQ model PAIR — the coarse quantizer's ``k_coarse``
+    centroids and the ``m`` subspace codebooks of ``k_sub`` codewords —
+    in ONE corpus scan per Lloyd round: one shared seed collection (the
+    max(k_coarse, k_sub) lowest-id vectors; each model takes its top-k
+    slice, exactly what the separate fits would seed with) and one
+    fused kernel pass emitting BOTH models' per-(cluster, pos) partial
+    sums. Returns ``(centroids, codebooks)``, bit-identical to
+    ``(kmeans_fit(df, k_coarse, iters), pq_fit(df, m, k_sub, iters))``
+    — test-pinned — because the coarse and subspace updates never
+    interact: same assignments, same rounded means, same
+    empty-cluster-keeps-previous rule.
+
+    Why one pass matters: an IVFPQ deployment always needs both models,
+    and the separate fits cost (2 seed TakeOrdereds + 2 kernel scans)
+    per round — at 100 TB, two extra reads of the corpus per round for
+    byte-identical output. This is also the honest-refit shave for the
+    composed serving certification (q86)."""
+    if k_coarse < 1 or k_sub < 1:
+        raise ValueError("k_coarse and k_sub must be >= 1")
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    vecs = _well_formed_vectors(df, vec_col, id_col)
+    seeds = _seed_vectors(vecs, max(k_coarse, k_sub))
+    dim = len(seeds[0])
+    if dim % m:
+        raise ValueError(
+            f"ivf_pq_fit: dimension {dim} is not divisible by m={m} "
+            "subspaces — product quantization requires equal-width "
+            "subspaces")
+    sub = dim // m
+    cents = [list(s) for s in seeds[:k_coarse]]
+    books = [[s[j * sub:(j + 1) * sub] for s in seeds[:k_sub]]
+             for j in range(m)]
+    for _ in range(iters):
+        try:
+            means = (_pq_assign_mean_partials(vecs, books, coarse=cents)
+                     .groupBy("model", "cluster", "pos")
+                     .agg(F.round(F.sum("s") / F.sum("c"), round_dp)
+                          .alias("mv"))
+                     .collect())
+        except Exception as e:
+            if _RAGGED_SENTINEL in str(e):
+                raise RuntimeError(
+                    "ivf_pq_fit: the embedding column is ragged; "
+                    "k-means and product quantization require a "
+                    "fixed-dimension embedding column") from e
+            raise
+        by: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            by.setdefault((r["model"], r["cluster"]),
+                          {})[r["pos"]] = r["mv"]
+
+        def rebuilt(model: int, k: int, width: int, prev):
+            out = []
+            for i in range(k):
+                pos_map = by.get((model, i))
+                if pos_map is None:
+                    out.append(prev[i])
+                    continue
+                if sorted(pos_map) != list(range(width)):
+                    raise RuntimeError(
+                        f"ivf_pq_fit: model {model} cluster {i} "
+                        f"aggregated {len(pos_map)} dimensions but "
+                        f"expected {width} — the embedding column is "
+                        "ragged; a fixed-dimension embedding column is "
+                        "required")
+                out.append([pos_map[p] for p in range(width)])
+            return out
+
+        cents = rebuilt(-1, k_coarse, dim, cents)
+        books = [rebuilt(j, k_sub, sub, books[j]) for j in range(m)]
+    return cents, books
+
+
 def _pq_assign_mean_partials(vecs: DataFrame,
-                             codebooks: list[list[list[float]]]
+                             codebooks: list[list[list[float]]],
+                             coarse: list[list[float]] | None = None
                              ) -> DataFrame:
     """``_assign_mean_partials``' PQ sibling: ONE kernel pass assigns
-    every subspace independently and emits the per-(subspace, cluster,
+    every subspace independently and emits the per-(model, cluster,
     pos) partial sums for all m mean updates — m·k·(dim/m) tiny rows per
     partition instead of m separate corpus scans. Same float contract as
     the single-space kernel: dimension-ordered accumulation inside each
     subspace's ``_nearest_blocks`` argmin, partial-sum order absorbed by
-    the decimal rounding pin."""
+    the decimal rounding pin. ``model`` = the subspace index, or -1 for
+    the optional COARSE quantizer partials: passing ``coarse`` fuses the
+    IVF centroid update into the SAME pass (full-vector assignment +
+    k_coarse·dim partial sums), so ``ivf_pq_fit`` trains both models
+    with one corpus scan per Lloyd round."""
     import numpy as np
 
     m = len(codebooks)
@@ -543,11 +627,16 @@ def _pq_assign_mean_partials(vecs: DataFrame,
     sub = len(codebooks[0][0]) if codebooks and codebooks[0] else 0
     dim = m * sub
     Cs = [np.asarray(cb, dtype="float64") for cb in codebooks]
+    CC = (np.asarray(coarse, dtype="float64")
+          if coarse is not None else None)
+    kc = len(coarse) if coarse is not None else 0
 
     def kernel(batches):
         import pandas as pd
         S = np.zeros((m, k, sub))
         cnt = np.zeros((m, k), dtype="int64")
+        Sc = np.zeros((kc, dim)) if CC is not None else None
+        cntc = np.zeros(kc, dtype="int64") if CC is not None else None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -557,20 +646,37 @@ def _pq_assign_mean_partials(vecs: DataFrame,
                 best, _ = _nearest_blocks(Vj, Cs[j])
                 np.add.at(S[j], best, Vj)
                 cnt[j] += np.bincount(best, minlength=k)
+            if CC is not None:
+                bestc, _ = _nearest_blocks(V, CC)
+                np.add.at(Sc, bestc, V)
+                cntc += np.bincount(bestc, minlength=kc)
+        frames = []
         js, cs = np.nonzero(cnt)
-        if len(js) == 0:
-            return
-        yield pd.DataFrame({
-            "subspace": np.repeat(js, sub).astype("int32"),
-            "cluster": np.repeat(cs, sub).astype("int32"),
-            "pos": np.tile(np.arange(sub, dtype="int32"), len(js)),
-            "s": S[js, cs].reshape(-1),
-            "c": np.repeat(cnt[js, cs], sub),
-        })
+        if len(js):
+            frames.append(pd.DataFrame({
+                "model": np.repeat(js, sub).astype("int32"),
+                "cluster": np.repeat(cs, sub).astype("int32"),
+                "pos": np.tile(np.arange(sub, dtype="int32"), len(js)),
+                "s": S[js, cs].reshape(-1),
+                "c": np.repeat(cnt[js, cs], sub),
+            }))
+        if CC is not None:
+            used = np.nonzero(cntc)[0]
+            if len(used):
+                frames.append(pd.DataFrame({
+                    "model": np.full(len(used) * dim, -1, dtype="int32"),
+                    "cluster": np.repeat(used, dim).astype("int32"),
+                    "pos": np.tile(np.arange(dim, dtype="int32"),
+                                   len(used)),
+                    "s": Sc[used].reshape(-1),
+                    "c": np.repeat(cntc[used], dim),
+                }))
+        for f in frames:
+            yield f
 
     return vecs.select("__v").mapInPandas(
         kernel,
-        schema="subspace int, cluster int, pos int, s double, c long")
+        schema="model int, cluster int, pos int, s double, c long")
 
 
 def pq_codes(vec_col: Column,

@@ -3382,12 +3382,14 @@ def q86_knn_ivf_adc(spark, sf_dir):
     m=4 small ints per corpus row plus two bounded broadcast models —
     the narrowest serving path in the family."""
     from ..operators.similarity import knn_ivf_adc
-    from ..operators.vectors import kmeans_fit, pq_encode, pq_fit
+    from ..operators.vectors import ivf_pq_fit, pq_encode
     emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
-    cents = kmeans_fit(emb, k=8, iters=1)
-    books = pq_fit(emb, m=4, k=8, iters=1)
+    # the fused trainer: bit-identical to the separate
+    # kmeans_fit(k=8) + pq_fit(m=4, k=8) pair (test-pinned), in ONE
+    # seed collection + ONE kernel pass per Lloyd round (r9)
+    cents, books = ivf_pq_fit(emb, k_coarse=8, m=4, k_sub=8, iters=1)
     codes = pq_encode(emb, books)
     queries = emb.filter(F.col("vec_id") < 20)
     out = knn_ivf_adc(codes, books, queries, k=5, m=10, centroids=cents,

@@ -217,3 +217,22 @@ def test_pq_empty_codebooks_raise(spark):
             pq_encode(df, bad)
         with pytest.raises(ValueError, match="codebook"):
             pq_decode(F.col("embedding"), bad)
+
+
+def test_ivf_pq_fit_matches_separate_fits(spark):
+    """The fused trainer is bit-identical to the separate
+    kmeans_fit + pq_fit pair — same seeds, same assignments, same
+    rounded means, same empty-cluster rule — while reading the corpus
+    once per Lloyd round instead of twice."""
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        ivf_pq_fit, kmeans_fit, pq_fit)
+    emb = _emb(spark)
+    for k_coarse, m, k_sub, iters in ((4, 4, 8, 1), (8, 2, 4, 2)):
+        cents, books = ivf_pq_fit(emb, k_coarse=k_coarse, m=m,
+                                  k_sub=k_sub, iters=iters)
+        assert cents == kmeans_fit(emb, k=k_coarse, iters=iters)
+        assert books == pq_fit(emb, m=m, k=k_sub, iters=iters)
+    with pytest.raises(ValueError, match="divisible"):
+        ivf_pq_fit(emb, m=63)
+    with pytest.raises(ValueError, match=">= 1"):
+        ivf_pq_fit(emb, k_coarse=0)
