@@ -646,7 +646,7 @@ def centroid_cells(vec_col: Column, centroids: list[list[float]]) -> Column:
     parity-pinned against; for corpus-sized frames use
     ``centroid_cells_frame``."""
     best = _centroid_argmin(vec_col, centroids)["cluster"]
-    dim = len(centroids[0]) if centroids else 0
+    dim = len(centroids[0])
     return F.when(vec_col.isNotNull() & (F.size(vec_col) == dim)
                   & ~F.exists(vec_col, lambda x: x.isNull()),
                   best.cast("string"))
@@ -759,10 +759,10 @@ def centroid_probe_ranks(vec_col: Column, centroids: list[list[float]],
     degrades to probing all k cells. Built over the shared flat-literal
     distance tree (``_centroid_d2_structs``) — O(1) plan construction
     in k, identical doubles (r9)."""
-    dim = len(centroids[0]) if centroids else 0
     ranked = F.slice(
         F.array_sort(_centroid_d2_structs(vec_col, centroids)),
         1, nprobe)
+    dim = len(centroids[0])
     return F.when(vec_col.isNotNull() & (F.size(vec_col) == dim)
                   & ~F.exists(vec_col, lambda x: x.isNull()),
                   F.transform(ranked,
@@ -1019,12 +1019,23 @@ def write_ivf_pq_index(codes: DataFrame,
     the caller's to ship — they are NOT embedded in the files."""
     from .vectors import pq_decode
 
-    cells = centroid_cells_frame(
-        codes.select("vec_id",
-                     pq_decode(F.col("codes"), codebooks).alias("__dqv")),
-        centroids, id_col="vec_id", vec_col="__dqv", cell_col="cell")
-    (codes.join(cells.select("vec_id", "cell"), "vec_id")
-     .write.mode(mode).partitionBy("cell").parquet(path))
+    # persist the codes frame across the build join: `codes` is usually
+    # the LAZY pq_encode plan, and the join's two sides would otherwise
+    # each re-run the full corpus encode kernel (two wide-table scans
+    # for a one-pass build — r9 review). The write is an action inside
+    # this function, so the caller-driven persist/unpersist pattern
+    # (min_label_components' edge cache) applies cleanly here.
+    codes = codes.persist()
+    try:
+        cells = centroid_cells_frame(
+            codes.select("vec_id",
+                         pq_decode(F.col("codes"), codebooks)
+                         .alias("__dqv")),
+            centroids, id_col="vec_id", vec_col="__dqv", cell_col="cell")
+        (codes.join(cells.select("vec_id", "cell"), "vec_id")
+         .write.mode(mode).partitionBy("cell").parquet(path))
+    finally:
+        codes.unpersist()
 
 
 def knn_ivf_pq_index(index: DataFrame,
@@ -1050,6 +1061,17 @@ def knn_ivf_pq_index(index: DataFrame,
     from .vectors import pq_decode
 
     m = _resolve_m(k, m)
+    # Materialize the query batch ONCE (r9 review): the probe union is
+    # collected at construction time while the serve stages re-evaluate
+    # the queries frame at action time — a nondeterministic or
+    # concurrently-appended queries frame could otherwise probe cells
+    # OUTSIDE the pruned scan and silently lose true neighbors. Queries
+    # are sample-sized by the serving contract (every sibling broadcasts
+    # them), so pinning the collected rows back as a local relation
+    # closes the two-time-point window at negligible cost.
+    q_proj = queries.select(F.col(query_id_col), F.col(vec_col))
+    q_rows = q_proj.collect()
+    queries = queries.sparkSession.createDataFrame(q_rows, q_proj.schema)
     probe_rows = (queries
                   .select(centroid_probe_ranks(F.col(vec_col), centroids,
                                                nprobe=nprobe).alias("__p"))

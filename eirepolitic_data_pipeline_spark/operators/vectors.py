@@ -481,48 +481,7 @@ def pq_fit(df: DataFrame, m: int = 4, k: int = 16, iters: int = 1,
             " — product quantization requires equal-width subspaces")
     sub = dim // m
     books = [[s[j * sub:(j + 1) * sub] for s in seeds] for j in range(m)]
-    for _ in range(iters):
-        try:
-            means = (_pq_assign_mean_partials(vecs, books)
-                     .groupBy("model", "cluster", "pos")
-                     .agg(F.round(F.sum("s") / F.sum("c"), round_dp)
-                          .alias("mv"))
-                     .collect())
-        except Exception as e:
-            # same worker-to-driver re-raise as _fit: the kernel's
-            # contract error surfaces as a PythonException — match the
-            # embedded sentinel, never the bare word (r8 ADVICE). Named
-            # pq_fit, not kmeans_assign: the user called pq_fit (r9
-            # review — the shared kernel sentinel stays as-is)
-            if _RAGGED_SENTINEL in str(e):
-                raise RuntimeError(
-                    "pq_fit: the embedding column is ragged; "
-                    "product quantization requires a fixed-dimension "
-                    "embedding column") from e
-            raise
-        by: dict[tuple[int, int], dict[int, float]] = {}
-        for r in means:
-            by.setdefault((r["model"], r["cluster"]),
-                          {})[r["pos"]] = r["mv"]
-        new_books = []
-        for j in range(m):
-            cb = []
-            for i in range(k):
-                pos_map = by.get((j, i))
-                if pos_map is None:
-                    # empty cluster keeps its previous codeword
-                    cb.append(books[j][i])
-                    continue
-                if sorted(pos_map) != list(range(sub)):
-                    raise RuntimeError(
-                        f"pq_fit: subspace {j} cluster {i} "
-                        f"aggregated {len(pos_map)} dimensions but the "
-                        f"subspace width is {sub} — the embedding column "
-                        "is ragged; product quantization requires a "
-                        "fixed-dimension embedding column")
-                cb.append([pos_map[p] for p in range(sub)])
-            new_books.append(cb)
-        books = new_books
+    _, books = _fused_lloyd(vecs, None, books, iters, round_dp, "pq_fit")
     return books
 
 
@@ -564,6 +523,22 @@ def ivf_pq_fit(df: DataFrame, k_coarse: int = 8, m: int = 4,
     cents = [list(s) for s in seeds[:k_coarse]]
     books = [[s[j * sub:(j + 1) * sub] for s in seeds[:k_sub]]
              for j in range(m)]
+    return _fused_lloyd(vecs, cents, books, iters, round_dp, "ivf_pq_fit")
+
+
+def _fused_lloyd(vecs: DataFrame, cents, books, iters: int,
+                 round_dp: int, op_name: str):
+    """The shared fused-Lloyd round loop of ``pq_fit`` (``cents=None``)
+    and ``ivf_pq_fit``: one kernel pass per round emits every model's
+    per-(cluster, pos) partial sums, means round to the decimal grid,
+    and an empty cluster keeps its previous centroid/codeword. One body
+    (r9 review: the two hand-copies recreated exactly the copy-drift
+    hazard the shared ``_resolve_m`` had just fixed elsewhere).
+    ``op_name`` prefixes the contract errors so the user sees the
+    function they actually called. Returns ``(cents, books)``."""
+    m = len(books)
+    k_sub = len(books[0])
+    sub = len(books[0][0])
     for _ in range(iters):
         try:
             means = (_pq_assign_mean_partials(vecs, books, coarse=cents)
@@ -572,11 +547,13 @@ def ivf_pq_fit(df: DataFrame, k_coarse: int = 8, m: int = 4,
                           .alias("mv"))
                      .collect())
         except Exception as e:
+            # same worker-to-driver re-raise as _fit: the kernel's
+            # contract error surfaces as a PythonException — match the
+            # embedded sentinel, never the bare word (r8 ADVICE)
             if _RAGGED_SENTINEL in str(e):
                 raise RuntimeError(
-                    "ivf_pq_fit: the embedding column is ragged; "
-                    "k-means and product quantization require a "
-                    "fixed-dimension embedding column") from e
+                    f"{op_name}: the embedding column is ragged; "
+                    "a fixed-dimension embedding column is required")                     from e
             raise
         by: dict[tuple[int, int], dict[int, float]] = {}
         for r in means:
@@ -588,11 +565,12 @@ def ivf_pq_fit(df: DataFrame, k_coarse: int = 8, m: int = 4,
             for i in range(k):
                 pos_map = by.get((model, i))
                 if pos_map is None:
+                    # empty cluster keeps its previous centroid/codeword
                     out.append(prev[i])
                     continue
                 if sorted(pos_map) != list(range(width)):
                     raise RuntimeError(
-                        f"ivf_pq_fit: model {model} cluster {i} "
+                        f"{op_name}: model {model} cluster {i} "
                         f"aggregated {len(pos_map)} dimensions but "
                         f"expected {width} — the embedding column is "
                         "ragged; a fixed-dimension embedding column is "
@@ -600,7 +578,8 @@ def ivf_pq_fit(df: DataFrame, k_coarse: int = 8, m: int = 4,
                 out.append([pos_map[p] for p in range(width)])
             return out
 
-        cents = rebuilt(-1, k_coarse, dim, cents)
+        if cents is not None:
+            cents = rebuilt(-1, len(cents), m * sub, cents)
         books = [rebuilt(j, k_sub, sub, books[j]) for j in range(m)]
     return cents, books
 
@@ -624,7 +603,7 @@ def _pq_assign_mean_partials(vecs: DataFrame,
 
     m = len(codebooks)
     k = len(codebooks[0])
-    sub = len(codebooks[0][0]) if codebooks and codebooks[0] else 0
+    sub = len(codebooks[0][0])
     dim = m * sub
     Cs = [np.asarray(cb, dtype="float64") for cb in codebooks]
     CC = (np.asarray(coarse, dtype="float64")
@@ -695,7 +674,7 @@ def pq_codes(vec_col: Column,
         raise ValueError("codebooks must hold at least one non-empty "
                          "subspace codebook (pq_fit's output)")
     m = len(codebooks)
-    sub = len(codebooks[0][0]) if codebooks and codebooks[0] else 0
+    sub = len(codebooks[0][0])
     dim = m * sub
     v = vec_col.cast("array<double>")
     parts = []
