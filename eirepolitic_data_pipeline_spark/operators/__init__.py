@@ -42,6 +42,7 @@ from .similarity import (  # noqa: F401
     cosine_col,
     hashed_projection_bucket,
     ivf_grid_cells,
+    ivf_pq_index_drift,
     ivf_probe_cells,
     knn_bruteforce,
     knn_bruteforce_pandas,
@@ -51,6 +52,7 @@ from .similarity import (  # noqa: F401
     knn_lsh,
     knn_pq_adc,
     knn_quantized_rerank,
+    refresh_ivf_pq_index,
     semantic_dedup,
     sign_lsh_bucket,
     write_ivf_pq_index,

@@ -933,6 +933,17 @@ def ann_recall(vectors: DataFrame, queries: DataFrame, k: int,
     # raises, as it should.
     if multiprobe is None:
         multiprobe = prober is None and vector_prober is None
+    # A frame_bucketer keys the corpus while `bucketer` keys the query
+    # side; supplying only the former silently pairs the corpus keys
+    # with sign_lsh_bucket query keys — every join misses and every
+    # query reports recall 0 with no structural trace (r9 ADVICE). The
+    # identical-keying contract must be explicit, so demand the pair.
+    if frame_bucketer is not None and bucketer is None:
+        raise ValueError(
+            "frame_bucketer requires a matching bucketer: the corpus and "
+            "query sides must key buckets IDENTICALLY, and without an "
+            "explicit query-side bucketer the query keys silently fall "
+            "back to sign_lsh_bucket (recall 0 everywhere)")
     bucket_of = bucketer or sign_lsh_bucket
     # Evaluate the bucketer ONCE over the corpus (r8): the servability
     # filter, the truth branch's filter, and knn_lsh's bucket column would
@@ -1024,8 +1035,14 @@ def write_ivf_pq_index(codes: DataFrame,
     # each re-run the full corpus encode kernel (two wide-table scans
     # for a one-pass build — r9 review). The write is an action inside
     # this function, so the caller-driven persist/unpersist pattern
-    # (min_label_components' edge cache) applies cleanly here.
-    codes = codes.persist()
+    # (min_label_components' edge cache) applies cleanly here. Spark
+    # persist is NOT ref-counted, so only take (and release) the pin
+    # when the caller had not already persisted the frame — otherwise
+    # the build would silently evict the caller's own cache (r9 ADVICE).
+    lvl = codes.storageLevel
+    own_pin = not (lvl.useMemory or lvl.useDisk)
+    if own_pin:
+        codes = codes.persist()
     try:
         cells = centroid_cells_frame(
             codes.select("vec_id",
@@ -1035,7 +1052,8 @@ def write_ivf_pq_index(codes: DataFrame,
         (codes.join(cells.select("vec_id", "cell"), "vec_id")
          .write.mode(mode).partitionBy("cell").parquet(path))
     finally:
-        codes.unpersist()
+        if own_pin:
+            codes.unpersist()
 
 
 def knn_ivf_pq_index(index: DataFrame,
@@ -1077,6 +1095,16 @@ def knn_ivf_pq_index(index: DataFrame,
                                                nprobe=nprobe).alias("__p"))
                   .collect())
     probe_cells = sorted({c for r in probe_rows for c in (r["__p"] or [])})
+    # Coerce the probe values to the index's ACTUAL cell column dtype:
+    # probe ranks are strings (centroid_probe_ranks' key contract) while
+    # the parquet partition column is re-inferred on read — int by
+    # default — and a string-vs-int isin leans on implicit ANSI coercion
+    # for both correctness and partition-filter pushdown (r9 ADVICE).
+    # Typed literals keep the filter a native partition predicate under
+    # any partitionColumnTypeInference / ANSI setting.
+    from pyspark.sql.types import NumericType
+    if isinstance(index.schema["cell"].dataType, NumericType):
+        probe_cells = [int(c) for c in probe_cells]
     pruned = index.filter(F.col("cell").isin(probe_cells))
     dq_frame = pruned.select(
         "vec_id",
@@ -1085,3 +1113,110 @@ def knn_ivf_pq_index(index: DataFrame,
     return _ivf_compressed_serve(dq_frame, queries, k, centroids, nprobe,
                                  m, vectors, id_col, vec_col,
                                  query_id_col)
+
+
+def refresh_ivf_pq_index(delta: DataFrame,
+                         codebooks: list[list[list[float]]],
+                         centroids: list[list[float]], path: str,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> None:
+    """Incremental maintenance for a ``write_ivf_pq_index`` table:
+    encode ONLY the delta's full-precision vectors with the EXISTING
+    model pair and APPEND the coded rows into their cell partitions —
+    no rebuild, no read of the resident index. Because both the PQ
+    encode and the cell assignment are row-wise functions of the FIXED
+    (codebooks, centroids) models, appending an encoded delta is
+    byte-equivalent to rebuilding the index over base ∪ delta with the
+    same models (test-pinned) — ``mode("append")`` adds files inside
+    existing ``cell=`` directories and creates new ones as needed,
+    never touching resident files (concurrent serving keeps reading a
+    consistent index; a serve racing the append simply misses the
+    still-landing delta rows, the same read-committed story any
+    append-only parquet layout has).
+
+    What this does NOT do — and why ``ivf_pq_index_drift`` exists: the
+    MODELS never move. As deltas accumulate, the corpus distribution
+    can drift away from the quantizers it was trained on (cells skew,
+    reconstruction error grows, recall sags), which an append-only
+    index cannot see from the write path. Run the drift report on a
+    held-out query sample after refresh cycles; when it recommends a
+    refit, rebuild with ``ivf_pq_fit`` + ``write_ivf_pq_index``
+    (mode="overwrite") — the same candidate/promote discipline as
+    ``jobs/incremental_refresh.py``'s rollup maintenance.
+
+    Scale shape: one map-only pass over the delta (the ``pq_encode``
+    Arrow kernel fused with the assignment kernel's cells) and one
+    build shuffle into the partitioned write — cost tracks |delta|,
+    never |index|. Rows the codec cannot key (NULL / wrong-dimension /
+    NULL-element) drop, ``write_ivf_pq_index``'s exact contract."""
+    from .vectors import pq_encode
+
+    codes = pq_encode(delta, codebooks, vec_col=vec_col, id_col=id_col)
+    write_ivf_pq_index(codes, codebooks, centroids, path, mode="append")
+
+
+def ivf_pq_index_drift(index: DataFrame,
+                       codebooks: list[list[list[float]]],
+                       centroids: list[list[float]],
+                       vectors: DataFrame, queries: DataFrame, k: int = 5,
+                       nprobe: int = 2, m: Optional[int] = None,
+                       recall_floor: float = 0.8,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       query_id_col: str = "vec_id") -> DataFrame:
+    """Model-drift telemetry for an append-maintained IVF-PQ index: ONE
+    aggregated row comparing what the persisted index actually serves
+    (``knn_ivf_pq_index`` with the CURRENT models, partition-pruned)
+    against brute-force truth over the full-precision corpus on a
+    held-out query sample. Output: ``(n_queries, n_servable, mean_recall,
+    min_recall, refit_recommended)`` — ``refit_recommended`` when the
+    MEAN recall over servable queries falls below ``recall_floor`` (or
+    when NO query was servable at all, the degenerate-model case).
+
+    This is the feedback loop ``refresh_ivf_pq_index`` deliberately
+    lacks: append-only maintenance keeps the models frozen, so recall
+    decay from distribution drift is invisible to the write path —
+    measured recall on a sample the index did NOT train on is the one
+    signal that says "refit". ``n_servable`` < ``n_queries`` separately
+    exposes queries the quantizer cannot key (unservable vectors emit
+    no recall row at all, ``ann_recall``'s universe contract).
+
+    Plan shape: truth = one broadcast-queries corpus scan
+    (``knn_bruteforce``); served = the pruned-probe serving path under
+    test; the comparison joins two |queries|·k-row frames and folds to
+    a single row — run it on a SAMPLE, the ground truth is the linear
+    cost (``ann_recall``'s standing rule)."""
+    if not 0.0 <= recall_floor <= 1.0:
+        raise ValueError("recall_floor must be within [0, 1]")
+    served = (knn_ivf_pq_index(index, codebooks, queries, k, centroids,
+                               nprobe=nprobe, m=m, vectors=vectors,
+                               id_col=id_col, vec_col=vec_col,
+                               query_id_col=query_id_col)
+              .select("query_id", "neighbor_id",
+                      F.lit(1).alias("__hit")))
+    # the truth side keeps only queries the quantizer can KEY
+    # (ann_recall's universe contract): an unservable query probes
+    # nothing structurally, so leaving it in the brute-force truth
+    # would report it as recall 0 instead of excluding it from
+    # n_servable — drift and unservability are different signals
+    dim = len(centroids[0])
+    servable = queries.filter(F.col(vec_col).isNotNull()
+                              & (F.size(vec_col) == dim)
+                              & ~F.exists(vec_col, lambda x: x.isNull()))
+    truth = knn_bruteforce(vectors, servable, k, id_col=id_col,
+                           vec_col=vec_col, query_id_col=query_id_col)
+    n_q = queries.select(
+        F.count_distinct(F.col(query_id_col)).alias("n_queries"))
+    per_q = (truth.select("query_id", "neighbor_id")
+             .join(served, ["query_id", "neighbor_id"], "left")
+             .groupBy("query_id")
+             .agg((F.count("__hit") / F.count(F.lit(1))).alias("__recall")))
+    return (per_q
+            .agg(F.count(F.lit(1)).alias("n_servable"),
+                 F.round(F.avg("__recall"), 6).alias("mean_recall"),
+                 F.round(F.min("__recall"), 6).alias("min_recall"))
+            .crossJoin(n_q)
+            .select("n_queries", "n_servable", "mean_recall", "min_recall",
+                    F.when(F.col("n_servable") == 0, F.lit(True))
+                    .otherwise(F.col("mean_recall") < F.lit(recall_floor))
+                    .alias("refit_recommended")))

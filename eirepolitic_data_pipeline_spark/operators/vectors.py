@@ -553,7 +553,8 @@ def _fused_lloyd(vecs: DataFrame, cents, books, iters: int,
             if _RAGGED_SENTINEL in str(e):
                 raise RuntimeError(
                     f"{op_name}: the embedding column is ragged; "
-                    "a fixed-dimension embedding column is required")                     from e
+                    "a fixed-dimension embedding column is required"
+                ) from e
             raise
         by: dict[tuple[int, int], dict[int, float]] = {}
         for r in means:
@@ -658,6 +659,39 @@ def _pq_assign_mean_partials(vecs: DataFrame,
         schema="model int, cluster int, pos int, s double, c long")
 
 
+def _validate_codebooks(codebooks: list[list[list[float]]]
+                        ) -> tuple[int, int, int]:
+    """Shared model guard of the PQ codec trio (pq_codes / pq_encode /
+    pq_decode): every subspace codebook must be non-empty and all must
+    agree on codeword count AND codeword width (pq_fit's output shape).
+    The previous guards checked only ``codebooks[0]`` (r9 ADVICE), so a
+    degenerate or ragged model — ``[[[]]]``, or subspaces with differing
+    k/width — passed and silently NULL-coded or dropped every row
+    instead of raising the loud ValueError the guard promises. Returns
+    ``(m, k, sub)``."""
+    if not codebooks or not all(codebooks):
+        raise ValueError("codebooks must hold at least one non-empty "
+                         "subspace codebook (pq_fit's output)")
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0]) if codebooks[0][0] else 0
+    if sub < 1:
+        raise ValueError("codebook codewords must be non-empty vectors "
+                         "(pq_fit's output)")
+    for j, cb in enumerate(codebooks):
+        if len(cb) != k:
+            raise ValueError(
+                f"codebook subspace {j} holds {len(cb)} codewords but "
+                f"subspace 0 holds {k} — a pq_fit model has a uniform "
+                "codeword count across subspaces")
+        for i, c in enumerate(cb):
+            if len(c) != sub:
+                raise ValueError(
+                    f"codebook subspace {j} codeword {i} has width "
+                    f"{len(c)} but expected {sub} — a pq_fit model has "
+                    "equal-width codewords across all subspaces")
+    return len(codebooks), k, sub
+
+
 def pq_codes(vec_col: Column,
              codebooks: list[list[list[float]]]) -> Column:
     """PQ encoding as a pure-Catalyst Column — the literal SEMANTIC TWIN
@@ -670,11 +704,7 @@ def pq_codes(vec_col: Column,
     downstream join). This form is the recipe the DuckDB oracles unroll
     (one extra assignment CTE per subspace against the fitted book);
     use the kernel for corpus-sized frames."""
-    if not codebooks or not codebooks[0]:
-        raise ValueError("codebooks must hold at least one non-empty "
-                         "subspace codebook (pq_fit's output)")
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
+    m, _, sub = _validate_codebooks(codebooks)
     dim = m * sub
     v = vec_col.cast("array<double>")
     parts = []
@@ -704,11 +734,7 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     m-byte code table every PQ serving scan reads instead."""
     import numpy as np
 
-    if not codebooks or not codebooks[0]:
-        raise ValueError("codebooks must hold at least one non-empty "
-                         "subspace codebook (pq_fit's output)")
-    m = len(codebooks)
-    sub = len(codebooks[0][0]) if codebooks and codebooks[0] else 0
+    m, _, sub = _validate_codebooks(codebooks)
     dim = m * sub
     Cs = [np.asarray(cb, dtype="float64") for cb in codebooks]
     vecs = (df.filter(F.col(vec_col).isNotNull()
@@ -763,9 +789,7 @@ def pq_decode(codes_col: Column,
     cosine(query, decode(codes)) IS the asymmetric distance computation
     (ADC) of Jégou et al. 2011, just computed coordinate-wise instead
     of via per-query lookup tables; ``knn_pq_adc`` relies on this."""
-    if not codebooks or not codebooks[0]:
-        raise ValueError("codebooks must hold at least one non-empty "
-                         "subspace codebook (pq_fit's output)")
+    _validate_codebooks(codebooks)
     parts = [F.element_at(_lit_array2(cb), codes_col.getItem(j) + 1)
              for j, cb in enumerate(codebooks)]
     return F.when(codes_col.isNotNull(), F.concat(*parts))

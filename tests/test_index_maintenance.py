@@ -1,0 +1,157 @@
+"""Persisted IVF-PQ index maintenance (r10):
+
+- ``refresh_ivf_pq_index`` appends an encoded delta into existing cell
+  partitions and is byte-equivalent to rebuilding over base ∪ delta
+  with the same frozen models (encode + cell assignment are row-wise
+  functions of the model pair);
+- serving from the refreshed index returns exactly what the in-memory
+  composition serves over the full corpus;
+- ``ivf_pq_index_drift`` reports the recall the index ACTUALLY serves
+  on a held-out sample and flags a refit when it sags below the floor
+  — the feedback loop the frozen-model append path deliberately lacks.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from eirepolitic_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("test_index_maintenance", cores=4)
+    yield s
+
+
+def _emb(spark):
+    return (spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+            .filter(F.col("embedding").isNotNull()
+                    & (F.size("embedding") > 0)
+                    & ~F.exists("embedding", lambda x: x.isNull())))
+
+
+@pytest.fixture(scope="module")
+def models(spark):
+    from eirepolitic_data_pipeline_spark.operators.vectors import ivf_pq_fit
+    emb = _emb(spark)
+    cents, books = ivf_pq_fit(emb, k_coarse=4, m=4, k_sub=8, iters=1)
+    return emb, cents, books
+
+
+def test_refresh_appends_equivalently_to_full_rebuild(spark, models,
+                                                      tmp_path):
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        refresh_ivf_pq_index, write_ivf_pq_index)
+    from eirepolitic_data_pipeline_spark.operators.vectors import pq_encode
+    emb, cents, books = models
+    base = emb.filter(F.col("vec_id") >= 100)
+    delta = emb.filter(F.col("vec_id") < 100)
+    assert base.count() > 0 and delta.count() > 0
+
+    refreshed = str(tmp_path / "idx_refreshed")
+    write_ivf_pq_index(pq_encode(base, books), books, cents, refreshed)
+    refresh_ivf_pq_index(delta, books, cents, refreshed)
+
+    full = str(tmp_path / "idx_full")
+    write_ivf_pq_index(pq_encode(emb, books), books, cents, full)
+
+    def rows(path):
+        return sorted(
+            (r["vec_id"], tuple(r["codes"]), r["cell"])
+            for r in spark.read.parquet(path).collect())
+    got, want = rows(refreshed), rows(full)
+    assert got == want and len(got) == emb.count()
+    # the delta landed as EXTRA FILES inside cell dirs — resident base
+    # files were never rewritten (append-only maintenance)
+    base_files = set()
+    for d, _, files in os.walk(str(tmp_path / "idx_refreshed")):
+        base_files.update(os.path.join(d, f) for f in files
+                          if f.endswith(".parquet"))
+    full_files = set()
+    for d, _, files in os.walk(full):
+        full_files.update(os.path.join(d, f) for f in files
+                          if f.endswith(".parquet"))
+    assert len(base_files) > len(full_files) or len(base_files) >= 2
+
+
+def test_serving_after_refresh_matches_inmemory(spark, models, tmp_path):
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        knn_ivf_adc, knn_ivf_pq_index, refresh_ivf_pq_index,
+        write_ivf_pq_index)
+    from eirepolitic_data_pipeline_spark.operators.vectors import pq_encode
+    emb, cents, books = models
+    path = str(tmp_path / "idx_serve")
+    write_ivf_pq_index(pq_encode(emb.filter(F.col("vec_id") >= 100),
+                                 books), books, cents, path)
+    refresh_ivf_pq_index(emb.filter(F.col("vec_id") < 100), books, cents,
+                         path)
+    queries = emb.filter(F.col("vec_id") < 5)
+    kw = dict(k=5, m=10, centroids=cents, nprobe=2, vectors=emb)
+    served = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in knn_ivf_pq_index(spark.read.parquet(path), books,
+                                  queries, **kw).collect())
+    inmem = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in knn_ivf_adc(pq_encode(emb, books), books, queries,
+                             **kw).collect())
+    assert served == inmem and len(served) > 0
+
+
+def test_drift_report_contract(spark, models, tmp_path):
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        ivf_pq_index_drift, write_ivf_pq_index)
+    from eirepolitic_data_pipeline_spark.operators.vectors import pq_encode
+    emb, cents, books = models
+    path = str(tmp_path / "idx_drift")
+    write_ivf_pq_index(pq_encode(emb, books), books, cents, path)
+    index = spark.read.parquet(path)
+    dim = len(emb.select("embedding").first()[0])
+    # 8 servable sample queries + 1 the quantizer cannot key
+    queries = (emb.filter(F.col("vec_id") < 8)
+               .select("vec_id", "embedding")
+               .unionByName(spark.createDataFrame(
+                   [(990001, [0.5] * (dim - 1))],
+                   "vec_id long, embedding array<double>")))
+    row = ivf_pq_index_drift(index, books, cents, emb, queries, k=5,
+                             nprobe=2, recall_floor=1.0).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["n_queries"] == 9
+    # the malformed query is unservable — it probes nothing and emits
+    # no recall row (the ann_recall universe contract)
+    assert r["n_servable"] == 8
+    assert 0.0 <= r["min_recall"] <= r["mean_recall"] <= 1.0
+    # the flag is literally (mean_recall < floor) when anything served
+    assert r["refit_recommended"] == (r["mean_recall"] < 1.0)
+    ok = ivf_pq_index_drift(index, books, cents, emb, queries, k=5,
+                            nprobe=2, recall_floor=0.0).first()
+    assert not ok["refit_recommended"]
+    with pytest.raises(ValueError, match="recall_floor"):
+        ivf_pq_index_drift(index, books, cents, emb, queries,
+                           recall_floor=1.5)
+
+
+def test_drift_report_flags_no_servable_queries(spark, models, tmp_path):
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        ivf_pq_index_drift, write_ivf_pq_index)
+    from eirepolitic_data_pipeline_spark.operators.vectors import pq_encode
+    emb, cents, books = models
+    path = str(tmp_path / "idx_drift_none")
+    write_ivf_pq_index(pq_encode(emb, books), books, cents, path)
+    dim = len(emb.select("embedding").first()[0])
+    unservable = spark.createDataFrame(
+        [(990001, [0.5] * (dim - 1)), (990002, None)],
+        "vec_id long, embedding array<double>")
+    r = ivf_pq_index_drift(spark.read.parquet(path), books, cents, emb,
+                           unservable, k=5, recall_floor=0.0).first()
+    assert r["n_servable"] == 0 and r["refit_recommended"]

@@ -320,7 +320,7 @@ def test_dedupe_lines_invariants_fuzz(spark, docs, max_df):
                      min_size=1, max_size=6),
        n=st.integers(1, 4))
 def test_shingle_counts_kernel_matches_catalyst_fuzz(spark, docs, n):
-    """The Arrow occurrence kernel (profiling._shingle_counts, the
+    r"""The Arrow occurrence kernel (profiling._shingle_counts, the
     heavy-hitter hot path) must agree byte-for-byte with the Catalyst
     word_shingles column form on arbitrary whitespace-edged unicode —
     tokenization (\xa0 and \u2028 must NOT split: both \s regexes are
