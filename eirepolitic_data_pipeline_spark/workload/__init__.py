@@ -27,96 +27,61 @@ from . import datapipe  # noqa: F401,E402
 from . import quality  # noqa: F401,E402
 
 
-# Certification rotation (round 9). The driver's correctness gate certifies
-# the first ~50 registered queries per round; with 82 registered, ~32 fall
-# outside every round. Rank the workload so the window always covers the
-# queries that NEED a fresh driver-green row:
-#   front — queries never driver-certified (q84, new round 9) or holding a
-#           single green ledger (q82/q83, certified r8 only — hold inside
-#           until 2+, the standing rule since r6), then every query whose
-#           implementation FILE changed this round (round 9 touched
-#           operators/similarity.py — centroid_cells_frame, the ann_recall
-#           frame_bucketer seam, the knn_ivf_pq refactor onto the shared
-#           helper — and operators/vectors.py — the ragged-error sentinel:
-#           the whole ANN/vector family stays inside, including q78–q81
-#           which now hold 2 ledgers but dispatch into the changed files;
-#           the dedup/curation block (q61–q64, q22–q25, q49/q50, q66/q67,
-#           q19, q51/q52/q55–q58) keeps its r8 placement — datapipe.py
-#           changed again this round and window budget still covers it),
-#           then the two-ledger r6 block and the scalar/DQ block while
-#           window budget allows;
-#   tail  — queries unchanged since their last green CORRECTNESS row with
-#           multiple green ledgers already banked (q01–q18/q20/q21/q42/
-#           q43/q47: untouched, up to seven ledgers each; q54/q59/q60
-#           demoted round 7 and q29 demoted round 9 — certified through
-#           r8, and functions/text.py, operators/sketches.py,
-#           operators/incremental.py remain untouched in round 9 — rotate
-#           them back in whenever those files change).
+# Certification rotation (round 10). The driver's correctness gate
+# certifies the first ~50 registered queries per round; with 83
+# registered, ~33 fall outside every round. Rank the workload so the
+# window always covers the queries that NEED a fresh driver-green row:
+#   front — q87 (new round 10, never driver-certified: the persisted-index
+#           serving path), then the single-r9-ledger trio q84–q86 (hold
+#           inside until 2+, the standing rule since r6) and q78–q83,
+#           which dispatch into the files round 10 touched
+#           (operators/similarity.py — write_ivf_pq_index persist
+#           hygiene, the ann_recall frame_bucketer guard, typed probe
+#           pruning, the new refresh/drift operators — and
+#           operators/vectors.py — the shared _validate_codebooks guard);
+#           then THE r5 TAIL ROTATION (the r9 verdict's #2 ask): the 23
+#           queries q01–q18/q20/q21/q42/q43/q47 whose newest green ledger
+#           was round 5 — four rounds is the oldest acceptable ledger age,
+#           files verifiably untouched since, each sub-0.5s; then the r9
+#           bench-drift cluster (q74/q62/q68/q34/q31 — their confirm-rerun
+#           round, bank a fresh correctness row alongside the timing
+#           answer); the rest of the budget keeps one sentinel per
+#           implementation family whose builder module (datapipe.py)
+#           changed this round: curation (q63), the ANN/vector serving
+#           block (q26/q27/q37/q65/q72/q73/q75), dedupe (q61/q64/q19),
+#           and temporal (q53).
+#   tail  — queries with 2+ green ledgers THROUGH r9 whose implementation
+#           files are untouched in round 10: the dedupe/banding block
+#           (q22–q25/q49/q50/q66/q67 — operators/dedupe.py untouched),
+#           the curation-plumbing block (q51/q52/q55–q58 —
+#           operators/curation.py untouched), the r6 text/streaming/DQ
+#           block (q69–q71/q76/q77/q68→kept inside, q32/q41 —
+#           relevance/profiling/streaming/quality files untouched), the
+#           marts pair (q45/q46 — tables/gold.py untouched), q48
+#           (operators/skew.py untouched), and the long-demoted
+#           q54/q59/q60/q35/q36/q30/q28/q29/q39 (same files-untouched
+#           rationale as round 9; rotate each back in whenever its
+#           implementation file changes).
 # Rotate this list each round as certifications land and code changes.
 _CERT_PRIORITY = [
-    # new round 9 — never driver-certified: the composed IVF-PQ serving
-    # chain (r8 verdict's #1 ask), the real product-quantization codec +
-    # ADC serving chain, and their union (the fully-literal FAISS-shape
-    # IVFPQ)
+    # new round 10 — never driver-certified: serving from the WRITTEN,
+    # partition-pruned index (r9 verdict ask #3)
+    "q87_knn_ivf_pq_index",
+    # single green ledger (r9) — hold inside until 2+; all three also
+    # dispatch into similarity.py/vectors.py, changed this round
     "q84_knn_ivf_pq",
     "q85_knn_pq_adc",
     "q86_knn_ivf_adc",
-    # single green ledger (r8) — hold inside the window until 2+; both
-    # also dispatch into similarity.py/vectors.py, changed this round
+    # 2+ ledgers but they dispatch into the changed files — stay inside
+    # per the changed-file rule
     "q82_ann_recall_ivf_trained",
     "q83_knn_quantized_rerank",
-    # two ledgers (r7+r8) but their files (similarity.py, vectors.py)
-    # changed this round — stay inside per the changed-file rule
     "q78_ann_recall",
     "q79_semdedup_clusters",
     "q80_ann_recall_ivf",
     "q81_ann_recall_ivf_nprobe",
-    # implementation family certified alongside the ANN/vector block
-    # since r8; datapipe.py (their builders) changed again this round
-    "q63_curate_corpus_certified",
-    "q62_minhash_dedup_components",
-    "q61_line_dedup_boilerplate",
-    "q64_decontaminate_benchmark",
-    "q27_ann_bucketed",
-    "q37_cosine_neardup_pairs",
-    "q65_knn_lsh_multiprobe",
-    "q26_knn_bruteforce",
-    "q73_kmeans_clusters",
-    "q75_diversity_sample",
-    "q72_quantize_int8",
-    "q22_exact_dedup_fingerprint",
-    "q23_jaccard_topk_pairs",
-    "q24_minhash_lsh_candidates",
-    "q25_simhash_signatures",
-    "q49_winnowed_fingerprints",
-    "q50_winnow_neardup_pairs",
-    "q66_simhash_banded_pairs",
-    "q67_conflict_evidence_dedupe",
-    "q19_dedupe_keep_last",
-    "q51_dataset_split",
-    "q52_sequence_packing",
-    "q55_source_mixing",
-    "q57_domain_profile",
-    "q58_stratified_sample",
-    "q56_resample_daily_ffill",
-    # two-ledger round-6 block (r6+r7): files (relevance.py, profiling.py,
-    # streaming/jobs.py, plans/quality.py) untouched in round 8 — kept
-    # inside while the window budget allows
-    "q69_bm25_relevance",
-    "q70_bigram_lm_quality",
-    "q71_ngram_heavy_hitters",
-    "q74_source_overlap",
-    "q76_sliding_window_counts",
-    "q77_dataset_card",
-    "q68_tally_integrity_report",
-    # 2-ledger scalar/DQ block (r5+r6), unchanged: keep banking ledgers
-    # while window budget allows
-    "q31_dq_summary_lineitem",
-    "q32_integrity_checks",
-    "q34_scalar_function_parity",
-    "q41_compat_projection",
-]
-_CERT_TAIL = [
+    # THE r5 TAIL ROTATION (r9 verdict ask #2): newest green ledger r5,
+    # files untouched since — rotate the whole block through the window
     "q01_pricing_summary",
     "q02_min_cost_supplier",
     "q03_shipping_priority",
@@ -131,52 +96,85 @@ _CERT_TAIL = [
     "q12_cross_grid_zero_filled",
     "q42_cube_status_year",
     "q43_approx_aggregates",
-    # demoted when q69/q70 were added (round 6): green r01-r05, unchanged
     "q13_dense_rank_suppliers",
     "q14_topn_customers_per_nation",
-    # demoted when q71-q74 were added (round 6): green r01-r05, and
-    # windows.py untouched since their r05 certification
     "q15_argmax_event_type",
     "q16_latest_event_per_user",
     "q17_rapid_repeat_events",
     "q18_running_customer_spend",
-    # demoted when q75/q76 were added (round 6): green r01-r05 and their
-    # standalone builders in windows.py are unchanged since (note q76
-    # certifies streaming/jobs.py's F.window path, NOT these builders —
-    # rotate them back in whenever windows.py changes)
     "q20_sessionization",
     "q21_tumbling_hourly",
-    # demoted when q77 was added (round 6): green r04+r05, marts.py
-    # untouched since its r05 certification
     "q47_member_activity_monthly_mart",
-    # demoted when q78/q79 were added (round 7): green r05+r06;
-    # functions/text.py (q54), operators/sketches.py (q59) and
-    # operators/incremental.py (q60) untouched in round 7
+    # the r9 bench-drift cluster: confirm-rerun round (r9 verdict ask
+    # #1) — bank a fresh correctness row beside the 5-run timing answer
+    "q74_source_overlap",
+    "q62_minhash_dedup_components",
+    "q68_tally_integrity_report",
+    "q34_scalar_function_parity",
+    "q31_dq_summary_lineitem",
+    # family sentinels for the builder module that changed this round
+    # (datapipe.py gained q87) + the ANN/vector family, whose operators
+    # live in the two changed implementation files
+    "q63_curate_corpus_certified",
+    "q26_knn_bruteforce",
+    "q27_ann_bucketed",
+    "q37_cosine_neardup_pairs",
+    "q65_knn_lsh_multiprobe",
+    "q72_quantize_int8",
+    "q73_kmeans_clusters",
+    "q75_diversity_sample",
+    "q61_line_dedup_boilerplate",
+    "q64_decontaminate_benchmark",
+    "q19_dedupe_keep_last",
+    "q53_range_join_busy_windows",
+]
+_CERT_TAIL = [
+    # dedupe/banding block: green r8+r9, operators/dedupe.py untouched
+    # in round 10 (q61/q64/q19 stay inside as the family's sentinels)
+    "q22_exact_dedup_fingerprint",
+    "q23_jaccard_topk_pairs",
+    "q24_minhash_lsh_candidates",
+    "q25_simhash_signatures",
+    "q49_winnowed_fingerprints",
+    "q50_winnow_neardup_pairs",
+    "q66_simhash_banded_pairs",
+    "q67_conflict_evidence_dedupe",
+    # curation-plumbing block: green r8+r9, operators/curation.py /
+    # io/bucketing.py untouched in round 10 (q63 stays inside)
+    "q51_dataset_split",
+    "q52_sequence_packing",
+    "q55_source_mixing",
+    "q56_resample_daily_ffill",
+    "q57_domain_profile",
+    "q58_stratified_sample",
+    # r6 text/relevance/streaming block: green through r9, and
+    # relevance.py / profiling.py / streaming/jobs.py untouched in
+    # round 10 (q74 stays inside for its drift confirm-rerun)
+    "q69_bm25_relevance",
+    "q70_bigram_lm_quality",
+    "q71_ngram_heavy_hitters",
+    "q76_sliding_window_counts",
+    "q77_dataset_card",
+    # scalar/DQ/compat: green through r9, plans/quality.py untouched
+    # (q34/q31 stay inside with the drift cluster)
+    "q32_integrity_checks",
+    "q41_compat_projection",
+    # marts + skew: green through r9, tables/gold.py and
+    # operators/skew.py untouched in round 10
+    "q45_member_activity_yearly_mart",
+    "q46_constituency_activity_mart",
+    "q48_salted_topn_events",
+    # long-demoted, 3+ ledgers each, implementation files untouched
+    # since their newest green row (same rationale as round 9): rotate
+    # each back in whenever its file changes
     "q54_repetition_stats",
     "q59_hll_sketch_rollup",
     "q60_incremental_rollup_equivalence",
-    # demoted when q82/q83 were added (round 8): each green r05+r06+r07
-    # (3 ledgers); q35's get_json_object builder (workload/quality.py) and
-    # q36's parse_iso_date path (functions/scalar.py, which q34 — still
-    # inside the window — also certifies) are untouched this round —
-    # rotate back in whenever those files change
     "q35_json_props_extract",
     "q36_parse_iso_date_parity",
-    # demoted when q81 was added (round 7): green r04-r06 (3 ledgers) and
-    # its quality_features path in functions/text.py is untouched this
-    # round — explicit here rather than silently falling past the window
-    # edge as the 51st registrant
     "q30_quality_scores",
-    # demoted when q84/q85 were added (round 9): each green r07+r08 (and
-    # earlier), and their text-stats/language-ID paths in
-    # functions/text.py are untouched this round — rotate both back in
-    # whenever functions/text.py changes
     "q28_text_stats",
     "q29_language_id",
-    # demoted when q86 was added (round 9): green r08 and earlier, and
-    # its as-of window path in operators/temporal.py is untouched this
-    # round — q53 (same file) stays inside as the family's sentinel;
-    # rotate back in whenever temporal.py changes
     "q39_asof_join_last_click",
 ]
 

@@ -3396,3 +3396,53 @@ def q86_knn_ivf_adc(spark, sf_dir):
                       nprobe=3, vectors=emb)
     return out.select("query_id", "neighbor_id",
                       F.round("cosine", 6).alias("cosine"), "rank")
+
+
+@register(
+    "q87_knn_ivf_pq_index",
+    _ivf_adc_oracle_sql(nprobe=2),
+    survey_ref="beyond-ref: persisted IVF-PQ index serving (operators/similarity.py:write_ivf_pq_index + knn_ivf_pq_index — parquet partitioned by cell at rest, the query batch's probe union pushed into the scan as a typed partition filter)",
+    memoize=False,  # construction trains the models, ENCODES the corpus,
+    # and WRITES the index — memoizing would cache all three and the
+    # timed pass would serve without ever paying the build (q73's rule)
+)
+def q87_knn_ivf_pq_index(spark, sf_dir):
+    """The AT-REST serving path certified end to end (r10, the r9
+    verdict's #3 ask): train the model pair (``ivf_pq_fit``), encode
+    the corpus (``pq_encode``), WRITE the partitioned index
+    (``write_ivf_pq_index`` — parquet partitioned by coarse cell), read
+    it back cold, and serve top-k through ``knn_ivf_pq_index`` — the
+    probe union pushed down as a ``cell IN (...)`` PARTITION filter, so
+    the scan reads only the probed cells' files. The oracle is q86's
+    full CTE chain at nprobe=2: the persisted path must return the
+    in-memory composition's EXACT rows (same models, same probe rule,
+    same ADC top-m, same exact re-rank) — which was previously only
+    test-pinned, never driver-certified. At 100 TB this is the serving
+    shape that matters: the index is built once (one shuffle), and each
+    query batch's IO is nprobe/k_coarse of the index, not a corpus
+    re-bucketing per batch."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..operators.similarity import (knn_ivf_pq_index,
+                                        write_ivf_pq_index)
+    from ..operators.vectors import ivf_pq_fit, pq_encode
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+           .filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") > 0)))
+    cents, books = ivf_pq_fit(emb, k_coarse=8, m=4, k_sub=8, iters=1)
+    codes = pq_encode(emb, books)
+    # a fixed per-process path + overwrite mode: each (honest, per-pass)
+    # rebuild replaces the previous pass's files instead of leaking one
+    # temp dir per timed pass; harness processes never share a pid
+    path = _os.path.join(
+        _tempfile.gettempdir(),
+        f"spark_graft_q87_index_{_os.getpid()}",
+        _os.path.basename(sf_dir.rstrip("/")))
+    write_ivf_pq_index(codes, books, cents, path)
+    index = spark.read.parquet(path)
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = knn_ivf_pq_index(index, books, queries, k=5, m=10,
+                           centroids=cents, nprobe=2, vectors=emb)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")

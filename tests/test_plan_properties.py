@@ -290,3 +290,70 @@ def test_pq_adc_serving_broadcasts_and_bounds_shuffles(spark):
         assert ("BroadcastHashJoin" in plan
                 or "BroadcastNestedLoopJoin" in plan), name
         assert _shuffles(plan) <= 2, (name, plan)
+
+
+def test_persisted_index_scan_prunes_to_probe_set(spark, tmp_path):
+    """The at-rest 100 TB claim, asserted in the PLAN (r9 verdict ask):
+    q87's serving scan carries the probe union as a PartitionFilters
+    ``cell IN (...)`` predicate, and the executed scan's partition-read
+    metric equals |probe set| — the parquet reader opened EXACTLY the
+    probed cells' directories, not the whole index."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        centroid_probe_ranks, knn_ivf_pq_index, write_ivf_pq_index)
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        ivf_pq_fit, pq_encode)
+    emb = (spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+           .filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") > 0)
+                   & ~F.exists("embedding", lambda x: x.isNull())))
+    cents, books = ivf_pq_fit(emb, k_coarse=4, m=4, k_sub=8, iters=1)
+    path = str(tmp_path / "idx_prune_metric")
+    write_ivf_pq_index(pq_encode(emb, books), books, cents, path)
+    index = spark.read.parquet(path)
+    n_cells = index.select("cell").distinct().count()
+    # one query, nprobe=1: the probe set must be STRICTLY smaller than
+    # the index's cell count, or "pruned" and "scanned everything" are
+    # indistinguishable
+    queries = emb.filter(F.col("vec_id") == 0)
+    probe = queries.select(
+        F.explode(centroid_probe_ranks(F.col("embedding"), cents,
+                                       nprobe=1)).alias("c")).distinct()
+    n_probe = probe.count()
+    assert 0 < n_probe < n_cells, (n_probe, n_cells)
+    out = knn_ivf_pq_index(index, books, queries, k=3, m=6,
+                           centroids=cents, nprobe=1, vectors=emb)
+    out.collect()  # metrics are populated by execution
+
+    def scans(node, acc):
+        name = node.nodeName()
+        if name.startswith("Scan parquet"):
+            acc.append(node)
+        ch = node.children()
+        for i in range(ch.size()):
+            scans(ch.apply(i), acc)
+        if name.startswith("AdaptiveSparkPlan"):
+            scans(node.executedPlan(), acc)
+        if "QueryStage" in name:
+            scans(node.plan(), acc)
+        return acc
+
+    plan = out._jdf.queryExecution().executedPlan()
+    # identify the index scan by its (vec_id, codes) read schema — the
+    # Location path is truncated out of simpleString under pytest's long
+    # tmp dirs, and the only other parquet scan (embeddings) reads the
+    # embedding column instead
+    index_scans = [s for s in scans(plan, [])
+                   if "codes:array<int>" in s.toString()]
+    assert index_scans, "no parquet scan of the index in the plan"
+    for s in index_scans:
+        text = s.toString()
+        # Catalyst simplifies a 1-element probe union from IN to =; both
+        # are native partition predicates on the cell column
+        assert re.search(
+            r"PartitionFilters: \[.*cell.* (IN|=) ", text), text
+        got = s.metrics().apply("numPartitions").value()
+        assert got == n_probe, (got, n_probe, n_cells)
