@@ -34,6 +34,14 @@ What it checks:
    and >= 0.5 at m=40. (An under-provisioned k=16 codebook measured
    recall ~0 here — log2(k) bits per subspace is the capacity law, and
    this quasi-uniform corpus is the hard case for it.)
+7. **Persisted-index maintenance** (r10) — build the cell-partitioned
+   index over 95% of the corpus, append the last 5% via
+   ``refresh_ivf_pq_index`` (frozen models), serve with the probe union
+   as a partition filter, and run the drift report on the affordable
+   slice: no row lost, resident files byte-intact with the new files
+   holding exactly the delta's rows (cost tracks |delta| — asserted on
+   the files, since local wall clocks are fixed-overhead-dominated),
+   serving scan pruned, drift flag consistent with its floor.
 
 Rewrites only its own section of STRESS.md (``--out``); exits non-zero on
 any violated bound. Standalone; not part of the per-round bench.
@@ -328,6 +336,92 @@ def main():
             f"monotone in m and >= 0.5 at m=40: "
             f"{'PASS' if pqc_ok else 'FAIL'} |")
 
+        # 7. persisted-index maintenance at scale (r10): build the
+        # cell-partitioned index over 95% of the FULL corpus, append the
+        # remaining 5% through refresh_ivf_pq_index (frozen models —
+        # cost must track |delta|, never |index|), then (a) serve from
+        # the refreshed index with the probe union as a PARTITION filter
+        # and (b) run the drift report on the brute-force-affordable
+        # slice against check 4's exact set. The append path's
+        # byte-equivalence to a full rebuild is pytest-pinned
+        # (test_index_maintenance.py); here the bounds are the SCALE
+        # claims: no row lost at 1M, refresh wall a small fraction of
+        # build wall, and the serving scan pruned, not full.
+        from eirepolitic_data_pipeline_spark.operators.similarity import (
+            ivf_pq_index_drift, knn_ivf_pq_index, write_ivf_pq_index,
+            refresh_ivf_pq_index)
+        delta_n = args.vectors // 20
+        idx_path = os.path.join(tmp, "ivf_pq_index")
+        t0 = time.perf_counter()
+        write_ivf_pq_index(
+            pq_encode(corpus.filter(F.col("vec_id") >= delta_n), books),
+            books, cents, idx_path)
+        t_build = round(time.perf_counter() - t0, 1)
+
+        def _files(root):
+            out = {}
+            for d, _, fs in os.walk(root):
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        p = os.path.join(d, f)
+                        out[p] = os.path.getsize(p)
+            return out
+
+        before = _files(idx_path)
+        t0 = time.perf_counter()
+        refresh_ivf_pq_index(corpus.filter(F.col("vec_id") < delta_n),
+                             books, cents, idx_path)
+        t_refresh = round(time.perf_counter() - t0, 1)
+        after = _files(idx_path)
+        # the append-only contract, measured on the FILES (wall clocks at
+        # local scale are fixed-overhead-dominated, so "cost tracks
+        # |delta|" is asserted on what was actually written): every
+        # resident file survives byte-identical in size, and the NEW
+        # files hold exactly the delta's rows
+        import pyarrow.parquet as papq
+        resident_ok = all(after.get(p) == sz for p, sz in before.items())
+        new_rows = sum(papq.ParquetFile(p).metadata.num_rows
+                       for p in after if p not in before)
+        index = spark.read.parquet(idx_path)
+        n_rows = index.count()
+        served = knn_ivf_pq_index(index, books, rq, K, cents, nprobe=2,
+                                  m=40, vectors=corpus)
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        pruned = any("PartitionFilters" in ln and "cell" in ln
+                     for ln in plan.splitlines())
+        n_served = served.count()
+        # drift report on the affordable slice (truth is the linear
+        # cost): its own small index from check 6's codes + check 5's
+        # slice centroids
+        idx2 = os.path.join(tmp, "ivf_pq_index_slice")
+        write_ivf_pq_index(codes, books, rcents, idx2)
+        drift = ivf_pq_index_drift(
+            spark.read.parquet(idx2), books, rcents, rl, rq, k=K,
+            nprobe=2, m=40, recall_floor=0.5).first()
+        t_maint = round(time.perf_counter() - t0, 1)
+        maint_ok = (n_rows == args.vectors and pruned
+                    and n_served == 10 * K
+                    and resident_ok and new_rows == delta_n
+                    and drift["n_servable"] == 10
+                    and drift["refit_recommended"]
+                    == (drift["mean_recall"] < 0.5))
+        if not maint_ok:
+            failures.append(
+                f"index maintenance: rows {n_rows}/{args.vectors}, "
+                f"pruned {pruned}, served {n_served}, resident intact "
+                f"{resident_ok}, new-file rows {new_rows}/{delta_n}, "
+                f"drift {dict(drift.asDict())}")
+        lines.append(
+            f"| persisted-index maintenance ({args.vectors} rows, 5% "
+            f"delta append, nprobe=2 serve) | {t_maint} | build "
+            f"{t_build}s, refresh {t_refresh}s (fixed-overhead-bound "
+            f"at local scale; volume asserted on files), drift mean "
+            f"recall {drift['mean_recall']:.3f} (refit: "
+            f"{drift['refit_recommended']}) | no row lost, resident "
+            f"files byte-intact, new files hold exactly the {delta_n} "
+            f"delta rows, serve scan partition-pruned: "
+            f"{'PASS' if maint_ok else 'FAIL'} |")
+
     section = (
         f"{SECTION}\n\n"
         f"Corpus: **{args.vectors} synthetic 64-dim vectors** "
@@ -356,7 +450,16 @@ def main():
         "vs 512) is a measured number, not a claim — and the capacity "
         "law behind it (log2(k) bits per subspace; k=16 measured ~0 "
         "recall on this quasi-uniform corpus) is stated where a user "
-        "sizing a codebook will read it.\n\n"
+        "sizing a codebook will read it. The maintenance row is the "
+        "steady-state story on top of the at-rest one: the refresh "
+        "encodes and shuffles ONLY the delta — asserted on the files "
+        "(resident files byte-intact, new files hold exactly the delta "
+        "rows), since local wall clocks are fixed-overhead-dominated — "
+        "the refreshed index must hold every row, the serve scan must "
+        "stay partition-pruned after the append, and the drift report — "
+        "the refit feedback loop the frozen-model append path "
+        "deliberately lacks — must price the recall the index actually "
+        "serves.\n\n"
         f"Result: **{'PASS' if not failures else 'FAIL: ' + '; '.join(failures)}**. "
         "Rerun: `python tools/stress_ann.py`.\n"
     )
