@@ -1010,7 +1010,8 @@ def ann_recall(vectors: DataFrame, queries: DataFrame, k: int,
 def write_ivf_pq_index(codes: DataFrame,
                        codebooks: list[list[list[float]]],
                        centroids: list[list[float]], path: str,
-                       mode: str = "overwrite") -> None:
+                       mode: str = "overwrite",
+                       files_per_cell: int = 1) -> None:
     """Persist the IVF-PQ serving index AT REST: the ``(vec_id, codes)``
     table with each row's trained coarse cell, written as parquet
     PARTITIONED BY ``cell`` — the layout a 100 TB deployment actually
@@ -1020,40 +1021,93 @@ def write_ivf_pq_index(codes: DataFrame,
     operators instead compute cells per pass, the right shape for
     ad-hoc corpora but a re-bucketing cost per query batch at rest).
 
-    Build shape: cells come from the Arrow assignment kernel over the
-    ``pq_decode`` reconstructions (map-only), then ONE build-time
-    shuffle joins them back to the codes rows for the partitioned
-    write — a one-time cost amortized over every serve. Rows the codec
-    cannot key drop from the index (the ``centroid_cells_frame``
-    contract). Storage per row is the m small ints plus the partition
-    directory key; the two bounded models (codebooks, centroids) are
-    the caller's to ship — they are NOT embedded in the files."""
-    from .vectors import pq_decode
+    Build shape (r10): the cell is a PURE FUNCTION of (codes, models) —
+    reconstruction is a codeword gather and the cell its nearest-
+    centroid argmin — so ONE fused Arrow kernel emits ``(vec_id, codes,
+    cell)`` in a single map-only pass chained onto whatever plan
+    ``codes`` is (usually the lazy ``pq_encode`` kernel: scan → encode
+    → cell → partitioned write, one corpus read total). The r9 shape —
+    a ``centroid_cells_frame`` pass over the ``pq_decode`` expressions
+    JOINED back to a persisted copy of the codes — paid a corpus-sized
+    persist, a second kernel pass, and a build shuffle for the same
+    bytes; at 100 TB those were the build's dominant costs. Parity:
+    the gather reproduces ``pq_decode``'s exact codeword doubles and
+    ``_nearest_blocks`` is ``centroid_cells``' pinned argmin contract
+    (dimension-ordered accumulation, first-minimum ties), so the cells
+    are identical (test-pinned against the decode+assign recipe).
 
-    # persist the codes frame across the build join: `codes` is usually
-    # the LAZY pq_encode plan, and the join's two sides would otherwise
-    # each re-run the full corpus encode kernel (two wide-table scans
-    # for a one-pass build — r9 review). The write is an action inside
-    # this function, so the caller-driven persist/unpersist pattern
-    # (min_label_components' edge cache) applies cleanly here. Spark
-    # persist is NOT ref-counted, so only take (and release) the pin
-    # when the caller had not already persisted the frame — otherwise
-    # the build would silently evict the caller's own cache (r9 ADVICE).
-    lvl = codes.storageLevel
-    own_pin = not (lvl.useMemory or lvl.useDisk)
-    if own_pin:
-        codes = codes.persist()
-    try:
-        cells = centroid_cells_frame(
-            codes.select("vec_id",
-                         pq_decode(F.col("codes"), codebooks)
-                         .alias("__dqv")),
-            centroids, id_col="vec_id", vec_col="__dqv", cell_col="cell")
-        (codes.join(cells.select("vec_id", "cell"), "vec_id")
-         .write.mode(mode).partitionBy("cell").parquet(path))
-    finally:
-        if own_pin:
-            codes.unpersist()
+    Rows the codec cannot key (NULL / wrong-arity / NULL-element code
+    arrays) drop from the index, the ``centroid_cells_frame`` contract;
+    a codes/model MISMATCH — codebook count != the code arrays' length,
+    or centroids of a different dimension than the reconstructions —
+    raises loudly instead of silently writing an empty index. Storage
+    per row is the m small ints plus the partition directory key; the
+    two bounded models (codebooks, centroids) are the caller's to ship
+    — they are NOT embedded in the files.
+
+    File layout: the write repartitions on the cell key first, so each
+    cell directory holds ``files_per_cell`` files per build (r10) —
+    without it every write task opens a file in every cell it sees,
+    and a W-task build of a k-cell index lands W·k small files (256 at
+    bench scale; at 1000 executors the commit and every later scan's
+    file-listing pay it forever). Raise ``files_per_cell`` when single
+    cells outgrow a comfortable file/task size (a salt spreads each
+    cell over that many writer tasks — the skew dial for a hot cell;
+    the 1M stress writes k=16 cells of ~62k rows each through the
+    default)."""
+    import numpy as np
+
+    from .vectors import _nearest_blocks, _validate_codebooks
+
+    if files_per_cell < 1:
+        raise ValueError("files_per_cell must be >= 1")
+    m, _, sub = _validate_codebooks(codebooks)
+    dim = m * sub
+    if not centroids or not centroids[0]:
+        raise ValueError("centroids must be a non-empty list of "
+                         "non-empty vectors (kmeans_fit's output)")
+    if len(centroids[0]) != dim:
+        raise ValueError(
+            f"centroid dimension {len(centroids[0])} != the codebooks' "
+            f"reconstruction dimension {dim} — the coarse quantizer and "
+            "the PQ model must be trained on the same space")
+    Bs = [np.asarray(cb, dtype="float64") for cb in codebooks]
+    C = np.asarray(centroids, dtype="float64")
+    servable = codes.filter(
+        F.col("codes").isNotNull() & (F.size("codes") == m)
+        & ~F.exists("codes", lambda x: x.isNull()))
+    id_type = servable.schema["vec_id"].dataType.simpleString()
+
+    def kernel(batches):
+        import pandas as pd
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.stack(pdf["codes"].to_numpy()).astype("int64")
+            # out-of-range codes fail the gather loudly — the
+            # pq_decode/element_at model-mismatch contract
+            if cm.min() < 0 or cm.max() >= Bs[0].shape[0]:
+                raise ValueError(
+                    "write_ivf_pq_index: code value outside the "
+                    "codebook range — codes were built with different "
+                    "codebooks (pq_decode's contract)")
+            V = np.concatenate([Bs[j][cm[:, j]] for j in range(m)],
+                               axis=1)
+            best, _ = _nearest_blocks(V, C)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "codes": pdf["codes"],
+                                "cell": best.astype("int32")})
+
+    coded = (servable.select("vec_id", "codes")
+             .mapInPandas(
+                 kernel,
+                 schema=f"vec_id {id_type}, codes array<int>, cell int"))
+    keys = [F.col("cell")]
+    if files_per_cell > 1:
+        keys.append(F.pmod(F.xxhash64(F.col("vec_id").cast("string")),
+                           F.lit(files_per_cell)))
+    (coded.repartition(*keys)
+     .write.mode(mode).partitionBy("cell").parquet(path))
 
 
 def knn_ivf_pq_index(index: DataFrame,

@@ -155,3 +155,59 @@ def test_drift_report_flags_no_servable_queries(spark, models, tmp_path):
     r = ivf_pq_index_drift(spark.read.parquet(path), books, cents, emb,
                            unservable, k=5, recall_floor=0.0).first()
     assert r["n_servable"] == 0 and r["refit_recommended"]
+
+
+def test_fused_build_matches_decode_assign_recipe(spark, models, tmp_path):
+    """The r10 one-pass build kernel (codeword gather + nearest-centroid
+    argmin fused into the write) emits EXACTLY the rows of the r9
+    recipe it replaced — centroid_cells_frame over the pq_decode
+    reconstructions joined back to the codes — and drops the same
+    unservable rows."""
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        centroid_cells_frame, write_ivf_pq_index)
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        pq_decode, pq_encode)
+    from pyspark.sql import functions as FF
+    emb, cents, books = models
+    codes = pq_encode(emb, books).unionByName(spark.createDataFrame(
+        [(880001, None), (880002, [0, 1]), (880003, [0, None, 1, 2])],
+        "vec_id long, codes array<int>"))
+    path = str(tmp_path / "idx_fused_parity")
+    write_ivf_pq_index(codes, books, cents, path)
+    got = sorted((r["vec_id"], tuple(r["codes"]), int(r["cell"]))
+                 for r in spark.read.parquet(path).collect())
+    # the reference recipe on the SERVABLE universe only: ANSI getItem
+    # THROWS on a wrong-arity code array, so the r9 decode+assign path
+    # could never even express the drop the docstring promised — the
+    # fused kernel's pre-filter is the contract, the recipe is the
+    # cell-parity pin
+    servable = codes.filter(
+        FF.col("codes").isNotNull() & (FF.size("codes") == 4)
+        & ~FF.exists("codes", lambda x: x.isNull()))
+    cells = centroid_cells_frame(
+        servable.select("vec_id",
+                        pq_decode(FF.col("codes"), books).alias("__dqv")),
+        cents, id_col="vec_id", vec_col="__dqv", cell_col="cell")
+    want = sorted(
+        (r["vec_id"], tuple(r["codes"]), int(r["cell"]))
+        for r in servable.join(cells.select("vec_id", "cell"), "vec_id")
+        .collect())
+    assert got == want and len(got) > 0
+    assert not any(v in (880001, 880002, 880003) for v, _, _ in got)
+
+
+def test_build_raises_on_model_mismatch(spark, models, tmp_path):
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        write_ivf_pq_index)
+    from eirepolitic_data_pipeline_spark.operators.vectors import pq_encode
+    emb, cents, books = models
+    codes = pq_encode(emb, books)
+    with pytest.raises(ValueError, match="dimension"):
+        write_ivf_pq_index(codes, books, [[0.0, 1.0]],
+                           str(tmp_path / "idx_bad_cents"))
+    with pytest.raises(Exception, match="codebook range"):
+        # codes built with an 8-codeword model, decoded with a 2-codeword
+        # slice — out-of-range gather must be loud, never a wrapped index
+        small = [cb[:2] for cb in books]
+        write_ivf_pq_index(codes, small, cents,
+                           str(tmp_path / "idx_bad_books"))
