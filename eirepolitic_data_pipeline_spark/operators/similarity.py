@@ -1102,12 +1102,27 @@ def write_ivf_pq_index(codes: DataFrame,
              .mapInPandas(
                  kernel,
                  schema=f"vec_id {id_type}, codes array<int>, cell int"))
-    keys = [F.col("cell")]
-    if files_per_cell > 1:
-        keys.append(F.pmod(F.xxhash64(F.col("vec_id").cast("string")),
-                           F.lit(files_per_cell)))
-    (coded.repartition(*keys)
-     .write.mode(mode).partitionBy("cell").parquet(path))
+    if files_per_cell == 1:
+        # keys-only repartition: one file per cell per build regardless
+        # of how AQE coalesces the write tasks (dynamic partitioning
+        # still opens one file per cell per task, and each cell lives
+        # in exactly one task)
+        out = coded.repartition(F.col("cell"))
+    else:
+        # salt + EXPLICIT partition count: a user-specified count is
+        # AQE-exempt (the semdedup kernel's rule), so a hot cell's
+        # files_per_cell salt keys actually land on separate writer
+        # tasks instead of being size-coalesced back into one; capped
+        # by the session's shuffle width so a large-k index cannot
+        # demand k x files_per_cell tasks
+        from ..session import shuffle_partitions
+        n_parts = min(len(centroids) * files_per_cell,
+                      max(shuffle_partitions(codes.sparkSession),
+                          files_per_cell))
+        salt = F.pmod(F.xxhash64(F.col("vec_id").cast("string")),
+                      F.lit(files_per_cell))
+        out = coded.repartition(n_parts, F.col("cell"), salt)
+    out.write.mode(mode).partitionBy("cell").parquet(path)
 
 
 def knn_ivf_pq_index(index: DataFrame,

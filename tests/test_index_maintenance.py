@@ -211,3 +211,49 @@ def test_build_raises_on_model_mismatch(spark, models, tmp_path):
         small = [cb[:2] for cb in books]
         write_ivf_pq_index(codes, small, cents,
                            str(tmp_path / "idx_bad_books"))
+
+
+def test_files_per_cell_spreads_hot_cells(spark, models, tmp_path):
+    """files_per_cell is the hot-cell skew dial, and its contract is a
+    BOUND: at most that many files per cell per build (the salt keys a
+    cell across up to that many writer partitions; AQE may legally
+    coalesce a small build below it). Default: exactly one file per
+    cell. The single-cell index — every row in one hot cell — is where
+    the salt must demonstrably split; rows are identical either way."""
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        write_ivf_pq_index)
+    from eirepolitic_data_pipeline_spark.operators.vectors import pq_encode
+    emb, cents, books = models
+    codes = pq_encode(emb, books)
+
+    def layout(path):
+        files = 0
+        for d, _, fs in os.walk(path):
+            files += sum(1 for f in fs if f.endswith(".parquet"))
+        rows = sorted((r["vec_id"], tuple(r["codes"]), r["cell"])
+                      for r in spark.read.parquet(path).collect())
+        return rows, files
+
+    one = str(tmp_path / "idx_fpc1")
+    two = str(tmp_path / "idx_fpc2")
+    write_ivf_pq_index(codes, books, cents, one)
+    write_ivf_pq_index(codes, books, cents, two, files_per_cell=2)
+    rows1, files1 = layout(one)
+    rows2, files2 = layout(two)
+    assert rows1 == rows2 and len(rows1) > 0
+    n_cells = len({c for _, _, c in rows1})
+    assert files1 == n_cells
+    assert files2 <= 2 * n_cells
+    # one hot cell holding the whole corpus: the salt must split it
+    hot1 = str(tmp_path / "idx_hot1")
+    hot4 = str(tmp_path / "idx_hot4")
+    write_ivf_pq_index(codes, books, [cents[0]], hot1)
+    write_ivf_pq_index(codes, books, [cents[0]], hot4, files_per_cell=4)
+    rh1, fh1 = layout(hot1)
+    rh4, fh4 = layout(hot4)
+    assert rh1 == rh4 and {c for _, _, c in rh4} == {0}
+    assert fh1 == 1
+    assert 1 < fh4 <= 4
+    with pytest.raises(ValueError, match="files_per_cell"):
+        write_ivf_pq_index(codes, books, cents,
+                           str(tmp_path / "idx_fpc0"), files_per_cell=0)
