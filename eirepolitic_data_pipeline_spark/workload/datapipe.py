@@ -3259,12 +3259,29 @@ def q85_knn_pq_adc(spark, sf_dir):
 
 def _ivf_adc_oracle_sql(m_sub: int = 4, kc: int = 8,
                         k_coarse: int = 8, nprobe: int = 3) -> str:
-    """The q86 oracle: FAISS-shape IVFPQ re-derived end to end — q84's
-    coarse-quantizer joints (trained fit over FULL vectors, index cells
-    argmin'd over the COMPRESSED reconstructions, probe ranking by raw
-    query distance, candidate cut restricted to probed cells) assembled
-    around q85's PQ codec fragment (``_pq_codec_sql``) instead of the
-    int8 recipe, then the shared top-m / exact re-rank stages."""
+    """The q86/q87 oracle: FAISS-shape IVFPQ re-derived end to end —
+    q84's coarse-quantizer joints (trained fit over FULL vectors, index
+    cells argmin'd over the COMPRESSED reconstructions, probe ranking
+    by raw query distance, candidate cut restricted to probed cells)
+    assembled around q85's PQ codec fragment (``_pq_codec_sql``)
+    instead of the int8 recipe, then the shared top-m / exact re-rank
+    stages. The chain through ``ex`` is shared with the q88 drift
+    oracle (``_ivf_adc_chain_sql``), which aggregates the same served
+    rows into a recall report instead of emitting them."""
+    return _ivf_adc_chain_sql(m_sub, kc, k_coarse, nprobe) + """
+    SELECT query_id, neighbor_id,
+           round(cos_raw, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+    FROM ex
+    QUALIFY rank <= 5
+    """
+
+
+def _ivf_adc_chain_sql(m_sub: int = 4, kc: int = 8,
+                       k_coarse: int = 8, nprobe: int = 3) -> str:
+    """The shared IVFPQ WITH-chain (universe → coarse fit → PQ codec →
+    index cells → probes → candidate cut → exact re-rank ``ex``)."""
     return f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -3352,12 +3369,6 @@ def _ivf_adc_oracle_sql(m_sub: int = 4, kc: int = 8,
         ON ne.vec_id = c.neighbor_id
       JOIN qs q ON q.query_id = c.query_id
     )
-    SELECT query_id, neighbor_id,
-           round(cos_raw, 6) AS cosine,
-           CAST(row_number() OVER (PARTITION BY query_id
-             ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
-    FROM ex
-    QUALIFY rank <= 5
     """
 
 
@@ -3446,3 +3457,105 @@ def q87_knn_ivf_pq_index(spark, sf_dir):
                            centroids=cents, nprobe=2, vectors=emb)
     return out.select("query_id", "neighbor_id",
                       F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def _ivf_drift_oracle_sql(m_sub: int = 4, kc: int = 8,
+                          k_coarse: int = 8, nprobe: int = 2,
+                          k: int = 5, floor: float = 0.8) -> str:
+    """The q88 oracle: the drift REPORT re-derived end to end — the
+    shared IVFPQ chain's served top-k (exactly what the persisted index
+    returns, q87's certification) compared against brute-force truth
+    over the full-precision universe (q26's rule: self excluded,
+    zero-norm cosine 0.0, ties to the lowest neighbor id), folded to
+    the operator's one-row contract. Per-query recall is n_hit/n_true
+    as a double; mean/min round to 6 dp; the refit flag compares the
+    ROUNDED mean against the floor (the operator's exact rule)."""
+    return _ivf_adc_chain_sql(m_sub, kc, k_coarse, nprobe) + f"""
+    , served AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_raw DESC, neighbor_id) AS rn
+        FROM ex
+      ) WHERE rn <= {k}
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, ne.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 CASE WHEN ne.nn2 > 0 AND q.qn > 0
+                      THEN list_cosine_similarity(ne.v, q.qvf)
+                      ELSE 0.0 END DESC, ne.vec_id) AS rn
+        FROM qs q CROSS JOIN
+             (SELECT vec_id, v, list_dot_product(v, v) AS nn2 FROM e) ne
+        WHERE ne.vec_id <> q.query_id
+      ) WHERE rn <= {k}
+    ),
+    per_q AS (
+      SELECT t.query_id,
+             COUNT(*) * 1.0 AS n_true,
+             COUNT(s.neighbor_id) * 1.0 AS n_hit
+      FROM truth t
+      LEFT JOIN served s ON s.query_id = t.query_id
+                        AND s.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id
+    )
+    SELECT (SELECT COUNT(*) FROM qs) AS n_queries,
+           COUNT(*) AS n_servable,
+           round(avg(n_hit / n_true), 6) AS mean_recall,
+           round(min(n_hit / n_true), 6) AS min_recall,
+           CAST(CASE WHEN round(avg(n_hit / n_true), 6) < {floor}
+                     THEN 1 ELSE 0 END AS INTEGER) AS refit_recommended
+    FROM per_q
+    """
+
+
+@register(
+    "q88_index_drift_report",
+    _ivf_drift_oracle_sql(),
+    survey_ref="beyond-ref: persisted-index drift telemetry (operators/similarity.py:ivf_pq_index_drift — recall the index ACTUALLY serves vs brute-force truth on a held-out sample, with the refit_recommended floor flag)",
+    memoize=False,  # trains, encodes, writes the index, and the report
+    # itself runs Spark actions at construction (probe collection) —
+    # memoizing would cache the whole maintenance cycle
+)
+def q88_index_drift_report(spark, sf_dir):
+    """The refit feedback loop certified end to end (r10): build the
+    persisted index exactly as q87, then run ``ivf_pq_index_drift`` —
+    serving through the partition-pruned scan with the CURRENT models
+    against brute-force truth on the 20-query held-out sample — and
+    emit the operator's one-row report. The oracle re-derives the
+    whole cycle: the IVFPQ chain's served top-k, the exact top-k
+    truth, per-query recall, the 6-dp-rounded mean/min, and the
+    floor-flag on the rounded mean. This is the number an append-only
+    deployment watches (``refresh_ivf_pq_index`` keeps the models
+    frozen, so recall decay is invisible to the write path) — now a
+    driver-certified contract, not just a pytest pin."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..operators.similarity import (ivf_pq_index_drift,
+                                        write_ivf_pq_index)
+    from ..operators.vectors import ivf_pq_fit, pq_encode
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+           .filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") > 0)))
+    cents, books = ivf_pq_fit(emb, k_coarse=8, m=4, k_sub=8, iters=1)
+    codes = pq_encode(emb, books)
+    # own path, never shared with q87: q87's serving frame reads ITS
+    # path lazily at action time, and a shared path rewritten by this
+    # builder between q87's construction and action would change its
+    # rows (the two-time-point window knn_ivf_pq_index closes for
+    # queries, reopened for the files)
+    path = _os.path.join(
+        _tempfile.gettempdir(),
+        f"spark_graft_q88_index_{_os.getpid()}",
+        _os.path.basename(sf_dir.rstrip("/")))
+    write_ivf_pq_index(codes, books, cents, path)
+    queries = emb.filter(F.col("vec_id") < 20)
+    rep = ivf_pq_index_drift(spark.read.parquet(path), books, cents,
+                             emb, queries, k=5, nprobe=2, m=10,
+                             recall_floor=0.8)
+    return rep.select(
+        "n_queries", "n_servable", "mean_recall", "min_recall",
+        F.col("refit_recommended").cast("int")
+        .alias("refit_recommended"))
