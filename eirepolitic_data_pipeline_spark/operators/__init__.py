@@ -39,6 +39,7 @@ from .similarity import (  # noqa: F401
     centroid_cells,
     centroid_cells_frame,
     centroid_probe_ranks,
+    compact_ivf_pq_index,
     cosine_col,
     hashed_projection_bucket,
     ivf_grid_cells,

@@ -1224,6 +1224,31 @@ def refresh_ivf_pq_index(delta: DataFrame,
     write_ivf_pq_index(codes, codebooks, centroids, path, mode="append")
 
 
+def compact_ivf_pq_index(spark, path: str,
+                         target_file_bytes: int = 128 * 2**20) -> dict:
+    """Small-file compaction for a ``write_ivf_pq_index`` table: every
+    ``refresh_ivf_pq_index`` cycle appends at least one file into each
+    touched cell directory, so after N refreshes a probe reads N files
+    per probed cell — listing and open() pressure that grows with
+    maintenance history, not data. This rewrites each ``cell=``
+    partition independently to ~``target_file_bytes`` files
+    (``io.maintenance.compact_dataset``'s per-leaf recursion: the
+    partition dirs, their value spelling, and therefore the probe
+    pruning are untouched; each leaf swap is atomic, so a serve racing
+    the compaction reads either the old or the new file set, never a
+    mix of a partially-deleted one). Returns the compactor's
+    ``{files_before, files_after, bytes, partitions}`` telemetry.
+
+    Lifecycle: ``write_ivf_pq_index`` (build) → ``refresh_ivf_pq_index``
+    (append deltas) → this (bound the file count) →
+    ``ivf_pq_index_drift`` (watch recall) → refit + rebuild when the
+    flag says so."""
+    from ..io.maintenance import compact_dataset
+
+    return compact_dataset(spark, path,
+                           target_file_bytes=target_file_bytes)
+
+
 def ivf_pq_index_drift(index: DataFrame,
                        codebooks: list[list[list[float]]],
                        centroids: list[list[float]],

@@ -257,3 +257,54 @@ def test_files_per_cell_spreads_hot_cells(spark, models, tmp_path):
     with pytest.raises(ValueError, match="files_per_cell"):
         write_ivf_pq_index(codes, books, cents,
                            str(tmp_path / "idx_fpc0"), files_per_cell=0)
+
+
+def test_compaction_bounds_files_and_preserves_serving(spark, models,
+                                                       tmp_path):
+    """After several refresh cycles each cell holds one file per cycle;
+    compact_ivf_pq_index rewrites every cell partition back to ~one
+    file — same rows, same cell dirs (pruning untouched), and the
+    pruned serve returns the identical result set."""
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        compact_ivf_pq_index, knn_ivf_pq_index, refresh_ivf_pq_index,
+        write_ivf_pq_index)
+    from eirepolitic_data_pipeline_spark.operators.vectors import pq_encode
+    emb, cents, books = models
+    path = str(tmp_path / "idx_compact")
+    write_ivf_pq_index(pq_encode(emb.filter(F.col("vec_id") >= 300),
+                                 books), books, cents, path)
+    for lo, hi in ((200, 300), (100, 200), (0, 100)):
+        refresh_ivf_pq_index(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            books, cents, path)
+
+    def state(p):
+        files, dirs = 0, set()
+        for d, _, fs in os.walk(p):
+            files += sum(1 for f in fs if f.endswith(".parquet"))
+            dirs.update(x for x in (os.path.basename(d),)
+                        if x.startswith("cell="))
+        rows = sorted((r["vec_id"], tuple(r["codes"]), r["cell"])
+                      for r in spark.read.parquet(p).collect())
+        return rows, files, dirs
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    kw = dict(k=5, m=10, centroids=cents, nprobe=2, vectors=emb)
+    rows0, files0, dirs0 = state(path)
+    served0 = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in knn_ivf_pq_index(spark.read.parquet(path), books,
+                                  queries, **kw).collect())
+    n_cells = len(dirs0)
+    assert files0 > n_cells, "refreshes should have multiplied files"
+
+    tel = compact_ivf_pq_index(spark, path)
+    rows1, files1, dirs1 = state(path)
+    assert tel["files_before"] >= files0  # _du counts sidecars too
+    assert files1 == n_cells == tel["partitions"]
+    assert dirs1 == dirs0 and rows1 == rows0
+    served1 = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in knn_ivf_pq_index(spark.read.parquet(path), books,
+                                  queries, **kw).collect())
+    assert served1 == served0 and len(served1) > 0
