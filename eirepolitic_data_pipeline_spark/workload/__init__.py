@@ -48,8 +48,9 @@ from . import quality  # noqa: F401,E402
 #           answer); the rest of the budget keeps one sentinel per
 #           implementation family whose builder module (datapipe.py)
 #           changed this round: curation (q63), the ANN/vector serving
-#           block (q26/q27/q37/q65/q72/q73/q75), dedupe (q61/q64/q19),
-#           and temporal (q53).
+#           block (q26/q27/q37/q65/q72/q73/q75), and dedupe
+#           (q61/q64/q19). q53 was the 51st when q88 was added and
+#           rotated to the tail (2 ledgers, temporal.py untouched).
 #   tail  — queries with 2+ green ledgers THROUGH r9 whose implementation
 #           files are untouched in round 10: the dedupe/banding block
 #           (q22–q25/q49/q50/q66/q67 — operators/dedupe.py untouched),
