@@ -725,13 +725,13 @@ def centroid_cells_frame(df: DataFrame, centroids: list[list[float]],
     unservable rows themselves must anti-join them back."""
     from .vectors import _assign
 
+    from .vectors import well_formed_pred
+
     if not centroids or not centroids[0]:
         raise ValueError("centroids must be a non-empty list of "
                          "non-empty vectors (kmeans_fit's output)")
     dim = len(centroids[0])
-    well = df.filter(F.col(vec_col).isNotNull()
-                     & (F.size(vec_col) == dim)
-                     & ~F.exists(vec_col, lambda x: x.isNull()))
+    well = df.filter(well_formed_pred(F.col(vec_col), dim))
     cells = _assign(
         well.select(F.col(id_col).alias("vec_id"),
                     F.col(vec_col).cast("array<double>").alias("__v")),
@@ -759,12 +759,12 @@ def centroid_probe_ranks(vec_col: Column, centroids: list[list[float]],
     degrades to probing all k cells. Built over the shared flat-literal
     distance tree (``_centroid_d2_structs``) — O(1) plan construction
     in k, identical doubles (r9)."""
+    from .vectors import well_formed_pred
+
     ranked = F.slice(
         F.array_sort(_centroid_d2_structs(vec_col, centroids)),
         1, nprobe)
-    dim = len(centroids[0])
-    return F.when(vec_col.isNotNull() & (F.size(vec_col) == dim)
-                  & ~F.exists(vec_col, lambda x: x.isNull()),
+    return F.when(well_formed_pred(vec_col, len(centroids[0])),
                   F.transform(ranked,
                               lambda s: s["cluster"].cast("string")))
 
@@ -1040,7 +1040,12 @@ def write_ivf_pq_index(codes: DataFrame,
     arrays) drop from the index, the ``centroid_cells_frame`` contract;
     a codes/model MISMATCH — codebook count != the code arrays' length,
     or centroids of a different dimension than the reconstructions —
-    raises loudly instead of silently writing an empty index. Storage
+    raises loudly instead of silently writing an empty index. The table
+    written is EXACTLY ``(vec_id, codes)`` partitioned by ``cell`` —
+    any other input column is dropped (``centroid_cells_frame``'s
+    rationale: Catalyst cannot prune inside a mapInPandas schema, so
+    carrying payload columns would Arrow-serialize them through the
+    kernel for nothing); join payloads back by ``vec_id`` at read time. Storage
     per row is the m small ints plus the partition directory key; the
     two bounded models (codebooks, centroids) are the caller's to ship
     — they are NOT embedded in the files.
@@ -1057,7 +1062,8 @@ def write_ivf_pq_index(codes: DataFrame,
     default)."""
     import numpy as np
 
-    from .vectors import _nearest_blocks, _validate_codebooks
+    from .vectors import (_nearest_blocks, _validate_codebooks,
+                          well_formed_pred)
 
     if files_per_cell < 1:
         raise ValueError("files_per_cell must be >= 1")
@@ -1073,9 +1079,7 @@ def write_ivf_pq_index(codes: DataFrame,
             "the PQ model must be trained on the same space")
     Bs = [np.asarray(cb, dtype="float64") for cb in codebooks]
     C = np.asarray(centroids, dtype="float64")
-    servable = codes.filter(
-        F.col("codes").isNotNull() & (F.size("codes") == m)
-        & ~F.exists("codes", lambda x: x.isNull()))
+    servable = codes.filter(well_formed_pred(F.col("codes"), m))
     id_type = servable.schema["vec_id"].dataType.simpleString()
 
     def kernel(batches):
@@ -1279,9 +1283,18 @@ def ivf_pq_index_drift(index: DataFrame,
     (``knn_bruteforce``); served = the pruned-probe serving path under
     test; the comparison joins two |queries|·k-row frames and folds to
     a single row — run it on a SAMPLE, the ground truth is the linear
-    cost (``ann_recall``'s standing rule)."""
+    cost (``ann_recall``'s standing rule). The query sample is pinned
+    ONCE at construction (the ``knn_ivf_pq_index`` r9 rule, applied to
+    the whole report): served, truth, and ``n_queries`` all read the
+    SAME collected rows, so a nondeterministic or concurrently-appended
+    queries frame cannot put rows in the truth that the served side
+    never probed (which would spuriously depress recall and fire the
+    refit flag on a healthy index)."""
     if not 0.0 <= recall_floor <= 1.0:
         raise ValueError("recall_floor must be within [0, 1]")
+    q_proj = queries.select(F.col(query_id_col), F.col(vec_col))
+    queries = queries.sparkSession.createDataFrame(q_proj.collect(),
+                                                   q_proj.schema)
     served = (knn_ivf_pq_index(index, codebooks, queries, k, centroids,
                                nprobe=nprobe, m=m, vectors=vectors,
                                id_col=id_col, vec_col=vec_col,
@@ -1293,10 +1306,9 @@ def ivf_pq_index_drift(index: DataFrame,
     # nothing structurally, so leaving it in the brute-force truth
     # would report it as recall 0 instead of excluding it from
     # n_servable — drift and unservability are different signals
-    dim = len(centroids[0])
-    servable = queries.filter(F.col(vec_col).isNotNull()
-                              & (F.size(vec_col) == dim)
-                              & ~F.exists(vec_col, lambda x: x.isNull()))
+    from .vectors import well_formed_pred
+    servable = queries.filter(
+        well_formed_pred(F.col(vec_col), len(centroids[0])))
     truth = knn_bruteforce(vectors, servable, k, id_col=id_col,
                            vec_col=vec_col, query_id_col=query_id_col)
     n_q = queries.select(

@@ -313,6 +313,19 @@ def _assign(vecs: DataFrame, centroids: list[list[float]],
                        "cluster int, d2 double")
 
 
+def well_formed_pred(vec: Column, dim: int) -> Column:
+    """The SERVABILITY predicate of the fixed-dimension vector family —
+    non-NULL, exactly ``dim`` elements, no NULL element — as one shared
+    Column builder. This is the exclusion every quantizer/codec site
+    applies (``centroid_cells_frame``, ``pq_codes``/``pq_encode``,
+    ``centroid_probe_ranks``, ``ivf_pq_index_drift``'s truth universe);
+    hand-copies of the triple had already reached six call sites (r10
+    review), and the next change to what "servable" means must land
+    everywhere at once or recall universes silently diverge."""
+    return (vec.isNotNull() & (F.size(vec) == dim)
+            & ~F.exists(vec, lambda x: x.isNull()))
+
+
 def _well_formed_vectors(df: DataFrame, vec_col: str,
                          id_col: str) -> DataFrame:
     """(vec_id, __v): the clusterable subset of ``df``.
@@ -714,9 +727,7 @@ def pq_codes(vec_col: Column,
             F.struct(_dist2(sl, c).alias("d2"), F.lit(i).alias("code"))
             for i, c in enumerate(cb)]))
         parts.append(best["code"])
-    return F.when(vec_col.isNotNull() & (F.size(vec_col) == dim)
-                  & ~F.exists(vec_col, lambda x: x.isNull()),
-                  F.array(*parts))
+    return F.when(well_formed_pred(vec_col, dim), F.array(*parts))
 
 
 def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
@@ -737,9 +748,7 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     m, _, sub = _validate_codebooks(codebooks)
     dim = m * sub
     Cs = [np.asarray(cb, dtype="float64") for cb in codebooks]
-    vecs = (df.filter(F.col(vec_col).isNotNull()
-                      & (F.size(vec_col) == dim)
-                      & ~F.exists(vec_col, lambda x: x.isNull()))
+    vecs = (df.filter(well_formed_pred(F.col(vec_col), dim))
             .select(F.col(id_col).alias("vec_id"),
                     F.col(vec_col).cast("array<double>").alias("__v")))
     id_type = vecs.schema["vec_id"].dataType.simpleString()

@@ -308,3 +308,27 @@ def test_compaction_bounds_files_and_preserves_serving(spark, models,
         for r in knn_ivf_pq_index(spark.read.parquet(path), books,
                                   queries, **kw).collect())
     assert served1 == served0 and len(served1) > 0
+
+
+def test_drift_pins_queries_at_construction(spark, models, tmp_path):
+    """The whole report reads ONE collected snapshot of the queries
+    frame (r10 review): rows appended to the queries source between
+    construction and action must not appear in the truth side — they
+    would score as served-misses and spuriously fire the refit flag."""
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        ivf_pq_index_drift, write_ivf_pq_index)
+    from eirepolitic_data_pipeline_spark.operators.vectors import pq_encode
+    emb, cents, books = models
+    idx = str(tmp_path / "idx_qpin")
+    write_ivf_pq_index(pq_encode(emb, books), books, cents, idx)
+    qsrc = str(tmp_path / "queries_src")
+    emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding") \
+       .write.parquet(qsrc)
+    report = ivf_pq_index_drift(spark.read.parquet(idx), books, cents,
+                                emb, spark.read.parquet(qsrc), k=5,
+                                nprobe=2, recall_floor=1.0)
+    # the race: more queries land in the source AFTER construction
+    emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 40)) \
+       .select("vec_id", "embedding").write.mode("append").parquet(qsrc)
+    r = report.first()
+    assert r["n_queries"] == 8 and r["n_servable"] == 8, r

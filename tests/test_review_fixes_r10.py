@@ -1,8 +1,12 @@
 """Round-10 review/advice follow-through tests:
 
-1. write_ivf_pq_index no longer steals a caller's cache: Spark persist
-   is not ref-counted, so the build takes (and releases) its own pin
-   ONLY when the codes frame arrived unpersisted (r9 ADVICE).
+1. write_ivf_pq_index no longer touches a caller's cache at all: the
+   r9 ADVICE flagged its unconditional persist/unpersist (persist is
+   not ref-counted, so it evicted a caller's own pin); the r10 fused
+   one-pass build removed the double consumption that motivated the
+   persist, so the build must leave the codes frame's storage level
+   exactly as it found it — pinned or not (these two tests pin the
+   no-touch contract from both sides).
 2. ann_recall rejects frame_bucketer without a matching bucketer —
    the corpus/query identical-keying contract becomes a loud
    ValueError instead of silent recall 0 everywhere (r9 ADVICE).
@@ -64,7 +68,8 @@ def test_write_index_keeps_callers_persist(spark, tmp_path):
                            str(tmp_path / "idx_caller_pinned"))
         lvl = codes.storageLevel
         assert lvl.useMemory or lvl.useDisk, (
-            "build must not unpersist a frame the caller had pinned")
+            "build must leave a caller-pinned frame pinned (the fused "
+            "one-pass build has no reason to touch storage levels)")
     finally:
         codes.unpersist()
 
@@ -78,7 +83,8 @@ def test_write_index_releases_its_own_pin(spark, tmp_path):
     write_ivf_pq_index(codes, books, cents, str(tmp_path / "idx_own_pin"))
     lvl = codes.storageLevel
     assert not (lvl.useMemory or lvl.useDisk), (
-        "build must release the pin it took itself")
+        "build must not leave the caller's unpersisted frame pinned "
+        "(the fused one-pass build takes no pin at all)")
 
 
 def test_ann_recall_frame_bucketer_requires_bucketer(spark):

@@ -38,8 +38,8 @@ What it checks:
    index over 95% of the corpus, append the last 5% via
    ``refresh_ivf_pq_index`` (frozen models), serve with the probe union
    as a partition filter, and run the drift report on the affordable
-   slice: no row lost, resident files byte-intact with the new files
-   holding exactly the delta's rows (cost tracks |delta| — asserted on
+   slice: no row lost, resident files untouched (size+mtime) with the new
+   files holding exactly the delta's rows (cost tracks |delta| — asserted on
    the files, since local wall clocks are fixed-overhead-dominated),
    serving scan pruned, drift flag consistent with its floor.
 
@@ -364,7 +364,12 @@ def main():
                 for f in fs:
                     if f.endswith(".parquet"):
                         p = os.path.join(d, f)
-                        out[p] = os.path.getsize(p)
+                        st = os.stat(p)
+                        # size AND mtime: an in-place rewrite of a
+                        # resident file with identical byte length
+                        # (same rows re-written) must still fail the
+                        # append-only assertion (r10 review)
+                        out[p] = (st.st_size, st.st_mtime_ns)
             return out
 
         before = _files(idx_path)
@@ -376,10 +381,10 @@ def main():
         # the append-only contract, measured on the FILES (wall clocks at
         # local scale are fixed-overhead-dominated, so "cost tracks
         # |delta|" is asserted on what was actually written): every
-        # resident file survives byte-identical in size, and the NEW
-        # files hold exactly the delta's rows
+        # resident file survives untouched (size AND mtime), and the
+        # NEW files hold exactly the delta's rows
         import pyarrow.parquet as papq
-        resident_ok = all(after.get(p) == sz for p, sz in before.items())
+        resident_ok = all(after.get(p) == st for p, st in before.items())
         new_rows = sum(papq.ParquetFile(p).metadata.num_rows
                        for p in after if p not in before)
         index = spark.read.parquet(idx_path)
@@ -411,15 +416,20 @@ def main():
                 f"pruned {pruned}, served {n_served}, resident intact "
                 f"{resident_ok}, new-file rows {new_rows}/{delta_n}, "
                 f"drift {dict(drift.asDict())}")
+        # mean_recall is NULL when nothing was servable — the FAIL row
+        # must still render instead of dying on a None format (r10
+        # review)
+        mr = drift["mean_recall"]
+        mr_s = f"{mr:.3f}" if mr is not None else "null"
         lines.append(
             f"| persisted-index maintenance ({args.vectors} rows, 5% "
             f"delta append, nprobe=2 serve) | {t_maint} | build "
             f"{t_build}s, refresh {t_refresh}s (fixed-overhead-bound "
             f"at local scale; volume asserted on files), drift mean "
-            f"recall {drift['mean_recall']:.3f} (refit: "
+            f"recall {mr_s} (refit: "
             f"{drift['refit_recommended']}) | no row lost, resident "
-            f"files byte-intact, new files hold exactly the {delta_n} "
-            f"delta rows, serve scan partition-pruned: "
+            f"files untouched (size+mtime), new files hold exactly the "
+            f"{delta_n} delta rows, serve scan partition-pruned: "
             f"{'PASS' if maint_ok else 'FAIL'} |")
 
     section = (
@@ -453,8 +463,9 @@ def main():
         "sizing a codebook will read it. The maintenance row is the "
         "steady-state story on top of the at-rest one: the refresh "
         "encodes and shuffles ONLY the delta — asserted on the files "
-        "(resident files byte-intact, new files hold exactly the delta "
-        "rows), since local wall clocks are fixed-overhead-dominated — "
+        "(resident files untouched by size AND mtime, new files hold "
+        "exactly the delta rows), since local wall clocks are "
+        "fixed-overhead-dominated — "
         "the refreshed index must hold every row, the serve scan must "
         "stay partition-pruned after the append, and the drift report — "
         "the refit feedback loop the frozen-model append path "
