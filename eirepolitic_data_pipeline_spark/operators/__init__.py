@@ -48,6 +48,7 @@ from .similarity import (  # noqa: F401
     knn_bruteforce,
     knn_bruteforce_pandas,
     knn_ivf_adc,
+    knn_ivf_adc_residual,
     knn_ivf_pq,
     knn_ivf_pq_index,
     knn_lsh,
@@ -61,7 +62,9 @@ from .similarity import (  # noqa: F401
 from .relevance import bigram_lm_bits, bm25_scores  # noqa: F401
 from .vectors import (  # noqa: F401
     diversity_sample,
+    ivf_pq_encode,
     ivf_pq_fit,
+    ivf_pq_fit_residual,
     kmeans_assign,
     kmeans_fit,
     pq_codes,

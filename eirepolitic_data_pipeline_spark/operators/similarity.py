@@ -376,6 +376,52 @@ def knn_ivf_adc(codes: DataFrame, codebooks: list[list[list[float]]],
                                  query_id_col)
 
 
+def knn_ivf_adc_residual(codes: DataFrame,
+                         codebooks: list[list[list[float]]],
+                         queries: DataFrame, k: int,
+                         centroids: list[list[float]], nprobe: int = 2,
+                         m: Optional[int] = None,
+                         vectors: Optional[DataFrame] = None,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         query_id_col: str = "vec_id") -> DataFrame:
+    """Serving for the RESIDUAL-encoded IVFPQ (``ivf_pq_fit_residual``
+    + ``ivf_pq_encode`` — the actual FAISS recipe): reconstruction is
+    ``centroid[cell] + pq_decode(codes)``, so the stored ``cell``
+    column is consumed directly as the index key (it IS part of the
+    encoding — unlike ``knn_ivf_adc``, whose flat codes are re-binned
+    over their reconstructions per serve). The rest is the shared IVF
+    serving core: each query probes its ``nprobe`` nearest centroids
+    by raw distance, candidates score inside probed cells on the
+    reconstructions (asymmetric distance computation), top-``m``
+    survive, exact full-precision re-rank emits top-``k``.
+
+    Why this wins at the same storage: residual codebooks cover a far
+    tighter distribution than raw-vector ones, so the m small ints per
+    row reconstruct closer to the original — better stage-1 candidate
+    quality for identical scan bytes. CONTRACT: ``codes`` must be
+    ``ivf_pq_encode``'s verbatim ``(vec_id, codes, cell)`` schema
+    built with THESE codebooks and centroids; the reconstruction adds
+    ``centroid[cell]`` via ``element_at``, which throws under ANSI on
+    a cell outside the model (loud on a model/codes mismatch, the
+    ``pq_decode`` rule). Works unchanged over a parquet round-trip of
+    the codes frame — ``(vec_id, codes, cell)`` is exactly the
+    persisted-index layout, and filtering it to the probe union before
+    this call is the partition-pruned at-rest serve."""
+    from .vectors import _lit_array2, pq_decode
+
+    m = _resolve_m(k, m)
+    recon = F.zip_with(
+        F.element_at(_lit_array2(centroids), F.col("cell") + 1),
+        pq_decode(F.col("codes"), codebooks),
+        lambda c, r: c + r)
+    dq_frame = codes.select("vec_id", recon.alias("__dqv"),
+                            F.col("cell").cast("string").alias("__cell"))
+    return _ivf_compressed_serve(dq_frame, queries, k, centroids, nprobe,
+                                 m, vectors, id_col, vec_col,
+                                 query_id_col)
+
+
 def sign_lsh_bucket(vec_col: Column, n_bits: int = 8) -> Column:
     """Axis-aligned hyperplane LSH: bucket = sign bits of the first n dims.
     Cheap, deterministic, engine-independent. For better-distributed planes

@@ -539,6 +539,132 @@ def ivf_pq_fit(df: DataFrame, k_coarse: int = 8, m: int = 4,
     return _fused_lloyd(vecs, cents, books, iters, round_dp, "ivf_pq_fit")
 
 
+def _residual_frame(vecs: DataFrame,
+                    centroids: list[list[float]]) -> DataFrame:
+    """(vec_id, __v): each vector minus its nearest coarse centroid —
+    the FAISS IVFPQ residual — in ONE map-only kernel pass (assignment
+    argmin + float64 subtraction fused; ``_nearest_blocks``' pinned
+    tie/fold contract, subtraction exact and order-free). Input is a
+    ``_well_formed_vectors`` frame; output feeds ``pq_fit`` directly."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype="float64")
+    dim = C.shape[1]
+    id_type = vecs.schema["vec_id"].dataType.simpleString()
+
+    def kernel(batches):
+        import pandas as pd
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _stack_batch(pdf, dim)
+            best, _ = _nearest_blocks(V, C)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "__v": list(V - C[best])})
+
+    return vecs.select("vec_id", "__v").mapInPandas(
+        kernel, schema=f"vec_id {id_type}, __v array<double>")
+
+
+def ivf_pq_fit_residual(df: DataFrame, k_coarse: int = 8, m: int = 4,
+                        k_sub: int = 16, iters: int = 1,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id", round_dp: int = 6
+                        ) -> tuple[list[list[float]],
+                                   list[list[list[float]]]]:
+    """Train the RESIDUAL-encoding IVFPQ model pair — the actual FAISS
+    IVFPQ recipe (Jégou et al. 2011 §III): fit the coarse quantizer on
+    the raw vectors (``kmeans_fit``'s exact rounded-Lloyd contract),
+    then fit the ``m`` subspace codebooks on the RESIDUALS
+    ``x - centroid(cell(x))`` instead of the raw vectors. Returns
+    ``(centroids, codebooks)`` for ``ivf_pq_encode`` /
+    ``knn_ivf_adc_residual``.
+
+    Why residuals: the coarse centroids absorb the corpus's large-scale
+    structure, so the residual distribution is far tighter than the raw
+    one — the same m x k_sub codebook budget spends its codewords on a
+    smaller cell of space, cutting reconstruction error at identical
+    code size (``ivf_pq_fit``'s flat variant quantizes raw vectors and
+    is the cheaper-to-derive stand-in; this is the real thing). The
+    cost: the cell becomes PART of the encoding — decode needs the
+    cell to add its centroid back, so codes travel as
+    ``(vec_id, codes, cell)`` (exactly the persisted index layout) and
+    a row can never be re-binned without re-encoding.
+
+    Sequencing is inherent, not an implementation shortcut: residuals
+    are undefined until the coarse model is final, so training is
+    (coarse fit: iters+1 corpus scans) then (residual PQ fit: one
+    fused residual-kernel pass feeding ``pq_fit``'s iters+1 scans).
+    Determinism: residual = raw minus the 6-dp-rounded centroid
+    (exact float64 subtraction, no fold), and the subspace fits are
+    ``pq_fit``'s pinned recipe seeded by the k_sub LOWEST-ID residual
+    vectors — the DuckDB oracle (q89) re-derives the whole chain."""
+    vecs = _well_formed_vectors(df, vec_col, id_col)
+    cents = _fit(vecs, k_coarse, iters, round_dp)
+    res = _residual_frame(vecs, cents)
+    books = pq_fit(res, m=m, k=k_sub, iters=iters, vec_col="__v",
+                   id_col="vec_id", round_dp=round_dp)
+    return cents, books
+
+
+def ivf_pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+                  centroids: list[list[float]],
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Residual-IVFPQ encoding for a whole frame in ONE fused Arrow
+    kernel pass: assign each vector's coarse cell (``_nearest_blocks``'
+    pinned argmin over the raw vector), subtract that centroid, and
+    PQ-encode the residual per subspace. Returns exactly
+    ``(vec_id, codes array<int>, cell int)`` — the persisted-index
+    layout with the cell that IS part of the residual encoding (decode
+    = centroid[cell] + codeword concatenation;
+    ``knn_ivf_adc_residual``'s contract). Rows the codec cannot key
+    (NULL / wrong-dimension / NULL-element) are DROPPED, the
+    ``centroid_cells_frame`` contract. At 100 TB this is the one pass
+    that rewrites the wide embedding table into the serving table —
+    same scan cost as the flat ``pq_encode`` + cells pair, better
+    reconstructions per stored byte."""
+    import numpy as np
+
+    m, _, sub = _validate_codebooks(codebooks)
+    dim = m * sub
+    if not centroids or not centroids[0]:
+        raise ValueError("centroids must be a non-empty list of "
+                         "non-empty vectors (kmeans_fit's output)")
+    if len(centroids[0]) != dim:
+        raise ValueError(
+            f"centroid dimension {len(centroids[0])} != the codebooks' "
+            f"reconstruction dimension {dim} — the coarse quantizer and "
+            "the residual PQ model must be trained on the same space")
+    Bs = [np.asarray(cb, dtype="float64") for cb in codebooks]
+    C = np.asarray(centroids, dtype="float64")
+    vecs = (df.filter(well_formed_pred(F.col(vec_col), dim))
+            .select(F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).cast("array<double>").alias("__v")))
+    id_type = vecs.schema["vec_id"].dataType.simpleString()
+
+    def kernel(batches):
+        import pandas as pd
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _stack_batch(pdf, dim)
+            cell, _ = _nearest_blocks(V, C)
+            R = V - C[cell]
+            codes = np.empty((len(pdf), m), dtype="int32")
+            for j in range(m):
+                best, _ = _nearest_blocks(R[:, j * sub:(j + 1) * sub],
+                                          Bs[j])
+                codes[:, j] = best
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "codes": list(codes),
+                                "cell": cell.astype("int32")})
+
+    return vecs.mapInPandas(
+        kernel,
+        schema=f"vec_id {id_type}, codes array<int>, cell int")
+
+
 def _fused_lloyd(vecs: DataFrame, cents, books, iters: int,
                  round_dp: int, op_name: str):
     """The shared fused-Lloyd round loop of ``pq_fit`` (``cents=None``)

@@ -28,8 +28,8 @@ from . import quality  # noqa: F401,E402
 
 
 # Certification rotation (round 10). The driver's correctness gate
-# certifies the first ~50 registered queries per round; with 84
-# registered, ~34 fall outside every round. Rank the workload so the
+# certifies the first ~50 registered queries per round; with 85
+# registered, ~35 fall outside every round. Rank the workload so the
 # window always covers the queries that NEED a fresh driver-green row:
 #   front — q87 (new round 10, never driver-certified: the persisted-index
 #           serving path), then the single-r9-ledger trio q84–q86 (hold
@@ -66,11 +66,13 @@ from . import quality  # noqa: F401,E402
 # Rotate this list each round as certifications land and code changes.
 _CERT_PRIORITY = [
     # new round 10 — never driver-certified: serving from the WRITTEN,
-    # partition-pruned index (r9 verdict ask #3) and the index drift
+    # partition-pruned index (r9 verdict ask #3), the index drift
     # report (the refit feedback loop, r9 verdict ask #6 taken past its
-    # pytest pin to a full oracle certification)
+    # pytest pin to a full oracle certification), and residual-encoding
+    # IVFPQ (the actual FAISS recipe)
     "q87_knn_ivf_pq_index",
     "q88_index_drift_report",
+    "q89_knn_ivf_rpq",
     # single green ledger (r9) — hold inside until 2+; all three also
     # dispatch into similarity.py/vectors.py, changed this round
     "q84_knn_ivf_pq",
@@ -129,13 +131,15 @@ _CERT_PRIORITY = [
     "q75_diversity_sample",
     "q61_line_dedup_boilerplate",
     "q64_decontaminate_benchmark",
-    "q19_dedupe_keep_last",
 ]
 _CERT_TAIL = [
-    # displaced by q88 (round 10): green r8+r9 (2 ledgers) and its as-of
-    # window path in operators/temporal.py is untouched this round —
-    # rotate back in whenever temporal.py changes
+    # displaced by q88/q89 (round 10): q53 green r8+r9 with its as-of
+    # window path in operators/temporal.py untouched this round; q19
+    # green r8+r9 with operators/dedupe.py/merge.py untouched (q61/q64
+    # remain inside as the dedupe family's sentinels) — rotate each
+    # back in whenever its file changes
     "q53_range_join_busy_windows",
+    "q19_dedupe_keep_last",
     # dedupe/banding block: green r8+r9, operators/dedupe.py untouched
     # in round 10 (q61/q64/q19 stay inside as the family's sentinels)
     "q22_exact_dedup_fingerprint",

@@ -3130,8 +3130,8 @@ def q84_knn_ivf_pq(spark, sf_dir):
                       F.round("cosine", 6).alias("cosine"), "rank")
 
 
-def _pq_codec_sql(m_sub: int = 4, kc: int = 8) -> str:
-    """The PQ codec re-derived as CTE text, shared by the q85/q86
+def _pq_codec_sql(m_sub: int = 4, kc: int = 8, src: str = "e") -> str:
+    """The PQ codec re-derived as CTE text, shared by the q85/q86/q89
     oracles: ``m_sub`` INDEPENDENT deterministic subspace fits (each is
     q73/q82's exact CTE recipe pointed at a ``list_slice`` of the
     vectors via the helpers' r9 ``vec_cte`` parameter), ENCODE as one
@@ -3139,11 +3139,13 @@ def _pq_codec_sql(m_sub: int = 4, kc: int = 8) -> str:
     CTE this fragment ends with) as the concatenation of each
     subspace's assigned codeword. Slice bounds derive from ``len(v)``
     so the oracle is dimension-agnostic, matching ``pq_fit``'s dynamic
-    subspace width. Emits CTE names e_s*/c0_s*/a0_s*/c1_s*/enc_s*/dq —
-    callers must not collide with them."""
+    subspace width. ``src`` (r10) points the whole codec at another
+    (vec_id, v) CTE — the residual chain trains/encodes/decodes on
+    ``er`` instead of the raw universe. Emits CTE names
+    e_s*/c0_s*/a0_s*/c1_s*/enc_s*/dq — callers must not collide."""
     frames = ",\n    ".join(
         f"e_s{j} AS (SELECT vec_id, list_slice(v, len(v)//{m_sub}*{j} + 1, "
-        f"len(v)//{m_sub}*{j + 1}) AS v FROM e)"
+        f"len(v)//{m_sub}*{j + 1}) AS v FROM {src})"
         for j in range(m_sub))
     fits = ",".join(f"""
     c0_s{j} AS (
@@ -3167,7 +3169,7 @@ def _pq_codec_sql(m_sub: int = 4, kc: int = 8) -> str:
     -- assigned codeword per subspace (pq_decode's rule)
     dq AS (
       SELECT e.vec_id, {concat} AS dv
-      FROM e
+      FROM {src} e
       {decode_joins}
     )"""
 
@@ -3559,3 +3561,162 @@ def q88_index_drift_report(spark, sf_dir):
         "n_queries", "n_servable", "mean_recall", "min_recall",
         F.col("refit_recommended").cast("int")
         .alias("refit_recommended"))
+
+
+def _ivf_rpq_oracle_sql(m_sub: int = 4, kc: int = 8,
+                        k_coarse: int = 8, nprobe: int = 3,
+                        k: int = 5, m: int = 10) -> str:
+    """The q89 oracle: RESIDUAL-encoding IVFPQ re-derived end to end —
+    the actual FAISS recipe. Differences from the flat chain
+    (``_ivf_adc_chain_sql``), each a deliberate joint of the residual
+    design: (1) index cells are the argmin over the RAW vectors (the
+    cell is part of the encoding, not a re-binning of reconstructions);
+    (2) the PQ codec (``_pq_codec_sql``) trains/encodes/decodes on the
+    RESIDUALS ``v - centroid[cell]`` via its r10 ``src`` parameter;
+    (3) the serving reconstruction adds the centroid back
+    (``centroid[cell] + decoded residual``). Probe ranking, candidate
+    cut, ADC scoring and the exact re-rank are the family's verbatim
+    stages."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+    -- coarse quantizer: the family's fit, verbatim (k={k_coarse}, one
+    -- Lloyd round over the FULL vectors)
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cluster, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k_coarse})
+    ),
+    {_kmeans_assign_sql('c0', 'a0')},
+    {_kmeans_means_sql('a0', 'c0', 'c1')},
+    -- index cells over the RAW vectors: the residual is defined BY the
+    -- cell, so assignment precedes (and parameterizes) the codec
+    celld AS (
+      SELECT e.vec_id, c.cluster,
+             list_reduce(list_prepend(0.0,
+               list_transform(list_zip(e.v, c.v),
+                 z -> (z[1] - z[2]) * (z[1] - z[2]))),
+               (a, x) -> a + x) AS d2
+      FROM e CROSS JOIN c1 c
+    ),
+    cells AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster) AS rn
+        FROM celld
+      ) WHERE rn = 1
+    ),
+    -- residuals: raw minus the (rounded) assigned centroid — exact
+    -- float64 subtraction, the distribution the codebooks train on
+    er AS (
+      SELECT e.vec_id,
+             list_transform(list_zip(e.v, c.v), z -> z[1] - z[2]) AS v
+      FROM e
+      JOIN cells cl ON cl.vec_id = e.vec_id
+      JOIN c1 c ON c.cluster = cl.cluster
+    ),
+    {_pq_codec_sql(m_sub, kc, src='er')},
+    -- full reconstruction = centroid[cell] + decoded residual
+    dqf AS (
+      SELECT d.vec_id, cl.cluster,
+             list_transform(list_zip(c.v, d.dv), z -> z[1] + z[2]) AS dv
+      FROM dq d
+      JOIN cells cl ON cl.vec_id = d.vec_id
+      JOIN c1 c ON c.cluster = cl.cluster
+    ),
+    dqn AS (SELECT vec_id, cluster, dv,
+                   list_dot_product(dv, dv) AS nn FROM dqf),
+    qs AS (
+      SELECT vec_id AS query_id, v AS qvf, list_dot_product(v, v) AS qn
+      FROM e WHERE vec_id < 20
+    ),
+    -- probe set: the {nprobe} nearest coarse centroids by RAW query
+    -- distance (centroid_probe_ranks' rule), ties to the lowest id
+    probd AS (
+      SELECT q.query_id, c.cluster,
+             list_reduce(list_prepend(0.0,
+               list_transform(list_zip(q.qvf, c.v),
+                 z -> (z[1] - z[2]) * (z[1] - z[2]))),
+               (a, x) -> a + x) AS d2
+      FROM qs q CROSS JOIN c1 c
+    ),
+    probes AS (
+      SELECT query_id, cluster FROM (
+        SELECT query_id, cluster,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2, cluster) AS rn
+        FROM probd
+      ) WHERE rn <= {nprobe}
+    ),
+    -- stage 1 restricted to probed cells: top-m={m} by RECONSTRUCTED
+    -- cosine (asymmetric: raw query vs centroid+residual decode)
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.query_id ORDER BY
+                 CASE WHEN n.nn > 0 AND q.qn > 0
+                      THEN list_cosine_similarity(n.dv, q.qvf)
+                      ELSE 0.0 END DESC, n.vec_id) AS rn
+        FROM probes p
+        JOIN dqn n ON n.cluster = p.cluster
+        JOIN qs q ON q.query_id = p.query_id
+        WHERE n.vec_id <> p.query_id
+      ) WHERE rn <= {m}
+    ),
+    -- the shared exact re-rank, verbatim
+    ex AS (
+      SELECT c.query_id, c.neighbor_id,
+             CASE WHEN ne.nn2 > 0 AND q.qn > 0
+                  THEN list_cosine_similarity(ne.v, q.qvf)
+                  ELSE 0.0 END AS cos_raw
+      FROM cand c
+      JOIN (SELECT vec_id, v, list_dot_product(v, v) AS nn2 FROM e) ne
+        ON ne.vec_id = c.neighbor_id
+      JOIN qs q ON q.query_id = c.query_id
+    )
+    SELECT query_id, neighbor_id,
+           round(cos_raw, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+    FROM ex
+    QUALIFY rank <= {k}
+    """
+
+
+@register(
+    "q89_knn_ivf_rpq",
+    _ivf_rpq_oracle_sql(),
+    survey_ref="beyond-ref: residual-encoding IVFPQ, the actual FAISS recipe (operators/vectors.py:ivf_pq_fit_residual/ivf_pq_encode; operators/similarity.py:knn_ivf_adc_residual — codebooks trained on residuals, cell part of the encoding, reconstruction = centroid + decoded residual)",
+    memoize=False,  # the fits COLLECT their models and the encode is
+    # the serving input — memoizing would cache the whole training
+)
+def q89_knn_ivf_rpq(spark, sf_dir):
+    """RESIDUAL-encoding IVFPQ certified end to end (r10): q86 made the
+    IVFPQ name literal with flat codes (PQ over raw vectors, cells
+    re-binned over reconstructions); this is the ACTUAL FAISS recipe —
+    codebooks trained on the residuals ``x - centroid[cell(x)]``
+    (``ivf_pq_fit_residual``), one fused kernel pass emitting
+    ``(vec_id, codes, cell)`` (``ivf_pq_encode`` — the cell is PART of
+    the encoding), and serving that reconstructs ``centroid[cell] +
+    decode(codes)`` before the family's shared probe/ADC/re-rank
+    stages (``knn_ivf_adc_residual``). Same stored bytes as q86,
+    strictly lower reconstruction error (test-pinned corpus-wide on
+    the fixture) — the oracle re-derives the full chain including the
+    residual codec via ``_pq_codec_sql``'s ``src`` seam."""
+    from ..operators.similarity import knn_ivf_adc_residual
+    from ..operators.vectors import ivf_pq_encode, ivf_pq_fit_residual
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+           .filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") > 0)))
+    cents, books = ivf_pq_fit_residual(emb, k_coarse=8, m=4, k_sub=8,
+                                       iters=1)
+    codes = ivf_pq_encode(emb, books, cents)
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = knn_ivf_adc_residual(codes, books, queries, k=5, m=10,
+                               centroids=cents, nprobe=3, vectors=emb)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
