@@ -1152,6 +1152,17 @@ def write_ivf_pq_index(codes: DataFrame,
              .mapInPandas(
                  kernel,
                  schema=f"vec_id {id_type}, codes array<int>, cell int"))
+    _write_cell_partitioned(coded, len(centroids), path, mode,
+                            files_per_cell)
+
+
+def _write_cell_partitioned(coded: DataFrame, n_cells: int, path: str,
+                            mode: str, files_per_cell: int) -> None:
+    """The shared cell-partitioned index write (flat + residual): a
+    (vec_id, codes, cell) frame lands as parquet partitioned by cell
+    with a BOUNDED file count."""
+    if files_per_cell < 1:
+        raise ValueError("files_per_cell must be >= 1")
     if files_per_cell == 1:
         # keys-only repartition: one file per cell per build regardless
         # of how AQE coalesces the write tasks (dynamic partitioning
@@ -1166,13 +1177,51 @@ def write_ivf_pq_index(codes: DataFrame,
         # by the session's shuffle width so a large-k index cannot
         # demand k x files_per_cell tasks
         from ..session import shuffle_partitions
-        n_parts = min(len(centroids) * files_per_cell,
-                      max(shuffle_partitions(codes.sparkSession),
+        n_parts = min(n_cells * files_per_cell,
+                      max(shuffle_partitions(coded.sparkSession),
                           files_per_cell))
         salt = F.pmod(F.xxhash64(F.col("vec_id").cast("string")),
                       F.lit(files_per_cell))
         out = coded.repartition(n_parts, F.col("cell"), salt)
     out.write.mode(mode).partitionBy("cell").parquet(path)
+
+
+def _pruned_probe_scan(index: DataFrame, queries: DataFrame,
+                       centroids: list[list[float]], nprobe: int,
+                       vec_col: str, query_id_col: str
+                       ) -> tuple[DataFrame, DataFrame]:
+    """The shared probe-union partition pruning of the persisted
+    serving paths (flat + residual): returns ``(pinned_queries,
+    pruned_index)``.
+
+    Materialize the query batch ONCE (r9 review): the probe union is
+    collected at construction time while the serve stages re-evaluate
+    the queries frame at action time — a nondeterministic or
+    concurrently-appended queries frame could otherwise probe cells
+    OUTSIDE the pruned scan and silently lose true neighbors. Queries
+    are sample-sized by the serving contract (every sibling broadcasts
+    them), so pinning the collected rows back as a local relation
+    closes the two-time-point window at negligible cost.
+
+    Probe values are coerced to the index's ACTUAL cell column dtype:
+    probe ranks are strings (centroid_probe_ranks' key contract) while
+    the parquet partition column is re-inferred on read — int by
+    default — and a string-vs-int isin leans on implicit ANSI coercion
+    for both correctness and partition-filter pushdown (r9 ADVICE).
+    Typed literals keep the filter a native partition predicate under
+    any partitionColumnTypeInference / ANSI setting."""
+    q_proj = queries.select(F.col(query_id_col), F.col(vec_col))
+    q_rows = q_proj.collect()
+    queries = queries.sparkSession.createDataFrame(q_rows, q_proj.schema)
+    probe_rows = (queries
+                  .select(centroid_probe_ranks(F.col(vec_col), centroids,
+                                               nprobe=nprobe).alias("__p"))
+                  .collect())
+    probe_cells = sorted({c for r in probe_rows for c in (r["__p"] or [])})
+    from pyspark.sql.types import NumericType
+    if isinstance(index.schema["cell"].dataType, NumericType):
+        probe_cells = [int(c) for c in probe_cells]
+    return queries, index.filter(F.col("cell").isin(probe_cells))
 
 
 def knn_ivf_pq_index(index: DataFrame,
@@ -1198,33 +1247,8 @@ def knn_ivf_pq_index(index: DataFrame,
     from .vectors import pq_decode
 
     m = _resolve_m(k, m)
-    # Materialize the query batch ONCE (r9 review): the probe union is
-    # collected at construction time while the serve stages re-evaluate
-    # the queries frame at action time — a nondeterministic or
-    # concurrently-appended queries frame could otherwise probe cells
-    # OUTSIDE the pruned scan and silently lose true neighbors. Queries
-    # are sample-sized by the serving contract (every sibling broadcasts
-    # them), so pinning the collected rows back as a local relation
-    # closes the two-time-point window at negligible cost.
-    q_proj = queries.select(F.col(query_id_col), F.col(vec_col))
-    q_rows = q_proj.collect()
-    queries = queries.sparkSession.createDataFrame(q_rows, q_proj.schema)
-    probe_rows = (queries
-                  .select(centroid_probe_ranks(F.col(vec_col), centroids,
-                                               nprobe=nprobe).alias("__p"))
-                  .collect())
-    probe_cells = sorted({c for r in probe_rows for c in (r["__p"] or [])})
-    # Coerce the probe values to the index's ACTUAL cell column dtype:
-    # probe ranks are strings (centroid_probe_ranks' key contract) while
-    # the parquet partition column is re-inferred on read — int by
-    # default — and a string-vs-int isin leans on implicit ANSI coercion
-    # for both correctness and partition-filter pushdown (r9 ADVICE).
-    # Typed literals keep the filter a native partition predicate under
-    # any partitionColumnTypeInference / ANSI setting.
-    from pyspark.sql.types import NumericType
-    if isinstance(index.schema["cell"].dataType, NumericType):
-        probe_cells = [int(c) for c in probe_cells]
-    pruned = index.filter(F.col("cell").isin(probe_cells))
+    queries, pruned = _pruned_probe_scan(index, queries, centroids,
+                                         nprobe, vec_col, query_id_col)
     dq_frame = pruned.select(
         "vec_id",
         pq_decode(F.col("codes"), codebooks).alias("__dqv"),
@@ -1232,6 +1256,83 @@ def knn_ivf_pq_index(index: DataFrame,
     return _ivf_compressed_serve(dq_frame, queries, k, centroids, nprobe,
                                  m, vectors, id_col, vec_col,
                                  query_id_col)
+
+
+def write_ivf_rpq_index(df: DataFrame,
+                        codebooks: list[list[list[float]]],
+                        centroids: list[list[float]], path: str,
+                        mode: str = "overwrite",
+                        files_per_cell: int = 1,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> None:
+    """Persist the RESIDUAL-encoding IVFPQ index at rest: one fused
+    ``ivf_pq_encode`` kernel pass over the full-precision vectors
+    (cell assignment + residual subtraction + subspace encoding —
+    scan → encode → partitioned write, one corpus read) into the same
+    cell-partitioned parquet layout as ``write_ivf_pq_index``. The
+    input asymmetry vs the flat write is the design: a residual code
+    is only defined together with its cell, so the build starts from
+    VECTORS, not from a codes frame (there is no standalone residual
+    codes plan to hand in). Same file-count contract
+    (``files_per_cell`` per cell per build), same dropped-unservables
+    contract, same bounded models shipped by the caller."""
+    from .vectors import ivf_pq_encode
+
+    coded = ivf_pq_encode(df, codebooks, centroids, vec_col=vec_col,
+                          id_col=id_col)
+    _write_cell_partitioned(coded, len(centroids), path, mode,
+                            files_per_cell)
+
+
+def refresh_ivf_rpq_index(delta: DataFrame,
+                          codebooks: list[list[list[float]]],
+                          centroids: list[list[float]], path: str,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> None:
+    """Append-only maintenance for a ``write_ivf_rpq_index`` table —
+    ``refresh_ivf_pq_index``'s residual twin, with the same frozen-
+    model contract: encode ONLY the delta with the existing model pair
+    and append into cell partitions (byte-equivalent to a full rebuild
+    with the same models — encode is row-wise in the frozen models —
+    cost tracks |delta|). The same caveat applies doubly here: the
+    cell is PART of the residual encoding, so a model refit strictly
+    requires a full re-encode — watch ``ivf_pq_index_drift``
+    (``residual=True``) and rebuild when it says so."""
+    write_ivf_rpq_index(delta, codebooks, centroids, path, mode="append",
+                        vec_col=vec_col, id_col=id_col)
+
+
+def knn_ivf_rpq_index(index: DataFrame,
+                      codebooks: list[list[list[float]]],
+                      queries: DataFrame, k: int,
+                      centroids: list[list[float]], nprobe: int = 2,
+                      m: Optional[int] = None,
+                      vectors: Optional[DataFrame] = None,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      query_id_col: str = "vec_id") -> DataFrame:
+    """Serve top-k from a PERSISTED residual index
+    (``write_ivf_rpq_index``) with partition pruning — the residual
+    twin of ``knn_ivf_pq_index``: the probe union prunes the scan to
+    the probed cells' files, and within it the stages are
+    ``knn_ivf_adc_residual``'s exact chain (reconstruction =
+    centroid[cell] + decoded residual, same results as the in-memory
+    path for the same models — test-pinned). The stored cell is both
+    the partition key AND part of the encoding, so the pruned scan
+    reads exactly the rows whose reconstructions live near the
+    queries — the at-rest shape residual IVFPQ was designed for."""
+    m = _resolve_m(k, m)
+    queries, pruned = _pruned_probe_scan(index, queries, centroids,
+                                         nprobe, vec_col, query_id_col)
+    # the decode adds centroid[cell] via element_at — normalize the
+    # read-back partition dtype (int by default, string with inference
+    # off) to the numeric index the reconstruction needs
+    codes = pruned.select("vec_id", "codes",
+                          F.col("cell").cast("int").alias("cell"))
+    return knn_ivf_adc_residual(codes, codebooks, queries, k, centroids,
+                                nprobe=nprobe, m=m, vectors=vectors,
+                                id_col=id_col, vec_col=vec_col,
+                                query_id_col=query_id_col)
 
 
 def refresh_ivf_pq_index(delta: DataFrame,
@@ -1307,7 +1408,8 @@ def ivf_pq_index_drift(index: DataFrame,
                        recall_floor: float = 0.8,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding",
-                       query_id_col: str = "vec_id") -> DataFrame:
+                       query_id_col: str = "vec_id",
+                       residual: bool = False) -> DataFrame:
     """Model-drift telemetry for an append-maintained IVF-PQ index: ONE
     aggregated row comparing what the persisted index actually serves
     (``knn_ivf_pq_index`` with the CURRENT models, partition-pruned)
@@ -1341,10 +1443,15 @@ def ivf_pq_index_drift(index: DataFrame,
     q_proj = queries.select(F.col(query_id_col), F.col(vec_col))
     queries = queries.sparkSession.createDataFrame(q_proj.collect(),
                                                    q_proj.schema)
-    served = (knn_ivf_pq_index(index, codebooks, queries, k, centroids,
-                               nprobe=nprobe, m=m, vectors=vectors,
-                               id_col=id_col, vec_col=vec_col,
-                               query_id_col=query_id_col)
+    # ``residual=True`` watches a write_ivf_rpq_index table instead —
+    # same report, the serving path under test swaps to the residual
+    # pruned scan (the one whose frozen models are COSTLIER to refit,
+    # since every stored code re-encodes with the new cell)
+    serve = knn_ivf_rpq_index if residual else knn_ivf_pq_index
+    served = (serve(index, codebooks, queries, k, centroids,
+                    nprobe=nprobe, m=m, vectors=vectors,
+                    id_col=id_col, vec_col=vec_col,
+                    query_id_col=query_id_col)
               .select("query_id", "neighbor_id",
                       F.lit(1).alias("__hit")))
     # the truth side keeps only queries the quantizer can KEY

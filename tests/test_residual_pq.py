@@ -170,3 +170,57 @@ def test_encode_model_mismatch_raises(spark, models):
         ivf_pq_encode(emb, books, [[0.0, 1.0]])
     with pytest.raises(ValueError, match="codebook"):
         ivf_pq_encode(emb, [[[]]], cents)
+
+
+def test_residual_index_lifecycle(spark, models, tmp_path):
+    """write_ivf_rpq_index / refresh_ivf_rpq_index / knn_ivf_rpq_index:
+    the persisted residual index holds exactly the encode kernel's
+    rows, append-refresh is byte-equivalent to a full rebuild with the
+    frozen models, the pruned serve returns the in-memory path's exact
+    rows with the probe set as a partition filter, and the drift
+    report's residual flag watches this index."""
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        ivf_pq_index_drift, knn_ivf_adc_residual, knn_ivf_rpq_index,
+        refresh_ivf_rpq_index, write_ivf_rpq_index)
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        ivf_pq_encode)
+    emb, cents, books = models
+
+    refreshed = str(tmp_path / "rpq_refreshed")
+    write_ivf_rpq_index(emb.filter(F.col("vec_id") >= 100), books, cents,
+                        refreshed)
+    refresh_ivf_rpq_index(emb.filter(F.col("vec_id") < 100), books, cents,
+                          refreshed)
+    full = str(tmp_path / "rpq_full")
+    write_ivf_rpq_index(emb, books, cents, full)
+
+    def rows(path):
+        return sorted(
+            (r["vec_id"], tuple(r["codes"]), int(r["cell"]))
+            for r in spark.read.parquet(path).collect())
+    want = sorted((r["vec_id"], tuple(r["codes"]), int(r["cell"]))
+                  for r in ivf_pq_encode(emb, books, cents).collect())
+    assert rows(refreshed) == rows(full) == want and len(want) > 0
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    kw = dict(k=5, m=10, centroids=cents, nprobe=2, vectors=emb)
+    index = spark.read.parquet(refreshed)
+    out = knn_ivf_rpq_index(index, books, queries, **kw)
+    served = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                    for r in out.collect())
+    inmem = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                   for r in knn_ivf_adc_residual(
+                       ivf_pq_encode(emb, books, cents), books, queries,
+                       **kw).collect())
+    assert served == inmem and len(served) > 0
+    # the scan carries the probe union as a PARTITION filter
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cell" in ln for ln in pf), pf
+    # drift report over the residual index
+    r = ivf_pq_index_drift(index, books, cents, emb, queries, k=5,
+                           nprobe=2, m=10, recall_floor=1.0,
+                           residual=True).first()
+    assert r["n_queries"] == r["n_servable"] == 5
+    assert 0.0 <= r["min_recall"] <= r["mean_recall"] <= 1.0
+    assert r["refit_recommended"] == (r["mean_recall"] < 1.0)
