@@ -28,8 +28,8 @@ from . import quality  # noqa: F401,E402
 
 
 # Certification rotation (round 10). The driver's correctness gate
-# certifies the first ~50 registered queries per round; with 85
-# registered, ~35 fall outside every round. Rank the workload so the
+# certifies the first ~50 registered queries per round; with 86
+# registered, ~36 fall outside every round. Rank the workload so the
 # window always covers the queries that NEED a fresh driver-green row:
 #   front — q87 (new round 10, never driver-certified: the persisted-index
 #           serving path), then the single-r9-ledger trio q84–q86 (hold
@@ -73,6 +73,7 @@ _CERT_PRIORITY = [
     "q87_knn_ivf_pq_index",
     "q88_index_drift_report",
     "q89_knn_ivf_rpq",
+    "q90_knn_ivf_rpq_index",
     # single green ledger (r9) — hold inside until 2+; all three also
     # dispatch into similarity.py/vectors.py, changed this round
     "q84_knn_ivf_pq",
@@ -130,16 +131,16 @@ _CERT_PRIORITY = [
     "q73_kmeans_clusters",
     "q75_diversity_sample",
     "q61_line_dedup_boilerplate",
-    "q64_decontaminate_benchmark",
 ]
 _CERT_TAIL = [
-    # displaced by q88/q89 (round 10): q53 green r8+r9 with its as-of
-    # window path in operators/temporal.py untouched this round; q19
-    # green r8+r9 with operators/dedupe.py/merge.py untouched (q61/q64
-    # remain inside as the dedupe family's sentinels) — rotate each
-    # back in whenever its file changes
+    # displaced by q88/q89/q90 (round 10): q53 green r8+r9 with its
+    # as-of window path in operators/temporal.py untouched this round;
+    # q19 and q64 green r8+r9 with operators/dedupe.py/merge.py
+    # untouched (q61 remains inside as the dedupe family's sentinel) —
+    # rotate each back in whenever its file changes
     "q53_range_join_busy_windows",
     "q19_dedupe_keep_last",
+    "q64_decontaminate_benchmark",
     # dedupe/banding block: green r8+r9, operators/dedupe.py untouched
     # in round 10 (q61/q64/q19 stay inside as the family's sentinels)
     "q22_exact_dedup_fingerprint",

@@ -3720,3 +3720,47 @@ def q89_knn_ivf_rpq(spark, sf_dir):
                                centroids=cents, nprobe=3, vectors=emb)
     return out.select("query_id", "neighbor_id",
                       F.round("cosine", 6).alias("cosine"), "rank")
+
+
+@register(
+    "q90_knn_ivf_rpq_index",
+    _ivf_rpq_oracle_sql(nprobe=2),
+    survey_ref="beyond-ref: persisted residual-IVFPQ serving (operators/similarity.py:write_ivf_rpq_index + knn_ivf_rpq_index — the residual encode kernel's (vec_id, codes, cell) written partitioned by cell, probe union pushed down as a typed partition filter)",
+    memoize=False,  # trains, encodes, and WRITES the index at
+    # construction — memoizing would cache the whole build (q87's rule)
+)
+def q90_knn_ivf_rpq_index(spark, sf_dir):
+    """The residual index AT REST certified end to end (r10): train the
+    residual model pair (``ivf_pq_fit_residual``), WRITE the
+    cell-partitioned index in one fused encode pass
+    (``write_ivf_rpq_index``), read it back cold, and serve through
+    ``knn_ivf_rpq_index`` — probe union as a partition filter,
+    reconstruction = centroid[cell] + decoded residual. The oracle is
+    q89's full residual CTE chain at nprobe=2: the persisted path must
+    return the in-memory composition's EXACT rows. Together with q87
+    this certifies BOTH at-rest serving shapes; the residual one is
+    what a quality-sensitive 100 TB deployment actually runs (same
+    stored bytes as the flat index, strictly lower reconstruction
+    error — test-pinned)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..operators.similarity import (knn_ivf_rpq_index,
+                                        write_ivf_rpq_index)
+    from ..operators.vectors import ivf_pq_fit_residual
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+           .filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") > 0)))
+    cents, books = ivf_pq_fit_residual(emb, k_coarse=8, m=4, k_sub=8,
+                                       iters=1)
+    path = _os.path.join(
+        _tempfile.gettempdir(),
+        f"spark_graft_q90_index_{_os.getpid()}",
+        _os.path.basename(sf_dir.rstrip("/")))
+    write_ivf_rpq_index(emb, books, cents, path)
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = knn_ivf_rpq_index(spark.read.parquet(path), books, queries,
+                            k=5, m=10, centroids=cents, nprobe=2,
+                            vectors=emb)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
