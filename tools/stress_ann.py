@@ -42,6 +42,12 @@ What it checks:
    files holding exactly the delta's rows (cost tracks |delta| — asserted on
    the files, since local wall clocks are fixed-overhead-dominated),
    serving scan pruned, drift flag consistent with its floor.
+8. **Residual vs flat codec quality** (r10) — train the residual
+   codebooks at check 6's exact budget (m=8 x k=256) against check 2's
+   coarse model and hold the exhaustive ADC envelope on the rerank
+   slice against the SAME exact set: recall must be monotone in m and
+   the m=40 recall must be >= the flat codec's at identical stored
+   bytes — the measured case for residual encoding.
 
 Rewrites only its own section of STRESS.md (``--out``); exits non-zero on
 any violated bound. Standalone; not part of the per-round bench.
@@ -336,6 +342,9 @@ def main():
             f"monotone in m and >= 0.5 at m=40: "
             f"{'PASS' if pqc_ok else 'FAIL'} |")
 
+        # 8-prep shares check 2's coarse model (cents == the
+        # kmeans_fit(k=16) recipe ivf_pq_fit_residual would re-run) —
+        # declared here so check 7 can keep its flat focus
         # 7. persisted-index maintenance at scale (r10): build the
         # cell-partitioned index over 95% of the FULL corpus, append the
         # remaining 5% through refresh_ivf_pq_index (frozen models —
@@ -431,6 +440,49 @@ def main():
             f"files untouched (size+mtime), new files hold exactly the "
             f"{delta_n} delta rows, serve scan partition-pruned: "
             f"{'PASS' if maint_ok else 'FAIL'} |")
+
+        # 8. residual vs flat codec quality at scale (r10): train the
+        # residual codebooks (same m=8 x k=256 budget as check 6's flat
+        # books) on the FULL corpus's residuals against check 2's k=16
+        # coarse model, then hold the exhaustive ADC envelope on the
+        # rerank slice against the SAME exact set — recall at identical
+        # stored bytes is the quantitative case for residual encoding
+        # (the coarse centroids absorb the corpus's large-scale
+        # structure, so the codebooks spend their codewords on a
+        # tighter cell of space).
+        from eirepolitic_data_pipeline_spark.operators.similarity import (
+            knn_ivf_adc_residual)
+        from eirepolitic_data_pipeline_spark.operators.vectors import (
+            _residual_frame, _well_formed_vectors, ivf_pq_encode)
+        t0 = time.perf_counter()
+        corpus_wf = _well_formed_vectors(corpus, "embedding", "vec_id")
+        books_r = pq_fit(_residual_frame(corpus_wf, cents), m=8, k=256,
+                         iters=1, vec_col="__v", id_col="vec_id")
+        codes_r = ivf_pq_encode(rl, books_r, cents)
+
+        def rpq_recall(m: int) -> float:
+            got = {(r["query_id"], r["neighbor_id"])
+                   for r in knn_ivf_adc_residual(
+                       codes_r, books_r, rq, K, centroids=cents,
+                       nprobe=len(cents), m=m, vectors=rl).collect()}
+            return len(got & exact) / len(exact)
+
+        rq10 = rpq_recall(10)
+        rq40 = rpq_recall(40)
+        t_rpq = round(time.perf_counter() - t0, 1)
+        rpq_ok = rq40 >= rq10 and rq40 >= pq40
+        if not rpq_ok:
+            failures.append(
+                f"residual codec: recall m=40 {rq40:.3f} vs flat "
+                f"{pq40:.3f}, m=10 {rq10:.3f}")
+        lines.append(
+            f"| residual codec ({args.vectors} x 64 residual fit vs "
+            f"check 2's k=16 coarse model, m=8 x k=256) + exhaustive "
+            f"ADC ({args.rerank_slice} corpus) | {t_rpq} | recall vs "
+            f"exact: m=10 {rq10:.3f}, m=40 {rq40:.3f} (flat row: "
+            f"{pq10:.3f}/{pq40:.3f} at identical code size) | "
+            f"monotone in m and m=40 >= flat m=40: "
+            f"{'PASS' if rpq_ok else 'FAIL'} |")
 
     section = (
         f"{SECTION}\n\n"
