@@ -1097,15 +1097,19 @@ def write_ivf_pq_index(codes: DataFrame,
     — they are NOT embedded in the files.
 
     File layout: the write repartitions on the cell key first, so each
-    cell directory holds ``files_per_cell`` files per build (r10) —
+    cell directory holds AT MOST ``files_per_cell`` files per build —
     without it every write task opens a file in every cell it sees,
     and a W-task build of a k-cell index lands W·k small files (256 at
     bench scale; at 1000 executors the commit and every later scan's
     file-listing pay it forever). Raise ``files_per_cell`` when single
-    cells outgrow a comfortable file/task size (a salt spreads each
-    cell over that many writer tasks — the skew dial for a hot cell;
-    the 1M stress writes k=16 cells of ~62k rows each through the
-    default)."""
+    cells outgrow a comfortable file/task size: the value is an UPPER
+    BOUND / best-effort spread, not a guarantee (r10 ADVICE) — a salt
+    keys each hot cell across up to that many writer partitions, but
+    hash partitioning into the capped task count can co-locate
+    distinct salt groups, and AQE may legally coalesce a small build
+    below the bound. The bound direction is the safe one: fewer,
+    larger files, never a W·k explosion. The 1M stress writes k=16
+    cells of ~62k rows each through the default."""
     import numpy as np
 
     from .vectors import (_nearest_blocks, _validate_codebooks,
@@ -1160,7 +1164,10 @@ def _write_cell_partitioned(coded: DataFrame, n_cells: int, path: str,
                             mode: str, files_per_cell: int) -> None:
     """The shared cell-partitioned index write (flat + residual): a
     (vec_id, codes, cell) frame lands as parquet partitioned by cell
-    with a BOUNDED file count."""
+    with a BOUNDED file count — at most ``files_per_cell`` files per
+    cell per build (an upper bound: salt-group co-location in the
+    capped task count or AQE coalescing can land fewer; see
+    ``write_ivf_pq_index``'s layout note)."""
     if files_per_cell < 1:
         raise ValueError("files_per_cell must be >= 1")
     if files_per_cell == 1:
@@ -1186,9 +1193,46 @@ def _write_cell_partitioned(coded: DataFrame, n_cells: int, path: str,
     out.write.mode(mode).partitionBy("cell").parquet(path)
 
 
+#: Ceiling on the driver-side query-batch collect of the persisted
+#: serving paths (``_pin_query_batch``). The serving contract has
+#: always been "queries are a sample-sized frame" (every sibling
+#: broadcasts them and the probe union is collected at construction);
+#: until r11 the contract was prose only, so a mis-sized frame OOM'd
+#: the driver silently at scale instead of failing structurally. The
+#: default admits any sane query batch / telemetry sample (100k rows
+#: of 64-dim doubles ≈ 50 MB pinned) while refusing a corpus passed as
+#: queries by mistake; callers with genuinely larger batches raise it
+#: explicitly and own the driver-memory consequence.
+DEFAULT_MAX_QUERY_ROWS = 100_000
+
+
+def _pin_query_batch(queries: DataFrame, vec_col: str, query_id_col: str,
+                     max_query_rows: int) -> DataFrame:
+    """Collect the query batch ONCE and pin it back as a local relation
+    — with the serving contract ENFORCED: at most ``max_query_rows``
+    rows may cross to the driver. The overage check collects
+    ``max_query_rows + 1`` rows at most (a ``limit`` probe, so driver
+    memory is bounded even when the check FAILS on a 100 TB frame),
+    and under the limit ``limit(n+1)`` returns every row — behavior is
+    unchanged for every contract-respecting caller."""
+    if max_query_rows < 1:
+        raise ValueError("max_query_rows must be >= 1")
+    q_proj = queries.select(F.col(query_id_col), F.col(vec_col))
+    q_rows = q_proj.limit(max_query_rows + 1).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"query batch exceeds max_query_rows={max_query_rows}: the "
+            "persisted serving paths collect the queries frame on the "
+            "driver (probe-union pruning / drift truth pinning), so it "
+            "must be a bounded sample, not a corpus — pass a smaller "
+            "batch or raise max_query_rows explicitly")
+    return queries.sparkSession.createDataFrame(q_rows, q_proj.schema)
+
+
 def _pruned_probe_scan(index: DataFrame, queries: DataFrame,
                        centroids: list[list[float]], nprobe: int,
-                       vec_col: str, query_id_col: str
+                       vec_col: str, query_id_col: str,
+                       max_query_rows: int = DEFAULT_MAX_QUERY_ROWS
                        ) -> tuple[DataFrame, DataFrame]:
     """The shared probe-union partition pruning of the persisted
     serving paths (flat + residual): returns ``(pinned_queries,
@@ -1199,9 +1243,10 @@ def _pruned_probe_scan(index: DataFrame, queries: DataFrame,
     the queries frame at action time — a nondeterministic or
     concurrently-appended queries frame could otherwise probe cells
     OUTSIDE the pruned scan and silently lose true neighbors. Queries
-    are sample-sized by the serving contract (every sibling broadcasts
-    them), so pinning the collected rows back as a local relation
-    closes the two-time-point window at negligible cost.
+    are sample-sized by the serving contract — now enforced by
+    ``max_query_rows`` (r11), not just documented — so pinning the
+    collected rows back as a local relation closes the two-time-point
+    window at negligible cost.
 
     Probe values are coerced to the index's ACTUAL cell column dtype:
     probe ranks are strings (centroid_probe_ranks' key contract) while
@@ -1210,9 +1255,8 @@ def _pruned_probe_scan(index: DataFrame, queries: DataFrame,
     for both correctness and partition-filter pushdown (r9 ADVICE).
     Typed literals keep the filter a native partition predicate under
     any partitionColumnTypeInference / ANSI setting."""
-    q_proj = queries.select(F.col(query_id_col), F.col(vec_col))
-    q_rows = q_proj.collect()
-    queries = queries.sparkSession.createDataFrame(q_rows, q_proj.schema)
+    queries = _pin_query_batch(queries, vec_col, query_id_col,
+                               max_query_rows)
     probe_rows = (queries
                   .select(centroid_probe_ranks(F.col(vec_col), centroids,
                                                nprobe=nprobe).alias("__p"))
@@ -1231,11 +1275,14 @@ def knn_ivf_pq_index(index: DataFrame,
                      m: Optional[int] = None,
                      vectors: Optional[DataFrame] = None,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     query_id_col: str = "vec_id") -> DataFrame:
+                     query_id_col: str = "vec_id",
+                     max_query_rows: int = DEFAULT_MAX_QUERY_ROWS
+                     ) -> DataFrame:
     """Serve top-k from a PERSISTED ``write_ivf_pq_index`` table with
     partition pruning: the union of every query's ``nprobe`` probe
     cells is collected driver-side (queries are a sample-sized frame —
-    the standing serving contract; every sibling already broadcasts
+    the serving contract, enforced by ``max_query_rows``; every
+    sibling already broadcasts
     them) and pushed into the scan as ``cell IN (...)``, so parquet
     reads ONLY the probed partitions — at 100 TB the difference between
     scanning nprobe/k_coarse of the index and scanning all of it.
@@ -1248,7 +1295,8 @@ def knn_ivf_pq_index(index: DataFrame,
 
     m = _resolve_m(k, m)
     queries, pruned = _pruned_probe_scan(index, queries, centroids,
-                                         nprobe, vec_col, query_id_col)
+                                         nprobe, vec_col, query_id_col,
+                                         max_query_rows)
     dq_frame = pruned.select(
         "vec_id",
         pq_decode(F.col("codes"), codebooks).alias("__dqv"),
@@ -1310,7 +1358,9 @@ def knn_ivf_rpq_index(index: DataFrame,
                       vectors: Optional[DataFrame] = None,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding",
-                      query_id_col: str = "vec_id") -> DataFrame:
+                      query_id_col: str = "vec_id",
+                      max_query_rows: int = DEFAULT_MAX_QUERY_ROWS
+                      ) -> DataFrame:
     """Serve top-k from a PERSISTED residual index
     (``write_ivf_rpq_index``) with partition pruning — the residual
     twin of ``knn_ivf_pq_index``: the probe union prunes the scan to
@@ -1323,7 +1373,8 @@ def knn_ivf_rpq_index(index: DataFrame,
     queries — the at-rest shape residual IVFPQ was designed for."""
     m = _resolve_m(k, m)
     queries, pruned = _pruned_probe_scan(index, queries, centroids,
-                                         nprobe, vec_col, query_id_col)
+                                         nprobe, vec_col, query_id_col,
+                                         max_query_rows)
     # the decode adds centroid[cell] via element_at — normalize the
     # read-back partition dtype (int by default, string with inference
     # off) to the numeric index the reconstruction needs
@@ -1409,7 +1460,9 @@ def ivf_pq_index_drift(index: DataFrame,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding",
                        query_id_col: str = "vec_id",
-                       residual: bool = False) -> DataFrame:
+                       residual: bool = False,
+                       max_query_rows: int = DEFAULT_MAX_QUERY_ROWS
+                       ) -> DataFrame:
     """Model-drift telemetry for an append-maintained IVF-PQ index: ONE
     aggregated row comparing what the persisted index actually serves
     (``knn_ivf_pq_index`` with the CURRENT models, partition-pruned)
@@ -1437,12 +1490,15 @@ def ivf_pq_index_drift(index: DataFrame,
     SAME collected rows, so a nondeterministic or concurrently-appended
     queries frame cannot put rows in the truth that the served side
     never probed (which would spuriously depress recall and fire the
-    refit flag on a healthy index)."""
+    refit flag on a healthy index). The held-out-SAMPLE contract is
+    enforced (r11): the pin collects at most ``max_query_rows`` rows
+    and raises loudly past it — the report's truth side is a
+    brute-force scan per query, so a corpus passed as the sample would
+    otherwise OOM the driver AND run |corpus| brute-force scans."""
     if not 0.0 <= recall_floor <= 1.0:
         raise ValueError("recall_floor must be within [0, 1]")
-    q_proj = queries.select(F.col(query_id_col), F.col(vec_col))
-    queries = queries.sparkSession.createDataFrame(q_proj.collect(),
-                                                   q_proj.schema)
+    queries = _pin_query_batch(queries, vec_col, query_id_col,
+                               max_query_rows)
     # ``residual=True`` watches a write_ivf_rpq_index table instead —
     # same report, the serving path under test swaps to the residual
     # pruned scan (the one whose frozen models are COSTLIER to refit,
@@ -1451,7 +1507,8 @@ def ivf_pq_index_drift(index: DataFrame,
     served = (serve(index, codebooks, queries, k, centroids,
                     nprobe=nprobe, m=m, vectors=vectors,
                     id_col=id_col, vec_col=vec_col,
-                    query_id_col=query_id_col)
+                    query_id_col=query_id_col,
+                    max_query_rows=max_query_rows)
               .select("query_id", "neighbor_id",
                       F.lit(1).alias("__hit")))
     # the truth side keeps only queries the quantizer can KEY

@@ -3411,6 +3411,36 @@ def q86_knn_ivf_adc(spark, sf_dir):
                       F.round("cosine", 6).alias("cosine"), "rank")
 
 
+#: Scratch roots already scheduled for end-of-process removal (one per
+#: (query, pid); the set makes the atexit registration idempotent
+#: across repeated builder invocations in one process).
+_INDEX_TMP_ROOTS: set = set()
+
+
+def _index_tmp_path(tag: str, sf_dir: str) -> str:
+    """Per-process scratch path for the persisted-index certification
+    queries (q87/q88/q90/q91): a fixed pid-keyed root + overwrite mode
+    means each (honest, per-pass) rebuild replaces the previous pass's
+    files instead of leaking one temp dir per timed pass — and an
+    ``atexit`` rmtree removes the root itself when the process exits
+    (r10 ADVICE: the bare layout leaked one index dir per harness
+    process per scale dir in the system temp). Each query keeps its
+    OWN root (``tag``): a shared path rewritten by a sibling builder
+    between one query's construction and action would change its rows
+    — the files reopen the two-time-point window ``_pin_query_batch``
+    closes for queries."""
+    import atexit
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    root = _os.path.join(_tempfile.gettempdir(),
+                         f"spark_graft_{tag}_index_{_os.getpid()}")
+    if root not in _INDEX_TMP_ROOTS:
+        _INDEX_TMP_ROOTS.add(root)
+        atexit.register(_shutil.rmtree, root, ignore_errors=True)
+    return _os.path.join(root, _os.path.basename(sf_dir.rstrip("/")))
+
+
 @register(
     "q87_knn_ivf_pq_index",
     _ivf_adc_oracle_sql(nprobe=2),
@@ -3434,9 +3464,6 @@ def q87_knn_ivf_pq_index(spark, sf_dir):
     shape that matters: the index is built once (one shuffle), and each
     query batch's IO is nprobe/k_coarse of the index, not a corpus
     re-bucketing per batch."""
-    import os as _os
-    import tempfile as _tempfile
-
     from ..operators.similarity import (knn_ivf_pq_index,
                                         write_ivf_pq_index)
     from ..operators.vectors import ivf_pq_fit, pq_encode
@@ -3445,13 +3472,7 @@ def q87_knn_ivf_pq_index(spark, sf_dir):
                    & (F.size("embedding") > 0)))
     cents, books = ivf_pq_fit(emb, k_coarse=8, m=4, k_sub=8, iters=1)
     codes = pq_encode(emb, books)
-    # a fixed per-process path + overwrite mode: each (honest, per-pass)
-    # rebuild replaces the previous pass's files instead of leaking one
-    # temp dir per timed pass; harness processes never share a pid
-    path = _os.path.join(
-        _tempfile.gettempdir(),
-        f"spark_graft_q87_index_{_os.getpid()}",
-        _os.path.basename(sf_dir.rstrip("/")))
+    path = _index_tmp_path("q87", sf_dir)
     write_ivf_pq_index(codes, books, cents, path)
     index = spark.read.parquet(path)
     queries = emb.filter(F.col("vec_id") < 20)
@@ -3532,9 +3553,6 @@ def q88_index_drift_report(spark, sf_dir):
     deployment watches (``refresh_ivf_pq_index`` keeps the models
     frozen, so recall decay is invisible to the write path) — now a
     driver-certified contract, not just a pytest pin."""
-    import os as _os
-    import tempfile as _tempfile
-
     from ..operators.similarity import (ivf_pq_index_drift,
                                         write_ivf_pq_index)
     from ..operators.vectors import ivf_pq_fit, pq_encode
@@ -3543,15 +3561,7 @@ def q88_index_drift_report(spark, sf_dir):
                    & (F.size("embedding") > 0)))
     cents, books = ivf_pq_fit(emb, k_coarse=8, m=4, k_sub=8, iters=1)
     codes = pq_encode(emb, books)
-    # own path, never shared with q87: q87's serving frame reads ITS
-    # path lazily at action time, and a shared path rewritten by this
-    # builder between q87's construction and action would change its
-    # rows (the two-time-point window knn_ivf_pq_index closes for
-    # queries, reopened for the files)
-    path = _os.path.join(
-        _tempfile.gettempdir(),
-        f"spark_graft_q88_index_{_os.getpid()}",
-        _os.path.basename(sf_dir.rstrip("/")))
+    path = _index_tmp_path("q88", sf_dir)
     write_ivf_pq_index(codes, books, cents, path)
     queries = emb.filter(F.col("vec_id") < 20)
     rep = ivf_pq_index_drift(spark.read.parquet(path), books, cents,
@@ -3742,9 +3752,6 @@ def q90_knn_ivf_rpq_index(spark, sf_dir):
     what a quality-sensitive 100 TB deployment actually runs (same
     stored bytes as the flat index, strictly lower reconstruction
     error — test-pinned)."""
-    import os as _os
-    import tempfile as _tempfile
-
     from ..operators.similarity import (knn_ivf_rpq_index,
                                         write_ivf_rpq_index)
     from ..operators.vectors import ivf_pq_fit_residual
@@ -3753,10 +3760,7 @@ def q90_knn_ivf_rpq_index(spark, sf_dir):
                    & (F.size("embedding") > 0)))
     cents, books = ivf_pq_fit_residual(emb, k_coarse=8, m=4, k_sub=8,
                                        iters=1)
-    path = _os.path.join(
-        _tempfile.gettempdir(),
-        f"spark_graft_q90_index_{_os.getpid()}",
-        _os.path.basename(sf_dir.rstrip("/")))
+    path = _index_tmp_path("q90", sf_dir)
     write_ivf_rpq_index(emb, books, cents, path)
     queries = emb.filter(F.col("vec_id") < 20)
     out = knn_ivf_rpq_index(spark.read.parquet(path), books, queries,

@@ -59,7 +59,25 @@ def test_refresh_appends_equivalently_to_full_rebuild(spark, models,
 
     refreshed = str(tmp_path / "idx_refreshed")
     write_ivf_pq_index(pq_encode(base, books), books, cents, refreshed)
+
+    def snapshot(path):
+        # size AND mtime_ns per parquet file: an in-place rewrite with
+        # identical byte length must still fail the append-only
+        # assertion (the stress tool's check, mirrored here — r10
+        # ADVICE: the old >=2-files assertion was nearly vacuous)
+        out = {}
+        for d, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(d, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    resident = snapshot(refreshed)
+    assert resident, "build wrote no parquet files"
     refresh_ivf_pq_index(delta, books, cents, refreshed)
+    after = snapshot(refreshed)
 
     full = str(tmp_path / "idx_full")
     write_ivf_pq_index(pq_encode(emb, books), books, cents, full)
@@ -70,17 +88,11 @@ def test_refresh_appends_equivalently_to_full_rebuild(spark, models,
             for r in spark.read.parquet(path).collect())
     got, want = rows(refreshed), rows(full)
     assert got == want and len(got) == emb.count()
-    # the delta landed as EXTRA FILES inside cell dirs — resident base
-    # files were never rewritten (append-only maintenance)
-    base_files = set()
-    for d, _, files in os.walk(str(tmp_path / "idx_refreshed")):
-        base_files.update(os.path.join(d, f) for f in files
-                          if f.endswith(".parquet"))
-    full_files = set()
-    for d, _, files in os.walk(full):
-        full_files.update(os.path.join(d, f) for f in files
-                          if f.endswith(".parquet"))
-    assert len(base_files) > len(full_files) or len(base_files) >= 2
+    # append-only maintenance, asserted on the files: every resident
+    # base file survives byte- and mtime-identical, and the delta
+    # landed exclusively as NEW files
+    assert all(after.get(p) == st for p, st in resident.items())
+    assert set(after) > set(resident)
 
 
 def test_serving_after_refresh_matches_inmemory(spark, models, tmp_path):
@@ -332,3 +344,50 @@ def test_drift_pins_queries_at_construction(spark, models, tmp_path):
        .select("vec_id", "embedding").write.mode("append").parquet(qsrc)
     r = report.first()
     assert r["n_queries"] == 8 and r["n_servable"] == 8, r
+
+
+def test_query_batch_contract_enforced(spark, models, tmp_path):
+    """The serving contract is structural, not prose (r11): every
+    persisted-path driver-side collect of the queries frame —
+    probe-union pruning (flat + residual serve) and the drift report's
+    truth pin — refuses a frame larger than ``max_query_rows`` with a
+    loud ValueError BEFORE materializing it (the overage probe collects
+    at most max+1 rows), and is bit-identical under the limit."""
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        ivf_pq_index_drift, knn_ivf_pq_index, knn_ivf_rpq_index,
+        write_ivf_pq_index, write_ivf_rpq_index)
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        ivf_pq_fit_residual, pq_encode)
+    emb, cents, books = models
+    path = str(tmp_path / "idx_contract")
+    write_ivf_pq_index(pq_encode(emb, books), books, cents, path)
+    index = spark.read.parquet(path)
+    queries = emb.filter(F.col("vec_id") < 5)
+    kw = dict(k=5, m=10, centroids=cents, nprobe=2, vectors=emb)
+
+    # exactly at the limit: behavior unchanged (limit(n+1) returns all)
+    base = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                  for r in knn_ivf_pq_index(index, books, queries,
+                                            **kw).collect())
+    at_limit = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                      for r in knn_ivf_pq_index(
+                          index, books, queries, max_query_rows=5,
+                          **kw).collect())
+    assert at_limit == base and len(base) > 0
+
+    # one past the limit: loud, at construction, on every collect site
+    with pytest.raises(ValueError, match="max_query_rows"):
+        knn_ivf_pq_index(index, books, queries, max_query_rows=4, **kw)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        ivf_pq_index_drift(index, books, cents, emb, queries, k=5,
+                           nprobe=2, max_query_rows=4)
+    rcents, rbooks = ivf_pq_fit_residual(emb, k_coarse=4, m=4, k_sub=8,
+                                         iters=1)
+    rpath = str(tmp_path / "idx_contract_r")
+    write_ivf_rpq_index(emb, rbooks, rcents, rpath)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        knn_ivf_rpq_index(spark.read.parquet(rpath), rbooks, queries,
+                          k=5, m=10, centroids=rcents, nprobe=2,
+                          vectors=emb, max_query_rows=4)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        knn_ivf_pq_index(index, books, queries, max_query_rows=0, **kw)
