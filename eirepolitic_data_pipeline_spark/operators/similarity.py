@@ -1441,10 +1441,17 @@ def compact_ivf_pq_index(spark, path: str,
     mix of a partially-deleted one). Returns the compactor's
     ``{files_before, files_after, bytes, partitions}`` telemetry.
 
+    Layout parity (r11): the residual index (``write_ivf_rpq_index``)
+    shares the flat layout exactly — same ``(vec_id, codes)`` columns,
+    same ``cell=`` partition dirs — so this one compactor bounds BOTH
+    families' refresh-cycle file accumulation (test-pinned over a
+    thrice-refreshed residual index, serving rows and probe pruning
+    asserted unchanged).
+
     Lifecycle: ``write_ivf_pq_index`` (build) → ``refresh_ivf_pq_index``
     (append deltas) → this (bound the file count) →
     ``ivf_pq_index_drift`` (watch recall) → refit + rebuild when the
-    flag says so."""
+    flag says so — and identically for the ``_rpq_`` family."""
     from ..io.maintenance import compact_dataset
 
     return compact_dataset(spark, path,

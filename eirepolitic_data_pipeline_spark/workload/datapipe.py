@@ -3493,7 +3493,18 @@ def _ivf_drift_oracle_sql(m_sub: int = 4, kc: int = 8,
     the operator's one-row contract. Per-query recall is n_hit/n_true
     as a double; mean/min round to 6 dp; the refit flag compares the
     ROUNDED mean against the floor (the operator's exact rule)."""
-    return _ivf_adc_chain_sql(m_sub, kc, k_coarse, nprobe) + f"""
+    return _ivf_adc_chain_sql(m_sub, kc, k_coarse, nprobe) \
+        + _drift_fold_sql(k, floor)
+
+
+def _drift_fold_sql(k: int = 5, floor: float = 0.8) -> str:
+    """The drift REPORT fold shared by the q88 (flat) and q91
+    (residual) oracles: appended to either serving chain (both end at
+    ``ex`` over a ``qs``/``e`` universe), it takes the chain's served
+    top-k, re-derives brute-force truth (q26's rule: self excluded,
+    zero-norm cosine 0.0, ties to the lowest neighbor id), folds
+    per-query recall, and emits the operator's one-row contract."""
+    return f"""
     , served AS (
       SELECT query_id, neighbor_id FROM (
         SELECT query_id, neighbor_id,
@@ -3576,7 +3587,27 @@ def q88_index_drift_report(spark, sf_dir):
 def _ivf_rpq_oracle_sql(m_sub: int = 4, kc: int = 8,
                         k_coarse: int = 8, nprobe: int = 3,
                         k: int = 5, m: int = 10) -> str:
-    """The q89 oracle: RESIDUAL-encoding IVFPQ re-derived end to end —
+    """The q89/q90 oracle: RESIDUAL-encoding IVFPQ re-derived end to
+    end — the shared residual WITH-chain (``_ivf_rpq_chain_sql``)
+    emitting its served rows. The q91 drift oracle aggregates the SAME
+    chain into a recall report instead (``_drift_fold_sql``), exactly
+    as q88 does over the flat chain."""
+    return _ivf_rpq_chain_sql(m_sub, kc, k_coarse, nprobe, m) + f"""
+    SELECT query_id, neighbor_id,
+           round(cos_raw, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+    FROM ex
+    QUALIFY rank <= {k}
+    """
+
+
+def _ivf_rpq_chain_sql(m_sub: int = 4, kc: int = 8,
+                       k_coarse: int = 8, nprobe: int = 3,
+                       m: int = 10) -> str:
+    """The shared residual-IVFPQ WITH-chain (universe → coarse fit →
+    raw-vector cells → residuals → residual PQ codec → centroid-added
+    reconstruction → probes → candidate cut → exact re-rank ``ex``) —
     the actual FAISS recipe. Differences from the flat chain
     (``_ivf_adc_chain_sql``), each a deliberate joint of the residual
     design: (1) index cells are the argmin over the RAW vectors (the
@@ -3688,12 +3719,6 @@ def _ivf_rpq_oracle_sql(m_sub: int = 4, kc: int = 8,
         ON ne.vec_id = c.neighbor_id
       JOIN qs q ON q.query_id = c.query_id
     )
-    SELECT query_id, neighbor_id,
-           round(cos_raw, 6) AS cosine,
-           CAST(row_number() OVER (PARTITION BY query_id
-             ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
-    FROM ex
-    QUALIFY rank <= {k}
     """
 
 
@@ -3768,3 +3793,56 @@ def q90_knn_ivf_rpq_index(spark, sf_dir):
                             vectors=emb)
     return out.select("query_id", "neighbor_id",
                       F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def _ivf_rpq_drift_oracle_sql(m_sub: int = 4, kc: int = 8,
+                              k_coarse: int = 8, nprobe: int = 2,
+                              k: int = 5, floor: float = 0.8) -> str:
+    """The q91 oracle: q88's drift-report fold (``_drift_fold_sql``)
+    over q89's RESIDUAL serving chain (``_ivf_rpq_chain_sql``) — what
+    the persisted residual index actually serves at nprobe=2 compared
+    against brute-force truth, folded to the one-row refit contract."""
+    return _ivf_rpq_chain_sql(m_sub, kc, k_coarse, nprobe) \
+        + _drift_fold_sql(k, floor)
+
+
+@register(
+    "q91_rpq_index_drift",
+    _ivf_rpq_drift_oracle_sql(),
+    survey_ref="beyond-ref: residual-index drift telemetry (operators/similarity.py:ivf_pq_index_drift residual=True — the refit signal for the index family whose models are COSTLIEST to refit, since every stored code re-encodes with its new cell)",
+    memoize=False,  # trains, encodes, writes the residual index, and
+    # the report runs Spark actions at construction (probe + truth
+    # pinning) — memoizing would cache the whole maintenance cycle
+)
+def q91_rpq_index_drift(spark, sf_dir):
+    """The RESIDUAL refit feedback loop certified end to end (r11, the
+    r10 verdict's #2 ask): build the persisted residual index exactly
+    as q90 (``ivf_pq_fit_residual`` + ``write_ivf_rpq_index``), then
+    run ``ivf_pq_index_drift(residual=True)`` — serving through
+    ``knn_ivf_rpq_index``'s partition-pruned scan with the CURRENT
+    models against brute-force truth on the 20-query held-out sample —
+    and emit the operator's one-row report. This is the signal that
+    matters MOST in the family: ``refresh_ivf_rpq_index`` freezes a
+    model pair whose refit forces a full corpus re-encode (the cell is
+    part of the encoding), so the decision to refit should be driven
+    by measured served recall, not guesswork. The oracle is q88's
+    report fold swapped onto q89's residual CTE chain at nprobe=2 —
+    both already driver-certified, now certified as one contract."""
+    from ..operators.similarity import (ivf_pq_index_drift,
+                                        write_ivf_rpq_index)
+    from ..operators.vectors import ivf_pq_fit_residual
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+           .filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") > 0)))
+    cents, books = ivf_pq_fit_residual(emb, k_coarse=8, m=4, k_sub=8,
+                                       iters=1)
+    path = _index_tmp_path("q91", sf_dir)
+    write_ivf_rpq_index(emb, books, cents, path)
+    queries = emb.filter(F.col("vec_id") < 20)
+    rep = ivf_pq_index_drift(spark.read.parquet(path), books, cents,
+                             emb, queries, k=5, nprobe=2, m=10,
+                             recall_floor=0.8, residual=True)
+    return rep.select(
+        "n_queries", "n_servable", "mean_recall", "min_recall",
+        F.col("refit_recommended").cast("int")
+        .alias("refit_recommended"))

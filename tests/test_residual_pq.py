@@ -224,3 +224,60 @@ def test_residual_index_lifecycle(spark, models, tmp_path):
     assert r["n_queries"] == r["n_servable"] == 5
     assert 0.0 <= r["min_recall"] <= r["mean_recall"] <= 1.0
     assert r["refit_recommended"] == (r["mean_recall"] < 1.0)
+
+
+def test_residual_compaction_bounds_files_and_preserves_serving(
+        spark, models, tmp_path):
+    """Compaction parity for the RESIDUAL layout (r10 verdict #6): the
+    residual index shares write_ivf_pq_index's cell-partitioned layout
+    exactly, so compact_ivf_pq_index's per-leaf rewrite must bound the
+    small-file accumulation from repeated refresh_ivf_rpq_index cycles
+    the same way — same rows, same cell dirs (pruning untouched), and
+    the pruned serve returns the identical result set."""
+    import os
+
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        compact_ivf_pq_index, knn_ivf_rpq_index, refresh_ivf_rpq_index,
+        write_ivf_rpq_index)
+    emb, cents, books = models
+    path = str(tmp_path / "rpq_compact")
+    write_ivf_rpq_index(emb.filter(F.col("vec_id") >= 300), books, cents,
+                        path)
+    for lo, hi in ((200, 300), (100, 200), (0, 100)):
+        refresh_ivf_rpq_index(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            books, cents, path)
+
+    def state(p):
+        files, dirs = 0, set()
+        for d, _, fs in os.walk(p):
+            files += sum(1 for f in fs if f.endswith(".parquet"))
+            dirs.update(x for x in (os.path.basename(d),)
+                        if x.startswith("cell="))
+        rows = sorted((r["vec_id"], tuple(r["codes"]), int(r["cell"]))
+                      for r in spark.read.parquet(p).collect())
+        return rows, files, dirs
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    kw = dict(k=5, m=10, centroids=cents, nprobe=2, vectors=emb)
+    rows0, files0, dirs0 = state(path)
+    served0 = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in knn_ivf_rpq_index(spark.read.parquet(path), books,
+                                   queries, **kw).collect())
+    n_cells = len(dirs0)
+    assert files0 > n_cells, "refreshes should have multiplied files"
+
+    tel = compact_ivf_pq_index(spark, path)
+    rows1, files1, dirs1 = state(path)
+    assert files1 == n_cells == tel["partitions"]
+    assert dirs1 == dirs0 and rows1 == rows0
+    out = knn_ivf_rpq_index(spark.read.parquet(path), books, queries,
+                            **kw)
+    served1 = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                     for r in out.collect())
+    assert served1 == served0 and len(served1) > 0
+    # compaction must not cost the probe pruning
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cell" in ln for ln in pf), pf
