@@ -27,68 +27,112 @@ from . import datapipe  # noqa: F401,E402
 from . import quality  # noqa: F401,E402
 
 
-# Certification rotation (round 10). The driver's correctness gate
-# certifies the first ~50 registered queries per round; with 86
-# registered, ~36 fall outside every round. Rank the workload so the
+# Certification rotation (round 11). The driver's correctness gate
+# certifies the first ~50 registered queries per round; with 87
+# registered, ~37 fall outside every round. Rank the workload so the
 # window always covers the queries that NEED a fresh driver-green row:
-#   front — q87 (new round 10, never driver-certified: the persisted-index
-#           serving path), then the single-r9-ledger trio q84–q86 (hold
-#           inside until 2+, the standing rule since r6) and q78–q83,
-#           which dispatch into the files round 10 touched
-#           (operators/similarity.py — write_ivf_pq_index persist
-#           hygiene, the ann_recall frame_bucketer guard, typed probe
-#           pruning, the new refresh/drift operators — and
-#           operators/vectors.py — the shared _validate_codebooks guard);
-#           then THE r5 TAIL ROTATION (the r9 verdict's #2 ask): the 23
-#           queries q01–q18/q20/q21/q42/q43/q47 whose newest green ledger
-#           was round 5 — four rounds is the oldest acceptable ledger age,
-#           files verifiably untouched since, each sub-0.5s; then the r9
-#           bench-drift cluster (q74/q62/q68/q34/q31 — their confirm-rerun
-#           round, bank a fresh correctness row alongside the timing
-#           answer); the rest of the budget keeps one sentinel per
-#           implementation family whose builder module (datapipe.py)
-#           changed this round: curation (q63), the ANN/vector serving
-#           block (q26/q27/q37/q65/q72/q73/q75), and dedupe
-#           (q61/q64/q19). q53 was the 51st when q88 was added and
-#           rotated to the tail (2 ledgers, temporal.py untouched).
-#   tail  — queries with 2+ green ledgers THROUGH r9 whose implementation
-#           files are untouched in round 10: the dedupe/banding block
-#           (q22–q25/q49/q50/q66/q67 — operators/dedupe.py untouched),
-#           the curation-plumbing block (q51/q52/q55–q58 —
-#           operators/curation.py untouched), the r6 text/streaming/DQ
-#           block (q69–q71/q76/q77/q68→kept inside, q32/q41 —
-#           relevance/profiling/streaming/quality files untouched), the
-#           marts pair (q45/q46 — tables/gold.py untouched), q48
-#           (operators/skew.py untouched), and the long-demoted
-#           q54/q59/q60/q35/q36/q30/q28/q29/q39 (same files-untouched
-#           rationale as round 9; rotate each back in whenever its
-#           implementation file changes).
+#   front — q91 (new round 11, never driver-certified: the residual
+#           drift report, ivf_pq_index_drift residual=True over a
+#           written rpq index); then the single-r10-ledger quartet
+#           q87-q90 (hold inside until 2+, the standing rule since
+#           r6), which also dispatch into the round-11 behavior change
+#           (the max_query_rows serving-contract guard on every
+#           persisted-path driver collect, similarity.py); then THE
+#           r6-r8 STALE-LEDGER ROTATION (the r10 verdict's #1 ask):
+#           q30/q54/q59/q60 (last green r6 — five rounds stale),
+#           q35/q36 (r7), q28/q29/q39 (r8) — files verifiably
+#           untouched since, each cheap, all overdue past the 4-round
+#           rule; then the similarity.py changed-file block
+#           q26/q27/q37/q65/q78/q80-q86 (their functions are
+#           byte-unchanged but the file gained _pin_query_batch and
+#           threaded signatures — the changed-file rule keeps them
+#           inside); then one sentinel per implementation family whose
+#           builder module (datapipe.py gained q91) changed this
+#           round: curation (q63) and dedupe (q61); the rest of the
+#           budget refreshes the r9-green block whose newest ledger is
+#           now two rounds old: merge/dedupe (q19/q22-q25/q49/q50/
+#           q64/q66/q67), curation plumbing (q51/q52/q55-q58), DQ/
+#           compat (q32/q41), marts + skew (q45/q46/q48), and the
+#           as-of pair (q53).
+#   tail  — queries whose newest green ledger is round 10 with
+#           implementation files untouched in round 11: the r5-tail
+#           block recertified last round (q01-q18/q20/q21/q42/q43/
+#           q47), the r9 drift cluster (q34/q31/q68/q74/q62), and the
+#           vectors.py-only family (q72/q73/q75/q79 —
+#           operators/vectors.py untouched this round); plus the r6
+#           text/relevance/streaming block (q69-q71/q76/q77 — green
+#           through r9, relevance/profiling/streaming files untouched
+#           two rounds running; they are the oldest deferred ledgers
+#           and MUST rotate back inside in round 12).
 # Rotate this list each round as certifications land and code changes.
 _CERT_PRIORITY = [
-    # new round 10 — never driver-certified: serving from the WRITTEN,
-    # partition-pruned index (r9 verdict ask #3), the index drift
-    # report (the refit feedback loop, r9 verdict ask #6 taken past its
-    # pytest pin to a full oracle certification), and residual-encoding
-    # IVFPQ (the actual FAISS recipe)
+    # new round 11 — never driver-certified: the residual refit
+    # feedback loop (r10 verdict ask #2)
+    "q91_rpq_index_drift",
+    # single green ledger (r10) — hold inside until 2+; all four also
+    # serve through the persisted paths the r11 contract guard changed
     "q87_knn_ivf_pq_index",
     "q88_index_drift_report",
     "q89_knn_ivf_rpq",
     "q90_knn_ivf_rpq_index",
-    # single green ledger (r9) — hold inside until 2+; all three also
-    # dispatch into similarity.py/vectors.py, changed this round
+    # THE r6-r8 STALE-LEDGER ROTATION (r10 verdict ask #1): newest
+    # green ledger r6-r8, files untouched since — rotate all nine
+    "q30_quality_scores",
+    "q54_repetition_stats",
+    "q59_hll_sketch_rollup",
+    "q60_incremental_rollup_equivalence",
+    "q35_json_props_extract",
+    "q36_parse_iso_date_parity",
+    "q28_text_stats",
+    "q29_language_id",
+    "q39_asof_join_last_click",
+    # the similarity.py changed-file block: functions byte-unchanged
+    # but the module changed (serving-contract guard) — stay inside
+    # per the changed-file rule
+    "q26_knn_bruteforce",
+    "q27_ann_bucketed",
+    "q37_cosine_neardup_pairs",
+    "q65_knn_lsh_multiprobe",
+    "q78_ann_recall",
+    "q80_ann_recall_ivf",
+    "q81_ann_recall_ivf_nprobe",
+    "q82_ann_recall_ivf_trained",
+    "q83_knn_quantized_rerank",
     "q84_knn_ivf_pq",
     "q85_knn_pq_adc",
     "q86_knn_ivf_adc",
-    # 2+ ledgers but they dispatch into the changed files — stay inside
-    # per the changed-file rule
-    "q82_ann_recall_ivf_trained",
-    "q83_knn_quantized_rerank",
-    "q78_ann_recall",
-    "q79_semdedup_clusters",
-    "q80_ann_recall_ivf",
-    "q81_ann_recall_ivf_nprobe",
-    # THE r5 TAIL ROTATION (r9 verdict ask #2): newest green ledger r5,
-    # files untouched since — rotate the whole block through the window
+    # family sentinels for the builder module that changed this round
+    # (datapipe.py gained q91)
+    "q63_curate_corpus_certified",
+    "q61_line_dedup_boilerplate",
+    # the r9-green refresh: newest ledger two rounds old, files
+    # untouched — bank fresh rows before they age past the 4-round rule
+    "q19_dedupe_keep_last",
+    "q22_exact_dedup_fingerprint",
+    "q23_jaccard_topk_pairs",
+    "q24_minhash_lsh_candidates",
+    "q25_simhash_signatures",
+    "q49_winnowed_fingerprints",
+    "q50_winnow_neardup_pairs",
+    "q64_decontaminate_benchmark",
+    "q66_simhash_banded_pairs",
+    "q67_conflict_evidence_dedupe",
+    "q51_dataset_split",
+    "q52_sequence_packing",
+    "q55_source_mixing",
+    "q56_resample_daily_ffill",
+    "q57_domain_profile",
+    "q58_stratified_sample",
+    "q32_integrity_checks",
+    "q41_compat_projection",
+    "q45_member_activity_yearly_mart",
+    "q46_constituency_activity_mart",
+    "q48_salted_topn_events",
+    "q53_range_join_busy_windows",
+]
+_CERT_TAIL = [
+    # newest green ledger r10, implementation files untouched in
+    # round 11: the r5-tail block recertified last round
     "q01_pricing_summary",
     "q02_min_cost_supplier",
     "q03_shipping_priority",
@@ -101,8 +145,6 @@ _CERT_PRIORITY = [
     "q10_string_agg_regions",
     "q11_rollup_returns",
     "q12_cross_grid_zero_filled",
-    "q42_cube_status_year",
-    "q43_approx_aggregates",
     "q13_dense_rank_suppliers",
     "q14_topn_customers_per_nation",
     "q15_argmax_event_type",
@@ -111,83 +153,29 @@ _CERT_PRIORITY = [
     "q18_running_customer_spend",
     "q20_sessionization",
     "q21_tumbling_hourly",
+    "q42_cube_status_year",
+    "q43_approx_aggregates",
     "q47_member_activity_monthly_mart",
-    # the r9 bench-drift cluster: confirm-rerun round (r9 verdict ask
-    # #1) — bank a fresh correctness row beside the 5-run timing answer
-    "q74_source_overlap",
-    "q62_minhash_dedup_components",
-    "q68_tally_integrity_report",
+    # the r9 bench-drift cluster: recertified r10, files untouched
     "q34_scalar_function_parity",
     "q31_dq_summary_lineitem",
-    # family sentinels for the builder module that changed this round
-    # (datapipe.py gained q87) + the ANN/vector family, whose operators
-    # live in the two changed implementation files
-    "q63_curate_corpus_certified",
-    "q26_knn_bruteforce",
-    "q27_ann_bucketed",
-    "q37_cosine_neardup_pairs",
-    "q65_knn_lsh_multiprobe",
+    "q68_tally_integrity_report",
+    "q74_source_overlap",
+    "q62_minhash_dedup_components",
+    # vectors.py-only family: green r10, operators/vectors.py untouched
+    # in round 11
     "q72_quantize_int8",
     "q73_kmeans_clusters",
     "q75_diversity_sample",
-    "q61_line_dedup_boilerplate",
-]
-_CERT_TAIL = [
-    # displaced by q88/q89/q90 (round 10): q53 green r8+r9 with its
-    # as-of window path in operators/temporal.py untouched this round;
-    # q19 and q64 green r8+r9 with operators/dedupe.py/merge.py
-    # untouched (q61 remains inside as the dedupe family's sentinel) —
-    # rotate each back in whenever its file changes
-    "q53_range_join_busy_windows",
-    "q19_dedupe_keep_last",
-    "q64_decontaminate_benchmark",
-    # dedupe/banding block: green r8+r9, operators/dedupe.py untouched
-    # in round 10 (q61/q64/q19 stay inside as the family's sentinels)
-    "q22_exact_dedup_fingerprint",
-    "q23_jaccard_topk_pairs",
-    "q24_minhash_lsh_candidates",
-    "q25_simhash_signatures",
-    "q49_winnowed_fingerprints",
-    "q50_winnow_neardup_pairs",
-    "q66_simhash_banded_pairs",
-    "q67_conflict_evidence_dedupe",
-    # curation-plumbing block: green r8+r9, operators/curation.py /
-    # io/bucketing.py untouched in round 10 (q63 stays inside)
-    "q51_dataset_split",
-    "q52_sequence_packing",
-    "q55_source_mixing",
-    "q56_resample_daily_ffill",
-    "q57_domain_profile",
-    "q58_stratified_sample",
-    # r6 text/relevance/streaming block: green through r9, and
-    # relevance.py / profiling.py / streaming/jobs.py untouched in
-    # round 10 (q74 stays inside for its drift confirm-rerun)
+    "q79_semdedup_clusters",
+    # r6 text/relevance/streaming block: green through r9, files
+    # untouched two rounds running — the oldest deferred ledgers; MUST
+    # rotate back inside in round 12
     "q69_bm25_relevance",
     "q70_bigram_lm_quality",
     "q71_ngram_heavy_hitters",
     "q76_sliding_window_counts",
     "q77_dataset_card",
-    # scalar/DQ/compat: green through r9, plans/quality.py untouched
-    # (q34/q31 stay inside with the drift cluster)
-    "q32_integrity_checks",
-    "q41_compat_projection",
-    # marts + skew: green through r9, tables/gold.py and
-    # operators/skew.py untouched in round 10
-    "q45_member_activity_yearly_mart",
-    "q46_constituency_activity_mart",
-    "q48_salted_topn_events",
-    # long-demoted, 3+ ledgers each, implementation files untouched
-    # since their newest green row (same rationale as round 9): rotate
-    # each back in whenever its file changes
-    "q54_repetition_stats",
-    "q59_hll_sketch_rollup",
-    "q60_incremental_rollup_equivalence",
-    "q35_json_props_extract",
-    "q36_parse_iso_date_parity",
-    "q30_quality_scores",
-    "q28_text_stats",
-    "q29_language_id",
-    "q39_asof_join_last_click",
 ]
 
 
