@@ -48,6 +48,21 @@ What it checks:
    slice against the SAME exact set: recall must be monotone in m and
    the m=40 recall must be >= the flat codec's at identical stored
    bytes — the measured case for residual encoding.
+9. **Residual-index maintenance** (r11) — check 7's steady-state loop
+   for the RESIDUAL layout: build ``write_ivf_rpq_index`` over 95% of
+   the corpus with check 8's residual books, append the last 5% via
+   ``refresh_ivf_rpq_index`` (frozen model pair), and assert the same
+   file-level contract — resident files untouched (size+mtime), new
+   files hold exactly the delta's rows, no row lost, and the pruned
+   serve still reads only the probed cells' files.
+10. **Refit flag FIRES under real drift** (r11) — check 7's drift row
+    sits exactly at its floor (healthy index, refit False); this one
+    closes the loop's True branch at scale: append an
+    out-of-distribution delta (constant-offset cluster far outside the
+    codebooks' training range) through the frozen-model refresh, query
+    from the drifted region, and require measured recall to sag below
+    the healthy baseline AND ``refit_recommended`` to go True — the
+    signal an append-only deployment actually rebuilds on.
 
 Rewrites only its own section of STRESS.md (``--out``); exits non-zero on
 any violated bound. Standalone; not part of the per-round bench.
@@ -484,6 +499,109 @@ def main():
             f"monotone in m and m=40 >= flat m=40: "
             f"{'PASS' if rpq_ok else 'FAIL'} |")
 
+        # 9. residual-index maintenance at scale (r11): check 7's loop
+        # for the residual layout — the build starts from VECTORS (the
+        # cell is part of the encoding, so there is no standalone codes
+        # frame to hand in) and the refresh encodes ONLY the delta with
+        # the frozen (books_r, cents) pair. Same file-level contract,
+        # asserted the same way.
+        from eirepolitic_data_pipeline_spark.operators.similarity import (
+            knn_ivf_rpq_index, refresh_ivf_rpq_index, write_ivf_rpq_index)
+        idx_r = os.path.join(tmp, "ivf_rpq_index")
+        t0 = time.perf_counter()
+        write_ivf_rpq_index(corpus.filter(F.col("vec_id") >= delta_n),
+                            books_r, cents, idx_r)
+        t_build_r = round(time.perf_counter() - t0, 1)
+        before_r = _files(idx_r)
+        t0 = time.perf_counter()
+        refresh_ivf_rpq_index(corpus.filter(F.col("vec_id") < delta_n),
+                              books_r, cents, idx_r)
+        t_refresh_r = round(time.perf_counter() - t0, 1)
+        after_r = _files(idx_r)
+        resident_r_ok = all(after_r.get(p) == st
+                            for p, st in before_r.items())
+        new_rows_r = sum(papq.ParquetFile(p).metadata.num_rows
+                         for p in after_r if p not in before_r)
+        index_r = spark.read.parquet(idx_r)
+        n_rows_r = index_r.count()
+        served_r = knn_ivf_rpq_index(index_r, books_r, rq, K, cents,
+                                     nprobe=2, m=40, vectors=corpus)
+        plan_r = served_r._jdf.queryExecution().executedPlan().toString()
+        pruned_r = any("PartitionFilters" in ln and "cell" in ln
+                       for ln in plan_r.splitlines())
+        n_served_r = served_r.count()
+        t_maint_r = round(time.perf_counter() - t0, 1)
+        maint_r_ok = (n_rows_r == args.vectors and pruned_r
+                      and n_served_r == 10 * K
+                      and resident_r_ok and new_rows_r == delta_n)
+        if not maint_r_ok:
+            failures.append(
+                f"residual maintenance: rows {n_rows_r}/{args.vectors}, "
+                f"pruned {pruned_r}, served {n_served_r}, resident "
+                f"intact {resident_r_ok}, new-file rows "
+                f"{new_rows_r}/{delta_n}")
+        lines.append(
+            f"| residual-index maintenance ({args.vectors} rows, 5% "
+            f"delta append through the frozen model pair, nprobe=2 "
+            f"serve) | {t_maint_r} | build {t_build_r}s, refresh "
+            f"{t_refresh_r}s (volume asserted on files) | no row lost, "
+            f"resident files untouched (size+mtime), new files hold "
+            f"exactly the {delta_n} delta rows, serve scan "
+            f"partition-pruned: {'PASS' if maint_r_ok else 'FAIL'} |")
+
+        # 10. the refit flag FIRES under real drift (r11): check 7's
+        # drift row is the healthy baseline (recall at its floor, refit
+        # False); here an out-of-distribution cluster — constant offset
+        # 8.0 on every axis, far outside the codebooks' [-1,1] training
+        # range, so every drifted row collapses onto the boundary
+        # codewords and ADC cannot rank within the cluster — lands
+        # through the frozen-model refresh, and queries drawn FROM the
+        # drifted region measure what the index now actually serves
+        # them: recall collapses, the flag goes True. This is the loop
+        # end-to-end: append → drift report → rebuild signal.
+        drift_n = 2_000
+        idx64 = F.sequence(F.lit(0), F.lit(63))
+        phi = 0.6180339887498949
+        drifted = (spark.range(drift_n).select(
+            (F.col("id") + args.vectors).alias("vec_id"),
+            F.transform(idx64, lambda i: F.lit(8.0) + F.sin(
+                (F.col("id") + 1).cast("double") * (i + 1) * phi))
+            .alias("embedding")))
+        t0 = time.perf_counter()
+        refresh_ivf_pq_index(drifted, books, rcents, idx2)
+        universe = rl.unionByName(drifted)
+        drifted_queries = drifted.filter(
+            F.col("vec_id") < args.vectors + 10)
+        fired = ivf_pq_index_drift(
+            spark.read.parquet(idx2), books, rcents, universe,
+            drifted_queries, k=K, nprobe=2, m=40,
+            recall_floor=0.5).first()
+        t_fire = round(time.perf_counter() - t0, 1)
+        healthy_mr = drift["mean_recall"]
+        fire_ok = (fired["n_servable"] == 10
+                   and fired["refit_recommended"]
+                   and fired["mean_recall"] is not None
+                   and healthy_mr is not None
+                   and fired["mean_recall"] < healthy_mr)
+        if not fire_ok:
+            failures.append(
+                f"refit flag under drift: {dict(fired.asDict())} vs "
+                f"healthy mean {healthy_mr}")
+        f_mr = fired["mean_recall"]
+        f_mr_s = f"{f_mr:.3f}" if f_mr is not None else "null"
+        h_mr_s = f"{healthy_mr:.3f}" if healthy_mr is not None else "null"
+        delta_s = (f"{f_mr - healthy_mr:+.3f}"
+                   if f_mr is not None and healthy_mr is not None
+                   else "n/a")
+        lines.append(
+            f"| refit flag fires under drift ({drift_n} "
+            f"out-of-distribution rows appended via frozen-model "
+            f"refresh, 10 drifted queries) | {t_fire} | mean recall "
+            f"{f_mr_s} vs healthy {h_mr_s} (delta {delta_s}), refit: "
+            f"{fired['refit_recommended']} | recall sags below the "
+            f"healthy baseline and refit_recommended goes True: "
+            f"{'PASS' if fire_ok else 'FAIL'} |")
+
     section = (
         f"{SECTION}\n\n"
         f"Corpus: **{args.vectors} synthetic 64-dim vectors** "
@@ -522,7 +640,14 @@ def main():
         "stay partition-pruned after the append, and the drift report — "
         "the refit feedback loop the frozen-model append path "
         "deliberately lacks — must price the recall the index actually "
-        "serves.\n\n"
+        "serves. The residual-maintenance row holds the SAME file-level "
+        "contract for the layout whose models are costliest to refit "
+        "(the cell is part of the encoding), and the drift-fires row "
+        "closes the loop's True branch: an out-of-distribution delta "
+        "appended through the frozen-model refresh must measurably sink "
+        "served recall and trip refit_recommended — the signal an "
+        "append-only deployment actually rebuilds on, exercised at "
+        "scale, not just at its boundary.\n\n"
         f"Result: **{'PASS' if not failures else 'FAIL: ' + '; '.join(failures)}**. "
         "Rerun: `python tools/stress_ann.py`.\n"
     )
