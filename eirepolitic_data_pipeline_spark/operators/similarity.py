@@ -815,6 +815,86 @@ def centroid_probe_ranks(vec_col: Column, centroids: list[list[float]],
                               lambda s: s["cluster"].cast("string")))
 
 
+def probe_cells_frame(queries: DataFrame, centroids: list[list[float]],
+                      nprobe: int = 2, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      cell_col: str = "__cell") -> DataFrame:
+    """FRAME-level ``centroid_probe_ranks``: each query row EXPLODED by
+    its ``nprobe`` nearest centroids, computed by an Arrow kernel (one
+    map-only ``mapInPandas`` pass with the model closed over as a numpy
+    matrix) instead of the k·dim-literal expression tree. Returns
+    exactly ``(id_col, vec_col, cell_col)`` with ``vec_col`` cast to
+    array<double> and ``cell_col`` the probe's centroid id as a STRING
+    (``centroid_probe_ranks``' key contract); any other input column is
+    dropped (``centroid_cells_frame``'s rationale — Catalyst cannot
+    prune inside a mapInPandas schema).
+
+    Why the frame form exists (r11): the Column form is an interpreted
+    fold per (row, centroid) — the right shape for a SAMPLE-sized query
+    batch, and the recipe the DuckDB oracles unroll — but a BATCH
+    serving path (millions of queries, ``knn_ivf_pq_index_batch``)
+    would pay it per query row, the exact cost ``centroid_cells_frame``
+    exists to avoid on the corpus side (measured ~100 s for 200k rows x
+    16 centroids). Parity is pinned: blocked dimension-ordered float64
+    accumulation (``_nearest_blocks``' recipe, keeping the (block, k)
+    panel to RANK the top-nprobe instead of just argmin), stable
+    argsort = (d2 asc, cluster asc) — the struct-sort's ties-to-lowest-
+    id rule — and probe order preserved in the output (home cell
+    first). Unservable rows (NULL / wrong-dimension / NULL-element)
+    are DROPPED, ``centroid_probe_ranks``' explode-of-NULL behavior;
+    ``nprobe`` past k degrades to probing all k cells."""
+    import numpy as np
+
+    from .vectors import _stack_batch, well_formed_pred
+
+    if not centroids or not centroids[0]:
+        raise ValueError("centroids must be a non-empty list of "
+                         "non-empty vectors (kmeans_fit's output)")
+    if nprobe < 1:
+        raise ValueError("nprobe must be >= 1")
+    C = np.asarray(centroids, dtype="float64")
+    k, dim = C.shape
+    npb = min(nprobe, k)
+    vecs = (queries.filter(well_formed_pred(F.col(vec_col), dim))
+            .select(F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).cast("array<double>").alias("__v")))
+    id_type = vecs.schema["vec_id"].dataType.simpleString()
+
+    def kernel(batches):
+        import pandas as pd
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _stack_batch(pdf, dim)
+            n = V.shape[0]
+            block = 1024
+            ranked = np.empty((n, npb), dtype="int64")
+            for s in range(0, n, block):
+                e = min(s + block, n)
+                acc = np.zeros((e - s, k))
+                for d in range(dim):
+                    diff = V[s:e, d:d + 1] - C[None, :, d]
+                    acc = acc + diff * diff
+                masked = np.where(np.isnan(acc), np.inf, acc)
+                # stable argsort == order by (d2 asc, cluster asc):
+                # the lowest-id tie rule of centroid_probe_ranks'
+                # struct sort, column index == cluster id
+                ranked[s:e] = np.argsort(masked, axis=1,
+                                         kind="stable")[:, :npb]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy().repeat(npb),
+                "__v": pdf["__v"].to_numpy().repeat(npb),
+                "__cell": ranked.reshape(-1).astype(str),
+            })
+
+    out = vecs.mapInPandas(
+        kernel, schema=f"vec_id {id_type}, __v array<double>, "
+                       "__cell string")
+    return out.select(F.col("vec_id").alias(id_col),
+                      F.col("__v").alias(vec_col),
+                      F.col("__cell").alias(cell_col))
+
+
 def ivf_probe_cells(cell_col: Column, dims: int = 2) -> Column:
     """nprobe expansion for the ``ivf_grid_cells`` quantizer: the probe
     set is the home cell plus every adjacent cell — 3^dims keys, pairwise
@@ -1384,6 +1464,137 @@ def knn_ivf_rpq_index(index: DataFrame,
                                 nprobe=nprobe, m=m, vectors=vectors,
                                 id_col=id_col, vec_col=vec_col,
                                 query_id_col=query_id_col)
+
+
+def _exact_rerank_shuffle(cand: DataFrame, q: DataFrame,
+                          vectors: DataFrame, k: int, id_col: str,
+                          vec_col: str) -> DataFrame:
+    """Stage 2 of the BATCH serving paths: exact top-``k`` over a
+    candidate frame that is |queries|·m rows and therefore NOT
+    broadcastable when the batch is large. Same expressions and tie
+    rule as ``_exact_rerank``, but both joins are left to the planner
+    (no broadcast hint): a small batch still broadcasts under AQE's
+    size rules, a huge one shuffle-joins — queries repartition by
+    query_id, then candidates meet the corpus hash-partitioned on
+    neighbor_id. The corpus-side shuffle is the honest price of an
+    exact re-rank at batch scale, amortized over the whole batch (the
+    broadcast form would simply OOM); skip it entirely with
+    ``vectors=None`` for single-stage compressed serving."""
+    xv = vectors.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).cast("array<double>").alias("xv"))
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (cand.join(q, "query_id")
+            .join(xv, "neighbor_id")
+            .withColumn("cosine", cosine_col(F.col("xv"), F.col("qv")))
+            .withColumn("rank", F.row_number().over(w_k).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def _ivf_batch_serve(dq: DataFrame, queries: DataFrame, k: int,
+                     centroids: list[list[float]], nprobe: int, m: int,
+                     vectors: Optional[DataFrame], id_col: str,
+                     vec_col: str, query_id_col: str) -> DataFrame:
+    """The BATCH serving core shared by the two ``*_index_batch``
+    operators: given the decoded index frame ``dq`` = (neighbor_id, nv,
+    __cell), probe the queries through the Arrow kernel
+    (``probe_cells_frame`` — exploded by probe cell, no driver collect,
+    no per-row interpreted fold), cell-equi-join, ADC top-``m``, and
+    the shuffle exact re-rank. (query_id, neighbor_id) pairs are unique
+    by construction — each index row has ONE stored cell and the probe
+    set is pairwise distinct — so no dedup shuffle is needed
+    (``knn_lsh``'s argument)."""
+    qp = (probe_cells_frame(queries, centroids, nprobe,
+                            id_col=query_id_col, vec_col=vec_col)
+          .select(F.col(query_id_col).alias("query_id"),
+                  F.col(vec_col).alias("qv"), "__cell"))
+    w_m = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    cand = (qp.join(dq, "__cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cosine", cosine_col(F.col("nv"), F.col("qv")))
+            .select("query_id", "neighbor_id", "cosine")
+            .withColumn("rank", F.row_number().over(w_m).cast("int"))
+            .filter(F.col("rank") <= m))
+    if vectors is None:
+        return (cand.filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "cosine", "rank"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    return _exact_rerank_shuffle(cand.select("query_id", "neighbor_id"),
+                                 q, vectors, k, id_col, vec_col)
+
+
+def knn_ivf_pq_index_batch(index: DataFrame,
+                           codebooks: list[list[list[float]]],
+                           queries: DataFrame, k: int,
+                           centroids: list[list[float]],
+                           nprobe: int = 2, m: Optional[int] = None,
+                           vectors: Optional[DataFrame] = None,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           query_id_col: str = "vec_id") -> DataFrame:
+    """BATCH serving from a persisted ``write_ivf_pq_index`` table —
+    the other half of the serving story ``max_query_rows`` enforces
+    (r11): ``knn_ivf_pq_index`` is the ONLINE shape (a sample-sized
+    query batch collected driver-side, its probe union pushed into the
+    scan as a partition filter — read nprobe/k_coarse of the index),
+    while this is the OFFLINE shape for query frames of ANY size —
+    batch inference, corpus self-join analytics, recall sweeps: no
+    driver collect anywhere, probes computed distributed by the Arrow
+    kernel, candidates generated by a cell equi-join (each task handles
+    one cell's candidates), and the exact re-rank shuffle-joined
+    instead of broadcast. Reading the whole index instead of pruning
+    partitions is the right trade exactly when the batch is large — a
+    million queries' probe union covers every cell anyway, and one full
+    scan amortized over the batch beats per-query pruned reads.
+
+    Same results as ``knn_ivf_pq_index`` for the same inputs
+    (test-pinned): the stored cell is consumed directly, scoring/tie
+    rules are the family's verbatim stages. CONTRACT: ``index`` is
+    ``write_ivf_pq_index``'s ``(vec_id, codes, cell)`` read back;
+    ``vectors`` must cover every id in it (inner-join re-rank)."""
+    from .vectors import pq_decode
+
+    m = _resolve_m(k, m)
+    dq = index.select(F.col("vec_id").alias("neighbor_id"),
+                      pq_decode(F.col("codes"), codebooks).alias("nv"),
+                      F.col("cell").cast("string").alias("__cell"))
+    return _ivf_batch_serve(dq, queries, k, centroids, nprobe, m,
+                            vectors, id_col, vec_col, query_id_col)
+
+
+def knn_ivf_rpq_index_batch(index: DataFrame,
+                            codebooks: list[list[list[float]]],
+                            queries: DataFrame, k: int,
+                            centroids: list[list[float]],
+                            nprobe: int = 2, m: Optional[int] = None,
+                            vectors: Optional[DataFrame] = None,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            query_id_col: str = "vec_id") -> DataFrame:
+    """BATCH serving from a persisted RESIDUAL index
+    (``write_ivf_rpq_index``) — ``knn_ivf_pq_index_batch``'s residual
+    twin: reconstruction = ``centroid[cell] + pq_decode(codes)`` (the
+    stored cell is part of the encoding), then the shared batch core —
+    kernel-probed queries, cell equi-join, ADC top-``m``, shuffle exact
+    re-rank. Same results as ``knn_ivf_rpq_index`` for the same inputs
+    (test-pinned). See the flat twin for when to choose batch over the
+    online partition-pruned path."""
+    from .vectors import _lit_array2, pq_decode
+
+    m = _resolve_m(k, m)
+    recon = F.zip_with(
+        F.element_at(_lit_array2(centroids),
+                     F.col("cell").cast("int") + 1),
+        pq_decode(F.col("codes"), codebooks),
+        lambda c, r: c + r)
+    dq = index.select(F.col("vec_id").alias("neighbor_id"),
+                      recon.alias("nv"),
+                      F.col("cell").cast("string").alias("__cell"))
+    return _ivf_batch_serve(dq, queries, k, centroids, nprobe, m,
+                            vectors, id_col, vec_col, query_id_col)
 
 
 def refresh_ivf_pq_index(delta: DataFrame,

@@ -28,12 +28,13 @@ from . import quality  # noqa: F401,E402
 
 
 # Certification rotation (round 11). The driver's correctness gate
-# certifies the first ~50 registered queries per round; with 87
-# registered, ~37 fall outside every round. Rank the workload so the
+# certifies the first ~50 registered queries per round; with 89
+# registered, ~39 fall outside every round. Rank the workload so the
 # window always covers the queries that NEED a fresh driver-green row:
-#   front — q91 (new round 11, never driver-certified: the residual
-#           drift report, ivf_pq_index_drift residual=True over a
-#           written rpq index); then the single-r10-ledger quartet
+#   front — q91/q92/q93 (new round 11, never driver-certified: the
+#           residual drift report, ivf_pq_index_drift residual=True
+#           over a written rpq index, and the two distributed BATCH
+#           serving paths); then the single-r10-ledger quartet
 #           q87-q90 (hold inside until 2+, the standing rule since
 #           r6), which also dispatch into the round-11 behavior change
 #           (the max_query_rows serving-contract guard on every
@@ -52,8 +53,11 @@ from . import quality  # noqa: F401,E402
 #           budget refreshes the r9-green block whose newest ledger is
 #           now two rounds old: merge/dedupe (q19/q22-q25/q49/q50/
 #           q64/q66/q67), curation plumbing (q51/q52/q55-q58), DQ/
-#           compat (q32/q41), marts + skew (q45/q46/q48), and the
-#           as-of pair (q53).
+#           compat (q32/q41), and marts (q45/q46). q48/q53 (green
+#           r8+r9, skew.py/temporal.py untouched two rounds) were the
+#           51st/52nd when q92/q93 landed and rotate to the tail; with
+#           q69-q71/q76/q77 they are the age-2 block that MUST return
+#           inside in round 12.
 #   tail  — queries whose newest green ledger is round 10 with
 #           implementation files untouched in round 11: the r5-tail
 #           block recertified last round (q01-q18/q20/q21/q42/q43/
@@ -69,6 +73,8 @@ _CERT_PRIORITY = [
     # new round 11 — never driver-certified: the residual refit
     # feedback loop (r10 verdict ask #2)
     "q91_rpq_index_drift",
+    "q92_knn_ivf_pq_batch",
+    "q93_knn_ivf_rpq_batch",
     # single green ledger (r10) — hold inside until 2+; all four also
     # serve through the persisted paths the r11 contract guard changed
     "q87_knn_ivf_pq_index",
@@ -127,10 +133,13 @@ _CERT_PRIORITY = [
     "q41_compat_projection",
     "q45_member_activity_yearly_mart",
     "q46_constituency_activity_mart",
-    "q48_salted_topn_events",
-    "q53_range_join_busy_windows",
 ]
 _CERT_TAIL = [
+    # displaced by q92/q93: green r8+r9 with operators/skew.py and
+    # operators/temporal.py untouched in rounds 10-11 — age-2, must
+    # rotate back inside in round 12
+    "q48_salted_topn_events",
+    "q53_range_join_busy_windows",
     # newest green ledger r10, implementation files untouched in
     # round 11: the r5-tail block recertified last round
     "q01_pricing_summary",

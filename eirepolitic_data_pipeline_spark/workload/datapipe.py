@@ -3260,8 +3260,9 @@ def q85_knn_pq_adc(spark, sf_dir):
 
 
 def _ivf_adc_oracle_sql(m_sub: int = 4, kc: int = 8,
-                        k_coarse: int = 8, nprobe: int = 3) -> str:
-    """The q86/q87 oracle: FAISS-shape IVFPQ re-derived end to end —
+                        k_coarse: int = 8, nprobe: int = 3,
+                        q_pred: str = "vec_id < 20") -> str:
+    """The q86/q87/q92 oracle: FAISS-shape IVFPQ re-derived end to end —
     q84's coarse-quantizer joints (trained fit over FULL vectors, index
     cells argmin'd over the COMPRESSED reconstructions, probe ranking
     by raw query distance, candidate cut restricted to probed cells)
@@ -3269,8 +3270,10 @@ def _ivf_adc_oracle_sql(m_sub: int = 4, kc: int = 8,
     instead of the int8 recipe, then the shared top-m / exact re-rank
     stages. The chain through ``ex`` is shared with the q88 drift
     oracle (``_ivf_adc_chain_sql``), which aggregates the same served
-    rows into a recall report instead of emitting them."""
-    return _ivf_adc_chain_sql(m_sub, kc, k_coarse, nprobe) + """
+    rows into a recall report instead of emitting them. ``q_pred``
+    (r11) sizes the query batch — q92 certifies the BATCH serving path
+    on a 10x batch against the same chain."""
+    return _ivf_adc_chain_sql(m_sub, kc, k_coarse, nprobe, q_pred) + """
     SELECT query_id, neighbor_id,
            round(cos_raw, 6) AS cosine,
            CAST(row_number() OVER (PARTITION BY query_id
@@ -3281,9 +3284,11 @@ def _ivf_adc_oracle_sql(m_sub: int = 4, kc: int = 8,
 
 
 def _ivf_adc_chain_sql(m_sub: int = 4, kc: int = 8,
-                       k_coarse: int = 8, nprobe: int = 3) -> str:
+                       k_coarse: int = 8, nprobe: int = 3,
+                       q_pred: str = "vec_id < 20") -> str:
     """The shared IVFPQ WITH-chain (universe → coarse fit → PQ codec →
-    index cells → probes → candidate cut → exact re-rank ``ex``)."""
+    index cells → probes → candidate cut → exact re-rank ``ex``).
+    ``q_pred`` (r11) selects the query batch from the universe."""
     return f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -3324,7 +3329,7 @@ def _ivf_adc_chain_sql(m_sub: int = 4, kc: int = 8,
     dqn AS (SELECT vec_id, dv, list_dot_product(dv, dv) AS nn FROM dq),
     qs AS (
       SELECT vec_id AS query_id, v AS qvf, list_dot_product(v, v) AS qn
-      FROM e WHERE vec_id < 20
+      FROM e WHERE {q_pred}
     ),
     -- probe set = the {nprobe} NEAREST coarse centroids by RAW query
     -- distance (centroid_probe_ranks' rule), ties to the lowest id
@@ -3586,13 +3591,16 @@ def q88_index_drift_report(spark, sf_dir):
 
 def _ivf_rpq_oracle_sql(m_sub: int = 4, kc: int = 8,
                         k_coarse: int = 8, nprobe: int = 3,
-                        k: int = 5, m: int = 10) -> str:
-    """The q89/q90 oracle: RESIDUAL-encoding IVFPQ re-derived end to
-    end — the shared residual WITH-chain (``_ivf_rpq_chain_sql``)
+                        k: int = 5, m: int = 10,
+                        q_pred: str = "vec_id < 20") -> str:
+    """The q89/q90/q93 oracle: RESIDUAL-encoding IVFPQ re-derived end
+    to end — the shared residual WITH-chain (``_ivf_rpq_chain_sql``)
     emitting its served rows. The q91 drift oracle aggregates the SAME
     chain into a recall report instead (``_drift_fold_sql``), exactly
-    as q88 does over the flat chain."""
-    return _ivf_rpq_chain_sql(m_sub, kc, k_coarse, nprobe, m) + f"""
+    as q88 does over the flat chain; q93 certifies the BATCH serving
+    path on a 10x batch (``q_pred``, r11)."""
+    return _ivf_rpq_chain_sql(m_sub, kc, k_coarse, nprobe, m,
+                              q_pred) + f"""
     SELECT query_id, neighbor_id,
            round(cos_raw, 6) AS cosine,
            CAST(row_number() OVER (PARTITION BY query_id
@@ -3604,7 +3612,7 @@ def _ivf_rpq_oracle_sql(m_sub: int = 4, kc: int = 8,
 
 def _ivf_rpq_chain_sql(m_sub: int = 4, kc: int = 8,
                        k_coarse: int = 8, nprobe: int = 3,
-                       m: int = 10) -> str:
+                       m: int = 10, q_pred: str = "vec_id < 20") -> str:
     """The shared residual-IVFPQ WITH-chain (universe → coarse fit →
     raw-vector cells → residuals → residual PQ codec → centroid-added
     reconstruction → probes → candidate cut → exact re-rank ``ex``) —
@@ -3673,7 +3681,7 @@ def _ivf_rpq_chain_sql(m_sub: int = 4, kc: int = 8,
                    list_dot_product(dv, dv) AS nn FROM dqf),
     qs AS (
       SELECT vec_id AS query_id, v AS qvf, list_dot_product(v, v) AS qn
-      FROM e WHERE vec_id < 20
+      FROM e WHERE {q_pred}
     ),
     -- probe set: the {nprobe} nearest coarse centroids by RAW query
     -- distance (centroid_probe_ranks' rule), ties to the lowest id
@@ -3846,3 +3854,79 @@ def q91_rpq_index_drift(spark, sf_dir):
         "n_queries", "n_servable", "mean_recall", "min_recall",
         F.col("refit_recommended").cast("int")
         .alias("refit_recommended"))
+
+
+@register(
+    "q92_knn_ivf_pq_batch",
+    _ivf_adc_oracle_sql(nprobe=2, q_pred="vec_id < 200"),
+    survey_ref="beyond-ref: distributed BATCH serving from the persisted IVF-PQ index (operators/similarity.py:knn_ivf_pq_index_batch — Arrow-kernel probes, cell equi-join, shuffle exact re-rank; no driver-side collect at any batch size)",
+    memoize=False,  # trains, encodes, and WRITES the index at
+    # construction — memoizing would cache the whole build (q87's rule)
+)
+def q92_knn_ivf_pq_batch(spark, sf_dir):
+    """The OFFLINE serving shape certified end to end (r11): q87's
+    online path collects the query batch driver-side and prunes the
+    scan to the probe union — the right plan for a bounded sample, now
+    ENFORCED by ``max_query_rows`` — while this path serves a query
+    frame of ANY size fully distributed: probes computed by the Arrow
+    kernel (``probe_cells_frame`` — the literal probe expression is an
+    interpreted per-(row, centroid) fold, the exact cost the corpus
+    side's assignment kernel exists to avoid), candidates by a cell
+    equi-join against the stored cells, ADC top-m, and a SHUFFLE exact
+    re-rank (the broadcast form caps at sample-sized batches). The
+    oracle is the flat IVFPQ chain at nprobe=2 over a 10x query batch
+    (200 queries): the batch path must return the online composition's
+    EXACT rows, just planned for scale — at 100 TB this is batch
+    inference / recall-sweep serving, one full index scan amortized
+    over the whole batch instead of per-query pruned reads."""
+    from ..operators.similarity import (knn_ivf_pq_index_batch,
+                                        write_ivf_pq_index)
+    from ..operators.vectors import ivf_pq_fit, pq_encode
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+           .filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") > 0)))
+    cents, books = ivf_pq_fit(emb, k_coarse=8, m=4, k_sub=8, iters=1)
+    codes = pq_encode(emb, books)
+    path = _index_tmp_path("q92", sf_dir)
+    write_ivf_pq_index(codes, books, cents, path)
+    queries = emb.filter(F.col("vec_id") < 200)
+    out = knn_ivf_pq_index_batch(spark.read.parquet(path), books,
+                                 queries, k=5, m=10, centroids=cents,
+                                 nprobe=2, vectors=emb)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
+
+
+@register(
+    "q93_knn_ivf_rpq_batch",
+    _ivf_rpq_oracle_sql(nprobe=2, q_pred="vec_id < 200"),
+    survey_ref="beyond-ref: distributed BATCH serving from the persisted residual index (operators/similarity.py:knn_ivf_rpq_index_batch — reconstruction = centroid[cell] + decoded residual inside the same kernel-probed, shuffle-reranked batch core)",
+    memoize=False,  # trains, encodes, and WRITES the index at
+    # construction — memoizing would cache the whole build (q87's rule)
+)
+def q93_knn_ivf_rpq_batch(spark, sf_dir):
+    """q92's residual twin (r11): batch serving from the persisted
+    RESIDUAL index — the stored cell is part of the encoding, so the
+    batch core reconstructs ``centroid[cell] + decode(codes)`` straight
+    off the scan and runs the same kernel-probed cell equi-join and
+    shuffle re-rank. The oracle is q89's residual CTE chain at nprobe=2
+    over the 200-query batch. Together with q92 this certifies the
+    offline shape for BOTH at-rest layouts; with q87/q90 (online) and
+    q88/q91 (drift), every serving and maintenance surface of the
+    persisted index family is driver-certified."""
+    from ..operators.similarity import (knn_ivf_rpq_index_batch,
+                                        write_ivf_rpq_index)
+    from ..operators.vectors import ivf_pq_fit_residual
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+           .filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") > 0)))
+    cents, books = ivf_pq_fit_residual(emb, k_coarse=8, m=4, k_sub=8,
+                                       iters=1)
+    path = _index_tmp_path("q93", sf_dir)
+    write_ivf_rpq_index(emb, books, cents, path)
+    queries = emb.filter(F.col("vec_id") < 200)
+    out = knn_ivf_rpq_index_batch(spark.read.parquet(path), books,
+                                  queries, k=5, m=10, centroids=cents,
+                                  nprobe=2, vectors=emb)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
