@@ -1550,6 +1550,16 @@ def knn_ivf_pq_index_batch(index: DataFrame,
     million queries' probe union covers every cell anyway, and one full
     scan amortized over the batch beats per-query pruned reads.
 
+    "Reading the whole index" is the worst case, not the plan: the
+    cell equi-join plans DYNAMIC PARTITION PRUNING on the index scan
+    (``cell IN dynamicpruning#...`` — plan-pinned), so a batch whose
+    probe union covers few cells still reads only those cells' files
+    at runtime, with no driver round trip — the batch path degrades
+    gracefully INTO the online path's IO shape as the batch shrinks.
+    The stage-1 top-``m`` also runs as a partial ``WindowGroupLimit``
+    before its exchange (rank-limit pushdown), so each task forwards
+    at most m rows per query, not its whole candidate set.
+
     Same results as ``knn_ivf_pq_index`` for the same inputs
     (test-pinned): the stored cell is consumed directly, scoring/tie
     rules are the family's verbatim stages. CONTRACT: ``index`` is

@@ -176,3 +176,26 @@ def test_batch_single_stage_without_vectors(spark, models, tmp_path):
     assert {r["query_id"] for r in rows} == set(range(10))
     assert all(r["rank"] <= 5 for r in rows)
     assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_batch_plan_prunes_dynamically_and_limits_ranks(spark, models,
+                                                        tmp_path):
+    """The batch path's two plan properties at scale: the index scan
+    carries a DYNAMIC partition-pruning expression on the cell key
+    (runtime pruning from the query side's probe union — no driver
+    round trip), and the stage-1 top-m runs as a partial
+    WindowGroupLimit before its exchange (each task forwards at most m
+    rows per query, not its whole candidate set)."""
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        knn_ivf_pq_index_batch, write_ivf_pq_index)
+    from eirepolitic_data_pipeline_spark.operators.vectors import pq_encode
+    emb, cents, books = models
+    path = str(tmp_path / "idx_batch_plan")
+    write_ivf_pq_index(pq_encode(emb, books), books, cents, path)
+    out = knn_ivf_pq_index_batch(spark.read.parquet(path), books,
+                                 emb.filter(F.col("vec_id") < 25), k=5,
+                                 m=10, centroids=cents, nprobe=2,
+                                 vectors=emb)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
