@@ -1492,29 +1492,143 @@ def _exact_rerank_shuffle(cand: DataFrame, q: DataFrame,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
-def _ivf_batch_serve(dq: DataFrame, queries: DataFrame, k: int,
+def _batch_stage1_kernel(index: DataFrame, qp: DataFrame, m: int,
+                         codebooks: list[list[list[float]]],
+                         centroids: Optional[list[list[float]]]
+                         ) -> DataFrame:
+    """Stage 1 of the batch serving paths as a COGROUPED numpy kernel:
+    per probed cell, decode the cell's codes (codebook gather — the
+    ``write_ivf_pq_index`` build kernel's pinned ``pq_decode`` parity;
+    plus ``centroid[cell] +`` for the residual layout when
+    ``centroids`` is passed), score every (query-in-cell x row-in-cell)
+    pair, and emit each query's top-``m`` within the cell. Arrow ships
+    the m-small-int codes through the cogroup shuffle, NOT the decoded
+    doubles — the decode stays inside the task.
+
+    Bit-parity with the expression path (``cosine_col`` + the
+    (cosine DESC, neighbor_id) window): the dot and both norms
+    accumulate dimension-by-dimension in float64 — the sequential
+    zip_with fold's exact float sequence (``_nearest_blocks``' proven
+    recipe) — the final ``dot / (sqrt(na) * sqrt(nb))`` is the same two
+    ops, zero-norm pairs score 0.0, and the per-row cut is a STABLE
+    argsort over rows pre-sorted by neighbor_id, which IS the
+    (cosine desc, neighbor_id asc) tie rule. Self-matches mask to -inf
+    before the cut and never emit. Test-pinned float-identical to the
+    join + ``cosine_col`` + window form.
+
+    Why a kernel here and an expression everywhere else: stage-1 volume
+    is |batch| x |probed-cell population| — at 200 queries over a 200k
+    index the interpreted per-element fold measured ~218 s where this
+    kernel's blocked numpy panels run in seconds; the family's other
+    serves score sample-sized frames where plan simplicity wins."""
+    import numpy as np
+
+    Bs = [np.asarray(cb, dtype="float64") for cb in codebooks]
+    msub = len(Bs)
+    C = (np.asarray(centroids, dtype="float64")
+         if centroids is not None else None)
+    qid_t = qp.schema["query_id"].dataType.simpleString()
+    nid_t = index.schema["vec_id"].dataType.simpleString()
+
+    def fn(left, right):
+        import pandas as pd
+        empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                              "neighbor_id": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        # pre-sort by neighbor_id so the stable argsort's equal-cosine
+        # order IS ascending neighbor_id (the family's tie rule)
+        right = right.sort_values("vec_id", kind="stable")
+        cm = np.stack(right["codes"].to_numpy()).astype("int64")
+        if cm.min() < 0 or cm.max() >= Bs[0].shape[0]:
+            raise ValueError(
+                "batch serve: code value outside the codebook range — "
+                "the index was built with different codebooks "
+                "(pq_decode's contract)")
+        N = np.concatenate([Bs[j][cm[:, j]] for j in range(msub)],
+                           axis=1)
+        if C is not None:
+            N = C[right["cell"].to_numpy().astype("int64")] + N
+        Q = np.stack(left["qv"].to_numpy()).astype("float64")
+        qid = left["query_id"].to_numpy()
+        nid = right["vec_id"].to_numpy()
+        nq, dim = Q.shape
+        nn = N.shape[0]
+        top = min(m, nn)
+        # dimension-ordered float64 accumulation: cosine_col's fold
+        na = np.zeros(nq)
+        nb = np.zeros(nn)
+        for d in range(dim):
+            na += Q[:, d] * Q[:, d]
+            nb += N[:, d] * N[:, d]
+        sqa, sqb = np.sqrt(na), np.sqrt(nb)
+        out = []
+        block = 256
+        for s in range(0, nq, block):
+            e = min(s + block, nq)
+            acc = np.zeros((e - s, nn))
+            for d in range(dim):
+                acc += Q[s:e, d:d + 1] * N[None, :, d]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = acc / (sqa[s:e, None] * sqb[None, :])
+            cos = np.where((na[s:e, None] > 0) & (nb[None, :] > 0),
+                           cos, 0.0)
+            cos = np.where(nid[None, :] == qid[s:e, None], -np.inf, cos)
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :top]
+            take = np.take_along_axis(cos, order, axis=1)
+            keep = np.isfinite(take)
+            rows = np.repeat(qid[s:e], top).reshape(e - s, top)
+            out.append(pd.DataFrame({
+                "query_id": rows[keep],
+                "neighbor_id": nid[order[keep]],
+                "cosine": take[keep],
+            }))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    return (qp.groupby("__cell")
+            .cogroup(index.groupby("__cell"))
+            .applyInPandas(fn, schema=f"query_id {qid_t}, "
+                                      f"neighbor_id {nid_t}, "
+                                      "cosine double"))
+
+
+def _ivf_batch_serve(index: DataFrame, queries: DataFrame, k: int,
                      centroids: list[list[float]], nprobe: int, m: int,
-                     vectors: Optional[DataFrame], id_col: str,
-                     vec_col: str, query_id_col: str) -> DataFrame:
+                     vectors: Optional[DataFrame],
+                     codebooks: list[list[list[float]]], residual: bool,
+                     id_col: str, vec_col: str,
+                     query_id_col: str) -> DataFrame:
     """The BATCH serving core shared by the two ``*_index_batch``
-    operators: given the decoded index frame ``dq`` = (neighbor_id, nv,
-    __cell), probe the queries through the Arrow kernel
+    operators: probe the queries through the Arrow kernel
     (``probe_cells_frame`` — exploded by probe cell, no driver collect,
-    no per-row interpreted fold), cell-equi-join, ADC top-``m``, and
-    the shuffle exact re-rank. (query_id, neighbor_id) pairs are unique
-    by construction — each index row has ONE stored cell and the probe
-    set is pairwise distinct — so no dedup shuffle is needed
-    (``knn_lsh``'s argument)."""
+    no per-row interpreted fold), cogroup-score each probed cell in the
+    stage-1 numpy kernel (``_batch_stage1_kernel`` — top-``m`` per
+    query WITHIN each cell), cut to the global per-query top-``m``
+    across cells (nq·nprobe·m rows, a bounded window), and shuffle
+    exact re-rank. (query_id, neighbor_id) pairs are unique by
+    construction — each index row has ONE stored cell and the probe set
+    is pairwise distinct — so no dedup shuffle is needed (``knn_lsh``'s
+    argument)."""
     qp = (probe_cells_frame(queries, centroids, nprobe,
                             id_col=query_id_col, vec_col=vec_col)
           .select(F.col(query_id_col).alias("query_id"),
                   F.col(vec_col).alias("qv"), "__cell"))
+    idx = index.select("vec_id", "codes",
+                       F.col("cell").cast("int").alias("cell"),
+                       F.col("cell").cast("string").alias("__cell"))
+    # semantic no-op (the cogroup only scores cells that have probes),
+    # but the broadcast semi-join on the PARTITION column re-enables
+    # dynamic partition pruning on the index scan — a batch whose probe
+    # union covers few cells reads only those cells' files, with no
+    # driver round trip (plan-pinned); the probe-cell set is at most
+    # k_coarse strings, always broadcastable
+    probe_union = qp.select("__cell").distinct()
+    idx = idx.join(F.broadcast(probe_union), "__cell", "left_semi")
     w_m = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
-    cand = (qp.join(dq, "__cell")
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .withColumn("cosine", cosine_col(F.col("nv"), F.col("qv")))
-            .select("query_id", "neighbor_id", "cosine")
+    cand = (_batch_stage1_kernel(idx, qp, m, codebooks,
+                                 centroids if residual else None)
             .withColumn("rank", F.row_number().over(w_m).cast("int"))
             .filter(F.col("rank") <= m))
     if vectors is None:
@@ -1561,18 +1675,17 @@ def knn_ivf_pq_index_batch(index: DataFrame,
     at most m rows per query, not its whole candidate set.
 
     Same results as ``knn_ivf_pq_index`` for the same inputs
-    (test-pinned): the stored cell is consumed directly, scoring/tie
-    rules are the family's verbatim stages. CONTRACT: ``index`` is
+    (test-pinned): the stored cell is consumed directly, and stage 1
+    runs as a cogrouped numpy kernel that is FLOAT-IDENTICAL to the
+    family's ``cosine_col``/window stages (``_batch_stage1_kernel`` —
+    codes decode inside the task, so the cogroup shuffle moves m small
+    ints per row, not dim doubles). CONTRACT: ``index`` is
     ``write_ivf_pq_index``'s ``(vec_id, codes, cell)`` read back;
     ``vectors`` must cover every id in it (inner-join re-rank)."""
-    from .vectors import pq_decode
-
     m = _resolve_m(k, m)
-    dq = index.select(F.col("vec_id").alias("neighbor_id"),
-                      pq_decode(F.col("codes"), codebooks).alias("nv"),
-                      F.col("cell").cast("string").alias("__cell"))
-    return _ivf_batch_serve(dq, queries, k, centroids, nprobe, m,
-                            vectors, id_col, vec_col, query_id_col)
+    return _ivf_batch_serve(index, queries, k, centroids, nprobe, m,
+                            vectors, codebooks, False, id_col, vec_col,
+                            query_id_col)
 
 
 def knn_ivf_rpq_index_batch(index: DataFrame,
@@ -1588,23 +1701,16 @@ def knn_ivf_rpq_index_batch(index: DataFrame,
     (``write_ivf_rpq_index``) — ``knn_ivf_pq_index_batch``'s residual
     twin: reconstruction = ``centroid[cell] + pq_decode(codes)`` (the
     stored cell is part of the encoding), then the shared batch core —
-    kernel-probed queries, cell equi-join, ADC top-``m``, shuffle exact
-    re-rank. Same results as ``knn_ivf_rpq_index`` for the same inputs
-    (test-pinned). See the flat twin for when to choose batch over the
-    online partition-pruned path."""
-    from .vectors import _lit_array2, pq_decode
-
+    kernel-probed queries, cogrouped stage-1 kernel (the centroid add
+    happens inside it, elementwise-identical to the ``zip_with``
+    decode), ADC top-``m``, shuffle exact re-rank. Same results as
+    ``knn_ivf_rpq_index`` for the same inputs (test-pinned). See the
+    flat twin for when to choose batch over the online
+    partition-pruned path."""
     m = _resolve_m(k, m)
-    recon = F.zip_with(
-        F.element_at(_lit_array2(centroids),
-                     F.col("cell").cast("int") + 1),
-        pq_decode(F.col("codes"), codebooks),
-        lambda c, r: c + r)
-    dq = index.select(F.col("vec_id").alias("neighbor_id"),
-                      recon.alias("nv"),
-                      F.col("cell").cast("string").alias("__cell"))
-    return _ivf_batch_serve(dq, queries, k, centroids, nprobe, m,
-                            vectors, id_col, vec_col, query_id_col)
+    return _ivf_batch_serve(index, queries, k, centroids, nprobe, m,
+                            vectors, codebooks, True, id_col, vec_col,
+                            query_id_col)
 
 
 def refresh_ivf_pq_index(delta: DataFrame,

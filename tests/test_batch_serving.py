@@ -102,13 +102,14 @@ def test_flat_batch_matches_online_path(spark, models, tmp_path):
     index = spark.read.parquet(path)
     queries = emb.filter(F.col("vec_id") < 25)
     kw = dict(k=5, m=10, centroids=cents, nprobe=2, vectors=emb)
+    # EXACT float equality: the batch stage-1 kernel claims bit-parity
+    # with the expression path (dimension-ordered accumulation), so the
+    # re-ranked cosines must be identical doubles, not just close
     online = sorted(
-        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9),
-         r["rank"])
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
         for r in knn_ivf_pq_index(index, books, queries, **kw).collect())
     batch = sorted(
-        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9),
-         r["rank"])
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
         for r in knn_ivf_pq_index_batch(index, books, queries,
                                         **kw).collect())
     assert batch == online and len(batch) > 0
@@ -128,13 +129,11 @@ def test_residual_batch_matches_online_path(spark, models, tmp_path):
     queries = emb.filter(F.col("vec_id") < 25)
     kw = dict(k=5, m=10, centroids=cents, nprobe=2, vectors=emb)
     online = sorted(
-        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9),
-         r["rank"])
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
         for r in knn_ivf_rpq_index(index, books, queries,
                                    **kw).collect())
     batch = sorted(
-        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9),
-         r["rank"])
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
         for r in knn_ivf_rpq_index_batch(index, books, queries,
                                          **kw).collect())
     assert batch == online and len(batch) > 0
@@ -163,19 +162,30 @@ def test_batch_serves_past_the_online_contract_limit(spark, models,
 
 
 def test_batch_single_stage_without_vectors(spark, models, tmp_path):
+    """vectors=None emits the stage-1 kernel's OWN cosines — the direct
+    bit-parity pin against the expression path's interpreted fold (the
+    re-ranked tests share the re-rank expression, so only this form
+    exposes the kernel floats)."""
     from eirepolitic_data_pipeline_spark.operators.similarity import (
-        knn_ivf_pq_index_batch, write_ivf_pq_index)
+        knn_ivf_pq_index, knn_ivf_pq_index_batch, write_ivf_pq_index)
     from eirepolitic_data_pipeline_spark.operators.vectors import pq_encode
     emb, cents, books = models
     path = str(tmp_path / "idx_batch_ss")
     write_ivf_pq_index(pq_encode(emb, books), books, cents, path)
-    out = knn_ivf_pq_index_batch(spark.read.parquet(path), books,
-                                 emb.filter(F.col("vec_id") < 10), k=5,
-                                 m=10, centroids=cents, nprobe=2)
+    index = spark.read.parquet(path)
+    queries = emb.filter(F.col("vec_id") < 10)
+    kw = dict(k=5, m=10, centroids=cents, nprobe=2)
+    out = knn_ivf_pq_index_batch(index, books, queries, **kw)
     rows = out.collect()
     assert {r["query_id"] for r in rows} == set(range(10))
     assert all(r["rank"] <= 5 for r in rows)
     assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    online = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in knn_ivf_pq_index(index, books, queries,
+                                  **kw).collect())
+    assert sorted((r["query_id"], r["neighbor_id"], r["cosine"],
+                   r["rank"]) for r in rows) == online
 
 
 def test_batch_plan_prunes_dynamically_and_limits_ranks(spark, models,

@@ -55,7 +55,14 @@ What it checks:
    file-level contract — resident files untouched (size+mtime), new
    files hold exactly the delta's rows, no row lost, and the pruned
    serve still reads only the probed cells' files.
-10. **Refit flag FIRES under real drift** (r11) — check 7's drift row
+10. **Batch serving at scale** (r11) — the offline path's two
+    structural claims held at 1M: probing is a map-only Arrow kernel
+    (100k queries exploded by their nprobe cells, no driver collect —
+    wall measured), and a 200-query batch served through
+    ``knn_ivf_pq_index_batch`` returns exactly k rows per query with
+    the candidate volume priced from the cell histogram (check 5's
+    arithmetic, applied to the batch).
+11. **Refit flag FIRES under real drift** (r11) — check 7's drift row
     sits exactly at its floor (healthy index, refit False); this one
     closes the loop's True branch at scale: append an
     out-of-distribution delta (constant-offset cluster far outside the
@@ -549,7 +556,50 @@ def main():
             f"exactly the {delta_n} delta rows, serve scan "
             f"partition-pruned: {'PASS' if maint_r_ok else 'FAIL'} |")
 
-        # 10. the refit flag FIRES under real drift (r11): check 7's
+        # 10. batch serving at scale (r11): the offline path's claims,
+        # measured BEFORE check 11 mutates the slice index. (a) The
+        # probe stage is one map-only kernel pass — 100k queries
+        # exploded by their nprobe cells with no driver collect; (b) a
+        # 200-query batch served end-to-end returns exactly k rows per
+        # query, its candidate volume priced from the cell histogram
+        # exactly as check 5 prices the online path's.
+        from eirepolitic_data_pipeline_spark.operators.similarity import (
+            knn_ivf_pq_index_batch, probe_cells_frame)
+        t0 = time.perf_counter()
+        big_q = corpus.filter(F.col("vec_id") < 100_000)
+        n_probe_rows = probe_cells_frame(big_q, cents, 2).count()
+        t_probe = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        bq = rl.filter(F.col("vec_id") < 200)
+        served_b = knn_ivf_pq_index_batch(
+            spark.read.parquet(idx2), books, bq, K, rcents, nprobe=2,
+            m=40, vectors=rl)
+        n_full = (served_b.groupBy("query_id")
+                  .agg(F.count(F.lit(1)).alias("n"))
+                  .filter(F.col("n") == K).count())
+        t_bserve = round(time.perf_counter() - t0, 1)
+        probe_b = bq.select(
+            centroid_probe_ranks(F.col("embedding"), rcents, nprobe=2)
+            .alias("p")).collect()
+        scanned_b = sum(sum(cell_hist.get(c, 0) for c in r["p"])
+                        for r in probe_b) / (200 * args.rerank_slice)
+        batch_ok = (n_probe_rows == 2 * 100_000 and n_full == 200
+                    and scanned_b <= 0.5)
+        if not batch_ok:
+            failures.append(
+                f"batch serving: probe rows {n_probe_rows}/200000, "
+                f"full-k queries {n_full}/200, scanned {scanned_b:.3f}")
+        lines.append(
+            f"| batch serving (100k-query kernel probe on the 1M model; "
+            f"200-query batch served from the {args.rerank_slice} index, "
+            f"nprobe=2, m=40) | probe {t_probe} + serve {t_bserve} | "
+            f"{n_probe_rows} probe rows (map-only, no driver collect); "
+            f"{n_full}/200 queries with full top-{K}; scanned fraction "
+            f"{scanned_b:.3f} (from the cell histogram) | all queries "
+            f"full-k and candidate cut <= 0.5: "
+            f"{'PASS' if batch_ok else 'FAIL'} |")
+
+        # 11. the refit flag FIRES under real drift (r11): check 7's
         # drift row is the healthy baseline (recall at its floor, refit
         # False); here an out-of-distribution cluster — constant offset
         # 8.0 on every axis, far outside the codebooks' [-1,1] training
@@ -642,7 +692,12 @@ def main():
         "deliberately lacks — must price the recall the index actually "
         "serves. The residual-maintenance row holds the SAME file-level "
         "contract for the layout whose models are costliest to refit "
-        "(the cell is part of the encoding), and the drift-fires row "
+        "(the cell is part of the encoding); the batch-serving row holds "
+        "the offline path's structure — probing stays a map-only kernel "
+        "at 100k queries (the literal probe expression would be an "
+        "interpreted per-(row, centroid) fold) and the served batch's "
+        "candidate volume is priced from the same cell histogram as the "
+        "online path's; and the drift-fires row "
         "closes the loop's True branch: an out-of-distribution delta "
         "appended through the frozen-model refresh must measurably sink "
         "served recall and trip refit_recommended — the signal an "
