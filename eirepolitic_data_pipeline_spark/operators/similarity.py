@@ -1471,22 +1471,73 @@ def _exact_rerank_shuffle(cand: DataFrame, q: DataFrame,
                           vec_col: str) -> DataFrame:
     """Stage 2 of the BATCH serving paths: exact top-``k`` over a
     candidate frame that is |queries|·m rows and therefore NOT
-    broadcastable when the batch is large. Same expressions and tie
-    rule as ``_exact_rerank``, but both joins are left to the planner
-    (no broadcast hint): a small batch still broadcasts under AQE's
-    size rules, a huge one shuffle-joins — queries repartition by
-    query_id, then candidates meet the corpus hash-partitioned on
-    neighbor_id. The corpus-side shuffle is the honest price of an
-    exact re-rank at batch scale, amortized over the whole batch (the
-    broadcast form would simply OOM); skip it entirely with
-    ``vectors=None`` for single-stage compressed serving."""
+    broadcastable when the batch is large. Same tie rule as
+    ``_exact_rerank``, but both joins are left to the planner (no
+    broadcast hint): a small batch still broadcasts under AQE's size
+    rules, a huge one shuffle-joins — queries repartition by query_id,
+    then candidates meet the corpus hash-partitioned on neighbor_id.
+    The corpus-side shuffle is the honest price of an exact re-rank at
+    batch scale, amortized over the whole batch (the broadcast form
+    would simply OOM); skip it entirely with ``vectors=None`` for
+    single-stage compressed serving.
+
+    The pairwise scoring is an Arrow kernel, not the interpreted
+    ``cosine_col`` fold — at 1M queries x m=40 the fold would run 40M
+    per-element HOF evaluations — with the same bit-parity recipe as
+    stage 1 (dimension-ordered float64 accumulation, dot/(sqrt·sqrt),
+    zero-norm pairs 0.0; test-pinned float-identical to the expression
+    path). A ragged or NULL full-precision vector is a LOUD contract
+    error (``vectors`` must be the well-formed full-precision table —
+    ``knn_quantized_rerank``'s standing contract), where the expression
+    form silently scored it NULL."""
+    import numpy as np
+
     xv = vectors.select(F.col(id_col).alias("neighbor_id"),
                         F.col(vec_col).cast("array<double>").alias("xv"))
+    paired = (cand.join(q, "query_id").join(xv, "neighbor_id")
+              .select("query_id", "neighbor_id", "qv", "xv"))
+    qid_t = paired.schema["query_id"].dataType.simpleString()
+    nid_t = paired.schema["neighbor_id"].dataType.simpleString()
+
+    def kernel(batches):
+        import pandas as pd
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            try:
+                Q = np.stack(pdf["qv"].to_numpy()).astype("float64")
+                X = np.stack(pdf["xv"].to_numpy()).astype("float64")
+            except (ValueError, TypeError):
+                raise ValueError(
+                    "exact re-rank: ragged or NULL full-precision "
+                    "vector — `vectors` must cover every candidate id "
+                    "with well-formed fixed-dimension vectors "
+                    "(knn_quantized_rerank's contract)")
+            if Q.shape != X.shape:
+                raise ValueError(
+                    "exact re-rank: query/corpus dimension mismatch — "
+                    "`vectors` must live in the queries' space")
+            n, dim = Q.shape
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for d in range(dim):
+                dot += Q[:, d] * X[:, d]
+                na += Q[:, d] * Q[:, d]
+                nb += X[:, d] * X[:, d]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = dot / (np.sqrt(na) * np.sqrt(nb))
+            cos = np.where((na > 0) & (nb > 0), cos, 0.0)
+            yield pd.DataFrame({"query_id": pdf["query_id"],
+                                "neighbor_id": pdf["neighbor_id"],
+                                "cosine": cos})
+
+    scored = paired.mapInPandas(
+        kernel, schema=f"query_id {qid_t}, neighbor_id {nid_t}, "
+                       "cosine double")
     w_k = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
-    return (cand.join(q, "query_id")
-            .join(xv, "neighbor_id")
-            .withColumn("cosine", cosine_col(F.col("xv"), F.col("qv")))
+    return (scored
             .withColumn("rank", F.row_number().over(w_k).cast("int"))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
