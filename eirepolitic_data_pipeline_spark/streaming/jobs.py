@@ -212,3 +212,76 @@ def streaming_merge_sink(events: DataFrame, writer, table: str, policy,
     if checkpoint_dir is not None:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
+
+
+def streaming_index_refresh_sink(vectors: DataFrame,
+                                 codebooks: list,
+                                 centroids: list, path: str, *,
+                                 residual: bool = False,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 checkpoint_dir: str | None = None,
+                                 processing_interval: str | None = None):
+    """Continuous vector ingestion into a persisted IVF-PQ serving
+    index: each micro-batch encodes with the FROZEN model pair and
+    appends into cell partitions — ``refresh_ivf_pq_index`` (or the
+    residual twin) driven by Structured Streaming instead of cron, the
+    streaming leg of the index lifecycle (build → refresh → compact →
+    drift-watch → refit). Serving keeps reading a consistent index
+    throughout: the append adds files inside ``cell=`` dirs and a serve
+    racing it simply misses the still-landing rows (the same
+    read-committed story as the batch refresh).
+
+    Epoch idempotence: ``foreachBatch`` replays a FAILED epoch from the
+    checkpoint, and a parquet append-sink would re-append the replayed
+    rows — duplicate ``vec_id``s that the serving paths would surface
+    as duplicate candidates. Each applied epoch therefore writes a
+    marker under ``<path>/_epochs/`` and a replayed epoch that finds
+    its marker SKIPS (the standard foreachBatch idempotence recipe,
+    test-pinned). The residual window — a crash BETWEEN the append and
+    its marker — still duplicates that one epoch on replay; a sink that
+    must close it needs a transactional table format, which this repo
+    deliberately does not depend on. ``ivf_pq_index_drift`` remains the
+    steady-state watchdog either way, and a full rebuild
+    (mode="overwrite") repairs any duplication.
+
+    Streaming input returns the StreamingQuery (caller owns
+    awaitTermination / stop); trigger defaults to availableNow (drain
+    and stop — the batch-orchestrated refresh shape), or pass
+    ``processing_interval`` for a long-lived micro-batch query. A BATCH
+    frame applies once through the same refresh path and returns None
+    (the tests' and backfills' shape)."""
+    import os
+
+    from ..operators.similarity import (refresh_ivf_pq_index,
+                                        refresh_ivf_rpq_index)
+    refresh = refresh_ivf_rpq_index if residual else refresh_ivf_pq_index
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        marker_dir = os.path.join(path, "_epochs")
+        marker = os.path.join(marker_dir, str(epoch_id))
+        if os.path.exists(marker):
+            return  # replayed epoch, already fully applied
+        refresh(batch_df, codebooks, centroids, path,
+                vec_col=vec_col, id_col=id_col)
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("applied")
+
+    if not vectors.isStreaming:
+        # batch/backfill shape: apply once, no marker (the caller owns
+        # idempotence when there is no checkpoint to replay from)
+        if not vectors.isEmpty():
+            refresh(vectors, codebooks, centroids, path,
+                    vec_col=vec_col, id_col=id_col)
+        return None
+    w = vectors.writeStream.foreachBatch(apply_batch)
+    if processing_interval is None:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime=processing_interval)
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
