@@ -142,6 +142,57 @@ def knn_quantized_rerank(quantized: DataFrame, queries: DataFrame, k: int,
                          vectors, k, id_col, vec_col)
 
 
+def knn_pca_rerank(vectors: DataFrame, queries: DataFrame, k: int,
+                   mean: list, components: list,
+                   m: Optional[int] = None,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "vec_id") -> DataFrame:
+    """Two-stage serving kNN through a PCA-REDUCED stage 1 — the
+    reduce-then-index pattern (project to the top-k' variance
+    directions, generate candidates in the cheap space, re-rank
+    exactly in the full space). The third member of the two-stage
+    family next to ``knn_quantized_rerank`` (int8 codec stage 1) and
+    ``knn_ivf_pq`` (cell-pruned ADC stage 1): here the compression is
+    DIMENSIONALITY, so stage 1's per-candidate cosine fold costs k'
+    multiplies instead of dim — at dim=512 and k'=32 the corpus-wide
+    scan stage does ~16× less arithmetic and reads a ~16× narrower
+    projection column, while stage 2 touches full-precision vectors
+    for only |queries|·m rows via the broadcast-candidate join
+    (``_exact_rerank`` — never a second corpus scan).
+
+    ``(mean, components)`` is ``pca_fit``'s model pair (fit once,
+    serve many — the kmeans/codebook lifecycle; pass
+    ``whiten=True``'s output when the reduced-space metric should be
+    Mahalanobis-like). Corpus projection is the map-only Arrow kernel
+    (``pca_project``); the sample-sized query frame projects through
+    the literal Catalyst twin (``pca_project_expr``, bit-identical by
+    the family's parity pin) — the ``centroid_cells`` vs
+    ``centroid_cells_frame`` split. Candidate quality is governed by
+    ``m`` (default 4k): reduced-space cosine is a proxy ranking, and
+    ``m`` > k buys back neighbors the projection blurs across the
+    top-k boundary; ``m`` >= |corpus|−1 keeps every row in stage 1,
+    making the output EXACTLY ``knn_bruteforce`` (test-pinned).
+    Output ``(query_id, neighbor_id, cosine, rank)`` with exact
+    full-space cosines."""
+    from .vectors import pca_project, pca_project_expr
+
+    m = _resolve_m(k, m)
+    pv = pca_project(vectors, mean, components,
+                     vec_col=vec_col, id_col=id_col)
+    v = pv.select(F.col(id_col).alias("neighbor_id"),
+                  F.col("projection").alias("nv"))
+    q_red = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        pca_project_expr(F.col(vec_col).cast("array<double>"),
+                         mean, components).alias("qv"))
+    cand = _compressed_topm(v, q_red, m)
+    q_full = queries.select(F.col(query_id_col).alias("query_id"),
+                            F.col(vec_col).cast("array<double>")
+                            .alias("qv"))
+    return _exact_rerank(cand.select("query_id", "neighbor_id"),
+                         q_full, vectors, k, id_col, vec_col)
+
+
 def _compressed_topm(v: DataFrame, q: DataFrame, m: int) -> DataFrame:
     """Stage 1 shared by the compressed serving operators
     (``knn_quantized_rerank``, ``knn_pq_adc``): score every row of the

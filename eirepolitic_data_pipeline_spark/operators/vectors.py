@@ -29,6 +29,7 @@ to executors as a broadcast.
 from __future__ import annotations
 
 import math
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1150,3 +1151,234 @@ def semdedup(df: DataFrame, k: int = 4, iters: int = 2,
             .applyInPandas(collapse,
                            schema=f"vec_id {id_type}, cluster int, "
                                   f"canonical_id {id_type}"))
+
+
+def _cov_partials(vecs: DataFrame, dim: int) -> DataFrame:
+    """One map-only kernel pass emitting per-partition covariance
+    PARTIAL SUMS as a tiny frame — the ``_assign_mean_partials`` shape
+    applied to second moments: for each partition, the upper triangle
+    of Σ x·xᵀ as ``(i, j, s)`` rows (dim·(dim+1)/2 of them), the row
+    sums Σ x_i as ``(i, -1, s)``, and the count as ``(-1, -1, n)``.
+    Downstream combination is a groupBy over ≤ dim² keys — the corpus
+    never moves, only the bounded moment matrix does (the exact shape
+    a 1000-executor covariance pass wants)."""
+    import numpy as np
+
+    def kernel(batches):
+        import pandas as pd
+        S = np.zeros((dim, dim))
+        s = np.zeros(dim)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _stack_batch(pdf, dim)
+            S += V.T @ V
+            s += V.sum(axis=0)
+            n += len(V)
+        if n == 0:
+            return
+        iu, ju = np.triu_indices(dim)
+        yield pd.DataFrame({
+            "i": np.concatenate([iu, np.arange(dim), [-1]]).astype("int32"),
+            "j": np.concatenate([ju, np.full(dim, -1), [-1]]).astype("int32"),
+            "s": np.concatenate([S[iu, ju], s, [float(n)]]),
+        })
+
+    return vecs.select("__v").mapInPandas(
+        kernel, schema="i int, j int, s double")
+
+
+def _cov_moments(df: DataFrame, vec_col: str, id_col: str, who: str):
+    """ONE corpus pass → the bounded raw moments ``(n, s, S)`` on the
+    driver: the moment-kernel partials combine in a groupBy over
+    ≤ dim² keys and the collect is moment-matrix-sized (the k-means
+    seed / codebook class of driver materialization — bounded by dim,
+    never by the corpus). Shared by ``covariance_frame`` and
+    ``pca_fit`` so the corpus is scanned exactly once per caller (a
+    referenced-three-ways lazy frame would re-run the kernel per
+    subtree — the r11 plan audit caught exactly that)."""
+    import numpy as np
+
+    vecs = _well_formed_vectors(df, vec_col, id_col)
+    first = vecs.select(F.size("__v")).first()
+    if first is None:
+        raise ValueError(f"{who}: no well-formed vectors")
+    dim = int(first[0])
+    rows = (_cov_partials(vecs, dim)
+            .groupBy("i", "j").agg(F.sum("s").alias("s")).collect())
+    S = np.zeros((dim, dim))
+    s = np.zeros(dim)
+    n = 0.0
+    for r in rows:
+        if r["i"] == -1:
+            n = r["s"]
+        elif r["j"] == -1:
+            s[r["i"]] = r["s"]
+        else:
+            S[r["i"], r["j"]] = r["s"]
+            S[r["j"], r["i"]] = r["s"]
+    return n, s, S
+
+
+def covariance_frame(df: DataFrame, vec_col: str = "embedding",
+                     id_col: str = "vec_id",
+                     round_dp: int = 6) -> DataFrame:
+    """The corpus covariance matrix as a DataFrame: one row per upper-
+    triangle cell ``(i, j, cov)`` (0-based, i <= j), where
+    ``cov_ij = E[x_i x_j] − E[x_i]E[x_j]`` over the well-formed vectors
+    — ONE corpus pass (``_cov_moments``) and a moment-matrix-sized
+    driver fold; the corpus itself never shuffles and never lands on
+    the driver. Values round to ``round_dp`` (the family's
+    reproducibility grid: partial-sum order is nondeterministic across
+    partitions, and the DuckDB oracle folds its own order), with IEEE
+    negative zero collapsed (``-0.0`` string-compares unequal to
+    ``0.0``). This is both ``pca_fit``'s input and a data-profiling
+    artifact in its own right (feature redundancy / near-constant
+    coordinates show up directly)."""
+    import numpy as np
+
+    n, s, S = _cov_moments(df, vec_col, id_col, "covariance_frame")
+    dim = len(s)
+    mu = s / n
+    cov = np.round(S / n - np.outer(mu, mu), round_dp) + 0.0
+    iu, ju = np.triu_indices(dim)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(i), int(j), float(cov[i, j])) for i, j in zip(iu, ju)],
+        "i int, j int, cov double").orderBy("i", "j")
+
+
+def pca_fit(df: DataFrame, k: Optional[int] = None,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            round_dp: int = 6, whiten: bool = False
+            ) -> tuple[list[float], list[list[float]], list[float]]:
+    """Deterministic PCA fit: ``(mean, components, explained_variance)``
+    — the dimensionality-reduction stage an embedding pipeline runs
+    before LSH/IVF indexing (project to the top-k variance directions,
+    then bucket in the cheaper space).
+
+    Spark shape: ONE map-only corpus pass collects the bounded moment
+    matrix (``_cov_partials`` — dim² partial sums per partition, the
+    corpus itself never shuffles), the driver assembles the rounded
+    covariance and eigendecomposes it (``numpy.linalg.eigh`` on a
+    dim×dim symmetric matrix — bounded work, the same driver-side step
+    class as k-means seed collection), and the k strongest eigenvectors
+    ship back as plain Python lists for ``pca_project``'s map-only
+    kernel. Exactly the kmeans_fit/pq_fit model contract: bounded model
+    out, corpus-sized data never on the driver.
+
+    Determinism: covariance and mean round to ``round_dp`` BEFORE the
+    eigendecomposition (distributed partial-sum order is
+    nondeterministic — the family's standing grid rule), eigenvalues
+    sort descending with ties broken toward the earlier index, each
+    component's sign is normalized so its largest-|coordinate| entry
+    (first such index on ties) is positive, and components/explained
+    round to ``round_dp`` on the way out. The eigendecomposition itself
+    is NOT SQL-re-derivable (unlike the Lloyd fits), so its contracts
+    are pytest-pinned — orthonormality, numpy-reference parity,
+    variance accounting — rather than oracle-certified; the covariance
+    input IS oracle-certified (``covariance_frame``).
+
+    ``whiten=True`` rescales each component by 1/√eigenvalue so the
+    projected coordinates have unit variance (the SemDeDup /
+    cosine-in-reduced-space preprocessing). The scaling is applied to
+    the MODEL (components), so both projection paths stay bit-identical
+    with no extra parameter; directions whose variance rounds to zero
+    on the grid fail loudly (past the data's effective rank)."""
+    import numpy as np
+
+    n, s, S = _cov_moments(df, vec_col, id_col, "pca_fit")
+    dim = len(s)
+    if k is None:
+        k = dim
+    if not 1 <= k <= dim:
+        raise ValueError(f"k must be within [1, {dim}]")
+    mean = np.round(s / n, round_dp)
+    cov = np.round(S / n - np.outer(s / n, s / n), round_dp)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals, kind="stable")[:k]
+    comps = evecs[:, order].T
+    # sign convention: the largest-|coordinate| entry (first index on
+    # ties) is positive — eigh's sign is arbitrary per eigenvector
+    for w in comps:
+        j = int(np.argmax(np.abs(w)))
+        if w[j] < 0:
+            np.negative(w, out=w)
+    explained = np.round(evals[order], round_dp)
+    if whiten:
+        # scale the MODEL, not the projection — both projection paths
+        # (kernel and Catalyst twin) then stay bit-identical for free.
+        # A direction whose variance rounds to 0 on the grid cannot be
+        # whitened (1/sqrt(0)): that k is past the data's effective
+        # rank — fail loudly instead of emitting infinities.
+        if any(v <= 0 for v in explained):
+            bad = sum(1 for v in explained if v <= 0)
+            raise ValueError(
+                f"pca_fit: whiten=True but {bad} of the top-{k} "
+                f"directions have zero variance on the {round_dp}dp "
+                "grid — reduce k below the data's effective rank")
+        comps = comps / np.sqrt(explained)[:, None]
+    comps = np.round(comps, round_dp)
+    return (mean.tolist(), comps.tolist(), explained.tolist())
+
+
+def pca_project_expr(vec: Column, mean: list[float],
+                     components: list[list[float]]) -> Column:
+    """The pure-Catalyst semantic twin of ``pca_project``'s kernel: the
+    k-array of sequential folds ``y_j = Σ_d (x_d − mean_d)·W_jd`` —
+    embeddable anywhere, and the recipe an external SQL engine would
+    unroll. Interpreted per (row, component); use the kernel frame for
+    corpus-sized sides (``centroid_cells`` vs ``centroid_cells_frame``,
+    the same split)."""
+    centered = F.zip_with(vec, _lit_array(mean), lambda x, m: x - m)
+    return F.array(*[
+        F.aggregate(F.zip_with(centered, _lit_array(w),
+                               lambda c, ww: c * ww),
+                    F.lit(0.0), lambda a, x: a + x)
+        for w in components])
+
+
+def pca_project(df: DataFrame, mean: list[float],
+                components: list[list[float]],
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                out_col: str = "projection") -> DataFrame:
+    """Map-only PCA projection: ``(id_col, out_col)`` with ``out_col``
+    the k-dim array ``W (x − mean)`` — the Arrow-kernel production form
+    (one ``mapInPandas`` pass, model closed over as numpy matrices),
+    bit-identical to ``pca_project_expr``'s sequential folds
+    (dimension-ordered float64 accumulation — the family's parity
+    recipe, test-pinned). Unservable rows (NULL / wrong-dimension /
+    NULL-element) DROP — the quantizer-family keying contract
+    (``centroid_cells_frame``'s rule)."""
+    import numpy as np
+
+    W = np.asarray(components, dtype="float64")
+    mu = np.asarray(mean, dtype="float64")
+    kk, dim = W.shape
+    if mu.shape[0] != dim:
+        raise ValueError(
+            f"pca_project: mean dimension {mu.shape[0]} != components' "
+            f"{dim} — the model pair must come from one pca_fit")
+    vecs = (_well_formed_vectors(df, vec_col, id_col)
+            .filter(F.size("__v") == dim))
+    id_type = vecs.schema["vec_id"].dataType.simpleString()
+
+    def kernel(batches):
+        import pandas as pd
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _stack_batch(pdf, dim)
+            acc = np.zeros((V.shape[0], kk))
+            for d in range(dim):
+                acc += (V[:, d] - mu[d])[:, None] * W[None, :, d]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "projection": list(acc),
+            })
+
+    return (vecs.mapInPandas(
+        kernel, schema=f"vec_id {id_type}, projection array<double>")
+        .select(F.col("vec_id").alias(id_col),
+                F.col("projection").alias(out_col)))

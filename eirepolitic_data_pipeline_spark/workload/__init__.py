@@ -28,13 +28,16 @@ from . import quality  # noqa: F401,E402
 
 
 # Certification rotation (round 11). The driver's correctness gate
-# certifies the first ~50 registered queries per round; with 89
-# registered, ~39 fall outside every round. Rank the workload so the
+# certifies the first ~50 registered queries per round; with 92
+# registered, ~42 fall outside every round. Rank the workload so the
 # window always covers the queries that NEED a fresh driver-green row:
-#   front — q91/q92/q93 (new round 11, never driver-certified: the
-#           residual drift report, ivf_pq_index_drift residual=True
-#           over a written rpq index, and the two distributed BATCH
-#           serving paths); then the single-r10-ledger quartet
+#   front — q91-q96 (new round 11, never driver-certified: the
+#           residual drift report, ivf_pq_index_drift
+#           residual=True over a written rpq index, the two
+#           distributed BATCH serving paths, and the PCA family —
+#           oracle-certified covariance, rows-only projection, and
+#           the PCA-reduced two-stage serving path);
+#           then the single-r10-ledger quartet
 #           q87-q90 (hold inside until 2+, the standing rule since
 #           r6), which also dispatch into the round-11 behavior change
 #           (the max_query_rows serving-contract guard on every
@@ -53,17 +56,20 @@ from . import quality  # noqa: F401,E402
 #           budget refreshes the r9-green block whose newest ledger is
 #           now two rounds old: merge/dedupe (q19/q22-q25/q49/q50/
 #           q64/q66/q67), curation plumbing (q51/q52/q55-q58), DQ/
-#           compat (q32/q41), and marts (q45/q46). q48/q53 (green
-#           r8+r9, skew.py/temporal.py untouched two rounds) were the
-#           51st/52nd when q92/q93 landed and rotate to the tail; with
-#           q69-q71/q76/q77 they are the age-2 block that MUST return
-#           inside in round 12.
+#           compat (q32). q41 and the marts q45/q46 (green r9, their
+#           files untouched) were the 51st-53rd when q94/q95/q96
+#           landed and rotate to the tail head, as q48/q53 (green
+#           r8+r9,
+#           skew.py/temporal.py untouched two rounds) did when
+#           q92/q93 landed; with q69-q71/q76/q77 those are the aged
+#           block that MUST return inside in round 12.
 #   tail  — queries whose newest green ledger is round 10 with
 #           implementation files untouched in round 11: the r5-tail
 #           block recertified last round (q01-q18/q20/q21/q42/q43/
 #           q47), the r9 drift cluster (q34/q31/q68/q74/q62), and the
-#           vectors.py-only family (q72/q73/q75/q79 —
-#           operators/vectors.py untouched this round); plus the r6
+#           vectors.py-only family (q72/q73/q75/q79 — round 11 only
+#           APPENDED the PCA family to operators/vectors.py; their
+#           builders are byte-unchanged); plus the r6
 #           text/relevance/streaming block (q69-q71/q76/q77 — green
 #           through r9, relevance/profiling/streaming files untouched
 #           two rounds running; they are the oldest deferred ledgers
@@ -75,6 +81,9 @@ _CERT_PRIORITY = [
     "q91_rpq_index_drift",
     "q92_knn_ivf_pq_batch",
     "q93_knn_ivf_rpq_batch",
+    "q94_pca_covariance",
+    "q95_pca_projection",
+    "q96_knn_pca_rerank",
     # single green ledger (r10) — hold inside until 2+; all four also
     # serve through the persisted paths the r11 contract guard changed
     "q87_knn_ivf_pq_index",
@@ -130,11 +139,15 @@ _CERT_PRIORITY = [
     "q57_domain_profile",
     "q58_stratified_sample",
     "q32_integrity_checks",
+]
+_CERT_TAIL = [
+    # displaced by q94/q95/q96 (the PCA family took the last three
+    # window slots): green r9 with their implementation files
+    # (plans/registry.py, tables/gold.py) untouched in rounds 10-11 —
+    # age-1, rotate back inside in round 12
     "q41_compat_projection",
     "q45_member_activity_yearly_mart",
     "q46_constituency_activity_mart",
-]
-_CERT_TAIL = [
     # displaced by q92/q93: green r8+r9 with operators/skew.py and
     # operators/temporal.py untouched in rounds 10-11 — age-2, must
     # rotate back inside in round 12
@@ -171,8 +184,11 @@ _CERT_TAIL = [
     "q68_tally_integrity_report",
     "q74_source_overlap",
     "q62_minhash_dedup_components",
-    # vectors.py-only family: green r10, operators/vectors.py untouched
-    # in round 11
+    # vectors.py-only family: green r10; round 11 APPENDED the PCA
+    # family to operators/vectors.py (covariance_frame/pca_fit/
+    # pca_project at the file tail) — every pre-existing builder and
+    # helper body is byte-unchanged (verifiable via git diff), so the
+    # r10 ledgers stand
     "q72_quantize_int8",
     "q73_kmeans_clusters",
     "q75_diversity_sample",

@@ -1,0 +1,246 @@
+"""PCA family (r11): one-pass covariance (oracle-certified as q94),
+driver-side eigendecomposition with deterministic ordering/sign, and a
+map-only projection kernel bit-identical to its Catalyst twin.
+
+The eigendecomposition is the family's first fit an external SQL engine
+cannot re-derive, so its contracts are pinned HERE: numpy-reference
+parity, orthonormality, variance accounting, reconstruction-error
+monotonicity, and the deterministic sign rule.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from eirepolitic_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("test_pca", cores=4)
+    yield s
+
+
+def _emb(spark):
+    return (spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+            .filter(F.col("embedding").isNotNull()
+                    & (F.size("embedding") > 0)
+                    & ~F.exists("embedding", lambda x: x.isNull())))
+
+
+def _numpy_reference(X, k, round_dp=6):
+    """The pinned reference: identical rounding, ordering, and sign
+    conventions as pca_fit, over the collected corpus."""
+    mean = np.round(X.mean(axis=0), round_dp)
+    cov = np.round((X.T @ X) / len(X)
+                   - np.outer(X.mean(axis=0), X.mean(axis=0)), round_dp)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals, kind="stable")[:k]
+    comps = evecs[:, order].T.copy()
+    for w in comps:
+        j = int(np.argmax(np.abs(w)))
+        if w[j] < 0:
+            np.negative(w, out=w)
+    return (mean, np.round(comps, round_dp),
+            np.round(evals[order], round_dp))
+
+
+def test_fit_matches_numpy_reference(spark):
+    from eirepolitic_data_pipeline_spark.operators.vectors import pca_fit
+    emb = _emb(spark)
+    X = np.array([r["embedding"] for r in emb.collect()], dtype="float64")
+    mean, comps, expl = pca_fit(emb, k=8)
+    rmean, rcomps, rexpl = _numpy_reference(X, 8)
+    assert np.allclose(mean, rmean, atol=1e-6)
+    assert np.allclose(expl, rexpl, atol=1e-5)
+    # rounding the distributed covariance to the grid can still flip
+    # the last retained digit vs the single-machine fold on near-ties,
+    # so components compare at a tolerance just above the grid
+    assert np.allclose(comps, rcomps, atol=1e-4), \
+        np.abs(np.array(comps) - rcomps).max()
+
+
+def test_fit_contracts(spark):
+    from eirepolitic_data_pipeline_spark.operators.vectors import pca_fit
+    emb = _emb(spark)
+    mean, comps, expl = pca_fit(emb, k=64)
+    W = np.array(comps)
+    # orthonormal basis (to the rounding grid)
+    assert np.allclose(W @ W.T, np.eye(64), atol=1e-4)
+    # eigenvalues descending, all finite
+    assert all(a >= b - 1e-9 for a, b in zip(expl, expl[1:]))
+    # variance accounting: Σ eigenvalues == trace(cov) == Σ var_i
+    X = np.array([r["embedding"] for r in emb.collect()], dtype="float64")
+    trace = np.round((X.T @ X) / len(X)
+                     - np.outer(X.mean(0), X.mean(0)), 6).trace()
+    assert abs(sum(expl) - trace) < 1e-3
+    # sign rule: each component's largest-|coordinate| entry is positive
+    for w in W:
+        assert w[int(np.argmax(np.abs(w)))] > 0
+    with pytest.raises(ValueError, match="k must be"):
+        pca_fit(emb, k=65)
+    with pytest.raises(ValueError, match="k must be"):
+        pca_fit(emb, k=0)
+
+
+def test_projection_kernel_matches_literal_twin(spark):
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        pca_fit, pca_project, pca_project_expr)
+    emb = _emb(spark)
+    mean, comps, _ = pca_fit(emb, k=6)
+    got = {r["vec_id"]: tuple(r["projection"])
+           for r in pca_project(emb, mean, comps).collect()}
+    want = {r["vec_id"]: tuple(r["p"])
+            for r in emb.select(
+                "vec_id",
+                pca_project_expr(F.col("embedding").cast("array<double>"),
+                                 mean, comps).alias("p")).collect()}
+    # bit-identical: dimension-ordered accumulation == sequential fold
+    assert got == want and len(got) > 0
+
+
+def test_projection_drops_unservable_and_checks_model(spark):
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        pca_fit, pca_project)
+    emb = _emb(spark)
+    mean, comps, _ = pca_fit(emb, k=4)
+    dim = len(mean)
+    tainted = (emb.select("vec_id", F.col("embedding")
+                          .cast("array<double>").alias("embedding"))
+               .unionByName(spark.createDataFrame(
+                   [(990001, None), (990002, [0.5] * (dim - 1)),
+                    (990003, [0.5] * dim + [None])],
+                   "vec_id long, embedding array<double>")))
+    out = pca_project(tainted, mean, comps)
+    ids = {r["vec_id"] for r in out.collect()}
+    assert 990001 not in ids and 990002 not in ids and 990003 not in ids
+    assert len(ids) == emb.count()
+    with pytest.raises(ValueError, match="mean dimension"):
+        pca_project(emb, mean[:-1], comps)
+
+
+def test_reconstruction_error_monotone_in_k(spark):
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        pca_fit, pca_project)
+    emb = _emb(spark)
+    X = np.array([r["embedding"] for r in emb.collect()], dtype="float64")
+
+    def recon_err(k):
+        mean, comps, _ = pca_fit(emb, k=k)
+        W = np.array(comps)
+        mu = np.array(mean)
+        proj = {r["vec_id"]: np.array(r["projection"])
+                for r in pca_project(emb, mean, comps).collect()}
+        ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+        Y = np.stack([proj[i] for i in ids])
+        Xr = Y @ W + mu
+        return float(((X - Xr) ** 2).sum(axis=1).mean())
+
+    e4, e16, e64 = recon_err(4), recon_err(16), recon_err(64)
+    assert e4 > e16 > e64
+    assert e64 < 1e-6  # full-k projection is a rotation — lossless
+
+
+def test_whiten_unit_variance(spark):
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        pca_fit, pca_project)
+    emb = _emb(spark)
+    mean, comps, expl = pca_fit(emb, k=8, whiten=True)
+    Y = np.stack([np.array(r["projection"]) for r in
+                  pca_project(emb, mean, comps).collect()])
+    # each whitened coordinate has ~unit variance (grid rounding on
+    # the scaled components perturbs it slightly)
+    var = Y.var(axis=0)
+    assert np.allclose(var, 1.0, atol=2e-3), var
+    # whitened components are eigenvectors / sqrt(eigenvalue), so the
+    # Gram matrix is diag(1/eigenvalue), not the identity
+    W = np.array(comps)
+    assert np.allclose(np.diag(W @ W.T), 1.0 / np.array(expl), rtol=1e-3)
+    # zero-variance directions refuse to whiten: constant coordinates
+    # make every eigenvalue past rank-1 round to 0 on the grid
+    const = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(50)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="effective rank"):
+        pca_fit(const, k=2, whiten=True)
+
+
+def test_covariance_contract_failures(spark):
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        covariance_frame, pca_fit)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no well-formed vectors"):
+        covariance_frame(empty)
+    with pytest.raises(ValueError, match="no well-formed vectors"):
+        pca_fit(empty)
+    # NON-empty ragged dims are a loud contract failure (the family
+    # rule — _stack_batch), never a silent mis-fold
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="ragged|dimensions"):
+        covariance_frame(ragged).collect()
+
+
+def test_knn_pca_rerank_exact_at_full_m(spark):
+    """m >= |corpus|-1 keeps every row in stage 1, so the reduced-space
+    proxy ranking is irrelevant and the output must be EXACTLY
+    knn_bruteforce — same rows, same cosines, same ranks."""
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        knn_bruteforce, knn_pca_rerank)
+    from eirepolitic_data_pipeline_spark.operators.vectors import pca_fit
+    emb = _emb(spark)
+    queries = emb.orderBy("vec_id").limit(5)
+    mean, comps, _ = pca_fit(emb, k=4)
+    n = emb.count()
+    got = sorted(tuple(r) for r in knn_pca_rerank(
+        emb, queries, k=3, mean=mean, components=comps, m=n).collect())
+    want = sorted(tuple(r) for r in knn_bruteforce(
+        emb, queries, k=3).collect())
+    assert got == want and len(got) == 15
+
+
+def test_knn_pca_rerank_recall_at_default_m(spark):
+    """Default m=4k in a 32-of-64-dim reduced space (65% variance
+    captured on the fixture corpus): the proxy stage must recover
+    nearly all true top-k neighbors. Measured 0.94 at pin time; the
+    floor leaves jitter margin. k'=16 (38% variance) measures 0.52 at
+    the same m — the m-vs-k' recall trade is real and data-dependent,
+    which is exactly why ann_recall telemetry exists."""
+    from eirepolitic_data_pipeline_spark.operators.similarity import (
+        knn_bruteforce, knn_pca_rerank)
+    from eirepolitic_data_pipeline_spark.operators.vectors import pca_fit
+    emb = _emb(spark)
+    queries = emb.orderBy("vec_id").limit(10)
+    mean, comps, _ = pca_fit(emb, k=32)
+    got = {(r["query_id"], r["neighbor_id"]) for r in knn_pca_rerank(
+        emb, queries, k=5, mean=mean, components=comps).collect()}
+    truth = {(r["query_id"], r["neighbor_id"]) for r in knn_bruteforce(
+        emb, queries, k=5).collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.85, recall
+
+
+def test_covariance_frame_matches_numpy(spark):
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        covariance_frame)
+    emb = _emb(spark)
+    X = np.array([r["embedding"] for r in emb.collect()], dtype="float64")
+    cov = np.round((X.T @ X) / len(X)
+                   - np.outer(X.mean(0), X.mean(0)), 6)
+    rows = covariance_frame(emb).collect()
+    dim = X.shape[1]
+    assert len(rows) == dim * (dim + 1) // 2
+    for r in rows:
+        assert r["i"] <= r["j"]
+        assert abs(r["cov"] - cov[r["i"], r["j"]]) <= 2e-6, \
+            (r["i"], r["j"], r["cov"], cov[r["i"], r["j"]])
