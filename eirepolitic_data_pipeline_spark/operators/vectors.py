@@ -1221,6 +1221,77 @@ def _cov_moments(df: DataFrame, vec_col: str, id_col: str, who: str):
     return n, s, S
 
 
+def pca_moments(df: DataFrame, vec_col: str = "embedding",
+                id_col: str = "vec_id") -> dict:
+    """The PCA family's SUFFICIENT STATISTIC as a plain
+    JSON-serializable dict ``{"n", "s", "S"}`` (count, coordinate sums,
+    raw second-moment matrix) — ONE corpus pass, moment-matrix-sized.
+
+    This is the incremental-maintenance handle (the rollup/HLL pattern
+    of operators/incremental.py applied to the covariance): moments are
+    EXACTLY additive, so a pipeline persists them beside the corpus,
+    folds each append's delta with ``merge_moments`` (driver-side, no
+    rescan of history), and refits via ``pca_fit_from_moments`` — the
+    same lifecycle as the IVF index's frozen-model refresh + drift-
+    triggered refit, with the refit itself now costing O(delta) instead
+    of a full-history scan. Unrounded on purpose: the grid is applied
+    at FIT time, so merge order never compounds rounding."""
+    n, s, S = _cov_moments(df, vec_col, id_col, "pca_moments")
+    return {"n": float(n), "s": [float(x) for x in s],
+            "S": [[float(x) for x in row] for row in S]}
+
+
+def merge_moments(*moments: dict) -> dict:
+    """Additive fold of ``pca_moments`` outputs (driver-side, bounded).
+    Dimensions must agree — a ragged merge is a loud contract error,
+    mirroring ``_stack_batch``."""
+    import numpy as np
+
+    if not moments:
+        raise ValueError("merge_moments: nothing to merge")
+    dims = {len(m["s"]) for m in moments}
+    if len(dims) != 1:
+        raise ValueError(
+            f"merge_moments: moment dimensions differ ({sorted(dims)}) "
+            "— all inputs must come from the same embedding space")
+    n = sum(m["n"] for m in moments)
+    s = np.sum([m["s"] for m in moments], axis=0)
+    S = np.sum([m["S"] for m in moments], axis=0)
+    return {"n": float(n), "s": [float(x) for x in s],
+            "S": [[float(x) for x in row] for row in S]}
+
+
+def _moments_cov(moments: dict, round_dp: int):
+    """(mean, covariance) on the reproducibility grid from raw moments."""
+    import numpy as np
+
+    n = moments["n"]
+    if n <= 0:
+        raise ValueError("moments hold no rows")
+    s = np.asarray(moments["s"], dtype="float64")
+    S = np.asarray(moments["S"], dtype="float64")
+    mu = s / n
+    mean = np.round(mu, round_dp)
+    cov = np.round(S / n - np.outer(mu, mu), round_dp)
+    return mean, cov
+
+
+def covariance_frame_from_moments(spark, moments: dict,
+                                  round_dp: int = 6) -> DataFrame:
+    """``covariance_frame``'s emit step over pre-folded moments — the
+    incremental path's output surface (certified against the full-
+    corpus DuckDB oracle as q97)."""
+    import numpy as np
+
+    _, cov = _moments_cov(moments, round_dp)
+    cov = cov + 0.0  # collapse IEEE negative zero (string-compares !=)
+    dim = cov.shape[0]
+    iu, ju = np.triu_indices(dim)
+    return spark.createDataFrame(
+        [(int(i), int(j), float(cov[i, j])) for i, j in zip(iu, ju)],
+        "i int, j int, cov double").orderBy("i", "j")
+
+
 def covariance_frame(df: DataFrame, vec_col: str = "embedding",
                      id_col: str = "vec_id",
                      round_dp: int = 6) -> DataFrame:
@@ -1236,17 +1307,8 @@ def covariance_frame(df: DataFrame, vec_col: str = "embedding",
     ``0.0``). This is both ``pca_fit``'s input and a data-profiling
     artifact in its own right (feature redundancy / near-constant
     coordinates show up directly)."""
-    import numpy as np
-
-    n, s, S = _cov_moments(df, vec_col, id_col, "covariance_frame")
-    dim = len(s)
-    mu = s / n
-    cov = np.round(S / n - np.outer(mu, mu), round_dp) + 0.0
-    iu, ju = np.triu_indices(dim)
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        [(int(i), int(j), float(cov[i, j])) for i, j in zip(iu, ju)],
-        "i int, j int, cov double").orderBy("i", "j")
+    return covariance_frame_from_moments(
+        df.sparkSession, pca_moments(df, vec_col, id_col), round_dp)
 
 
 def pca_fit(df: DataFrame, k: Optional[int] = None,
@@ -1286,16 +1348,34 @@ def pca_fit(df: DataFrame, k: Optional[int] = None,
     the MODEL (components), so both projection paths stay bit-identical
     with no extra parameter; directions whose variance rounds to zero
     on the grid fail loudly (past the data's effective rank)."""
+    n, s, S = _cov_moments(df, vec_col, id_col, "pca_fit")
+    return pca_fit_from_moments(
+        {"n": float(n), "s": [float(x) for x in s],
+         "S": [[float(x) for x in row] for row in S]},
+        k=k, round_dp=round_dp, whiten=whiten)
+
+
+def pca_fit_from_moments(moments: dict, k: Optional[int] = None,
+                         round_dp: int = 6, whiten: bool = False
+                         ) -> tuple[list[float], list[list[float]],
+                                    list[float]]:
+    """``pca_fit``'s driver-side half over pre-folded moments — the
+    incremental REFIT: maintain ``pca_moments`` additively beside the
+    corpus (``merge_moments`` per append, O(delta) each), and refit
+    the model from the running sufficient statistic without ever
+    rescanning history. Identical determinism contract to ``pca_fit``
+    (same grid, ordering, sign, whiten semantics) — and since the
+    grid is applied HERE, merge order never compounds rounding: a
+    merged-moments fit matches the monolithic fit up to grid-edge
+    summation ties (test-pinned)."""
     import numpy as np
 
-    n, s, S = _cov_moments(df, vec_col, id_col, "pca_fit")
-    dim = len(s)
+    mean, cov = _moments_cov(moments, round_dp)
+    dim = len(mean)
     if k is None:
         k = dim
     if not 1 <= k <= dim:
         raise ValueError(f"k must be within [1, {dim}]")
-    mean = np.round(s / n, round_dp)
-    cov = np.round(S / n - np.outer(s / n, s / n), round_dp)
     evals, evecs = np.linalg.eigh(cov)
     order = np.argsort(-evals, kind="stable")[:k]
     comps = evecs[:, order].T

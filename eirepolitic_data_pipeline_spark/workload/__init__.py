@@ -28,15 +28,16 @@ from . import quality  # noqa: F401,E402
 
 
 # Certification rotation (round 11). The driver's correctness gate
-# certifies the first ~50 registered queries per round; with 92
-# registered, ~42 fall outside every round. Rank the workload so the
+# certifies the first ~50 registered queries per round; with 93
+# registered, ~43 fall outside every round. Rank the workload so the
 # window always covers the queries that NEED a fresh driver-green row:
-#   front — q91-q96 (new round 11, never driver-certified: the
+#   front — q91-q97 (new round 11, never driver-certified: the
 #           residual drift report, ivf_pq_index_drift
 #           residual=True over a written rpq index, the two
 #           distributed BATCH serving paths, and the PCA family —
-#           oracle-certified covariance, rows-only projection, and
-#           the PCA-reduced two-stage serving path);
+#           oracle-certified covariance + incremental-moments
+#           covariance, rows-only projection, and the PCA-reduced
+#           two-stage serving path);
 #           then the single-r10-ledger quartet
 #           q87-q90 (hold inside until 2+, the standing rule since
 #           r6), which also dispatch into the round-11 behavior change
@@ -56,8 +57,8 @@ from . import quality  # noqa: F401,E402
 #           budget refreshes the r9-green block whose newest ledger is
 #           now two rounds old: merge/dedupe (q19/q22-q25/q49/q50/
 #           q64/q66/q67), curation plumbing (q51/q52/q55-q58), DQ/
-#           compat (q32). q41 and the marts q45/q46 (green r9, their
-#           files untouched) were the 51st-53rd when q94/q95/q96
+#           compat. q32/q41 and the marts q45/q46 (green r9, their
+#           files untouched) were the 51st-54th when q94-q97
 #           landed and rotate to the tail head, as q48/q53 (green
 #           r8+r9,
 #           skew.py/temporal.py untouched two rounds) did when
@@ -84,6 +85,7 @@ _CERT_PRIORITY = [
     "q94_pca_covariance",
     "q95_pca_projection",
     "q96_knn_pca_rerank",
+    "q97_pca_incremental_covariance",
     # single green ledger (r10) — hold inside until 2+; all four also
     # serve through the persisted paths the r11 contract guard changed
     "q87_knn_ivf_pq_index",
@@ -138,13 +140,13 @@ _CERT_PRIORITY = [
     "q56_resample_daily_ffill",
     "q57_domain_profile",
     "q58_stratified_sample",
-    "q32_integrity_checks",
 ]
 _CERT_TAIL = [
-    # displaced by q94/q95/q96 (the PCA family took the last three
-    # window slots): green r9 with their implementation files
-    # (plans/registry.py, tables/gold.py) untouched in rounds 10-11 —
-    # age-1, rotate back inside in round 12
+    # displaced by q94-q97 (the PCA family took the last four window
+    # slots): green r9 with their implementation files
+    # (plans/quality.py, plans/registry.py, tables/gold.py) untouched
+    # in rounds 10-11 — age-1, rotate back inside in round 12
+    "q32_integrity_checks",
     "q41_compat_projection",
     "q45_member_activity_yearly_mart",
     "q46_constituency_activity_mart",

@@ -4047,3 +4047,33 @@ def q96_knn_pca_rerank(spark, sf_dir):
                          components=comps)
     return out.select("query_id", "neighbor_id",
                       F.round("cosine", 6).alias("cosine"), "rank")
+
+
+@register(
+    "q97_pca_incremental_covariance",
+    _PCA_COV_ORACLE,
+    survey_ref="beyond-ref: incremental covariance maintenance (operators/vectors.py:pca_moments/merge_moments/covariance_frame_from_moments — the corpus covariance as an ADDITIVELY-maintained sufficient statistic, one O(delta) moment pass per append, refit without rescanning history); the PCA lifecycle's analogue of q60's incremental-rollup equivalence",
+    memoize=False,  # both moment passes COLLECT at construction
+)
+def q97_pca_incremental_covariance(spark, sf_dir):
+    """The incremental-maintenance contract certified end to end (r11):
+    split the corpus into a 'history' and an 'append' half (vec_id
+    parity — adversarial interleaving, not a clean time cut), fold
+    each half's moments in its own one-pass kernel scan, merge the two
+    sufficient statistics DRIVER-SIDE (``merge_moments`` — pure
+    addition over the dim² matrix), and emit the covariance from the
+    merged moments. The oracle is q94's full-corpus SQL — the merged
+    result must be indistinguishable from the monolithic pass on the
+    family's 6dp grid. At 100 TB this is the claim that matters:
+    yesterday's moment matrix + today's O(delta) pass replaces every
+    full-history covariance rescan, exactly as q60's additive rollups
+    replace fact-table recomputes."""
+    from ..operators.vectors import (covariance_frame_from_moments,
+                                     merge_moments, pca_moments)
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+           .filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") > 0)))
+    history = emb.filter(F.col("vec_id") % 2 == 0)
+    append = emb.filter(F.col("vec_id") % 2 == 1)
+    merged = merge_moments(pca_moments(history), pca_moments(append))
+    return covariance_frame_from_moments(spark, merged)

@@ -230,6 +230,34 @@ def test_knn_pca_rerank_recall_at_default_m(spark):
     assert recall >= 0.85, recall
 
 
+def test_incremental_moments_match_monolithic_fit(spark):
+    """The sufficient-statistic lifecycle: moments folded per-half and
+    merged driver-side must refit to the same model as the monolithic
+    pass (the grid is applied at fit time, so merge order cannot
+    compound rounding — only grid-edge summation ties remain)."""
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        merge_moments, pca_fit, pca_fit_from_moments, pca_moments)
+    emb = _emb(spark)
+    halves = [emb.filter(F.col("vec_id") % 2 == i) for i in (0, 1)]
+    merged = merge_moments(*[pca_moments(h) for h in halves])
+    got = pca_fit_from_moments(merged, k=8)
+    want = pca_fit(emb, k=8)
+    assert np.allclose(got[0], want[0], atol=2e-6)      # mean
+    assert np.allclose(got[2], want[2], atol=1e-5)      # explained
+    assert np.allclose(got[1], want[1], atol=1e-4)      # components
+    # moments are exactly additive: n and the raw sums agree with the
+    # monolithic pass to float-sum reassociation
+    mono = pca_moments(emb)
+    assert merged["n"] == mono["n"]
+    assert np.allclose(merged["s"], mono["s"], rtol=1e-12)
+    assert np.allclose(merged["S"], mono["S"], rtol=1e-12)
+    # ragged merge fails loudly
+    with pytest.raises(ValueError, match="dimensions differ"):
+        merge_moments(merged, {"n": 1.0, "s": [0.0], "S": [[0.0]]})
+    with pytest.raises(ValueError, match="nothing to merge"):
+        merge_moments()
+
+
 def test_covariance_frame_matches_numpy(spark):
     from eirepolitic_data_pipeline_spark.operators.vectors import (
         covariance_frame)

@@ -70,6 +70,12 @@ What it checks:
     from the drifted region, and require measured recall to sag below
     the healthy baseline AND ``refit_recommended`` to go True — the
     signal an append-only deployment actually rebuilds on.
+12. **PCA at scale** (r11) — one moment-kernel pass fits the full-corpus
+    covariance; its eigenvalue sum must match an INDEPENDENT Catalyst
+    per-coordinate variance aggregate (the trace); the projection
+    kernel covers the corpus; and the PCA-reduced two-stage serving
+    path (``knn_pca_rerank``) holds its recall-vs-m envelope on the
+    rerank slice against the same exact set as the codec rows.
 
 Rewrites only its own section of STRESS.md (``--out``); exits non-zero on
 any violated bound. Standalone; not part of the per-round bench.
@@ -652,6 +658,70 @@ def main():
             f"healthy baseline and refit_recommended goes True: "
             f"{'PASS' if fire_ok else 'FAIL'} |")
 
+        # 12. PCA at scale (r11): ONE moment-kernel pass folds the full
+        # corpus covariance (per-partition 64x64 matmul partials, only
+        # the moment matrix ever moves); its eigenvalue sum must agree
+        # with an INDEPENDENT per-coordinate var_pop aggregate (the
+        # trace, computed by Catalyst with no shared code path); the
+        # projection kernel maps the full corpus to the reduced space;
+        # and the PCA-reduced two-stage serving path holds its
+        # recall-vs-m envelope on the rerank slice against the SAME
+        # exact set as the codec rows — dimensionality priced beside
+        # bit-depth as the compression axis, on the hard-case corpus
+        # (quasi-uniform spectrum: 48 of 64 directions carry ~75% of
+        # the variance, the regime where reduced-space cosine is
+        # weakest).
+        from eirepolitic_data_pipeline_spark.operators.similarity import (
+            knn_pca_rerank)
+        from eirepolitic_data_pipeline_spark.operators.vectors import (
+            pca_fit, pca_project)
+        t0 = time.perf_counter()
+        p_mean, p_comps, p_expl = pca_fit(corpus, k=64)
+        t_fit = round(time.perf_counter() - t0, 1)
+        trace = corpus.select(F.sum(F.aggregate(
+            F.transform("embedding", lambda x: x * x),
+            F.lit(0.0), lambda a, x: a + x)) / F.count(F.lit(1))
+            - F.aggregate(F.array(*[
+                F.pow(F.sum(F.element_at("embedding", i + 1))
+                      / F.count(F.lit(1)), 2) for i in range(64)]),
+                F.lit(0.0), lambda a, x: a + x)).first()[0]
+        var_ok = abs(sum(p_expl) - trace) <= 64 * 2e-6 + 1e-4
+        t0 = time.perf_counter()
+        comps48 = p_comps[:48]
+        n_proj = pca_project(corpus, p_mean, comps48).count()
+        t_proj = round(time.perf_counter() - t0, 1)
+        proj_ok = n_proj == args.vectors
+        frac48 = sum(p_expl[:48]) / sum(p_expl)
+
+        def pca_recall(m: int) -> float:
+            got = {(r["query_id"], r["neighbor_id"])
+                   for r in knn_pca_rerank(
+                       rl, rq, K, mean=p_mean, components=comps48,
+                       m=m).collect()}
+            return len(got & exact) / len(exact)
+
+        t0 = time.perf_counter()
+        pr10 = pca_recall(10)
+        pr40 = pca_recall(40)
+        t_pserve = round(time.perf_counter() - t0, 1)
+        pca_ok = var_ok and proj_ok and pr40 >= pr10
+        if not pca_ok:
+            failures.append(
+                f"pca: var acct |{sum(p_expl):.4f}-{trace:.4f}|, "
+                f"projected {n_proj}, recall m=40 {pr40:.3f} vs m=10 "
+                f"{pr10:.3f}")
+        lines.append(
+            f"| PCA at scale ({args.vectors} x 64 one-pass moment fit "
+            f"{t_fit}s; full-corpus 48-dim projection {t_proj}s; "
+            f"reduced-space serving on the {args.rerank_slice} slice "
+            f"{t_pserve}s) | {t_fit + t_proj + t_pserve} | eigenvalue "
+            f"sum vs independent trace |Δ|="
+            f"{abs(sum(p_expl) - trace):.2e}; 48/64 directions carry "
+            f"{frac48:.2f} of variance; recall vs exact m=10 "
+            f"{pr10:.3f}, m=40 {pr40:.3f} | variance accounting holds, "
+            f"projection covers the corpus, recall monotone in m: "
+            f"{'PASS' if pca_ok else 'FAIL'} |")
+
     section = (
         f"{SECTION}\n\n"
         f"Corpus: **{args.vectors} synthetic 64-dim vectors** "
@@ -702,7 +772,16 @@ def main():
         "appended through the frozen-model refresh must measurably sink "
         "served recall and trip refit_recommended — the signal an "
         "append-only deployment actually rebuilds on, exercised at "
-        "scale, not just at its boundary.\n\n"
+        "scale, not just at its boundary. The PCA row prices "
+        "dimensionality as a third compression axis next to int8 and "
+        "PQ: the one-pass moment fit is checked against an independent "
+        "Catalyst variance aggregate (two code paths, one answer), and "
+        "the reduced-space serving envelope is measured on the SAME "
+        "exact set as the codec rows — on this quasi-uniform spectrum "
+        "(the hard case: 48 of 64 directions still carry only ~3/4 of "
+        "the variance) the measured recall is what an embedding corpus "
+        "with a genuinely flat spectrum would serve, and m buys it "
+        "back the same way it does for the codecs.\n\n"
         f"Result: **{'PASS' if not failures else 'FAIL: ' + '; '.join(failures)}**. "
         "Rerun: `python tools/stress_ann.py`.\n"
     )
