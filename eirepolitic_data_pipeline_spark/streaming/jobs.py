@@ -285,3 +285,94 @@ def streaming_index_refresh_sink(vectors: DataFrame,
     if checkpoint_dir is not None:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
+
+
+def load_moments(path: str) -> dict:
+    """Read the moments state ``streaming_moments_sink`` maintains —
+    the input of ``pca_fit_from_moments`` (refit) and
+    ``covariance_frame_from_moments`` (profiling)."""
+    import json
+    import os
+
+    state_file = os.path.join(path, "moments.json")
+    if not os.path.exists(state_file):
+        raise FileNotFoundError(
+            f"no moments state at {state_file} — the sink has not "
+            "applied any batch yet")
+    with open(state_file) as f:
+        return json.load(f)
+
+
+def streaming_moments_sink(vectors: DataFrame, path: str, *,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           checkpoint_dir: str | None = None,
+                           processing_interval: str | None = None):
+    """Continuous maintenance of the PCA sufficient statistic: each
+    micro-batch folds its own one-pass ``pca_moments`` into the running
+    state under ``<path>/moments.json`` via ``merge_moments`` — the
+    streaming leg of the incremental PCA lifecycle (q97's contract
+    driven by Structured Streaming instead of cron), so a drift-
+    triggered ``pca_fit_from_moments`` refit never rescans history.
+    The state is moment-matrix-sized (dim² floats — the bounded model
+    class, same as the frozen codebooks), written atomically
+    (tmp + rename) by the single foreachBatch writer; a multi-writer
+    deployment would hold it in a transactional store instead.
+
+    Epoch idempotence: the ``streaming_index_refresh_sink`` marker
+    recipe — a replayed epoch that finds its ``<path>/_epochs/``
+    marker skips, so at-least-once delivery never double-counts a
+    batch into the additive statistic (which, unlike the index append,
+    would corrupt silently rather than just duplicate candidates). A
+    batch with no well-formed vectors marks-and-skips (nothing to
+    fold). Batch frames apply once and return None; streaming input
+    returns the StreamingQuery (availableNow unless
+    ``processing_interval`` is given)."""
+    import json
+    import os
+
+    from ..operators.vectors import merge_moments, pca_moments
+
+    state_file = os.path.join(path, "moments.json")
+
+    def fold(batch_df: DataFrame) -> None:
+        try:
+            delta = pca_moments(batch_df, vec_col=vec_col,
+                                id_col=id_col)
+        except ValueError:
+            return  # no well-formed vectors in this batch
+        if os.path.exists(state_file):
+            with open(state_file) as f:
+                merged = merge_moments(json.load(f), delta)
+        else:
+            merged = delta
+        os.makedirs(path, exist_ok=True)
+        tmp = state_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, state_file)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        marker_dir = os.path.join(path, "_epochs")
+        marker = os.path.join(marker_dir, str(epoch_id))
+        if os.path.exists(marker):
+            return  # replayed epoch, already folded
+        fold(batch_df)
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("applied")
+
+    if not vectors.isStreaming:
+        if not vectors.isEmpty():
+            fold(vectors)
+        return None
+    w = vectors.writeStream.foreachBatch(apply_batch)
+    if processing_interval is None:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime=processing_interval)
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
