@@ -1403,6 +1403,39 @@ def pca_fit_from_moments(moments: dict, k: Optional[int] = None,
     return (mean.tolist(), comps.tolist(), explained.tolist())
 
 
+def rp_components(dim: int, out_dim: int, seed: str = "jl"
+                  ) -> list[list[float]]:
+    """A deterministic Johnson–Lindenstrauss sign-projection model:
+    ``out_dim`` rows of ``±1/√out_dim`` weights, the sign of weight
+    (p, d) drawn from a bit of ``md5(seed:p:d)`` — exactly
+    ``hashed_projection_bucket``'s plane recipe (similarity.py) WITHOUT
+    the thresholding, so the projection keeps magnitudes instead of
+    collapsing to a bucket string (Achlioptas 2003: ±1 entries satisfy
+    the JL distance-preservation lemma; the 1/√out_dim scale makes
+    squared distances unbiased).
+
+    This is the DATA-INDEPENDENT reduction next to ``pca_fit``'s
+    data-derived one — no fit pass, no moments, no refit lifecycle; the
+    model is a pure function of ``(dim, out_dim, seed)``. Two
+    consequences at scale: a streaming pipeline can project from row
+    one (nothing to train), and the model is STATIC — so unlike the
+    eigendecomposition, the full projection chain is SQL-re-derivable
+    and oracle-certified end to end (q98), which also certifies the
+    shared ``pca_project`` kernel it runs through. Plug the output
+    straight into ``pca_project`` / ``pca_project_expr`` /
+    ``knn_pca_rerank`` with ``mean=[0.0]*dim``."""
+    import hashlib
+    import math
+
+    if out_dim < 1 or dim < 1:
+        raise ValueError("rp_components: dim and out_dim must be >= 1")
+    scale = 1.0 / math.sqrt(out_dim)
+    return [[scale if hashlib.md5(f"{seed}:{p}:{d}".encode())
+             .digest()[0] & 1 else -scale
+             for d in range(dim)]
+            for p in range(out_dim)]
+
+
 def pca_project_expr(vec: Column, mean: list[float],
                      components: list[list[float]]) -> Column:
     """The pure-Catalyst semantic twin of ``pca_project``'s kernel: the

@@ -28,16 +28,17 @@ from . import quality  # noqa: F401,E402
 
 
 # Certification rotation (round 11). The driver's correctness gate
-# certifies the first ~50 registered queries per round; with 93
-# registered, ~43 fall outside every round. Rank the workload so the
+# certifies the first ~50 registered queries per round; with 94
+# registered, ~44 fall outside every round. Rank the workload so the
 # window always covers the queries that NEED a fresh driver-green row:
-#   front — q91-q97 (new round 11, never driver-certified: the
+#   front — q91-q98 (new round 11, never driver-certified: the
 #           residual drift report, ivf_pq_index_drift
 #           residual=True over a written rpq index, the two
 #           distributed BATCH serving paths, and the PCA family —
 #           oracle-certified covariance + incremental-moments
-#           covariance, rows-only projection, and the PCA-reduced
-#           two-stage serving path);
+#           covariance, rows-only projection, the PCA-reduced
+#           two-stage serving path, and the JL projection whose
+#           static model oracle-certifies the shared kernel);
 #           then the single-r10-ledger quartet
 #           q87-q90 (hold inside until 2+, the standing rule since
 #           r6), which also dispatch into the round-11 behavior change
@@ -57,8 +58,8 @@ from . import quality  # noqa: F401,E402
 #           budget refreshes the r9-green block whose newest ledger is
 #           now two rounds old: merge/dedupe (q19/q22-q25/q49/q50/
 #           q64/q66/q67), curation plumbing (q51/q52/q55-q58), DQ/
-#           compat. q32/q41 and the marts q45/q46 (green r9, their
-#           files untouched) were the 51st-54th when q94-q97
+#           compat. q58/q32/q41 and the marts q45/q46 (green r9,
+#           their files untouched) were the 51st-55th when q94-q98
 #           landed and rotate to the tail head, as q48/q53 (green
 #           r8+r9,
 #           skew.py/temporal.py untouched two rounds) did when
@@ -86,6 +87,7 @@ _CERT_PRIORITY = [
     "q95_pca_projection",
     "q96_knn_pca_rerank",
     "q97_pca_incremental_covariance",
+    "q98_rp_projection",
     # single green ledger (r10) — hold inside until 2+; all four also
     # serve through the persisted paths the r11 contract guard changed
     "q87_knn_ivf_pq_index",
@@ -139,13 +141,14 @@ _CERT_PRIORITY = [
     "q55_source_mixing",
     "q56_resample_daily_ffill",
     "q57_domain_profile",
-    "q58_stratified_sample",
 ]
 _CERT_TAIL = [
-    # displaced by q94-q97 (the PCA family took the last four window
-    # slots): green r9 with their implementation files
-    # (plans/quality.py, plans/registry.py, tables/gold.py) untouched
-    # in rounds 10-11 — age-1, rotate back inside in round 12
+    # displaced by q94-q98 (the PCA/JL family took the last five
+    # window slots): green r9 with their implementation files
+    # (operators/curation.py, plans/quality.py, plans/registry.py,
+    # tables/gold.py) untouched in rounds 10-11 — age-1, rotate back
+    # inside in round 12
+    "q58_stratified_sample",
     "q32_integrity_checks",
     "q41_compat_projection",
     "q45_member_activity_yearly_mart",

@@ -4077,3 +4077,62 @@ def q97_pca_incremental_covariance(spark, sf_dir):
     append = emb.filter(F.col("vec_id") % 2 == 1)
     merged = merge_moments(pca_moments(history), pca_moments(append))
     return covariance_frame_from_moments(spark, merged)
+
+
+def _rp_oracle_sql(dim: int = 64, out_dim: int = 8,
+                   seed: str = "jl") -> str:
+    """q98's oracle, generated from the SAME static model the engine
+    serves with: rp_components is a pure function of (dim, out_dim,
+    seed), so its ±1/√k weights are baked into the SQL as literals and
+    DuckDB re-derives every projected coordinate from the raw vectors
+    with the kernel's exact fold order (dimension-ordered, left-to-
+    right float64 — the family's parity recipe)."""
+    from ..operators.vectors import rp_components
+
+    W = rp_components(dim, out_dim, seed)
+    cols = ",\n           ".join(
+        "round(" + " + ".join(f"({w[d]!r}) * e.v[{d + 1}]"
+                              for d in range(dim))
+        + f", 6) + 0.0 AS p{p}"
+        for p, w in enumerate(W))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+    SELECT vec_id,
+           {cols}
+    FROM e
+    ORDER BY vec_id
+    """
+
+
+@register(
+    "q98_rp_projection",
+    _rp_oracle_sql(),
+    survey_ref="beyond-ref: Johnson-Lindenstrauss random projection (operators/vectors.py:rp_components — deterministic md5-sign ±1/sqrt(k) model, Achlioptas-style, served through the SHARED pca_project Arrow kernel); the data-independent reduction whose static model makes the projection kernel fully oracle-certifiable",
+    memoize=True,
+)
+def q98_rp_projection(spark, sf_dir):
+    """JL-project the embedding corpus to 8 dims through the SAME
+    map-only Arrow kernel as q95 — but with ``rp_components``'s static
+    hash-derived model, so the whole chain (well-formed filtering,
+    centering at zero, the dimension-ordered projection fold, the 6dp
+    grid) is re-derived by DuckDB from the raw vectors with the model's
+    weights baked into the oracle as literals. This is the
+    certification q95 structurally cannot have (its model is an
+    eigendecomposition): the kernel and its contracts are identical,
+    only the model source differs — so a green q98 row certifies the
+    projection machinery itself, leaving exactly the driver-side eigh
+    as the pytest-pinned remainder."""
+    from ..operators.vectors import pca_project, rp_components
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+           .filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") > 0)))
+    W = rp_components(64, 8)
+    out = pca_project(emb, [0.0] * 64, W)
+    return out.select(
+        "vec_id",
+        *[(F.round(F.element_at(F.col("projection"), i + 1), 6)
+           + F.lit(0.0)).alias(f"p{i}") for i in range(8)])

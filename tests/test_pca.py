@@ -230,6 +230,41 @@ def test_knn_pca_rerank_recall_at_default_m(spark):
     assert recall >= 0.85, recall
 
 
+def test_rp_components_contract_and_jl_distortion(spark):
+    """The static JL model: ±1/√k entries, deterministic in (dim, k,
+    seed), and distance-preserving in expectation — squared-distance
+    ratios center on 1 (measured median 1.04 at k=32 on the fixture;
+    the pin brackets the Achlioptas bound loosely)."""
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        pca_project, rp_components)
+    W = np.array(rp_components(64, 32))
+    assert W.shape == (32, 64)
+    assert np.allclose(np.abs(W), 1 / np.sqrt(32))
+    assert rp_components(64, 32) == rp_components(64, 32)
+    assert rp_components(64, 32) != rp_components(64, 32, seed="other")
+    with pytest.raises(ValueError, match="must be >= 1"):
+        rp_components(64, 0)
+    emb = _emb(spark)
+    X = np.array([r["embedding"] for r in emb.limit(200).collect()],
+                 dtype="float64")
+    Y = X @ W.T
+    pairs = [(i, j) for i in range(0, len(X), 7)
+             for j in range(1, len(X), 13) if i < j][:500]
+    ratios = [np.sum((Y[i] - Y[j]) ** 2) / np.sum((X[i] - X[j]) ** 2)
+              for i, j in pairs]
+    med = float(np.median(ratios))
+    assert 0.8 <= med <= 1.25, med
+    assert min(ratios) >= 0.3 and max(ratios) <= 2.2, (
+        min(ratios), max(ratios))
+    # the model plugs into the shared projection kernel with mean=0
+    got = {r["vec_id"]: np.array(r["projection"]) for r in
+           pca_project(emb, [0.0] * 64, W.tolist()).collect()}
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    full = np.array([r["embedding"] for r in emb.collect()],
+                    dtype="float64") @ W.T
+    assert np.allclose(np.stack([got[i] for i in ids]), full, atol=1e-9)
+
+
 def test_incremental_moments_match_monolithic_fit(spark):
     """The sufficient-statistic lifecycle: moments folded per-half and
     merged driver-side must refit to the same model as the monolithic
