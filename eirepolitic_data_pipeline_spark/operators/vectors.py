@@ -1403,6 +1403,51 @@ def pca_fit_from_moments(moments: dict, k: Optional[int] = None,
     return (mean.tolist(), comps.tolist(), explained.tolist())
 
 
+def moments_drift_report(reference: dict, current: dict,
+                         round_dp: int = 6) -> dict:
+    """Distribution-shift telemetry between two moment sets — the PCA
+    family's drift signal, mirroring ``ivf_pq_index_drift``'s role for
+    the ANN family: a streaming pipeline keeps a frozen REFERENCE
+    statistic (the one its serving model was fitted on) beside the
+    RUNNING statistic ``streaming_moments_sink`` maintains, and this
+    report prices how far the corpus has moved — the signal that
+    triggers ``pca_fit_from_moments`` refits (and, transitively,
+    re-quantization of anything fitted in the projected space).
+
+    Metrics (all on the family's ``round_dp`` grid, derived purely from
+    the two bounded moment sets — no corpus access):
+    ``n_reference`` / ``n_current`` row counts, ``mean_shift_l2`` (L2
+    norm of the mean difference — translation drift), ``cov_fro_delta``
+    (Frobenius norm of the covariance difference — shape drift), and
+    ``trace_ratio`` (total-variance ratio current/reference — scale
+    drift; 1.0 = unchanged). Each covariance is rounded to the grid
+    BEFORE differencing, exactly as ``covariance_frame`` emits it, so
+    the report is re-derivable from the raw vectors by an external
+    engine (oracle-certified as q99)."""
+    import numpy as np
+
+    mean_a, cov_a = _moments_cov(reference, round_dp)
+    mean_b, cov_b = _moments_cov(current, round_dp)
+    if cov_a.shape != cov_b.shape:
+        raise ValueError(
+            f"moments_drift_report: dimensions differ "
+            f"({cov_a.shape[0]} vs {cov_b.shape[0]}) — both moment "
+            "sets must come from the same embedding space")
+    tr_a = float(np.trace(cov_a))
+    if tr_a <= 0:
+        raise ValueError("moments_drift_report: reference moments have "
+                         "zero total variance")
+    return {
+        "n_reference": float(reference["n"]),
+        "n_current": float(current["n"]),
+        "mean_shift_l2": round(
+            float(np.sqrt(np.sum((mean_b - mean_a) ** 2))), round_dp),
+        "cov_fro_delta": round(
+            float(np.sqrt(np.sum((cov_b - cov_a) ** 2))), round_dp),
+        "trace_ratio": round(float(np.trace(cov_b)) / tr_a, round_dp),
+    }
+
+
 def rp_components(dim: int, out_dim: int, seed: str = "jl"
                   ) -> list[list[float]]:
     """A deterministic Johnson–Lindenstrauss sign-projection model:

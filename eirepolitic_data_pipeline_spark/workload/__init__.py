@@ -28,17 +28,18 @@ from . import quality  # noqa: F401,E402
 
 
 # Certification rotation (round 11). The driver's correctness gate
-# certifies the first ~50 registered queries per round; with 94
-# registered, ~44 fall outside every round. Rank the workload so the
+# certifies the first ~50 registered queries per round; with 95
+# registered, ~45 fall outside every round. Rank the workload so the
 # window always covers the queries that NEED a fresh driver-green row:
-#   front — q91-q98 (new round 11, never driver-certified: the
+#   front — q91-q99 (new round 11, never driver-certified: the
 #           residual drift report, ivf_pq_index_drift
 #           residual=True over a written rpq index, the two
 #           distributed BATCH serving paths, and the PCA family —
 #           oracle-certified covariance + incremental-moments
 #           covariance, rows-only projection, the PCA-reduced
-#           two-stage serving path, and the JL projection whose
-#           static model oracle-certifies the shared kernel);
+#           two-stage serving path, the JL projection whose
+#           static model oracle-certifies the shared kernel, and the
+#           moments drift report — the family's refit trigger);
 #           then the single-r10-ledger quartet
 #           q87-q90 (hold inside until 2+, the standing rule since
 #           r6), which also dispatch into the round-11 behavior change
@@ -58,8 +59,8 @@ from . import quality  # noqa: F401,E402
 #           budget refreshes the r9-green block whose newest ledger is
 #           now two rounds old: merge/dedupe (q19/q22-q25/q49/q50/
 #           q64/q66/q67), curation plumbing (q51/q52/q55-q58), DQ/
-#           compat. q58/q32/q41 and the marts q45/q46 (green r9,
-#           their files untouched) were the 51st-55th when q94-q98
+#           compat. q57/q58/q32/q41 and the marts q45/q46 (green r9,
+#           their files untouched) were the 51st-56th when q94-q99
 #           landed and rotate to the tail head, as q48/q53 (green
 #           r8+r9,
 #           skew.py/temporal.py untouched two rounds) did when
@@ -88,6 +89,7 @@ _CERT_PRIORITY = [
     "q96_knn_pca_rerank",
     "q97_pca_incremental_covariance",
     "q98_rp_projection",
+    "q99_moments_drift_report",
     # single green ledger (r10) — hold inside until 2+; all four also
     # serve through the persisted paths the r11 contract guard changed
     "q87_knn_ivf_pq_index",
@@ -140,14 +142,14 @@ _CERT_PRIORITY = [
     "q52_sequence_packing",
     "q55_source_mixing",
     "q56_resample_daily_ffill",
-    "q57_domain_profile",
 ]
 _CERT_TAIL = [
-    # displaced by q94-q98 (the PCA/JL family took the last five
-    # window slots): green r9 with their implementation files
+    # displaced by q94-q99 (the PCA/JL family took the last six window
+    # slots): green r9 with their implementation files
     # (operators/curation.py, plans/quality.py, plans/registry.py,
     # tables/gold.py) untouched in rounds 10-11 — age-1, rotate back
     # inside in round 12
+    "q57_domain_profile",
     "q58_stratified_sample",
     "q32_integrity_checks",
     "q41_compat_projection",

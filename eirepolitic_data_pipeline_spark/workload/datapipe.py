@@ -4136,3 +4136,82 @@ def q98_rp_projection(spark, sf_dir):
         "vec_id",
         *[(F.round(F.element_at(F.col("projection"), i + 1), 6)
            + F.lit(0.0)).alias(f"p{i}") for i in range(8)])
+
+
+_MOMENTS_DRIFT_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+    d AS (SELECT max(len(v)) AS dim FROM e),
+    idx AS (SELECT unnest(range(1, (SELECT dim FROM d) + 1)) AS i),
+    cells AS (SELECT x.i AS i, y.i AS j FROM idx x JOIN idx y
+              ON y.i >= x.i),
+    a AS (SELECT v FROM e WHERE vec_id % 2 = 0),
+    b AS (SELECT v FROM e WHERE vec_id % 2 = 1),
+    -- per-half 6dp-grid means (the family's emit contract)
+    ma AS (SELECT i.i AS i, round(sum(a.v[i.i]) / count(*), 6) AS m
+           FROM idx i CROSS JOIN a GROUP BY i.i),
+    mb AS (SELECT i.i AS i, round(sum(b.v[i.i]) / count(*), 6) AS m
+           FROM idx i CROSS JOIN b GROUP BY i.i),
+    -- per-half 6dp-grid covariance cells (q94's fold per half)
+    ca AS (SELECT c.i, c.j,
+                  round(sum(a.v[c.i] * a.v[c.j]) / count(*)
+                        - (sum(a.v[c.i]) / count(*))
+                        * (sum(a.v[c.j]) / count(*)), 6) AS cv
+           FROM cells c CROSS JOIN a GROUP BY c.i, c.j),
+    cb AS (SELECT c.i, c.j,
+                  round(sum(b.v[c.i] * b.v[c.j]) / count(*)
+                        - (sum(b.v[c.i]) / count(*))
+                        * (sum(b.v[c.j]) / count(*)), 6) AS cv
+           FROM cells c CROSS JOIN b GROUP BY c.i, c.j)
+    SELECT CAST((SELECT count(*) FROM a) AS DOUBLE) AS n_reference,
+           CAST((SELECT count(*) FROM b) AS DOUBLE) AS n_current,
+           (SELECT round(sqrt(sum(pow(mb.m - ma.m, 2))), 6)
+            FROM ma JOIN mb USING (i)) AS mean_shift_l2,
+           -- Frobenius over the FULL matrix: off-diagonal upper-
+           -- triangle cells weight 2 (they appear twice in the matrix)
+           (SELECT round(sqrt(sum(
+                CASE WHEN ca.i = ca.j THEN 1 ELSE 2 END
+                * pow(cb.cv - ca.cv, 2))), 6)
+            FROM ca JOIN cb ON ca.i = cb.i AND ca.j = cb.j)
+             AS cov_fro_delta,
+           (SELECT round(
+                (SELECT sum(cb.cv) FROM cb WHERE cb.i = cb.j)
+                / (SELECT sum(ca.cv) FROM ca WHERE ca.i = ca.j), 6))
+             AS trace_ratio
+    """
+
+
+@register(
+    "q99_moments_drift_report",
+    _MOMENTS_DRIFT_ORACLE,
+    survey_ref="beyond-ref: distribution-shift telemetry from the additive moment state (operators/vectors.py:moments_drift_report — mean-shift L2 / covariance Frobenius delta / trace ratio between a frozen reference statistic and the running one, no corpus access at report time); the PCA family's refit trigger, mirroring q88's role for the ANN index",
+    memoize=False,  # both moment passes COLLECT at construction
+)
+def q99_moments_drift_report(spark, sf_dir):
+    """The PCA-lifecycle drift signal certified end to end (r11): fold
+    the two halves' moments (vec_id parity — the q97 split standing in
+    for 'the statistic the model was fitted on' vs 'the statistic the
+    stream has accumulated since'), then derive translation
+    (mean_shift_l2), shape (cov_fro_delta — full-matrix Frobenius, so
+    upper-triangle off-diagonals weight 2), and scale (trace_ratio)
+    drift purely from the two bounded moment sets. The oracle
+    re-derives every metric from the raw vectors through q94's
+    rounded-cell folds per half. At 100 TB the point is what this does
+    NOT touch: report time reads two dim x dim statistics, never the
+    corpus — the drift check a streaming deployment runs every epoch,
+    with refit (pca_fit_from_moments) only when it fires."""
+    from ..operators.vectors import moments_drift_report, pca_moments
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+           .filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") > 0)))
+    ref = pca_moments(emb.filter(F.col("vec_id") % 2 == 0))
+    cur = pca_moments(emb.filter(F.col("vec_id") % 2 == 1))
+    rep = moments_drift_report(ref, cur)
+    return spark.createDataFrame(
+        [(rep["n_reference"], rep["n_current"], rep["mean_shift_l2"],
+          rep["cov_fro_delta"], rep["trace_ratio"])],
+        "n_reference double, n_current double, mean_shift_l2 double, "
+        "cov_fro_delta double, trace_ratio double")

@@ -230,6 +230,44 @@ def test_knn_pca_rerank_recall_at_default_m(spark):
     assert recall >= 0.85, recall
 
 
+def test_moments_drift_report_metrics(spark):
+    """Each metric isolates its drift mode: identical statistics report
+    exactly zero/one; a pure translation moves ONLY mean_shift_l2 (a
+    constant offset is invisible to covariance); a pure scaling moves
+    trace_ratio by the variance factor."""
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        moments_drift_report, pca_moments)
+    emb = _emb(spark)
+    m = pca_moments(emb)
+    same = moments_drift_report(m, m)
+    assert same["mean_shift_l2"] == 0.0
+    assert same["cov_fro_delta"] == 0.0
+    assert same["trace_ratio"] == 1.0
+    assert same["n_reference"] == same["n_current"] == m["n"]
+    # translation: +5 on every axis -> mean shift 5*sqrt(64)=40, cov flat
+    shifted = emb.select(
+        "vec_id", F.transform(F.col("embedding").cast("array<double>"),
+                              lambda x: x + F.lit(5.0)).alias("embedding"))
+    rep = moments_drift_report(m, pca_moments(shifted))
+    assert abs(rep["mean_shift_l2"] - 40.0) < 1e-3, rep
+    assert rep["cov_fro_delta"] < 1e-2
+    assert abs(rep["trace_ratio"] - 1.0) < 1e-3
+    # scaling: x2 on every axis -> variance x4, means double
+    scaled = emb.select(
+        "vec_id", F.transform(F.col("embedding").cast("array<double>"),
+                              lambda x: x * F.lit(2.0)).alias("embedding"))
+    rep2 = moments_drift_report(m, pca_moments(scaled))
+    assert abs(rep2["trace_ratio"] - 4.0) < 1e-3, rep2
+    assert rep2["mean_shift_l2"] > 0
+    # contract failures: ragged spaces, degenerate reference
+    with pytest.raises(ValueError, match="dimensions differ"):
+        moments_drift_report(m, {"n": 1.0, "s": [0.0], "S": [[0.0]]})
+    const = {"n": 10.0, "s": [10.0, 20.0], "S": [[10.0, 20.0],
+                                                 [20.0, 40.0]]}
+    with pytest.raises(ValueError, match="zero total variance"):
+        moments_drift_report(const, const)
+
+
 def test_rp_components_contract_and_jl_distortion(spark):
     """The static JL model: ±1/√k entries, deterministic in (dim, k,
     seed), and distance-preserving in expectation — squared-distance
