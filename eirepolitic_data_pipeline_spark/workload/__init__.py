@@ -28,18 +28,20 @@ from . import quality  # noqa: F401,E402
 
 
 # Certification rotation (round 11). The driver's correctness gate
-# certifies the first ~50 registered queries per round; with 95
-# registered, ~45 fall outside every round. Rank the workload so the
+# certifies the first ~50 registered queries per round; with 96
+# registered, ~46 fall outside every round. Rank the workload so the
 # window always covers the queries that NEED a fresh driver-green row:
-#   front — q91-q99 (new round 11, never driver-certified: the
+#   front — q91-q100 (new round 11, never driver-certified: the
 #           residual drift report, ivf_pq_index_drift
 #           residual=True over a written rpq index, the two
 #           distributed BATCH serving paths, and the PCA family —
 #           oracle-certified covariance + incremental-moments
 #           covariance, rows-only projection, the PCA-reduced
 #           two-stage serving path, the JL projection whose
-#           static model oracle-certifies the shared kernel, and the
-#           moments drift report — the family's refit trigger);
+#           static model oracle-certifies the shared kernel, the
+#           moments drift report — the family's refit trigger — and
+#           the JL-reduced two-stage serving chain, value-hash
+#           certified end to end);
 #           then the single-r10-ledger quartet
 #           q87-q90 (hold inside until 2+, the standing rule since
 #           r6), which also dispatch into the round-11 behavior change
@@ -59,10 +61,10 @@ from . import quality  # noqa: F401,E402
 #           budget refreshes the r9-green block whose newest ledger is
 #           now two rounds old: merge/dedupe (q19/q22-q25/q49/q50/
 #           q64/q66/q67), curation plumbing (q51/q52/q55-q58), DQ/
-#           compat. q57/q58/q32/q41 and the marts q45/q46 (green r9,
-#           their files untouched) were the 51st-56th when q94-q99
-#           landed and rotate to the tail head, as q48/q53 (green
-#           r8+r9,
+#           compat. q56/q57/q58/q32/q41 and the marts q45/q46 (green
+#           r9, their files untouched) were the 51st-57th when
+#           q94-q100 landed and rotate to the tail head, as q48/q53
+#           (green r8+r9,
 #           skew.py/temporal.py untouched two rounds) did when
 #           q92/q93 landed; with q69-q71/q76/q77 those are the aged
 #           block that MUST return inside in round 12.
@@ -90,6 +92,7 @@ _CERT_PRIORITY = [
     "q97_pca_incremental_covariance",
     "q98_rp_projection",
     "q99_moments_drift_report",
+    "q100_knn_rp_rerank",
     # single green ledger (r10) — hold inside until 2+; all four also
     # serve through the persisted paths the r11 contract guard changed
     "q87_knn_ivf_pq_index",
@@ -141,14 +144,14 @@ _CERT_PRIORITY = [
     "q51_dataset_split",
     "q52_sequence_packing",
     "q55_source_mixing",
-    "q56_resample_daily_ffill",
 ]
 _CERT_TAIL = [
-    # displaced by q94-q99 (the PCA/JL family took the last six window
-    # slots): green r9 with their implementation files
-    # (operators/curation.py, plans/quality.py, plans/registry.py,
-    # tables/gold.py) untouched in rounds 10-11 — age-1, rotate back
-    # inside in round 12
+    # displaced by q94-q100 (the PCA/JL family took the last seven
+    # window slots): green r9 with their implementation files
+    # (operators/curation.py, operators/incremental.py,
+    # plans/quality.py, plans/registry.py, tables/gold.py) untouched
+    # in rounds 10-11 — age-1, rotate back inside in round 12
+    "q56_resample_daily_ffill",
     "q57_domain_profile",
     "q58_stratified_sample",
     "q32_integrity_checks",

@@ -4215,3 +4215,103 @@ def q99_moments_drift_report(spark, sf_dir):
           rep["cov_fro_delta"], rep["trace_ratio"])],
         "n_reference double, n_current double, mean_shift_l2 double, "
         "cov_fro_delta double, trace_ratio double")
+
+
+def _rp_rerank_oracle_sql(dim: int = 64, out_dim: int = 8,
+                          seed: str = "jl", k: int = 5, m: int = 10,
+                          n_queries: int = 20) -> str:
+    """q100's oracle: q83's two-stage serving chain with q98's static
+    JL projection as the compression — stage 1 ranks on the projected
+    coordinates (baked ±1/√k literals, the kernel's exact fold order),
+    stage 2 re-ranks the |queries|·m candidates exactly at full
+    precision. Together with q83 (int8 stage 1) and q84-q86 (PQ/IVF
+    stage 1s), every member of the two-stage family whose stage-1
+    model is not an eigendecomposition is value-hash certified."""
+    from ..operators.vectors import rp_components
+
+    W = rp_components(dim, out_dim, seed)
+    proj = ",\n                ".join(
+        " + ".join(f"({w[d]!r}) * v[{d + 1}]" for d in range(dim))
+        for w in W)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+    -- the static JL projection, literal weights in the kernel's fold order
+    pr AS (
+      SELECT vec_id, v,
+             list_value({proj}) AS p
+      FROM e
+    ),
+    prn AS (SELECT vec_id, p, list_dot_product(p, p) AS pn FROM pr),
+    qs AS (
+      SELECT vec_id AS query_id, v AS qvf, p AS qp,
+             list_dot_product(v, v) AS qn,
+             list_dot_product(p, p) AS qpn
+      FROM pr WHERE vec_id < {n_queries}
+    ),
+    -- stage 1: top-m candidates by REDUCED-space cosine
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 CASE WHEN n.pn > 0 AND q.qpn > 0
+                      THEN list_cosine_similarity(n.p, q.qp)
+                      ELSE 0.0 END DESC, n.vec_id) AS rn
+        FROM qs q JOIN prn n ON n.vec_id <> q.query_id
+      ) WHERE rn <= {m}
+    ),
+    -- stage 2: exact full-dim re-rank of the |queries| x m candidates
+    ex AS (
+      SELECT c.query_id, c.neighbor_id,
+             CASE WHEN ne.nn2 > 0 AND q.qn > 0
+                  THEN list_cosine_similarity(ne.v, q.qvf)
+                  ELSE 0.0 END AS cos_raw
+      FROM cand c
+      JOIN (SELECT vec_id, v, list_dot_product(v, v) AS nn2 FROM e) ne
+        ON ne.vec_id = c.neighbor_id
+      JOIN qs q ON q.query_id = c.query_id
+    )
+    SELECT query_id, neighbor_id,
+           round(cos_raw, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+    FROM ex
+    QUALIFY rank <= {k}
+    """
+
+
+@register(
+    "q100_knn_rp_rerank",
+    _rp_rerank_oracle_sql(),
+    survey_ref="beyond-ref: JL-reduced two-stage serving kNN (operators/similarity.py:knn_pca_rerank with the static rp_components model) — the two-stage machinery value-hash certified end to end, which the PCA-model path (q96) structurally cannot be",
+    memoize=True,
+)
+def q100_knn_rp_rerank(spark, sf_dir):
+    """q96's two-stage serving path with q98's STATIC model (r11): the
+    same knn_pca_rerank machinery — map-only corpus projection,
+    Catalyst-twin query projection, reduced-space top-m=10, exact
+    full-dim re-rank to k=5 — but the JL sign model is a pure function
+    of (dim, out_dim, seed), so the ENTIRE chain is re-derived by the
+    oracle: projection fold, reduced-space candidate ranking, exact
+    re-rank, both rank cuts. This closes the certification story for
+    the two-stage family: q83/q85 (codec stage 1s), q84/q86/q92/q93
+    (IVF-pruned stage 1s), q100 (dimensionality stage 1) are all
+    value-hash green; only the data-derived eigh model (q96) rests on
+    pytest pins. No fit pass: static models also mean the plan is pure
+    scan → kernel → window — the serving shape with zero training
+    cost, which is exactly when JL beats PCA at 100 TB (projecting
+    from row one of a brand-new corpus)."""
+    from ..operators.similarity import knn_pca_rerank
+    from ..operators.vectors import rp_components
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+           .filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") > 0)))
+    W = rp_components(64, 8)
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = knn_pca_rerank(emb, queries, k=5, mean=[0.0] * 64,
+                         components=W, m=10)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
