@@ -230,6 +230,50 @@ def test_knn_pca_rerank_recall_at_default_m(spark):
     assert recall >= 0.85, recall
 
 
+def test_moments_algebra_fuzz():
+    """Pure-driver property: merge_moments is order-insensitive and
+    partition-insensitive up to float reassociation — any split of a
+    row set folds to the monolithic statistic, and a permutation of
+    the merge order changes nothing beyond reassociation error. (The
+    Spark-side halves of the contract are pinned against real frames
+    in test_incremental_moments_match_monolithic_fit.)"""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        merge_moments)
+
+    def mom(rows):
+        X = np.asarray(rows, dtype="float64")
+        return {"n": float(len(X)),
+                "s": X.sum(axis=0).tolist(),
+                "S": (X.T @ X).tolist()}
+
+    vals = st.floats(min_value=-100, max_value=100,
+                     allow_nan=False, allow_infinity=False)
+
+    @settings(max_examples=100, deadline=None)
+    @given(rows=st.lists(st.tuples(vals, vals, vals), min_size=1,
+                         max_size=30),
+           cut=st.integers(min_value=0, max_value=29),
+           flip=st.booleans())
+    def check(rows, cut, flip):
+        cut = min(cut, len(rows))
+        parts = [rows[:cut], rows[cut:]]
+        parts = [p for p in parts if p]
+        if flip:
+            parts = parts[::-1]
+        merged = merge_moments(*[mom(p) for p in parts])
+        mono = mom(rows)
+        assert merged["n"] == mono["n"]
+        assert np.allclose(merged["s"], mono["s"],
+                           rtol=1e-9, atol=1e-9)
+        assert np.allclose(merged["S"], mono["S"],
+                           rtol=1e-9, atol=1e-9)
+
+    check()
+
+
 def test_moments_drift_report_metrics(spark):
     """Each metric isolates its drift mode: identical statistics report
     exactly zero/one; a pure translation moves ONLY mean_shift_l2 (a
