@@ -1292,6 +1292,44 @@ def covariance_frame_from_moments(spark, moments: dict,
         "i int, j int, cov double").orderBy("i", "j")
 
 
+def correlation_frame(df: DataFrame, vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      round_dp: int = 6) -> DataFrame:
+    """``covariance_frame`` normalized to Pearson correlations: one row
+    per upper-triangle cell ``(i, j, corr)`` with
+    ``corr_ij = cov_ij / √(cov_ii · cov_jj)`` — the scale-free
+    redundancy measure (a |corr| near 1 flags a coordinate pair one of
+    which a reduction can drop outright, where raw covariance conflates
+    redundancy with magnitude). Same cost shape as the covariance: ONE
+    corpus moment pass, bounded driver fold. Derived from the
+    GRID-ROUNDED covariances (each cov cell rounds to ``round_dp``
+    first, then the ratio rounds again — the oracle mirrors both
+    roundings, so the two engines divide identical numerators by
+    identical denominators); a cell whose own variance rounds to zero
+    on the grid has no defined correlation and emits NULL (the
+    diagonal of such a coordinate also NULLs rather than claiming
+    1.0)."""
+    import numpy as np
+
+    n, s, S = _cov_moments(df, vec_col, id_col, "correlation_frame")
+    dim = len(s)
+    mu = s / n
+    cov = np.round(S / n - np.outer(mu, mu), round_dp)
+    var = np.diag(cov).copy()
+    iu, ju = np.triu_indices(dim)
+    rows = []
+    for i, j in zip(iu, ju):
+        if var[i] <= 0 or var[j] <= 0:
+            rows.append((int(i), int(j), None))
+        else:
+            rows.append((int(i), int(j),
+                         float(np.round(cov[i, j]
+                                        / np.sqrt(var[i] * var[j]),
+                                        round_dp) + 0.0)))
+    return df.sparkSession.createDataFrame(
+        rows, "i int, j int, corr double").orderBy("i", "j")
+
+
 def covariance_frame(df: DataFrame, vec_col: str = "embedding",
                      id_col: str = "vec_id",
                      round_dp: int = 6) -> DataFrame:

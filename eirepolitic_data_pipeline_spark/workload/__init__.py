@@ -28,10 +28,10 @@ from . import quality  # noqa: F401,E402
 
 
 # Certification rotation (round 11). The driver's correctness gate
-# certifies the first ~50 registered queries per round; with 96
-# registered, ~46 fall outside every round. Rank the workload so the
+# certifies the first ~50 registered queries per round; with 97
+# registered, ~47 fall outside every round. Rank the workload so the
 # window always covers the queries that NEED a fresh driver-green row:
-#   front — q91-q100 (new round 11, never driver-certified: the
+#   front — q91-q101 (new round 11, never driver-certified: the
 #           residual drift report, ivf_pq_index_drift
 #           residual=True over a written rpq index, the two
 #           distributed BATCH serving paths, and the PCA family —
@@ -39,9 +39,9 @@ from . import quality  # noqa: F401,E402
 #           covariance, rows-only projection, the PCA-reduced
 #           two-stage serving path, the JL projection whose
 #           static model oracle-certifies the shared kernel, the
-#           moments drift report — the family's refit trigger — and
-#           the JL-reduced two-stage serving chain, value-hash
-#           certified end to end);
+#           moments drift report — the family's refit trigger — the
+#           JL-reduced two-stage serving chain, value-hash certified
+#           end to end, and the correlation profile);
 #           then the single-r10-ledger quartet
 #           q87-q90 (hold inside until 2+, the standing rule since
 #           r6), which also dispatch into the round-11 behavior change
@@ -61,9 +61,9 @@ from . import quality  # noqa: F401,E402
 #           budget refreshes the r9-green block whose newest ledger is
 #           now two rounds old: merge/dedupe (q19/q22-q25/q49/q50/
 #           q64/q66/q67), curation plumbing (q51/q52/q55-q58), DQ/
-#           compat. q56/q57/q58/q32/q41 and the marts q45/q46 (green
-#           r9, their files untouched) were the 51st-57th when
-#           q94-q100 landed and rotate to the tail head, as q48/q53
+#           compat. q55-q58/q32/q41 and the marts q45/q46 (green
+#           r9, their files untouched) were the 51st-58th when
+#           q94-q101 landed and rotate to the tail head, as q48/q53
 #           (green r8+r9,
 #           skew.py/temporal.py untouched two rounds) did when
 #           q92/q93 landed; with q69-q71/q76/q77 those are the aged
@@ -93,6 +93,7 @@ _CERT_PRIORITY = [
     "q98_rp_projection",
     "q99_moments_drift_report",
     "q100_knn_rp_rerank",
+    "q101_pca_correlation",
     # single green ledger (r10) — hold inside until 2+; all four also
     # serve through the persisted paths the r11 contract guard changed
     "q87_knn_ivf_pq_index",
@@ -143,14 +144,14 @@ _CERT_PRIORITY = [
     "q67_conflict_evidence_dedupe",
     "q51_dataset_split",
     "q52_sequence_packing",
-    "q55_source_mixing",
 ]
 _CERT_TAIL = [
-    # displaced by q94-q100 (the PCA/JL family took the last seven
+    # displaced by q94-q101 (the PCA/JL family took the last eight
     # window slots): green r9 with their implementation files
     # (operators/curation.py, operators/incremental.py,
     # plans/quality.py, plans/registry.py, tables/gold.py) untouched
     # in rounds 10-11 — age-1, rotate back inside in round 12
+    "q55_source_mixing",
     "q56_resample_daily_ffill",
     "q57_domain_profile",
     "q58_stratified_sample",

@@ -4315,3 +4315,59 @@ def q100_knn_rp_rerank(spark, sf_dir):
                          components=W, m=10)
     return out.select("query_id", "neighbor_id",
                       F.round("cosine", 6).alias("cosine"), "rank")
+
+
+_PCA_CORR_ORACLE = """
+    WITH e AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+    d AS (SELECT max(len(v)) AS dim FROM e),
+    idx AS (SELECT unnest(range(1, (SELECT dim FROM d) + 1)) AS i),
+    cells AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b
+              ON b.i >= a.i),
+    -- q94's grid-rounded covariance cells: the corr derives from
+    -- THESE values on both engines, so numerator and denominator are
+    -- bit-identical before the final division
+    cv AS (SELECT CAST(c.i - 1 AS INTEGER) AS i,
+                  CAST(c.j - 1 AS INTEGER) AS j,
+                  round(sum(e.v[c.i] * e.v[c.j]) / count(*)
+                        - (sum(e.v[c.i]) / count(*))
+                        * (sum(e.v[c.j]) / count(*)), 6) AS cov
+           FROM cells c CROSS JOIN e
+           GROUP BY c.i, c.j),
+    diag AS (SELECT i, cov AS var FROM cv WHERE i = j)
+    SELECT cv.i, cv.j,
+           CASE WHEN di.var > 0 AND dj.var > 0
+                THEN round(cv.cov / sqrt(di.var * dj.var), 6) + 0.0
+                ELSE NULL END AS corr
+    FROM cv
+    JOIN diag di ON di.i = cv.i
+    JOIN diag dj ON dj.i = cv.j
+    ORDER BY cv.i, cv.j
+    """
+
+
+@register(
+    "q101_pca_correlation",
+    _PCA_CORR_ORACLE,
+    survey_ref="beyond-ref: Pearson correlation matrix from the same one-pass moments (operators/vectors.py:correlation_frame — scale-free feature-redundancy profiling; zero-variance coordinates NULL rather than claiming a correlation)",
+    memoize=False,  # the moment pass COLLECTS at construction
+)
+def q101_pca_correlation(spark, sf_dir):
+    """The covariance's scale-free twin certified end to end (r11):
+    the same single moment pass and bounded driver fold as q94, then
+    ``corr_ij = cov_ij / sqrt(cov_ii * cov_jj)`` over the GRID-ROUNDED
+    cells — both engines divide identical 6dp numerators by identical
+    6dp-derived denominators, so the only new surface under test is
+    the normalization itself (and its zero-variance NULL contract).
+    The profiling read at 100 TB: |corr| near 1 flags coordinate pairs
+    a reduction can collapse, independent of the coordinates'
+    magnitudes — the redundancy signal raw covariance conflates with
+    scale."""
+    from ..operators.vectors import correlation_frame
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+           .filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") > 0)))
+    return correlation_frame(emb)

@@ -375,6 +375,38 @@ def test_incremental_moments_match_monolithic_fit(spark):
         merge_moments()
 
 
+def test_correlation_frame_matches_numpy_and_nulls_constants(spark):
+    from eirepolitic_data_pipeline_spark.operators.vectors import (
+        correlation_frame)
+    emb = _emb(spark)
+    X = np.array([r["embedding"] for r in emb.collect()], dtype="float64")
+    ref = np.corrcoef(X.T)
+    rows = correlation_frame(emb).collect()
+    dim = X.shape[1]
+    assert len(rows) == dim * (dim + 1) // 2
+    for r in rows:
+        if r["i"] == r["j"]:
+            assert r["corr"] == 1.0
+        else:
+            # grid rounding of cov cells before the ratio perturbs the
+            # last retained digits vs the unrounded numpy path
+            assert abs(r["corr"] - ref[r["i"], r["j"]]) < 5e-4, \
+                (r["i"], r["j"], r["corr"], ref[r["i"], r["j"]])
+    # a constant coordinate has zero grid variance: its whole row and
+    # column NULL rather than claiming a correlation (incl. diagonal)
+    aug = emb.select(
+        "vec_id",
+        F.concat(F.col("embedding").cast("array<double>"),
+                 F.array(F.lit(7.0))).alias("embedding"))
+    aug_rows = correlation_frame(aug).collect()
+    last = dim  # index of the appended constant coordinate
+    for r in aug_rows:
+        if r["i"] == last or r["j"] == last:
+            assert r["corr"] is None, (r["i"], r["j"], r["corr"])
+        elif r["i"] == r["j"]:
+            assert r["corr"] == 1.0
+
+
 def test_covariance_frame_matches_numpy(spark):
     from eirepolitic_data_pipeline_spark.operators.vectors import (
         covariance_frame)
