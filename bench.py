@@ -55,9 +55,10 @@ def _q63_stage_walls(spark, sf_dir: str, runs: int = 3) -> dict[str, float]:
         curate_corpus_stages)
     from eirepolitic_data_pipeline_spark.workload.datapipe import (
         _BAND_ROWS, _N_HASHES)
-    from eirepolitic_data_pipeline_spark.workload.registry import spread, t
+    from eirepolitic_data_pipeline_spark.workload.registry import (
+        TEXT_SLICE_BYTES, spread, t)
 
-    docs = spread(t(spark, sf_dir, "documents")).select(
+    docs = spread(t(spark, sf_dir, "documents"), TEXT_SLICE_BYTES).select(
         "doc_id", "text", "lang", "source")
     samples: dict[str, list[float]] = {}
     for _ in range(runs):

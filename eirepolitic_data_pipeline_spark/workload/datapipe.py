@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 from ..functions import scalar as sc
 from ..functions import text as tx
 from ..operators.dedupe import pairs_from_postings, shingle_postings
-from .registry import register, spread, t
+from .registry import (TEXT_SLICE_BYTES, VEC_SLICE_BYTES, register,
+                       spread, t)
 
 
 def _no_null_elements(emb):
@@ -62,7 +63,7 @@ def q22_exact_dedup_fingerprint(spark, sf_dir):
     sha256 key; canonical row = min(doc_id) per group. One shuffle on the
     fingerprint — the canonical 100-TB exact-dedup plan."""
     from ..operators.dedupe import exact_duplicate_groups
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), TEXT_SLICE_BYTES)
     # THE operator, not an inline twin: the query exists to hash-pin
     # exact_duplicate_groups' semantics (and the operator carries the
     # hot-group caveat that routes curation to exact_canonical_ids)
@@ -128,7 +129,7 @@ def q23_jaccard_topk_pairs(spark, sf_dir):
     with unique tiebreaks. Hot-shingle skew is capped by default:
     pairs_from_postings drops posting lists longer than DEFAULT_MAX_DF
     (stop-shingles), and the oracle SQL applies the identical cap."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), TEXT_SLICE_BYTES)
     ex = shingle_postings(docs, "text", "doc_id", 3)
     pairs = (
         pairs_from_postings(ex, key="key", payload_cols=["n_sh"])
@@ -206,7 +207,7 @@ def q24_minhash_lsh_candidates(spark, sf_dir):
     cost tracks true near-dup density, not n². This is the scale path that
     replaces q23's full inverted index when shingle DF is huge."""
     from ..operators.dedupe import minhash_lsh_candidates
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), TEXT_SLICE_BYTES)
     # the operator itself (an inline twin had already drifted cosmetically
     # and would silently miss any fix to the operator's banding)
     return minhash_lsh_candidates(docs, "text", "doc_id", n=3,
@@ -247,7 +248,7 @@ def q25_simhash_signatures(spark, sf_dir):
     is an independent 1-bit hash). Hamming-close signatures ⇒ near-dups;
     banded search lives in operators.dedupe.simhash_near_pairs."""
     from ..operators.dedupe import simhash_signatures as simhash_op
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), TEXT_SLICE_BYTES)
     # the operator itself — the inline bit-for-bit copy bypassed the
     # operator's bits<=32 guard and could drift from the banded search
     # (simhash_near_pairs) that consumes these signatures
@@ -306,7 +307,7 @@ def q26_knn_bruteforce(spark, sf_dir):
     """Brute-force cosine top-k: broadcast the query vector, one scan, one
     JVM-side fold per row (zip_with/aggregate — no Python). The exact
     baseline the LSH path (q27) approximates."""
-    emb = _no_null_elements(spread(t(spark, sf_dir, "embeddings"))).withColumn(
+    emb = _no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES)).withColumn(
         "v", F.col("embedding").cast("array<double>"))
     q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     return (
@@ -391,7 +392,7 @@ def q27_ann_bucketed(spark, sf_dir):
     # and keeps the IVF cell projection off out-of-range getItems (which
     # THROW under ANSI). F.size(NULL) is NULL under ANSI, so NULL rows
     # fall out of the same predicate.
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
            .filter(F.size("embedding") >= 6)
            .withColumn("v", F.col("embedding").cast("array<double>")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
@@ -471,7 +472,7 @@ def q37_cosine_neardup_pairs(spark, sf_dir):
     bucket equi-join partitions by bucket, so work tracks near-dup density
     — never all-pairs. Thresholding on the rounded value keeps the cut
     deterministic across engines."""
-    emb = _no_null_elements(spread(t(spark, sf_dir, "embeddings"))).withColumn(
+    emb = _no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES)).withColumn(
         "v", F.col("embedding").cast("array<double>"))
     # guarded bucket (review r7, same inline-twin fix as q27): NULL vector ->
     # NULL bucket, dropped structurally by the equi-join — parity with the
@@ -538,7 +539,7 @@ def q28_text_stats(spark, sf_dir):
     ([n] markers around the document text) is stripped and clamped to a
     12-word brief, the post-processing step of every web-enriched LLM
     column. One projection pass over one documents scan, zero shuffles."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), TEXT_SLICE_BYTES)
     # coalesce: Spark's concat propagates NULL, so a NULL-text doc would
     # null the whole synthetic answer (and brief would come out '' only
     # via strip_citations' own coalesce, while the oracle's synthesized
@@ -592,7 +593,7 @@ def _lang_guess_sql() -> str:
 )
 def q29_language_id(spark, sf_dir):
     """Marker-stopword language ID vs the declared lang column."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), TEXT_SLICE_BYTES)
     return docs.select(
         "doc_id", F.col("lang").alias("declared_lang"),
         tx.language_guess("text").alias("guessed_lang"),
@@ -653,7 +654,7 @@ def q30_quality_scores(spark, sf_dir):
     the regex semantics (Java vs RE2, chosen to agree) hash-checked rather
     than trivially zero. All JVM-side column expressions; redaction order
     (email→ip→phone) pinned in functions/text.py:redact_pii."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), TEXT_SLICE_BYTES)
     q = tx.quality_features("text")
     # coalesce matches the oracle CTE: F.concat propagates NULL, which
     # would zero the counts on a NULL-text row while the oracle counted the
@@ -734,7 +735,7 @@ def q49_winnowed_fingerprints(spark, sf_dir):
     (functions/text.py) is its tested twin but ~100x slower in the hot
     path; the DuckDB list-lambda oracle mirrors the semantics exactly."""
     from ..operators.dedupe import winnowed_fingerprint_frame
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), TEXT_SLICE_BYTES)
     out = winnowed_fingerprint_frame(docs, "doc_id", "text", k=5, window=4)
     fp = F.col("fingerprints")
     return out.select(
@@ -807,7 +808,7 @@ def q50_winnow_neardup_pairs(spark, sf_dir):
     count stays a window over doc_id: that partition is bounded by
     fingerprints-per-doc (document length), not corpus popularity."""
     from ..operators.dedupe import pairs_from_postings, winnowed_fingerprint_frame
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), TEXT_SLICE_BYTES)
     fpf = winnowed_fingerprint_frame(docs, "doc_id", "text", k=5,
                                      window=4).localCheckpoint()
     postings = fpf.select("doc_id", F.explode("fingerprints").alias("key"))
@@ -956,7 +957,7 @@ def q54_repetition_stats(spark, sf_dir):
     (doc, bigram) — rather than a per-element lambda scan, so the plan is a
     plain partial-aggregated shuffle at any corpus size. High-fraction docs
     are the boilerplate/spam cut in training-data curation."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), TEXT_SLICE_BYTES)
     # tx.tokens, NOT a raw trim-then-split: F.trim strips only ASCII
     # spaces, so \n-trailed text would grow a phantom '' token and one
     # fabricated bigram per edge — drifting from the oracle's list_filter
@@ -1270,7 +1271,7 @@ def q61_line_dedup_boilerplate(spark, sf_dir):
     per-row doc set — so the hottest possible line (present in EVERY doc)
     costs one skew-splittable equi-join at any corpus size."""
     from ..operators.dedupe import dedupe_lines
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), TEXT_SLICE_BYTES)
     t2 = F.concat_ws(
         "\n", F.col("text"),
         F.lit("this shared boilerplate banner line appears everywhere"),
@@ -1344,7 +1345,7 @@ def q62_minhash_dedup_components(spark, sf_dir):
     component minimum — an independent algorithm (BFS closure vs label
     propagation) that must land on the identical assignment."""
     from ..operators.dedupe import minhash_dedup
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), TEXT_SLICE_BYTES)
     return minhash_dedup(docs, "text", "doc_id", n=3,
                          num_hashes=_N_HASHES, band_rows=_BAND_ROWS,
                          threshold=0.7)
@@ -1485,7 +1486,7 @@ def q63_curate_corpus_certified(spark, sf_dir):
     independent recursive-CTE algorithm — so the final kept-set AND the
     split assignment must both match row-for-row."""
     from ..operators.curation import curate_corpus
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), TEXT_SLICE_BYTES)
     out = curate_corpus(docs.select("doc_id", "text", "lang", "source"),
                         near_dup_hashes=_N_HASHES,
                         near_dup_band_rows=_BAND_ROWS)
@@ -1556,7 +1557,7 @@ def q64_decontaminate_benchmark(spark, sf_dir):
     side the birthday bound puts that at ~10^-9 per round — accepted, but
     the parity claim is probabilistic, not airtight."""
     from ..operators.dedupe import decontaminate
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), TEXT_SLICE_BYTES)
     corp = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
     kept, contaminated = decontaminate(corp, bench, "text", "doc_id", n=8)
@@ -1631,7 +1632,7 @@ def q65_knn_lsh_multiprobe(spark, sf_dir):
     sequential-fold cosine (ranked on the RAW double on both engines —
     rounding is display-only)."""
     from ..operators.similarity import knn_lsh
-    emb = _no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = _no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
     queries = emb.filter(F.col("vec_id") < 5)
     out = knn_lsh(emb, queries, k=3, n_bits=6, multiprobe=True)
     return out.select("query_id", "neighbor_id",
@@ -1719,7 +1720,7 @@ def q66_simhash_banded_pairs(spark, sf_dir):
     exactly, with no hash-collision caveat on either the candidate set or
     the cap."""
     from ..operators.dedupe import simhash_near_pairs
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), TEXT_SLICE_BYTES)
     return simhash_near_pairs(docs, "text", "doc_id",
                               bits=32, band_bits=8, max_hamming=3)
 
@@ -1941,7 +1942,7 @@ def q69_bm25_relevance(spark, sf_dir):
     on the doc key. Oracle re-derives every component in SQL; the 6-dp
     round absorbs float summation-order drift across <= 3 terms."""
     from ..operators.relevance import bm25_scores
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), TEXT_SLICE_BYTES)
     # persist_stats=False: the workload memoizes built plans across bench
     # passes, so the operator's default lazy persist would turn passes 2+
     # into block-cache reads — the 'memo becomes RESULT caching' failure
@@ -1999,7 +2000,7 @@ def q70_bigram_lm_quality(spark, sf_dir):
     the same LM in SQL; the per-doc mean is rounded to 6 dp to absorb
     summation-order drift."""
     from ..operators.relevance import bigram_lm_bits
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), TEXT_SLICE_BYTES)
     # persist_stats=False: same reasoning as q69 — memoized plans across
     # bench passes must not read a persisted count table for free.
     return bigram_lm_bits(docs, "text", "doc_id", persist_stats=False)
@@ -2057,7 +2058,7 @@ def q71_ngram_heavy_hitters(spark, sf_dir):
     Rank ties break on ngram asc — a total order, so the oracle's
     row_number reproduces it exactly."""
     from ..operators.profiling import ngram_heavy_hitters
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), TEXT_SLICE_BYTES)
     return ngram_heavy_hitters(docs, n=2, k=10, group_cols=("source",))
 
 
@@ -2114,7 +2115,7 @@ def q74_source_overlap(spark, sf_dir):
     document-pair expansion), exploded to source pairs and
     count-aggregated; per-source totals broadcast back."""
     from ..operators.profiling import source_overlap
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), TEXT_SLICE_BYTES)
     return source_overlap(docs, n=3)
 
 
@@ -2184,7 +2185,7 @@ def q72_quantize_int8(spark, sf_dir):
     both sides (F.aggregate ~ list_reduce) so doubles agree bit-for-bit
     before the 9/12-dp rounds."""
     from ..operators.vectors import quantize_int8
-    emb = _no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = _no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
     q = quantize_int8(emb)
     qv = F.col("qvec")
     # NULL/empty-vector digest contract, pinned to what the DuckDB side
@@ -2309,7 +2310,7 @@ def q73_kmeans_clusters(spark, sf_dir):
     model only. The oracle unrolls both iterations as CTE rounds sharing
     the identical sequential-fold distance."""
     from ..operators.vectors import kmeans_assign
-    emb = spread(t(spark, sf_dir, "embeddings"))
+    emb = spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES)
     return kmeans_assign(emb, k=4, iters=2)
 
 
@@ -2356,7 +2357,7 @@ def q75_diversity_sample(spark, sf_dir):
     Plan: the kmeans fit's bounded aggregations + ONE row_number window
     per cluster over the assignment projection."""
     from ..operators.vectors import diversity_sample
-    emb = spread(t(spark, sf_dir, "embeddings"))
+    emb = spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES)
     return diversity_sample(emb, quota=25, k=4, iters=2)
 
 
@@ -2402,7 +2403,7 @@ def q77_dataset_card(spark, sf_dir):
     single map-side-combined groupBy(source); the distinct-fingerprint
     count shuffles on the same key. Integer avgs divide once at the end,
     so the 2-dp rounds see identical doubles on both engines."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), TEXT_SLICE_BYTES)
     n_tok = tx.token_count("text").cast("long")
     lang = tx.language_guess("text")
     fp = tx.doc_fingerprint("text")
@@ -2509,7 +2510,7 @@ def q78_ann_recall(spark, sf_dir):
     # the q27 vector contract: NULL/empty/short vectors are out of
     # contract for a 6-bit bucketed index and for brute-force ground
     # truth alike (a NULL query would score 0.0 against everything)
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
            .filter(F.size("embedding") >= 6))
     queries = emb.filter(F.col("vec_id") < 20)
     return ann_recall(emb, queries, k=5, n_bits=6, multiprobe=True)
@@ -2607,7 +2608,7 @@ def q79_semdedup_clusters(spark, sf_dir):
     pushed one cluster past 10k rows, then hash-mismatch with the root
     cause visible in neither query text (review r7)."""
     from ..operators.vectors import semdedup
-    emb = spread(t(spark, sf_dir, "embeddings"))
+    emb = spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES)
     return semdedup(emb, k=16, iters=1, threshold=0.4, max_cluster=None)
 
 
@@ -2675,7 +2676,7 @@ def q80_ann_recall_ivf(spark, sf_dir):
     broadcast ground truth, cell equi-join under test, |queries| x k
     comparison join."""
     from ..operators.similarity import ann_recall, ivf_grid_cells
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
            .filter(F.size("embedding") >= 2))
     queries = emb.filter(F.col("vec_id") < 20)
     return ann_recall(emb, queries, k=5, multiprobe=False,
@@ -2751,7 +2752,7 @@ def q81_ann_recall_ivf_nprobe(spark, sf_dir):
     strings), so the no-dedup join contract holds."""
     from ..operators.similarity import (ann_recall, ivf_grid_cells,
                                         ivf_probe_cells)
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
            .filter(F.size("embedding") >= 2))
     queries = emb.filter(F.col("vec_id") < 20)
     return ann_recall(emb, queries, k=5, multiprobe=False,
@@ -2856,7 +2857,7 @@ def q82_ann_recall_ivf_trained(spark, sf_dir):
                                         centroid_cells_frame,
                                         centroid_probe_ranks)
     from ..operators.vectors import kmeans_fit
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     cents = kmeans_fit(emb, k=8, iters=1)
@@ -2956,7 +2957,7 @@ def q83_knn_quantized_rerank(spark, sf_dir):
     the full-precision truth agree on every emitted (neighbor, rank)."""
     from ..operators.similarity import knn_quantized_rerank
     from ..operators.vectors import quantize_int8
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     quantized = quantize_int8(emb).select("vec_id", "scale", "qvec")
@@ -3118,7 +3119,7 @@ def q84_knn_ivf_pq(spark, sf_dir):
     for only |queries| x m rows."""
     from ..operators.similarity import knn_ivf_pq
     from ..operators.vectors import kmeans_fit, quantize_int8
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     cents = kmeans_fit(emb, k=8, iters=1)
@@ -3248,7 +3249,7 @@ def q85_knn_pq_adc(spark, sf_dir):
     contract."""
     from ..operators.similarity import knn_pq_adc
     from ..operators.vectors import pq_encode, pq_fit
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     books = pq_fit(emb, m=4, k=8, iters=1)
@@ -3401,7 +3402,7 @@ def q86_knn_ivf_adc(spark, sf_dir):
     the narrowest serving path in the family."""
     from ..operators.similarity import knn_ivf_adc
     from ..operators.vectors import ivf_pq_fit, pq_encode
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     # the fused trainer: bit-identical to the separate
@@ -3472,7 +3473,7 @@ def q87_knn_ivf_pq_index(spark, sf_dir):
     from ..operators.similarity import (knn_ivf_pq_index,
                                         write_ivf_pq_index)
     from ..operators.vectors import ivf_pq_fit, pq_encode
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     cents, books = ivf_pq_fit(emb, k_coarse=8, m=4, k_sub=8, iters=1)
@@ -3572,7 +3573,7 @@ def q88_index_drift_report(spark, sf_dir):
     from ..operators.similarity import (ivf_pq_index_drift,
                                         write_ivf_pq_index)
     from ..operators.vectors import ivf_pq_fit, pq_encode
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     cents, books = ivf_pq_fit(emb, k_coarse=8, m=4, k_sub=8, iters=1)
@@ -3752,7 +3753,7 @@ def q89_knn_ivf_rpq(spark, sf_dir):
     residual codec via ``_pq_codec_sql``'s ``src`` seam."""
     from ..operators.similarity import knn_ivf_adc_residual
     from ..operators.vectors import ivf_pq_encode, ivf_pq_fit_residual
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     cents, books = ivf_pq_fit_residual(emb, k_coarse=8, m=4, k_sub=8,
@@ -3788,7 +3789,7 @@ def q90_knn_ivf_rpq_index(spark, sf_dir):
     from ..operators.similarity import (knn_ivf_rpq_index,
                                         write_ivf_rpq_index)
     from ..operators.vectors import ivf_pq_fit_residual
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     cents, books = ivf_pq_fit_residual(emb, k_coarse=8, m=4, k_sub=8,
@@ -3839,7 +3840,7 @@ def q91_rpq_index_drift(spark, sf_dir):
     from ..operators.similarity import (ivf_pq_index_drift,
                                         write_ivf_rpq_index)
     from ..operators.vectors import ivf_pq_fit_residual
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     cents, books = ivf_pq_fit_residual(emb, k_coarse=8, m=4, k_sub=8,
@@ -3882,7 +3883,7 @@ def q92_knn_ivf_pq_batch(spark, sf_dir):
     from ..operators.similarity import (knn_ivf_pq_index_batch,
                                         write_ivf_pq_index)
     from ..operators.vectors import ivf_pq_fit, pq_encode
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     cents, books = ivf_pq_fit(emb, k_coarse=8, m=4, k_sub=8, iters=1)
@@ -3917,7 +3918,7 @@ def q93_knn_ivf_rpq_batch(spark, sf_dir):
     from ..operators.similarity import (knn_ivf_rpq_index_batch,
                                         write_ivf_rpq_index)
     from ..operators.vectors import ivf_pq_fit_residual
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     cents, books = ivf_pq_fit_residual(emb, k_coarse=8, m=4, k_sub=8,
@@ -3975,7 +3976,7 @@ def q94_pca_covariance(spark, sf_dir):
     point: the corpus contributes one map pass; only the dim×dim
     moment matrix ever moves."""
     from ..operators.vectors import covariance_frame
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     return covariance_frame(emb)
@@ -4003,7 +4004,7 @@ def q95_pca_projection(spark, sf_dir):
     no SQL oracle can exist here and where each contract is pinned
     instead."""
     from ..operators.vectors import pca_fit, pca_project
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     mean, comps, _ = pca_fit(emb, k=4)
@@ -4038,7 +4039,7 @@ def q96_knn_pca_rerank(spark, sf_dir):
     compression axis."""
     from ..operators.similarity import knn_pca_rerank
     from ..operators.vectors import pca_fit
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     mean, comps, _ = pca_fit(emb, k=32)
@@ -4070,7 +4071,7 @@ def q97_pca_incremental_covariance(spark, sf_dir):
     replace fact-table recomputes."""
     from ..operators.vectors import (covariance_frame_from_moments,
                                      merge_moments, pca_moments)
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     history = emb.filter(F.col("vec_id") % 2 == 0)
@@ -4127,7 +4128,7 @@ def q98_rp_projection(spark, sf_dir):
     projection machinery itself, leaving exactly the driver-side eigh
     as the pytest-pinned remainder."""
     from ..operators.vectors import pca_project, rp_components
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     W = rp_components(64, 8)
@@ -4204,7 +4205,7 @@ def q99_moments_drift_report(spark, sf_dir):
     corpus — the drift check a streaming deployment runs every epoch,
     with refit (pca_fit_from_moments) only when it fires."""
     from ..operators.vectors import moments_drift_report, pca_moments
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     ref = pca_moments(emb.filter(F.col("vec_id") % 2 == 0))
@@ -4306,7 +4307,7 @@ def q100_knn_rp_rerank(spark, sf_dir):
     from row one of a brand-new corpus)."""
     from ..operators.similarity import knn_pca_rerank
     from ..operators.vectors import rp_components
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     W = rp_components(64, 8)
@@ -4367,7 +4368,7 @@ def q101_pca_correlation(spark, sf_dir):
     magnitudes — the redundancy signal raw covariance conflates with
     scale."""
     from ..operators.vectors import correlation_frame
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings")))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     return correlation_frame(emb)

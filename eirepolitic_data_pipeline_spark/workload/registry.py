@@ -105,8 +105,29 @@ def scan_partitions(df: DataFrame) -> int:
     return df.rdd.getNumPartitions()
 
 
-def spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition a tiny scan up to the session's parallelism.
+#: Per-slice input-byte densities for ``spread`` — how many SCAN bytes one
+#: task should own, by the cost of the work that runs above the exchange
+#: (r11 optimization round, guide §2/§6: derive the fan-out from input
+#: size, never from a core-count constant).
+#:
+#: TEXT: per-row Python/interpreted work (shingling, md5 loops, tokenize)
+#: is enormous relative to the bytes — tiny slices so every core helps.
+#: At sf0.1 (594 KB documents) this still yields the full local width
+#: (37 → capped at parallelism), so local text numbers are unchanged;
+#: smaller fixtures now stop over-splitting.
+TEXT_SLICE_BYTES = 16 << 10
+#: VEC: downstream is vectorized Arrow/numpy kernels and bounded folds —
+#: per-row cost is tiny, so wide fan-outs only buy task-scheduling and
+#: Python-worker overhead. Measured at sf0.1 (2 000 x 64 embeddings, 32
+#: cores): the fused Lloyd pass runs 0.95-1.0 s at width 32 vs 0.57 s at
+#: width 8, and the serving-fold chains 1.2-2.0 s at 32 vs 0.56 s at 8.
+#: 96 KB/slice puts the 798 KB sf0.1 scan at 9 slices and grows with
+#: input until the parallelism cap — the same plan at production scale.
+VEC_SLICE_BYTES = 96 << 10
+
+
+def spread(df: DataFrame, per_slice_bytes: int | None = None) -> DataFrame:
+    """Round-robin repartition a tiny scan up to a SIZE-DERIVED width.
 
     A small parquet fixture arrives as ONE input split, so CPU-heavy
     per-row stages (shingling, hashing, tokenizing) would run on one core
@@ -119,8 +140,22 @@ def spread(df: DataFrame) -> DataFrame:
     session and break the workload memo's plan-reuse-not-result-caching
     contract (workload.__init__._tuned). At production scale the scan has
     plenty of splits and this is a no-op.
-    """
+
+    ``per_slice_bytes`` (r11 optimization round) derives the width from
+    the scan's estimated input size — ``min(parallelism,
+    ceil(size / per_slice_bytes))`` — instead of the flat parallelism
+    constant, so cheap vectorized-kernel consumers (``VEC_SLICE_BYTES``)
+    stop paying 32-task scheduling and Python-worker fan-out for a
+    2 000-row frame while CPU-dense text consumers (``TEXT_SLICE_BYTES``)
+    keep every core. The size estimate comes from the optimized plan's
+    Catalyst statistics (driver-side metadata, no job). ``None``
+    preserves the original full-parallelism behavior."""
     p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        return df.repartition(p)
+    want = p
+    if per_slice_bytes:
+        est = int(str(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        want = min(p, max(1, -(-est // per_slice_bytes)))
+    if want > 1 and df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
     return df

@@ -357,3 +357,32 @@ def test_persisted_index_scan_prunes_to_probe_set(spark, tmp_path):
             r"PartitionFilters: \[.*cell.* (IN|=) ", text), text
         got = s.metrics().apply("numPartitions").value()
         assert got == n_probe, (got, n_probe, n_cells)
+
+
+def test_spread_width_is_size_derived(spark):
+    """r11 optimization: ``spread(df, per_slice_bytes)`` derives the
+    round-robin width from the scan's Catalyst size estimate instead of
+    the flat parallelism constant — ceil(size / per_slice_bytes), capped
+    by the session parallelism, floor 1 (width 1 = no exchange at all).
+    The default call keeps the original full-parallelism fan-out."""
+    from eirepolitic_data_pipeline_spark.workload.registry import (
+        VEC_SLICE_BYTES, spread, t)
+
+    emb = t(spark, SF_SMOKE, "embeddings")
+    p = spark.sparkContext.defaultParallelism
+    est = int(str(
+        emb._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    want = min(p, max(1, -(-est // VEC_SLICE_BYTES)))
+
+    sized = spread(emb, VEC_SLICE_BYTES)
+    if want > 1:
+        assert sized.rdd.getNumPartitions() == want
+    else:  # width 1: returned unchanged, no round-robin exchange
+        assert _roundrobins(_plan(sized)) == 0
+
+    # a slice size far above the input => always a no-op, never a shuffle
+    assert _roundrobins(_plan(spread(emb, 1 << 40))) == 0
+
+    # default call: original behavior (fan out to parallelism)
+    if emb.rdd.getNumPartitions() < p:
+        assert spread(emb).rdd.getNumPartitions() == p
