@@ -20,13 +20,44 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def cosine_col(a: Column, b: Column) -> Column:
+def _finite2(rows: list[list[float]]) -> bool:
+    """True when every value of a 2-level model is finite — the
+    precondition for embedding it as repr-exact SQL text literals (the
+    text builders' guard; non-finite models fall back to the Column
+    path, which encodes them losslessly)."""
+    import math
+    return all(math.isfinite(float(x)) for r in rows for x in r)
+
+
+def _sum_sql(arr_sql: str) -> str:
+    """Sequential left-to-right double fold of an array SQL fragment —
+    ``vectors._fold_sum``'s text twin."""
+    return f"aggregate({arr_sql}, 0.0D, (acc, x) -> acc + x)"
+
+
+def cosine_col(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity of two array<double> columns (sequential fold).
 
     Zero-norm vectors score 0.0 ("orthogonal to everything"), not NaN:
     Spark orders NaN ABOVE every real number, so a single all-zero
     embedding would otherwise rank as the TOP neighbor of every query in
-    the descending top-k windows downstream."""
+    the descending top-k windows downstream.
+
+    Accepts Columns or column NAMES: two names parse the whole
+    expression in ONE Py4J round trip instead of the ~150 the three
+    lambda folds cost (r11 optimization round; identical analyzed tree
+    and bit-identical doubles — the text lambdas are the same
+    LambdaFunction nodes)."""
+    if isinstance(a, str) and isinstance(b, str):
+        ra, rb = f"`{a}`", f"`{b}`"
+        dot = _sum_sql(f"zip_with({ra}, {rb}, (x, y) -> x * y)")
+        na = _sum_sql(f"transform({ra}, x -> x * x)")
+        nb = _sum_sql(f"transform({rb}, x -> x * x)")
+        return F.expr(f"CASE WHEN ({na} > 0) AND ({nb} > 0) "
+                      f"THEN {dot} / (SQRT({na}) * SQRT({nb})) "
+                      f"ELSE 0.0D END")
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     na = F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
@@ -52,7 +83,7 @@ def knn_bruteforce(vectors: DataFrame, queries: DataFrame, k: int,
     return (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_col(F.col("nv"), F.col("qv")))
+        .withColumn("cosine", cosine_col("nv", "qv"))
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
@@ -207,7 +238,7 @@ def _compressed_topm(v: DataFrame, q: DataFrame, m: int) -> DataFrame:
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (v.crossJoin(F.broadcast(q))
             .filter(F.col("neighbor_id") != F.col("query_id"))
-            .withColumn("cosine", cosine_col(F.col("nv"), F.col("qv")))
+            .withColumn("cosine", cosine_col("nv", "qv"))
             .select("query_id", "neighbor_id", "cosine")
             .withColumn("rank", F.row_number().over(w_m).cast("int"))
             .filter(F.col("rank") <= m))
@@ -258,7 +289,7 @@ def knn_pq_adc(codes: DataFrame, codebooks: list[list[list[float]]],
 
     m = _resolve_m(k, m)
     v = codes.select(F.col("vec_id").alias("neighbor_id"),
-                     pq_decode(F.col("codes"), codebooks).alias("nv"))
+                     pq_decode("codes", codebooks).alias("nv"))
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qv"))
     cand = _compressed_topm(v, q, m)
@@ -283,7 +314,7 @@ def _exact_rerank(cand: DataFrame, q: DataFrame, vectors: DataFrame,
         F.col("cosine").desc(), F.col("neighbor_id"))
     cand_q = cand.join(F.broadcast(q), "query_id")
     return (xv.join(F.broadcast(cand_q), "neighbor_id")
-            .withColumn("cosine", cosine_col(F.col("xv"), F.col("qv")))
+            .withColumn("cosine", cosine_col("xv", "qv"))
             .withColumn("rank", F.row_number().over(w_k).cast("int"))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
@@ -371,7 +402,7 @@ def _ivf_compressed_serve(dq_frame: DataFrame, queries: DataFrame, k: int,
     q_in = queries.select(F.col(query_id_col),
                           F.col(vec_col).cast("array<double>")
                           .alias("__dqv"),
-                          centroid_cells(F.col(vec_col), centroids)
+                          centroid_cells(vec_col, centroids)
                           .alias("__cell"))
     cand = knn_lsh(dq_frame, q_in, m, id_col="vec_id",
                    vec_col="__dqv", query_id_col=query_id_col,
@@ -420,7 +451,7 @@ def knn_ivf_adc(codes: DataFrame, codebooks: list[list[list[float]]],
     m = _resolve_m(k, m)
     dq_frame = centroid_cells_frame(
         codes.select("vec_id",
-                     pq_decode(F.col("codes"), codebooks).alias("__dqv")),
+                     pq_decode("codes", codebooks).alias("__dqv")),
         centroids, id_col="vec_id", vec_col="__dqv", cell_col="__cell")
     return _ivf_compressed_serve(dq_frame, queries, k, centroids, nprobe,
                                  m, vectors, id_col, vec_col,
@@ -464,7 +495,7 @@ def knn_ivf_adc_residual(codes: DataFrame,
     m = _resolve_m(k, m)
     recon = F.zip_with(
         F.element_at(_lit_array2(centroids), F.col("cell") + 1),
-        pq_decode(F.col("codes"), codebooks),
+        pq_decode("codes", codebooks),
         lambda c, r: c + r)
     dq_frame = codes.select("vec_id", recon.alias("__dqv"),
                             F.col("cell").cast("string").alias("__cell"))
@@ -473,7 +504,7 @@ def knn_ivf_adc_residual(codes: DataFrame,
                                  query_id_col)
 
 
-def sign_lsh_bucket(vec_col: Column, n_bits: int = 8) -> Column:
+def sign_lsh_bucket(vec_col: Column | str, n_bits: int = 8) -> Column:
     """Axis-aligned hyperplane LSH: bucket = sign bits of the first n dims.
     Cheap, deterministic, engine-independent. For better-distributed planes
     use hashed_projection_bucket below.
@@ -498,19 +529,24 @@ def sign_lsh_bucket(vec_col: Column, n_bits: int = 8) -> Column:
     engines bucket such a vector identically. Unlike the IVF cell path
     (where a skipped NULL coordinate malformed the key), the bit string
     stays well-formed, so no probe-duplication hazard arises."""
+    if isinstance(vec_col, str):
+        vec_col = F.col(vec_col)
     bits = [F.when(vec_col.getItem(i) >= 0, F.lit("1")).otherwise(F.lit("0"))
             for i in range(n_bits)]
     return F.when(vec_col.isNotNull() & (F.size(vec_col) >= n_bits),
                   F.concat(*bits))
 
 
-def hashed_projection_bucket(vec_col: Column, dim: int, n_planes: int = 8,
+def hashed_projection_bucket(vec_col: Column | str, dim: int,
+                             n_planes: int = 8,
                              seed: str = "lsh") -> Column:
     """Random-hyperplane LSH with content-derived pseudo-random planes:
     plane p weight for dim d = ±1 chosen by a bit of md5(seed:p:d). Signed
     sums fold JVM-side; deterministic across runs and engines."""
     import hashlib
 
+    if isinstance(vec_col, str):
+        vec_col = F.col(vec_col)
     bits = []
     for p in range(n_planes):
         terms = []
@@ -551,9 +587,13 @@ def knn_lsh(vectors: DataFrame, queries: DataFrame, k: int,
     the corpus can contain degenerate buckets, or raise n_bits.
 
     ``bucketer`` swaps the bucket function: a callable
-    ``(vec_col, n_bits) -> Column`` producing an ``n_bits``-character
-    '0'/'1' string (multiprobe flips those characters). Default is
-    ``sign_lsh_bucket``; pass e.g.
+    ``(vec, n_bits) -> Column`` producing an ``n_bits``-character
+    '0'/'1' string (multiprobe flips those characters), where ``vec``
+    is the vector column NAME (str — every bucketer in this module
+    accepts names; wrap in ``F.col`` for Column arithmetic. Passing the
+    name lets the model-literal builders parse as one-round-trip text,
+    the r11 plan-construction fix). Default is ``sign_lsh_bucket``;
+    pass e.g.
     ``lambda c, n: hashed_projection_bucket(c, dim=768, n_planes=n)`` for
     better-distributed planes when embedding axes are correlated.
 
@@ -566,8 +606,9 @@ def knn_lsh(vectors: DataFrame, queries: DataFrame, k: int,
     cells — the nprobe dial of a real IVF index.
 
     ``vector_prober`` (r8) is the trained-quantizer variant of
-    ``prober``: a callable ``(qvec_col) -> Column`` producing the probe
-    ARRAY from the query VECTOR itself — required when probe ranking
+    ``prober``: a callable ``(qvec) -> Column`` producing the probe
+    ARRAY from the query VECTOR itself (``qvec`` is the query-vector
+    column NAME, str — same rationale as ``bucketer``) — required when probe ranking
     needs distances (``centroid_probe_ranks``: the nprobe nearest
     centroids), which the bucket key alone can't express. Same output
     contract as ``prober`` (home bucket first, pairwise distinct), and
@@ -582,7 +623,7 @@ def knn_lsh(vectors: DataFrame, queries: DataFrame, k: int,
     bucket_of = bucketer or sign_lsh_bucket
     v = vectors.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).cast("array<double>").alias("nv"),
-                       bucket_of(F.col(vec_col), n_bits).alias("bucket"))
+                       bucket_of(vec_col, n_bits).alias("bucket"))
     if max_bucket is not None:
         small = (v.groupBy("bucket")
                  .agg(F.count(F.lit(1)).alias("__bn"))
@@ -591,7 +632,7 @@ def knn_lsh(vectors: DataFrame, queries: DataFrame, k: int,
         v = v.join(small, "bucket", "left_semi")
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qv"),
-                       bucket_of(F.col(vec_col), n_bits).alias("qbucket"))
+                       bucket_of(vec_col, n_bits).alias("qbucket"))
     if multiprobe:
         # probe the home bucket plus each 1-bit flip
         def flip(bucket: Column, i: int) -> Column:
@@ -616,7 +657,7 @@ def knn_lsh(vectors: DataFrame, queries: DataFrame, k: int,
         q = q.withColumn(
             "qbucket",
             F.explode(F.when(F.col("qbucket").isNotNull(),
-                             vector_prober(F.col("qv")))))
+                             vector_prober("qv"))))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     # No dropDuplicates: (query_id, neighbor_id) pairs are unique by
     # construction — each neighbor has ONE bucket, and the probe set (home
@@ -627,7 +668,7 @@ def knn_lsh(vectors: DataFrame, queries: DataFrame, k: int,
     return (
         q.join(v, (F.col("bucket") == F.col("qbucket"))
                & (F.col("neighbor_id") != F.col("query_id")))
-        .withColumn("cosine", cosine_col(F.col("nv"), F.col("qv")))
+        .withColumn("cosine", cosine_col("nv", "qv"))
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
@@ -678,7 +719,8 @@ def knn_bruteforce_pandas(vectors: DataFrame, queries_pdf, k: int,
             .filter(F.col("rank") <= k))
 
 
-def ivf_grid_cells(vec_col: Column, grid: int = 4, dims: int = 2) -> Column:
+def ivf_grid_cells(vec_col: Column | str, grid: int = 4,
+                   dims: int = 2) -> Column:
     """Deterministic coarse quantizer: grid cell over the first ``dims``
     dimensions as a compact string key (fixed codebook, no training pass —
     swap for kmeans centroids without touching callers).
@@ -696,6 +738,8 @@ def ivf_grid_cells(vec_col: Column, grid: int = 4, dims: int = 2) -> Column:
     ann_recall's counting join). The oracles' separate cx/cy columns drop
     NULL coords via NULL join keys — this makes the engine structurally
     identical."""
+    if isinstance(vec_col, str):
+        vec_col = F.col(vec_col)
     parts = [F.floor(F.element_at(vec_col, i + 1).cast("double") * grid)
              .cast("long").cast("string") for i in range(dims)]
     joined = []
@@ -707,7 +751,8 @@ def ivf_grid_cells(vec_col: Column, grid: int = 4, dims: int = 2) -> Column:
                   F.concat(*joined))
 
 
-def centroid_cells(vec_col: Column, centroids: list[list[float]]) -> Column:
+def centroid_cells(vec_col: Column | str,
+                   centroids: list[list[float]]) -> Column:
     """Trained-centroid coarse quantizer — the production IVF shape the
     fixed grid (``ivf_grid_cells``) stands in for: cell = id of the
     NEAREST fitted centroid (squared L2, ties to the lowest id) as a
@@ -742,11 +787,43 @@ def centroid_cells(vec_col: Column, centroids: list[list[float]]) -> Column:
     Column remains the literal semantic twin the assignment kernel is
     parity-pinned against; for corpus-sized frames use
     ``centroid_cells_frame``."""
+    if isinstance(vec_col, str) and _finite2(centroids):
+        from .vectors import _wf_sql
+        ref = f"`{vec_col}`"
+        structs = _centroid_d2_structs_sql(ref, centroids)  # validates
+        dim = len(centroids[0])
+        return F.expr(
+            f"CASE WHEN {_wf_sql(ref, dim)} "
+            f"THEN CAST(array_min({structs}).cluster AS STRING) END")
+    if isinstance(vec_col, str):
+        vec_col = F.col(vec_col)
     best = _centroid_argmin(vec_col, centroids)["cluster"]
     dim = len(centroids[0])
     return F.when(vec_col.isNotNull() & (F.size(vec_col) == dim)
                   & ~F.exists(vec_col, lambda x: x.isNull()),
                   best.cast("string"))
+
+
+def _centroid_d2_structs_sql(vec_sql: str,
+                             centroids: list[list[float]]) -> str:
+    """``_centroid_d2_structs`` as one SQL fragment (r11 optimization
+    round): the same flat-literal transform/zip_with/fold tree, rendered
+    as text so the whole k-centroid distance expression parses in ONE
+    Py4J round trip. The parsed tree is identical — text lambdas build
+    the same LambdaFunction nodes — so every double and tie-break is
+    bit-identical to the Column form (oracle- and parity-pinned)."""
+    if not centroids or not centroids[0]:
+        raise ValueError("centroids must be a non-empty list of "
+                         "non-empty vectors (kmeans_fit's output)")
+    k = len(centroids)
+    dim = len(centroids[0])
+    flat = ",".join(f"{float(x)!r}D" for c in centroids for x in c)
+    d2s = (f"transform(sequence(0, {k - 1}), i -> "
+           f"aggregate(zip_with(CAST({vec_sql} AS ARRAY<DOUBLE>), "
+           f"slice(array({flat}), i * {dim} + 1, {dim}), "
+           f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x))")
+    return (f"zip_with({d2s}, sequence(0, {k - 1}), "
+            f"(d, i) -> struct(d AS d2, i AS cluster))")
 
 
 def _centroid_d2_structs(vec_col: Column,
@@ -828,7 +905,7 @@ def centroid_cells_frame(df: DataFrame, centroids: list[list[float]],
         raise ValueError("centroids must be a non-empty list of "
                          "non-empty vectors (kmeans_fit's output)")
     dim = len(centroids[0])
-    well = df.filter(well_formed_pred(F.col(vec_col), dim))
+    well = df.filter(well_formed_pred(vec_col, dim))
     cells = _assign(
         well.select(F.col(id_col).alias("vec_id"),
                     F.col(vec_col).cast("array<double>").alias("__v")),
@@ -838,7 +915,8 @@ def centroid_cells_frame(df: DataFrame, centroids: list[list[float]],
                         F.col("cluster").cast("string").alias(cell_col))
 
 
-def centroid_probe_ranks(vec_col: Column, centroids: list[list[float]],
+def centroid_probe_ranks(vec_col: Column | str,
+                         centroids: list[list[float]],
                          nprobe: int = 2) -> Column:
     """nprobe expansion for the trained-centroid quantizer: the probe set
     is the ``nprobe`` NEAREST centroids by query distance (ties to the
@@ -855,9 +933,21 @@ def centroid_probe_ranks(vec_col: Column, centroids: list[list[float]],
     query — an unservable vector probes nothing). ``nprobe`` past k
     degrades to probing all k cells. Built over the shared flat-literal
     distance tree (``_centroid_d2_structs``) — O(1) plan construction
-    in k, identical doubles (r9)."""
+    in k, identical doubles (r9). Accepts a Column or a column NAME;
+    the str form parses the whole probe expression in one Py4J round
+    trip (r11 optimization round, identical tree)."""
     from .vectors import well_formed_pred
 
+    if isinstance(vec_col, str) and _finite2(centroids):
+        from .vectors import _wf_sql
+        ref = f"`{vec_col}`"
+        structs = _centroid_d2_structs_sql(ref, centroids)  # validates
+        return F.expr(
+            f"CASE WHEN {_wf_sql(ref, len(centroids[0]))} "
+            f"THEN transform(slice(array_sort({structs}), 1, {nprobe}), "
+            f"s -> CAST(s.cluster AS STRING)) END")
+    if isinstance(vec_col, str):
+        vec_col = F.col(vec_col)
     ranked = F.slice(
         F.array_sort(_centroid_d2_structs(vec_col, centroids)),
         1, nprobe)
@@ -906,7 +996,7 @@ def probe_cells_frame(queries: DataFrame, centroids: list[list[float]],
     C = np.asarray(centroids, dtype="float64")
     k, dim = C.shape
     npb = min(nprobe, k)
-    vecs = (queries.filter(well_formed_pred(F.col(vec_col), dim))
+    vecs = (queries.filter(well_formed_pred(vec_col, dim))
             .select(F.col(id_col).alias("vec_id"),
                     F.col(vec_col).cast("array<double>").alias("__v")))
     id_type = vecs.schema["vec_id"].dataType.simpleString()
@@ -1043,7 +1133,7 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
                       F.col("cell").alias("cb"))
     pairs = (a.join(b, (F.col("ca") == F.col("cb"))
                     & (F.col("doc_a") < F.col("doc_b")))
-             .withColumn("cos", cosine_col(F.col("va"), F.col("vb")))
+             .withColumn("cos", cosine_col("va", "vb"))
              .filter(F.col("cos") >= threshold)
              .select("doc_a", "doc_b"))
     return min_label_components(cells.select("id"), pairs, max_iters) \
@@ -1260,7 +1350,7 @@ def write_ivf_pq_index(codes: DataFrame,
             "the PQ model must be trained on the same space")
     Bs = [np.asarray(cb, dtype="float64") for cb in codebooks]
     C = np.asarray(centroids, dtype="float64")
-    servable = codes.filter(well_formed_pred(F.col("codes"), m))
+    servable = codes.filter(well_formed_pred("codes", m))
     id_type = servable.schema["vec_id"].dataType.simpleString()
 
     def kernel(batches):
@@ -1389,7 +1479,7 @@ def _pruned_probe_scan(index: DataFrame, queries: DataFrame,
     queries = _pin_query_batch(queries, vec_col, query_id_col,
                                max_query_rows)
     probe_rows = (queries
-                  .select(centroid_probe_ranks(F.col(vec_col), centroids,
+                  .select(centroid_probe_ranks(vec_col, centroids,
                                                nprobe=nprobe).alias("__p"))
                   .collect())
     probe_cells = sorted({c for r in probe_rows for c in (r["__p"] or [])})
@@ -1430,7 +1520,7 @@ def knn_ivf_pq_index(index: DataFrame,
                                          max_query_rows)
     dq_frame = pruned.select(
         "vec_id",
-        pq_decode(F.col("codes"), codebooks).alias("__dqv"),
+        pq_decode("codes", codebooks).alias("__dqv"),
         F.col("cell").cast("string").alias("__cell"))
     return _ivf_compressed_serve(dq_frame, queries, k, centroids, nprobe,
                                  m, vectors, id_col, vec_col,
@@ -1954,7 +2044,7 @@ def ivf_pq_index_drift(index: DataFrame,
     # n_servable — drift and unservability are different signals
     from .vectors import well_formed_pred
     servable = queries.filter(
-        well_formed_pred(F.col(vec_col), len(centroids[0])))
+        well_formed_pred(vec_col, len(centroids[0])))
     truth = knn_bruteforce(vectors, servable, k, id_col=id_col,
                            vec_col=vec_col, query_id_col=query_id_col)
     n_q = queries.select(

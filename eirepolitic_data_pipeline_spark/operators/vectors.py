@@ -314,7 +314,17 @@ def _assign(vecs: DataFrame, centroids: list[list[float]],
                        "cluster int, d2 double")
 
 
-def well_formed_pred(vec: Column, dim: int) -> Column:
+def _wf_sql(vec_sql: str, dim: int) -> str:
+    """``well_formed_pred`` as a SQL fragment over an already-rendered
+    column reference — the text form the one-parse expression builders
+    splice (r11 optimization round: each Python-lambda higher-order
+    function costs ~20 Py4J round trips at plan-construction time; a
+    parsed text tree is one)."""
+    return (f"({vec_sql} IS NOT NULL AND size({vec_sql}) = {dim} "
+            f"AND NOT exists({vec_sql}, x -> x IS NULL))")
+
+
+def well_formed_pred(vec: Column | str, dim: int) -> Column:
     """The SERVABILITY predicate of the fixed-dimension vector family —
     non-NULL, exactly ``dim`` elements, no NULL element — as one shared
     Column builder. This is the exclusion every quantizer/codec site
@@ -322,7 +332,15 @@ def well_formed_pred(vec: Column, dim: int) -> Column:
     ``centroid_probe_ranks``, ``ivf_pq_index_drift``'s truth universe);
     hand-copies of the triple had already reached six call sites (r10
     review), and the next change to what "servable" means must land
-    everywhere at once or recall universes silently diverge."""
+    everywhere at once or recall universes silently diverge.
+
+    Accepts a Column or a column NAME: the str form parses the whole
+    predicate in ONE Py4J round trip (identical analyzed tree — the
+    lambda-building Column form costs dozens of driver round trips per
+    call, measured as the dominant per-pass cost of the memoize=False
+    serving builders in the r11 optimization round)."""
+    if isinstance(vec, str):
+        return F.expr(_wf_sql(f"`{vec}`", dim))
     return (vec.isNotNull() & (F.size(vec) == dim)
             & ~F.exists(vec, lambda x: x.isNull()))
 
@@ -639,7 +657,7 @@ def ivf_pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
             "the residual PQ model must be trained on the same space")
     Bs = [np.asarray(cb, dtype="float64") for cb in codebooks]
     C = np.asarray(centroids, dtype="float64")
-    vecs = (df.filter(well_formed_pred(F.col(vec_col), dim))
+    vecs = (df.filter(well_formed_pred(vec_col, dim))
             .select(F.col(id_col).alias("vec_id"),
                     F.col(vec_col).cast("array<double>").alias("__v")))
     id_type = vecs.schema["vec_id"].dataType.simpleString()
@@ -875,7 +893,7 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     m, _, sub = _validate_codebooks(codebooks)
     dim = m * sub
     Cs = [np.asarray(cb, dtype="float64") for cb in codebooks]
-    vecs = (df.filter(well_formed_pred(F.col(vec_col), dim))
+    vecs = (df.filter(well_formed_pred(vec_col, dim))
             .select(F.col(id_col).alias("vec_id"),
                     F.col(vec_col).cast("array<double>").alias("__v")))
     id_type = vecs.schema["vec_id"].dataType.simpleString()
@@ -898,19 +916,25 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
                             schema=f"vec_id {id_type}, codes array<int>")
 
 
+def _lit_array2_sql(rows: list[list[float]]) -> str:
+    """The SQL text of a finite 2-level double-array literal — shared by
+    ``_lit_array2`` and the one-parse text builders."""
+    inner = ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in r) + ")"
+        for r in rows)
+    return f"array({inner})"
+
+
 def _lit_array2(rows: list[list[float]]) -> Column:
     """A 2-level double-array literal (array<array<double>>) in one Py4J
     round trip — ``_lit_array``'s nested sibling, used to embed a PQ
     subspace codebook for ``element_at`` lookup."""
     if all(math.isfinite(float(x)) for r in rows for x in r):
-        inner = ",".join(
-            "array(" + ",".join(f"{float(x)!r}D" for x in r) + ")"
-            for r in rows)
-        return F.expr(f"array({inner})")
+        return F.expr(_lit_array2_sql(rows))
     return F.array(*[_lit_array(r) for r in rows])
 
 
-def pq_decode(codes_col: Column,
+def pq_decode(codes_col: Column | str,
               codebooks: list[list[list[float]]]) -> Column:
     """Reconstruct the approximate vector from PQ codes: concatenation
     of each subspace's codeword (``array<double>`` of the full
@@ -924,8 +948,25 @@ def pq_decode(codes_col: Column,
     this reconstruction equals the sum of per-subspace folds — so
     cosine(query, decode(codes)) IS the asymmetric distance computation
     (ADC) of Jégou et al. 2011, just computed coordinate-wise instead
-    of via per-query lookup tables; ``knn_pq_adc`` relies on this."""
+    of via per-query lookup tables; ``knn_pq_adc`` relies on this.
+
+    Accepts a Column or a column NAME: the str form parses the whole
+    decode in ONE Py4J round trip (identical tree — the per-subspace
+    Column form costs one round trip per expression node and the finite
+    codebooks are text-embeddable anyway; non-finite codebooks fall
+    back to the Column path)."""
     _validate_codebooks(codebooks)
+    if isinstance(codes_col, str) and all(
+            math.isfinite(float(x)) for cb in codebooks for r in cb
+            for x in r):
+        ref = f"`{codes_col}`"
+        parts = ", ".join(
+            f"element_at({_lit_array2_sql(cb)}, {ref}[{j}] + 1)"
+            for j, cb in enumerate(codebooks))
+        return F.expr(f"CASE WHEN {ref} IS NOT NULL "
+                      f"THEN concat({parts}) END")
+    if isinstance(codes_col, str):
+        codes_col = F.col(codes_col)
     parts = [F.element_at(_lit_array2(cb), codes_col.getItem(j) + 1)
              for j, cb in enumerate(codebooks)]
     return F.when(codes_col.isNotNull(), F.concat(*parts))

@@ -422,7 +422,7 @@ def q27_ann_bucketed(spark, sf_dir):
     # oracle excludes them): NULL vector -> NULL bucket -> equi-join drops it
     from ..operators.similarity import sign_lsh_bucket
     lsh = topk(emb.select("vec_id", "v",
-                          sign_lsh_bucket(F.col("embedding"), 6).alias("bucket")),
+                          sign_lsh_bucket("embedding", 6).alias("bucket")),
                ["bucket"])
     cells = emb.select(
         "vec_id", "v",
@@ -481,7 +481,7 @@ def q37_cosine_neardup_pairs(spark, sf_dir):
     # longer inflate the hot all-zeros bucket join
     from ..operators.similarity import sign_lsh_bucket
     b = emb.select("vec_id", "v",
-                   sign_lsh_bucket(F.col("embedding"), 6).alias("bucket"))
+                   sign_lsh_bucket("embedding", 6).alias("bucket"))
     a = b.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
                  F.col("bucket").alias("ba"))
     c = b.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
