@@ -214,8 +214,7 @@ def knn_pca_rerank(vectors: DataFrame, queries: DataFrame, k: int,
                   F.col("projection").alias("nv"))
     q_red = queries.select(
         F.col(query_id_col).alias("query_id"),
-        pca_project_expr(F.col(vec_col).cast("array<double>"),
-                         mean, components).alias("qv"))
+        pca_project_expr(vec_col, mean, components).alias("qv"))
     cand = _compressed_topm(v, q_red, m)
     q_full = queries.select(F.col(query_id_col).alias("query_id"),
                             F.col(vec_col).cast("array<double>")
@@ -1428,7 +1427,7 @@ DEFAULT_MAX_QUERY_ROWS = 100_000
 
 
 def _pin_query_batch(queries: DataFrame, vec_col: str, query_id_col: str,
-                     max_query_rows: int) -> DataFrame:
+                     max_query_rows: int, with_rows: bool = False):
     """Collect the query batch ONCE and pin it back as a local relation
     — with the serving contract ENFORCED: at most ``max_query_rows``
     rows may cross to the driver. The overage check collects
@@ -1447,7 +1446,11 @@ def _pin_query_batch(queries: DataFrame, vec_col: str, query_id_col: str,
             "driver (probe-union pruning / drift truth pinning), so it "
             "must be a bounded sample, not a corpus — pass a smaller "
             "batch or raise max_query_rows explicitly")
-    return queries.sparkSession.createDataFrame(q_rows, q_proj.schema)
+    pinned = queries.sparkSession.createDataFrame(q_rows, q_proj.schema)
+    # ``with_rows`` also hands back the collected rows so callers that
+    # need a row-level fold (drift's n_queries) reuse this collect
+    # instead of running another aggregate job (r11 optimization round)
+    return (pinned, q_rows) if with_rows else pinned
 
 
 def _pruned_probe_scan(index: DataFrame, queries: DataFrame,
@@ -1476,13 +1479,30 @@ def _pruned_probe_scan(index: DataFrame, queries: DataFrame,
     for both correctness and partition-filter pushdown (r9 ADVICE).
     Typed literals keep the filter a native partition predicate under
     any partitionColumnTypeInference / ANSI setting."""
-    queries = _pin_query_batch(queries, vec_col, query_id_col,
-                               max_query_rows)
-    probe_rows = (queries
-                  .select(centroid_probe_ranks(vec_col, centroids,
-                                               nprobe=nprobe).alias("__p"))
-                  .collect())
-    probe_cells = sorted({c for r in probe_rows for c in (r["__p"] or [])})
+    # ONE collect pins the batch AND evaluates each query's probe ranks
+    # (r11 optimization round): the probe expression rides the same
+    # limit-probe job that enforces the serving contract, instead of a
+    # second scan of the queries frame — still closing the two-time-point
+    # window, since rows and probes come from the same evaluation.
+    q_proj = queries.select(
+        F.col(query_id_col), F.col(vec_col),
+        centroid_probe_ranks(vec_col, centroids, nprobe=nprobe)
+        .alias("__p"))
+    if max_query_rows < 1:
+        raise ValueError("max_query_rows must be >= 1")
+    rows = q_proj.limit(max_query_rows + 1).collect()
+    if len(rows) > max_query_rows:
+        raise ValueError(
+            f"query batch exceeds max_query_rows={max_query_rows}: the "
+            "persisted serving paths collect the queries frame on the "
+            "driver (probe-union pruning / drift truth pinning), so it "
+            "must be a bounded sample, not a corpus — pass a smaller "
+            "batch or raise max_query_rows explicitly")
+    pin_schema = queries.select(
+        F.col(query_id_col), F.col(vec_col)).schema
+    queries = queries.sparkSession.createDataFrame(
+        [r[:2] for r in rows], pin_schema)
+    probe_cells = sorted({c for r in rows for c in (r["__p"] or [])})
     from pyspark.sql.types import NumericType
     if isinstance(index.schema["cell"].dataType, NumericType):
         probe_cells = [int(c) for c in probe_cells]
@@ -2023,8 +2043,9 @@ def ivf_pq_index_drift(index: DataFrame,
     otherwise OOM the driver AND run |corpus| brute-force scans."""
     if not 0.0 <= recall_floor <= 1.0:
         raise ValueError("recall_floor must be within [0, 1]")
-    queries = _pin_query_batch(queries, vec_col, query_id_col,
-                               max_query_rows)
+    queries, pinned_rows = _pin_query_batch(queries, vec_col,
+                                            query_id_col, max_query_rows,
+                                            with_rows=True)
     # ``residual=True`` watches a write_ivf_rpq_index table instead —
     # same report, the serving path under test swaps to the residual
     # pruned scan (the one whose frozen models are COSTLIER to refit,
@@ -2047,8 +2068,13 @@ def ivf_pq_index_drift(index: DataFrame,
         well_formed_pred(vec_col, len(centroids[0])))
     truth = knn_bruteforce(vectors, servable, k, id_col=id_col,
                            vec_col=vec_col, query_id_col=query_id_col)
-    n_q = queries.select(
-        F.count_distinct(F.col(query_id_col)).alias("n_queries"))
+    # n_queries = COUNT(DISTINCT id) over the PINNED batch — the rows
+    # are already on the driver (the serving-contract collect), so the
+    # count is a Python fold over them instead of an extra aggregate
+    # job + crossJoin in the report plan (r11 optimization round; same
+    # value by construction: the pinned local relation IS the frame the
+    # aggregate counted)
+    n_queries = len({r[0] for r in pinned_rows if r[0] is not None})
     per_q = (truth.select("query_id", "neighbor_id")
              .join(served, ["query_id", "neighbor_id"], "left")
              .groupBy("query_id")
@@ -2057,8 +2083,8 @@ def ivf_pq_index_drift(index: DataFrame,
             .agg(F.count(F.lit(1)).alias("n_servable"),
                  F.round(F.avg("__recall"), 6).alias("mean_recall"),
                  F.round(F.min("__recall"), 6).alias("min_recall"))
-            .crossJoin(n_q)
-            .select("n_queries", "n_servable", "mean_recall", "min_recall",
+            .select(F.lit(n_queries).cast("long").alias("n_queries"),
+                    "n_servable", "mean_recall", "min_recall",
                     F.when(F.col("n_servable") == 0, F.lit(True))
                     .otherwise(F.col("mean_recall") < F.lit(recall_floor))
                     .alias("refit_recommended")))

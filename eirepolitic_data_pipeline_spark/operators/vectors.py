@@ -114,6 +114,12 @@ def _dist2(v: Column, centroid: list[float]) -> Column:
                                 lambda x, y: (x - y) * (x - y)))
 
 
+def _lit_array_sql(values: list[float]) -> str:
+    """SQL text of a finite double-array literal — the fragment the
+    one-parse text builders splice (``_lit_array``'s text half)."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in values) + ")"
+
+
 def _lit_array(values: list[float]) -> Column:
     """A double-array literal in ONE Py4J round trip: the element-wise
     ``F.array(*[F.lit(x) ...])`` form costs one driver round trip PER
@@ -126,7 +132,7 @@ def _lit_array(values: list[float]) -> Column:
     element-wise form, which Spark encodes losslessly."""
     vals = [float(x) for x in values]
     if all(math.isfinite(x) for x in vals):
-        return F.expr("array(" + ",".join(f"{x!r}D" for x in vals) + ")")
+        return F.expr(_lit_array_sql(vals))
     return F.array(*[F.lit(x) for x in vals])
 
 
@@ -613,16 +619,46 @@ def ivf_pq_fit_residual(df: DataFrame, k_coarse: int = 8, m: int = 4,
     Sequencing is inherent, not an implementation shortcut: residuals
     are undefined until the coarse model is final, so training is
     (coarse fit: iters+1 corpus scans) then (residual PQ fit: one
-    fused residual-kernel pass feeding ``pq_fit``'s iters+1 scans).
+    fused residual-kernel pass under ``pq_fit``'s iters Lloyd scans).
     Determinism: residual = raw minus the 6-dp-rounded centroid
     (exact float64 subtraction, no fold), and the subspace fits are
     ``pq_fit``'s pinned recipe seeded by the k_sub LOWEST-ID residual
-    vectors — the DuckDB oracle (q89) re-derives the whole chain."""
+    vectors — the DuckDB oracle (q89) re-derives the whole chain.
+
+    One shared seed collection (r11 optimization round): the residual
+    seeds ARE the residuals of the k_sub lowest-id RAW vectors (the
+    residual kernel is 1:1 on vec_id), and both the raw seeds and the
+    coarse model are already on the driver — so the subspace seed
+    vectors are computed locally (``_nearest_blocks``' pinned argmin +
+    exact float64 subtraction, the kernel's own recipe) instead of
+    re-scanning the residual frame for a second seed TakeOrdered. At
+    100 TB that was one full extra corpus pass (scan + assignment
+    kernel) for byte-identical seeds."""
+    import numpy as np
+
+    if k_sub < 1:
+        raise ValueError("k must be >= 1")
+    if m < 1:
+        raise ValueError("m must be >= 1")
     vecs = _well_formed_vectors(df, vec_col, id_col)
-    cents = _fit(vecs, k_coarse, iters, round_dp)
+    seeds = _seed_vectors(vecs, max(k_coarse, k_sub))
+    dim = len(seeds[0])
+    if dim % m:
+        raise ValueError(
+            f"pq_fit: dimension {dim} is not divisible by m={m} subspaces"
+            " — product quantization requires equal-width subspaces")
+    sub = dim // m
+    cents = _lloyd(vecs, [list(s) for s in seeds[:k_coarse]], iters,
+                   round_dp)
+    S = np.asarray(seeds[:k_sub], dtype="float64")
+    C = np.asarray(cents, dtype="float64")
+    best, _ = _nearest_blocks(S, C)
+    rseeds = S - C[best]
+    books = [[list(map(float, s[j * sub:(j + 1) * sub])) for s in rseeds]
+             for j in range(m)]
     res = _residual_frame(vecs, cents)
-    books = pq_fit(res, m=m, k=k_sub, iters=iters, vec_col="__v",
-                   id_col="vec_id", round_dp=round_dp)
+    _, books = _fused_lloyd(res, None, books, iters, round_dp,
+                            "ivf_pq_fit_residual")
     return cents, books
 
 
@@ -1560,14 +1596,33 @@ def rp_components(dim: int, out_dim: int, seed: str = "jl"
             for p in range(out_dim)]
 
 
-def pca_project_expr(vec: Column, mean: list[float],
+def pca_project_expr(vec: Column | str, mean: list[float],
                      components: list[list[float]]) -> Column:
     """The pure-Catalyst semantic twin of ``pca_project``'s kernel: the
     k-array of sequential folds ``y_j = Σ_d (x_d − mean_d)·W_jd`` —
     embeddable anywhere, and the recipe an external SQL engine would
     unroll. Interpreted per (row, component); use the kernel frame for
     corpus-sized sides (``centroid_cells`` vs ``centroid_cells_frame``,
-    the same split)."""
+    the same split).
+
+    Accepts a Column or a column NAME (str, cast to array<double>
+    inside): a finite model renders the whole k-fold tree as SQL text
+    parsed in ONE Py4J round trip — at k=32 the 65 lambda HOFs of the
+    Column form dominated the caller's per-pass plan construction (r11
+    optimization round; identical tree, bit-identical doubles)."""
+    if isinstance(vec, str) and all(
+            math.isfinite(float(x)) for x in mean) and all(
+            math.isfinite(float(x)) for w in components for x in w):
+        ref = f"CAST(`{vec}` AS ARRAY<DOUBLE>)"
+        centered = (f"zip_with({ref}, {_lit_array_sql(mean)}, "
+                    f"(x, m) -> x - m)")
+        folds = ", ".join(
+            f"aggregate(zip_with({centered}, {_lit_array_sql(w)}, "
+            f"(c, ww) -> c * ww), 0.0D, (a, x) -> a + x)"
+            for w in components)
+        return F.expr(f"array({folds})")
+    if isinstance(vec, str):
+        vec = F.col(vec).cast("array<double>")
     centered = F.zip_with(vec, _lit_array(mean), lambda x, m: x - m)
     return F.array(*[
         F.aggregate(F.zip_with(centered, _lit_array(w),
