@@ -1426,26 +1426,42 @@ def _write_cell_partitioned(coded: DataFrame, n_cells: int, path: str,
 DEFAULT_MAX_QUERY_ROWS = 100_000
 
 
-def _pin_query_batch(queries: DataFrame, vec_col: str, query_id_col: str,
-                     max_query_rows: int, with_rows: bool = False):
-    """Collect the query batch ONCE and pin it back as a local relation
-    — with the serving contract ENFORCED: at most ``max_query_rows``
-    rows may cross to the driver. The overage check collects
-    ``max_query_rows + 1`` rows at most (a ``limit`` probe, so driver
-    memory is bounded even when the check FAILS on a 100 TB frame),
-    and under the limit ``limit(n+1)`` returns every row — behavior is
-    unchanged for every contract-respecting caller."""
+def _guarded_collect(q_proj: DataFrame, max_query_rows: int) -> list:
+    """Enforce the serving contract and collect the query batch in TWO
+    parallel jobs: a count (nothing crosses to the driver — the
+    structural guard) and, only under the limit, one plain collect.
+    The previous ``limit(max+1).collect()`` probe bounded memory the
+    same way but ran Spark's INCREMENTAL CollectLimit — 1, then 4, then
+    16... partitions in sequential jobs until the frame was exhausted,
+    i.e. 3-4 sequential scans of a sample-sized frame on every serve
+    (r11 optimization round). The count is the enforcement point: a
+    corpus passed as queries fails before any row crosses. (A frame
+    that GROWS past the limit between the two jobs would collect
+    unguarded — the pre-guard exposure — but the serving contract's
+    inputs are deterministic sample frames, and the single collect
+    below is still the one evaluation every downstream stage shares.)"""
     if max_query_rows < 1:
         raise ValueError("max_query_rows must be >= 1")
-    q_proj = queries.select(F.col(query_id_col), F.col(vec_col))
-    q_rows = q_proj.limit(max_query_rows + 1).collect()
-    if len(q_rows) > max_query_rows:
+    n = q_proj.count()
+    if n > max_query_rows:
         raise ValueError(
             f"query batch exceeds max_query_rows={max_query_rows}: the "
             "persisted serving paths collect the queries frame on the "
             "driver (probe-union pruning / drift truth pinning), so it "
             "must be a bounded sample, not a corpus — pass a smaller "
             "batch or raise max_query_rows explicitly")
+    return q_proj.collect()
+
+
+def _pin_query_batch(queries: DataFrame, vec_col: str, query_id_col: str,
+                     max_query_rows: int, with_rows: bool = False):
+    """Collect the query batch ONCE and pin it back as a local relation
+    — with the serving contract ENFORCED: at most ``max_query_rows``
+    rows may cross to the driver (``_guarded_collect``: a count guard,
+    then one collect — no row crosses when the check FAILS on a 100 TB
+    frame, and contract-respecting callers see identical rows)."""
+    q_proj = queries.select(F.col(query_id_col), F.col(vec_col))
+    q_rows = _guarded_collect(q_proj, max_query_rows)
     pinned = queries.sparkSession.createDataFrame(q_rows, q_proj.schema)
     # ``with_rows`` also hands back the collected rows so callers that
     # need a row-level fold (drift's n_queries) reuse this collect
@@ -1488,16 +1504,7 @@ def _pruned_probe_scan(index: DataFrame, queries: DataFrame,
         F.col(query_id_col), F.col(vec_col),
         centroid_probe_ranks(vec_col, centroids, nprobe=nprobe)
         .alias("__p"))
-    if max_query_rows < 1:
-        raise ValueError("max_query_rows must be >= 1")
-    rows = q_proj.limit(max_query_rows + 1).collect()
-    if len(rows) > max_query_rows:
-        raise ValueError(
-            f"query batch exceeds max_query_rows={max_query_rows}: the "
-            "persisted serving paths collect the queries frame on the "
-            "driver (probe-union pruning / drift truth pinning), so it "
-            "must be a bounded sample, not a corpus — pass a smaller "
-            "batch or raise max_query_rows explicitly")
+    rows = _guarded_collect(q_proj, max_query_rows)
     pin_schema = queries.select(
         F.col(query_id_col), F.col(vec_col)).schema
     queries = queries.sparkSession.createDataFrame(
