@@ -151,7 +151,8 @@ def stratified_sample(df: DataFrame, strata_cols: Sequence[str],
                 for k, v in fractions.items()]
         schema = ", ".join(f"{c} string" for c in strata_cols) + \
             ", __frac double"
-        frac_df = spark.createDataFrame(rows, schema)
+        from ..session import local_frame
+        frac_df = local_frame(spark, rows, schema)
         joined = df.join(
             F.broadcast(frac_df),
             [df[c].cast("string") == frac_df[c] for c in strata_cols],
@@ -186,7 +187,8 @@ def filter_domains(df: DataFrame, url_col: str, domains: DataFrame | Sequence[st
     if not isinstance(domains, DataFrame):
         # in-code list: bounded by construction, safe to hint broadcast
         rows = [(str(d),) for d in domains]
-        dim = (df.sparkSession.createDataFrame(rows, f"{domain_col} string")
+        from ..session import local_frame
+        dim = (local_frame(df.sparkSession, rows, f"{domain_col} string")
                .select(F.col(domain_col).alias("__domain")).distinct())
         return tagged.join(F.broadcast(dim), "__domain", how).drop("__domain")
     # DataFrame-valued lists get NO broadcast hint — an explicit hint is

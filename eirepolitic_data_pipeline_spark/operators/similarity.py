@@ -1462,7 +1462,8 @@ def _pin_query_batch(queries: DataFrame, vec_col: str, query_id_col: str,
     frame, and contract-respecting callers see identical rows)."""
     q_proj = queries.select(F.col(query_id_col), F.col(vec_col))
     q_rows = _guarded_collect(q_proj, max_query_rows)
-    pinned = queries.sparkSession.createDataFrame(q_rows, q_proj.schema)
+    from ..session import local_frame
+    pinned = local_frame(queries.sparkSession, q_rows, q_proj.schema)
     # ``with_rows`` also hands back the collected rows so callers that
     # need a row-level fold (drift's n_queries) reuse this collect
     # instead of running another aggregate job (r11 optimization round)
@@ -1507,8 +1508,9 @@ def _pruned_probe_scan(index: DataFrame, queries: DataFrame,
     rows = _guarded_collect(q_proj, max_query_rows)
     pin_schema = queries.select(
         F.col(query_id_col), F.col(vec_col)).schema
-    queries = queries.sparkSession.createDataFrame(
-        [r[:2] for r in rows], pin_schema)
+    from ..session import local_frame
+    queries = local_frame(queries.sparkSession,
+                          [r[:2] for r in rows], pin_schema)
     probe_cells = sorted({c for r in rows for c in (r["__p"] or [])})
     from pyspark.sql.types import NumericType
     if isinstance(index.schema["cell"].dataType, NumericType):

@@ -1364,7 +1364,9 @@ def covariance_frame_from_moments(spark, moments: dict,
     cov = cov + 0.0  # collapse IEEE negative zero (string-compares !=)
     dim = cov.shape[0]
     iu, ju = np.triu_indices(dim)
-    return spark.createDataFrame(
+    from ..session import local_frame
+    return local_frame(
+        spark,
         [(int(i), int(j), float(cov[i, j])) for i, j in zip(iu, ju)],
         "i int, j int, cov double").orderBy("i", "j")
 
@@ -1403,8 +1405,9 @@ def correlation_frame(df: DataFrame, vec_col: str = "embedding",
                          float(np.round(cov[i, j]
                                         / np.sqrt(var[i] * var[j]),
                                         round_dp) + 0.0)))
-    return df.sparkSession.createDataFrame(
-        rows, "i int, j int, corr double").orderBy("i", "j")
+    from ..session import local_frame
+    return local_frame(df.sparkSession, rows,
+                       "i int, j int, corr double").orderBy("i", "j")
 
 
 def covariance_frame(df: DataFrame, vec_col: str = "embedding",

@@ -95,3 +95,25 @@ def load_tables(spark: SparkSession, sf_dir: str,
         df.createOrReplaceTempView(t)
         out[t] = df
     return out
+
+
+def local_frame(spark: SparkSession, rows, schema,
+                rows_per_slice: int = 25_000):
+    """``createDataFrame`` for a SMALL driver-side row list without the
+    default parallelize fan-out (r11 optimization round).
+
+    Plain ``spark.createDataFrame(list, schema)`` parallelizes the list
+    into ``defaultParallelism`` slices — a 20-row pinned query batch or a
+    dim²-row moment frame becomes a 32-partition RDD scan, and every
+    downstream stage over it (broadcast builds, probe explodes, sorts,
+    the final action) schedules 32 near-empty tasks; a trailing
+    ``orderBy`` additionally pays its range-sampling job over all 32.
+    Sizing the slice count from the row count (1 slice per
+    ``rows_per_slice``, capped by the session parallelism) keeps these
+    driver-born frames one-task-sized at sample scale while still
+    splitting a genuinely large local list."""
+    n_rows = len(rows)
+    p = spark.sparkContext.defaultParallelism
+    n = max(1, min(n_rows // rows_per_slice + 1, p)) if n_rows else 1
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n), schema)

@@ -249,8 +249,9 @@ def _period_grid(current_members: DataFrame, metric_frames: list[DataFrame],
                    periods.filter(F.col(period_name) != "").distinct().collect()})
     if not vals:
         vals = [fallback_period]
-    period_lit = spark.createDataFrame([(v,) for v in vals],
-                                       f"{period_name} string")
+    from ..session import local_frame
+    period_lit = local_frame(spark, [(v,) for v in vals],
+                             f"{period_name} string")
     return codes.crossJoin(F.broadcast(period_lit))
 
 
@@ -445,8 +446,9 @@ def gold_constituency_activity_yearly(current_members: DataFrame,
         .filter(nonblank("year")).collect())})
     if not year_vals:
         year_vals = [snapshot_date[:4]]
-    years = current_members.sparkSession.createDataFrame(
-        [(v,) for v in year_vals], "year string")
+    from ..session import local_frame
+    years = local_frame(current_members.sparkSession,
+                        [(v,) for v in year_vals], "year string")
     names = (member_counts.select("constituency_name")
              .unionByName(speech_metrics.select("constituency_name"))
              .unionByName(vote_metrics.select("constituency_name"))
