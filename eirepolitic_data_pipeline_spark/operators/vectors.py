@@ -37,6 +37,17 @@ from pyspark.sql import functions as F
 _Q = 127  # int8 symmetric range
 
 
+def _qident(name: str) -> str:
+    """Backtick-quote a column NAME for SQL-text splicing, escaping any
+    embedded backtick (r11 ADVICE): the one-parse text builders
+    (``well_formed_pred``, ``pq_decode``, ``pca_project_expr``,
+    ``similarity.cosine_col``/``centroid_cells``/
+    ``centroid_probe_ranks``) are public APIs that accept arbitrary
+    names — a bare f-string wrap would mis-parse a name containing a
+    backtick, where the Column fallback handled any name."""
+    return f"`{name.replace('`', '``')}`"
+
+
 def _fold_sum(arr: Column) -> Column:
     """Sequential left-fold sum of array<double> — the repo's cross-engine
     float contract (operators.similarity.cosine_col): DuckDB's list_reduce
@@ -346,7 +357,7 @@ def well_formed_pred(vec: Column | str, dim: int) -> Column:
     call, measured as the dominant per-pass cost of the memoize=False
     serving builders in the r11 optimization round)."""
     if isinstance(vec, str):
-        return F.expr(_wf_sql(f"`{vec}`", dim))
+        return F.expr(_wf_sql(_qident(vec), dim))
     return (vec.isNotNull() & (F.size(vec) == dim)
             & ~F.exists(vec, lambda x: x.isNull()))
 
@@ -995,7 +1006,7 @@ def pq_decode(codes_col: Column | str,
     if isinstance(codes_col, str) and all(
             math.isfinite(float(x)) for cb in codebooks for r in cb
             for x in r):
-        ref = f"`{codes_col}`"
+        ref = _qident(codes_col)
         parts = ", ".join(
             f"element_at({_lit_array2_sql(cb)}, {ref}[{j}] + 1)"
             for j, cb in enumerate(codebooks))
@@ -1616,7 +1627,7 @@ def pca_project_expr(vec: Column | str, mean: list[float],
     if isinstance(vec, str) and all(
             math.isfinite(float(x)) for x in mean) and all(
             math.isfinite(float(x)) for w in components for x in w):
-        ref = f"CAST(`{vec}` AS ARRAY<DOUBLE>)"
+        ref = f"CAST({_qident(vec)} AS ARRAY<DOUBLE>)"
         centered = (f"zip_with({ref}, {_lit_array_sql(mean)}, "
                     f"(x, m) -> x - m)")
         folds = ", ".join(

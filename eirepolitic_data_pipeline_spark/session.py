@@ -114,6 +114,8 @@ def local_frame(spark: SparkSession, rows, schema,
     splitting a genuinely large local list."""
     n_rows = len(rows)
     p = spark.sparkContext.defaultParallelism
-    n = max(1, min(n_rows // rows_per_slice + 1, p)) if n_rows else 1
+    # true ceil (r11 ADVICE): the old ``// + 1`` gave 2 slices at exactly
+    # rows_per_slice rows, off-by-one vs the documented 1-per-25k
+    n = max(1, min(-(-n_rows // rows_per_slice), p)) if n_rows else 1
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, n), schema)
