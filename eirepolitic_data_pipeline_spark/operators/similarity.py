@@ -49,7 +49,8 @@ def cosine_col(a: Column | str, b: Column | str) -> Column:
     and bit-identical doubles — the text lambdas are the same
     LambdaFunction nodes)."""
     if isinstance(a, str) and isinstance(b, str):
-        ra, rb = f"`{a}`", f"`{b}`"
+        from .vectors import _qident
+        ra, rb = _qident(a), _qident(b)
         dot = _sum_sql(f"zip_with({ra}, {rb}, (x, y) -> x * y)")
         na = _sum_sql(f"transform({ra}, x -> x * x)")
         nb = _sum_sql(f"transform({rb}, x -> x * x)")
@@ -66,6 +67,131 @@ def cosine_col(a: Column | str, b: Column | str) -> Column:
                   dot / (F.sqrt(na) * F.sqrt(nb))).otherwise(F.lit(0.0))
 
 
+def _scored_pairs_kernel(paired: DataFrame, a_id: str, b_id: str,
+                         a_vec: str, b_vec: str,
+                         out_col: str = "cosine") -> DataFrame:
+    """Score an already-joined pair frame ``(a_id, b_id, a_vec, b_vec)``
+    with an Arrow numpy kernel, FLOAT-IDENTICAL to
+    ``cosine_col(a_vec, b_vec)`` (r12 optimization round, guide §4):
+    the interpreted per-element HOF folds are the dominant per-row cost
+    of every online serving stage 1 — at |queries|·|bucket| pairs the
+    Catalyst ``aggregate``/``zip_with`` tree evaluates one expression
+    node per element per row, where this kernel runs three
+    dimension-ordered float64 accumulations per Arrow batch. The join
+    that produced ``paired`` is untouched (broadcast joins stay
+    map-side); only the scoring projection moves into the kernel.
+
+    Bit-parity recipe (``_batch_stage1_kernel``'s proven one): dot and
+    both norms accumulate dimension-by-dimension in float64 — exactly
+    the sequential zip_with fold's float sequence — the final
+    ``dot / (sqrt(na) * sqrt(nb))`` is the same two ops, and the guard
+    mirrors Catalyst's ``CASE WHEN na > 0 AND nb > 0`` INCLUDING its
+    NaN rule (Spark orders NaN above every real, so ``NaN > 0`` is
+    TRUE and an NaN-element vector scores NaN, never 0.0).
+
+    Malformed rows take a per-row slow path that reproduces the
+    expression's NULL algebra exactly: a NULL vector or NULL element
+    nulls its norm fold, failing the CASE guard to 0.0; two well-formed
+    vectors of DIFFERENT lengths null the zip_with dot (Catalyst pads
+    with NULL) and score NULL under a passing guard. ``mapInArrow``,
+    not ``mapInPandas``: the pandas bridge collapses a NULL list
+    element to NaN, erasing exactly the NULL-vs-NaN distinction the
+    parity above depends on — Arrow validity masks keep it. The fast
+    path covers every batch whose vectors are rectangular and
+    NULL-free — the only shape real corpora have."""
+    import math
+
+    import numpy as np
+
+    a_t = paired.schema[a_id].dataType.simpleString()
+    b_t = paired.schema[b_id].dataType.simpleString()
+
+    def _slow_row(q, x):
+        def fold_sq(v):
+            if v is None:
+                return None
+            acc = 0.0
+            for e in v:
+                if e is None:
+                    return None
+                acc += float(e) * float(e)
+            return acc
+
+        na, nb = fold_sq(q), fold_sq(x)
+        # CASE WHEN (na > 0) AND (nb > 0) with Spark's NaN-above-all
+        # ordering (NaN > 0 is TRUE); a NULL norm fails the guard to 0.0
+        ok = ((na is not None and (na > 0 or na != na))
+              and (nb is not None and (nb > 0 or nb != nb)))
+        if not ok:
+            return 0.0
+        if len(q) != len(x):
+            return None  # zip_with pads with NULL -> NULL dot
+        acc = 0.0
+        for qe, xe in zip(q, x):
+            acc += float(qe) * float(xe)
+        return acc / (math.sqrt(na) * math.sqrt(nb))
+
+    def _flat_matrix(col, n):
+        """(n, dim) float64 view of a NULL-free uniform-length
+        list<double> Arrow array, or None when the shape disqualifies
+        the fast path."""
+        if col.null_count != 0:
+            return None
+        flat = col.flatten()
+        if flat.null_count != 0 or n == 0:
+            return None
+        vals = flat.to_numpy(zero_copy_only=False)
+        if len(vals) % n != 0:
+            return None
+        dim = len(vals) // n
+        import pyarrow.compute as pc
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        if lens.min() != dim or lens.max() != dim:
+            return None
+        return vals.reshape(n, dim)
+
+    def kernel(batches):
+        import pyarrow as pa
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            idx = {name: i for i, name in enumerate(rb.schema.names)}
+            ca, cb = rb.column(idx[a_vec]), rb.column(idx[b_vec])
+            ia, ib = rb.column(idx[a_id]), rb.column(idx[b_id])
+            Q = _flat_matrix(ca, n)
+            X = _flat_matrix(cb, n)
+            if Q is None or X is None or Q.shape[1] != X.shape[1]:
+                cos = pa.array(
+                    [_slow_row(q, x)
+                     for q, x in zip(ca.to_pylist(), cb.to_pylist())],
+                    type=pa.float64())
+                yield pa.RecordBatch.from_arrays(
+                    [ia, ib, cos], names=[a_id, b_id, out_col])
+                continue
+            dim = Q.shape[1]
+            # dimension-ordered float64 accumulation: cosine_col's fold
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for d in range(dim):
+                dot += Q[:, d] * X[:, d]
+                na += Q[:, d] * Q[:, d]
+                nb += X[:, d] * X[:, d]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = dot / (np.sqrt(na) * np.sqrt(nb))
+            good = ((np.greater(na, 0) | np.isnan(na))
+                    & (np.greater(nb, 0) | np.isnan(nb)))
+            cos = np.where(good, cos, 0.0)
+            yield pa.RecordBatch.from_arrays(
+                [ia, ib, pa.array(cos, type=pa.float64())],
+                names=[a_id, b_id, out_col])
+
+    return (paired.select(a_id, b_id, a_vec, b_vec)
+            .mapInArrow(kernel, schema=f"{a_id} {a_t}, {b_id} {b_t}, "
+                                       f"{out_col} double"))
+
+
 def knn_bruteforce(vectors: DataFrame, queries: DataFrame, k: int,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    query_id_col: str = "vec_id") -> DataFrame:
@@ -80,10 +206,15 @@ def knn_bruteforce(vectors: DataFrame, queries: DataFrame, k: int,
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qv"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    # scoring via the Arrow pair kernel (r12, guide §4): the broadcast
+    # join stays map-side; the |queries|·|corpus| interpreted cosine
+    # folds — the stage's dominant cost — run as three vectorized
+    # accumulations, float-identical to cosine_col (kernel docstring)
+    pairs = (v.crossJoin(F.broadcast(q))
+             .filter(F.col("neighbor_id") != F.col("query_id")))
     return (
-        v.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_col("nv", "qv"))
+        _scored_pairs_kernel(pairs, "query_id", "neighbor_id",
+                             "qv", "nv")
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
@@ -235,10 +366,13 @@ def _compressed_topm(v: DataFrame, q: DataFrame, m: int) -> DataFrame:
     (broadcast-small) query frame."""
     w_m = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
-    return (v.crossJoin(F.broadcast(q))
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .withColumn("cosine", cosine_col("nv", "qv"))
-            .select("query_id", "neighbor_id", "cosine")
+    # Arrow pair kernel for the |queries|·|corpus| ADC scoring (r12,
+    # guide §4) — the kernel's output IS the pre-window projection the
+    # old explicit .select kept narrow, float-identical to cosine_col
+    pairs = (v.crossJoin(F.broadcast(q))
+             .filter(F.col("neighbor_id") != F.col("query_id")))
+    return (_scored_pairs_kernel(pairs, "query_id", "neighbor_id",
+                                 "qv", "nv")
             .withColumn("rank", F.row_number().over(w_m).cast("int"))
             .filter(F.col("rank") <= m))
 
@@ -664,10 +798,16 @@ def knn_lsh(vectors: DataFrame, queries: DataFrame, k: int,
     # neighbor can match at most one probe even under multiprobe. A
     # defensive dedup here would cost a full extra shuffle of the
     # candidate set hash-partitioned on both columns.
+    #
+    # Candidate scoring via the Arrow pair kernel (r12, guide §4): the
+    # bucket equi-join is untouched (still partitions candidates by
+    # bucket); only the per-pair interpreted cosine folds move into the
+    # vectorized kernel, float-identical to cosine_col.
+    pairs = q.join(v, (F.col("bucket") == F.col("qbucket"))
+                   & (F.col("neighbor_id") != F.col("query_id")))
     return (
-        q.join(v, (F.col("bucket") == F.col("qbucket"))
-               & (F.col("neighbor_id") != F.col("query_id")))
-        .withColumn("cosine", cosine_col("nv", "qv"))
+        _scored_pairs_kernel(pairs, "query_id", "neighbor_id",
+                             "qv", "nv")
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
@@ -787,8 +927,8 @@ def centroid_cells(vec_col: Column | str,
     parity-pinned against; for corpus-sized frames use
     ``centroid_cells_frame``."""
     if isinstance(vec_col, str) and _finite2(centroids):
-        from .vectors import _wf_sql
-        ref = f"`{vec_col}`"
+        from .vectors import _qident, _wf_sql
+        ref = _qident(vec_col)
         structs = _centroid_d2_structs_sql(ref, centroids)  # validates
         dim = len(centroids[0])
         return F.expr(
@@ -938,8 +1078,8 @@ def centroid_probe_ranks(vec_col: Column | str,
     from .vectors import well_formed_pred
 
     if isinstance(vec_col, str) and _finite2(centroids):
-        from .vectors import _wf_sql
-        ref = f"`{vec_col}`"
+        from .vectors import _qident, _wf_sql
+        ref = _qident(vec_col)
         structs = _centroid_d2_structs_sql(ref, centroids)  # validates
         return F.expr(
             f"CASE WHEN {_wf_sql(ref, len(centroids[0]))} "
@@ -1130,9 +1270,13 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
                       F.col("cell").alias("ca"))
     b = paired.select(F.col("id").alias("doc_b"), F.col("v").alias("vb"),
                       F.col("cell").alias("cb"))
-    pairs = (a.join(b, (F.col("ca") == F.col("cb"))
-                    & (F.col("doc_a") < F.col("doc_b")))
-             .withColumn("cos", cosine_col("va", "vb"))
+    # within-cell pair scoring via the Arrow pair kernel (r12, guide §4;
+    # float-identical to cosine_col — kernel docstring): the cell
+    # equi-join is untouched, only the per-pair interpreted folds move
+    paired_rows = a.join(b, (F.col("ca") == F.col("cb"))
+                         & (F.col("doc_a") < F.col("doc_b")))
+    pairs = (_scored_pairs_kernel(paired_rows, "doc_a", "doc_b",
+                                  "va", "vb", out_col="cos")
              .filter(F.col("cos") >= threshold)
              .select("doc_a", "doc_b"))
     return min_label_components(cells.select("id"), pairs, max_iters) \
@@ -1450,7 +1594,20 @@ def _guarded_collect(q_proj: DataFrame, max_query_rows: int) -> list:
             "driver (probe-union pruning / drift truth pinning), so it "
             "must be a bounded sample, not a corpus — pass a smaller "
             "batch or raise max_query_rows explicitly")
-    return q_proj.collect()
+    rows = q_proj.collect()
+    # Backstop for the count→collect window (r11 ADVICE): a frame that
+    # GREW past the limit between the two jobs must still fail loudly —
+    # the rows are discarded, nothing downstream sees them. (A take/limit
+    # probe would bound memory structurally but re-introduces the
+    # sequential incremental-CollectLimit jobs this function removed;
+    # driver exposure in the window is already capped by
+    # spark.driver.maxResultSize.)
+    if len(rows) > max_query_rows:
+        raise ValueError(
+            f"query batch grew past max_query_rows={max_query_rows} "
+            "between the count guard and the collect — the queries frame "
+            "must be a deterministic bounded sample (serving contract)")
+    return rows
 
 
 def _pin_query_batch(queries: DataFrame, vec_col: str, query_id_col: str,
@@ -2082,7 +2239,10 @@ def ivf_pq_index_drift(index: DataFrame,
     # count is a Python fold over them instead of an extra aggregate
     # job + crossJoin in the report plan (r11 optimization round; same
     # value by construction: the pinned local relation IS the frame the
-    # aggregate counted)
+    # aggregate counted). Scope note (r11 ADVICE): the set fold matches
+    # SQL count_distinct for the int/string id contract of this family;
+    # array/map-typed ids would be unhashable and NaN float ids would
+    # each count distinct — both out of contract for vec_id keys.
     n_queries = len({r[0] for r in pinned_rows if r[0] is not None})
     per_q = (truth.select("query_id", "neighbor_id")
              .join(served, ["query_id", "neighbor_id"], "left")

@@ -486,10 +486,18 @@ def q37_cosine_neardup_pairs(spark, sf_dir):
                  F.col("bucket").alias("ba"))
     c = b.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
                  F.col("bucket").alias("bb"))
+    # pair scoring via the Arrow kernel (r12, guide §4): the bucket
+    # equi-join is unchanged; the per-pair interpreted cosine folds —
+    # |bucket|²-ish pairs × dim elements — run vectorized,
+    # float-identical to cosine_col (the 6-dp round sits on identical
+    # doubles, so the threshold cut is unchanged)
+    from ..operators.similarity import _scored_pairs_kernel
+    paired = a.join(c, (F.col("bb") == F.col("ba"))
+                    & (F.col("vec_a") < F.col("vec_b")))
     return (
-        a.join(c, (F.col("bb") == F.col("ba")) & (F.col("vec_a") < F.col("vec_b")))
+        _scored_pairs_kernel(paired, "vec_a", "vec_b", "va", "vb")
         .select("vec_a", "vec_b",
-                F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cosine"))
+                F.round(F.col("cosine"), 6).alias("cosine"))
         .filter(F.col("cosine") >= 0.3)
     )
 

@@ -111,11 +111,25 @@ def scan_partitions(df: DataFrame) -> int:
 #: size, never from a core-count constant).
 #:
 #: TEXT: per-row Python/interpreted work (shingling, md5 loops, tokenize)
-#: is enormous relative to the bytes — tiny slices so every core helps.
-#: At sf0.1 (594 KB documents) this still yields the full local width
-#: (37 → capped at parallelism), so local text numbers are unchanged;
-#: smaller fixtures now stop over-splitting.
-TEXT_SLICE_BYTES = 16 << 10
+#: dominates the bytes, but the r11 16 KB density (full 32-way fan-out
+#: at sf0.1) over-split: the driver's r11 scaling block measured
+#: q22/q24/q25/q50/q54/q61 FASTER on 8 cores than 32 — per-task
+#: scheduling + Python-worker round trips beat the per-row CPU the
+#: extra width bought. The r12 density sweep at 32 cores
+#: (tools/width_sweep.py over all 19 text sites, densities
+#: 16K/40K/80K/160K = widths 32/15/8/4 at sf0.1) put the family
+#: optimum at 80 KB/slice — q22 0.68→0.41 s, q61 1.49→0.94, q69
+#: 1.77→0.99, q70 1.80→1.11, q64 1.36→0.96, q62/q63/q74/q77 all
+#: better, nothing meaningfully worse (q63/q23 "losses" in one walk
+#: did not reproduce over 5 reps: 4.03→3.79 and 1.47→1.15 medians).
+#: 80 KB also matches the 8-core cap (ceil(594 KB / 80 KB) = 8), so
+#: the 8-beats-32 inversion disappears by construction at this SF.
+#: Env-overridable (r12): the density is a measured host-dependent
+#: trade (per-row kernel CPU vs per-task scheduling+Python-worker
+#: cost), so production deployments tune it per cluster without a code
+#: change; the default keeps the driver's bench comparable.
+TEXT_SLICE_BYTES = int(os.environ.get("SPARK_GRAFT_TEXT_SLICE_BYTES",
+                                      80 << 10))
 #: VEC: downstream is vectorized Arrow/numpy kernels and bounded folds —
 #: per-row cost is tiny, so wide fan-outs only buy task-scheduling and
 #: Python-worker overhead. Measured at sf0.1 (2 000 x 64 embeddings, 32
@@ -123,7 +137,9 @@ TEXT_SLICE_BYTES = 16 << 10
 #: width 8, and the serving-fold chains 1.2-2.0 s at 32 vs 0.56 s at 8.
 #: 96 KB/slice puts the 798 KB sf0.1 scan at 9 slices and grows with
 #: input until the parallelism cap — the same plan at production scale.
-VEC_SLICE_BYTES = 96 << 10
+#: Env-overridable (r12), same rationale as TEXT_SLICE_BYTES.
+VEC_SLICE_BYTES = int(os.environ.get("SPARK_GRAFT_VEC_SLICE_BYTES",
+                                     96 << 10))
 
 
 def spread(df: DataFrame, per_slice_bytes: int | None = None) -> DataFrame:
