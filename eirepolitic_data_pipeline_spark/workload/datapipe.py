@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 from ..functions import scalar as sc
 from ..functions import text as tx
 from ..operators.dedupe import pairs_from_postings, shingle_postings
-from .registry import (TEXT_SLICE_BYTES, VEC_SLICE_BYTES, register,
+from .registry import (KERNEL_SLICE_BYTES, TEXT_SLICE_BYTES,
+                       VEC_SLICE_BYTES, register,
                        spread, t)
 
 
@@ -486,18 +487,15 @@ def q37_cosine_neardup_pairs(spark, sf_dir):
                  F.col("bucket").alias("ba"))
     c = b.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
                  F.col("bucket").alias("bb"))
-    # pair scoring via the Arrow kernel (r12, guide §4): the bucket
-    # equi-join is unchanged; the per-pair interpreted cosine folds —
-    # |bucket|²-ish pairs × dim elements — run vectorized,
-    # float-identical to cosine_col (the 6-dp round sits on identical
-    # doubles, so the threshold cut is unchanged)
-    from ..operators.similarity import _scored_pairs_kernel
-    paired = a.join(c, (F.col("bb") == F.col("ba"))
-                    & (F.col("vec_a") < F.col("vec_b")))
+    # pair scoring stays the INTERPRETED fold here (r12, measured): the
+    # Arrow pair kernel was tried and same-session A/B'd 0.75x — at
+    # ~31k bucket pairs the per-task Python-worker round trips of a
+    # MapInArrow stage cost more than the whole fold; the kernel wins
+    # only at the serving operators' |queries|·|corpus| volumes
     return (
-        _scored_pairs_kernel(paired, "vec_a", "vec_b", "va", "vb")
+        a.join(c, (F.col("bb") == F.col("ba")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b",
-                F.round(F.col("cosine"), 6).alias("cosine"))
+                F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cosine"))
         .filter(F.col("cosine") >= 0.3)
     )
 
@@ -2318,7 +2316,7 @@ def q73_kmeans_clusters(spark, sf_dir):
     model only. The oracle unrolls both iterations as CTE rounds sharing
     the identical sequential-fold distance."""
     from ..operators.vectors import kmeans_assign
-    emb = spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES)
+    emb = spread(t(spark, sf_dir, "embeddings"), KERNEL_SLICE_BYTES)
     return kmeans_assign(emb, k=4, iters=2)
 
 
@@ -2616,7 +2614,7 @@ def q79_semdedup_clusters(spark, sf_dir):
     pushed one cluster past 10k rows, then hash-mismatch with the root
     cause visible in neither query text (review r7)."""
     from ..operators.vectors import semdedup
-    emb = spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES)
+    emb = spread(t(spark, sf_dir, "embeddings"), KERNEL_SLICE_BYTES)
     return semdedup(emb, k=16, iters=1, threshold=0.4, max_cluster=None)
 
 
@@ -2865,7 +2863,7 @@ def q82_ann_recall_ivf_trained(spark, sf_dir):
                                         centroid_cells_frame,
                                         centroid_probe_ranks)
     from ..operators.vectors import kmeans_fit
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), KERNEL_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     cents = kmeans_fit(emb, k=8, iters=1)
@@ -3127,7 +3125,7 @@ def q84_knn_ivf_pq(spark, sf_dir):
     for only |queries| x m rows."""
     from ..operators.similarity import knn_ivf_pq
     from ..operators.vectors import kmeans_fit, quantize_int8
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), KERNEL_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     cents = kmeans_fit(emb, k=8, iters=1)
@@ -3257,7 +3255,7 @@ def q85_knn_pq_adc(spark, sf_dir):
     contract."""
     from ..operators.similarity import knn_pq_adc
     from ..operators.vectors import pq_encode, pq_fit
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), KERNEL_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     books = pq_fit(emb, m=4, k=8, iters=1)
@@ -3410,7 +3408,7 @@ def q86_knn_ivf_adc(spark, sf_dir):
     the narrowest serving path in the family."""
     from ..operators.similarity import knn_ivf_adc
     from ..operators.vectors import ivf_pq_fit, pq_encode
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), KERNEL_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     # the fused trainer: bit-identical to the separate
@@ -3481,7 +3479,7 @@ def q87_knn_ivf_pq_index(spark, sf_dir):
     from ..operators.similarity import (knn_ivf_pq_index,
                                         write_ivf_pq_index)
     from ..operators.vectors import ivf_pq_fit, pq_encode
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), KERNEL_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     cents, books = ivf_pq_fit(emb, k_coarse=8, m=4, k_sub=8, iters=1)
@@ -3581,7 +3579,7 @@ def q88_index_drift_report(spark, sf_dir):
     from ..operators.similarity import (ivf_pq_index_drift,
                                         write_ivf_pq_index)
     from ..operators.vectors import ivf_pq_fit, pq_encode
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), KERNEL_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     cents, books = ivf_pq_fit(emb, k_coarse=8, m=4, k_sub=8, iters=1)
@@ -3761,7 +3759,7 @@ def q89_knn_ivf_rpq(spark, sf_dir):
     residual codec via ``_pq_codec_sql``'s ``src`` seam."""
     from ..operators.similarity import knn_ivf_adc_residual
     from ..operators.vectors import ivf_pq_encode, ivf_pq_fit_residual
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), KERNEL_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     cents, books = ivf_pq_fit_residual(emb, k_coarse=8, m=4, k_sub=8,
@@ -3797,7 +3795,7 @@ def q90_knn_ivf_rpq_index(spark, sf_dir):
     from ..operators.similarity import (knn_ivf_rpq_index,
                                         write_ivf_rpq_index)
     from ..operators.vectors import ivf_pq_fit_residual
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), KERNEL_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     cents, books = ivf_pq_fit_residual(emb, k_coarse=8, m=4, k_sub=8,
@@ -3848,7 +3846,7 @@ def q91_rpq_index_drift(spark, sf_dir):
     from ..operators.similarity import (ivf_pq_index_drift,
                                         write_ivf_rpq_index)
     from ..operators.vectors import ivf_pq_fit_residual
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), KERNEL_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     cents, books = ivf_pq_fit_residual(emb, k_coarse=8, m=4, k_sub=8,
@@ -3891,7 +3889,7 @@ def q92_knn_ivf_pq_batch(spark, sf_dir):
     from ..operators.similarity import (knn_ivf_pq_index_batch,
                                         write_ivf_pq_index)
     from ..operators.vectors import ivf_pq_fit, pq_encode
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), KERNEL_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     cents, books = ivf_pq_fit(emb, k_coarse=8, m=4, k_sub=8, iters=1)
@@ -3926,7 +3924,7 @@ def q93_knn_ivf_rpq_batch(spark, sf_dir):
     from ..operators.similarity import (knn_ivf_rpq_index_batch,
                                         write_ivf_rpq_index)
     from ..operators.vectors import ivf_pq_fit_residual
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), KERNEL_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     cents, books = ivf_pq_fit_residual(emb, k_coarse=8, m=4, k_sub=8,
@@ -3984,7 +3982,7 @@ def q94_pca_covariance(spark, sf_dir):
     point: the corpus contributes one map pass; only the dim×dim
     moment matrix ever moves."""
     from ..operators.vectors import covariance_frame
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), KERNEL_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     return covariance_frame(emb)
@@ -4012,7 +4010,7 @@ def q95_pca_projection(spark, sf_dir):
     no SQL oracle can exist here and where each contract is pinned
     instead."""
     from ..operators.vectors import pca_fit, pca_project
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), KERNEL_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     mean, comps, _ = pca_fit(emb, k=4)
@@ -4047,7 +4045,7 @@ def q96_knn_pca_rerank(spark, sf_dir):
     compression axis."""
     from ..operators.similarity import knn_pca_rerank
     from ..operators.vectors import pca_fit
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), KERNEL_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     mean, comps, _ = pca_fit(emb, k=32)
@@ -4079,7 +4077,7 @@ def q97_pca_incremental_covariance(spark, sf_dir):
     replace fact-table recomputes."""
     from ..operators.vectors import (covariance_frame_from_moments,
                                      merge_moments, pca_moments)
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), KERNEL_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     history = emb.filter(F.col("vec_id") % 2 == 0)
@@ -4136,7 +4134,7 @@ def q98_rp_projection(spark, sf_dir):
     projection machinery itself, leaving exactly the driver-side eigh
     as the pytest-pinned remainder."""
     from ..operators.vectors import pca_project, rp_components
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), KERNEL_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     W = rp_components(64, 8)
@@ -4213,7 +4211,7 @@ def q99_moments_drift_report(spark, sf_dir):
     corpus — the drift check a streaming deployment runs every epoch,
     with refit (pca_fit_from_moments) only when it fires."""
     from ..operators.vectors import moments_drift_report, pca_moments
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), KERNEL_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     ref = pca_moments(emb.filter(F.col("vec_id") % 2 == 0))
@@ -4315,7 +4313,7 @@ def q100_knn_rp_rerank(spark, sf_dir):
     from row one of a brand-new corpus)."""
     from ..operators.similarity import knn_pca_rerank
     from ..operators.vectors import rp_components
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), KERNEL_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     W = rp_components(64, 8)
@@ -4376,7 +4374,7 @@ def q101_pca_correlation(spark, sf_dir):
     magnitudes — the redundancy signal raw covariance conflates with
     scale."""
     from ..operators.vectors import correlation_frame
-    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), VEC_SLICE_BYTES))
+    emb = (_no_null_elements(spread(t(spark, sf_dir, "embeddings"), KERNEL_SLICE_BYTES))
            .filter(F.col("embedding").isNotNull()
                    & (F.size("embedding") > 0)))
     return correlation_frame(emb)

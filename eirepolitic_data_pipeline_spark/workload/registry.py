@@ -135,11 +135,24 @@ TEXT_SLICE_BYTES = int(os.environ.get("SPARK_GRAFT_TEXT_SLICE_BYTES",
 #: Python-worker overhead. Measured at sf0.1 (2 000 x 64 embeddings, 32
 #: cores): the fused Lloyd pass runs 0.95-1.0 s at width 32 vs 0.57 s at
 #: width 8, and the serving-fold chains 1.2-2.0 s at 32 vs 0.56 s at 8.
-#: 96 KB/slice puts the 798 KB sf0.1 scan at 9 slices and grows with
-#: input until the parallelism cap — the same plan at production scale.
 #: Env-overridable (r12), same rationale as TEXT_SLICE_BYTES.
 VEC_SLICE_BYTES = int(os.environ.get("SPARK_GRAFT_VEC_SLICE_BYTES",
                                      96 << 10))
+#: KERNEL: chains whose repeated corpus passes are Arrow numpy kernels
+#: (Lloyd/PQ/moments fits, projection/covariance kernels, the batch
+#: cogroup serves). Each kernel pass pays a fixed per-task
+#: Python-worker round trip, so these chains want FEWER, larger slices
+#: than the interpreted-fold serves above. r12 density sweep
+#: (96K/224K/448K/896K = widths 9/4/2/1 at the 798 KB sf0.1 scan, 32
+#: cores, medians of 3): width 4 is the optimum — q91 4.25→3.31,
+#: q73 1.17→0.93, q87/q88/q90/q92/q96 and the whole PCA/JL family
+#: (q94–q101, −4% to −18%) best at 224 KB, set total 24.7→21.9 s;
+#: width 2 over-narrows the serving joins. The interpreted-fold
+#: chains measured the OPPOSITE (q37 0.51→0.83 at width 4), hence the
+#: split; at production scale both are no-ops once the scan has more
+#: splits than the derived width.
+KERNEL_SLICE_BYTES = int(os.environ.get("SPARK_GRAFT_KERNEL_SLICE_BYTES",
+                                        224 << 10))
 
 
 def spread(df: DataFrame, per_slice_bytes: int | None = None) -> DataFrame:
