@@ -240,16 +240,27 @@ def pairs_from_postings(postings: DataFrame, key: str = "key",
         F.array_sort(F.collect_list(F.struct(*payload))).alias("__ds"))
     if max_df is not None:
         grouped = grouped.filter(F.size("__ds") <= max_df)
-    # 2-arg lambda intentionally: (element, index)
-    pair_arr = F.flatten(F.transform(
-        "__ds",
-        lambda x, i: F.transform(
-            F.slice("__ds", i + 2, F.size("__ds")),
-            lambda y: F.struct(
-                x["doc_id"].alias("doc_a"), y["doc_id"].alias("doc_b"),
-                *[x[c].alias(f"a_{c}") for c in payload_cols],
-                *[y[c].alias(f"b_{c}") for c in payload_cols]))))
-    return grouped.select(F.col(key), F.explode(pair_arr).alias("p")).select(key, "p.*")
+    # Pair expansion as TWO chained Generate (explode) operators instead
+    # of one interpreted flatten×nested-transform array build (r12,
+    # guide §4 "prefer built-ins with codegen"): the lambda HOF tree
+    # evaluated one interpreted expression node per (element, pair) —
+    # never whole-stage-codegen'd — where posexplode + explode(slice)
+    # run inside one codegen stage with no intermediate pair array.
+    # Emitted rows are identical (i ascending, then slice order; doc_a
+    # < doc_b by the array_sort above).
+    x = F.col("__x")
+    y = F.col("__y")
+    e1 = grouped.select(F.col(key), F.col("__ds"),
+                        F.posexplode("__ds").alias("__i", "__x"))
+    e2 = e1.select(
+        F.col(key), x, F.explode(
+            F.slice("__ds", F.col("__i") + 2, F.size("__ds")))
+        .alias("__y"))
+    return e2.select(
+        F.col(key),
+        x["doc_id"].alias("doc_a"), y["doc_id"].alias("doc_b"),
+        *[x[c].alias(f"a_{c}") for c in payload_cols],
+        *[y[c].alias(f"b_{c}") for c in payload_cols])
 
 
 # ---------------------------------------------------------------------------

@@ -184,17 +184,19 @@ def source_overlap(df: DataFrame, n: int = 3,
                 .agg(F.array_sort(F.collect_set(
                     F.struct("__src", "n_ngrams"))).alias("srcs"))
                 .filter(F.size("srcs") >= 2))
-    combos = F.flatten(F.transform(
-        F.col("srcs"),
-        lambda x, i: F.transform(
-            F.slice(F.col("srcs"), i + 2,
-                    F.greatest(F.size("srcs") - i - 1, F.lit(0))),
-            lambda y: F.struct(x["__src"].alias("src_a"),
-                               y["__src"].alias("src_b"),
-                               x["n_ngrams"].alias("n_a"),
-                               y["n_ngrams"].alias("n_b")))))
-    pairs = (postings.select(F.explode(combos).alias("p"))
-             .select("p.src_a", "p.src_b", "p.n_a", "p.n_b")
+    # pair expansion as two chained codegen'd Generates instead of the
+    # interpreted flatten×nested-transform array build (r12, guide §4 —
+    # the same rewrite as dedupe.pairs_from_postings): identical rows,
+    # no per-row interpreted pair array
+    x, y = F.col("__x"), F.col("__y")
+    e1 = postings.select(F.col("srcs"),
+                         F.posexplode("srcs").alias("__i", "__x"))
+    e2 = e1.select(x, F.explode(
+        F.slice("srcs", F.col("__i") + 2, F.size("srcs"))).alias("__y"))
+    pairs = (e2.select(x["__src"].alias("src_a"),
+                       y["__src"].alias("src_b"),
+                       x["n_ngrams"].alias("n_a"),
+                       y["n_ngrams"].alias("n_b"))
              .groupBy("src_a", "src_b")
              .agg(F.count(F.lit(1)).alias("shared_ngrams"),
                   F.any_value("n_a").alias("n_a"),
