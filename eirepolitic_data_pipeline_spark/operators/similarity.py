@@ -1630,8 +1630,8 @@ def _pin_query_batch(queries: DataFrame, vec_col: str, query_id_col: str,
 def _pruned_probe_scan(index: DataFrame, queries: DataFrame,
                        centroids: list[list[float]], nprobe: int,
                        vec_col: str, query_id_col: str,
-                       max_query_rows: int = DEFAULT_MAX_QUERY_ROWS
-                       ) -> tuple[DataFrame, DataFrame]:
+                       max_query_rows: int = DEFAULT_MAX_QUERY_ROWS,
+                       with_rows: bool = False):
     """The shared probe-union partition pruning of the persisted
     serving paths (flat + residual): returns ``(pinned_queries,
     pruned_index)``.
@@ -1672,7 +1672,13 @@ def _pruned_probe_scan(index: DataFrame, queries: DataFrame,
     from pyspark.sql.types import NumericType
     if isinstance(index.schema["cell"].dataType, NumericType):
         probe_cells = [int(c) for c in probe_cells]
-    return queries, index.filter(F.col("cell").isin(probe_cells))
+    pruned = index.filter(F.col("cell").isin(probe_cells))
+    # ``with_rows`` hands back the collected rows too, so a caller that
+    # needs a row-level fold (the drift report's n_queries) or the
+    # pinned batch itself reuses THIS collect instead of running its own
+    # _pin_query_batch first (r12: the drift report previously pinned
+    # twice — 2 extra driver jobs per pass, 2 cluster barriers at scale)
+    return (queries, pruned, rows) if with_rows else (queries, pruned)
 
 
 def knn_ivf_pq_index(index: DataFrame,
@@ -1698,12 +1704,36 @@ def knn_ivf_pq_index(index: DataFrame,
     exact stages (same results as the in-memory composition for the
     same models — test-pinned). A query whose vector the quantizer
     cannot key probes nothing and returns no rows."""
-    from .vectors import pq_decode
-
     m = _resolve_m(k, m)
     queries, pruned = _pruned_probe_scan(index, queries, centroids,
                                          nprobe, vec_col, query_id_col,
                                          max_query_rows)
+    return _serve_pruned(pruned, codebooks, queries, k, centroids,
+                         nprobe, m, vectors, id_col, vec_col,
+                         query_id_col, residual=False)
+
+
+def _serve_pruned(pruned: DataFrame, codebooks: list[list[list[float]]],
+                  queries: DataFrame, k: int,
+                  centroids: list[list[float]], nprobe: int, m: int,
+                  vectors: Optional[DataFrame], id_col: str,
+                  vec_col: str, query_id_col: str,
+                  residual: bool) -> DataFrame:
+    """The post-prune serving body shared by ``knn_ivf_pq_index``,
+    ``knn_ivf_rpq_index`` and the drift report (which pre-prunes once
+    and reuses the same pinned batch for serve, truth and n_queries):
+    decode the pruned scan per its layout and run the shared IVF
+    serving core. ``m`` must already be resolved."""
+    if residual:
+        codes = pruned.select("vec_id", "codes",
+                              F.col("cell").cast("int").alias("cell"))
+        return knn_ivf_adc_residual(codes, codebooks, queries, k,
+                                    centroids, nprobe=nprobe, m=m,
+                                    vectors=vectors, id_col=id_col,
+                                    vec_col=vec_col,
+                                    query_id_col=query_id_col)
+    from .vectors import pq_decode
+
     dq_frame = pruned.select(
         "vec_id",
         pq_decode("codes", codebooks).alias("__dqv"),
@@ -1782,15 +1812,12 @@ def knn_ivf_rpq_index(index: DataFrame,
     queries, pruned = _pruned_probe_scan(index, queries, centroids,
                                          nprobe, vec_col, query_id_col,
                                          max_query_rows)
-    # the decode adds centroid[cell] via element_at — normalize the
-    # read-back partition dtype (int by default, string with inference
-    # off) to the numeric index the reconstruction needs
-    codes = pruned.select("vec_id", "codes",
-                          F.col("cell").cast("int").alias("cell"))
-    return knn_ivf_adc_residual(codes, codebooks, queries, k, centroids,
-                                nprobe=nprobe, m=m, vectors=vectors,
-                                id_col=id_col, vec_col=vec_col,
-                                query_id_col=query_id_col)
+    # the decode adds centroid[cell] via element_at — _serve_pruned
+    # normalizes the read-back partition dtype (int by default, string
+    # with inference off) to the numeric index the reconstruction needs
+    return _serve_pruned(pruned, codebooks, queries, k, centroids,
+                         nprobe, m, vectors, id_col, vec_col,
+                         query_id_col, residual=True)
 
 
 def _exact_rerank_shuffle(cand: DataFrame, q: DataFrame,
@@ -2209,19 +2236,23 @@ def ivf_pq_index_drift(index: DataFrame,
     otherwise OOM the driver AND run |corpus| brute-force scans."""
     if not 0.0 <= recall_floor <= 1.0:
         raise ValueError("recall_floor must be within [0, 1]")
-    queries, pinned_rows = _pin_query_batch(queries, vec_col,
-                                            query_id_col, max_query_rows,
-                                            with_rows=True)
+    # ONE pin for the whole report (r12): the pruned-probe scan's
+    # guarded collect pins the batch, computes the probe union, AND
+    # hands back the rows — serve, truth, and n_queries all read the
+    # same evaluation. Previously the report pinned first and the serve
+    # re-pinned from the local relation: two extra driver jobs per
+    # pass, two extra cluster-wide barriers at scale.
+    m_res = _resolve_m(k, m)
+    queries, pruned, pinned_rows = _pruned_probe_scan(
+        index, queries, centroids, nprobe, vec_col, query_id_col,
+        max_query_rows, with_rows=True)
     # ``residual=True`` watches a write_ivf_rpq_index table instead —
     # same report, the serving path under test swaps to the residual
     # pruned scan (the one whose frozen models are COSTLIER to refit,
     # since every stored code re-encodes with the new cell)
-    serve = knn_ivf_rpq_index if residual else knn_ivf_pq_index
-    served = (serve(index, codebooks, queries, k, centroids,
-                    nprobe=nprobe, m=m, vectors=vectors,
-                    id_col=id_col, vec_col=vec_col,
-                    query_id_col=query_id_col,
-                    max_query_rows=max_query_rows)
+    served = (_serve_pruned(pruned, codebooks, queries, k, centroids,
+                            nprobe, m_res, vectors, id_col, vec_col,
+                            query_id_col, residual=residual)
               .select("query_id", "neighbor_id",
                       F.lit(1).alias("__hit")))
     # the truth side keeps only queries the quantizer can KEY
