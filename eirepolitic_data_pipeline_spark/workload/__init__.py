@@ -27,7 +27,24 @@ from . import datapipe  # noqa: F401,E402
 from . import quality  # noqa: F401,E402
 
 
-# Certification rotation (round 11). The driver's correctness gate
+# Certification rotation (round 12). The window (first ~50 registered)
+# this round covers, in order: (1) every query whose RESULTS flow
+# through code changed in round 12 — the Arrow pair-scoring kernel and
+# the post-prune serve refactor (similarity.py: q26/q27/q37/q65/q78/
+# q80–q93/q100 — q37 reverted to the expression but its builder was
+# edited twice), and the posting pair-expansion rewrite (dedupe.py/
+# profiling.py: q23/q24/q50/q62/q63/q64/q66/q74); (2) the rest of the
+# changed-file dedupe.py block (q19/q22/q25/q49/q54/q61 — results
+# provably identical, the changed-file rule still holds them inside);
+# (3) THE AGED BLOCK the r11 verdict ordered back inside (q55–q58/q32/
+# q41/q45/q46/q48/q53/q69–q71/q76/q77 — newest ledgers r9, files
+# untouched three rounds); (4) q73 (vectors.py family, ledger r10).
+# q94/q95/q97–q99/q101 rotate OUT on fresh r11 ledgers (this round only
+# changed their fan-out width — a pure repartition, result-invariant by
+# construction); q95/q96 are sql=None (rows-only pytest pins — a window
+# slot yields only "no_oracle", so they sit at the very tail).
+#
+# Previous rotation (round 11). The driver's correctness gate
 # certifies the first ~50 registered queries per round; with 97
 # registered, ~47 fall outside every round. Rank the workload so the
 # window always covers the queries that NEED a fresh driver-green row:
@@ -81,39 +98,19 @@ from . import quality  # noqa: F401,E402
 #           and MUST rotate back inside in round 12).
 # Rotate this list each round as certifications land and code changes.
 _CERT_PRIORITY = [
-    # new round 11 — never driver-certified: the residual refit
-    # feedback loop (r10 verdict ask #2)
-    "q91_rpq_index_drift",
-    "q92_knn_ivf_pq_batch",
-    "q93_knn_ivf_rpq_batch",
-    "q94_pca_covariance",
-    "q95_pca_projection",
-    "q96_knn_pca_rerank",
-    "q97_pca_incremental_covariance",
-    "q98_rp_projection",
-    "q99_moments_drift_report",
-    "q100_knn_rp_rerank",
-    "q101_pca_correlation",
-    # single green ledger (r10) — hold inside until 2+; all four also
-    # serve through the persisted paths the r11 contract guard changed
+    # (1a) the persisted-index family: post-prune serve refactor
+    # (_serve_pruned), the drift single-pin, AND the pair kernel all
+    # land here — the highest-risk block of the round
     "q87_knn_ivf_pq_index",
     "q88_index_drift_report",
     "q89_knn_ivf_rpq",
     "q90_knn_ivf_rpq_index",
-    # THE r6-r8 STALE-LEDGER ROTATION (r10 verdict ask #1): newest
-    # green ledger r6-r8, files untouched since — rotate all nine
-    "q30_quality_scores",
-    "q54_repetition_stats",
-    "q59_hll_sketch_rollup",
-    "q60_incremental_rollup_equivalence",
-    "q35_json_props_extract",
-    "q36_parse_iso_date_parity",
-    "q28_text_stats",
-    "q29_language_id",
-    "q39_asof_join_last_click",
-    # the similarity.py changed-file block: functions byte-unchanged
-    # but the module changed (serving-contract guard) — stay inside
-    # per the changed-file rule
+    "q91_rpq_index_drift",
+    "q92_knn_ivf_pq_batch",
+    "q93_knn_ivf_rpq_batch",
+    # (1b) in-memory ANN through the Arrow pair-scoring kernel
+    # (knn_bruteforce / knn_lsh / _compressed_topm scoring moved to
+    # mapInArrow, bit-parity pinned by tests/test_pair_kernel.py)
     "q26_knn_bruteforce",
     "q27_ann_bucketed",
     "q37_cosine_neardup_pairs",
@@ -126,31 +123,27 @@ _CERT_PRIORITY = [
     "q84_knn_ivf_pq",
     "q85_knn_pq_adc",
     "q86_knn_ivf_adc",
-    # family sentinels for the builder module that changed this round
-    # (datapipe.py gained q91)
-    "q63_curate_corpus_certified",
-    "q61_line_dedup_boilerplate",
-    # the r9-green refresh: newest ledger two rounds old, files
-    # untouched — bank fresh rows before they age past the 4-round rule
-    "q19_dedupe_keep_last",
-    "q22_exact_dedup_fingerprint",
+    "q100_knn_rp_rerank",
+    # (1c) the posting pair-expansion rewrite (chained Generates):
+    # every candidate-pair consumer
     "q23_jaccard_topk_pairs",
     "q24_minhash_lsh_candidates",
-    "q25_simhash_signatures",
-    "q49_winnowed_fingerprints",
     "q50_winnow_neardup_pairs",
+    "q62_minhash_dedup_components",
+    "q63_curate_corpus_certified",
     "q64_decontaminate_benchmark",
     "q66_simhash_banded_pairs",
-    "q67_conflict_evidence_dedupe",
-    "q51_dataset_split",
-    "q52_sequence_packing",
-]
-_CERT_TAIL = [
-    # displaced by q94-q101 (the PCA/JL family took the last eight
-    # window slots): green r9 with their implementation files
-    # (operators/curation.py, operators/incremental.py,
-    # plans/quality.py, plans/registry.py, tables/gold.py) untouched
-    # in rounds 10-11 — age-1, rotate back inside in round 12
+    "q74_source_overlap",
+    # (2) rest of the changed-file dedupe.py block (results provably
+    # identical; the changed-file rule still holds them inside)
+    "q19_dedupe_keep_last",
+    "q22_exact_dedup_fingerprint",
+    "q25_simhash_signatures",
+    "q49_winnowed_fingerprints",
+    "q54_repetition_stats",
+    "q61_line_dedup_boilerplate",
+    # (3) the aged block the r11 verdict ordered back inside: newest
+    # green ledgers r9, implementation files untouched three rounds
     "q55_source_mixing",
     "q56_resample_daily_ffill",
     "q57_domain_profile",
@@ -159,13 +152,19 @@ _CERT_TAIL = [
     "q41_compat_projection",
     "q45_member_activity_yearly_mart",
     "q46_constituency_activity_mart",
-    # displaced by q92/q93: green r8+r9 with operators/skew.py and
-    # operators/temporal.py untouched in rounds 10-11 — age-2, must
-    # rotate back inside in round 12
     "q48_salted_topn_events",
     "q53_range_join_busy_windows",
-    # newest green ledger r10, implementation files untouched in
-    # round 11: the r5-tail block recertified last round
+    "q69_bm25_relevance",
+    "q70_bigram_lm_quality",
+    "q71_ngram_heavy_hitters",
+    "q76_sliding_window_counts",
+    "q77_dataset_card",
+    # (4) vectors.py-family sentinel with the oldest ledger (r10)
+    "q73_kmeans_clusters",
+]
+_CERT_TAIL = [
+    # r11-certified fresh ledgers; this round changed only their
+    # fan-out width (pure repartition, result-invariant) or nothing
     "q01_pricing_summary",
     "q02_min_cost_supplier",
     "q03_shipping_priority",
@@ -186,32 +185,38 @@ _CERT_TAIL = [
     "q18_running_customer_spend",
     "q20_sessionization",
     "q21_tumbling_hourly",
+    "q28_text_stats",
+    "q29_language_id",
+    "q30_quality_scores",
+    "q31_dq_summary_lineitem",
+    "q34_scalar_function_parity",
+    "q35_json_props_extract",
+    "q36_parse_iso_date_parity",
+    "q39_asof_join_last_click",
     "q42_cube_status_year",
     "q43_approx_aggregates",
     "q47_member_activity_monthly_mart",
-    # the r9 bench-drift cluster: recertified r10, files untouched
-    "q34_scalar_function_parity",
-    "q31_dq_summary_lineitem",
+    "q51_dataset_split",
+    "q52_sequence_packing",
+    "q59_hll_sketch_rollup",
+    "q60_incremental_rollup_equivalence",
+    "q67_conflict_evidence_dedupe",
     "q68_tally_integrity_report",
-    "q74_source_overlap",
-    "q62_minhash_dedup_components",
-    # vectors.py-only family: green r10; round 11 APPENDED the PCA
-    # family to operators/vectors.py (covariance_frame/pca_fit/
-    # pca_project at the file tail) — every pre-existing builder and
-    # helper body is byte-unchanged (verifiable via git diff), so the
-    # r10 ledgers stand
     "q72_quantize_int8",
-    "q73_kmeans_clusters",
     "q75_diversity_sample",
     "q79_semdedup_clusters",
-    # r6 text/relevance/streaming block: green through r9, files
-    # untouched two rounds running — the oldest deferred ledgers; MUST
-    # rotate back inside in round 12
-    "q69_bm25_relevance",
-    "q70_bigram_lm_quality",
-    "q71_ngram_heavy_hitters",
-    "q76_sliding_window_counts",
-    "q77_dataset_card",
+    # q94–q101 minus the two serving reranks: certified r11, width-only
+    # changes this round
+    "q94_pca_covariance",
+    "q97_pca_incremental_covariance",
+    "q98_rp_projection",
+    "q99_moments_drift_report",
+    "q101_pca_correlation",
+    # sql=None (rows-only pytest pins — a window slot yields only
+    # "no_oracle"); q96's serving change is covered by the pytest
+    # parity pins and by q100 (same _compressed_topm path, WITH oracle)
+    "q95_pca_projection",
+    "q96_knn_pca_rerank",
 ]
 
 
